@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators re-expressing the reference's hand-written
+  * pandas/dict semantics (SURVEY.md §2) as declarative Spark plans.
+  *
+  * Everything here is `DataFrame => DataFrame`, shuffle-aware, and
+  * collect-free so it scales from sf0.001 to a 1000-executor cluster:
+  * dedup/latest are single-shuffle window ranks on the group keys; top-k is
+  * a global sort-limit (Spark plans TakeOrderedAndProject — no full sort);
+  * pivots aggregate in long form first and widen last.
+  */
+object Relational {
+
+  /** A1 argmax-|value| dedup (ref: src/api/data_service.py:126-176): within
+    * each key group keep the single row maximizing `order` columns.
+    * Ties MUST be broken by a unique column for determinism — pass it as the
+    * last ordering column. One shuffle on `keys`. */
+  def dedupArgmax(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J5/W6 latest-row-per-group (ref: financial_analyzer.py:421-444). */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], ts: Column, tieBreak: Column): DataFrame =
+    dedupArgmax(df, keys, Seq(ts.desc, tieBreak.asc))
+
+  /** O1/O4 top-k: global orderBy+limit. Spark plans this as
+    * TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    * so it scales without a full sort. Include a unique tiebreak column. */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** W1 YoY growth (ref: sec_mcp/server.py:417-425):
+    * growth_pct = (v/lag(v) − 1)·100 over `orderCol` within `partCols`.
+    * Null for the first period and on zero denominators (ref skips div-by-0). */
+  def growthPct(df: DataFrame, partCols: Seq[String], orderCol: Column, valueCol: Column,
+                outName: String = "growth_pct"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)
+    val prev = lag(valueCol, 1).over(w)
+    df.withColumn(outName,
+      when(prev.isNotNull && prev =!= 0,
+        (valueCol.cast("double") / prev.cast("double") - 1) * 100))
+  }
+
+  /** W3 CAGR over an ordered series (ref: sec_mcp/server.py:412-415):
+    * (last/first)^(1/(n−1)) − 1, via min_by/max_by on the order column —
+    * a single shuffle-free partial-aggregable groupBy. */
+  def cagr(df: DataFrame, groupCols: Seq[String], orderCol: Column, valueCol: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        min_by(valueCol, orderCol).as("first_value"),
+        max_by(valueCol, orderCol).as("last_value"),
+        countDistinct(orderCol).as("n_periods"))
+      .withColumn("cagr",
+        when(col("n_periods") > 1 && col("first_value") =!= 0,
+          round(pow(col("last_value").cast("double") / col("first_value").cast("double"),
+            lit(1.0) / (col("n_periods") - 1)) - 1, 6)))
+
+  /** W4 volatility = stddev of the YoY growth series (ref: server.py:431). */
+  def volatility(df: DataFrame, partCols: Seq[String], orderCol: Column, valueCol: Column): DataFrame =
+    growthPct(df, partCols, orderCol, valueCol)
+      .groupBy(partCols.map(col): _*)
+      .agg(round(stddev(col("growth_pct")), 6).as("volatility"))
+
+  /** P1/P2 pivot: aggregate in long form, widen last (SURVEY §7.4 — all
+    * computation stays long; pivot is presentation). Explicit `values`
+    * avoids the extra distinct-scan job AND fixes output column order. */
+  def pivotWide(df: DataFrame, rowKey: Seq[String], pivotCol: String,
+                values: Seq[String], agg: Column): DataFrame =
+    df.groupBy(rowKey.map(col): _*).pivot(pivotCol, values).agg(agg)
+
+  /** F5 tag-priority fallback (ref: main.py:183-188): per group, the
+    * highest-priority alias that is present at all wins for the whole group
+    * (not a per-row coalesce). `aliasDim` = (alias, priority) — broadcast. */
+  def bestAvailableAlias(df: DataFrame, groupCols: Seq[String], aliasCol: String,
+                         aliasDim: DataFrame): DataFrame = {
+    val joined = df.join(broadcast(aliasDim), col(aliasCol) === aliasDim("alias"))
+    joined.groupBy(groupCols.map(col): _*)
+      .agg(min_by(col("alias"), col("priority")).as("best_alias"))
+  }
+
+  /** A7 freshness aggregate (ref: data_manager.py:304-331): latest date +
+    * sorted distinct period list per key. The list is emitted as a joined
+    * string so the oracle compare is array-representation-agnostic. */
+  def freshness(df: DataFrame, keys: Seq[String], dateCol: Column, periodCol: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        max(dateCol).as("latest_date"),
+        concat_ws(",", sort_array(collect_set(periodCol.cast("string")))).as("periods"))
+}
