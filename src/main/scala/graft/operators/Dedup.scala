@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Dialect, TextExprs => TX}
+
+/** Deduplication operators for large-scale text corpora — the LLM-pipeline
+  * extension of SURVEY.md §7.5, designed scale-first:
+  *
+  * - exact: one hash-shuffle on the normalized text (group-by, no pairwise).
+  * - MinHash+LSH: signature is a narrow projection (k longs per doc);
+  *   banding turns near-dup search into an equi-join on band keys — no
+  *   O(n²) pair enumeration ever materializes. At 100 TB the band join is
+  *   the only shuffle and it is keyed on short strings with tunable
+  *   selectivity (bands × rows trade recall vs. join fan-out).
+  * - SimHash: 32-bit fingerprint per doc; Hamming-adjacent buckets can be
+  *   probed by prefix. Computed via explode + partial-aggregable sums.
+  *
+  * All hashes are engine-portable integer arithmetic (see TextExprs) so the
+  * DuckDB oracle reproduces them bit-for-bit.
+  */
+object Dedup {
+  private implicit val d: Dialect = Dialect(spark = true)
+
+  /** Exact dedup on canonical text: one row per distinct normalized text
+    * with the smallest doc id as canonical. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(expr(TX.norm(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+
+  /** MinHash signature: k permutation-min values over distinct word-n-gram
+    * shingle hashes. Narrow (k longs) — safe to carry at 100 TB. */
+  def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int, shingleN: Int): DataFrame = {
+    // hash the shingle set once, then take k permutation-mins off the array
+    val hashed = docs.select(col(idCol),
+      expr(TX.shingleHashes(textCol, shingleN)).as("shh"))
+    val sigCols = (0 until k).map(i =>
+      expr(TX.minhashK("shh", i)).as(f"mh$i%02d"))
+    hashed.select((col(idCol) +: sigCols): _*)
+  }
+
+  /** LSH banding over a MinHash signature: emit (band_id, band_key) per doc;
+    * docs sharing a band key are near-dup candidates. Returns buckets with
+    * ≥ 2 docs. The band key is a short string — the join/group shuffles on
+    * it directly. */
+  def minhashBands(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val banded = (0 until nBands).map { b =>
+      val keyCols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      sig.select(col(idCol), lit(b.toLong).as("band_id"),
+        concat_ws("|", keyCols.map(_.cast("string")): _*).as("band_key"))
+    }.reduce(_ unionByName _)
+    banded.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** SimHash 32-bit fingerprint via explode + sign-sum per bit.
+    * Partial-aggregable: the 32 CASE-sums combine map-side. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(expr(TX.tokens(textCol))).as("w"))
+    val h2 = tok.withColumn("h2", expr(TX.mix32(TX.polyHash("w"))))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(expr(s"(h2 div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"s$j"))
+    val agg = h2.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(idCol), fp.cast("long").as("simhash"))
+  }
+
+  /** Exact pairwise n-gram Jaccard over a *bounded candidate set* (e.g. the
+    * LSH candidates, or a capped id range). Never call on an unbounded
+    * corpus — this is the verify stage after banding, not the search. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int): DataFrame = {
+    val withSet = docs.select(col(idCol).as("doc_id"),
+      expr(d.adistinct(TX.shingles(TX.tokens(textCol), shingleN))).as("sh"))
+    val a = withSet.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withSet.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(col("sh_a")) + size(col("sh_b"))
+          - size(array_distinct(concat(col("sh_a"), col("sh_b"))))).cast("long").as("inter_size"),
+        size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("long").as("union_size"))
+      .withColumn("jaccard",
+        col("inter_size").cast("double") / col("union_size").cast("double"))
+  }
+}

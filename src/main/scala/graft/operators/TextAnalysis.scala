@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Dialect, TextExprs => TX}
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen-friendly, no UDFs) with engine-portable
+  * arithmetic — see TextExprs.
+  */
+object TextAnalysis {
+  private implicit val d: Dialect = Dialect(spark = true)
+
+  /** Stopword lists for the n-gram/stopword-ratio language heuristic. */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Language-ID heuristic: ratio of English stopword hits; `en` when the
+    * ratio clears the threshold. (The corpus vocabulary is synthetic —
+    * what matters is that the heuristic is deterministic and cheap: a
+    * single explode + partial-aggregable count.) */
+  def langId(docs: DataFrame, textCol: String, idCol: String,
+             threshold: Double = 0.05): DataFrame = {
+    val tok = docs.select(col(idCol), col("lang"),
+      explode(expr(TX.tokens(textCol))).as("w"))
+    tok.groupBy(idCol, "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(StopEn), 1L).otherwise(0L)).as("en_hits"))
+      .withColumn("en_ratio", col("en_hits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("pred_lang", when(col("en_ratio") >= threshold, "en").otherwise("other"))
+  }
+
+  /** Quality signals: char-class ratios + token stats + a deterministic
+    * composite score. All single-pass scalar expressions. */
+  def qualitySignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TX.tokens(textCol)
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_raw_chars"),
+      expr(s"CAST(length(${d.reAll(s"lower($textCol)", "[^a-z]", "")}) AS BIGINT)").as("n_alpha"),
+      expr(s"CAST(length(${d.reAll(textCol, "[^0-9]", "")}) AS BIGINT)").as("n_digit"),
+      expr(s"CAST(${d.size(toks)} AS BIGINT)").as("n_tokens"),
+      expr(s"CAST(${d.fold(d.map(toks, "w", "CAST(length(w) AS BIGINT)"), "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)").as("sum_token_len"))
+      .withColumn("alpha_ratio",
+        when(col("n_raw_chars") > 0, col("n_alpha").cast("double") / col("n_raw_chars").cast("double")))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, col("sum_token_len").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("quality_score",
+        col("alpha_ratio") * 0.5
+          + when(col("n_tokens").between(20, 80), 0.3).otherwise(0.0)
+          + when(col("avg_token_len").between(3.0, 8.0), 0.2).otherwise(0.0))
+  }
+
+  /** Token counting three ways: raw whitespace split, regex word tokens,
+    * and a BPE-ish subword estimate (ceil(len/4) chunks per word). */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TX.tokens(textCol)
+    docs.select(
+      col(idCol),
+      expr(s"CAST(${d.size(d.splitSpace(textCol))} AS BIGINT)").as("n_ws_tokens"),
+      expr(s"CAST(${d.size(d.regexExtractAll(s"lower($textCol)", "[a-z0-9]+"))} AS BIGINT)").as("n_re_tokens"),
+      expr(s"CAST(${d.fold(d.map(toks, "w", s"CAST(${d.idiv("length(w) + 3", "4")} AS BIGINT)"), "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)").as("n_subtokens"))
+  }
+
+  /** Document fingerprint: rolling poly hash of the normalized text, its
+    * 32-bit mix, and an md5 for human-checkable identity. */
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(TX.polyHash(TX.norm(textCol))).as("fp_poly"),
+      expr(TX.mix32(TX.polyHash(TX.norm(textCol)))).as("fp_mix32"),
+      md5(expr(TX.norm(textCol))).as("fp_md5"))
+}
