@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Plan-audit utility: prints scan pushdown + join strategy summaries for
+  * headline queries (run: runMain graft.ExplainAudit [sfDir]). */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    for (q <- Seq("q02_filter_project", "q03_regional_revenue", "q04_topk_orders",
+                  "q01_pricing_summary", "qx02_minhash_signature")) {
+      println(s"===== $q =====")
+      val df = SparkEntry.queries(q)(spark, dir)
+      val formatted = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      val plan = df.queryExecution.toString
+      plan.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("DataFilters") || l.contains("BroadcastHashJoin")
+        || l.contains("SortMergeJoin") || l.contains("TakeOrderedAndProject")
+        || l.contains("ReadSchema")).take(8).foreach(l => println("  " + l.trim.take(250)))
+      println("  codegen units: " + formatted.linesIterator.count(_.contains("WholeStageCodegen")))
+    }
+    spark.stop()
+  }
+}

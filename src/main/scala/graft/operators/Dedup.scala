@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Dialect, TextExprs => TX}
 
@@ -31,14 +32,31 @@ object Dedup {
 
   /** MinHash signature: k permutation-min values over distinct word-n-gram
     * shingle hashes. Narrow (k longs) — safe to carry at 100 TB. */
+  /** MinHash signature, computed so every hash happens exactly once:
+    * posexplode tokens → row-level word hash → shingle hash as pure
+    * arithmetic over window `lead`s → distinct → k grouped MINs.
+    *
+    * Rejected shapes (measured at sf0.1): k array-min columns over a shared
+    * shingle-hash array lets ProjectCollapse inline the hashing into every
+    * column (k× recompute, ~180 s); explode of char-hashed shingle strings
+    * hashes ~20 chars per shingle instead of ~6 per word (~30 s). This
+    * shape runs the corpus in ~2 s and all shuffles are doc-id-keyed with
+    * map-side combine — the 100 TB-safe plan. */
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
                        k: Int, shingleN: Int): DataFrame = {
-    // hash the shingle set once, then take k permutation-mins off the array
-    val hashed = docs.select(col(idCol),
-      expr(TX.shingleHashes(textCol, shingleN)).as("shh"))
-    val sigCols = (0 until k).map(i =>
-      expr(TX.minhashK("shh", i)).as(f"mh$i%02d"))
-    hashed.select((col(idCol) +: sigCols): _*)
+    val tok = docs.select(col(idCol),
+      posexplode(expr(TX.tokens(textCol))).as(Seq("pos", "w")))
+    val tokh = tok.select(col(idCol), col("pos"), expr(TX.polyHash("w")).as("h"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val sh = (1 until shingleN).foldLeft(col("h")) { (acc, j) =>
+      (acc * lit(8191L) + lead(col("h"), j).over(w)) % lit(TX.P)
+    }
+    val dist = tokh.withColumn("sh", sh)
+      .filter(col("sh").isNotNull)
+      .select(col(idCol), col("sh")).distinct()
+    val minCols = (0 until k).map(i =>
+      min(expr(s"(${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}")).as(f"mh$i%02d"))
+    dist.groupBy(idCol).agg(minCols.head, minCols.tail: _*)
   }
 
   /** LSH banding over a MinHash signature: emit (band_id, band_key) per doc;
@@ -47,12 +65,16 @@ object Dedup {
     * it directly. */
   def minhashBands(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
-    val banded = (0 until nBands).map { b =>
+    // one band-struct array + a single explode — NOT a union of nBands
+    // projections, which would recompute the signature plan per band
+    val bandStructs = (0 until nBands).map { b =>
       val keyCols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      sig.select(col(idCol), lit(b.toLong).as("band_id"),
+      struct(lit(b.toLong).as("band_id"),
         concat_ws("|", keyCols.map(_.cast("string")): _*).as("band_key"))
-    }.reduce(_ unionByName _)
-    banded.groupBy("band_id", "band_key")
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+      .groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc"))
       .filter(col("n_docs") >= 2)
   }

@@ -92,11 +92,27 @@ object ExtensionQueries {
   private implicit val duck: Dialect = Dialect(spark = false)
 
   private val toks = TX.tokens("text")
-  private val shh = TX.shingleHashes("text", SHINGLE_N)
 
+  /** CTE chain mirroring Dedup.minhashSignature: zip-unnest tokens with
+    * positions, hash each word once, window-lead shingle combine, distinct.
+    * Ends with table `t4(doc_id, sh)`. */
+  private def sigCtes: String = {
+    val shComb = (1 until SHINGLE_N).foldLeft("h") { (acc, j) =>
+      s"(($acc * 8191 + lead(h, $j) OVER win) % ${TX.P})"
+    }
+    s"""t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+       |t1 AS (SELECT doc_id, unnest(toks) AS w,
+       |         unnest(generate_series(1, len(toks))) AS pos FROM t0),
+       |t2 AS (SELECT doc_id, pos, ${TX.polyHash("w")} AS h FROM t1),
+       |t3 AS (SELECT doc_id, $shComb AS sh FROM t2
+       |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |t4 AS (SELECT DISTINCT doc_id, sh FROM t3 WHERE sh IS NOT NULL)""".stripMargin
+  }
+
+  /** k grouped permutation-MINs over t4's shingle hashes. */
   private def sigSelect: String =
     (0 until MINHASH_K)
-      .map(i => s"${TX.minhashK("shh", i)} AS mh${"%02d".format(i)}")
+      .map(i => s"MIN((${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}) AS mh${"%02d".format(i)}")
       .mkString(", ")
 
   private def bandKey(b: Int): String =
@@ -121,12 +137,12 @@ object ExtensionQueries {
          |ORDER BY canonical_id""".stripMargin,
 
     "qx02_minhash_signature" ->
-      s"""WITH h AS (SELECT doc_id, $shh AS shh FROM documents)
-         |SELECT doc_id, $sigSelect FROM h ORDER BY doc_id""".stripMargin,
+      s"""WITH $sigCtes
+         |SELECT doc_id, $sigSelect FROM t4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "qx03_minhash_bands" ->
-      s"""WITH h AS (SELECT doc_id, $shh AS shh FROM documents),
-         |sig AS (SELECT doc_id, $sigSelect FROM h),
+      s"""WITH $sigCtes,
+         |sig AS (SELECT doc_id, $sigSelect FROM t4 GROUP BY doc_id),
          |banded AS (${(0 until MINHASH_K / ROWS_PER_BAND).map(b =>
             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${bandKey(b)} AS band_key FROM sig")
             .mkString("\n UNION ALL ")})

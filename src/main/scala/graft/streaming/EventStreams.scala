@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — the capability the
+  * reference approximates with scheduled incremental batch (SURVEY §2.9:
+  * no true streaming exists there; this is the north-star extension).
+  *
+  * Batch/stream parity: `windowedCounts` over a static DataFrame produces
+  * exactly the q24_event_windows batch result, so the oracle-checked batch
+  * query doubles as the streaming correctness anchor.
+  */
+object EventStreams {
+
+  /** Events schema for streaming reads. `ts` arrives as parquet
+    * TIMESTAMP(NANOS) which Spark only reads as long (see Tables.events) —
+    * declare long + convert. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source wants a directory; glob-filter to the one table
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts + sums with a watermark for late data.
+    * Works identically on a static DataFrame (batch parity). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("val_cents"))
+  }
+
+  /** Sliding-window per-type rates. */
+  def slidingRates(events: DataFrame, len: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), len, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+                               closed: Boolean)
+
+  /** Custom state machine: per-user session aggregation via
+    * flatMapGroupsWithState — the `KeyValueGroupedDataset` path for
+    * semantics windows can't express (ref analog: the ETL job state machine
+    * T3 is driver-side; this is the data-plane equivalent). */
+  def userSessions(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (s.nEvents > 0 && t - s.lastTs > gapMs) {
+              out += UserSession(uid, s.nEvents, s.total, closed = true)
+              s = SessionState(0L, 0.0, Long.MinValue)
+            }
+            s = SessionState(s.nEvents + 1, s.total + e.value, t)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaMeta, MediaRow}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+class StreamingMultimodalSpec extends SparkSpec {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals the batch q24 result (stream/batch parity)") {
+    import spark.implicits._
+    // batch side
+    val batchEvents = Tables.events(spark, sfDir)
+    val expected = EventStreams.windowedAgg(batchEvents)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("val_cents"))
+      .orderBy("ws", "event_type").collect()
+
+    // streaming side: same parquet as a file stream → memory sink, complete mode
+    val stream = EventStreams.readStream(spark, sfDir)
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("val_cents"))
+        .orderBy("ws", "event_type").collect()
+      assert(got.toSeq === expected.toSeq)
+      assert(got.length > 0)
+    } finally q.stop()
+  }
+
+  test("stateful user sessions close on gap and carry running totals") {
+    import spark.implicits._
+    def ev(id: Long, uid: Long, minute: Long, v: Double) =
+      EventStreams.Event(id, new java.sql.Timestamp(minute * 60000L), uid, "click", v)
+    // user 1: two bursts separated by >30min → one closed session emitted;
+    // user 2: single burst → nothing closed yet (still open in state)
+    val events = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 5, 2.0), ev(3, 1, 60, 10.0),
+      ev(4, 2, 0, 5.0), ev(5, 2, 10, 5.0)).toDS()
+    val out = EventStreams.userSessions(events).collect()
+    assert(out.length === 1)
+    assert(out(0).user_id === 1 && out(0).n_events === 2 && out(0).total_value === 3.0)
+  }
+
+  test("multimodal: batch feature extraction over binary payloads") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, MediaMeta("image", 64, 64, 0, 0L), Array[Byte](0, 1, 2, 3, 0, 0)),
+      MediaRow(2L, MediaMeta("audio", 0, 0, 16000, 1200L), Array.fill[Byte](256)(7)),
+      MediaRow(3L, MediaMeta("video", 640, 480, 0, 5000L), Array.tabulate[Byte](1024)(i => (i % 251).toByte))
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.byte_len).toSeq === Seq(6L, 256L, 1024L))
+    assert(feats.forall(_.features.length == 16))
+    // histogram semantics: payload of all-7s → all mass in bin 0
+    assert(math.abs(feats(1).features(0) - 1.0f) < 1e-6)
+    // determinism: same payload → same sha
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.sha).toSeq === again.map(_.sha).toSeq)
+  }
+
+  test("multimodal: metadata scan does not read payload bytes (column pruning)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    Seq(
+      MediaRow(1L, MediaMeta("image", 64, 64, 0, 0L), Array[Byte](1, 2)),
+      MediaRow(2L, MediaMeta("video", 640, 480, 0, 5000L), Array[Byte](1))
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val scan = Multimodal.metaSummary(spark.read.parquet(dir))
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("ReadSchema") && !physical.contains("payload"),
+      s"payload must be pruned from the scan:\n$physical")
+    assert(scan.count() === 2)
+  }
+
+  test("multimodal: frame sampling emits deterministic offsets for video only") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, MediaMeta("video", 0, 0, 0, 0L), Array.fill[Byte](100)(1)),
+      MediaRow(2L, MediaMeta("image", 0, 0, 0, 0L), Array.fill[Byte](100)(1))
+    ).toDF().as[MediaRow]
+    val frames = Multimodal.sampleFrames(media.toDF()).collect()
+    assert(frames.map(_.getAs[Long]("media_id")).distinct.toSeq === Seq(1L))
+    assert(frames.map(_.getAs[Long]("byte_offset")).toSeq === Seq(0L, 25L, 50L, 75L))
+  }
+}
