@@ -43,12 +43,19 @@ object PipelineDemo {
         |    {"instant":"2021-12-31","val":300,"fy":2021,"fp":"FY","form":"10-K"}]}}
         |}}}""".stripMargin
 
-    // 1. ingest: flatten nested CompanyFacts → canonical fact table
+    // 1. ingest through the full hardened path: rate-limited bounded-
+    //    concurrency fetch (fake HTTP here) → flatten → partitioned store,
+    //    with per-ticker failure isolation and job lifecycle tracking
+    val tracker = new graft.sources.EdgarIngest.JobTracker()
+    val jobs = graft.sources.EdgarIngest.ingest(spark, Seq("DEMO", "MISSING"),
+      fetch = t => if (t == "MISSING")
+        throw graft.sources.EdgarIngest.Fatal("404 unknown ticker") else json,
+      base = s"$out/facts", tracker = tracker)
+    println(s"[demo] ingest jobs: ${jobs.map(j => s"${j.ticker}=${j.status}").mkString(", ")}")
+    val (done, failed, rate) = tracker.stats
+    println(s"[demo] pipeline stats: $done ok, $failed failed, $rate%% success")
     val facts = CompanyFacts.flatten(Seq(("DEMO", json)).toDF("ticker", "json"))
     println(s"[demo] flattened facts: ${facts.count()}")
-
-    // 2. store: partitioned write + pruned read + freshness
-    FactStore.write(facts, s"$out/facts")
     val stored = FactStore.read(spark, s"$out/facts", Some("DEMO"))
     println(s"[demo] stored+read rows: ${stored.count()}")
     FactStore.freshness(stored).show(truncate = false)

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, cents, net1e4}
+import graft.functions.{Dialect, TextExprs => TX}
+import graft.operators.Similarity
+
+/** Second coverage batch: J2-style ratio join, A5/A6 series ranking,
+  * C5/C6 scaling+rounding, bucketed ANN (the LSH scale path end-to-end),
+  * and per-bucket top candidate pairs (near-dup verify stage). */
+object ExtraQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val LSH_PLANES = 8
+  private val ANN_K = 3
+  private val QUERY_SET = 20
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- J2 + C1: two aggregates joined on year + guarded ratio ----------
+    "q27_yearly_ratio" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val oy = o.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(cents(col("o_totalprice"))).as("order_cents"))
+      val ly = li.groupBy(year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(sum(net1e4(col("l_extendedprice"), col("l_discount"))).as("ship_1e4"))
+      oy.join(ly, Seq("yr"))
+        .withColumn("ship_to_order_pct",
+          when(col("order_cents") > 0,
+            col("ship_1e4").cast("double") / lit(100.0) / col("order_cents").cast("double") * 100))
+        .orderBy("yr")
+    }),
+
+    // ---- A5/A6: series block (latest/oldest/mean/total growth) + ranking -
+    "q28_series_ranking" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val yearly = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val series = yearly.groupBy("c_mktsegment").agg(
+        max_by(col("rev_cents"), col("yr")).as("latest"),
+        min_by(col("rev_cents"), col("yr")).as("oldest"),
+        (sum(col("rev_cents")).cast("double") / count(lit(1))).as("mean_rev_cents"),
+        count(lit(1)).as("n_years"))
+        .withColumn("total_growth_pct",
+          when(col("oldest") =!= 0,
+            (col("latest").cast("double") / col("oldest").cast("double") - 1) * 100))
+      series
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("latest").desc, col("c_mktsegment"))).cast("long"))
+        .withColumn("standing",
+          when(col("rank") === 1, "best")
+            .when(col("rank") === 5, "worst")
+            .otherwise("mid"))
+        .orderBy("rank")
+    }),
+
+    // ---- C5/C6: unit scaling + display rounding ---------------------------
+    "q29_scaling_round" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .select(col("yr"),
+          round(col("rev_cents").cast("double") / 100.0 / 1e6, 2).as("rev_millions"),
+          round(col("rev_cents").cast("double") / 100.0 / 1e9, 3).as("rev_billions"))
+        .orderBy("yr")
+    }),
+
+    // ---- Bucketed ANN: the LSH scale path end-to-end ----------------------
+    "qx12_bucketed_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketedKnn(emb.filter(col("vec_id") < QUERY_SET), emb,
+          "vec_id", "embedding", LSH_PLANES, ANN_K)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- Near-dup candidate verify: top-1 cosine pair per LSH bucket ------
+    "qx13_bucket_top_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val b = Similarity.lshBuckets(emb, "vec_id", "embedding", LSH_PLANES)
+        .join(Similarity.withNorm2(emb, "embedding"), "vec_id")
+      val a1 = b.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("e_a"), col("norm2").as("n_a"))
+      val a2 = b.select(col("bucket").as("bucket2"), col("vec_id").as("vec_b"),
+        col("embedding").as("e_b"), col("norm2").as("n_b"))
+      val sparkD = Dialect(spark = true)
+      val pairs = a1.join(a2, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
+        .withColumn("cosine",
+          when(col("n_a") > 0 && col("n_b") > 0,
+            expr(TX.dot("e_a", "e_b")(sparkD)) / (sqrt(col("n_a")) * sqrt(col("n_b")))))
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("bucket", "vec_a", "vec_b", "cosine")
+        .orderBy("bucket")
+    })
+  )
+
+  private implicit val duck: Dialect = Dialect(spark = false)
+  private val cents_o = "CAST(ROUND(o_totalprice*100) AS BIGINT)"
+  private val net_l = "CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)"
+
+  private def lshBucketSql = s"CAST(${TX.lshBucket("embedding", LSH_PLANES)} AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q27_yearly_ratio" ->
+      s"""WITH oy AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |              CAST(SUM($cents_o) AS BIGINT) AS order_cents FROM orders GROUP BY 1),
+         |     ly AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+         |              CAST(SUM($net_l) AS BIGINT) AS ship_1e4 FROM lineitem GROUP BY 1)
+         |SELECT oy.yr AS yr, order_cents, ship_1e4,
+         |  CASE WHEN order_cents > 0
+         |       THEN CAST(ship_1e4 AS DOUBLE)/100.0/CAST(order_cents AS DOUBLE)*100 END AS ship_to_order_pct
+         |FROM oy JOIN ly ON oy.yr = ly.yr ORDER BY yr""".stripMargin,
+
+    "q28_series_ranking" ->
+      s"""WITH yearly AS (
+         |  SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |         CAST(SUM($cents_o) AS BIGINT) AS rev_cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         |series AS (
+         |  SELECT c_mktsegment,
+         |    max_by(rev_cents, yr) AS latest, min_by(rev_cents, yr) AS oldest,
+         |    CAST(SUM(rev_cents) AS DOUBLE)/COUNT(*) AS mean_rev_cents,
+         |    COUNT(*) AS n_years
+         |  FROM yearly GROUP BY c_mktsegment),
+         |ranked AS (
+         |  SELECT *, CASE WHEN oldest <> 0
+         |         THEN (CAST(latest AS DOUBLE)/CAST(oldest AS DOUBLE) - 1)*100 END AS total_growth_pct,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY latest DESC, c_mktsegment) AS BIGINT) AS rank
+         |  FROM series)
+         |SELECT c_mktsegment, latest, oldest, mean_rev_cents, n_years, total_growth_pct, rank,
+         |  CASE WHEN rank = 1 THEN 'best' WHEN rank = 5 THEN 'worst' ELSE 'mid' END AS standing
+         |FROM ranked ORDER BY rank""".stripMargin,
+
+    "q29_scaling_round" ->
+      s"""WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |             CAST(SUM($cents_o) AS BIGINT) AS rev_cents FROM orders GROUP BY 1)
+         |SELECT yr, ROUND(CAST(rev_cents AS DOUBLE)/100.0/1e6, 2) AS rev_millions,
+         |  ROUND(CAST(rev_cents AS DOUBLE)/100.0/1e9, 3) AS rev_billions
+         |FROM y ORDER BY yr""".stripMargin,
+
+    "qx12_bucketed_ann" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2,
+         |             $lshBucketSql AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, bucket, embedding AS q_vec, norm2 AS q_norm2
+         |      FROM n WHERE vec_id < $QUERY_SET),
+         |c AS (SELECT vec_id AS neighbor_id, bucket, embedding AS c_vec, norm2 AS c_norm2 FROM n),
+         |scored AS (
+         |  SELECT query_id, q.bucket AS bucket, neighbor_id,
+         |    CASE WHEN q_norm2 > 0 AND c_norm2 > 0
+         |         THEN ${TX.dot("q_vec", "c_vec")} / (sqrt(q_norm2) * sqrt(c_norm2)) END AS cosine
+         |  FROM c JOIN q ON c.bucket = q.bucket AND query_id <> neighbor_id)
+         |SELECT query_id, bucket, neighbor_id, CAST(rn AS BIGINT) AS knn_rank, cosine
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= $ANN_K ORDER BY query_id, knn_rank""".stripMargin,
+
+    "qx13_bucket_top_pairs" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2,
+         |             $lshBucketSql AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CASE WHEN a.norm2 > 0 AND b.norm2 > 0
+         |         THEN ${TX.dot("a.embedding", "b.embedding")} / (sqrt(a.norm2) * sqrt(b.norm2)) END AS cosine
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT bucket, vec_a, vec_b, cosine
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+         |        ORDER BY cosine DESC, vec_a, vec_b) AS rn FROM pairs)
+         |WHERE rn = 1 ORDER BY bucket""".stripMargin
+  )
+}

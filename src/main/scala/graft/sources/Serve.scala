@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Serving-layer renderers (SURVEY §2.1 S9-S11): CSV, parquet byte payload,
+  * JSON rows. Two regimes:
+  * - bulk: distributed `df.write` (engine-side, scales with the data);
+  * - API streaming: bounded `collect` AFTER the engine has filtered/limited
+  *   — only ever called on capped serving results (ref returns capped
+  *   series: data_service.py:179-186), never on raw tables.
+  */
+object Serve {
+
+  /** S9 CSV render with the reference's no-data fallback row
+    * (ref: data_service.py:273-299). For capped API results. */
+  def toCsvString(df: DataFrame, fallbackMessage: String = "No data available"): String = {
+    val cols = df.columns
+    val rows = df.collect()
+    val header = cols.mkString(",")
+    if (rows.isEmpty) s"$header\n$fallbackMessage"
+    else {
+      val body = rows.map(_.toSeq.map {
+        case null => ""
+        case s: String if s.contains(",") || s.contains("\"") =>
+          "\"" + s.replace("\"", "\"\"") + "\""
+        case v => v.toString
+      }.mkString(",")).mkString("\n")
+      s"$header\n$body"
+    }
+  }
+
+  /** S9 bulk CSV: distributed write with header. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** S10 parquet byte payload for HTTP download (ref: data_service.py:228-271):
+    * engine writes a single parquet file, serving layer streams the bytes. */
+  def toParquetBytes(df: DataFrame): Array[Byte] = {
+    val tmp = java.nio.file.Files.createTempDirectory("serve_pq").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val file = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.readAllBytes(file.toPath)
+  }
+
+  /** S11 JSON rows with the response envelope shape
+    * (ref: models.py:152-196 — success flag + timestamp + data). */
+  def toJsonEnvelope(df: DataFrame, timestamp: String): String = {
+    val rows = df.toJSON.collect().mkString(",")
+    s"""{"success":true,"timestamp":"$timestamp","data":[$rows]}"""
+  }
+}

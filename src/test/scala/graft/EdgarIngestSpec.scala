@@ -1,0 +1,100 @@
+package graft
+
+import graft.sources.EdgarIngest
+import graft.sources.EdgarIngest._
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+import java.util.concurrent.atomic.AtomicInteger
+
+class EdgarIngestSpec extends SparkSpec {
+
+  test("rate limiter spaces permits at the configured interval") {
+    var clock = 0L
+    var slept = Vector.empty[Long]
+    val rl = new RateLimiter(10.0, () => clock, ms => slept :+= ms)
+    rl.acquire()            // t=0: free
+    rl.acquire()            // next slot at 100ms → sleeps
+    assert(slept.nonEmpty && slept.head >= 99)
+    clock = 500 * 1000000L  // advance past the backlog
+    val w = rl.acquire()
+    assert(w === 0L)        // no wait after idle period
+  }
+
+  test("retry: backs off exponentially on transient, fails fast on fatal") {
+    var sleeps = Vector.empty[Long]
+    val calls = new AtomicInteger
+    val r = retry(attempts = 3, backoffBaseMs = 100, sleep = sleeps :+= _) { () =>
+      if (calls.incrementAndGet() < 3) throw Retryable("429") else "ok"
+    }
+    assert(r === Right("ok") && calls.get === 3)
+    assert(sleeps === Vector(100L, 200L))
+
+    val fatalCalls = new AtomicInteger
+    val f = retry(attempts = 3, backoffBaseMs = 1, sleep = _ => ()) { () =>
+      fatalCalls.incrementAndGet(); throw Fatal("404")
+    }
+    assert(f.isLeft && fatalCalls.get === 1)
+
+    val exhausted = retry(attempts = 3, backoffBaseMs = 1, sleep = _ => ()) { () =>
+      throw Retryable("always")
+    }
+    assert(exhausted.isLeft)
+  }
+
+  test("batch fetch isolates per-ticker failures as error rows") {
+    val out = fetchCompanyFacts(spark, Seq("AAA", "BAD", "CCC"),
+      fetch = t => if (t == "BAD") throw Fatal("404 not found") else s"""{"t":"$t"}""",
+      concurrency = 2, globalPermitsPerSecond = 1000.0, backoffBaseMs = 1)
+      .collect().map(r => (r.getString(0), r.getString(1) == null, r.getString(2))).sortBy(_._1)
+    assert(out.length === 3)
+    assert(out(1)._1 === "BAD" && out(1)._2 && out(1)._3.contains("404"))
+    assert(!out(0)._2 && !out(2)._2) // AAA/CCC succeeded
+  }
+
+  test("staleness tiers follow the reference cadence") {
+    assert(needsRefresh(10, 25) && !needsRefresh(10, 23))   // <30d: daily
+    assert(needsRefresh(60, 73) && !needsRefresh(60, 71))   // <90d: 3-daily
+    assert(needsRefresh(200, 169) && !needsRefresh(200, 100)) // else weekly
+  }
+
+  test("dueForRefresh joins freshness with fetch metadata; unseen tickers are due") {
+    import spark.implicits._
+    val freshness = Seq(
+      ("AAA", java.sql.Date.valueOf("2026-08-01")),  // 11 days ago: tier-1
+      ("BBB", java.sql.Date.valueOf("2025-01-01"))   // old filer: tier-3
+    ).toDF("ticker", "latest_date")
+    val lastFetch = Seq(("AAA", 30L), ("BBB", 100L)).toDF("ticker", "hours_since_fetch")
+    val due = dueForRefresh(freshness, lastFetch, LocalDate.of(2026, 8, 12))
+      .collect().map(_.getString(0)).sorted
+    assert(due.toSeq === Seq("AAA")) // AAA stale at 30h; BBB fine at 100h
+    // missing fetch metadata → treated as never fetched → due
+    val due2 = dueForRefresh(freshness, Seq(("AAA", 1L)).toDF("ticker", "hours_since_fetch"),
+      LocalDate.of(2026, 8, 12)).collect().map(_.getString(0)).sorted
+    assert(due2.toSeq === Seq("BBB"))
+  }
+
+  test("job tracker: lifecycle transitions, history cap, stats") {
+    val t = new JobTracker(historyLimit = 3)
+    val ids = (1 to 5).map(i => t.create(s"T$i").id)
+    assert(t.history.size === 3) // capped
+    t.transition(ids(3), Completed)
+    t.transition(ids(4), Failed, Some("boom"))
+    val (done, failed, rate) = t.stats
+    assert(done === 1 && failed === 1 && math.abs(rate - 50.0) < 1e-9)
+  }
+
+  test("end-to-end ingest: fetch -> flatten -> partitioned store with failure isolation") {
+    val base = java.nio.file.Files.createTempDirectory("ingest").toString
+    val goodJson =
+      """{"cik": 1, "entityName": "Good Co", "facts": {"us-gaap": {
+        |"Revenues": {"label": "Revenues", "description": "",
+        |  "units": {"USD": [{"start":"2021-01-01","end":"2021-12-31","val":10,
+        |    "fy":2021,"fp":"FY","form":"10-K"}]}}}}}""".stripMargin
+    val jobs = ingest(spark, Seq("GOOD", "BAD"),
+      fetch = t => if (t == "BAD") throw Fatal("404") else goodJson, base)
+    assert(jobs.map(j => (j.ticker, j.status)).toMap ===
+      Map("GOOD" -> Completed, "BAD" -> Failed))
+    val stored = graft.sources.FactStore.read(spark, base)
+    assert(stored.filter(col("ticker") === "GOOD").count() === 1)
+  }
+}

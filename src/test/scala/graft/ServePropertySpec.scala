@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.{Dialect, TextExprs => TX}
+import graft.operators.Relational
+import graft.sources.{CompanyFacts, Serve}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Serving sinks + property-based invariants (SURVEY §5.4). ScalaCheck Gen
+  * drives deterministic seeded samples (no scalatestplus bridge offline). */
+class ServePropertySpec extends SparkSpec {
+
+  /** Deterministic property runner: `n` samples from seeded generators. */
+  def forSamples[T](gen: Gen[T], n: Int = 8)(check: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(check)
+    }
+
+  test("CSV render: quoting, nulls, and the no-data fallback row") {
+    import spark.implicits._
+    val df = Seq(("a,b", Some(1.5)), ("plain", None)).toDF("s", "v")
+    val csv = Serve.toCsvString(df)
+    assert(csv === "s,v\n\"a,b\",1.5\nplain,")
+    val empty = Serve.toCsvString(df.filter(lit(false)))
+    assert(empty === "s,v\nNo data available")
+  }
+
+  test("parquet byte payload round-trips") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val bytes = Serve.toParquetBytes(df)
+    assert(bytes.length > 0 && bytes.take(4).map(_.toChar).mkString === "PAR1")
+    val tmp = java.nio.file.Files.createTempFile("rt", ".parquet")
+    java.nio.file.Files.write(tmp, bytes)
+    assert(spark.read.parquet(tmp.toString).count() === 2)
+  }
+
+  test("JSON envelope carries all rows") {
+    import spark.implicits._
+    val out = Serve.toJsonEnvelope(Seq((1, "a")).toDF("n", "s"), "2026-08-12T00:00:00Z")
+    assert(out.contains(""""success":true""") && out.contains(""""n":1"""))
+  }
+
+  test("property: dedupArgmax is idempotent and keeps one row per key") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, for {
+      k <- Gen.choose(0, 9); v <- Gen.choose(-1000, 1000); id <- Gen.choose(0, 100000)
+    } yield (k, v, id))
+    forSamples(gen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "v", "id")
+        val once = Relational.dedupArgmax(df, Seq("k"),
+          Seq(abs(col("v")).desc, col("id").asc))
+        val twice = Relational.dedupArgmax(once, Seq("k"),
+          Seq(abs(col("v")).desc, col("id").asc))
+        val a = once.collect().map(_.toSeq).toSet
+        assert(a === twice.collect().map(_.toSeq).toSet)
+        assert(once.groupBy("k").count().filter(col("count") > 1).count() === 0)
+      }
+    }
+  }
+
+  test("property: CIK normalization is idempotent and fixed-width") {
+    forSamples(Gen.choose(0L, 9999999999L)) { cik =>
+      import spark.implicits._
+      val once = Seq(cik).toDF("cik")
+        .select(CompanyFacts.normalizeCik(col("cik")).as("c")).collect()(0).getString(0)
+      assert(once.length === 10 && once.forall(_.isDigit))
+      val twice = Seq(once).toDF("cik")
+        .select(CompanyFacts.normalizeCik(col("cik")).as("c")).collect()(0).getString(0)
+      assert(twice === once)
+    }
+  }
+
+  test("property: poly hash stays in range and is deterministic") {
+    implicit val d: Dialect = Dialect(spark = true)
+    import spark.implicits._
+    val gen = Gen.listOfN(20, Gen.alphaNumStr.map(_.take(30)))
+    forSamples(gen, n = 4) { strs =>
+      if (strs.nonEmpty) {
+        val df = strs.toDF("s").select(expr(TX.polyHash("lower(s)")).as("h"))
+        val hs = df.collect().map(_.getLong(0))
+        assert(hs.forall(h => h >= 0 && h < TX.P))
+        val again = strs.toDF("s").select(expr(TX.polyHash("lower(s)")).as("h"))
+          .collect().map(_.getLong(0))
+        assert(hs.toSeq === again.toSeq)
+      }
+    }
+  }
+
+  test("property: F2 annual and quarterly partition the FY/Q universe disjointly") {
+    import graft.queries.Financials
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.oneOf[Option[String]](
+      None, Some("FY"), Some("Q1"), Some("Q2"), Some("Q3"), Some("Q4")))
+    forSamples(gen, n = 4) { fps =>
+      val df = fps.zipWithIndex.map { case (fp, i) => (i, fp) }.toDF("id", "fiscal_period")
+      val annual = df.filter(Financials.periodFilter("annual")).select("id").collect().map(_.getInt(0)).toSet
+      val quarterly = df.filter(Financials.periodFilter("quarterly")).select("id").collect().map(_.getInt(0)).toSet
+      assert((annual & quarterly).isEmpty)
+      assert((annual | quarterly).size === fps.size) // full partition over FY/Q/null domain
+    }
+  }
+}
