@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst implementation of the engine's polynomial rolling hash
+  * (TextExprs.polyHash): h = fold over code points, (h*31 + cp) mod 1000003.
+  *
+  * The portable form is a chain of higher-order functions
+  * (sequence → transform(substr/ascii) → aggregate) that Catalyst evaluates
+  * INTERPRETED — an index array + lambda frame per character. That is the
+  * hot path of MinHash/SimHash/fingerprinting at corpus scale. This
+  * expression emits one tight loop inside whole-stage codegen instead: no
+  * allocations, no lambda dispatch.
+  *
+  * Semantics: identical arithmetic over code points (what DuckDB's
+  * `unicode(substr(s,i,1))` yields); null and empty both hash to 0, exactly
+  * like the portable form's ELSE branch. The driver's oracle gate *proves*
+  * the equivalence continuously: Spark plans use this expression while the
+  * DuckDB SQL keeps the portable list_reduce form — every hash-matched run
+  * re-verifies them against each other on real data.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_polyhash needs a string argument, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else PolyHash.hash(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = 0L;
+        if (!${c.isNull}) {
+          ${ev.value} = graft.functions.PolyHash.hash(${c.value});
+        }""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_polyhash"
+}
+
+object PolyHash {
+  val P = 1000003L
+
+  /** Code-point fold — one step per character, full code point (matches
+    * DuckDB `unicode` on every input; matches Spark `ascii` on ASCII). */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Session registration for the engine's native functions. Idempotent —
+  * call before building plans that use `graft_polyhash(...)` in SQL text. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_polyhash", exprs => PolyHash(exprs.head), "built-in")
+}

@@ -73,6 +73,13 @@ object TextExprs {
     s"(CASE WHEN length($e) > 0 THEN ${d.fold(codes, "CAST(0 AS BIGINT)", "acc", "c", s"(acc*31 + c) % $P")} ELSE CAST(0 AS BIGINT) END)"
   }
 
+  /** polyHash, preferring the native codegen'd expression on the Spark
+    * side (register GraftFunctions first); the duck dialect keeps the
+    * portable fold — the oracle compare then continuously proves the
+    * native implementation equivalent. */
+  def polyHashAuto(e: String)(implicit d: Dialect): String =
+    if (d.spark) s"graft_polyhash($e)" else polyHash(e)
+
   /** 32-bit widening of the poly hash. */
   def mix32(e: String): String = s"(($e * $MIX) % $MIX_MOD)"
 

@@ -30,8 +30,6 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
 
-  /** MinHash signature: k permutation-min values over distinct word-n-gram
-    * shingle hashes. Narrow (k longs) — safe to carry at 100 TB. */
   /** MinHash signature, computed so every hash happens exactly once:
     * posexplode tokens → row-level word hash → shingle hash as pure
     * arithmetic over window `lead`s → distinct → k grouped MINs.
@@ -44,9 +42,10 @@ object Dedup {
     * map-side combine — the 100 TB-safe plan. */
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
                        k: Int, shingleN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(col(idCol),
       posexplode(expr(TX.tokens(textCol))).as(Seq("pos", "w")))
-    val tokh = tok.select(col(idCol), col("pos"), expr(TX.polyHash("w")).as("h"))
+    val tokh = tok.select(col(idCol), col("pos"), expr(TX.polyHashAuto("w")).as("h"))
     val w = Window.partitionBy(idCol).orderBy("pos")
     val sh = (1 until shingleN).foldLeft(col("h")) { (acc, j) =>
       (acc * lit(8191L) + lead(col("h"), j).over(w)) % lit(TX.P)
@@ -82,9 +81,10 @@ object Dedup {
   /** SimHash 32-bit fingerprint via explode + sign-sum per bit.
     * Partial-aggregable: the 32 CASE-sums combine map-side. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(col(idCol),
       explode(expr(TX.tokens(textCol))).as("w"))
-    val h2 = tok.withColumn("h2", expr(TX.mix32(TX.polyHash("w"))))
+    val h2 = tok.withColumn("h2", expr(TX.mix32(TX.polyHashAuto("w"))))
     val bitSums = (0 until 32).map(j =>
       sum(when(expr(s"(h2 div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"s$j"))
     val agg = h2.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)

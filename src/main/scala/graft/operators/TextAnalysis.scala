@@ -64,10 +64,12 @@ object TextAnalysis {
 
   /** Document fingerprint: rolling poly hash of the normalized text, its
     * 32-bit mix, and an md5 for human-checkable identity. */
-  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col(idCol),
-      expr(TX.polyHash(TX.norm(textCol))).as("fp_poly"),
-      expr(TX.mix32(TX.polyHash(TX.norm(textCol)))).as("fp_mix32"),
+      expr(TX.polyHashAuto(TX.norm(textCol))).as("fp_poly"),
+      expr(TX.mix32(TX.polyHashAuto(TX.norm(textCol)))).as("fp_mix32"),
       md5(expr(TX.norm(textCol))).as("fp_md5"))
+  }
 }
