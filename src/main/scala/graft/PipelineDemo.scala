@@ -68,6 +68,9 @@ object PipelineDemo {
     Financials.ratios(stored).show(truncate = false)
     Financials.trends(stored, "revenue").show(truncate = false)
 
+    // 5. MCP-parity composition: full text report from the same plans
+    println(Financials.report(stored, "DEMO"))
+
     spark.stop()
   }
 }

@@ -84,3 +84,17 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polyhash", exprs => PolyHash(exprs.head), "built-in")
 }
+
+/** SparkSessionExtensions entry point — lets deployments load the engine's
+  * native functions without code:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), after which plain
+  * `spark.sql("SELECT graft_polyhash(col) ...")` works in any session. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_polyhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PolyHash].getName, "graft_polyhash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+}

@@ -50,12 +50,14 @@ object Dedup {
     val sh = (1 until shingleN).foldLeft(col("h")) { (acc, j) =>
       (acc * lit(8191L) + lead(col("h"), j).over(w)) % lit(TX.P)
     }
-    val dist = tokh.withColumn("sh", sh)
+    // no distinct: MIN over a multiset equals MIN over its set, so the
+    // dedup shuffle would be pure waste — one doc-id-keyed agg is the plan
+    val shingled = tokh.withColumn("sh", sh)
       .filter(col("sh").isNotNull)
-      .select(col(idCol), col("sh")).distinct()
+      .select(col(idCol), col("sh"))
     val minCols = (0 until k).map(i =>
       min(expr(s"(${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}")).as(f"mh$i%02d"))
-    dist.groupBy(idCol).agg(minCols.head, minCols.tail: _*)
+    shingled.groupBy(idCol).agg(minCols.head, minCols.tail: _*)
   }
 
   /** LSH banding over a MinHash signature: emit (band_id, band_key) per doc;

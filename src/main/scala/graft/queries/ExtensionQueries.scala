@@ -106,7 +106,7 @@ object ExtensionQueries {
        |t2 AS (SELECT doc_id, pos, ${TX.polyHash("w")} AS h FROM t1),
        |t3 AS (SELECT doc_id, $shComb AS sh FROM t2
        |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-       |t4 AS (SELECT DISTINCT doc_id, sh FROM t3 WHERE sh IS NOT NULL)""".stripMargin
+       |t4 AS (SELECT doc_id, sh FROM t3 WHERE sh IS NOT NULL)""".stripMargin
   }
 
   /** k grouped permutation-MINs over t4's shingle hashes. */

@@ -185,6 +185,35 @@ object Financials {
   // Trends (W1-W5)
   // ---------------------------------------------------------------------
 
+  /** A8 sector averages (ref: financial_analysis_examples.py:174-182):
+    * mean ratios over a ticker set — one aggregate over the ratios table,
+    * not a per-company loop. */
+  def sectorAverages(facts: DataFrame, tickers: Seq[String], fiscalYear: Int): DataFrame =
+    ratios(facts.filter(col("ticker").isInCollection(tickers)))
+      .filter(col("fiscal_year") === fiscalYear)
+      .agg(
+        round(avg(col("net_margin")), 6).as("avg_net_margin"),
+        round(avg(col("roe")), 6).as("avg_roe"),
+        round(avg(col("roa")), 6).as("avg_roa"),
+        count(lit(1)).as("n_companies"))
+
+  /** MCP report composition (ref: sec_mcp/server.py:499-619): one text
+    * report assembled from the query surfaces — statements + ratios +
+    * trends for a ticker. Engine work stays distributed; only the final
+    * capped rows are collected for rendering. */
+  def report(facts: DataFrame, ticker: String): String = {
+    val own = facts.filter(col("ticker") === ticker)
+    val sb = new StringBuilder
+    sb.append(s"=== Financial report: $ticker ===\n\n")
+    sb.append("-- Income statement (annual) --\n")
+    sb.append(graft.sources.Serve.toCsvString(incomeStatement(own))).append("\n\n")
+    sb.append("-- Ratios --\n")
+    sb.append(graft.sources.Serve.toCsvString(ratios(own))).append("\n\n")
+    sb.append("-- Revenue trend --\n")
+    sb.append(graft.sources.Serve.toCsvString(trends(own, "revenue"))).append("\n")
+    sb.toString
+  }
+
   /** Trend analysis block (ref: sec_mcp/server.py:386-439): YoY series,
     * CAGR, volatility, direction — per (ticker, metric). */
   def trends(facts: DataFrame, metric: String): DataFrame = {

@@ -118,4 +118,17 @@ class FinancialsSpec extends SparkSpec {
     assert(probe.filter(Financials.periodFilterLegacy("quarterly")).count() === 2)
     assert(probe.filter(Financials.periodFilter("quarterly")).count() === 0)
   }
+
+  test("sector averages: one aggregate over the ratio table") {
+    val avg = Financials.sectorAverages(facts, Seq("ALFA", "BETA"), 2022).collect()(0)
+    // ALFA net margin 20, BETA 10 → avg 15
+    assert(math.abs(avg.getAs[Double]("avg_net_margin") - 15.0) < 1e-9)
+    assert(avg.getAs[Long]("n_companies") === 2)
+  }
+
+  test("report composition assembles all surfaces") {
+    val r = Financials.report(facts, "ALFA")
+    assert(r.contains("Income statement") && r.contains("Ratios") && r.contains("Revenue trend"))
+    assert(r.contains("150.0")) // 2022 revenue appears
+  }
 }
