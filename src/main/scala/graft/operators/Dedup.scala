@@ -96,6 +96,53 @@ object Dedup {
     agg.select(col(idCol), fp.cast("long").as("simhash"))
   }
 
+  /** The full near-dup pipeline, end to end: MinHash signatures → LSH band
+    * buckets → candidate pairs (docs sharing ≥1 band) → exact word-shingle
+    * Jaccard verify → keep/drop decision (smaller doc id survives).
+    *
+    * This is the canonical 100 TB text-dedup shape: the only unbounded
+    * shuffles are doc-id/band-keyed; exact Jaccard runs ONLY on the
+    * band-collision candidates (bounded by LSH selectivity), never on the
+    * corpus cross product. */
+  def nearDupPipeline(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int, shingleN: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val sig = minhashSignature(docs, textCol, idCol, k, shingleN)
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val keyCols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b.toLong).as("band_id"),
+        concat_ws("|", keyCols.map(_.cast("string")): _*).as("band_key"))
+    }
+    val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+    // candidate pairs: same (band_id, band_key), deduped across bands
+    val l = banded.select(col("band_id"), col("band_key"), col(idCol).as("doc_a"))
+    val r = banded.select(col("band_id").as("band_id_r"), col("band_key").as("band_key_r"),
+      col(idCol).as("doc_b"))
+    val candidates = l.join(r,
+        col("band_id") === col("band_id_r") && col("band_key") === col("band_key_r")
+          && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verify stage: exact shingle-set Jaccard on candidates only
+    val sets = docs.select(col(idCol),
+      expr(d.adistinct(TX.shingles(TX.tokens(textCol), shingleN))).as("sh"))
+    val verified = candidates
+      .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("union_size",
+        size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("long"))
+      .withColumn("inter_size",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("union_size"))
+      .withColumn("jaccard",
+        col("inter_size").cast("double") / col("union_size").cast("double"))
+    verified
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
+        col("jaccard"),
+        col("doc_a").as("keep_id"), col("doc_b").as("drop_id"))
+  }
+
   /** Exact pairwise n-gram Jaccard over a *bounded candidate set* (e.g. the
     * LSH candidates, or a capped id range). Never call on an unbounded
     * corpus — this is the verify stage after banding, not the search. */

@@ -83,6 +83,27 @@ object Relational {
       .agg(min_by(col("alias"), col("priority")).as("best_alias"))
   }
 
+  /** Gap-based sessionization (batch analog of the streaming
+    * flatMapGroupsWithState sessions): a new session starts when the gap to
+    * the previous event exceeds `gapSeconds`; session id = running count of
+    * session starts. Two windows + one groupBy, all keyed on the user —
+    * scales as a single user-partitioned shuffle. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, gapSeconds: Long,
+                 tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    // integer µs→s floor division: exact and identical across engines
+    val secs = expr(s"unix_micros(`$tsCol`) div 1000000")
+    val orderCols = (tsCol +: tieBreak).map(col)
+    val w = Window.partitionBy(userCol).orderBy(orderCols: _*)
+    val withFlag = df.withColumn("__secs", secs)
+      .withColumn("__new_session",
+        when(lag(col("__secs"), 1).over(w).isNull
+          || col("__secs") - lag(col("__secs"), 1).over(w) > gapSeconds, 1L)
+          .otherwise(0L))
+    withFlag.withColumn("session_id",
+      sum(col("__new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** A7 freshness aggregate (ref: data_manager.py:304-331): latest date +
     * sorted distinct period list per key. The list is emitted as a joined
     * string so the oracle compare is array-representation-agnostic. */

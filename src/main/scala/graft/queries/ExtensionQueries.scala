@@ -96,7 +96,7 @@ object ExtensionQueries {
   /** CTE chain mirroring Dedup.minhashSignature: zip-unnest tokens with
     * positions, hash each word once, window-lead shingle combine, distinct.
     * Ends with table `t4(doc_id, sh)`. */
-  private def sigCtes: String = {
+  private[queries] def sigCtes: String = {
     val shComb = (1 until SHINGLE_N).foldLeft("h") { (acc, j) =>
       s"(($acc * 8191 + lead(h, $j) OVER win) % ${TX.P})"
     }
@@ -110,12 +110,12 @@ object ExtensionQueries {
   }
 
   /** k grouped permutation-MINs over t4's shingle hashes. */
-  private def sigSelect: String =
+  private[queries] def sigSelect: String =
     (0 until MINHASH_K)
       .map(i => s"MIN((${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}) AS mh${"%02d".format(i)}")
       .mkString(", ")
 
-  private def bandKey(b: Int): String =
+  private[queries] def bandKey(b: Int): String =
     (0 until ROWS_PER_BAND)
       .map(r => s"CAST(mh${"%02d".format(b * ROWS_PER_BAND + r)} AS VARCHAR)")
       .mkString(" || '|' || ")

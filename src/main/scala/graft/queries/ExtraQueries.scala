@@ -78,6 +78,26 @@ object ExtraQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- The full near-dup pipeline: minhash → bands → verify → decide ----
+    "qx14_near_dup_pipeline" -> ((s, dir) => {
+      graft.operators.Dedup.nearDupPipeline(t(s, dir, "documents"), "text", "doc_id",
+          k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- Batch sessionization (gap-based) over the events stream table ----
+    "qx15_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Relational.sessionize(e, "user_id", "ts", gapSeconds = 1800,
+          tieBreak = Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("val_cents"),
+          min(col("__secs")).as("start_secs"),
+          (max(col("__secs")) - min(col("__secs"))).as("duration_secs"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- Near-dup candidate verify: top-1 cosine pair per LSH bucket ------
     "qx13_bucket_top_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -160,6 +180,48 @@ object ExtraQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
          |      FROM scored)
          |WHERE rn <= $ANN_K ORDER BY query_id, knn_rank""".stripMargin,
+
+    "qx14_near_dup_pipeline" -> {
+      val sh = duck.adistinct(TX.shingles(TX.tokens("text"), 3))
+      val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
+      val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
+      s"""WITH ${ExtensionQueries.sigCtes},
+         |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
+         |banded AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
+             .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, $sh AS sh FROM documents),
+         |verified AS (
+         |  SELECT doc_a, doc_b, $inter AS inter_size, $uni AS union_size
+         |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, inter_size, union_size,
+         |  CAST(inter_size AS DOUBLE)/CAST(union_size AS DOUBLE) AS jaccard,
+         |  doc_a AS keep_id, doc_b AS drop_id
+         |FROM verified
+         |WHERE CAST(inter_size AS DOUBLE)/CAST(union_size AS DOUBLE) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "qx15_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+         |             (epoch_us(ts) // 1000000) AS secs FROM events),
+         |f AS (SELECT user_id, event_id, ts, value, secs,
+         |        CASE WHEN lag(secs) OVER w IS NULL OR secs - lag(secs) OVER w > 1800
+         |             THEN 1 ELSE 0 END AS nf
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, value, secs,
+         |        CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |      FROM f)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS val_cents,
+         |  MIN(secs) AS start_secs, MAX(secs) - MIN(secs) AS duration_secs
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
 
     "qx13_bucket_top_pairs" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2,
