@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling evidence for SCALE.md: inflate the documents corpus N× and time
+  * the MinHash+LSH pipeline — the plan is one explode + doc-keyed shuffles,
+  * so wall time should grow ~linearly with corpus size.
+  * `runMain graft.ScaleProbe [sfDir]` */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.t(spark, dir, "documents").select("doc_id", "text").cache()
+    val n0 = base.count() // materialize cache so inflation cost is excluded
+
+    for (mult <- Seq(1, 4, 16)) {
+      val inflated = (0 until mult).map(i =>
+        base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val sig = graft.operators.Dedup.minhashSignature(inflated, "text", "doc_id", 16, 3)
+      val nBuckets = graft.operators.Dedup.minhashBands(sig, "doc_id", 16, 4).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] docs=${n0 * mult}%7d  minhash+bands=${secs}%6.2fs  buckets>=2: $nBuckets")
+    }
+    spark.stop()
+  }
+}

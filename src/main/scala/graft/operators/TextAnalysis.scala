@@ -20,10 +20,11 @@ object TextAnalysis {
     * what matters is that the heuristic is deterministic and cheap: a
     * single explode + partial-aggregable count.) */
   def langId(docs: DataFrame, textCol: String, idCol: String,
-             threshold: Double = 0.05): DataFrame = {
-    val tok = docs.select(col(idCol), col("lang"),
-      explode(expr(TX.tokens(textCol))).as("w"))
-    tok.groupBy(idCol, "lang")
+             threshold: Double = 0.05,
+             carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val keep = (idCol +: carryCols).map(col)
+    val tok = docs.select(keep :+ explode(expr(TX.tokens(textCol))).as("w"): _*)
+    tok.groupBy(idCol, carryCols: _*)
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("w").isInCollection(StopEn), 1L).otherwise(0L)).as("en_hits"))
       .withColumn("en_ratio", col("en_hits").cast("double") / col("n_tokens").cast("double"))

@@ -66,7 +66,8 @@ object ExtensionQueries {
     }),
 
     "qx08_lang_id" -> ((s, dir) => {
-      TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id",
+          carryCols = Seq("lang"))
         .orderBy("doc_id")
     }),
 

@@ -40,6 +40,13 @@ object Financials {
     case _           => lit(true)
   }
 
+  /** Canonical period key for dedup/grouping: F2's annual admits both null
+    * and 'FY' for the same logical period — collapse them so one fiscal
+    * year never yields two rows (which would corrupt pivots via arbitrary
+    * first() and trends via duplicate lag keys). */
+  private def canonPeriod(period: String): Column =
+    if (period == "annual") lit("FY") else col("fiscal_period")
+
   // ---------------------------------------------------------------------
   // 3.1 serving path: alias filter → dedup → sort → limit
   // ---------------------------------------------------------------------
@@ -56,6 +63,9 @@ object Financials {
       .filter(aliasMatch)
       .filter(periodFilter(period))
       .filter(col("fiscal_year").isNotNull)
+      // F2 treats null fp and 'FY' as the SAME annual period — canonicalize
+      // before dedup or one fiscal year yields two rows (null + FY keys)
+      .withColumn("fiscal_period", canonPeriod(period))
     val deduped = Relational.dedupArgmax(filtered, Seq("ticker", "fiscal_year", "fiscal_period"),
       Seq(abs(col("value")).desc, col("end_date").desc_nulls_last, col("concept").asc))
     val cap = years * (if (period == "quarterly") 4 else 1)
@@ -92,6 +102,7 @@ object Financials {
 
     val joined = facts
       .filter(periodFilter(period) && col("fiscal_year").isNotNull)
+      .withColumn("fiscal_period", canonPeriod(period))
       .join(broadcast(tags), col("concept") === col("tag"))
     // company-wide winning priority per metric (F5)
     val wBest = Window.partitionBy("ticker", "metric")

@@ -27,7 +27,8 @@ object EdgarIngest {
                           nanoTime: () => Long = System.nanoTime,
                           sleep: Long => Unit = ms => Thread.sleep(ms)) {
     private val intervalNanos = (1e9 / permitsPerSecond).toLong
-    private var nextFree = 0L
+    // anchor to the clock's arbitrary origin (nanoTime may be negative)
+    private var nextFree = nanoTime()
     def acquire(): Long = synchronized {
       val now = nanoTime()
       val waitNanos = math.max(0L, nextFree - now)
@@ -100,7 +101,9 @@ object EdgarIngest {
   def dueForRefresh(freshness: DataFrame, lastFetch: DataFrame,
                     today: LocalDate): DataFrame = {
     val needs = udf((d: java.sql.Date, h: Long) =>
-      needsRefresh(
+      // no known filing date → cadence unknown → always due
+      if (d == null) true
+      else needsRefresh(
         java.time.temporal.ChronoUnit.DAYS.between(d.toLocalDate, today), h))
     freshness.join(lastFetch, Seq("ticker"), "left")
       .withColumn("hours_since_fetch", coalesce(col("hours_since_fetch"), lit(Long.MaxValue / 4)))
@@ -142,19 +145,40 @@ object EdgarIngest {
 
   /** T2+T4 orchestration: fetch → flatten → skip-unchanged gate → dynamic
     * partition upsert (full refresh = same call; the overwrite only touches
-    * partitions present in the batch). */
+    * partitions present in the batch).
+    *
+    * The fetched batch is persisted before its two consumers (the write and
+    * the status collect) — without it the lazy mapPartitions fetch would
+    * run TWICE (double network load, and statuses could disagree with the
+    * data actually written). */
   def ingest(spark: SparkSession, tickers: Seq[String], fetch: String => String,
-             base: String, tracker: JobTracker = new JobTracker()): Seq[EtlJob] = {
+             base: String, tracker: JobTracker = new JobTracker(),
+             skipUnchanged: Boolean = false): Seq[EtlJob] = {
     val raw = fetchCompanyFacts(spark, tickers, fetch)
-    val ok = raw.filter(col("error").isNull).select("ticker", "json")
-    val facts = CompanyFacts.flatten(ok)
-    FactStore.write(facts, base)
-    val fetched = raw.select("ticker", "error").collect()
-    fetched.map { r =>
-      val j = tracker.create(r.getString(0))
-      val status = if (r.getString(1) == null) Completed else Failed
-      tracker.transition(j.id, status, Option(r.getString(1)))
-      tracker.history.find(_.id == j.id).get
-    }.toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ok = raw.filter(col("error").isNull).select("ticker", "json")
+      val facts = CompanyFacts.flatten(ok)
+      val sigCols = Seq("ticker", "concept", "value", "fiscal_year", "fiscal_period")
+      val write =
+        if (!skipUnchanged) true
+        else {
+          // T2 gate: compare signatures over the refreshed tickers only
+          val stored = try {
+            FactStore.read(spark, base)
+              .filter(col("ticker").isInCollection(tickers))
+              .select(sigCols.map(col): _*)
+          } catch { case _: Throwable => null }
+          stored == null || !FactStore.unchanged(facts.select(sigCols.map(col): _*), stored)
+        }
+      if (write) FactStore.write(facts, base)
+      val fetched = raw.select("ticker", "error").collect()
+      fetched.map { r =>
+        val j = tracker.create(r.getString(0))
+        val status = if (r.getString(1) == null) Completed else Failed
+        tracker.transition(j.id, status, Option(r.getString(1)))
+        tracker.history.find(_.id == j.id).get
+      }.toSeq
+    } finally raw.unpersist()
   }
 }

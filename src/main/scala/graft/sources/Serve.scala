@@ -22,7 +22,7 @@ object Serve {
     else {
       val body = rows.map(_.toSeq.map {
         case null => ""
-        case s: String if s.contains(",") || s.contains("\"") =>
+        case s: String if s.exists(",\"\n\r".contains(_)) =>
           "\"" + s.replace("\"", "\"\"") + "\""
         case v => v.toString
       }.mkString(",")).mkString("\n")
@@ -37,11 +37,20 @@ object Serve {
   /** S10 parquet byte payload for HTTP download (ref: data_service.py:228-271):
     * engine writes a single parquet file, serving layer streams the bytes. */
   def toParquetBytes(df: DataFrame): Array[Byte] = {
-    val tmp = java.nio.file.Files.createTempDirectory("serve_pq").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val file = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.endsWith(".parquet")).get
-    java.nio.file.Files.readAllBytes(file.toPath)
+    val tmp = java.nio.file.Files.createTempDirectory("serve_pq")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val file = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"parquet write produced no part file under $tmp"))
+      java.nio.file.Files.readAllBytes(file.toPath)
+    } finally {
+      // the payload is in memory now — don't leak a disk copy per request
+      import scala.util.Try
+      Try(java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () }))
+    }
   }
 
   /** S11 JSON rows with the response envelope shape

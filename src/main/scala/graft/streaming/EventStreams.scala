@@ -59,25 +59,40 @@ object EventStreams {
   /** Custom state machine: per-user session aggregation via
     * flatMapGroupsWithState — the `KeyValueGroupedDataset` path for
     * semantics windows can't express (ref analog: the ETL job state machine
-    * T3 is driver-side; this is the data-plane equivalent). */
+    * T3 is driver-side; this is the data-plane equivalent).
+    *
+    * State hygiene (the 100 TB concern): a processing-time timeout of
+    * `gapMs` closes and EMITS the open session of any idle user and
+    * REMOVES their state — without it the final session of every user is
+    * never emitted and the state store grows one entry per user forever. */
   def userSessions(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    // resolved on the driver: the closure must not capture the Dataset
+    val streaming = events.isStreaming
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            if (s.nEvents > 0 && t - s.lastTs > gapMs) {
-              out += UserSession(uid, s.nEvents, s.total, closed = true)
-              s = SessionState(0L, 0.0, Long.MinValue)
+          if (state.hasTimedOut) {
+            // idle past the gap: close, emit, and free the state entry
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(uid, s.nEvents, s.total, closed = true))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (s.nEvents > 0 && t - s.lastTs > gapMs) {
+                out += UserSession(uid, s.nEvents, s.total, closed = true)
+                s = SessionState(0L, 0.0, Long.MinValue)
+              }
+              s = SessionState(s.nEvents + 1, s.total + e.value, t)
             }
-            s = SessionState(s.nEvents + 1, s.total + e.value, t)
+            state.update(s)
+            if (streaming) state.setTimeoutDuration(gapMs)
+            out.iterator
           }
-          state.update(s)
-          out.iterator
       }
   }
 }
