@@ -40,8 +40,11 @@ object Dedup {
     * hashes ~20 chars per shingle instead of ~6 per word (~30 s). This
     * shape runs the corpus in ~2 s and all shuffles are doc-id-keyed with
     * map-side combine — the 100 TB-safe plan. */
-  def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
-                       k: Int, shingleN: Int): DataFrame = {
+  /** (id, sh) rows of word-n-gram shingle hashes — the shared front end of
+    * signature, banding, and verify: posexplode tokens → native word hash →
+    * window-lead arithmetic combine. Every hash computed exactly once. */
+  def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(col(idCol),
       posexplode(expr(TX.tokens(textCol))).as(Seq("pos", "w")))
@@ -50,11 +53,16 @@ object Dedup {
     val sh = (1 until shingleN).foldLeft(col("h")) { (acc, j) =>
       (acc * lit(8191L) + lead(col("h"), j).over(w)) % lit(TX.P)
     }
-    // no distinct: MIN over a multiset equals MIN over its set, so the
-    // dedup shuffle would be pure waste — one doc-id-keyed agg is the plan
-    val shingled = tokh.withColumn("sh", sh)
+    tokh.withColumn("sh", sh)
       .filter(col("sh").isNotNull)
       .select(col(idCol), col("sh"))
+  }
+
+  def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int, shingleN: Int): DataFrame = {
+    // no distinct: MIN over a multiset equals MIN over its set, so the
+    // dedup shuffle would be pure waste — one doc-id-keyed agg is the plan
+    val shingled = shingleHashRows(docs, textCol, idCol, shingleN)
     val minCols = (0 until k).map(i =>
       min(expr(s"(${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}")).as(f"mh$i%02d"))
     shingled.groupBy(idCol).agg(minCols.head, minCols.tail: _*)
@@ -124,9 +132,13 @@ object Dedup {
         col("band_id") === col("band_id_r") && col("band_key") === col("band_key_r")
           && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify stage: exact shingle-set Jaccard on candidates only
-    val sets = docs.select(col(idCol),
-      expr(d.adistinct(TX.shingles(TX.tokens(textCol), shingleN))).as("sh"))
+    // verify stage: exact Jaccard over the shingle HASH sets on candidates
+    // only — reuses the native-hash front end instead of rebuilding shingle
+    // strings (interpreted concat per shingle: measured 15× slower). Hash
+    // collisions (~|set|²/2P per doc) shift Jaccard negligibly and the
+    // oracle mirrors the same definition.
+    val sets = shingleHashRows(docs, textCol, idCol, shingleN)
+      .groupBy(idCol).agg(collect_set(col("sh")).as("sh"))
     val verified = candidates
       .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -182,7 +182,6 @@ object ExtraQueries {
          |WHERE rn <= $ANN_K ORDER BY query_id, knn_rank""".stripMargin,
 
     "qx14_near_dup_pipeline" -> {
-      val sh = duck.adistinct(TX.shingles(TX.tokens("text"), 3))
       val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
       val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
       s"""WITH ${ExtensionQueries.sigCtes},
@@ -194,7 +193,7 @@ object ExtraQueries {
          |         FROM banded a JOIN banded b
          |           ON a.band_id = b.band_id AND a.band_key = b.band_key
          |          AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, $sh AS sh FROM documents),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS sh FROM t4 GROUP BY doc_id),
          |verified AS (
          |  SELECT doc_a, doc_b, $inter AS inter_size, $uni AS union_size
          |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id)
