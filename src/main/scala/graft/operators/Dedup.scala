@@ -68,6 +68,24 @@ object Dedup {
     shingled.groupBy(idCol).agg(minCols.head, minCols.tail: _*)
   }
 
+  /** Typed-aggregator variant of the signature: one sketch buffer of k
+    * minima via graft.functions.MinHashAggregator (SURVEY §7.3's custom
+    * Aggregator surface) instead of k MIN expressions. Proven equal to
+    * minhashSignature in MinHashSpec; columns mh00..mh(k-1). */
+  def minhashSignatureTyped(docs: DataFrame, textCol: String, idCol: String,
+                            k: Int, shingleN: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sig = shingleHashRows(docs, textCol, idCol, shingleN)
+      .select(col(idCol).cast("long").as("id"), col("sh"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinHashAggregator(k).toColumn.name("sig"))
+      .toDF(idCol, "sig")
+    val cols = (0 until k).map(i => element_at(col("sig"), i + 1).as(f"mh$i%02d"))
+    sig.select((col(idCol) +: cols): _*)
+  }
+
   /** LSH banding over a MinHash signature: emit (band_id, band_key) per doc;
     * docs sharing a band key are near-dup candidates. Returns buckets with
     * ≥ 2 docs. The band key is a short string — the join/group shuffles on
