@@ -69,6 +69,54 @@ object ExtraQueries {
         .orderBy("yr")
     }),
 
+    // ---- O5 head-N / tail-N caps ------------------------------------------
+    "q30_head_tail_caps" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val head = o.orderBy(col("o_orderdate").asc, col("o_orderkey").asc).limit(5)
+        .withColumn("which", lit("first"))
+      val tail = o.orderBy(col("o_orderdate").desc, col("o_orderkey").desc).limit(5)
+        .withColumn("which", lit("last"))
+      head.unionByName(tail)
+        .select("which", "o_orderkey", "o_orderdate")
+        .orderBy("which", "o_orderkey")
+    }),
+
+    // ---- E3 concat across scans (unionByName) -----------------------------
+    "q31_union_concat" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"), lit("customer").as("src"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"), lit("supplier").as("src"))
+      c.unionByName(sup)
+        .groupBy("src").agg(count(lit(1)).as("n"), min(col("name")).as("first_name"))
+        .orderBy("src")
+    }),
+
+    // ---- F8/C8 string normalization pipeline ------------------------------
+    "q32_identity_normalize" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(
+          col("c_custkey"),
+          upper(trim(col("c_name"))).as("name_norm"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+          when(upper(trim(col("c_name"))).rlike("^[A-Z0-9#_]+$"), 1L).otherwise(0L)
+            .as("is_clean"))
+        .filter(col("c_custkey") < 500)
+        .orderBy("c_custkey")
+    }),
+
+    // ---- C8 split / regexp_replace ----------------------------------------
+    "q33_string_ops" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+          col("p_partkey"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .filter(col("p_partkey") < 400)
+        .orderBy("p_partkey")
+    }),
+
     // ---- Bucketed ANN: the LSH scale path end-to-end ----------------------
     "qx12_bucketed_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -180,6 +228,38 @@ object ExtraQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
          |      FROM scored)
          |WHERE rn <= $ANN_K ORDER BY query_id, knn_rank""".stripMargin,
+
+    "q30_head_tail_caps" ->
+      """WITH head AS (SELECT 'first' AS which, o_orderkey, o_orderdate FROM orders
+        |              ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 5),
+        |     tail AS (SELECT 'last' AS which, o_orderkey, o_orderdate FROM orders
+        |              ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5)
+        |SELECT which, o_orderkey, o_orderdate FROM head
+        |UNION ALL SELECT which, o_orderkey, o_orderdate FROM tail
+        |ORDER BY which, o_orderkey""".stripMargin,
+
+    "q31_union_concat" ->
+      """WITH u AS (
+        |  SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, s_name AS name, 'supplier' AS src FROM supplier)
+        |SELECT src, COUNT(*) AS n, MIN(name) AS first_name
+        |FROM u GROUP BY src ORDER BY src""".stripMargin,
+
+    "q32_identity_normalize" ->
+      """SELECT c_custkey,
+        |  upper(trim(c_name)) AS name_norm,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |  CAST(CASE WHEN regexp_matches(upper(trim(c_name)), '^[A-Z0-9#_]+$')
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+        |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
+
+    "q33_string_ops" ->
+      """SELECT p_partkey,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part WHERE p_partkey < 400 ORDER BY p_partkey""".stripMargin,
 
     "qx14_near_dup_pipeline" -> {
       val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
