@@ -31,9 +31,13 @@ object GraftSession {
     spark
   }
 
-  /** Register the driver's testdata tables as SQL views. */
-  def registerViews(spark: SparkSession, dir: String): Unit =
+  /** Register the driver's testdata tables as SQL views (+ the native
+    * functions, so the advertised plain-SQL surface is self-contained on
+    * sessions not created via `create`). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.AllTables.foreach { name =>
       Tables.t(spark, dir, name).createOrReplaceTempView(name)
     }
+  }
 }

@@ -18,14 +18,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * aggregation) before the doc-keyed shuffle, like any built-in agg.
   */
 class MinHashAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
-  import TextExprs.{P, aK, bK}
+  import TextExprs.P
+
+  // coefficients precomputed once — reduce() runs per shingle row
+  private val as = Array.tabulate(k)(TextExprs.aK)
+  private val bs = Array.tabulate(k)(TextExprs.bK)
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sh: Long): Array[Long] = {
     var i = 0
     while (i < k) {
-      val h = (aK(i) * sh + bK(i)) % P
+      val h = (as(i) * sh + bs(i)) % P
       if (h < buf(i)) buf(i) = h
       i += 1
     }
@@ -38,8 +42,11 @@ class MinHashAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long
     a
   }
 
-  /** Empty input → null sentinel mins stay; surface as-is (callers treat
-    * Long.MaxValue as "no shingles", mirroring MIN-over-empty = null). */
+  /** Contract note: a group with zero rows surfaces Long.MaxValue
+    * sentinels (a groupBy only emits keys with ≥1 row, so this arises only
+    * under outer-join-style reuse). The k-MIN SQL form would yield null
+    * there — callers composing this into new pipelines must map the
+    * sentinel before comparing against that form. */
   override def finish(buf: Array[Long]): Array[Long] = buf
 
   override def bufferEncoder: Encoder[Array[Long]] =

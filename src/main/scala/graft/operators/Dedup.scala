@@ -30,9 +30,9 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
 
-  /** MinHash signature, computed so every hash happens exactly once:
-    * posexplode tokens → row-level word hash → shingle hash as pure
-    * arithmetic over window `lead`s → distinct → k grouped MINs.
+  /** (id, sh) rows of word-n-gram shingle hashes — the shared front end of
+    * signature, banding, and verify: posexplode tokens → native word hash →
+    * window-lead arithmetic combine. Every hash computed exactly once.
     *
     * Rejected shapes (measured at sf0.1): k array-min columns over a shared
     * shingle-hash array lets ProjectCollapse inline the hashing into every
@@ -40,9 +40,6 @@ object Dedup {
     * hashes ~20 chars per shingle instead of ~6 per word (~30 s). This
     * shape runs the corpus in ~2 s and all shuffles are doc-id-keyed with
     * map-side combine — the 100 TB-safe plan. */
-  /** (id, sh) rows of word-n-gram shingle hashes — the shared front end of
-    * signature, banding, and verify: posexplode tokens → native word hash →
-    * window-lead arithmetic combine. Every hash computed exactly once. */
   def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
                       shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -74,14 +71,12 @@ object Dedup {
     * minhashSignature in MinHashSpec; columns mh00..mh(k-1). */
   def minhashSignatureTyped(docs: DataFrame, textCol: String, idCol: String,
                             k: Int, shingleN: Int): DataFrame = {
-    import docs.sparkSession.implicits._
+    // udaf() lifts the typed Aggregator into an untyped aggregate column,
+    // so the id keeps its own type/schema (a cast-to-long groupByKey would
+    // silently null-collapse non-numeric ids)
+    val mh = udaf(new graft.functions.MinHashAggregator(k))
     val sig = shingleHashRows(docs, textCol, idCol, shingleN)
-      .select(col(idCol).cast("long").as("id"), col("sh"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new graft.functions.MinHashAggregator(k).toColumn.name("sig"))
-      .toDF(idCol, "sig")
+      .groupBy(idCol).agg(mh(col("sh")).as("sig"))
     val cols = (0 until k).map(i => element_at(col("sig"), i + 1).as(f"mh$i%02d"))
     sig.select((col(idCol) +: cols): _*)
   }

@@ -99,7 +99,9 @@ object ExtraQueries {
           col("c_custkey"),
           upper(trim(col("c_name"))).as("name_norm"),
           lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
-          when(upper(trim(col("c_name"))).rlike("^[A-Z0-9#_]+$"), 1L).otherwise(0L)
+          // \z (end of input) not $: Java's $ matches before a trailing
+          // newline, RE2's does not — \z means the same in both
+          when(upper(trim(col("c_name"))).rlike("^[A-Z0-9#_]+\\z"), 1L).otherwise(0L)
             .as("is_clean"))
         .filter(col("c_custkey") < 500)
         .orderBy("c_custkey")
@@ -250,7 +252,7 @@ object ExtraQueries {
       """SELECT c_custkey,
         |  upper(trim(c_name)) AS name_norm,
         |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
-        |  CAST(CASE WHEN regexp_matches(upper(trim(c_name)), '^[A-Z0-9#_]+$')
+        |  CAST(CASE WHEN regexp_matches(upper(trim(c_name)), '^[A-Z0-9#_]+\z')
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_clean
         |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
 
