@@ -83,6 +83,47 @@ object Relational {
       .agg(min_by(col("alias"), col("priority")).as("best_alias"))
   }
 
+  /** As-of join: for each left row, attach the latest right value whose
+    * timestamp is ≤ the left timestamp, per key — the canonical
+    * point-in-time lookup Spark has no native operator for.
+    *
+    * Plan: union the two sides with a side marker, then one key-partitioned
+    * window carries the last seen right value forward
+    * (`last(_, ignoreNulls)` over unbounded-preceding); left rows keep the
+    * carried value. ONE shuffle on the key, no range-join explosion, no
+    * per-row subquery — at 100 TB this is a sort-merge pass per key
+    * partition. Right rows sort before left at equal timestamps, giving
+    * `right.ts <= left.ts` inclusive semantics (= DuckDB ASOF JOIN, which
+    * the oracle uses to cross-check this operator).
+    *
+    * @param valueCols right-side columns to carry (emitted as `asof_<name>`)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               valueCols: Seq[String], tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        tieBreak.filterNot(leftCols.contains).map(c => lit(null).as(c)): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        tieBreak.filterNot(leftCols.contains).map(col): _*)
+    val orderCols = Seq(col(tsCol), col("__side")) ++ tieBreak.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Gap-based sessionization (batch analog of the streaming
     * flatMapGroupsWithState sessions): a new session starts when the gap to
     * the previous event exceeds `gapSeconds`; session id = running count of

@@ -148,6 +148,21 @@ object ExtraQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- As-of join: latest signup at-or-before each purchase, per user ---
+    // (the point-in-time lookup operator Spark lacks; DuckDB's native
+    //  ASOF JOIN is the independent oracle for our union+window plan)
+    "qx16_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("val_cents"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      graft.operators.Relational.asofJoin(purchases, signups,
+          "user_id", "ts", Seq("signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // ---- Near-dup candidate verify: top-1 cosine pair per LSH bucket ------
     "qx13_bucket_top_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -303,6 +318,14 @@ object ExtraQueries {
          |  MIN(secs) AS start_secs, MAX(secs) - MIN(secs) AS duration_secs
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "qx16_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS val_cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts, p.val_cents, s.signup_ts AS asof_signup_ts
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY event_id""".stripMargin,
 
     "qx13_bucket_top_pairs" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2,

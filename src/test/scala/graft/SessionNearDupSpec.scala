@@ -39,4 +39,23 @@ class SessionNearDupSpec extends SparkSpec {
     // keep/drop: smaller id survives
     assert(out.keys.forall { case (a, b) => a < b })
   }
+
+  test("asofJoin: latest at-or-before match per key, null when none, inclusive ties") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val left = Seq(
+      (1L, 10L, ts(5)),   // after signup@0 -> 0
+      (2L, 10L, ts(20)),  // after signup@15 -> 15
+      (3L, 10L, ts(15)),  // EXACTLY at signup@15 -> inclusive -> 15
+      (4L, 20L, ts(5))    // user 20 never signed up -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(0), ts(0)), (10L, ts(15), ts(15))
+    ).toDF("user_id", "ts", "signup_ts")
+    val out = graft.operators.Relational.asofJoin(left, right, "user_id", "ts", Seq("signup_ts"))
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.sql.Timestamp]("asof_signup_ts")).map(_.getTime / 60000L)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1L, Some(0L)), (2L, Some(15L)), (3L, Some(15L)), (4L, None)))
+  }
 }
