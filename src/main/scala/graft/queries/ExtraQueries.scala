@@ -148,6 +148,22 @@ object ExtraQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- Sliding windows (1h window, 15min slide) in exact arithmetic -----
+    // every event belongs to exactly 4 windows; starts enumerated as
+    // floor-to-slide minus k slides — integer µs math identical on both
+    // engines (StreamingMultimodalSpec proves it equals Spark's built-in
+    // window(ts, '1 hour', '15 minutes') generator)
+    "qx17_sliding_windows" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.withColumn("secs", expr("unix_micros(ts) div 1000000"))
+        .withColumn("k", explode(sequence(lit(0), lit(3))))
+        .withColumn("wstart_secs", (col("secs") - (col("secs") % 900)) - col("k") * 900)
+        .groupBy(expr("timestamp_micros(wstart_secs * 1000000)").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("val_cents"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- As-of join: latest signup at-or-before each purchase, per user ---
     // (the point-in-time lookup operator Spark lacks; DuckDB's native
     //  ASOF JOIN is the independent oracle for our union+window plan)
@@ -318,6 +334,15 @@ object ExtraQueries {
          |  MIN(secs) AS start_secs, MAX(secs) - MIN(secs) AS duration_secs
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "qx17_sliding_windows" ->
+      """WITH e AS (SELECT event_type, value, (epoch_us(ts) // 1000000) AS secs FROM events),
+        |w AS (SELECT event_type, value,
+        |        (secs - (secs % 900)) - k * 900 AS wstart_secs
+        |      FROM e, (SELECT unnest(generate_series(0, 3)) AS k))
+        |SELECT make_timestamp(wstart_secs * 1000000) AS window_start, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "qx16_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS val_cents

@@ -87,4 +87,16 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("media_id")).distinct.toSeq === Seq(1L))
     assert(frames.map(_.getAs[Long]("byte_offset")).toSeq === Seq(0L, 25L, 50L, 75L))
   }
+
+  test("qx17 sliding-window arithmetic equals Spark's built-in window() generator") {
+    val e = Tables.events(spark, sfDir)
+    val builtin = graft.streaming.EventStreams.slidingRates(e)
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val arith = graft.queries.ExtraQueries.queries("qx17_sliding_windows")(spark, sfDir)
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(builtin.toSeq === arith.toSeq)
+  }
 }
