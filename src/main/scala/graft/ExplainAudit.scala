@@ -9,12 +9,17 @@ object ExplainAudit {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    for (q <- Seq("q02_filter_project", "q03_regional_revenue", "q04_topk_orders",
-                  "q01_pricing_summary", "qx02_minhash_signature")) {
+    val queryNames =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q02_filter_project", "q03_regional_revenue", "q04_topk_orders",
+               "q01_pricing_summary", "qx02_minhash_signature")
+    val full = sys.env.contains("GRAFT_EXPLAIN_FULL")
+    for (q <- queryNames) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, dir)
       val formatted = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
       val plan = df.queryExecution.toString
+      if (full) println(df.queryExecution.optimizedPlan.toString)
       plan.linesIterator.filter(l =>
         l.contains("PushedFilters") || l.contains("DataFilters") || l.contains("BroadcastHashJoin")
         || l.contains("SortMergeJoin") || l.contains("TakeOrderedAndProject")

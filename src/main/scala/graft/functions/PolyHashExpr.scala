@@ -78,11 +78,28 @@ object PolyHash {
 }
 
 /** Session registration for the engine's native functions. Idempotent —
-  * call before building plans that use `graft_polyhash(...)` in SQL text. */
+  * call before building plans that use `graft_polyhash(...)` /
+  * `graft_dot(...)` / `graft_lsh_bucket(...)` in SQL text. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+
+  /** graft_lsh_bucket's plane count must be a compile-time literal (it
+    * shapes the generated loop). */
+  private[functions] def lshPlanes(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_lsh_bucket plane count must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_polyhash", exprs => PolyHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_bucket", exprs => LshBucket(exprs(0), lshPlanes(exprs(1))), "built-in")
+  }
 }
 
 /** SparkSessionExtensions entry point — lets deployments load the engine's
@@ -91,10 +108,21 @@ object GraftFunctions {
   * `.withExtensions(new GraftExtensions)`), after which plain
   * `spark.sql("SELECT graft_polyhash(col) ...")` works in any session. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_polyhash"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_bucket"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (exprs: Seq[Expression]) => LshBucket(exprs(0), GraftFunctions.lshPlanes(exprs(1)))))
+  }
 }

@@ -110,6 +110,15 @@ object TextExprs {
   /** Squared L2 norm (sequential). */
   def norm2(a: String)(implicit d: Dialect): String = dot(a, a)
 
+  /** dot, preferring the native codegen'd graft_dot on the Spark side
+    * (register GraftFunctions first); the duck dialect keeps the portable
+    * fold, so the oracle compare continuously proves equivalence. */
+  def dotAuto(a: String, b: String)(implicit d: Dialect): String =
+    if (d.spark) s"graft_dot($a, $b)" else dot(a, b)
+
+  def norm2Auto(a: String)(implicit d: Dialect): String =
+    if (d.spark) s"graft_dot($a, $a)" else norm2(a)
+
   /** Deterministic pseudo-random hyperplane component for plane j, dim
     * index i (1-based): integer mix → uniform-ish double in [-0.5, 0.5). */
   def planeComponent(j: Int, iExpr: String): String =
@@ -127,4 +136,8 @@ object TextExprs {
     (0 until nPlanes)
       .map(j => s"(CASE WHEN ${planeDot(vec, j)} >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** lshBucket, preferring the native codegen'd expression on Spark. */
+  def lshBucketAuto(vec: String, nPlanes: Int)(implicit d: Dialect): String =
+    if (d.spark) s"graft_lsh_bucket($vec, $nPlanes)" else lshBucket(vec, nPlanes)
 }

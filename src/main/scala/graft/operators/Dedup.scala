@@ -24,11 +24,22 @@ object Dedup {
   private implicit val d: Dialect = Dialect(spark = true)
 
   /** Exact dedup on canonical text: one row per distinct normalized text
-    * with the smallest doc id as canonical. */
-  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.groupBy(expr(TX.norm(textCol)).as("norm_text"))
+    * with the smallest doc id as canonical.
+    *
+    * The group key is (length, polyhash, md5) of the normalized text, NOT
+    * the text itself: at corpus scale, shuffling full documents as the
+    * aggregation key writes the whole corpus to the shuffle — the triple is
+    * constant-width (int + long + 32-char hex) with a jointly negligible
+    * collision probability. Callers needing certainty can re-verify the
+    * rare multi-copy groups against the raw text afterwards. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol), expr(TX.norm(textCol)).as("__nt"))
+      .groupBy(length(col("__nt")).as("__len"),
+        expr("graft_polyhash(__nt)").as("__ph"), md5(col("__nt")).as("__md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
+  }
 
   /** (id, sh) rows of word-n-gram shingle hashes — the shared front end of
     * signature, banding, and verify: posexplode tokens → native word hash →
@@ -81,25 +92,32 @@ object Dedup {
     sig.select((col(idCol) +: cols): _*)
   }
 
-  /** LSH banding over a MinHash signature: emit (band_id, band_key) per doc;
-    * docs sharing a band key are near-dup candidates. Returns buckets with
-    * ≥ 2 docs. The band key is a short string — the join/group shuffles on
-    * it directly. */
-  def minhashBands(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    val nBands = k / rowsPerBand
-    // one band-struct array + a single explode — NOT a union of nBands
-    // projections, which would recompute the signature plan per band
-    val bandStructs = (0 until nBands).map { b =>
+  /** (id, band_id, band_key) rows from a MinHash signature frame — the
+    * shared banding front end of minhashBands and nearDupPipeline: one
+    * band-struct array + a single explode, NOT a union of nBands
+    * projections (which would recompute the signature plan per band). */
+  private def bandedRows(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the signature length k=$k " +
+        "(a remainder would silently drop trailing signature columns and degrade recall)")
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
       val keyCols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
       struct(lit(b.toLong).as("band_id"),
         concat_ws("|", keyCols.map(_.cast("string")): _*).as("band_key"))
     }
     sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+  }
+
+  /** LSH banding over a MinHash signature: emit (band_id, band_key) per doc;
+    * docs sharing a band key are near-dup candidates. Returns buckets with
+    * ≥ 2 docs. The band key is a short string — the join/group shuffles on
+    * it directly. Requires rowsPerBand | k. */
+  def minhashBands(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame =
+    bandedRows(sig, idCol, k, rowsPerBand)
       .groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc"))
       .filter(col("n_docs") >= 2)
-  }
 
   /** SimHash 32-bit fingerprint via explode + sign-sum per bit.
     * Partial-aggregable: the 32 CASE-sums combine map-side. */
@@ -128,15 +146,21 @@ object Dedup {
   def nearDupPipeline(docs: DataFrame, textCol: String, idCol: String,
                       k: Int, shingleN: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val sig = minhashSignature(docs, textCol, idCol, k, shingleN)
-    val nBands = k / rowsPerBand
-    val bandStructs = (0 until nBands).map { b =>
-      val keyCols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b.toLong).as("band_id"),
-        concat_ws("|", keyCols.map(_.cast("string")): _*).as("band_key"))
-    }
-    val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+    require(k % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the signature length k=$k")
+    // ONE pass over the corpus: the tokenize+hash front end
+    // (shingleHashRows) feeds a single per-doc aggregation producing BOTH
+    // the k signature minima and the verify set — round 1 ran the front end
+    // twice (once per consumer), doubling the most expensive scan. The
+    // per-doc result (k longs + hash set) is narrow; persisting it lets the
+    // banding self-join and the two verify joins all reuse one computation.
+    val shingled = shingleHashRows(docs, textCol, idCol, shingleN)
+    val minCols = (0 until k).map(i =>
+      min(expr(s"(${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}")).as(f"mh$i%02d"))
+    val perDoc = shingled.groupBy(idCol)
+      .agg(minCols.head, (minCols.tail :+ collect_set(col("sh")).as("sh")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedRows(perDoc, idCol, k, rowsPerBand)
     // candidate pairs: same (band_id, band_key), deduped across bands
     val l = banded.select(col("band_id"), col("band_key"), col(idCol).as("doc_a"))
     val r = banded.select(col("band_id").as("band_id_r"), col("band_key").as("band_key_r"),
@@ -150,8 +174,7 @@ object Dedup {
     // strings (interpreted concat per shingle: measured 15× slower). Hash
     // collisions (~|set|²/2P per doc) shift Jaccard negligibly and the
     // oracle mirrors the same definition.
-    val sets = shingleHashRows(docs, textCol, idCol, shingleN)
-      .groupBy(idCol).agg(collect_set(col("sh")).as("sh"))
+    val sets = perDoc.select(col(idCol), col("sh"))
     val verified = candidates
       .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")

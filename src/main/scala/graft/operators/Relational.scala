@@ -114,7 +114,15 @@ object Relational {
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         tieBreak.filterNot(leftCols.contains).map(col): _*)
-    val orderCols = Seq(col(tsCol), col("__side")) ++ tieBreak.map(col)
+    // With no caller tieBreak, right rows sharing (key, ts) would be
+    // ordered arbitrarily and last() would carry a run-dependent value —
+    // order by the carried values themselves as the final key so ties
+    // resolve deterministically (largest carried tuple wins). Left rows'
+    // null markers sort first within their side and never affect the carry.
+    val tieCols =
+      if (tieBreak.nonEmpty) tieBreak.map(col)
+      else valueCols.map(c => col(s"__v_$c").asc_nulls_first)
+    val orderCols = Seq(col(tsCol), col("__side")) ++ tieCols
     val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{Dialect, TextExprs => TX}
+import graft.functions.{Dialect, GraftFunctions, TextExprs => TX}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -14,26 +14,44 @@ import graft.functions.{Dialect, TextExprs => TX}
   *   n-bit bucket from deterministic hyperplanes; candidate search becomes
   *   an equi-join on bucket id, cutting the candidate set ~2^n-fold.
   *
-  * Dot products are sequential double folds (TextExprs.dot) so the DuckDB
-  * oracle reproduces them bit-for-bit.
+  * Hot-path dot products run through the codegen'd `graft_dot` expression;
+  * the DuckDB oracle keeps the portable sequential-fold form (TextExprs.dot)
+  * so every oracle run re-proves them bit-identical.
   */
 object Similarity {
   private implicit val d: Dialect = Dialect(spark = true)
 
+  /** The query side of the kNN operators is broadcast — it must stay small.
+    * The cap makes the contract executable instead of a comment: exceeding
+    * it fails fast with a clear message, not a silent driver OOM mid-join. */
+  val MaxQueryRows = 1000000L
+
+  private[graft] def requireSmallQuerySide(queries: DataFrame, op: String,
+                                               cap: Long = MaxQueryRows): Unit = {
+    // limit+count aborts the scan as soon as the cap is crossed — cheap
+    val n = queries.limit((cap + 1).toInt).count()
+    require(n <= cap,
+      s"$op broadcasts the query side, which has > $cap rows; " +
+        "swap the sides or use the bucketed/banded path for large query sets")
+  }
+
   /** Corpus with precomputed squared norm — compute once, reuse across
     * queries. */
-  def withNorm2(emb: DataFrame, vecCol: String): DataFrame =
-    emb.withColumn("norm2", expr(TX.norm2(vecCol)))
+  def withNorm2(emb: DataFrame, vecCol: String): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("norm2", expr(TX.norm2Auto(vecCol)))
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), rank-1 first. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    requireSmallQuerySide(queries, "bruteForceKnn")
     val q = withNorm2(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("norm2").as("q_norm2"))
     val c = withNorm2(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("norm2").as("c_norm2"))
-    val dotE = expr(TX.dot("q_vec", "c_vec"))
+    val dotE = expr(TX.dotAuto("q_vec", "c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         when(col("q_norm2") > 0 && col("c_norm2") > 0,
@@ -48,14 +66,17 @@ object Similarity {
   /** LSH bucket assignment: n-bit signed-random-projection bucket per
     * vector. Bucket planes are deterministic integer-mix pseudo-randoms —
     * identical across engines and runs. */
-  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame =
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     emb.select(col(idCol),
-      expr(TX.lshBucket(vecCol, nPlanes)).cast("long").as("bucket"))
+      expr(TX.lshBucketAuto(vecCol, nPlanes)).cast("long").as("bucket"))
+  }
 
   /** Bucketed ANN: top-k by cosine *within the query's LSH bucket* — the
     * scale path (equi-join on bucket replaces the cross join). */
   def bucketedKnn(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
+    requireSmallQuerySide(queries, "bucketedKnn")
     val qb = lshBuckets(queries, idCol, vecCol, nPlanes)
       .join(withNorm2(queries, vecCol), idCol)
       .select(col(idCol).as("query_id"), col("bucket"),
@@ -68,11 +89,35 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         when(col("q_norm2") > 0 && col("c_norm2") > 0,
-          expr(TX.dot("q_vec", "c_vec")) / (sqrt(col("q_norm2")) * sqrt(col("c_norm2")))))
+          expr(TX.dotAuto("q_vec", "c_vec")) / (sqrt(col("q_norm2")) * sqrt(col("c_norm2")))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "bucket", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Bucket re-splitting for skewed LSH buckets — the bound that keeps
+    * per-bucket all-pairs work from becoming a straggler at scale. Buckets
+    * whose population exceeds `maxBucketSize` get `extraPlanes` additional
+    * deterministic sign bits appended (planes `nPlanes..nPlanes+extra-1`),
+    * splitting the hot bucket ~2^extra-fold; small buckets keep their id
+    * (sub-bucket 0). Output: (idCol, bucket, sub_bucket, n_in_bucket).
+    * Fully engine-portable — the oracle mirrors it in SQL. */
+  def cappedLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                       nPlanes: Int, maxBucketSize: Long, extraPlanes: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val b = emb.select(col(idCol),
+      expr(TX.lshBucketAuto(vecCol, nPlanes)).cast("long").as("bucket"),
+      col(vecCol))
+    val sizes = b.groupBy("bucket").agg(count(lit(1)).as("n_in_bucket"))
+    // extra sign bits = high bits of a wider bucket id: planes are indexed
+    // globally, so bucket(n+e) = bucket(n) + 2^n * extraBits
+    val wide = expr(TX.lshBucketAuto(vecCol, nPlanes + extraPlanes)).cast("long")
+    b.join(sizes, "bucket")
+      .withColumn("sub_bucket",
+        when(col("n_in_bucket") > maxBucketSize, shiftright(wide - col("bucket"), nPlanes))
+          .otherwise(lit(0L)).cast("long"))
+      .select(col(idCol), col("bucket"), col("sub_bucket"), col("n_in_bucket"))
   }
 }

@@ -31,13 +31,20 @@ object Skew {
   }
 
   /** Salted distinct-collection: collect_set on a hot key without a single
-    * task holding the whole set — partial sets per salt, then one bounded
-    * flatten/dedup per key. `capPerKey` guards the final buffer. */
+    * task holding the whole set. The cap applies in BOTH stages: each
+    * per-salt partial is sorted and truncated to `capPerKey`, so the
+    * stage-2 merge buffer is bounded by saltBuckets × capPerKey elements —
+    * never the full set of the hot key. Sorting before each truncation
+    * makes the kept elements deterministic (the capPerKey smallest), not
+    * dependent on partial-array arrival order. When any stage-1 partial
+    * hits the cap the result is the smallest `capPerKey` distinct values
+    * rather than the complete set — the documented trade for boundedness. */
   def saltedCollectSet(df: DataFrame, keys: Seq[String], valueCol: String,
                        saltBuckets: Int, capPerKey: Int = 100000): DataFrame =
     saltedAgg(df, keys, saltBuckets,
-      partial = Seq(collect_set(col(valueCol)).as("__partial")),
-      merge = Seq(slice(array_distinct(flatten(collect_list(col("__partial")))),
+      partial = Seq(slice(sort_array(collect_set(col(valueCol))), 1, capPerKey)
+        .as("__partial")),
+      merge = Seq(slice(sort_array(array_distinct(flatten(collect_list(col("__partial"))))),
         1, capPerKey).as(s"${valueCol}_set")))
 
   /** Replicated (broadcast-salt) join for a skewed LEFT side against a

@@ -180,6 +180,13 @@ object ExtraQueries {
     }),
 
     // ---- Near-dup candidate verify: top-1 cosine pair per LSH bucket ------
+    // Round-1 shape (interpreted TX.dot lambda per pair + row_number over
+    // the full pair set) was 24.3 s — 28% of the whole bench. Now: the
+    // codegen'd graft_dot per pair, and top-1 per bucket via max_by, which
+    // is partial-aggregable — each task reduces its pairs to one candidate
+    // per bucket BEFORE the shuffle, so the pair set never moves. Ordering
+    // (cosine DESC NULLS LAST, vec_a ASC, vec_b ASC) is encoded as the max
+    // of (coalesce(cosine,-2), -vec_a, -vec_b) — total and deterministic.
     "qx13_bucket_top_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val b = Similarity.lshBuckets(emb, "vec_id", "embedding", LSH_PLANES)
@@ -192,11 +199,14 @@ object ExtraQueries {
       val pairs = a1.join(a2, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
         .withColumn("cosine",
           when(col("n_a") > 0 && col("n_b") > 0,
-            expr(TX.dot("e_a", "e_b")(sparkD)) / (sqrt(col("n_a")) * sqrt(col("n_b")))))
-      val w = Window.partitionBy("bucket")
-        .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("bucket", "vec_a", "vec_b", "cosine")
+            expr(TX.dotAuto("e_a", "e_b")(sparkD)) / (sqrt(col("n_a")) * sqrt(col("n_b")))))
+      pairs.groupBy("bucket")
+        .agg(max_by(
+          struct(col("vec_a"), col("vec_b"), col("cosine")),
+          struct(coalesce(col("cosine"), lit(-2.0)).as("c"),
+            (-col("vec_a")).as("na"), (-col("vec_b")).as("nb"))).as("top"))
+        .select(col("bucket"), col("top.vec_a").as("vec_a"),
+          col("top.vec_b").as("vec_b"), col("top.cosine").as("cosine"))
         .orderBy("bucket")
     })
   )

@@ -12,20 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object Serve {
 
+  /** CSV quoting applied to the RENDERED string of a cell, whatever its
+    * type — arrays/structs/timestamps whose toString contains commas or
+    * newlines must be quoted too, or they shift the row layout. */
+  private def csvCell(v: Any): String = v match {
+    case null => ""
+    case other =>
+      val s = other match { case str: String => str; case x => x.toString }
+      if (s.exists(",\"\n\r".contains(_))) "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+  }
+
   /** S9 CSV render with the reference's no-data fallback row
     * (ref: data_service.py:273-299). For capped API results. */
   def toCsvString(df: DataFrame, fallbackMessage: String = "No data available"): String = {
     val cols = df.columns
     val rows = df.collect()
-    val header = cols.mkString(",")
+    val header = cols.map(csvCell).mkString(",")
     if (rows.isEmpty) s"$header\n$fallbackMessage"
     else {
-      val body = rows.map(_.toSeq.map {
-        case null => ""
-        case s: String if s.exists(",\"\n\r".contains(_)) =>
-          "\"" + s.replace("\"", "\"\"") + "\""
-        case v => v.toString
-      }.mkString(",")).mkString("\n")
+      val body = rows.map(_.toSeq.map(csvCell).mkString(",")).mkString("\n")
       s"$header\n$body"
     }
   }
@@ -53,10 +59,27 @@ object Serve {
     }
   }
 
+  /** Minimal JSON string-literal escaper for caller-supplied scalars that
+    * get interpolated into the envelope (quotes, backslashes, control
+    * chars — everything a JSON string may not contain raw). */
+  def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** S11 JSON rows with the response envelope shape
     * (ref: models.py:152-196 — success flag + timestamp + data). */
   def toJsonEnvelope(df: DataFrame, timestamp: String): String = {
     val rows = df.toJSON.collect().mkString(",")
-    s"""{"success":true,"timestamp":"$timestamp","data":[$rows]}"""
+    s"""{"success":true,"timestamp":"${jsonEscape(timestamp)}","data":[$rows]}"""
   }
 }

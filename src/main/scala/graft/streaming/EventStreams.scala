@@ -64,7 +64,13 @@ object EventStreams {
     * State hygiene (the 100 TB concern): a processing-time timeout of
     * `gapMs` closes and EMITS the open session of any idle user and
     * REMOVES their state — without it the final session of every user is
-    * never emitted and the state store grows one entry per user forever. */
+    * never emitted and the state store grows one entry per user forever.
+    *
+    * Batch mode: ProcessingTimeTimeout never fires in batch execution, so
+    * each group's trailing open session is emitted eagerly with
+    * `closed = false` (and no state is kept) — batch output is complete,
+    * and `closed` tells the caller which sessions were gap-terminated vs
+    * merely end-of-input. */
   def userSessions(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     // resolved on the driver: the closure must not capture the Dataset
@@ -89,8 +95,14 @@ object EventStreams {
               }
               s = SessionState(s.nEvents + 1, s.total + e.value, t)
             }
-            state.update(s)
-            if (streaming) state.setTimeoutDuration(gapMs)
+            if (streaming) {
+              // keep the open session in state; the timeout closes it later
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            } else if (s.nEvents > 0) {
+              // batch sees the whole group once — flush the residual now
+              out += UserSession(uid, s.nEvents, s.total, closed = false)
+            }
             out.iterator
           }
       }

@@ -32,18 +32,26 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful user sessions close on gap and carry running totals") {
+  test("stateful user sessions close on gap and batch flushes trailing open sessions") {
     import spark.implicits._
     def ev(id: Long, uid: Long, minute: Long, v: Double) =
       EventStreams.Event(id, new java.sql.Timestamp(minute * 60000L), uid, "click", v)
-    // user 1: two bursts separated by >30min → one closed session emitted;
-    // user 2: single burst → nothing closed yet (still open in state)
+    // user 1: two bursts separated by >30min → one gap-closed session plus
+    // the trailing burst as an open (closed=false) residual; user 2: one
+    // burst → one open residual. Batch output is COMPLETE — the timeout
+    // that closes idle sessions only exists in streaming execution.
     val events = Seq(
       ev(1, 1, 0, 1.0), ev(2, 1, 5, 2.0), ev(3, 1, 60, 10.0),
       ev(4, 2, 0, 5.0), ev(5, 2, 10, 5.0)).toDS()
     val out = EventStreams.userSessions(events).collect()
-    assert(out.length === 1)
-    assert(out(0).user_id === 1 && out(0).n_events === 2 && out(0).total_value === 3.0)
+      .sortBy(s => (s.user_id, s.n_events))
+    assert(out.length === 3)
+    val closed = out.filter(_.closed)
+    assert(closed.length === 1)
+    assert(closed(0).user_id === 1 && closed(0).n_events === 2 && closed(0).total_value === 3.0)
+    val open = out.filterNot(_.closed).sortBy(_.user_id)
+    assert(open(0).user_id === 1 && open(0).n_events === 1 && open(0).total_value === 10.0)
+    assert(open(1).user_id === 2 && open(1).n_events === 2 && open(1).total_value === 10.0)
   }
 
   test("multimodal: batch feature extraction over binary payloads") {
