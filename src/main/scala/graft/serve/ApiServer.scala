@@ -1,0 +1,243 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Financials
+import graft.sources.{FactStore, Serve}
+
+/** The reference's REST serving facade (src/api/main.py:69-408), built on
+  * the JDK's com.sun.net.httpserver — zero new dependencies. The engine
+  * stays distributed; routes only collect capped, pre-filtered serving
+  * results (Serve renderers). Split in two:
+  *
+  * - [[FinancialApi]]: route semantics as pure (status, contentType, body)
+  *   functions — unit-testable without sockets;
+  * - [[ApiServer]]: the HTTP shell binding them to paths.
+  *
+  * Reference surface covered: /status, /financials/{ticker},
+  * /financials/{ticker}/{metric} (json|csv|parquet, period, years,
+  * 202-on-miss + background fetch trigger = T5), POST /financials/compare,
+  * /data/tickers, POST /etl/fetch/{ticker}, /cache/stats, /cache/clear.
+  */
+final class FinancialApi(spark: SparkSession, facts: () => DataFrame,
+                         cache: ResultCache, onMiss: String => Unit = _ => ()) {
+
+  import FinancialApi._
+
+  private def now(): String = java.time.Instant.now().toString
+
+  private def envelope(df: DataFrame): String = Serve.toJsonEnvelope(df, now())
+
+  private def error(status: Int, message: String): Response =
+    Response(status, "application/json",
+      s"""{"success":false,"timestamp":"${Serve.jsonEscape(now())}","detail":"${Serve.jsonEscape(message)}"}""")
+
+  /** True when the store holds any facts for the ticker — the 202-on-miss
+    * gate. A limit(1) probe, partition-pruned by the store layout. */
+  private def hasTicker(ticker: String): Boolean =
+    facts().filter(col("ticker") === ticker).limit(1).count() > 0
+
+  private def miss202(ticker: String): Response = {
+    onMiss(ticker) // fire the background fetch (T5 on-demand trigger)
+    error(202, s"Data for $ticker not available. Fetching in background. " +
+      "Please try again in a few minutes.")
+  }
+
+  def status(): Response =
+    Response(200, "application/json",
+      s"""{"status":"healthy","timestamp":"${Serve.jsonEscape(now())}","service":"graft-financials-api"}""")
+
+  /** GET /financials/{ticker} — full statement set for the company
+    * (ref: main.py:105-160). */
+  def financials(ticker0: String, period: String, years: Int, format: String): Response = {
+    val ticker = ticker0.toUpperCase
+    if (!hasTicker(ticker)) return miss202(ticker)
+    val k = cache.key("company_data", "ticker" -> ticker, "period" -> period,
+      "years" -> years, "format" -> format)
+    render(format, s"${ticker}_financials") {
+      Financials.statement(
+        facts().filter(col("ticker") === ticker), StatementMetrics, period)
+    } match {
+      case Left(resp) => resp
+      case Right(make) => Response(200, contentTypeOf(format),
+        cache.getOrElseUpdate(k)(make()))
+    }
+  }
+
+  /** GET /financials/{ticker}/{metric} (ref: main.py:163-210). */
+  def metric(ticker0: String, metric: String, period: String, years: Int,
+             format: String): Response = {
+    val ticker = ticker0.toUpperCase
+    if (!hasTicker(ticker)) return miss202(ticker)
+    val k = cache.key("metric_data", "ticker" -> ticker, "metric" -> metric,
+      "period" -> period, "years" -> years, "format" -> format)
+    render(format, s"${ticker}_$metric") {
+      Financials.metricSeries(
+        facts().filter(col("ticker") === ticker), metric, period, years)
+    } match {
+      case Left(resp) => resp
+      case Right(make) => Response(200, contentTypeOf(format),
+        cache.getOrElseUpdate(k)(make()))
+    }
+  }
+
+  /** POST /financials/compare (ref: main.py:213-232). Body:
+    * {"tickers": [...], "metric": "...", "period": "annual", "years": 5}. */
+  def compare(body: String): Response = {
+    val json =
+      try mapper.readTree(body)
+      catch { case e: Exception => return error(400, s"invalid JSON body: ${e.getMessage}") }
+    val tickers = Option(json.get("tickers")).map(asStringSeq).getOrElse(Seq.empty)
+      .map(_.toUpperCase)
+    val metricName = Option(json.get("metric")).map(_.asText).getOrElse("")
+    if (tickers.isEmpty || metricName.isEmpty)
+      return error(400, "body must provide tickers (array) and metric (string)")
+    val key = cache.key("comparison", "tickers" -> tickers.sorted.mkString(","),
+      "metric" -> metricName)
+    Response(200, "application/json", cache.getOrElseUpdate(key) {
+      envelope(Financials.compare(facts(), metricName, tickers))
+    })
+  }
+
+  /** GET /data/tickers (ref: main.py:235-262): ticker list + freshness
+    * sample — one aggregate over the store, not a per-ticker loop. */
+  def tickers(sampleLimit: Int = 50): Response = {
+    val k = cache.key("tickers", "limit" -> sampleLimit)
+    Response(200, "application/json", cache.getOrElseUpdate(k) {
+      val fresh = FactStore.freshness(facts())
+        .orderBy("ticker").limit(sampleLimit)
+      val total = facts().select("ticker").distinct().count()
+      val sample = Serve.toJsonEnvelope(fresh, now())
+      s"""{"total_tickers":$total,"freshness_sample":$sample}"""
+    })
+  }
+
+  /** POST /etl/fetch/{ticker} (ref: main.py:302-322): explicit on-demand
+    * fetch trigger; invalidates the ticker's cached results. */
+  def triggerFetch(ticker0: String): Response = {
+    val ticker = ticker0.toUpperCase
+    onMiss(ticker)
+    val invalidated = cache.invalidateTicker(ticker)
+    Response(200, "application/json",
+      s"""{"success":true,"message":"Fetch triggered for $ticker","invalidated":$invalidated}""")
+  }
+
+  def cacheStats(): Response = {
+    val body = cache.stats.toSeq.sortBy(_._1).map {
+      case (k, v: String) => s""""$k":"${Serve.jsonEscape(v)}""""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    Response(200, "application/json", body)
+  }
+
+  def cacheClear(): Response = {
+    val n = cache.clear()
+    Response(200, "application/json", s"""{"success":true,"cleared":$n}""")
+  }
+
+  /** Format dispatch shared by the data routes: json → envelope, csv →
+    * quoted CSV, parquet → single-file bytes (ref StreamingResponse
+    * payloads, main.py:131-145). */
+  private def render(format: String, filename: String)(df: => DataFrame)
+  : Either[Response, () => String] =
+    format.toLowerCase match {
+      case "json" => Right(() => envelope(df))
+      case "csv" => Right(() => Serve.toCsvString(df))
+      case "parquet" =>
+        // bytes are not cached (binary, large) — rendered per request
+        Left(Response(200, "application/octet-stream", "",
+          Some(Serve.toParquetBytes(df)),
+          Map("Content-Disposition" -> s"attachment; filename=$filename.parquet")))
+      case other => Left(error(400, s"unsupported format: $other"))
+    }
+
+  private def contentTypeOf(format: String): String =
+    if (format.equalsIgnoreCase("csv")) "text/csv" else "application/json"
+}
+
+object FinancialApi {
+  /** One rendered response: status + content type + text body (or raw
+    * bytes for binary payloads) + extra headers. */
+  final case class Response(status: Int, contentType: String, body: String,
+                            bytes: Option[Array[Byte]] = None,
+                            headers: Map[String, String] = Map.empty) {
+    def payload: Array[Byte] = bytes.getOrElse(body.getBytes("UTF-8"))
+  }
+
+  /** Default statement metric set served by /financials/{ticker}. */
+  val StatementMetrics: Seq[String] = Seq(
+    "revenue", "gross_profit", "operating_income", "net_income",
+    "assets", "liabilities", "equity", "cash")
+
+  private[serve] val mapper = new ObjectMapper()
+
+  private[serve] def asStringSeq(n: JsonNode): Seq[String] = {
+    val it = n.elements()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) buf += it.next().asText()
+    buf.toSeq
+  }
+}
+
+/** HTTP shell: path routing over [[FinancialApi]]. Bind port 0 for an
+  * ephemeral test port (`boundPort` reports it). */
+final class ApiServer(api: FinancialApi, port: Int = 8000) {
+
+  import FinancialApi.Response
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def queryParams(q: String): Map[String, String] =
+    Option(q).map(_.split('&').toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  private def route(method: String, path: String, params: Map[String, String],
+                    body: String): Response = {
+    val period = params.getOrElse("period", "annual")
+    val years = params.get("years").flatMap(_.toIntOption).getOrElse(5)
+    val format = params.getOrElse("format", "json")
+    val parts = path.stripPrefix("/").stripSuffix("/").split('/').toSeq
+    (method, parts) match {
+      case ("GET", Seq("status"))                    => api.status()
+      case ("GET", Seq("financials", t))             => api.financials(t, period, years, format)
+      case ("GET", Seq("financials", t, m))          => api.metric(t, m, period, years, format)
+      case ("POST", Seq("financials", "compare"))    => api.compare(body)
+      case ("GET", Seq("data", "tickers"))           => api.tickers()
+      case ("POST", Seq("etl", "fetch", t))          => api.triggerFetch(t)
+      case ("GET", Seq("cache", "stats"))            => api.cacheStats()
+      case ("POST", Seq("cache", "clear"))           => api.cacheClear()
+      case _ => Response(404, "application/json",
+        s"""{"success":false,"detail":"Not found: $method $path"}""")
+    }
+  }
+
+  server.createContext("/", { exchange =>
+    val resp =
+      try {
+        val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+        route(exchange.getRequestMethod, exchange.getRequestURI.getPath,
+          queryParams(exchange.getRequestURI.getRawQuery), body)
+      } catch {
+        case e: Exception => Response(500, "application/json",
+          s"""{"success":false,"detail":"${graft.sources.Serve.jsonEscape(String.valueOf(e.getMessage))}"}""")
+      }
+    val payload = resp.payload
+    exchange.getResponseHeaders.set("Content-Type", resp.contentType)
+    resp.headers.foreach { case (k, v) => exchange.getResponseHeaders.set(k, v) }
+    exchange.sendResponseHeaders(resp.status, payload.length)
+    val os = exchange.getResponseBody
+    os.write(payload)
+    os.close()
+  })
+
+  def start(): ApiServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,138 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.MetricCatalog
+import graft.queries.Financials
+import graft.sources.Serve
+
+/** MCP-shaped tool surface (reference: src/sec_mcp/server.py:53-181 —
+  * tools/list returns the 6 tool schemas, tools/call dispatches by name
+  * and returns the result as JSON text content). The protocol framing
+  * (JSON-RPC transport) is host-specific; what the engine owes is the tool
+  * REGISTRY + DISPATCH: names, input schemas, and name→query execution.
+  * Every tool body is one of the Financials query surfaces — distributed
+  * compute, capped collect at the render edge.
+  */
+final class McpTools(spark: SparkSession, facts: () => DataFrame) {
+
+  import McpTools._
+
+  /** tools/list payload: JSON array of {name, description, inputSchema}. */
+  def listTools: String =
+    Tools.map { t =>
+      s"""{"name":"${t.name}","description":"${Serve.jsonEscape(t.description)}","inputSchema":${t.inputSchema}}"""
+    }.mkString("[", ",", "]")
+
+  def toolNames: Seq[String] = Tools.map(_.name)
+
+  /** tools/call with a parsed argument map. Returns the MCP text-content
+    * payload: a JSON envelope on success, an `Error: ...` line on failure
+    * (ref: server.py:168-181 wraps errors the same way). */
+  def call(name: String, args: Map[String, Any]): String =
+    try dispatch(name, new Args(args))
+    catch { case e: Exception => s"Error: ${e.getMessage}" }
+
+  /** tools/call with raw JSON arguments (the wire form). */
+  def callJson(name: String, argsJson: String): String = {
+    val node = FinancialApi.mapper.readTree(if (argsJson.isEmpty) "{}" else argsJson)
+    val m = scala.collection.mutable.Map.empty[String, Any]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      m(e.getKey) =
+        if (e.getValue.isArray) FinancialApi.asStringSeq(e.getValue)
+        else if (e.getValue.isInt || e.getValue.isLong) e.getValue.asLong
+        else e.getValue.asText
+    }
+    call(name, m.toMap)
+  }
+
+  private def envelope(df: DataFrame): String =
+    Serve.toJsonEnvelope(df, java.time.Instant.now().toString)
+
+  private def dispatch(name: String, a: Args): String = name match {
+    case "get_company_financials" =>
+      val own = facts().filter(col("ticker") === a.str("ticker").toUpperCase)
+      envelope(Financials.statement(own, FinancialApi.StatementMetrics, a.period))
+
+    case "get_financial_metric" =>
+      val own = facts().filter(col("ticker") === a.str("ticker").toUpperCase)
+      envelope(Financials.metricSeries(own, a.str("metric"), a.period, a.years(5)))
+
+    case "compare_companies" =>
+      envelope(Financials.compare(facts(), a.str("metric"),
+        a.strSeq("tickers").map(_.toUpperCase)))
+
+    case "analyze_financial_trends" =>
+      // one trends block per requested metric, unioned — each block is a
+      // single pass; the union is by name so column order is stable
+      val own = facts().filter(col("ticker") === a.str("ticker").toUpperCase)
+      val metrics = a.strSeq("metrics")
+      require(metrics.nonEmpty, "metrics must be a non-empty array")
+      envelope(metrics.map(m => Financials.trends(own, m)).reduce(_ unionByName _))
+
+    case "generate_financial_report" =>
+      // text report, already envelope-shaped prose (ref: server.py:499-619)
+      s"""{"success":true,"report":"${Serve.jsonEscape(
+        Financials.report(facts(), a.str("ticker").toUpperCase))}"}"""
+
+    case "get_available_metrics" =>
+      val names = (MetricCatalog.tagFallback.keySet ++ MetricCatalog.labelAliases.keySet)
+        .toSeq.sorted
+      names.map(n => s""""$n"""").mkString("""{"success":true,"metrics":[""", ",", "]}")
+
+    case other => s"Unknown tool: $other"
+  }
+}
+
+object McpTools {
+
+  final case class ToolDef(name: String, description: String, inputSchema: String)
+
+  /** The reference's six tools with their input schemas
+    * (src/sec_mcp/server.py:53-146). */
+  val Tools: Seq[ToolDef] = Seq(
+    ToolDef("get_company_financials",
+      "Get comprehensive financial data for a company",
+      """{"type":"object","properties":{"ticker":{"type":"string"},"years":{"type":"integer","default":5},"period":{"type":"string","default":"annual","enum":["annual","quarterly"]}},"required":["ticker"]}"""),
+    ToolDef("get_financial_metric",
+      "Get a specific financial metric for a company",
+      """{"type":"object","properties":{"ticker":{"type":"string"},"metric":{"type":"string"},"years":{"type":"integer","default":5},"period":{"type":"string","default":"annual","enum":["annual","quarterly"]}},"required":["ticker","metric"]}"""),
+    ToolDef("compare_companies",
+      "Compare a financial metric across multiple companies",
+      """{"type":"object","properties":{"tickers":{"type":"array","items":{"type":"string"}},"metric":{"type":"string"},"years":{"type":"integer","default":3},"period":{"type":"string","default":"annual","enum":["annual","quarterly"]}},"required":["tickers","metric"]}"""),
+    ToolDef("analyze_financial_trends",
+      "Analyze financial trends for multiple metrics over time",
+      """{"type":"object","properties":{"ticker":{"type":"string"},"metrics":{"type":"array","items":{"type":"string"}},"years":{"type":"integer","default":10}},"required":["ticker","metrics"]}"""),
+    ToolDef("generate_financial_report",
+      "Generate comprehensive financial report for a company",
+      """{"type":"object","properties":{"ticker":{"type":"string"},"report_type":{"type":"string","default":"comprehensive","enum":["comprehensive","summary","growth","profitability"]},"years":{"type":"integer","default":5}},"required":["ticker"]}"""),
+    ToolDef("get_available_metrics",
+      "Get list of available financial metrics",
+      """{"type":"object","properties":{"ticker":{"type":"string"}},"required":[]}"""))
+
+  /** Typed access over the loosely-typed argument map. */
+  private final class Args(m: Map[String, Any]) {
+    def str(k: String): String = m.get(k) match {
+      case Some(s: String) => s
+      case Some(other) => other.toString
+      case None => throw new IllegalArgumentException(s"missing required argument: $k")
+    }
+    def strSeq(k: String): Seq[String] = m.get(k) match {
+      case Some(xs: Seq[_]) => xs.map(String.valueOf)
+      case Some(s: String) => s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      case _ => Seq.empty
+    }
+    def years(default: Int): Int = m.get("years") match {
+      case Some(i: Int) => i
+      case Some(l: Long) => l.toInt
+      case Some(s: String) => s.toIntOption.getOrElse(default)
+      case _ => default
+    }
+    def period: String = m.get("period") match {
+      case Some(p: String) => p
+      case _ => "annual"
+    }
+  }
+}

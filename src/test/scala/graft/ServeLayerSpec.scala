@@ -1,0 +1,224 @@
+package graft
+
+import graft.model.FactModel.Fact
+import graft.serve.{ApiServer, FinancialApi, GraftConfig, McpTools, ResultCache}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+
+/** Serving shell: T6 result cache (TTL/LRU/invalidate), the REST facade
+  * end-to-end over real HTTP (202-on-miss = T5 trigger included), the MCP
+  * tool dispatch, and the S13 YAML config loader. */
+class ServeLayerSpec extends SparkSpec {
+
+  def d(s: String): Option[java.sql.Date] = Some(java.sql.Date.valueOf(s))
+
+  def fact(ticker: String, concept: String, label: String, v: Double, fy: Int,
+           fp: String = "FY", unit: String = "USD", end: String = "2022-12-31"): Fact =
+    Fact(ticker, Some(s"$ticker Inc"), Some("0000000001"), Some("us-gaap"),
+      Some(concept), Some(label), None, Some(v), Option(unit),
+      None, d(end), None, Some("10-K"), Some(fy), Option(fp), None)
+
+  lazy val facts = {
+    import spark.implicits._
+    Seq(
+      fact("ALFA", "RevenueFromContractWithCustomerExcludingAssessedTax",
+        "Revenue from Contract with Customer", 100.0, 2020),
+      fact("ALFA", "RevenueFromContractWithCustomerExcludingAssessedTax",
+        "Revenue from Contract with Customer", 121.0, 2021),
+      fact("ALFA", "RevenueFromContractWithCustomerExcludingAssessedTax",
+        "Revenue from Contract with Customer", 150.0, 2022),
+      fact("ALFA", "NetIncomeLoss", "Net Income (Loss)", 30.0, 2022),
+      fact("ALFA", "Assets", "Assets", 300.0, 2022),
+      fact("ALFA", "Liabilities", "Liabilities", 180.0, 2022),
+      fact("ALFA", "StockholdersEquity", "Stockholders Equity", 120.0, 2022),
+      fact("BETA", "Revenues", "Revenues", 50.0, 2021),
+      fact("BETA", "Revenues", "Revenues", 60.0, 2022),
+      fact("BETA", "NetIncomeLoss", "Net Income (Loss)", 6.0, 2022)
+    ).toDF().cache()
+  }
+
+  // ---------------------------------------------------------------- T6 --
+
+  test("cache: TTL expiry is clock-driven") {
+    var t = 1000L
+    val c = new ResultCache(maxSize = 10, defaultTtlSeconds = 60, clock = () => t)
+    c.put("k", "v")
+    assert(c.get("k") === Some("v"))
+    t += 61 * 1000L
+    assert(c.get("k") === None)
+    assert(c.size === 0) // expired entry removed on read
+  }
+
+  test("cache: LRU eviction at max size keeps recently used entries") {
+    val c = new ResultCache(maxSize = 2, defaultTtlSeconds = 600)
+    c.put("a", "1"); c.put("b", "2")
+    c.get("a") // a is now more recently used than b
+    c.put("c", "3") // evicts b
+    assert(c.get("a") === Some("1"))
+    assert(c.get("b") === None)
+    assert(c.get("c") === Some("3"))
+  }
+
+  test("cache: ticker invalidation hits single- and multi-ticker keys, not others") {
+    val c = new ResultCache()
+    c.put(c.key("metric_data", "ticker" -> "ALFA", "metric" -> "revenue"), "x")
+    c.put(c.key("comparison", "tickers" -> "ALFA,BETA", "metric" -> "revenue"), "y")
+    c.put(c.key("metric_data", "ticker" -> "BETA", "metric" -> "revenue"), "z")
+    val removed = c.invalidateTicker("alfa") // case-insensitive
+    assert(removed === 2)
+    assert(c.size === 1)
+    assert(c.get(c.key("metric_data", "ticker" -> "BETA", "metric" -> "revenue")) === Some("z"))
+  }
+
+  test("cache: long keys md5-compact; sweep clears expired entries") {
+    var t = 0L
+    val c = new ResultCache(defaultTtlSeconds = 1, clock = () => t)
+    val k = c.key("p", "x" -> ("y" * 300))
+    assert(k.length < 64 && k.startsWith("p:hash:"))
+    c.put(k, "v")
+    t += 5000L
+    assert(c.sweep() === 1 && c.size === 0)
+  }
+
+  // --------------------------------------------------- REST facade + T5 --
+
+  private def newApi(misses: scala.collection.mutable.Buffer[String] =
+                     scala.collection.mutable.ArrayBuffer.empty[String]) =
+    new FinancialApi(spark, () => facts, new ResultCache(), misses += _)
+
+  test("api: metric route returns the envelope; statement route pivots years") {
+    val api = newApi()
+    val m = api.metric("alfa", "revenue", "annual", 5, "json")
+    assert(m.status === 200)
+    assert(m.body.contains("\"success\":true") && m.body.contains("150"))
+    val f = api.financials("ALFA", "annual", 5, "json")
+    assert(f.status === 200 && f.body.contains("revenue"))
+  }
+
+  test("api: unknown ticker → 202 + on-demand fetch trigger (T5)") {
+    val misses = scala.collection.mutable.ArrayBuffer.empty[String]
+    val api = newApi(misses)
+    val r = api.metric("GAMMA", "revenue", "annual", 5, "json")
+    assert(r.status === 202)
+    assert(r.body.contains("Fetching in background"))
+    assert(misses.toSeq === Seq("GAMMA"))
+  }
+
+  test("api: csv format renders quoted rows; bad format → 400") {
+    val api = newApi()
+    val csv = api.metric("ALFA", "revenue", "annual", 5, "csv")
+    assert(csv.status === 200 && csv.contentType === "text/csv")
+    assert(csv.body.linesIterator.next().contains("ticker"))
+    assert(api.metric("ALFA", "revenue", "annual", 5, "xml").status === 400)
+  }
+
+  test("api: repeated metric call is served from the result cache") {
+    val cache = new ResultCache()
+    val api = new FinancialApi(spark, () => facts, cache)
+    api.metric("ALFA", "revenue", "annual", 5, "json")
+    val before = cache.stats("hits").asInstanceOf[Long]
+    api.metric("ALFA", "revenue", "annual", 5, "json")
+    assert(cache.stats("hits").asInstanceOf[Long] === before + 1)
+  }
+
+  test("api over real HTTP: status, metric, compare, cache endpoints") {
+    val server = new ApiServer(newApi(), port = 0).start()
+    val client = HttpClient.newHttpClient()
+    def get(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    def post(path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(get("/status").body.contains("healthy"))
+      val m = get("/financials/ALFA/revenue?period=annual&years=5")
+      assert(m.statusCode === 200 && m.body().contains("\"success\":true"))
+      val cmp = post("/financials/compare",
+        """{"tickers":["ALFA","BETA"],"metric":"revenue"}""")
+      assert(cmp.statusCode === 200 && cmp.body().contains("ALFA"))
+      val bad = post("/financials/compare", "{not json")
+      assert(bad.statusCode === 400)
+      assert(get("/cache/stats").body.contains("total_entries"))
+      assert(post("/cache/clear", "").body.contains("cleared"))
+      assert(get("/nope").statusCode === 404)
+      val t = get("/data/tickers")
+      assert(t.statusCode === 200 && t.body.contains("total_tickers"))
+    } finally server.stop()
+  }
+
+  // ------------------------------------------------------ MCP dispatch --
+
+  test("mcp: every tool name dispatches end-to-end") {
+    val tools = new McpTools(spark, () => facts)
+    assert(tools.toolNames.length === 6)
+    assert(tools.listTools.contains("get_company_financials"))
+    val fin = tools.call("get_company_financials", Map("ticker" -> "ALFA"))
+    assert(fin.contains("\"success\":true"))
+    val met = tools.callJson("get_financial_metric",
+      """{"ticker":"alfa","metric":"revenue","years":3}""")
+    assert(met.contains("150"))
+    val cmp = tools.callJson("compare_companies",
+      """{"tickers":["ALFA","BETA"],"metric":"revenue"}""")
+    assert(cmp.contains("\"success\":true"))
+    val tr = tools.callJson("analyze_financial_trends",
+      """{"ticker":"ALFA","metrics":["revenue","net_income"]}""")
+    assert(tr.contains("cagr") || tr.contains("direction"))
+    val rep = tools.call("generate_financial_report", Map("ticker" -> "ALFA"))
+    assert(rep.contains("Financial report"))
+    val avail = tools.call("get_available_metrics", Map.empty)
+    assert(avail.contains("revenue"))
+    assert(tools.call("no_such_tool", Map.empty).startsWith("Unknown tool"))
+    assert(tools.call("get_financial_metric", Map.empty).startsWith("Error:"))
+  }
+
+  // ------------------------------------------------------- S13 config --
+
+  test("config: YAML parse, dotted paths, env override, spark binding") {
+    val yaml =
+      """sec_api:
+        |  user_agent: "test-agent example@example.com"
+        |  rate_limit:
+        |    requests_per_second: 8
+        |cache:
+        |  ttl: 120
+        |  max_size: 7
+        |api:
+        |  port: 9001
+        |etl:
+        |  skip_unchanged: false
+        |sp500_tickers:
+        |  - AAPL
+        |  - MSFT
+        |spark:
+        |  spark.sql.shuffle.partitions: "16"
+        |""".stripMargin
+    val cfg = GraftConfig.fromString(yaml, env = Map.empty)
+    assert(cfg.getStringOr("sec_api.user_agent", "") === "test-agent example@example.com")
+    assert(cfg.rateLimitPerSecond === 8)
+    assert(cfg.apiPort === 9001)
+    assert(!cfg.skipUnchanged)
+    assert(cfg.sp500Tickers === Seq("AAPL", "MSFT"))
+    val cache = cfg.buildCache()
+    assert(cache.stats("max_size") === 7 && cache.stats("ttl_seconds") === 120L)
+    // env beats file (reference precedence)
+    val cfg2 = GraftConfig.fromString(yaml, env = Map("GRAFT_CACHE_TTL" -> "999"))
+    assert(cfg2.getIntOr("cache.ttl", 0) === 999)
+    // spark section lands in runtime conf
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      cfg.applyTo(spark)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "16")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("config: missing file key falls to default; absent path → None") {
+    val cfg = GraftConfig.fromString("a:\n  b: 1\n", env = Map.empty)
+    assert(cfg.getIntOr("a.b", 0) === 1)
+    assert(cfg.getString("a.c") === None)
+    assert(cfg.getIntOr("x.y.z", 42) === 42)
+  }
+}
