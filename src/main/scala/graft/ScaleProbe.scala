@@ -19,6 +19,12 @@ object ScaleProbe {
     val base = Tables.t(spark, dir, "documents").select("doc_id", "text").cache()
     val n0 = base.count() // materialize cache so inflation cost is excluded
 
+    // untimed warmup: compile the pipeline's codegen units once so the 1×
+    // measurement reflects steady-state throughput, not Janino compiles
+    graft.operators.Dedup.minhashBands(
+      graft.operators.Dedup.minhashSignature(base, "text", "doc_id", 16, 3),
+      "doc_id", 16, 4).count()
+
     for (mult <- Seq(1, 4, 16)) {
       val inflated = (0 until mult).map(i =>
         base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text")))

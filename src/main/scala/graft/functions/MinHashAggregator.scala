@@ -14,6 +14,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * template for further sketch aggregates (HLL, CPC, quantile) where no
   * k-column decomposition exists.
   *
+  * CANONICAL FORM NOTE: production plans (qx02/qx03 and the qx14 near-dup
+  * pipeline) run the k-MIN *expression* form — it stays inside the codegen
+  * hash aggregate and fuses with collect_set into a single pass. This
+  * Aggregator is the Dataset-typed API surface (KeyValueGroupedDataset
+  * composition), continuously proven equal, not the hot path.
+  *
   * merge() is commutative/associative → Spark runs it map-side (partial
   * aggregation) before the doc-keyed shuffle, like any built-in agg.
   */
