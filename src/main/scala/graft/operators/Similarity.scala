@@ -97,6 +97,80 @@ object Similarity {
       .select("query_id", "bucket", "neighbor_id", "rank", "cosine")
   }
 
+  /** Embedding-cosine near-duplicate detection — the vector analog of the
+    * MinHash text pipeline: candidate pairs come from an LSH-bucket
+    * equi-join (never the corpus cross product), each candidate gets one
+    * codegen'd `graft_dot` cosine, pairs at/above `threshold` become
+    * keep/drop decisions (smaller id survives). All shuffles are
+    * bucket-keyed; output size is bounded by LSH selectivity × threshold. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        nPlanes: Int, threshold: Double): DataFrame = {
+    val b = lshBuckets(emb, idCol, vecCol, nPlanes)
+      .join(withNorm2(emb, vecCol), idCol)
+    val a1 = b.select(col("bucket"), col(idCol).as("vec_a"),
+      col(vecCol).as("e_a"), col("norm2").as("n_a"))
+    val a2 = b.select(col("bucket").as("bucket2"), col(idCol).as("vec_b"),
+      col(vecCol).as("e_b"), col("norm2").as("n_b"))
+    a1.join(a2, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr(TX.dotAuto("e_a", "e_b")) / (sqrt(col("n_a")) * sqrt(col("n_b")))))
+      .filter(col("cosine") >= threshold)
+      .select(col("bucket"), col("vec_a"), col("vec_b"), col("cosine"),
+        col("vec_a").as("keep_id"), col("vec_b").as("drop_id"))
+  }
+
+  /** IVF coarse assignment: route each vector to its nearest centroid by
+    * cosine (argmax via partial-aggregable max_by — no window over the
+    * expanded (vector × centroid) set). Centroids are caller-supplied and
+    * broadcast; production would refine them with Lloyd iterations (each a
+    * repeat of this same assign + a mean-aggregate), which changes the
+    * centroid table, not this operator. Ties: higher cosine wins, then the
+    * smaller centroid id — total and deterministic. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cenIdCol: String, cenVecCol: String): DataFrame = {
+    val c = withNorm2(centroids, cenVecCol)
+      .select(col(cenIdCol).as("centroid_id"), col(cenVecCol).as("c_vec"),
+        col("norm2").as("c_norm2"))
+    val e = withNorm2(emb, vecCol)
+    val scored = e.crossJoin(broadcast(c))
+      .withColumn("c_cos",
+        when(col("norm2") > 0 && col("c_norm2") > 0,
+          expr(TX.dotAuto(vecCol, "c_vec")) / (sqrt(col("norm2")) * sqrt(col("c_norm2")))))
+    scored.groupBy(col(idCol))
+      .agg(
+        max_by(col("centroid_id"),
+          struct(coalesce(col("c_cos"), lit(-2.0)).as("c"),
+            (-col("centroid_id")).as("nc"))).as("centroid_id"),
+        first(col(vecCol)).as(vecCol),  // constant within the group (same id)
+        first(col("norm2")).as("norm2"))
+  }
+
+  /** IVF ANN: assign queries and corpus to cells, search only the query's
+    * cell — the inverted-file scale path (cell equi-join replaces the cross
+    * join, complementing the LSH variant). `nProbe` is 1 by construction;
+    * multi-probe = union of per-cell searches. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, cenIdCol: String, cenVecCol: String, k: Int): DataFrame = {
+    requireSmallQuerySide(queries, "ivfKnn")
+    val qa = ivfAssign(queries, idCol, vecCol, centroids, cenIdCol, cenVecCol)
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        col(vecCol).as("q_vec"), col("norm2").as("q_norm2"))
+    val ca = ivfAssign(corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col(vecCol).as("c_vec"), col("norm2").as("c_norm2"))
+    val scored = ca.join(broadcast(qa), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        when(col("q_norm2") > 0 && col("c_norm2") > 0,
+          expr(TX.dotAuto("q_vec", "c_vec")) / (sqrt(col("q_norm2")) * sqrt(col("c_norm2")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "centroid_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Bucket re-splitting for skewed LSH buckets — the bound that keeps
     * per-bucket all-pairs work from becoming a straggler at scale. Buckets
     * whose population exceeds `maxBucketSize` get `extraPlanes` additional

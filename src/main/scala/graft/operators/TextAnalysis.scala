@@ -15,6 +15,27 @@ object TextAnalysis {
   /** Stopword lists for the n-gram/stopword-ratio language heuristic. */
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Deterministic train/val/test split: hash the document id (not a
+    * random() — re-runs, retries, and different engines must agree on every
+    * row's split) into 100 buckets, carve them by percentage. At any scale
+    * this is a pure per-row projection — no shuffle, no sampling pass, and
+    * the held-out set is stable under corpus growth (a doc's split never
+    * changes when other docs arrive). */
+  def deterministicSplit(docs: DataFrame, idCol: String,
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__split_h",
+        expr(s"${TX.polyHashAuto(s"CAST(`$idCol` AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("__split_h") < trainPct, "train")
+          .when(col("__split_h") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("__split_h")
+  }
+
   /** Language-ID heuristic: ratio of English stopword hits; `en` when the
     * ratio clears the threshold. (The corpus vocabulary is synthetic —
     * what matters is that the heuristic is deterministic and cheap: a

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.{Dialect, TextExprs => TX}
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Round-2 training-data-pipeline batch: skew-capped LSH buckets, the
+  * embedding-cosine near-dup operator, deterministic corpus splits,
+  * exact quantile filtering, and the IVF ANN variant — each oracle-gated
+  * (DuckDB SQL generated from the same TextExprs definitions; the Spark
+  * side runs the codegen'd graft_* expressions, so every hash-matched run
+  * re-proves native ≡ portable). */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val LSH_PLANES = 8
+  private val EXTRA_PLANES = 2
+  private val BUCKET_CAP = 4L
+  private val NEARDUP_THRESHOLD = 0.35
+  private val IVF_CENTROIDS = 8
+  private val IVF_K = 3
+  private val QUERY_SET = 20
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- Skew bound for LSH: oversized buckets re-split by extra planes --
+    "qx18_capped_buckets" -> ((s, dir) => {
+      Similarity.cappedLshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding",
+          LSH_PLANES, BUCKET_CAP, EXTRA_PLANES)
+        .orderBy("vec_id")
+    }),
+
+    // ---- Embedding-cosine near-dup: LSH candidates → threshold → decide --
+    "qx19_embedding_near_dup" -> ((s, dir) => {
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          LSH_PLANES, NEARDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // ---- Deterministic train/val/test split: per-split per-lang census ---
+    "qx20_hash_split" -> ((s, dir) => {
+      TextAnalysis.deterministicSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("split", "lang")
+    }),
+
+    // ---- Exact quantile filter cutoffs: per-lang length percentiles ------
+    // (the "keep docs above the p25 length floor" shape of corpus curation;
+    //  exact interpolated percentiles, not approx, so the oracle can gate)
+    "qx21_length_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // ---- IVF ANN: nearest-centroid cells, search the query's cell --------
+    "qx22_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < IVF_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      Similarity.ivfKnn(emb.filter(col("vec_id") < QUERY_SET), emb,
+          "vec_id", "embedding", centroids, "centroid_id", "c_emb", IVF_K)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  private implicit val duck: Dialect = Dialect(spark = false)
+
+  private def bucketSql(planes: Int) =
+    s"CAST(${TX.lshBucket("embedding", planes)} AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "qx18_capped_buckets" ->
+      s"""WITH b AS (SELECT vec_id, ${bucketSql(LSH_PLANES)} AS bucket,
+         |             ${bucketSql(LSH_PLANES + EXTRA_PLANES)} AS wide FROM embeddings),
+         |sz AS (SELECT bucket, COUNT(*) AS n_in_bucket FROM b GROUP BY bucket)
+         |SELECT vec_id, b.bucket AS bucket,
+         |  CAST(CASE WHEN n_in_bucket > $BUCKET_CAP
+         |       THEN (wide - b.bucket) // ${1L << LSH_PLANES} ELSE 0 END AS BIGINT) AS sub_bucket,
+         |  n_in_bucket
+         |FROM b JOIN sz ON b.bucket = sz.bucket
+         |ORDER BY vec_id""".stripMargin,
+
+    "qx19_embedding_near_dup" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2,
+         |             ${bucketSql(LSH_PLANES)} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CASE WHEN a.norm2 > 0 AND b.norm2 > 0
+         |         THEN ${TX.dot("a.embedding", "b.embedding")} / (sqrt(a.norm2) * sqrt(b.norm2)) END AS cosine
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT bucket, vec_a, vec_b, cosine, vec_a AS keep_id, vec_b AS drop_id
+         |FROM pairs WHERE cosine >= $NEARDUP_THRESHOLD
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "qx20_hash_split" -> {
+      val h = s"(${TX.polyHash("CAST(doc_id AS VARCHAR)")} % 100)"
+      s"""WITH s AS (SELECT doc_id, lang, n_chars,
+         |             CASE WHEN $h < 80 THEN 'train'
+         |                  WHEN $h < 90 THEN 'val' ELSE 'test' END AS split
+         |           FROM documents)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+         |FROM s GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin
+    },
+
+    "qx21_length_quantiles" ->
+      """SELECT lang,
+        |  ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qx22_ivf_ann" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM n WHERE vec_id < $IVF_CENTROIDS),
+         |assigned AS (
+         |  SELECT vec_id, embedding, norm2, centroid_id FROM (
+         |    SELECT n.vec_id, n.embedding, n.norm2, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("n.embedding", "c_vec")} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |        DESC NULLS LAST, centroid_id) AS rn
+         |    FROM n CROSS JOIN cen)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, centroid_id, embedding AS q_vec, norm2 AS q_norm2
+         |      FROM assigned WHERE vec_id < $QUERY_SET),
+         |scored AS (
+         |  SELECT query_id, q.centroid_id AS centroid_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN q_norm2 > 0 AND c.norm2 > 0
+         |         THEN ${TX.dot("q_vec", "c.embedding")} / (sqrt(q_norm2) * sqrt(c.norm2)) END AS cosine
+         |  FROM assigned c JOIN q ON c.centroid_id = q.centroid_id
+         |   AND query_id <> c.vec_id)
+         |SELECT query_id, centroid_id, neighbor_id, CAST(rn AS BIGINT) AS knn_rank, cosine
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+         |WHERE rn <= $IVF_K ORDER BY query_id, knn_rank""".stripMargin
+  )
+}

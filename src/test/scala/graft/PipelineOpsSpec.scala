@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-2 pipeline operators: deterministic splits, embedding near-dup,
+  * IVF ANN — contract properties beyond the oracle hash-gate. */
+class PipelineOpsSpec extends SparkSpec {
+
+  val sfDir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("deterministicSplit: total partition, stable across runs and corpus growth") {
+    val s1 = TextAnalysis.deterministicSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // total: every doc gets exactly one of the three labels
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // rerun → identical assignment (hash, not random)
+    val s2 = TextAnalysis.deterministicSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2)
+    // subset invariance: assignments computed on half the corpus agree —
+    // a doc's split never changes when other docs arrive
+    val half = TextAnalysis.deterministicSplit(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, sp) => assert(s1(id) === sp) }
+    // fractions land near 80/10/10 (hash-uniform, small-N tolerance)
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size.toDouble / s1.size).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+  }
+
+  test("invalid split percentages are rejected") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.deterministicSplit(docs, "doc_id", trainPct = 95, valPct = 10)
+    }
+  }
+
+  test("embeddingNearDups: pairs unique, above threshold, keep<drop") {
+    val out = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 4, 0.2).collect()
+    assert(out.nonEmpty) // threshold low enough to produce candidates
+    val pairs = out.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.distinct.length === pairs.length)
+    out.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.2)
+      assert(r.getAs[Long]("keep_id") < r.getAs[Long]("drop_id"))
+    }
+  }
+
+  test("ivfKnn: neighbors come from the query's cell, ranks are dense from 1") {
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      centroids, "centroid_id", "c_emb")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector lands in exactly one of the 4 cells
+    assert(assigned.values.toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val out = Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", centroids, "centroid_id", "c_emb", k = 3).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      // cell-restricted: each neighbor shares the query's assignment
+      rows.foreach { r =>
+        assert(assigned(r.getAs[Long]("neighbor_id")) === assigned(q))
+        assert(r.getAs[Long]("neighbor_id") !== q)
+      }
+      // dense ranks 1..n, cosine non-increasing
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length).toSeq)
+      val cos = byRank.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // centroid seeds are themselves members of their own cell
+    (0L until 4L).foreach(c => assert(assigned(c) === c))
+  }
+}
