@@ -50,6 +50,19 @@ object EventStreams {
       .groupBy(window(col("ts"), len, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup — the ingest-side guard of the dedup family:
+    * drop events whose key was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` evicts state once the watermark passes
+    * a key's event time, so state is BOUNDED by (arrival rate × watermark),
+    * not by stream lifetime — the difference between a dedup that runs
+    * forever and one that OOMs in week two. Batch mode degrades to plain
+    * dropDuplicates over the same keys. */
+  def dedupedEvents(events: DataFrame, keyCols: Seq[String],
+                    watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)

@@ -54,6 +54,33 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(open(1).user_id === 2 && open(1).n_events === 2 && open(1).total_value === 10.0)
   }
 
+  test("streaming dedup drops watermark-window duplicates with bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val events = mem.toDF().toDF("event_id", "tsl", "event_type")
+      .withColumn("ts", expr("timestamp_micros(tsl * 1000000)"))
+    val q = EventStreams.dedupedEvents(events, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // same event_id delivered three times across two batches → one row
+      mem.addData((1L, 10L, "click"), (1L, 10L, "click"), (2L, 20L, "view"))
+      q.processAllAvailable()
+      mem.addData((1L, 11L, "click"), (3L, 30L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L))
+    } finally q.stop()
+    // batch mode: same operator degrades to plain dropDuplicates
+    val batch = Seq((1L, 10L, "click"), (1L, 10L, "click"), (2L, 20L, "view"))
+      .toDF("event_id", "tsl", "event_type")
+      .withColumn("ts", expr("timestamp_micros(tsl * 1000000)"))
+    assert(EventStreams.dedupedEvents(batch, Seq("event_id")).count() === 2)
+  }
+
   test("multimodal: batch feature extraction over binary payloads") {
     import spark.implicits._
     val media = Seq(
