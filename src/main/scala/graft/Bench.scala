@@ -17,16 +17,28 @@ object Bench {
     // bench-SF table primes file listings. The measured loop is then
     // steady-state engine throughput — the regime that matters at scale —
     // not JVM cold-start. Run in stable name order.
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir // custom datasets: warm on the bench data itself
+    var warmFailures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
     }
+    if (warmFailures > 0)
+      System.err.println(s"[bench] WARNING: $warmFailures warmup queries failed on $warmDir — " +
+        "measured numbers include codegen compile time for those queries")
     Tables.AllTables.foreach { name =>
       try Tables.t(spark, sfDir, name).count() catch { case _: Throwable => }
     }
+    spark.catalog.clearCache() // warmup must not donate cached data
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop anything a query persisted so no query's timing borrows (or
+      // pays eviction for) a predecessor's cached intermediates
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

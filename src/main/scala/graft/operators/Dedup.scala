@@ -146,20 +146,47 @@ object Dedup {
   def nearDupPipeline(docs: DataFrame, textCol: String, idCol: String,
                       k: Int, shingleN: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    require(k % rowsPerBand == 0,
-      s"rowsPerBand=$rowsPerBand must divide the signature length k=$k")
-    // ONE pass over the corpus: the tokenize+hash front end
-    // (shingleHashRows) feeds a single per-doc aggregation producing BOTH
-    // the k signature minima and the verify set — round 1 ran the front end
-    // twice (once per consumer), doubling the most expensive scan. The
-    // per-doc result (k longs + hash set) is narrow; persisting it lets the
-    // banding self-join and the two verify joins all reuse one computation.
+    // Cache lifecycle: the per-doc intermediate stays persisted until
+    // Spark's ContextCleaner collects the plan (or the caller clears the
+    // cache). Callers that want eager release should use
+    // nearDupPipelineScoped, which unpersists when the result is consumed.
+    nearDupPlan(perDocAggregate(docs, textCol, idCol, k, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol, k, rowsPerBand, threshold)
+  }
+
+  /** nearDupPipeline with a bounded cache scope: persists the shared
+    * per-doc intermediate, hands the finished plan to `use`, and
+    * unpersists once `use` returns — for callers embedding the pipeline in
+    * long-lived sessions where leaked storage blocks would accumulate. */
+  def nearDupPipelineScoped[T](docs: DataFrame, textCol: String, idCol: String,
+                               k: Int, shingleN: Int, rowsPerBand: Int,
+                               threshold: Double)(use: DataFrame => T): T = {
+    val perDoc = perDocAggregate(docs, textCol, idCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(nearDupPlan(perDoc, idCol, k, rowsPerBand, threshold))
+    finally { perDoc.unpersist(); () }
+  }
+
+  /** ONE pass over the corpus: the tokenize+hash front end
+    * (shingleHashRows) feeds a single per-doc aggregation producing BOTH
+    * the k signature minima and the verify set — running the front end
+    * once per consumer would double the most expensive scan. The per-doc
+    * result (k longs + hash set) is narrow; persisting it lets the banding
+    * self-join and the two verify joins all reuse one computation. */
+  private def perDocAggregate(docs: DataFrame, textCol: String, idCol: String,
+                              k: Int, shingleN: Int): DataFrame = {
     val shingled = shingleHashRows(docs, textCol, idCol, shingleN)
     val minCols = (0 until k).map(i =>
       min(expr(s"(${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}")).as(f"mh$i%02d"))
-    val perDoc = shingled.groupBy(idCol)
+    shingled.groupBy(idCol)
       .agg(minCols.head, (minCols.tail :+ collect_set(col("sh")).as("sh")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def nearDupPlan(perDoc: DataFrame, idCol: String,
+                          k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the signature length k=$k")
     val banded = bandedRows(perDoc, idCol, k, rowsPerBand)
     // candidate pairs: same (band_id, band_key), deduped across bands
     val l = banded.select(col("band_id"), col("band_key"), col(idCol).as("doc_a"))

@@ -72,17 +72,27 @@ object Similarity {
       expr(TX.lshBucketAuto(vecCol, nPlanes)).cast("long").as("bucket"))
   }
 
+  /** (id, bucket, vec, norm2) in ONE projection — bucket and norm are both
+    * per-row expressions of the same input row, so pairing them must never
+    * cost a self-join of the corpus on the id (a full extra scan + an
+    * id-keyed shuffle at scale). */
+  def withBucketAndNorm(emb: DataFrame, idCol: String, vecCol: String,
+                        nPlanes: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol),
+      expr(TX.lshBucketAuto(vecCol, nPlanes)).cast("long").as("bucket"),
+      col(vecCol), expr(TX.norm2Auto(vecCol)).as("norm2"))
+  }
+
   /** Bucketed ANN: top-k by cosine *within the query's LSH bucket* — the
     * scale path (equi-join on bucket replaces the cross join). */
   def bucketedKnn(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
     requireSmallQuerySide(queries, "bucketedKnn")
-    val qb = lshBuckets(queries, idCol, vecCol, nPlanes)
-      .join(withNorm2(queries, vecCol), idCol)
+    val qb = withBucketAndNorm(queries, idCol, vecCol, nPlanes)
       .select(col(idCol).as("query_id"), col("bucket"),
         col(vecCol).as("q_vec"), col("norm2").as("q_norm2"))
-    val cb = lshBuckets(corpus, idCol, vecCol, nPlanes)
-      .join(withNorm2(corpus, vecCol), idCol)
+    val cb = withBucketAndNorm(corpus, idCol, vecCol, nPlanes)
       .select(col(idCol).as("neighbor_id"), col("bucket"),
         col(vecCol).as("c_vec"), col("norm2").as("c_norm2"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
@@ -105,8 +115,7 @@ object Similarity {
     * bucket-keyed; output size is bounded by LSH selectivity × threshold. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         nPlanes: Int, threshold: Double): DataFrame = {
-    val b = lshBuckets(emb, idCol, vecCol, nPlanes)
-      .join(withNorm2(emb, vecCol), idCol)
+    val b = withBucketAndNorm(emb, idCol, vecCol, nPlanes)
     val a1 = b.select(col("bucket"), col(idCol).as("vec_a"),
       col(vecCol).as("e_a"), col("norm2").as("n_a"))
     val a2 = b.select(col("bucket").as("bucket2"), col(idCol).as("vec_b"),

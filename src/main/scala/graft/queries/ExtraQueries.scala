@@ -189,8 +189,7 @@ object ExtraQueries {
     // of (coalesce(cosine,-2), -vec_a, -vec_b) — total and deterministic.
     "qx13_bucket_top_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val b = Similarity.lshBuckets(emb, "vec_id", "embedding", LSH_PLANES)
-        .join(Similarity.withNorm2(emb, "embedding"), "vec_id")
+      val b = Similarity.withBucketAndNorm(emb, "vec_id", "embedding", LSH_PLANES)
       val a1 = b.select(col("bucket"), col("vec_id").as("vec_a"),
         col("embedding").as("e_a"), col("norm2").as("n_a"))
       val a2 = b.select(col("bucket").as("bucket2"), col("vec_id").as("vec_b"),

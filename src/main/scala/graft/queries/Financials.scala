@@ -122,10 +122,19 @@ object Financials {
 
   /** P1/P5 statement pivot: rows = metric (stable catalog order), cols =
     * fiscal years ascending (ref: main.py:383-387). Long-form compute,
-    * pivot last. */
+    * pivot last. `lastN` keeps only each ticker's N most recent fiscal
+    * years (the REST `years` parameter) — a dense_rank in long form, so
+    * the pivot never materializes columns that get dropped. */
   def statement(facts: DataFrame, metrics: Seq[String], period: String = "annual",
-                years: Option[Seq[Int]] = None): DataFrame = {
-    val long = resolveMetrics(facts, metrics, period)
+                years: Option[Seq[Int]] = None, lastN: Option[Int] = None): DataFrame = {
+    val resolved = resolveMetrics(facts, metrics, period)
+    val long = lastN match {
+      case Some(n) =>
+        val w = Window.partitionBy("ticker").orderBy(col("fiscal_year").desc)
+        resolved.withColumn("__yr_rank", dense_rank().over(w))
+          .filter(col("__yr_rank") <= n).drop("__yr_rank")
+      case None => resolved
+    }
     val yearVals: Seq[Any] = years.map(_.map(_.asInstanceOf[Any]))
       .getOrElse(Seq.empty)
     val pivoted =
@@ -185,11 +194,18 @@ object Financials {
   // ---------------------------------------------------------------------
 
   /** Multi-company comparison (ref loops tickers serially, main.py:730-757;
-    * here: single scan → pivot tickers to columns). */
-  def compare(facts: DataFrame, metric: String, tickers: Seq[String]): DataFrame = {
-    val long = resolveMetrics(facts.filter(col("ticker").isInCollection(tickers)), Seq(metric))
-    long.groupBy("fiscal_year").pivot("ticker", tickers).agg(first("value"))
-      .orderBy("fiscal_year")
+    * here: single scan → pivot tickers to columns). `lastN` caps to the N
+    * most recent fiscal years present across the compared set. */
+  def compare(facts: DataFrame, metric: String, tickers: Seq[String],
+              period: String = "annual", lastN: Option[Int] = None): DataFrame = {
+    val long = resolveMetrics(facts.filter(col("ticker").isInCollection(tickers)),
+      Seq(metric), period)
+    val wide = long.groupBy("fiscal_year").pivot("ticker", tickers).agg(first("value"))
+    val capped = lastN match {
+      case Some(n) => wide.orderBy(col("fiscal_year").desc).limit(n)
+      case None => wide
+    }
+    capped.orderBy("fiscal_year")
   }
 
   // ---------------------------------------------------------------------

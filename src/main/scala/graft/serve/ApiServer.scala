@@ -57,7 +57,8 @@ final class FinancialApi(spark: SparkSession, facts: () => DataFrame,
       "years" -> years, "format" -> format)
     render(format, s"${ticker}_financials") {
       Financials.statement(
-        facts().filter(col("ticker") === ticker), StatementMetrics, period)
+        facts().filter(col("ticker") === ticker), StatementMetrics, period,
+        lastN = Some(years))
     } match {
       case Left(resp) => resp
       case Right(make) => Response(200, contentTypeOf(format),
@@ -91,12 +92,14 @@ final class FinancialApi(spark: SparkSession, facts: () => DataFrame,
     val tickers = Option(json.get("tickers")).map(asStringSeq).getOrElse(Seq.empty)
       .map(_.toUpperCase)
     val metricName = Option(json.get("metric")).map(_.asText).getOrElse("")
+    val period = Option(json.get("period")).map(_.asText).getOrElse("annual")
+    val years = Option(json.get("years")).map(_.asInt).getOrElse(5)
     if (tickers.isEmpty || metricName.isEmpty)
       return error(400, "body must provide tickers (array) and metric (string)")
     val key = cache.key("comparison", "tickers" -> tickers.sorted.mkString(","),
-      "metric" -> metricName)
+      "metric" -> metricName, "period" -> period, "years" -> years)
     Response(200, "application/json", cache.getOrElseUpdate(key) {
-      envelope(Financials.compare(facts(), metricName, tickers))
+      envelope(Financials.compare(facts(), metricName, tickers, period, Some(years)))
     })
   }
 

@@ -46,14 +46,19 @@ final class GraftConfig(root: JsonNode, env: Map[String, String] = sys.env) {
     getBoolean(path).getOrElse(default)
 
   /** Engine bindings — the config keys that parameterize engine/session
-    * behavior rather than the serving shell. Every `spark.*` entry under
-    * the `spark:` section is applied verbatim to runtime conf. */
+    * behavior rather than the serving shell. Every entry under the
+    * `spark:` section is applied to runtime conf, with the same env
+    * precedence as every other key: `GRAFT_SPARK_<conf key, dots as
+    * underscores, uppercased>` wins over the file value (the YAML keys
+    * are flat dotted conf names, so the dotted-path lookup can't reach
+    * them — the override is resolved per field here). */
   def applyTo(spark: SparkSession): Unit = {
     node("spark").filter(_.isObject).foreach { s =>
       val it = s.fields()
       while (it.hasNext) {
         val e = it.next()
-        spark.conf.set(e.getKey, e.getValue.asText)
+        val envOverride = env.get("GRAFT_SPARK_" + e.getKey.replace('.', '_').toUpperCase)
+        spark.conf.set(e.getKey, envOverride.getOrElse(e.getValue.asText))
       }
     }
   }

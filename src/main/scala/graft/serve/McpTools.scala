@@ -54,7 +54,8 @@ final class McpTools(spark: SparkSession, facts: () => DataFrame) {
   private def dispatch(name: String, a: Args): String = name match {
     case "get_company_financials" =>
       val own = facts().filter(col("ticker") === a.str("ticker").toUpperCase)
-      envelope(Financials.statement(own, FinancialApi.StatementMetrics, a.period))
+      envelope(Financials.statement(own, FinancialApi.StatementMetrics, a.period,
+        lastN = Some(a.years(5))))
 
     case "get_financial_metric" =>
       val own = facts().filter(col("ticker") === a.str("ticker").toUpperCase)
@@ -62,7 +63,7 @@ final class McpTools(spark: SparkSession, facts: () => DataFrame) {
 
     case "compare_companies" =>
       envelope(Financials.compare(facts(), a.str("metric"),
-        a.strSeq("tickers").map(_.toUpperCase)))
+        a.strSeq("tickers").map(_.toUpperCase), a.period, Some(a.years(3))))
 
     case "analyze_financial_trends" =>
       // one trends block per requested metric, unioned — each block is a

@@ -15,27 +15,33 @@ package graft.serve
 final class ResultCache(maxSize: Int = 1000, defaultTtlSeconds: Long = 3600,
                         clock: () => Long = () => System.currentTimeMillis()) {
 
-  private final case class Entry(value: String, expiresAt: Long)
+  private final case class Entry(rawKey: String, value: String, expiresAt: Long)
 
-  // access-order LinkedHashMap = LRU order for free; guarded by `this`
+  // access-order LinkedHashMap = LRU order for free; guarded by `this`.
+  // Storage keys are md5-compacted when long (bounded map-key size, ref:
+  // cache.py:55-67) but every Entry keeps its RAW key: invalidateTicker
+  // parses entry raw keys, so compaction never hides an entry from
+  // invalidation (the reference's substring sweep misses its hashed keys —
+  // a staleness bug we do not reproduce).
   private val entries = new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
   private var hitCount = 0L
   private var missCount = 0L
 
-  /** Deterministic cache key: sorted params, md5-compacted when long
-    * (ref: cache.py:55-67). */
-  def key(prefix: String, params: (String, Any)*): String = {
-    val raw = s"$prefix:" + params.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(":")
-    if (raw.length > 200) s"$prefix:hash:${ResultCache.md5hex(raw)}" else raw
-  }
+  /** Deterministic cache key: prefix + sorted `k=v` params. */
+  def key(prefix: String, params: (String, Any)*): String =
+    s"$prefix:" + params.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(":")
+
+  private def storageKey(raw: String): String =
+    if (raw.length > 200) s"hash:${ResultCache.md5hex(raw)}" else raw
 
   def get(k: String): Option[String] = synchronized {
-    Option(entries.get(k)) match {
+    val sk = storageKey(k)
+    Option(entries.get(sk)) match {
       case Some(e) if clock() <= e.expiresAt =>
         hitCount += 1
         Some(e.value)
       case Some(_) =>
-        entries.remove(k)
+        entries.remove(sk)
         missCount += 1
         None
       case None =>
@@ -45,12 +51,13 @@ final class ResultCache(maxSize: Int = 1000, defaultTtlSeconds: Long = 3600,
   }
 
   def put(k: String, v: String, ttlSeconds: Long = defaultTtlSeconds): Unit = synchronized {
-    if (entries.size >= maxSize && !entries.containsKey(k)) {
+    val sk = storageKey(k)
+    if (entries.size >= maxSize && !entries.containsKey(sk)) {
       // evict the least-recently-used entry (head of access-order map)
       val it = entries.keySet().iterator()
       if (it.hasNext) { it.next(); it.remove() }
     }
-    entries.put(k, Entry(v, clock() + ttlSeconds * 1000L))
+    entries.put(sk, Entry(k, v, clock() + ttlSeconds * 1000L))
   }
 
   def getOrElseUpdate(k: String, ttlSeconds: Long = defaultTtlSeconds)(compute: => String): String =
@@ -69,10 +76,10 @@ final class ResultCache(maxSize: Int = 1000, defaultTtlSeconds: Long = 3600,
     * `ticker={t}` substring test misses. */
   def invalidateTicker(ticker: String): Int = synchronized {
     val t = ticker.toUpperCase
-    val it = entries.keySet().iterator()
+    val it = entries.values().iterator()
     var removed = 0
     while (it.hasNext) {
-      val hit = it.next().split(':').exists { seg =>
+      val hit = it.next().rawKey.split(':').exists { seg =>
         seg.split('=') match {
           case Array(_, v) => v.split(',').exists(_.equalsIgnoreCase(t))
           case _ => false

@@ -70,12 +70,19 @@ class ServeLayerSpec extends SparkSpec {
     assert(c.get(c.key("metric_data", "ticker" -> "BETA", "metric" -> "revenue")) === Some("z"))
   }
 
-  test("cache: long keys md5-compact; sweep clears expired entries") {
+  test("cache: long keys stored compacted but still ticker-invalidatable; sweep works") {
     var t = 0L
     val c = new ResultCache(defaultTtlSeconds = 1, clock = () => t)
-    val k = c.key("p", "x" -> ("y" * 300))
-    assert(k.length < 64 && k.startsWith("p:hash:"))
+    // a 40-ticker comparison key exceeds the 200-char compaction bound
+    val many = (1 to 40).map(i => f"TICK$i%04d")
+    val k = c.key("comparison", "tickers" -> many.mkString(","), "metric" -> "revenue")
+    assert(k.length > 200)
     c.put(k, "v")
+    assert(c.get(k) === Some("v"))
+    // compaction must not hide the entry from invalidation (raw key kept)
+    assert(c.invalidateTicker("TICK0007") === 1)
+    assert(c.get(k) === None && c.size === 0)
+    c.put(c.key("p", "a" -> 1), "w")
     t += 5000L
     assert(c.sweep() === 1 && c.size === 0)
   }
@@ -93,6 +100,21 @@ class ServeLayerSpec extends SparkSpec {
     assert(m.body.contains("\"success\":true") && m.body.contains("150"))
     val f = api.financials("ALFA", "annual", 5, "json")
     assert(f.status === 200 && f.body.contains("revenue"))
+  }
+
+  test("api: years parameter caps the statement and metric responses") {
+    val api = newApi()
+    // ALFA has revenue for 2020/2021/2022 — years=1 keeps only 2022
+    val f = api.financials("ALFA", "annual", 1, "json")
+    assert(f.status === 200)
+    assert(f.body.contains("2022") && !f.body.contains("2020"))
+    val tools = new McpTools(spark, () => facts)
+    val capped = tools.callJson("get_company_financials",
+      """{"ticker":"ALFA","years":1}""")
+    assert(capped.contains("2022") && !capped.contains("2020"))
+    val cmp = tools.callJson("compare_companies",
+      """{"tickers":["ALFA","BETA"],"metric":"revenue","years":1}""")
+    assert(cmp.contains("2022") && !cmp.contains("2021"))
   }
 
   test("api: unknown ticker → 202 + on-demand fetch trigger (T5)") {
@@ -207,11 +229,14 @@ class ServeLayerSpec extends SparkSpec {
     // env beats file (reference precedence)
     val cfg2 = GraftConfig.fromString(yaml, env = Map("GRAFT_CACHE_TTL" -> "999"))
     assert(cfg2.getIntOr("cache.ttl", 0) === 999)
-    // spark section lands in runtime conf
+    // spark section lands in runtime conf; env wins over the file there too
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       cfg.applyTo(spark)
       assert(spark.conf.get("spark.sql.shuffle.partitions") === "16")
+      GraftConfig.fromString(yaml,
+        env = Map("GRAFT_SPARK_SPARK_SQL_SHUFFLE_PARTITIONS" -> "24")).applyTo(spark)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "24")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
