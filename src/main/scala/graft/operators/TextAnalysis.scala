@@ -36,6 +36,21 @@ object TextAnalysis {
       .drop("__split_h")
   }
 
+  /** Deterministic weighted sampling (corpus mixing): keep a row when its
+    * salted id-hash lands under `ratePerMille` (0..1000) — the rate can be
+    * any per-row expression (per-language quotas, quality-weighted rates).
+    * Like [[deterministicSplit]], re-runs and engines agree row-by-row; the
+    * salt decorrelates the sample from the train/val/test assignment so
+    * sampling does not bias splits. Pure projection+filter — no shuffle,
+    * no sampling pass. */
+  def hashSample(docs: DataFrame, idCol: String, ratePerMille: org.apache.spark.sql.Column,
+                 salt: String = "s"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(
+      expr(s"${TX.polyHashAuto(s"concat('$salt', CAST(`$idCol` AS STRING))")} % 1000")
+        < ratePerMille)
+  }
+
   /** Language-ID heuristic: ratio of English stopword hits; `en` when the
     * ratio clears the threshold. (The corpus vocabulary is synthetic —
     * what matters is that the heuristic is deterministic and cheap: a

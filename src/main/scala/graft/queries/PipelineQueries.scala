@@ -23,6 +23,9 @@ object PipelineQueries {
   private val IVF_CENTROIDS = 8
   private val IVF_K = 3
   private val QUERY_SET = 20
+  private val TFIDF_DOC_CAP = 60
+  private val SAMPLE_EN_PERMILLE = 500
+  private val SAMPLE_OTHER_PERMILLE = 100
 
   val queries: Map[String, Q] = Map(
 
@@ -61,6 +64,37 @@ object PipelineQueries {
           round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
           round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
           count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // ---- tf-idf: corpus-wide document frequencies, capped output ---------
+    // (the classic relevance weighting over the tokenizer's terms; df and
+    //  N come from the FULL corpus, output restricted to a doc range)
+    "qx23_tfidf" -> ((s, dir) => {
+      val sparkD = Dialect(spark = true)
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(expr(TX.tokens("text")(sparkD))).as("term"))
+      val tf = tok.filter(col("doc_id") < TFIDF_DOC_CAP)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val idfExpr = log(col("n_docs").cast("double") / col("df").cast("double"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(idfExpr, 6).as("idf"),
+          round(col("tf").cast("double") * idfExpr, 6).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // ---- Deterministic weighted sampling: per-language quotas ------------
+    "qx24_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", lit(SAMPLE_EN_PERMILLE))
+        .otherwise(lit(SAMPLE_OTHER_PERMILLE))
+      TextAnalysis.hashSample(t(s, dir, "documents"), "doc_id", rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("lang")
     }),
 
@@ -126,6 +160,30 @@ object PipelineQueries {
         |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qx23_tfidf" -> {
+      val idf = "ln(CAST(n_docs AS DOUBLE)/CAST(df AS DOUBLE))"
+      s"""WITH tok AS (SELECT doc_id, unnest(${TX.tokens("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE doc_id < $TFIDF_DOC_CAP GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  ROUND($idf, 6) AS idf,
+         |  ROUND(CAST(tf AS DOUBLE) * $idf, 6) AS tfidf
+         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+         |ORDER BY doc_id, term""".stripMargin
+    },
+
+    "qx24_stratified_sample" -> {
+      val h = s"(${TX.polyHash("concat('s', CAST(doc_id AS VARCHAR))")} % 1000)"
+      s"""SELECT lang, COUNT(*) AS n_kept,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM documents
+         |WHERE $h < (CASE WHEN lang = 'en' THEN $SAMPLE_EN_PERMILLE
+         |                 ELSE $SAMPLE_OTHER_PERMILLE END)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "qx22_ivf_ann" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2 FROM embeddings),
