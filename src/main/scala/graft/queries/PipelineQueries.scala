@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, cents}
 import graft.functions.{Dialect, TextExprs => TX}
 import graft.operators.{Similarity, TextAnalysis}
 
@@ -65,6 +65,31 @@ object PipelineQueries {
           round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    }),
+
+    // ---- Multi-level aggregation: rollup + grouping id -------------------
+    // (subtotal/grand-total rows in one pass — the OLAP shape a pivoting
+    //  serving layer otherwise fakes with N queries; grouping_id
+    //  distinguishes rolled-up nulls from data nulls)
+    "qx25_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .rollup(col("c_mktsegment"), col("yr"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("yr").asc_nulls_first)
+    }),
+
+    // ---- E-family completion: EXCEPT (distinct set difference) -----------
+    "qx26_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val some = c.filter(col("c_custkey") < 200).select(col("c_custkey").as("key"))
+      val active95 = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("key"))
+      some.except(active95).orderBy("key")
     }),
 
     // ---- tf-idf: corpus-wide document frequencies, capped output ---------
@@ -160,6 +185,22 @@ object PipelineQueries {
         |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qx25_rollup" ->
+      """SELECT c_mktsegment, CAST(yr AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  COUNT(*) AS n_orders,
+        |  CAST(GROUPING(c_mktsegment, yr) AS BIGINT) AS gid
+        |FROM (SELECT c_mktsegment, year(o_orderdate) AS yr, o_totalprice
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |GROUP BY ROLLUP (c_mktsegment, yr)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, yr NULLS FIRST""".stripMargin,
+
+    "qx26_except" ->
+      """SELECT c_custkey AS key FROM customer WHERE c_custkey < 200
+        |EXCEPT
+        |SELECT o_custkey AS key FROM orders WHERE year(o_orderdate) = 1995
+        |ORDER BY key""".stripMargin,
 
     "qx23_tfidf" -> {
       val idf = "ln(CAST(n_docs AS DOUBLE)/CAST(df AS DOUBLE))"
