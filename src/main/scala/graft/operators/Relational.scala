@@ -99,7 +99,22 @@ object Relational {
     * @param valueCols right-side columns to carry (emitted as `asof_<name>`)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-               valueCols: Seq[String], tieBreak: Seq[String] = Seq.empty): DataFrame = {
+               valueCols: Seq[String], tieBreak: Seq[String] = Seq.empty): DataFrame =
+    asofJoinImpl(left, right, keyCol, tsCol, valueCols, tieBreak, forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right value whose
+    * timestamp is ≥ the left timestamp, per key — the mirror operator
+    * (align each event to the next snapshot/checkpoint at-or-after it).
+    * Same single-shuffle union+window plan with the scan direction
+    * reversed; the oracle cross-checks against DuckDB's native
+    * `ASOF JOIN ... ON l.ts <= r.ts`. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                      valueCols: Seq[String], tieBreak: Seq[String] = Seq.empty): DataFrame =
+    asofJoinImpl(left, right, keyCol, tsCol, valueCols, tieBreak, forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                           valueCols: Seq[String], tieBreak: Seq[String],
+                           forward: Boolean): DataFrame = {
     val leftCols = left.columns
     val lTagged = left
       .withColumn("__side", lit(1))
@@ -117,12 +132,17 @@ object Relational {
     // With no caller tieBreak, right rows sharing (key, ts) would be
     // ordered arbitrarily and last() would carry a run-dependent value —
     // order by the carried values themselves as the final key so ties
-    // resolve deterministically (largest carried tuple wins). Left rows'
-    // null markers sort first within their side and never affect the carry.
+    // resolve deterministically (largest carried tuple wins, both
+    // directions; DuckDB ASOF picks the same row only when (key, ts) is
+    // unique — supply tieBreak when it is not). Left rows' null markers
+    // never affect the carry.
     val tieCols =
       if (tieBreak.nonEmpty) tieBreak.map(col)
       else valueCols.map(c => col(s"__v_$c").asc_nulls_first)
-    val orderCols = Seq(col(tsCol), col("__side")) ++ tieCols
+    // backward: ts ASC, right(0) before left(1) at equal ts → inclusive ≤.
+    // forward: ts DESC, right before left at equal ts → inclusive ≥.
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
+    val orderCols = Seq(tsOrder, col("__side")) ++ tieCols
     val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>

@@ -179,6 +179,21 @@ object ExtraQueries {
         .orderBy("event_id")
     }),
 
+    // ---- Forward as-of: next error event at-or-after each purchase --------
+    // (mirror of qx16; DuckDB's native ASOF with the reversed inequality is
+    //  the independent oracle)
+    "qx27_asof_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("val_cents"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("ts").as("error_ts"))
+      graft.operators.Relational.asofJoinForward(purchases, errors,
+          "user_id", "ts", Seq("error_ts"))
+        .orderBy("event_id")
+    }),
+
     // ---- Near-dup candidate verify: top-1 cosine pair per LSH bucket ------
     // Round-1 shape (interpreted TX.dot lambda per pair + row_number over
     // the full pair set) was 24.3 s — 28% of the whole bench. Now: the
@@ -359,6 +374,14 @@ object ExtraQueries {
         |     s AS (SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup')
         |SELECT p.event_id, p.user_id, p.ts, p.val_cents, s.signup_ts AS asof_signup_ts
         |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY event_id""".stripMargin,
+
+    "qx27_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS val_cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT user_id, ts AS error_ts FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.ts, p.val_cents, e.error_ts AS asof_error_ts
+        |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts <= e.error_ts
         |ORDER BY event_id""".stripMargin,
 
     "qx13_bucket_top_pairs" ->
