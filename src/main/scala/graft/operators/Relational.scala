@@ -152,6 +152,29 @@ object Relational {
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Range (interval) join: match each point row to every interval row of
+    * the same key with `start ≤ point ≤ end` — WITHOUT the cartesian/
+    * nested-loop plan Spark falls back to for raw range predicates. Both
+    * sides are bucketed into fixed `binSize` bins (intervals explode into
+    * the bins they overlap, points land in one), the join becomes an
+    * equi-join on (key, bin), and the exact range predicate filters inside
+    * the join. Each (point, interval) pair matches at most once — a point
+    * has exactly one bin. Replication factor = avg interval length /
+    * binSize + 1, so pick binSize near the typical interval length.
+    * Columns: both inputs keep their columns (they must not collide apart
+    * from `keyCol`). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCol: String,
+                pointCol: String, startCol: String, endCol: String,
+                binSize: Long): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val p = points.withColumn("__bin", expr(s"`$pointCol` div $binSize"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(expr(s"`$startCol` div $binSize"), expr(s"`$endCol` div $binSize"))))
+    p.join(i, Seq(keyCol, "__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** Gap-based sessionization (batch analog of the streaming
     * flatMapGroupsWithState sessions): a new session starts when the gap to
     * the previous event exceeds `gapSeconds`; session id = running count of

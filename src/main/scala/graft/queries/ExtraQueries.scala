@@ -194,6 +194,27 @@ object ExtraQueries {
         .orderBy("event_id")
     }),
 
+    // ---- Range join: errors inside each purchase's 1h window --------------
+    // (binned interval join — equi-join on (key, time-bin) + exact filter,
+    //  never a nested-loop range scan; zero-match purchases kept via the
+    //  final left join)
+    "qx28_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("start_secs"))
+        .withColumn("end_secs", col("start_secs") + 3600L)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("err_secs"))
+      val matched = graft.operators.Relational.rangeJoin(
+          errors, purchases, "user_id", "err_secs", "start_secs", "end_secs", 3600L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_errors_1h"))
+      purchases.select("event_id", "user_id")
+        .join(matched, Seq("event_id"), "left")
+        .withColumn("n_errors_1h", coalesce(col("n_errors_1h"), lit(0L)))
+        .orderBy("event_id")
+    }),
+
     // ---- Near-dup candidate verify: top-1 cosine pair per LSH bucket ------
     // Round-1 shape (interpreted TX.dot lambda per pair + row_number over
     // the full pair set) was 24.3 s — 28% of the whole bench. Now: the
@@ -374,6 +395,18 @@ object ExtraQueries {
         |     s AS (SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup')
         |SELECT p.event_id, p.user_id, p.ts, p.val_cents, s.signup_ts AS asof_signup_ts
         |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY event_id""".stripMargin,
+
+    "qx28_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS start_secs
+        |           FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT user_id, (epoch_us(ts) // 1000000) AS err_secs
+        |           FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, CAST(COUNT(e.err_secs) AS BIGINT) AS n_errors_1h
+        |FROM p LEFT JOIN e
+        |  ON p.user_id = e.user_id
+        | AND e.err_secs >= p.start_secs AND e.err_secs <= p.start_secs + 3600
+        |GROUP BY p.event_id, p.user_id
         |ORDER BY event_id""".stripMargin,
 
     "qx27_asof_forward" ->
