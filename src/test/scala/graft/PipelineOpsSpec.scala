@@ -47,6 +47,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin equals the naive range-predicate join, regardless of binSize") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (1L, 100L), (1L, 7200L), (2L, 50L), (3L, 10L))
+      .toDF("k", "p")
+    val intervals = Seq((1L, 0L, 10L), (1L, 90L, 7300L), (2L, 60L, 70L), (4L, 0L, 100L))
+      .toDF("k", "s", "e")
+    val naive = points.as("p").join(intervals.as("i"),
+        col("p.k") === col("i.k") && col("p") >= col("s") && col("p") <= col("e"))
+      .select(col("p.k"), col("p"), col("s"), col("e"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    for (bin <- Seq(1L, 7L, 1000L, 100000L)) {
+      val binned = graft.operators.Relational.rangeJoin(
+          points, intervals, "k", "p", "s", "e", bin)
+        .select(col("k"), col("p"), col("s"), col("e"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(binned === naive, s"binSize=$bin")
+    }
+  }
+
+  test("asofJoinForward picks the earliest right value at-or-after, null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"), (3L, 1L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L), (2L, 3L, 400L))
+      .toDF("k", "t", "v")
+    val out = graft.operators.Relational.asofJoinForward(left, right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("asof_v")))).toMap
+    assert(out("a") === Some(100L)) // inclusive: right at t=10 matches left t=10
+    assert(out("b") === Some(300L)) // next at-or-after 25 is 30
+    assert(out("c") === None)       // only right is at t=3 < 5 → nothing ahead
+    assert(out("d") === None)       // no right rows for key 3
+  }
+
   test("ivfKnn: neighbors come from the query's cell, ranks are dense from 1") {
     val centroids = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
