@@ -97,9 +97,7 @@ object Dedup {
     * band-struct array + a single explode, NOT a union of nBands
     * projections (which would recompute the signature plan per band). */
   private def bandedRows(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    require(k % rowsPerBand == 0,
-      s"rowsPerBand=$rowsPerBand must divide the signature length k=$k " +
-        "(a remainder would silently drop trailing signature columns and degrade recall)")
+    requireBands(k, rowsPerBand)
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val keyCols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
       struct(lit(b.toLong).as("band_id"),
@@ -146,10 +144,11 @@ object Dedup {
   def nearDupPipeline(docs: DataFrame, textCol: String, idCol: String,
                       k: Int, shingleN: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
+    requireBands(k, rowsPerBand) // validate BEFORE persist registers a cache entry
     // Cache lifecycle: the per-doc intermediate stays persisted until
     // Spark's ContextCleaner collects the plan (or the caller clears the
-    // cache). Callers that want eager release should use
-    // nearDupPipelineScoped, which unpersists when the result is consumed.
+    // cache). Callers embedding this in long-lived sessions should use
+    // nearDupPipelineScoped and consume the result inside its closure.
     nearDupPlan(perDocAggregate(docs, textCol, idCol, k, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       idCol, k, rowsPerBand, threshold)
@@ -157,16 +156,24 @@ object Dedup {
 
   /** nearDupPipeline with a bounded cache scope: persists the shared
     * per-doc intermediate, hands the finished plan to `use`, and
-    * unpersists once `use` returns — for callers embedding the pipeline in
-    * long-lived sessions where leaked storage blocks would accumulate. */
+    * unpersists when `use` RETURNS — so `use` must fully consume the plan
+    * (collect/write/count) before returning. Returning the lazy DataFrame
+    * out of the closure silently forfeits the one-pass guarantee: later
+    * actions would recompute the per-doc aggregate per consumer. */
   def nearDupPipelineScoped[T](docs: DataFrame, textCol: String, idCol: String,
                                k: Int, shingleN: Int, rowsPerBand: Int,
                                threshold: Double)(use: DataFrame => T): T = {
+    requireBands(k, rowsPerBand)
     val perDoc = perDocAggregate(docs, textCol, idCol, k, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try use(nearDupPlan(perDoc, idCol, k, rowsPerBand, threshold))
     finally { perDoc.unpersist(); () }
   }
+
+  private def requireBands(k: Int, rowsPerBand: Int): Unit =
+    require(k % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the signature length k=$k " +
+        "(a remainder would silently drop trailing signature columns and degrade recall)")
 
   /** ONE pass over the corpus: the tokenize+hash front end
     * (shingleHashRows) feeds a single per-doc aggregation producing BOTH
@@ -185,8 +192,6 @@ object Dedup {
 
   private def nearDupPlan(perDoc: DataFrame, idCol: String,
                           k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    require(k % rowsPerBand == 0,
-      s"rowsPerBand=$rowsPerBand must divide the signature length k=$k")
     val banded = bandedRows(perDoc, idCol, k, rowsPerBand)
     // candidate pairs: same (band_id, band_key), deduped across bands
     val l = banded.select(col("band_id"), col("band_key"), col(idCol).as("doc_a"))

@@ -168,7 +168,10 @@ object Relational {
                 binSize: Long): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     val p = points.withColumn("__bin", expr(s"`$pointCol` div $binSize"))
-    val i = intervals.withColumn("__bin",
+    // drop inverted intervals BEFORE exploding: sequence(a, b) with a > b
+    // steps BACKWARDS in Spark, so one corrupt end<start row would explode
+    // into (start-end)/binSize bins instead of matching nothing
+    val i = intervals.filter(col(startCol) <= col(endCol)).withColumn("__bin",
       explode(sequence(expr(s"`$startCol` div $binSize"), expr(s"`$endCol` div $binSize"))))
     p.join(i, Seq(keyCol, "__bin"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))

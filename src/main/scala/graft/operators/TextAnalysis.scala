@@ -45,6 +45,8 @@ object TextAnalysis {
     * no sampling pass. */
   def hashSample(docs: DataFrame, idCol: String, ratePerMille: org.apache.spark.sql.Column,
                  salt: String = "s"): DataFrame = {
+    require(salt.matches("[A-Za-z0-9_]*"),
+      s"salt must be alphanumeric/underscore (it is spliced into a SQL literal): '$salt'")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(
       expr(s"${TX.polyHashAuto(s"concat('$salt', CAST(`$idCol` AS STRING))")} % 1000")

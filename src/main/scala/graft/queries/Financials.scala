@@ -135,12 +135,21 @@ object Financials {
           .filter(col("__yr_rank") <= n).drop("__yr_rank")
       case None => resolved
     }
+    // resolveMetrics guarantees one row per (ticker, metric, fy, fp), so
+    // the pivot key must carry the quarter for quarterly data — pivoting
+    // quarterly rows on the year alone would pick an arbitrary quarter via
+    // first(). Annual keeps bare year columns (fp canonicalized to FY).
+    val keyed =
+      if (period == "quarterly")
+        long.withColumn("__period",
+          concat_ws("-", col("fiscal_year"), col("fiscal_period")))
+      else long.withColumn("__period", col("fiscal_year"))
     val yearVals: Seq[Any] = years.map(_.map(_.asInstanceOf[Any]))
       .getOrElse(Seq.empty)
     val pivoted =
-      if (yearVals.nonEmpty)
-        long.groupBy("ticker", "metric").pivot("fiscal_year", yearVals).agg(first("value"))
-      else long.groupBy("ticker", "metric").pivot("fiscal_year").agg(first("value"))
+      if (yearVals.nonEmpty && period != "quarterly")
+        keyed.groupBy("ticker", "metric").pivot("__period", yearVals).agg(first("value"))
+      else keyed.groupBy("ticker", "metric").pivot("__period").agg(first("value"))
     // stable metric ordering from the catalog
     val order = metrics.zipWithIndex.toMap
     val orderCol = order.foldLeft(lit(999)) { case (acc, (m, i)) =>
@@ -200,12 +209,22 @@ object Financials {
               period: String = "annual", lastN: Option[Int] = None): DataFrame = {
     val long = resolveMetrics(facts.filter(col("ticker").isInCollection(tickers)),
       Seq(metric), period)
-    val wide = long.groupBy("fiscal_year").pivot("ticker", tickers).agg(first("value"))
+    // quarterly rows are unique per (fy, fp) — the row key must include the
+    // quarter or first() would serve an arbitrary quarter as the year
+    val keyCols = if (period == "quarterly") Seq("fiscal_year", "fiscal_period")
+                  else Seq("fiscal_year")
+    val wide = long.groupBy(keyCols.map(col): _*).pivot("ticker", tickers)
+      .agg(first("value"))
     val capped = lastN match {
-      case Some(n) => wide.orderBy(col("fiscal_year").desc).limit(n)
+      case Some(n) =>
+        // cap by distinct fiscal YEARS in both modes (the API's `years`);
+        // post-pivot frame is tiny (years × ≤4 rows)
+        wide.withColumn("__yr_rank",
+            dense_rank().over(Window.orderBy(col("fiscal_year").desc)))
+          .filter(col("__yr_rank") <= n).drop("__yr_rank")
       case None => wide
     }
-    capped.orderBy("fiscal_year")
+    capped.orderBy(keyCols.map(col): _*)
   }
 
   // ---------------------------------------------------------------------

@@ -93,7 +93,11 @@ final class FinancialApi(spark: SparkSession, facts: () => DataFrame,
       .map(_.toUpperCase)
     val metricName = Option(json.get("metric")).map(_.asText).getOrElse("")
     val period = Option(json.get("period")).map(_.asText).getOrElse("annual")
-    val years = Option(json.get("years")).map(_.asInt).getOrElse(5)
+    // asInt() alone returns 0 for non-numeric JSON — validate, don't coerce
+    val yearsNode = Option(json.get("years"))
+    if (yearsNode.exists(n => !n.isIntegralNumber || n.asInt < 1))
+      return error(400, "years must be a positive integer")
+    val years = yearsNode.map(_.asInt).getOrElse(5)
     if (tickers.isEmpty || metricName.isEmpty)
       return error(400, "body must provide tickers (array) and metric (string)")
     val key = cache.key("comparison", "tickers" -> tickers.sorted.mkString(","),

@@ -47,11 +47,12 @@ final class GraftConfig(root: JsonNode, env: Map[String, String] = sys.env) {
 
   /** Engine bindings — the config keys that parameterize engine/session
     * behavior rather than the serving shell. Every entry under the
-    * `spark:` section is applied to runtime conf, with the same env
-    * precedence as every other key: `GRAFT_SPARK_<conf key, dots as
-    * underscores, uppercased>` wins over the file value (the YAML keys
-    * are flat dotted conf names, so the dotted-path lookup can't reach
-    * them — the override is resolved per field here). */
+    * `spark:` section is applied to runtime conf; for those file-listed
+    * keys, `GRAFT_SPARK_<conf key, dots as underscores, uppercased>` wins
+    * over the file value. Conf keys NOT in the file cannot be reconstructed
+    * from an env var name (uppercasing loses Spark's camelCase), so
+    * env-only settings go through `GRAFT_SPARK_EXTRA` instead:
+    * a `key=value;key2=value2` list with exact key case preserved. */
   def applyTo(spark: SparkSession): Unit = {
     node("spark").filter(_.isObject).foreach { s =>
       val it = s.fields()
@@ -59,6 +60,15 @@ final class GraftConfig(root: JsonNode, env: Map[String, String] = sys.env) {
         val e = it.next()
         val envOverride = env.get("GRAFT_SPARK_" + e.getKey.replace('.', '_').toUpperCase)
         spark.conf.set(e.getKey, envOverride.getOrElse(e.getValue.asText))
+      }
+    }
+    env.get("GRAFT_SPARK_EXTRA").foreach { extra =>
+      extra.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"GRAFT_SPARK_EXTRA entries must be key=value, got: '$kv'")
+        }
       }
     }
   }

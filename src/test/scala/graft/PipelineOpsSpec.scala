@@ -51,7 +51,10 @@ class PipelineOpsSpec extends SparkSpec {
     import spark.implicits._
     val points = Seq((1L, 5L), (1L, 100L), (1L, 7200L), (2L, 50L), (3L, 10L))
       .toDF("k", "p")
-    val intervals = Seq((1L, 0L, 10L), (1L, 90L, 7300L), (2L, 60L, 70L), (4L, 0L, 100L))
+    // includes an INVERTED interval (end < start): must match nothing and
+    // must not explode into a backwards bin sequence
+    val intervals = Seq((1L, 0L, 10L), (1L, 90L, 7300L), (2L, 60L, 70L), (4L, 0L, 100L),
+      (1L, 5000L, 40L))
       .toDF("k", "s", "e")
     val naive = points.as("p").join(intervals.as("i"),
         col("p.k") === col("i.k") && col("p") >= col("s") && col("p") <= col("e"))

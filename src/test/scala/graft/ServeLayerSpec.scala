@@ -27,6 +27,8 @@ class ServeLayerSpec extends SparkSpec {
         "Revenue from Contract with Customer", 121.0, 2021),
       fact("ALFA", "RevenueFromContractWithCustomerExcludingAssessedTax",
         "Revenue from Contract with Customer", 150.0, 2022),
+      fact("ALFA", "RevenueFromContractWithCustomerExcludingAssessedTax",
+        "Revenue from Contract with Customer", 40.0, 2022, fp = "Q1"),
       fact("ALFA", "NetIncomeLoss", "Net Income (Loss)", 30.0, 2022),
       fact("ALFA", "Assets", "Assets", 300.0, 2022),
       fact("ALFA", "Liabilities", "Liabilities", 180.0, 2022),
@@ -115,6 +117,18 @@ class ServeLayerSpec extends SparkSpec {
     val cmp = tools.callJson("compare_companies",
       """{"tickers":["ALFA","BETA"],"metric":"revenue","years":1}""")
     assert(cmp.contains("2022") && !cmp.contains("2021"))
+  }
+
+  test("api: quarterly compare keys rows by quarter; invalid years → 400") {
+    val api = newApi()
+    // ALFA has a 2022 Q1 revenue row — quarterly compare must key it Q1,
+    // not collapse it into a bare-year row via arbitrary first()
+    val tools = new McpTools(spark, () => facts)
+    val q = tools.callJson("compare_companies",
+      """{"tickers":["ALFA","BETA"],"metric":"revenue","period":"quarterly"}""")
+    assert(q.contains("\"fiscal_period\":\"Q1\""))
+    assert(api.compare("""{"tickers":["ALFA"],"metric":"revenue","years":"abc"}""").status === 400)
+    assert(api.compare("""{"tickers":["ALFA"],"metric":"revenue","years":0}""").status === 400)
   }
 
   test("api: unknown ticker → 202 + on-demand fetch trigger (T5)") {
@@ -237,6 +251,12 @@ class ServeLayerSpec extends SparkSpec {
       GraftConfig.fromString(yaml,
         env = Map("GRAFT_SPARK_SPARK_SQL_SHUFFLE_PARTITIONS" -> "24")).applyTo(spark)
       assert(spark.conf.get("spark.sql.shuffle.partitions") === "24")
+      // env-only conf (not in the file) goes through GRAFT_SPARK_EXTRA,
+      // which preserves exact key case
+      GraftConfig.fromString(yaml,
+        env = Map("GRAFT_SPARK_EXTRA" ->
+          "spark.sql.shuffle.partitions=28;spark.sql.session.timeZone=UTC")).applyTo(spark)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "28")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
