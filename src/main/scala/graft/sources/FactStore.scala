@@ -60,6 +60,21 @@ object FactStore {
         org.apache.spark.sql.types.StructField("period_type", org.apache.spark.sql.types.StringType))
   }
 
+  /** Bucketed table writer — the co-located-join layout: both sides of a
+    * recurring equi-join written with the SAME bucket count on the join
+    * key join WITHOUT a shuffle (bucket pruning + bucketed scan replace
+    * the Exchange). This is the layout answer to "this join runs every
+    * hour on 100 TB": pay one bucketed write, then every join reads
+    * co-located buckets. Requires a table catalog entry (saveAsTable) —
+    * bucket metadata lives in the catalog, not the parquet footers. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A7 freshness aggregate (ref: data_manager.py:304-331): latest filing
     * date + available periods per ticker — computed on demand from the facts
     * table, replacing the reference's JSON metadata files (S12). */
