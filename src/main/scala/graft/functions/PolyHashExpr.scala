@@ -99,6 +99,11 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_lsh_bucket", exprs => LshBucket(exprs(0), lshPlanes(exprs(1))), "built-in")
+    // self-dot → single-pass norm rewrite for sessions built without
+    // GraftExtensions (idempotent: overwrite, don't append)
+    if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteSelfDot
   }
 }
 
@@ -124,5 +129,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LshBucket].getName, "graft_lsh_bucket"),
       (exprs: Seq[Expression]) => LshBucket(exprs(0), GraftFunctions.lshPlanes(exprs(1)))))
+    ext.injectOptimizerRule(_ => RewriteSelfDot)
   }
 }

@@ -150,6 +150,89 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
   override def prettyName: String = "graft_lsh_bucket"
 }
 
+/** Single-pass squared L2 norm: what `graft_dot(x, x)` computes, reading
+  * the array ONCE (one null-check + one accessor per element instead of
+  * two). Never written by hand — the optimizer rule [[RewriteSelfDot]]
+  * rewrites self-dots into this form, the engine's demonstration of a
+  * custom `Rule[LogicalPlan]` (SURVEY §7.3 ladder step (c)). Arithmetic
+  * and null semantics are exactly DotProduct(x, x): same multiply order,
+  * null on null input/element, 0.0 on empty. */
+case class SelfNorm2(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_self_norm2 needs an array<float|double> argument, got $t")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SelfNorm2.norm2(v.asInstanceOf[ArrayData], elemFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("graftNorm2")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${c.isNull}) {
+          java.lang.Double $boxed = graft.functions.SelfNorm2.norm2(${c.value}, $elemFloat);
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $boxed.doubleValue();
+          }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SelfNorm2 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_self_norm2"
+}
+
+object SelfNorm2 {
+  def norm2(a: ArrayData, isFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Optimizer rule: `graft_dot(x, x)` → `graft_self_norm2(x)` whenever the
+  * two sides are semantically the same deterministic expression — halves
+  * the per-element work of every norm computation (the second-hottest
+  * vector op after the pairwise dot). Applied via GraftExtensions'
+  * injectOptimizerRule AND via `experimental.extraOptimizations` in
+  * GraftFunctions.register, so extension-less sessions get it too. The
+  * oracle keeps computing norms portably, so every hash-matched run
+  * re-proves the rewrite is semantics-preserving on real data. */
+object RewriteSelfDot extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProduct(a, b) if a.deterministic && a.semanticEquals(b) => SelfNorm2(a)
+    }
+}
+
 object LshBucket {
   /** Plane component for plane `j`, 0-based dim `idx0` — identical
     * arithmetic to TextExprs.planeComponent (which is 1-based):

@@ -55,13 +55,35 @@ class VectorExprsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length > 1)
   }
 
-  test("both vector expressions stay inside whole-stage codegen") {
+  test("optimizer rule rewrites graft_dot(x, x) to single-pass graft_self_norm2") {
+    val df = emb.select(expr("graft_dot(embedding, embedding)").as("n2"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_self_norm2"),
+      s"RewriteSelfDot must fire on self-dots:\n$optimized")
+    assert(!optimized.contains("graft_dot("), optimized)
+    // genuinely distinct expressions must NOT be rewritten (note: two
+    // aliases of the SAME column are semantically equal and DO rewrite)
+    val two = emb.select(expr("graft_dot(embedding, reverse(embedding))").as("d"))
+    assert(!two.queryExecution.optimizedPlan.toString.contains("graft_self_norm2"))
+    // rewrite is bit-identical to the portable fold (norm2 = dot(x,x))
+    val rows = emb.select(
+      expr("graft_dot(embedding, embedding)").as("native"),
+      expr(TX.norm2("embedding")).as("portable")).collect()
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("all vector expressions stay inside whole-stage codegen") {
     val df = emb.select(
-      expr("graft_dot(embedding, embedding)").as("n2"),
+      expr("graft_dot(embedding, reverse(embedding))").as("d"), // distinct → stays graft_dot
+      expr("graft_dot(embedding, embedding)").as("n2"),         // self → rewritten to norm2
       expr("graft_lsh_bucket(embedding, 8)").as("b"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l =>
       l.trim.startsWith("*(") && l.contains("graft_dot")), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.trim.startsWith("*(") && l.contains("graft_self_norm2")), plan)
     assert(plan.linesIterator.exists(l =>
       l.trim.startsWith("*(") && l.contains("graft_lsh_bucket")), plan)
   }
