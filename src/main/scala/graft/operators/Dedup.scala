@@ -223,6 +223,30 @@ object Dedup {
         col("doc_a").as("keep_id"), col("doc_b").as("drop_id"))
   }
 
+  /** Global dedup groups: near-dup PAIRS closed into connected COMPONENTS.
+    *
+    * Pairwise keep/drop is not a corpus-level decision — if A~B and B~C but
+    * not A~C, per-pair rules keep A and C yet drop B's whole cluster
+    * inconsistently. The canonical-per-component closure (smallest doc id in
+    * each component survives) is what a 100 TB dedup actually ships:
+    * one row per grouped doc with its group id and size; docs with no
+    * near-dup don't appear (they all survive trivially).
+    *
+    * The pair set is materialized once (Graph.connectedComponents persists
+    * its symmetrized edge list before iterating), so the MinHash/verify
+    * front end runs exactly once regardless of CC round count. */
+  def dedupGroups(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int, shingleN: Int, rowsPerBand: Int,
+                  threshold: Double): DataFrame = {
+    val pairs = nearDupPipeline(docs, textCol, idCol, k, shingleN, rowsPerBand, threshold)
+      .select("doc_a", "doc_b")
+    val cc = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("group_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as(idCol), col("component").as("group_id"),
+        col("group_size"))
+  }
+
   /** Exact pairwise n-gram Jaccard over a *bounded candidate set* (e.g. the
     * LSH candidates, or a capped id range). Never call on an unbounded
     * corpus — this is the verify stage after banding, not the search. */

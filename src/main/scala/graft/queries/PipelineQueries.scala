@@ -123,6 +123,18 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // ---- Global dedup groups: near-dup pairs → connected components ------
+    // (the corpus-level closure of qx14's pairwise decisions: one canonical
+    //  doc per transitive near-dup cluster; CC runs as min-label
+    //  propagation + pointer jumping, O(log n) rounds of narrow
+    //  id/label-keyed shuffles — the oracle is DuckDB's recursive CTE
+    //  transitive closure over the SAME verified pairs)
+    "qx29_dedup_groups" -> ((s, dir) => {
+      graft.operators.Dedup.dedupGroups(t(s, dir, "documents"), "text", "doc_id",
+          k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+        .orderBy("doc_id")
+    }),
+
     // ---- IVF ANN: nearest-centroid cells, search the query's cell --------
     "qx22_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -224,6 +236,36 @@ object PipelineQueries {
          |WHERE $h < (CASE WHEN lang = 'en' THEN $SAMPLE_EN_PERMILLE
          |                 ELSE $SAMPLE_OTHER_PERMILLE END)
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "qx29_dedup_groups" -> {
+      val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
+      val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
+      s"""WITH RECURSIVE ${ExtensionQueries.sigCtes},
+         |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
+         |banded AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
+             .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS sh FROM t4 GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+         |  WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= 0.2),
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+         |comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, group_id,
+         |  COUNT(*) OVER (PARTITION BY group_id) AS group_size
+         |FROM comp ORDER BY doc_id""".stripMargin
     },
 
     "qx22_ivf_ann" ->

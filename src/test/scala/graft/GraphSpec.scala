@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Connected components: validated against a local union-find on seeded
+  * random graphs, plus the worst-case-diameter shape (a long path) under a
+  * tight round budget to prove the pointer-jumping O(log n) bound holds. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: classic union-find with path compression. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonicalize to min id per component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }.toMap
+  }
+
+  private def ccMap(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("matches union-find on seeded random graphs") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(20)
+      val edges = Seq.fill(25 + rnd.nextInt(30))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      assert(ccMap(edges) == unionFind(edges), s"seed=$seed")
+    }
+  }
+
+  test("long path converges within the O(log n) round budget") {
+    val path = (0L until 63L).map(i => (i, i + 1))
+    // diameter 63: pure min-propagation needs 63 rounds; pointer jumping
+    // must land it in ~log2(64)+slack — 10 is the proof, 63 would be a fail
+    val m = ccMap(path, maxIter = 10)
+    assert(m.size == 64 && m.values.forall(_ == 0L))
+  }
+
+  test("disjoint cliques get distinct canonical minima") {
+    val cliqueA = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
+    val m = ccMap(cliqueA ++ cliqueB)
+    assert((0L to 3L).forall(m(_) == 0L) && (10L to 13L).forall(m(_) == 10L))
+  }
+
+  test("self-loops are ignored; empty edge set yields empty output") {
+    assert(ccMap(Seq((5L, 5L), (1L, 2L))) == Map(1L -> 1L, 2L -> 1L))
+    assert(ccMap(Seq((7L, 7L))).isEmpty)
+    assert(Graph.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+  }
+
+  test("dedupGroups: every group has >= 2 docs and carries its min id") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words about spark catalyst plans and shuffles here"),
+      (4L, "unrelated text regarding parquet row groups and column statistics")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.dedupGroups(docs, "text", "doc_id",
+        k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+      .collect()
+    assert(rows.forall(_.getLong(2) >= 2))
+    val grouped = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0,1,2 are near-dups of each other; 3 and 4 are not grouped
+    assert(grouped.keySet == Set(0L, 1L, 2L))
+    assert(grouped.values.forall(_ == 0L))
+  }
+}
