@@ -111,4 +111,104 @@ object TextAnalysis {
       expr(TX.mix32(TX.polyHashAuto(TX.norm(textCol)))).as("fp_mix32"),
       md5(expr(TX.norm(textCol))).as("fp_md5"))
   }
+
+  /** Benchmark decontamination: which corpus docs share word-shingle
+    * n-grams with a benchmark/eval set (training-on-the-test-set detection).
+    *
+    * The benchmark side is BROADCAST — eval sets are small by nature (and
+    * the corpus is not), so the corpus streams through one shingle-hash
+    * scan with no corpus-keyed shuffle for the match itself. The corpus's
+    * distinct (id, shingle) rows serve two consumers (per-doc totals and
+    * the overlap join), so they are persisted for the plan's lifetime —
+    * the same one-scan discipline as Dedup.nearDupPipeline.
+    *
+    * Output: one row per (corpus doc, benchmark doc) sharing >= `minShared`
+    * distinct shingles, with the corpus doc's total shingle count and the
+    * overlap fraction. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    shingleN: Int, minShared: Long = 1L): DataFrame = {
+    val c = Dedup.shingleHashRows(corpus, textCol, idCol, shingleN).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = Dedup.shingleHashRows(benchmark, textCol, idCol, shingleN).distinct()
+      .select(col(idCol).as("bench_id"), col("sh"))
+    val totals = c.groupBy(idCol).agg(count(lit(1)).as("n_doc_shingles"))
+    val shared = c.join(broadcast(b), "sh")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared.join(totals, idCol)
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_doc_shingles").cast("double"), 6))
+      .select(col(idCol), col("bench_id"), col("n_shared"),
+        col("n_doc_shingles"), col("overlap_frac"))
+  }
+
+  /** Repetition signals (boilerplate/low-quality detection, Gopher-style):
+    * per-doc n-gram multiplicity stats — duplicate-gram fraction and the
+    * share taken by the single most frequent n-gram. Two partial-aggregable
+    * groupings ((doc, gram) then doc), both doc-keyed shuffles of narrow
+    * rows. Docs with fewer than `n` tokens emit no n-grams and are absent
+    * from the output (callers treat absent as not-repetitive). */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int = 2): DataFrame = {
+    val grams = Dedup.shingleHashRows(docs, textCol, idCol, n) // multiplicity kept
+    val perGram = grams.groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("cnt"))
+    perGram.groupBy(idCol)
+      .agg(sum("cnt").cast("long").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max("cnt").cast("long").as("top_gram_count"))
+      .withColumn("dup_gram_frac",
+        round((col("n_grams") - col("n_distinct_grams")).cast("double")
+          / col("n_grams").cast("double"), 6))
+      .withColumn("top_gram_frac",
+        round(col("top_gram_count").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
+  /** PII scrubbing: apply redaction patterns in order, count matches per
+    * pattern. Counts are measured on the ORIGINAL text (so later patterns
+    * aren't blinded by earlier replacements); the scrubbed column applies
+    * the replacements sequentially. Patterns must stay in the RE2-safe
+    * subset (no backrefs/lookarounds) so Spark's Java regex and the
+    * oracle's RE2 agree. Pure per-row projection — no shuffle at any
+    * scale. */
+  def scrubPatterns(df: DataFrame, textCol: String, idCol: String,
+                    patterns: Seq[(String, String, String)]): DataFrame = {
+    val scrubbed = patterns.foldLeft(col(textCol)) { case (acc, (_, re, rep)) =>
+      regexp_replace(acc, lit(re), lit(rep))
+    }
+    val counts = patterns.map { case (name, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long").as(s"n_$name")
+    }
+    df.select(col(idCol) +: counts :+ scrubbed.as("scrubbed"): _*)
+  }
+
+  /** Domain-mixture planning: per-domain sampling rates that hit target
+    * proportions while keeping as many docs as possible. With observed
+    * counts n_d and integer permille targets t_d, the achievable total is
+    * bounded by each domain: T = min_d floor(n_d*1000/t_d); each domain
+    * then keeps floor(T*t_d/1000) docs. All-integer arithmetic — the plan
+    * is deterministic and engine-portable. Domains absent from `targets`
+    * are excluded (weight 0); the rates feed [[hashSample]] to materialize
+    * the mix. One tiny aggregate per domain — the cross join carries a
+    * single global row. */
+  def mixtureWeights(docs: DataFrame, domainCol: String,
+                     targetsPermille: Seq[(String, Long)]): DataFrame = {
+    require(targetsPermille.nonEmpty && targetsPermille.forall(_._2 > 0),
+      "targets must be positive permille weights")
+    require(targetsPermille.map(_._2).sum == 1000L,
+      s"permille targets must sum to 1000, got ${targetsPermille.map(_._2).sum}")
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = targetsPermille.toDF(domainCol, "target_pm")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
+    val j = counts.join(broadcast(t), domainCol)
+      .withColumn("budget", expr("n_docs * 1000 div target_pm"))
+    val total = j.agg(min("budget").as("total_budget"))
+    j.crossJoin(broadcast(total))
+      .withColumn("keep_docs", expr("total_budget * target_pm div 1000"))
+      .withColumn("rate_pm", expr("keep_docs * 1000 div n_docs"))
+      .select(col(domainCol), col("n_docs"), col("target_pm"),
+        col("keep_docs"), col("rate_pm"))
+  }
 }

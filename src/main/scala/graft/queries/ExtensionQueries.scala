@@ -94,11 +94,12 @@ object ExtensionQueries {
 
   private val toks = TX.tokens("text")
 
-  /** CTE chain mirroring Dedup.minhashSignature: zip-unnest tokens with
-    * positions, hash each word once, window-lead shingle combine, distinct.
-    * Ends with table `t4(doc_id, sh)`. */
-  private[queries] def sigCtes: String = {
-    val shComb = (1 until SHINGLE_N).foldLeft("h") { (acc, j) =>
+  /** CTE chain mirroring Dedup.shingleHashRows for word n-grams of length
+    * `n`: zip-unnest tokens with positions, hash each word once,
+    * window-lead shingle combine. Ends with table `t4(doc_id, sh)` —
+    * multiplicity kept (consumers DISTINCT/aggregate as needed). */
+  private[queries] def shingleCtes(n: Int): String = {
+    val shComb = (1 until n).foldLeft("h") { (acc, j) =>
       s"(($acc * 8191 + lead(h, $j) OVER win) % ${TX.P})"
     }
     s"""t0 AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -109,6 +110,9 @@ object ExtensionQueries {
        |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
        |t4 AS (SELECT doc_id, sh FROM t3 WHERE sh IS NOT NULL)""".stripMargin
   }
+
+  /** shingleCtes at the suite's MinHash shingle length. */
+  private[queries] def sigCtes: String = shingleCtes(SHINGLE_N)
 
   /** k grouped permutation-MINs over t4's shingle hashes. */
   private[queries] def sigSelect: String =

@@ -26,6 +26,24 @@ object PipelineQueries {
   private val TFIDF_DOC_CAP = 60
   private val SAMPLE_EN_PERMILLE = 500
   private val SAMPLE_OTHER_PERMILLE = 100
+  private val BENCH_MOD = 29        // doc_id % 29 == 3 → held-out benchmark docs
+  private val BENCH_REM = 3
+  private val DECON_SHINGLE_N = 3
+  private val DECON_MIN_SHARED = 2L
+  private val REP_N = 2
+  private val PII_CUST_CAP = 300
+
+  /** Redaction patterns (name, regex, replacement) — RE2-safe subset so
+    * Spark's Java regex and DuckDB's RE2 agree; one source of truth for
+    * the Spark query AND the oracle SQL. */
+  private val PII_PATTERNS = Seq(
+    ("digit_run", "[0-9]{6,}", "<id>"),
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
+    ("phone", "[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<phone>"))
+
+  /** Mixture targets (permille, sums to 1000) over documents.lang. */
+  private val MIX_TARGETS = Seq(
+    ("de", 150L), ("en", 400L), ("es", 150L), ("fr", 150L), ("zh", 150L))
 
   val queries: Map[String, Q] = Map(
 
@@ -133,6 +151,41 @@ object PipelineQueries {
       graft.operators.Dedup.dedupGroups(t(s, dir, "documents"), "text", "doc_id",
           k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
         .orderBy("doc_id")
+    }),
+
+    // ---- Decontamination: corpus docs sharing shingles with a benchmark --
+    // (training-on-the-test-set detection: the benchmark side broadcasts,
+    //  the corpus streams one shingle-hash scan — no corpus cross join)
+    "qx30_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % BENCH_MOD === BENCH_REM)
+      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
+      TextAnalysis.contamination(corpus, bench, "text", "doc_id",
+          DECON_SHINGLE_N, DECON_MIN_SHARED)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // ---- Repetition signals: duplicate/top n-gram fractions per doc ------
+    "qx31_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text", "doc_id", REP_N)
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII scrub: ordered redaction patterns + per-pattern counts ------
+    // (the digit-run pattern fires on every synthetic customer id; email
+    //  and phone are zero-hit negative controls on this data — the
+    //  machinery is what's under test)
+    "qx32_pii_scrub" -> ((s, dir) => {
+      TextAnalysis.scrubPatterns(
+          t(s, dir, "customer").filter(col("c_custkey") < PII_CUST_CAP),
+          "c_name", "c_custkey", PII_PATTERNS)
+        .orderBy("c_custkey")
+    }),
+
+    // ---- Domain-mixture plan: per-lang keep quotas for target mix --------
+    "qx33_mixture_weights" -> ((s, dir) => {
+      TextAnalysis.mixtureWeights(t(s, dir, "documents"), "lang", MIX_TARGETS)
+        .orderBy("lang")
     }),
 
     // ---- IVF ANN: nearest-centroid cells, search the query's cell --------
@@ -266,6 +319,60 @@ object PipelineQueries {
          |SELECT id AS doc_id, group_id,
          |  COUNT(*) OVER (PARTITION BY group_id) AS group_size
          |FROM comp ORDER BY doc_id""".stripMargin
+    },
+
+    "qx30_decontaminate" ->
+      s"""WITH ${ExtensionQueries.shingleCtes(DECON_SHINGLE_N)},
+         |u AS (SELECT DISTINCT doc_id, sh FROM t4),
+         |c AS (SELECT doc_id, sh FROM u WHERE doc_id % $BENCH_MOD <> $BENCH_REM),
+         |b AS (SELECT doc_id AS bench_id, sh FROM u WHERE doc_id % $BENCH_MOD = $BENCH_REM),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_doc_shingles FROM c GROUP BY doc_id),
+         |shared AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+         |           FROM c JOIN b USING (sh) GROUP BY c.doc_id, b.bench_id)
+         |SELECT doc_id, bench_id, n_shared, n_doc_shingles,
+         |  ROUND(CAST(n_shared AS DOUBLE)/CAST(n_doc_shingles AS DOUBLE), 6) AS overlap_frac
+         |FROM shared JOIN tot USING (doc_id)
+         |WHERE n_shared >= $DECON_MIN_SHARED
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "qx31_repetition" ->
+      s"""WITH ${ExtensionQueries.shingleCtes(REP_N)},
+         |g AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM t4 GROUP BY doc_id, sh),
+         |a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |        COUNT(*) AS n_distinct_grams, CAST(MAX(cnt) AS BIGINT) AS top_gram_count
+         |      FROM g GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_distinct_grams, top_gram_count,
+         |  ROUND(CAST(n_grams - n_distinct_grams AS DOUBLE)/CAST(n_grams AS DOUBLE), 6)
+         |    AS dup_gram_frac,
+         |  ROUND(CAST(top_gram_count AS DOUBLE)/CAST(n_grams AS DOUBLE), 6) AS top_gram_frac
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "qx32_pii_scrub" -> {
+      val counts = PII_PATTERNS.map { case (name, re, _) =>
+        s"CAST(len(regexp_extract_all(c_name, '$re')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      val scrubbed = PII_PATTERNS.foldLeft("c_name") { case (acc, (_, re, rep)) =>
+        s"regexp_replace($acc, '$re', '$rep', 'g')"
+      }
+      s"""SELECT c_custkey,
+         |  $counts,
+         |  $scrubbed AS scrubbed
+         |FROM customer WHERE c_custkey < $PII_CUST_CAP
+         |ORDER BY c_custkey""".stripMargin
+    },
+
+    "qx33_mixture_weights" -> {
+      val targetRows = MIX_TARGETS.map { case (l, pm) => s"('$l', $pm)" }.mkString(", ")
+      s"""WITH tgt(lang, target_pm) AS (VALUES $targetRows),
+         |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |j AS (SELECT c.lang, n_docs, CAST(target_pm AS BIGINT) AS target_pm,
+         |        (n_docs * 1000) // target_pm AS budget
+         |      FROM c JOIN tgt USING (lang)),
+         |m AS (SELECT MIN(budget) AS total_budget FROM j)
+         |SELECT lang, n_docs, target_pm,
+         |  CAST((total_budget * target_pm) // 1000 AS BIGINT) AS keep_docs,
+         |  CAST((((total_budget * target_pm) // 1000) * 1000) // n_docs AS BIGINT) AS rate_pm
+         |FROM j CROSS JOIN m ORDER BY lang""".stripMargin
     },
 
     "qx22_ivf_ann" ->

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: decontamination, repetition signals, PII
+  * scrubbing, mixture planning — hand-computed expectations on tiny
+  * inputs (the oracle gate covers them at data scale). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination: shared-shingle counts and fractions; non-overlapping docs absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares 'alpha beta gamma', 'beta gamma delta' w/ bench
+      (2L, "one two three four five six")            // no overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, bench, "text", "doc_id",
+        shingleN = 3, minShared = 1L)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // doc 1 has 4 shingles; 'alpha beta gamma' + 'beta gamma delta' shared
+    assert(r.getLong(0) == 1L && r.getLong(1) == 100L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 4L)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-9)
+  }
+
+  test("repetitionSignals: multiplicity stats on a repeating doc") {
+    val docs = Seq(
+      (1L, "a b a b a b"),       // 2-grams: ab ba ab ba ab → 5 total, 2 distinct, top 3
+      (2L, "w x y z"),           // 3 distinct 2-grams, no repeats
+      (3L, "single")             // < 2 tokens → absent
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionSignals(docs, "text", "doc_id", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(1L, 2L))
+    assert(m(1L).getLong(1) == 5L && m(1L).getLong(2) == 2L && m(1L).getLong(3) == 3L)
+    assert(math.abs(m(1L).getDouble(4) - 0.6) < 1e-9)  // (5-2)/5
+    assert(math.abs(m(1L).getDouble(5) - 0.6) < 1e-9)  // 3/5
+    assert(m(2L).getLong(1) == 3L && m(2L).getLong(2) == 3L)
+    assert(m(2L).getDouble(4) == 0.0)
+  }
+
+  test("scrubPatterns: per-pattern counts on original text, sequential redaction") {
+    val pats = Seq(
+      ("digit_run", "[0-9]{6,}", "<id>"),
+      ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"))
+    val df = Seq(
+      (1L, "user 123456789 mail bob@example.com and 000042 tail"),
+      (2L, "nothing to redact")
+    ).toDF("id", "s")
+    val out = TextAnalysis.scrubPatterns(df, "s", "id", pats)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2L) // two 6+-digit runs
+    assert(out(1L).getLong(2) == 1L)
+    assert(out(1L).getString(3) == "user <id> mail <email> and <id> tail")
+    assert(out(2L).getLong(1) == 0L && out(2L).getLong(2) == 0L)
+    assert(out(2L).getString(3) == "nothing to redact")
+  }
+
+  test("mixtureWeights: binding domain caps the total; quotas are integer-exact") {
+    val docs = (Seq.fill(218)("en") ++ Seq.fill(70)("de") ++ Seq.fill(64)("fr"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    val out = TextAnalysis.mixtureWeights(docs, "lang",
+        Seq(("en", 500L), ("de", 250L), ("fr", 250L)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // budgets: en 218*1000/500=436, de 70*1000/250=280, fr 64*1000/250=256 → T=256
+    assert(out("fr").getLong(3) == 64L)   // binding: keeps all
+    assert(out("en").getLong(3) == 128L)  // 256*500/1000
+    assert(out("de").getLong(3) == 64L)
+    assert(out("en").getLong(4) == (128L * 1000L) / 218L)
+    // kept proportions hit the target mix exactly
+    assert(out("en").getLong(3) == 2 * out("de").getLong(3))
+  }
+
+  test("mixtureWeights: rejects targets not summing to 1000") {
+    val docs = Seq((1L, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mixtureWeights(docs, "lang", Seq(("en", 500L)))
+    }
+  }
+}
