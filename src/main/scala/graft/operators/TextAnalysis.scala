@@ -202,10 +202,16 @@ object TextAnalysis {
     import s.implicits._
     val t = targetsPermille.toDF(domainCol, "target_pm")
     val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
-    val j = counts.join(broadcast(t), domainCol)
+    // the global min runs as an unpartitioned window over the per-domain
+    // frame — one row per domain exists by construction, so the single
+    // window partition holds a handful of rows (a broadcast-of-aggregate
+    // would cost an extra job for the same result)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts.join(broadcast(t), domainCol)
       .withColumn("budget", expr("n_docs * 1000 div target_pm"))
-    val total = j.agg(min("budget").as("total_budget"))
-    j.crossJoin(broadcast(total))
+      .withColumn("total_budget", min("budget").over(w))
       .withColumn("keep_docs", expr("total_budget * target_pm div 1000"))
       .withColumn("rate_pm", expr("keep_docs * 1000 div n_docs"))
       .select(col(domainCol), col("n_docs"), col("target_pm"),
