@@ -45,6 +45,9 @@ object PipelineQueries {
   private val MIX_TARGETS = Seq(
     ("de", 150L), ("en", 400L), ("es", 150L), ("fr", 150L), ("zh", 150L))
 
+  private val CURATE_MIN_TOKENS = 15L
+  private val CURATE_MAX_TOKENS = 80L
+
   val queries: Map[String, Q] = Map(
 
     // ---- Skew bound for LSH: oversized buckets re-split by extra planes --
@@ -186,6 +189,36 @@ object PipelineQueries {
     "qx33_mixture_weights" -> ((s, dir) => {
       TextAnalysis.mixtureWeights(t(s, dir, "documents"), "lang", MIX_TARGETS)
         .orderBy("lang")
+    }),
+
+    // ---- Flagship composition: the full curation pipeline ----------------
+    // quality gate ∩ exact-dedup canonical ∩ near-dup-group canonical →
+    // deterministic split → per-(split, lang) census. Every stage is an
+    // operator proven alone (qx09/qx01/qx29/qx20); this gates their
+    // COMPOSITION end to end.
+    "qx34_curation_pipeline" -> ((s, dir) => {
+      import graft.functions.{Dialect => Dlt}
+      val sparkD = Dlt(spark = true)
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .withColumn("n_tokens",
+          expr(s"CAST(${sparkD.size(TX.tokens("text")(sparkD))} AS BIGINT)"))
+        .filter(col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS))
+      val canonical = graft.operators.Dedup.exact(docs, "text", "doc_id")
+        .select(col("canonical_id").as("doc_id"))
+      val nearDupDrops = graft.operators.Dedup.dedupGroups(docs, "text", "doc_id",
+          k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+        .filter(col("doc_id") =!= col("group_id"))
+        .select("doc_id")
+      val curated = base
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .join(nearDupDrops, Seq("doc_id"), "left_anti")
+      TextAnalysis.deterministicSplit(curated, "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("split", "lang")
     }),
 
     // ---- IVF ANN: nearest-centroid cells, search the query's cell --------
@@ -373,6 +406,51 @@ object PipelineQueries {
          |  CAST((total_budget * target_pm) // 1000 AS BIGINT) AS keep_docs,
          |  CAST((((total_budget * target_pm) // 1000) * 1000) // n_docs AS BIGINT) AS rate_pm
          |FROM j CROSS JOIN m ORDER BY lang""".stripMargin
+    },
+
+    "qx34_curation_pipeline" -> {
+      val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
+      val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
+      val splitH = s"(${TX.polyHash("CAST(doc_id AS VARCHAR)")} % 100)"
+      s"""WITH RECURSIVE ${ExtensionQueries.shingleCtes(3)},
+         |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
+         |banded AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
+             .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS sh FROM t4 GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+         |  WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= 0.2),
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+         |comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+         |drops AS (SELECT id AS doc_id FROM comp WHERE id <> group_id),
+         |canon AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |          GROUP BY ${TX.norm("text")}),
+         |base AS (SELECT doc_id, lang, n_chars FROM documents
+         |         WHERE len(${TX.tokens("text")})
+         |               BETWEEN $CURATE_MIN_TOKENS AND $CURATE_MAX_TOKENS),
+         |curated AS (SELECT b.doc_id, lang, n_chars
+         |            FROM base b JOIN canon USING (doc_id)
+         |            WHERE b.doc_id NOT IN (SELECT doc_id FROM drops)),
+         |sp AS (SELECT doc_id, lang, n_chars,
+         |         CASE WHEN $splitH < 80 THEN 'train'
+         |              WHEN $splitH < 90 THEN 'val' ELSE 'test' END AS split
+         |       FROM curated)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+         |FROM sp GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin
     },
 
     "qx22_ivf_ann" ->
