@@ -116,11 +116,11 @@ object TextAnalysis {
     * n-grams with a benchmark/eval set (training-on-the-test-set detection).
     *
     * The benchmark side is BROADCAST — eval sets are small by nature (and
-    * the corpus is not), so the corpus streams through one shingle-hash
-    * scan with no corpus-keyed shuffle for the match itself. The corpus's
-    * distinct (id, shingle) rows serve two consumers (per-doc totals and
-    * the overlap join), so they are persisted for the plan's lifetime —
-    * the same one-scan discipline as Dedup.nearDupPipeline.
+    * the corpus is not), so the corpus streams through ONE shingle-hash
+    * scan with a single doc-keyed shuffle: the per-doc shingle total rides
+    * along as a window count over the same partitioning the distinct needs
+    * (no second scan, no persist whose two consumers could race to fill
+    * it).
     *
     * Output: one row per (corpus doc, benchmark doc) sharing >= `minShared`
     * distinct shingles, with the corpus doc's total shingle count and the
@@ -128,16 +128,16 @@ object TextAnalysis {
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String, idCol: String,
                     shingleN: Int, minShared: Long = 1L): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
     val c = Dedup.shingleHashRows(corpus, textCol, idCol, shingleN).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("n_doc_shingles", count(lit(1)).over(wDoc))
     val b = Dedup.shingleHashRows(benchmark, textCol, idCol, shingleN).distinct()
       .select(col(idCol).as("bench_id"), col("sh"))
-    val totals = c.groupBy(idCol).agg(count(lit(1)).as("n_doc_shingles"))
-    val shared = c.join(broadcast(b), "sh")
+    c.join(broadcast(b), "sh")
       .groupBy(col(idCol), col("bench_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("n_doc_shingles")).as("n_doc_shingles")) // constant per doc
       .filter(col("n_shared") >= minShared)
-    shared.join(totals, idCol)
       .withColumn("overlap_frac",
         round(col("n_shared").cast("double") / col("n_doc_shingles").cast("double"), 6))
       .select(col(idCol), col("bench_id"), col("n_shared"),
