@@ -63,6 +63,34 @@ object EventStreams {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Stream-stream interval join — the streaming analog of the batch
+    * range join (qx28): per user, pair each purchase with the error events
+    * landing inside [purchase_ts, purchase_ts + horizon].
+    *
+    * State hygiene: BOTH sides carry watermarks and the join condition
+    * bounds event time on both ends, so Spark derives a state watermark
+    * per side — a buffered purchase is evicted once the error-side
+    * watermark passes its horizon end, and a buffered error once the
+    * purchase-side watermark passes its timestamp. Without the time bound
+    * the join would buffer both streams forever; with it, state is
+    * (arrival rate × (watermark + horizon)) regardless of stream
+    * lifetime. Batch mode: the same plan is a plain equi+range join —
+    * callers get batch/stream parity from one definition. */
+  def errorsNearPurchases(purchases: DataFrame, errors: DataFrame,
+                          horizon: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val p = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("p_ts"))
+    val e = wm(errors).select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    p.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") &&
+          col("e_ts") <= col("p_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("e_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)

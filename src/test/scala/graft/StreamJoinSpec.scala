@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join: batch/stream parity plus the state-bound
+  * proof (watermarks on both sides + a two-ended time range → Spark
+  * derives a state watermark and evicts buffered rows). */
+class StreamJoinSpec extends SparkSpec {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("batch mode matches the oracle-gated range-join shape (qx28)") {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+    val errors = e.filter(col("event_type") === "error")
+    val got = EventStreams.errorsNearPurchases(purchases, errors)
+      .groupBy("purchase_id").agg(count(lit(1)).as("n"))
+    // independent reference: the binned batch range join
+    val p = purchases.select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("start_secs"))
+      .withColumn("end_secs", col("start_secs") + 3600L)
+    val err = errors.select(col("user_id"),
+      expr("unix_micros(ts) div 1000000").as("err_secs"))
+    val expected = graft.operators.Relational.rangeJoin(
+        err, p, "user_id", "err_secs", "start_secs", "end_secs", 3600L)
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+    val gotM = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expM = expected.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotM == expM && gotM.nonEmpty)
+  }
+
+  test("streaming execution: interval join runs append-mode with bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minute: Long) = minute * 60L // seconds
+    val pMem = MemoryStream[(Long, Long, Long)] // (event_id, user_id, secs)
+    val eMem = MemoryStream[(Long, Long)]       // (user_id, secs)
+    val purchases = pMem.toDF().toDF("event_id", "user_id", "secs")
+      .withColumn("ts", expr("timestamp_micros(secs * 1000000)"))
+    val errors = eMem.toDF().toDF("user_id", "secs")
+      .withColumn("ts", expr("timestamp_micros(secs * 1000000)"))
+    val q = EventStreams.errorsNearPurchases(purchases, errors)
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      // user 7: purchase at t=10min; errors at 20min (inside 1h) and 80min (outside)
+      pMem.addData((100L, 7L, ts(10)))
+      eMem.addData((7L, ts(20)), (7L, ts(80)))
+      // user 8: error with no purchase
+      eMem.addData((8L, ts(15)))
+      q.processAllAvailable()
+      val got = spark.table("sj_out")
+        .select("purchase_id", "user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((100L, 7L)))
+      // the executed plan is a genuine stateful stream-stream join
+      val progress = q.lastProgress
+      assert(progress != null && progress.stateOperators.nonEmpty &&
+        progress.stateOperators.exists(_.operatorName.contains("symmetricHashJoin")),
+        Option(progress).map(_.json).getOrElse("no progress"))
+    } finally q.stop()
+  }
+}
