@@ -234,18 +234,23 @@ object Dedup {
     *
     * The pair set is materialized once (Graph.connectedComponents persists
     * its symmetrized edge list before iterating), so the MinHash/verify
-    * front end runs exactly once regardless of CC round count. */
+    * front end runs exactly once regardless of CC round count — and since
+    * CC fully consumes the pairs before returning (its result is
+    * checkpoint-backed and never re-reads them), the pipeline's per-doc
+    * cache is released deterministically via the scoped variant instead of
+    * lingering until ContextCleaner. */
   def dedupGroups(docs: DataFrame, textCol: String, idCol: String,
                   k: Int, shingleN: Int, rowsPerBand: Int,
-                  threshold: Double): DataFrame = {
-    val pairs = nearDupPipeline(docs, textCol, idCol, k, shingleN, rowsPerBand, threshold)
-      .select("doc_a", "doc_b")
-    val cc = Graph.connectedComponents(pairs, "doc_a", "doc_b")
-    val sizes = cc.groupBy("component").agg(count(lit(1)).as("group_size"))
-    cc.join(sizes, "component")
-      .select(col("id").as(idCol), col("component").as("group_id"),
-        col("group_size"))
-  }
+                  threshold: Double): DataFrame =
+    nearDupPipelineScoped(docs, textCol, idCol, k, shingleN, rowsPerBand,
+        threshold) { pairsPlan =>
+      val cc = Graph.connectedComponents(
+        pairsPlan.select("doc_a", "doc_b"), "doc_a", "doc_b")
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("group_size"))
+      cc.join(sizes, "component")
+        .select(col("id").as(idCol), col("component").as("group_id"),
+          col("group_size"))
+    }
 
   /** Exact pairwise n-gram Jaccard over a *bounded candidate set* (e.g. the
     * LSH candidates, or a capped id range). Never call on an unbounded

@@ -99,24 +99,23 @@ object Graph {
     // with its grouped shuffle and checkpoint. Near-dup graphs are
     // star/clique-shaped, so the init aggregate usually converges
     // outright and the whole loop costs one cheap check.
-    var iter = 0
-    while (iter <= maxIter) {
-      val t0 = System.nanoTime()
-      val violations = sym
-        .join(labels.select(col("id").as("u"), col("component").as("cu")), "u")
-        .join(labels.select(col("id").as("v"), col("component").as("cv")), "v")
-        .filter(col("cu") =!= col("cv")).count()
-      if (sys.env.contains("GRAFT_CC_VERBOSE"))
-        println(f"[cc] round $iter: violations=$violations ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      if (violations == 0L) {
-        sym.unpersist()
-        return labels
+    try {
+      var iter = 0
+      while (iter < maxIter) {
+        val t0 = System.nanoTime()
+        val violations = sym
+          .join(labels.select(col("id").as("u"), col("component").as("cu")), "u")
+          .join(labels.select(col("id").as("v"), col("component").as("cv")), "v")
+          .filter(col("cu") =!= col("cv")).count()
+        if (sys.env.contains("GRAFT_CC_VERBOSE"))
+          println(f"[cc] round $iter: violations=$violations ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (violations == 0L) return labels
+        labels = step(labels).localCheckpoint()
+        iter += 1
       }
-      labels = step(labels).localCheckpoint()
-      iter += 1
-    }
-    throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "raise maxIter (convergence is O(log n) rounds in the node count)")
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (convergence is O(log n) rounds in the node count)")
+    } finally sym.unpersist()
   }
 }

@@ -189,9 +189,13 @@ object TextAnalysis {
     * bounded by each domain: T = min_d floor(n_d*1000/t_d); each domain
     * then keeps floor(T*t_d/1000) docs. All-integer arithmetic — the plan
     * is deterministic and engine-portable. Domains absent from `targets`
-    * are excluded (weight 0); the rates feed [[hashSample]] to materialize
-    * the mix. One tiny aggregate per domain — the cross join carries a
-    * single global row. */
+    * are excluded (weight 0). A TARGET domain absent from the data is the
+    * converse case and must not vanish from the plan: its budget is 0, so
+    * the total budget — and every domain's quota — collapses to 0, which
+    * is the truthful answer ("this mix is unachievable") surfaced as a
+    * visible all-zero plan rather than a silently rescaled one. The rates
+    * feed [[hashSample]] to materialize the mix. One tiny aggregate per
+    * domain. */
   def mixtureWeights(docs: DataFrame, domainCol: String,
                      targetsPermille: Seq[(String, Long)]): DataFrame = {
     require(targetsPermille.nonEmpty && targetsPermille.forall(_._2 > 0),
@@ -209,11 +213,16 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    counts.join(broadcast(t), domainCol)
+    // targets are the base side: a target domain with no docs must keep
+    // its row (n_docs=0 → budget 0 → the whole plan is 0), not silently
+    // drop its constraint
+    broadcast(t).join(counts, Seq(domainCol), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
       .withColumn("budget", expr("n_docs * 1000 div target_pm"))
       .withColumn("total_budget", min("budget").over(w))
       .withColumn("keep_docs", expr("total_budget * target_pm div 1000"))
-      .withColumn("rate_pm", expr("keep_docs * 1000 div n_docs"))
+      .withColumn("rate_pm",
+        when(col("n_docs") > 0, expr("keep_docs * 1000 div n_docs")).otherwise(lit(0L)))
       .select(col(domainCol), col("n_docs"), col("target_pm"),
         col("keep_docs"), col("rate_pm"))
   }

@@ -15,9 +15,11 @@ object ExtensionQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val MINHASH_K = 16
-  private val SHINGLE_N = 3
-  private val ROWS_PER_BAND = 4
+  // shared with PipelineQueries (qx29/qx34 reuse the signature CTEs):
+  // one constant set, or the Spark sides and oracles silently diverge
+  private[queries] val MINHASH_K = 16
+  private[queries] val SHINGLE_N = 3
+  private[queries] val ROWS_PER_BAND = 4
   private val LSH_PLANES = 8
   private val KNN_K = 5
   private val QUERY_SET = 20   // vec_id < 20 are the kNN query vectors

@@ -47,6 +47,10 @@ object PipelineQueries {
 
   private val CURATE_MIN_TOKENS = 15L
   private val CURATE_MAX_TOKENS = 80L
+  /** Verify-stage Jaccard threshold for qx29/qx34's near-dup closure —
+    * must match qx14's pipeline parameters (ExtraQueries). */
+  private val NEARDUP_JACCARD = 0.2
+  private val N_BANDS = ExtensionQueries.MINHASH_K / ExtensionQueries.ROWS_PER_BAND
 
   val queries: Map[String, Q] = Map(
 
@@ -152,7 +156,7 @@ object PipelineQueries {
     //  transitive closure over the SAME verified pairs)
     "qx29_dedup_groups" -> ((s, dir) => {
       graft.operators.Dedup.dedupGroups(t(s, dir, "documents"), "text", "doc_id",
-          k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+          k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N, rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = NEARDUP_JACCARD)
         .orderBy("doc_id")
     }),
 
@@ -207,7 +211,7 @@ object PipelineQueries {
       val canonical = graft.operators.Dedup.exact(docs, "text", "doc_id")
         .select(col("canonical_id").as("doc_id"))
       val nearDupDrops = graft.operators.Dedup.dedupGroups(docs, "text", "doc_id",
-          k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+          k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N, rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = NEARDUP_JACCARD)
         .filter(col("doc_id") =!= col("group_id"))
         .select("doc_id")
       val curated = base
@@ -329,7 +333,7 @@ object PipelineQueries {
       val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
       s"""WITH RECURSIVE ${ExtensionQueries.sigCtes},
          |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
-         |banded AS (${(0 until 4).map(b =>
+         |banded AS (${(0 until N_BANDS).map(b =>
              s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
              .mkString("\n UNION ALL ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -340,7 +344,7 @@ object PipelineQueries {
          |pairs AS (
          |  SELECT doc_a, doc_b FROM cand
          |  JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
-         |  WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= 0.2),
+         |  WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= $NEARDUP_JACCARD),
          |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |        UNION SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT u AS id FROM sym),
@@ -398,13 +402,16 @@ object PipelineQueries {
       val targetRows = MIX_TARGETS.map { case (l, pm) => s"('$l', $pm)" }.mkString(", ")
       s"""WITH tgt(lang, target_pm) AS (VALUES $targetRows),
          |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
-         |j AS (SELECT c.lang, n_docs, CAST(target_pm AS BIGINT) AS target_pm,
-         |        (n_docs * 1000) // target_pm AS budget
-         |      FROM c JOIN tgt USING (lang)),
+         |j AS (SELECT tgt.lang, CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+         |        CAST(target_pm AS BIGINT) AS target_pm,
+         |        (CAST(COALESCE(n_docs, 0) AS BIGINT) * 1000) // target_pm AS budget
+         |      FROM tgt LEFT JOIN c USING (lang)),
          |m AS (SELECT MIN(budget) AS total_budget FROM j)
          |SELECT lang, n_docs, target_pm,
          |  CAST((total_budget * target_pm) // 1000 AS BIGINT) AS keep_docs,
-         |  CAST((((total_budget * target_pm) // 1000) * 1000) // n_docs AS BIGINT) AS rate_pm
+         |  CAST(CASE WHEN n_docs > 0
+         |       THEN (((total_budget * target_pm) // 1000) * 1000) // n_docs
+         |       ELSE 0 END AS BIGINT) AS rate_pm
          |FROM j CROSS JOIN m ORDER BY lang""".stripMargin
     },
 
@@ -412,9 +419,9 @@ object PipelineQueries {
       val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
       val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
       val splitH = s"(${TX.polyHash("CAST(doc_id AS VARCHAR)")} % 100)"
-      s"""WITH RECURSIVE ${ExtensionQueries.shingleCtes(3)},
+      s"""WITH RECURSIVE ${ExtensionQueries.sigCtes},
          |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
-         |banded AS (${(0 until 4).map(b =>
+         |banded AS (${(0 until N_BANDS).map(b =>
              s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
              .mkString("\n UNION ALL ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -425,7 +432,7 @@ object PipelineQueries {
          |pairs AS (
          |  SELECT doc_a, doc_b FROM cand
          |  JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
-         |  WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= 0.2),
+         |  WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= $NEARDUP_JACCARD),
          |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |        UNION SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT u AS id FROM sym),

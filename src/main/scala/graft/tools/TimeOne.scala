@@ -5,6 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc single-query timer: runMain graft.tools.TimeOne <name> <sfDir> [reps] */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: TimeOne <queryName> [sfDir] [reps]")
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
@@ -15,7 +19,10 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
-    fn(spark, "/root/testdata/sf0.001").count() // codegen warm
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
+    fn(spark, warmDir).count() // codegen warm
     for (i <- 1 to reps) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

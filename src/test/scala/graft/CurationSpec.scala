@@ -74,6 +74,19 @@ class CurationSpec extends SparkSpec {
     assert(out("en").getLong(3) == 2 * out("de").getLong(3))
   }
 
+  test("mixtureWeights: a target domain with zero docs collapses the plan to zero, visibly") {
+    val docs = Seq.fill(10)("en").zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.mixtureWeights(docs, "lang",
+        Seq(("en", 500L), ("fr", 500L)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // fr has no docs: the 50/50 mix is unachievable — the plan must SAY so
+    // (all-zero quotas), not silently drop the fr constraint and keep all en
+    assert(out.keySet == Set("en", "fr"))
+    assert(out("fr").getLong(1) == 0L && out("fr").getLong(3) == 0L && out("fr").getLong(4) == 0L)
+    assert(out("en").getLong(3) == 0L)
+  }
+
   test("mixtureWeights: rejects targets not summing to 1000") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {
