@@ -96,14 +96,19 @@ object Dedup {
     * shared banding front end of minhashBands and nearDupPipeline: one
     * band-struct array + a single explode, NOT a union of nBands
     * projections (which would recompute the signature plan per band). */
-  private def bandedRows(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    requireBands(k, rowsPerBand)
+  /** The per-band (band_id, band_key) struct array over mh00..mh(k-1). */
+  private def bandArray(k: Int, rowsPerBand: Int) = {
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val keyCols = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
       struct(lit(b.toLong).as("band_id"),
         concat_ws("|", keyCols.map(_.cast("string")): _*).as("band_key"))
     }
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+    array(bandStructs: _*)
+  }
+
+  private def bandedRows(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    requireBands(k, rowsPerBand)
+    sig.select(col(idCol), explode(bandArray(k, rowsPerBand)).as("bk"))
       .select(col(idCol), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
   }
 
@@ -251,6 +256,66 @@ object Dedup {
         .select(col("id").as(idCol), col("component").as("group_id"),
           col("group_size"))
     }
+
+  /** Incremental near-dup: match a NEW batch of docs against an EXISTING
+    * corpus without recomputing the corpus — the daily-ingest shape at
+    * 100 TB, where re-running the full pipeline per batch would scan
+    * petabytes to admit gigabytes.
+    *
+    * The existing side arrives pre-indexed as (id, band_id, band_key, sh)
+    * — the narrow banded+set frame [[indexForIncremental]] builds once per
+    * corpus version and a production store persists as a bucketed table
+    * keyed on (band_id, band_key). Per batch, only the NEW docs run the
+    * shingle front end; candidates come from the band equi-join, and the
+    * exact-Jaccard verify touches candidate pairs only. Output mirrors
+    * nearDupPipeline with new-doc ids in `doc_new`. */
+  def incrementalNearDups(newDocs: DataFrame, corpusIndex: DataFrame,
+                          textCol: String, idCol: String,
+                          k: Int, shingleN: Int, rowsPerBand: Int,
+                          threshold: Double): DataFrame = {
+    requireBands(k, rowsPerBand)
+    val newPerDoc = perDocAggregate(newDocs, textCol, idCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBanded = bandedRows(newPerDoc, idCol, k, rowsPerBand)
+      .select(col(idCol).as("doc_new"), col("band_id"), col("band_key"))
+    val corpusBands = corpusIndex
+      .select(col(idCol).as("doc_old"), col("band_id"), col("band_key"))
+    val candidates = newBanded.join(corpusBands, Seq("band_id", "band_key"))
+      .filter(col("doc_new") =!= col("doc_old"))
+      .select("doc_new", "doc_old").distinct()
+    val newSets = newPerDoc.select(col(idCol).as("doc_new"), col("sh").as("sh_new"))
+    // the index carries sh once per (doc, band) — dedupe by id, never by
+    // comparing the array values themselves
+    val oldSets = corpusIndex.select(col(idCol).as("doc_old"), col("sh").as("sh_old"))
+      .dropDuplicates("doc_old")
+    candidates
+      .join(newSets, "doc_new")
+      .join(oldSets, "doc_old")
+      .withColumn("union_size",
+        size(array_distinct(concat(col("sh_new"), col("sh_old")))).cast("long"))
+      .withColumn("inter_size",
+        (size(col("sh_new")) + size(col("sh_old"))).cast("long") - col("union_size"))
+      .withColumn("jaccard",
+        col("inter_size").cast("double") / col("union_size").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_old"), col("inter_size"),
+        col("union_size"), col("jaccard"))
+  }
+
+  /** The persistent corpus-side index for [[incrementalNearDups]]: banded
+    * keys + the verify set, one row per (doc, band). Built once per corpus
+    * version; incremental batches join against it instead of rescanning
+    * the corpus. */
+  def indexForIncremental(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int, shingleN: Int, rowsPerBand: Int): DataFrame = {
+    requireBands(k, rowsPerBand)
+    // one pass: bands and the verify set are projections of the same
+    // per-doc row — explode after carrying `sh`, never a self-join on id
+    perDocAggregate(docs, textCol, idCol, k, shingleN)
+      .select(col(idCol), col("sh"), explode(bandArray(k, rowsPerBand)).as("bk"))
+      .select(col(idCol), col("bk.band_id").as("band_id"),
+        col("bk.band_key").as("band_key"), col("sh"))
+  }
 
   /** Exact pairwise n-gram Jaccard over a *bounded candidate set* (e.g. the
     * LSH candidates, or a capped id range). Never call on an unbounded

@@ -50,6 +50,8 @@ object PipelineQueries {
   /** Verify-stage Jaccard threshold for qx29/qx34's near-dup closure —
     * must match qx14's pipeline parameters (ExtraQueries). */
   private val NEARDUP_JACCARD = 0.2
+  private val INC_MOD = 5           // doc_id % 5 == 4 → the "new batch" docs
+  private val INC_REM = 4
   private val N_BANDS = ExtensionQueries.MINHASH_K / ExtensionQueries.ROWS_PER_BAND
 
   val queries: Map[String, Q] = Map(
@@ -158,6 +160,23 @@ object PipelineQueries {
       graft.operators.Dedup.dedupGroups(t(s, dir, "documents"), "text", "doc_id",
           k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N, rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = NEARDUP_JACCARD)
         .orderBy("doc_id")
+    }),
+
+    // ---- Incremental near-dup: new batch vs pre-indexed corpus -----------
+    // (the daily-ingest shape: only the new docs run the shingle front
+    //  end; the corpus side is the persisted band+set index — candidates
+    //  from the band equi-join, verify on candidates only)
+    "qx35_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newBatch = docs.filter(col("doc_id") % INC_MOD === INC_REM)
+      val corpus = docs.filter(col("doc_id") % INC_MOD =!= INC_REM)
+      val index = graft.operators.Dedup.indexForIncremental(corpus, "text", "doc_id",
+        k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N,
+        rowsPerBand = ExtensionQueries.ROWS_PER_BAND)
+      graft.operators.Dedup.incrementalNearDups(newBatch, index, "text", "doc_id",
+          k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N,
+          rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = NEARDUP_JACCARD)
+        .orderBy("doc_new", "doc_old")
     }),
 
     // ---- Decontamination: corpus docs sharing shingles with a benchmark --
@@ -356,6 +375,28 @@ object PipelineQueries {
          |SELECT id AS doc_id, group_id,
          |  COUNT(*) OVER (PARTITION BY group_id) AS group_size
          |FROM comp ORDER BY doc_id""".stripMargin
+    },
+
+    "qx35_incremental_neardup" -> {
+      val uni = "CAST(len(list_distinct(list_concat(sn.sh, so.sh))) AS BIGINT)"
+      val inter = s"CAST(len(sn.sh) + len(so.sh) AS BIGINT) - $uni"
+      s"""WITH ${ExtensionQueries.sigCtes},
+         |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
+         |banded AS (${(0 until N_BANDS).map(b =>
+             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
+             .mkString("\n UNION ALL ")}),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS sh FROM t4 GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |         FROM banded n JOIN banded o
+         |           ON n.band_id = o.band_id AND n.band_key = o.band_key
+         |         WHERE n.doc_id % $INC_MOD = $INC_REM
+         |           AND o.doc_id % $INC_MOD <> $INC_REM)
+         |SELECT doc_new, doc_old, $inter AS inter_size, $uni AS union_size,
+         |  CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) AS jaccard
+         |FROM cand JOIN sets sn ON doc_new = sn.doc_id
+         |          JOIN sets so ON doc_old = so.doc_id
+         |WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= $NEARDUP_JACCARD
+         |ORDER BY doc_new, doc_old""".stripMargin
     },
 
     "qx30_decontaminate" ->

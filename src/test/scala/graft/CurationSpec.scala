@@ -87,6 +87,31 @@ class CurationSpec extends SparkSpec {
     assert(out("en").getLong(3) == 0L)
   }
 
+  test("incremental near-dup finds new-vs-corpus pairs equal to the full pipeline's cross-split pairs") {
+    val mk = (id: Long, s: String) => (id, s)
+    val docs = Seq(
+      mk(0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      mk(1L, "some totally unrelated corpus document about catalyst and shuffles"),
+      mk(10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      mk(11L, "fresh text with no resemblance to anything stored before now at all")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 10)
+    val newBatch = docs.filter(col("doc_id") >= 10)
+    val index = graft.operators.Dedup.indexForIncremental(corpus, "text", "doc_id",
+      k = 16, shingleN = 3, rowsPerBand = 4)
+    val inc = graft.operators.Dedup.incrementalNearDups(newBatch, index, "text", "doc_id",
+        k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+      .select("doc_new", "doc_old").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: full pipeline over everything, restricted to cross-split pairs
+    val full = graft.operators.Dedup.nearDupPipeline(docs, "text", "doc_id",
+        k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 10) != (b < 10) }
+      .map { case (a, b) => if (a >= 10) (a, b) else (b, a) }.toSet
+    assert(inc == full && inc.contains((10L, 0L)))
+  }
+
   test("mixtureWeights: rejects targets not summing to 1000") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {
