@@ -13,7 +13,9 @@ object ExplainAudit {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_filter_project", "q03_regional_revenue", "q04_topk_orders",
                "q01_pricing_summary", "qx02_minhash_signature",
-               "qx13_bucket_top_pairs", "qx22_ivf_ann", "qx01_dedup_exact")
+               "qx13_bucket_top_pairs", "qx22_ivf_ann", "qx01_dedup_exact",
+               "qx30_decontaminate", "qx35_incremental_neardup",
+               "qx34_curation_pipeline")
     val full = sys.env.contains("GRAFT_EXPLAIN_FULL")
     for (q <- queryNames) {
       println(s"===== $q =====")
