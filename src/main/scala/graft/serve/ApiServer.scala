@@ -18,10 +18,15 @@ import graft.sources.{FactStore, Serve}
   * Reference surface covered: /status, /financials/{ticker},
   * /financials/{ticker}/{metric} (json|csv|parquet, period, years,
   * 202-on-miss + background fetch trigger = T5), POST /financials/compare,
-  * /data/tickers, POST /etl/fetch/{ticker}, /cache/stats, /cache/clear.
+  * /data/tickers, /data/ticker/{ticker}/info, POST /etl/fetch/{ticker},
+  * POST /etl/refresh, /etl/status, /cache/stats, /cache/clear,
+  * /storage/stats — the full route table of src/api/main.py.
   */
 final class FinancialApi(spark: SparkSession, facts: () => DataFrame,
-                         cache: ResultCache, onMiss: String => Unit = _ => ()) {
+                         cache: ResultCache, onMiss: String => Unit = _ => (),
+                         tracker: graft.sources.EdgarIngest.JobTracker =
+                           new graft.sources.EdgarIngest.JobTracker(),
+                         onRefresh: () => Unit = () => ()) {
 
   import FinancialApi._
 
@@ -130,6 +135,68 @@ final class FinancialApi(spark: SparkSession, facts: () => DataFrame,
       s"""{"success":true,"message":"Fetch triggered for $ticker","invalidated":$invalidated}""")
   }
 
+  /** GET /data/ticker/{ticker}/info (ref: main.py:264-299): per-ticker
+    * store detail — freshness plus the partition census that replaces the
+    * reference's manual file listing (Catalyst's partition pruning makes
+    * the per-ticker scan touch only that ticker's directories). */
+  def tickerInfo(ticker0: String): Response = {
+    val ticker = ticker0.toUpperCase
+    if (!hasTicker(ticker)) return error(404, s"No data found for $ticker")
+    val k = cache.key("ticker_info", "ticker" -> ticker)
+    Response(200, "application/json", cache.getOrElseUpdate(k) {
+      val mine = facts().filter(col("ticker") === ticker)
+      val parts = FactStore.withPeriodType(mine)
+        .groupBy("period_type", "fiscal_year")
+        .agg(count(lit(1)).as("record_count"),
+          countDistinct("concept").as("n_concepts"),
+          max(col("end_date").cast("string")).as("latest_end_date"))
+        .orderBy("period_type", "fiscal_year")
+      val partitions = Serve.toJsonEnvelope(parts, now())
+      val freshness = Serve.toJsonEnvelope(FactStore.freshness(mine), now())
+      s"""{"ticker":"${Serve.jsonEscape(ticker)}","data_freshness":$freshness,
+         |"partitions":$partitions}""".stripMargin.replace("\n", "")
+    })
+  }
+
+  /** POST /etl/refresh (ref: main.py:325-341): full-refresh trigger (T4 —
+    * the store's dynamic partition overwrite makes it an upsert) +
+    * cache flush. */
+  def triggerRefresh(): Response = {
+    onRefresh()
+    val cleared = cache.clear()
+    Response(200, "application/json",
+      s"""{"success":true,"message":"Full refresh triggered","cache_cleared":$cleared}""")
+  }
+
+  /** GET /etl/status (ref: main.py:343-371): pipeline stats + recent
+    * jobs from the tracker (A4/T3). */
+  def etlStatus(recentN: Int = 20): Response = {
+    val (done, failed, successRate) = tracker.stats
+    val recent = tracker.history.takeRight(recentN).map { j =>
+      s"""{"job_id":"${Serve.jsonEscape(j.id)}","ticker":"${Serve.jsonEscape(j.ticker)}",
+         |"status":"${j.status}","error":${j.error
+           .map(e => "\"" + Serve.jsonEscape(e) + "\"").getOrElse("null")}}"""
+        .stripMargin.replace("\n", "")
+    }.mkString("[", ",", "]")
+    Response(200, "application/json",
+      s"""{"pipeline_stats":{"completed":$done,"failed":$failed,"success_rate":$successRate},
+         |"recent_jobs":$recent}""".stripMargin.replace("\n", ""))
+  }
+
+  /** GET /storage/stats (ref: main.py:398-408): one store-wide aggregate
+    * (the q17 shape) instead of the reference's file-walk. */
+  def storageStats(): Response = {
+    val k = cache.key("storage_stats")
+    Response(200, "application/json", cache.getOrElseUpdate(k) {
+      val df = facts().agg(
+        count(lit(1)).as("total_facts"),
+        countDistinct("ticker").as("n_tickers"),
+        countDistinct("concept").as("n_concepts"),
+        min("fiscal_year").as("min_fy"), max("fiscal_year").as("max_fy"))
+      Serve.toJsonEnvelope(df, now())
+    })
+  }
+
   def cacheStats(): Response = {
     val body = cache.stats.toSeq.sortBy(_._1).map {
       case (k, v: String) => s""""$k":"${Serve.jsonEscape(v)}""""
@@ -218,9 +285,13 @@ final class ApiServer(api: FinancialApi, port: Int = 8000) {
       case ("GET", Seq("financials", t, m))          => api.metric(t, m, period, years, format)
       case ("POST", Seq("financials", "compare"))    => api.compare(body)
       case ("GET", Seq("data", "tickers"))           => api.tickers()
+      case ("GET", Seq("data", "ticker", t, "info")) => api.tickerInfo(t)
       case ("POST", Seq("etl", "fetch", t))          => api.triggerFetch(t)
+      case ("POST", Seq("etl", "refresh"))           => api.triggerRefresh()
+      case ("GET", Seq("etl", "status"))             => api.etlStatus()
       case ("GET", Seq("cache", "stats"))            => api.cacheStats()
       case ("POST", Seq("cache", "clear"))           => api.cacheClear()
+      case ("GET", Seq("storage", "stats"))          => api.storageStats()
       case _ => Response(404, "application/json",
         s"""{"success":false,"detail":"Not found: $method $path"}""")
     }

@@ -183,6 +183,17 @@ class ServeLayerSpec extends SparkSpec {
       assert(get("/nope").statusCode === 404)
       val t = get("/data/tickers")
       assert(t.statusCode === 200 && t.body.contains("total_tickers"))
+      // round-3 route completions (full main.py parity)
+      val info = get("/data/ticker/ALFA/info")
+      assert(info.statusCode === 200 && info.body.contains("partitions")
+        && info.body.contains("data_freshness"))
+      assert(get("/data/ticker/NOPE/info").statusCode === 404)
+      val etl = get("/etl/status")
+      assert(etl.statusCode === 200 && etl.body.contains("pipeline_stats"))
+      val refresh = post("/etl/refresh", "")
+      assert(refresh.statusCode === 200 && refresh.body.contains("cache_cleared"))
+      val storage = get("/storage/stats")
+      assert(storage.statusCode === 200 && storage.body.contains("total_facts"))
     } finally server.stop()
   }
 
