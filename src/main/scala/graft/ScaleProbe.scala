@@ -35,6 +35,21 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scale] docs=${n0 * mult}%7d  minhash+bands=${secs}%6.2fs  buckets>=2: $nBuckets")
     }
+
+    // connected components: synthetic chains of 8 (worst-ish shape for
+    // min-propagation alone; pointer jumping keeps rounds O(log n)), grown
+    // 1×/4×/16× — wall time should grow ~linearly, rounds logarithmically
+    for (mult <- Seq(1, 4, 16)) {
+      val n = 100000L * mult
+      val edges = spark.range(n).toDF("u")
+        .filter(col("u") % 8 =!= 7)
+        .select(col("u"), (col("u") + 1).as("v"))
+      val t0 = System.nanoTime()
+      val comps = graft.operators.Graph.connectedComponents(edges, "u", "v")
+        .select(countDistinct("component")).collect()(0).getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] cc_nodes=$n%8d  cc=${secs}%6.2fs  components: $comps")
+    }
     spark.stop()
   }
 }
