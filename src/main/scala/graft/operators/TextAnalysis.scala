@@ -183,6 +183,34 @@ object TextAnalysis {
     df.select(col(idCol) +: counts :+ scrubbed.as("scrubbed"): _*)
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * fixed-size token windows (size `chunkTokens`, step `stride`) — the
+    * chunk-for-training step between curation and tokenization. Same
+    * enumeration arithmetic as the sliding-window operator (qx17): each
+    * token at 0-based position p belongs to the windows starting at
+    * (p div stride − j)·stride for j < chunkTokens/stride, so windows are
+    * ENUMERATED per token (explode by a compile-time ratio), never probed
+    * by range join. One doc-keyed shuffle; chunk text reassembles
+    * deterministically by sorting each group's (pos, token) pairs.
+    * Requires stride | chunkTokens. */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && chunkTokens % stride == 0,
+      s"stride=$stride must divide chunkTokens=$chunkTokens")
+    val nK = chunkTokens / stride
+    docs
+      .select(col(idCol), posexplode(expr(TX.tokens(textCol))).as(Seq("pos", "w")))
+      .withColumn("k", explode(sequence(lit(0), lit(nK - 1))))
+      .withColumn("chunk_start",
+        ((expr(s"pos div $stride") - col("k")) * stride).cast("long"))
+      .filter(col("chunk_start") >= 0)
+      .groupBy(col(idCol), col("chunk_start"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("chunk_text"))
+  }
+
   /** Domain-mixture planning: per-domain sampling rates that hit target
     * proportions while keeping as many docs as possible. With observed
     * counts n_d and integer permille targets t_d, the achievable total is

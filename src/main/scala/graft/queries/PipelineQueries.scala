@@ -52,6 +52,8 @@ object PipelineQueries {
   private val NEARDUP_JACCARD = 0.2
   private val INC_MOD = 5           // doc_id % 5 == 4 → the "new batch" docs
   private val INC_REM = 4
+  private val CHUNK_TOKENS = 32
+  private val CHUNK_STRIDE = 16
   private val N_BANDS = ExtensionQueries.MINHASH_K / ExtensionQueries.ROWS_PER_BAND
 
   val queries: Map[String, Q] = Map(
@@ -212,6 +214,15 @@ object PipelineQueries {
     "qx33_mixture_weights" -> ((s, dir) => {
       TextAnalysis.mixtureWeights(t(s, dir, "documents"), "lang", MIX_TARGETS)
         .orderBy("lang")
+    }),
+
+    // ---- Context-window chunking: overlapping token windows per doc ------
+    // (the chunk-for-training step; window enumeration per token — the
+    //  qx17 arithmetic over token index instead of event time)
+    "qx36_chunking" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+          CHUNK_TOKENS, CHUNK_STRIDE)
+        .orderBy("doc_id", "chunk_start")
     }),
 
     // ---- Flagship composition: the full curation pipeline ----------------
@@ -454,6 +465,22 @@ object PipelineQueries {
          |       THEN (((total_budget * target_pm) // 1000) * 1000) // n_docs
          |       ELSE 0 END AS BIGINT) AS rate_pm
          |FROM j CROSS JOIN m ORDER BY lang""".stripMargin
+    },
+
+    "qx36_chunking" -> {
+      val toks = TX.tokens("text")
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |t1 AS (SELECT doc_id, unnest(toks) AS w,
+         |         unnest(generate_series(1, len(toks))) AS pos FROM t0),
+         |c AS (SELECT doc_id, pos, w,
+         |        ((pos - 1) // $CHUNK_STRIDE - kk.k) * $CHUNK_STRIDE AS chunk_start
+         |      FROM t1, (SELECT unnest(generate_series(0, ${CHUNK_TOKENS / CHUNK_STRIDE - 1})) AS k) kk)
+         |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+         |  COUNT(*) AS n_tokens,
+         |  string_agg(w, ' ' ORDER BY pos) AS chunk_text
+         |FROM c WHERE chunk_start >= 0
+         |GROUP BY doc_id, chunk_start
+         |ORDER BY doc_id, chunk_start""".stripMargin
     },
 
     "qx34_curation_pipeline" -> {

@@ -112,6 +112,27 @@ class CurationSpec extends SparkSpec {
     assert(inc == full && inc.contains((10L, 0L)))
   }
 
+  test("chunkDocuments: overlapping windows cover every token; text reassembles in order") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+        chunkTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 1: starts 0,2,4,6,8 — full windows of 4 until the tail
+    assert(out((1L, 0L)) == (4L, "w1 w2 w3 w4"))
+    assert(out((1L, 2L)) == (4L, "w3 w4 w5 w6"))
+    assert(out((1L, 8L)) == (2L, "w9 w10"))
+    // doc 2 (3 tokens): starts 0 and 2
+    assert(out((2L, 0L)) == (3L, "a b c"))
+    assert(out((2L, 2L)) == (1L, "c"))
+    // every token of doc 1 appears in exactly chunkTokens/stride = 2 windows
+    // (except tail tokens) — total tokens across chunks = 4*4 + 2 + ...
+    assert(out.keys.count(_._1 == 1L) == 5)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, "text", "doc_id", 4, 3)
+    }
+  }
+
   test("mixtureWeights: rejects targets not summing to 1000") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {
