@@ -228,6 +228,39 @@ object Dedup {
         col("doc_a").as("keep_id"), col("doc_b").as("drop_id"))
   }
 
+  /** SimHash near-dup candidate search — the Hamming-space analog of LSH
+    * banding. The 32-bit fingerprint splits into 4 byte bands; by
+    * pigeonhole, any pair within Hamming distance 3 agrees on AT LEAST one
+    * whole band, so a (band_id, band_value) equi-join finds every such
+    * pair with zero false negatives. The exact Hamming distance
+    * (bit_count of xor) then verifies candidates only — no pair
+    * enumeration beyond band collisions, same contract as MinHash banding.
+    * `maxHamming` must stay < the band count (4) for the recall
+    * guarantee. */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"maxHamming=$maxHamming breaks the 4-band pigeonhole recall guarantee")
+    val sh = simhash(docs, textCol, idCol)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b.toLong).as("band_id"),
+        expr(s"(simhash div ${1L << (8 * b)}) % 256").as("band_val")))
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.band_id").as("band_id"), col("bk.band_val").as("band_val"))
+    val l = banded.select(col("band_id"), col("band_val"),
+      col(idCol).as("doc_a"), col("simhash").as("sim_a"))
+    val r = banded.select(col("band_id").as("band_id_r"), col("band_val").as("band_val_r"),
+      col(idCol).as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r, col("band_id") === col("band_id_r")
+        && col("band_val") === col("band_val_r") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Global dedup groups: near-dup PAIRS closed into connected COMPONENTS.
     *
     * Pairwise keep/drop is not a corpus-level decision — if A~B and B~C but

@@ -127,10 +127,11 @@ object ExtensionQueries {
       .map(r => s"CAST(mh${"%02d".format(b * ROWS_PER_BAND + r)} AS VARCHAR)")
       .mkString(" || '|' || ")
 
-  private val simhashBitSums = (0 until 32)
+  // shared with PipelineQueries (qx37 reuses the simhash CTE)
+  private[queries] val simhashBitSums = (0 until 32)
     .map(j => s"SUM(CASE WHEN (h2 // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
     .mkString(", ")
-  private val simhashAssemble = (0 until 32)
+  private[queries] val simhashAssemble = (0 until 32)
     .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
     .mkString(" + ")
 

@@ -54,6 +54,7 @@ object PipelineQueries {
   private val INC_REM = 4
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 16
+  private val SIMHASH_MAX_HAMMING = 3
   private val N_BANDS = ExtensionQueries.MINHASH_K / ExtensionQueries.ROWS_PER_BAND
 
   val queries: Map[String, Q] = Map(
@@ -223,6 +224,15 @@ object PipelineQueries {
       TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
           CHUNK_TOKENS, CHUNK_STRIDE)
         .orderBy("doc_id", "chunk_start")
+    }),
+
+    // ---- SimHash near-dup: Hamming byte-band candidates + exact verify ---
+    // (pigeonhole: hamming<=3 pairs always share >=1 of 4 byte bands —
+    //  zero false negatives from the band equi-join)
+    "qx37_simhash_neardup" -> ((s, dir) => {
+      graft.operators.Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
     }),
 
     // ---- Flagship composition: the full curation pipeline ----------------
@@ -481,6 +491,27 @@ object PipelineQueries {
          |FROM c WHERE chunk_start >= 0
          |GROUP BY doc_id, chunk_start
          |ORDER BY doc_id, chunk_start""".stripMargin
+    },
+
+    "qx37_simhash_neardup" -> {
+      val toks = TX.tokens("text")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, CAST($b AS BIGINT) AS band_id, (simhash // ${1L << (8 * b)}) % 256 AS band_val FROM sh")
+        .mkString("\n UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |h AS (SELECT doc_id, ${TX.mix32(TX.polyHash("w"))} AS h2 FROM tok),
+         |b AS (SELECT doc_id, ${ExtensionQueries.simhashBitSums} FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST(${ExtensionQueries.simhashAssemble} AS BIGINT) AS simhash FROM b),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           a.simhash AS sim_a, b.simhash AS sim_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |          AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= $SIMHASH_MAX_HAMMING
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "qx34_curation_pipeline" -> {

@@ -133,6 +133,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("simhashNearDups: band candidates find exactly the brute-force hamming<=3 pairs") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 40)
+    val banded = graft.operators.Dedup.simhashNearDups(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over the same fingerprints (no banding — ground truth)
+    val sims = graft.operators.Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(banded == brute && brute.nonEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simhashNearDups(docs, "text", "doc_id", 4)
+    }
+  }
+
   test("mixtureWeights: rejects targets not summing to 1000") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {
