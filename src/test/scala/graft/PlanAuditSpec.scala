@@ -1,0 +1,33 @@
+package graft
+
+/** Plan-invariant regression net: every oracle query's PHYSICAL plan is
+  * checked for the anti-patterns that kill 100 TB runs. A query can pass
+  * its hash gate with a catastrophic plan (correctness says nothing about
+  * the shuffle structure) — this spec is the structural complement.
+  *
+  * Invariants:
+  *  - no CartesianProduct anywhere (an unkeyed pair enumeration scales
+  *    quadratically; the broadcast nested-loop joins the IVF/kNN paths use
+  *    on their deliberately-small sides are allowed);
+  *  - at least one WholeStageCodegen span (a fully-interpreted plan means
+  *    an Expression fell out of codegen).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("no oracle query plans a CartesianProduct; all keep codegen") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe = fn(spark, sfDir).queryExecution
+      if (qe.executedPlan.toString.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      // AQE's pre-execution plan hides codegen spans — count them the way
+      // ExplainAudit does, on the codegen-debug rendering
+      val cg = org.apache.spark.sql.execution.debug.codegenString(qe.executedPlan)
+      if (!cg.contains("WholeStageCodegen"))
+        offenders += s"$name: no WholeStageCodegen span"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
