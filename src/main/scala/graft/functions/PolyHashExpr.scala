@@ -104,6 +104,10 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteSelfDot
+    // custom whole-operator plans (AsOfJoin logical → merge exec)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }
 
@@ -130,5 +134,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[LshBucket].getName, "graft_lsh_bucket"),
       (exprs: Seq[Expression]) => LshBucket(exprs(0), GraftFunctions.lshPlanes(exprs(1)))))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

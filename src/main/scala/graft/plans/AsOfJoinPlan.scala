@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** The as-of join as a FIRST-CLASS plan node — the (c) tier of the
+  * extension ladder (custom `LogicalPlan` + `Strategy` + `SparkPlan`),
+  * used where composing built-in operators costs structure the planner
+  * can't remove. The composed form (`Relational.asofJoin`) unions both
+  * sides and runs a carry-forward window; this node instead asks the
+  * planner for exactly what the algorithm needs — both children hash-
+  * clustered on the key and sorted by (key, ts) — and then ONE forward
+  * merge pass per partition pairs every left row with the latest right
+  * row at-or-before it. No union materialization, no window buffering:
+  * per-partition state is a single carried row.
+  *
+  * Semantics match `Relational.asofJoin` (backward, inclusive, ties
+  * resolved toward the largest carried tuple) — qx38 hash-checks this
+  * plan against DuckDB's native ASOF JOIN, the same oracle as qx16.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Attribute, rightKey: Attribute,
+                    leftTs: Attribute, rightTs: Attribute,
+                    carried: Seq[Attribute], carriedOut: Seq[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ carriedOut
+  override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsOfJoin → AsOfJoinExec. Registered via
+  * `spark.experimental.extraStrategies` (GraftFunctions.register) and
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions). */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts, carried, carriedOut) =>
+      AsOfJoinExec(lk, rk, lts, rts, carried, carriedOut,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical merge as-of join.
+  *
+  * Scale shape: `requiredChildDistribution` makes EnsureRequirements
+  * hash-partition both sides identically on the key (the ONLY shuffle);
+  * `requiredChildOrdering` makes it sort each side by (key, ts) — so the
+  * merge is a single streaming pass per partition holding one buffered
+  * right row, regardless of group size. The right ordering appends the
+  * carried columns so duplicate (key, ts) rows resolve deterministically
+  * (largest carried tuple wins — same rule as the composed operator).
+  */
+case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
+                        leftTs: Attribute, rightTs: Attribute,
+                        carried: Seq[Attribute], carriedOut: Seq[Attribute],
+                        left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ carriedOut
+  override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      carried.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // left rows stream through in their sorted order
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val lTsIdx = lOut.indexWhere(_.exprId == leftTs.exprId)
+    val rTsIdx = rOut.indexWhere(_.exprId == rightTs.exprId)
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
+    val carriedRefs: Seq[Expression] = carried.map { a =>
+      val i = rOut.indexWhere(_.exprId == a.exprId)
+      BoundReference(i, a.dataType, a.nullable)
+    }
+    val outTypes = output.map(a => (a.dataType, a.nullable))
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      // projections are generated code — build per partition, not on the driver
+      val carriedProj = UnsafeProjection.create(carriedRefs.toArray)
+      val resultProj = UnsafeProjection.create(outTypes.zipWithIndex.map {
+        case ((dt, nullable), i) => BoundReference(i, dt, nullable): Expression
+      }.toArray)
+      val nullCarried = InternalRow.fromSeq(Seq.fill(carried.length)(null))
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var lastMatch: InternalRow = null // carried values of best right row
+        private var lastMatchKey: Any = null
+        private def rKey = rRow.get(rKeyIdx, keyType)
+        private def rTs = rRow.get(rTsIdx, tsType)
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lRow.get(lKeyIdx, keyType)
+          val lTs = lRow.get(lTsIdx, tsType)
+          // stale carry from a previous key group
+          if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) != 0) {
+            lastMatch = null; lastMatchKey = null
+          }
+          // advance the right side through everything at-or-before (lKey, lTs)
+          var advancing = true
+          while (advancing && rRow != null) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              rRow = if (rIter.hasNext) rIter.next() else null
+            } else if (c == 0 && tsOrd.compare(rTs, lTs) <= 0) {
+              lastMatch = carriedProj(rRow).copy()
+              lastMatchKey = lKey
+              rRow = if (rIter.hasNext) rIter.next() else null
+            } else advancing = false
+          }
+          val carriedVals = if (lastMatch != null) lastMatch else nullCarried
+          resultProj(joined(lRow, carriedVals))
+        }
+      }
+    }
+  }
+}
+
+object AsOfJoinPlan {
+
+  /** As-of join through the custom plan node: for each left row, the
+    * latest right `valueCols` at-or-before its timestamp, per key —
+    * emitted as `asof_<name>`, exactly the `Relational.asofJoin`
+    * contract. */
+  def asofJoinMerge(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val lPlan = left.queryExecution.analyzed
+    // Both sides often derive from the same base relation (self-as-of):
+    // an alias projection mints fresh exprIds for the whole right output,
+    // so the analyzer's DeduplicateRelations never needs to rewrite the
+    // right child underneath this node's stored attributes.
+    import org.apache.spark.sql.functions.col
+    val rPlan = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"$side side has no column '$name'"))
+    val carried = valueCols.map(attr(rPlan, _, "right"))
+    val carriedOut = carried.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    val node = AsOfJoin(lPlan, rPlan,
+      attr(lPlan, keyCol, "left"), attr(rPlan, keyCol, "right"),
+      attr(lPlan, tsCol, "left"), attr(rPlan, tsCol, "right"),
+      carried, carriedOut)
+    org.apache.spark.sql.graftshim.GraftDatasetBridge.ofRows(spark, node)
+  }
+}

@@ -179,6 +179,23 @@ object ExtraQueries {
         .orderBy("event_id")
     }),
 
+    // ---- As-of via the CUSTOM PLAN NODE (AsOfJoin logical → merge exec) ---
+    // (same semantics and oracle as qx16, but through the Strategy-planned
+    //  physical operator: key-clustered exchanges + sorted children + one
+    //  merge pass — the hash gate proves a custom SparkPlan correct
+    //  against DuckDB's native ASOF JOIN)
+    "qx38_asof_custom_plan" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("val_cents"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      graft.plans.AsOfJoinPlan.asofJoinMerge(purchases, signups,
+          "user_id", "ts", Seq("signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // ---- Forward as-of: next error event at-or-after each purchase --------
     // (mirror of qx16; DuckDB's native ASOF with the reversed inequality is
     //  the independent oracle)
@@ -390,6 +407,17 @@ object ExtraQueries {
         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "qx16_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS val_cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts, p.val_cents, s.signup_ts AS asof_signup_ts
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY event_id""".stripMargin,
+
+    // identical oracle to qx16 — the Spark side differs (custom merge exec
+    // vs union+window), so the hash gate proves the two plans AND DuckDB's
+    // native ASOF all agree
+    "qx38_asof_custom_plan" ->
       """WITH p AS (SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS val_cents
         |           FROM events WHERE event_type = 'purchase'),
         |     s AS (SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup')
