@@ -27,7 +27,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Attribute, rightKey: Attribute,
                     leftTs: Attribute, rightTs: Attribute,
-                    carried: Seq[Attribute], carriedOut: Seq[Attribute])
+                    carried: Seq[Attribute], carriedOut: Seq[Attribute],
+                    forward: Boolean)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ carriedOut
   override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
@@ -41,8 +42,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions). */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, carried, carriedOut) =>
-      AsOfJoinExec(lk, rk, lts, rts, carried, carriedOut,
+    case AsOfJoin(l, r, lk, rk, lts, rts, carried, carriedOut, forward) =>
+      AsOfJoinExec(lk, rk, lts, rts, carried, carriedOut, forward,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -61,8 +62,14 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
                         leftTs: Attribute, rightTs: Attribute,
                         carried: Seq[Attribute], carriedOut: Seq[Attribute],
+                        forward: Boolean,
                         left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
+
+  // forward = earliest-at-or-after: the SAME merge over ts-DESCENDING
+  // children (consume everything at-or-after in scan order; the last
+  // consumed is the earliest ≥ left ts)
+  private def tsDir: SortDirection = if (forward) Descending else Ascending
 
   override def output: Seq[Attribute] = left.output ++ carriedOut
   override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
@@ -71,15 +78,15 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, tsDir)) ++
       carried.map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   // left rows stream through in their sorted order
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
@@ -134,7 +141,9 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
             val c = keyOrd.compare(rKey, lKey)
             if (c < 0) {
               rRow = if (rIter.hasNext) rIter.next() else null
-            } else if (c == 0 && tsOrd.compare(rTs, lTs) <= 0) {
+            } else if (c == 0 && {
+              val tc = tsOrd.compare(rTs, lTs); if (forward) tc >= 0 else tc <= 0
+            }) {
               lastMatch = carriedProj(rRow).copy()
               lastMatchKey = lKey
               rRow = if (rIter.hasNext) rIter.next() else null
@@ -153,9 +162,11 @@ object AsOfJoinPlan {
   /** As-of join through the custom plan node: for each left row, the
     * latest right `valueCols` at-or-before its timestamp, per key —
     * emitted as `asof_<name>`, exactly the `Relational.asofJoin`
-    * contract. */
+    * contract. `forward = true` flips to earliest-at-or-after
+    * (`Relational.asofJoinForward`). */
   def asofJoinMerge(left: DataFrame, right: DataFrame, keyCol: String,
-                    tsCol: String, valueCols: Seq[String]): DataFrame = {
+                    tsCol: String, valueCols: Seq[String],
+                    forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -175,7 +186,7 @@ object AsOfJoinPlan {
     val node = AsOfJoin(lPlan, rPlan,
       attr(lPlan, keyCol, "left"), attr(rPlan, keyCol, "right"),
       attr(lPlan, tsCol, "left"), attr(rPlan, tsCol, "right"),
-      carried, carriedOut)
+      carried, carriedOut, forward)
     org.apache.spark.sql.graftshim.GraftDatasetBridge.ofRows(spark, node)
   }
 }

@@ -196,6 +196,19 @@ object ExtraQueries {
         .orderBy("event_id")
     }),
 
+    // ---- Forward as-of via the custom merge exec (mirror of qx38) ---------
+    "qx39_asof_forward_custom" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("val_cents"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("ts").as("error_ts"))
+      graft.plans.AsOfJoinPlan.asofJoinMerge(purchases, errors,
+          "user_id", "ts", Seq("error_ts"), forward = true)
+        .orderBy("event_id")
+    }),
+
     // ---- Forward as-of: next error event at-or-after each purchase --------
     // (mirror of qx16; DuckDB's native ASOF with the reversed inequality is
     //  the independent oracle)
@@ -438,6 +451,14 @@ object ExtraQueries {
         |ORDER BY event_id""".stripMargin,
 
     "qx27_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS val_cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT user_id, ts AS error_ts FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.ts, p.val_cents, e.error_ts AS asof_error_ts
+        |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts <= e.error_ts
+        |ORDER BY event_id""".stripMargin,
+
+    "qx39_asof_forward_custom" ->
       """WITH p AS (SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS val_cents
         |           FROM events WHERE event_type = 'purchase'),
         |     e AS (SELECT user_id, ts AS error_ts FROM events WHERE event_type = 'error')

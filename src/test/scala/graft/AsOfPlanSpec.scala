@@ -50,6 +50,21 @@ class AsOfPlanSpec extends SparkSpec {
     assert(c.head.getLong(2) == 9L)
   }
 
+  test("forward merge equals the composed asofJoinForward on the events table") {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("ts").as("error_ts"))
+    val composed = graft.operators.Relational.asofJoinForward(
+        purchases, errors, "user_id", "ts", Seq("error_ts"))
+      .orderBy("event_id").collect()
+    val merged = AsOfJoinPlan.asofJoinMerge(
+        purchases, errors, "user_id", "ts", Seq("error_ts"), forward = true)
+      .orderBy("event_id").collect()
+    assert(merged.toSeq == composed.toSeq && merged.nonEmpty)
+  }
+
   test("physical plan: our exec, key-clustered exchanges, no window") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 8L, 1L)).toDF("k", "t", "v")
