@@ -36,7 +36,8 @@ object Bench {
     // min is the steady-state engine cost — the regime that matters at
     // scale — with single-run noise (GC pauses, page-cache misses, JIT
     // recompiles) excluded; single-run numbers on this suite vary ±40%.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dt = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -307,22 +307,24 @@ object Dedup {
                           k: Int, shingleN: Int, rowsPerBand: Int,
                           threshold: Double): DataFrame = {
     requireBands(k, rowsPerBand)
-    val newPerDoc = perDocAggregate(newDocs, textCol, idCol, k, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBanded = bandedRows(newPerDoc, idCol, k, rowsPerBand)
-      .select(col(idCol).as("doc_new"), col("band_id"), col("band_key"))
+    // the new batch's verify set rides its band rows through the join
+    // (same one-pass shape as indexForIncremental) — the per-doc aggregate
+    // has exactly ONE consumer, so nothing needs persisting and repeated
+    // per-batch calls leak no cache entries
+    val newBanded = indexForIncremental(newDocs, textCol, idCol, k, shingleN, rowsPerBand)
+      .select(col(idCol).as("doc_new"), col("band_id"), col("band_key"),
+        col("sh").as("sh_new"))
     val corpusBands = corpusIndex
       .select(col(idCol).as("doc_old"), col("band_id"), col("band_key"))
     val candidates = newBanded.join(corpusBands, Seq("band_id", "band_key"))
       .filter(col("doc_new") =!= col("doc_old"))
-      .select("doc_new", "doc_old").distinct()
-    val newSets = newPerDoc.select(col(idCol).as("doc_new"), col("sh").as("sh_new"))
+      .groupBy("doc_new", "doc_old")
+      .agg(first(col("sh_new")).as("sh_new")) // constant per doc_new
     // the index carries sh once per (doc, band) — dedupe by id, never by
     // comparing the array values themselves
     val oldSets = corpusIndex.select(col(idCol).as("doc_old"), col("sh").as("sh_old"))
       .dropDuplicates("doc_old")
     candidates
-      .join(newSets, "doc_new")
       .join(oldSets, "doc_old")
       .withColumn("union_size",
         size(array_distinct(concat(col("sh_new"), col("sh_old")))).cast("long"))

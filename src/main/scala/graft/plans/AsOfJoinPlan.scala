@@ -20,9 +20,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * row at-or-before it. No union materialization, no window buffering:
   * per-partition state is a single carried row.
   *
-  * Semantics match `Relational.asofJoin` (backward, inclusive, ties
-  * resolved toward the largest carried tuple) — qx38 hash-checks this
-  * plan against DuckDB's native ASOF JOIN, the same oracle as qx16.
+  * Semantics: backward, inclusive, ROW-ATOMIC — the carried values all
+  * come from ONE right row, the row DuckDB's native ASOF JOIN would pick
+  * (qx38 hash-checks exactly that). Ties at equal (key, ts) resolve
+  * toward the largest carried tuple, like `Relational.asofJoin`. The one
+  * documented divergence from the composed operator: when carried columns
+  * CONTAIN NULLS, the composed form carries each column's last non-null
+  * independently (it can mix values from different right rows); this node
+  * carries the matched row as-is, nulls included — the DuckDB-consistent
+  * choice. On null-free carried columns (every oracle-gated
+  * configuration) the two agree exactly.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Attribute, rightKey: Attribute,
@@ -118,8 +125,17 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
       val nullCarried = InternalRow.fromSeq(Seq.fill(carried.length)(null))
       val joined = new JoinedRow
 
+      // SQL null semantics: a null key never equals anything and a null ts
+      // never satisfies the range — right rows with either can never match
+      // (dropped up front; NULLS FIRST ordering puts them at the head), and
+      // left rows with either emit null carried values without touching
+      // the merge state.
+      val rFiltered = rIter.filter { r =>
+        !r.isNullAt(rKeyIdx) && !r.isNullAt(rTsIdx)
+      }
+
       new Iterator[InternalRow] {
-        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var rRow: InternalRow = if (rFiltered.hasNext) rFiltered.next() else null
         private var lastMatch: InternalRow = null // carried values of best right row
         private var lastMatchKey: Any = null
         private def rKey = rRow.get(rKeyIdx, keyType)
@@ -129,6 +145,8 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
+          if (lRow.isNullAt(lKeyIdx) || lRow.isNullAt(lTsIdx))
+            return resultProj(joined(lRow, nullCarried))
           val lKey = lRow.get(lKeyIdx, keyType)
           val lTs = lRow.get(lTsIdx, tsType)
           // stale carry from a previous key group
@@ -140,13 +158,16 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
           while (advancing && rRow != null) {
             val c = keyOrd.compare(rKey, lKey)
             if (c < 0) {
-              rRow = if (rIter.hasNext) rIter.next() else null
+              rRow = if (rFiltered.hasNext) rFiltered.next() else null
             } else if (c == 0 && {
               val tc = tsOrd.compare(rTs, lTs); if (forward) tc >= 0 else tc <= 0
             }) {
               lastMatch = carriedProj(rRow).copy()
-              lastMatchKey = lKey
-              rRow = if (rIter.hasNext) rIter.next() else null
+              // the key value may point into a reused row buffer (UTF8String
+              // et al.) — copy it, or the stale-carry check silently breaks
+              // at key-group boundaries once inputs spill
+              lastMatchKey = InternalRow.copyValue(lKey)
+              rRow = if (rFiltered.hasNext) rFiltered.next() else null
             } else advancing = false
           }
           val carriedVals = if (lastMatch != null) lastMatch else nullCarried

@@ -130,7 +130,10 @@ final class FinancialApi(spark: SparkSession, facts: () => DataFrame,
   def triggerFetch(ticker0: String): Response = {
     val ticker = ticker0.toUpperCase
     onMiss(ticker)
-    val invalidated = cache.invalidateTicker(ticker)
+    // ticker-scoped entries + the store-wide aggregates the new data
+    // staleness-breaks (per-ticker matching can't reach those keys)
+    val invalidated = cache.invalidateTicker(ticker) +
+      cache.invalidatePrefix("storage_stats") + cache.invalidatePrefix("tickers")
     Response(200, "application/json",
       s"""{"success":true,"message":"Fetch triggered for $ticker","invalidated":$invalidated}""")
   }

@@ -96,6 +96,20 @@ final class ResultCache(maxSize: Int = 1000, defaultTtlSeconds: Long = 3600,
     n
   }
 
+  /** Drop every entry whose key was built with `prefix` (ResultCache.key's
+    * first segment) — for store-WIDE aggregates (storage stats, ticker
+    * census) that a per-ticker invalidation can never match but a data
+    * change still staleness-breaks. */
+  def invalidatePrefix(prefix: String): Int = synchronized {
+    val it = entries.values().iterator()
+    var removed = 0
+    while (it.hasNext) {
+      val raw = it.next().rawKey
+      if (raw == prefix || raw.startsWith(s"$prefix:")) { it.remove(); removed += 1 }
+    }
+    removed
+  }
+
   /** Expired-entry sweep (the reference runs one per minute in a loop;
     * here callers/schedulers invoke it explicitly). */
   def sweep(): Int = synchronized {

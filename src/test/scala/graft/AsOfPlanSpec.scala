@@ -65,6 +65,26 @@ class AsOfPlanSpec extends SparkSpec {
     assert(merged.toSeq == composed.toSeq && merged.nonEmpty)
   }
 
+  test("null keys and timestamps: left emits null carry, right rows never match, no crash") {
+    val left = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "nk"),
+      (Some(1L), None, "nt")).toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(5L), Some(50L)), (None, Some(1L), Some(99L)),
+      (Some(1L), None, Some(77L))).toDF("k", "t", "v")
+    val out = AsOfJoinPlan.asofJoinMerge(left, right, "k", "t", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("a") == Some(50L))  // the only valid right row
+    assert(out("nk").isEmpty && out("nt").isEmpty)
+  }
+
+  test("string keys: stale carry resets across key groups") {
+    val left = Seq(("alpha", 10L, "a1"), ("beta", 10L, "b1")).toDF("k", "t", "tag")
+    val right = Seq(("alpha", 5L, 500L)).toDF("k", "t", "v")
+    val out = AsOfJoinPlan.asofJoinMerge(left, right, "k", "t", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("a1") == Some(500L))
+    assert(out("b1").isEmpty) // must NOT inherit alpha's carry
+  }
+
   test("physical plan: our exec, key-clustered exchanges, no window") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 8L, 1L)).toDF("k", "t", "v")
