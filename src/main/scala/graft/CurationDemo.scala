@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-curation drive — the library as a training-data user
+  * consumes it: quality gate → exact + near-dup dedup (global groups) →
+  * deterministic split → mixture plan → context-window chunks, written
+  * out as train/val/test parquet. `runMain graft.CurationDemo [sfDir] [outDir]` */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("curated").toString
+    val spark = GraftSession.create("curation-demo", master = "local[8]",
+      shufflePartitions = 8)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.t(spark, sfDir, "documents")
+    val quality = docs.withColumn("n_tokens",
+        size(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")), " +")))
+      .filter(col("n_tokens").between(15, 80))
+    val canonical = operators.Dedup.exact(docs, "text", "doc_id")
+      .select(col("canonical_id").as("doc_id"))
+    val nearDupDrops = operators.Dedup.dedupGroups(docs, "text", "doc_id",
+        k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+      .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+    val curated = quality
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(nearDupDrops, Seq("doc_id"), "left_anti")
+      .persist() // three consumers below: mixture plan, split write, census
+
+    val plan = operators.TextAnalysis.mixtureWeights(curated, "lang",
+      Seq(("de", 150L), ("en", 400L), ("es", 150L), ("fr", 150L), ("zh", 150L)))
+    println("[demo] mixture plan:")
+    plan.orderBy("lang").collect().foreach(r => println(s"[demo]   $r"))
+
+    val splitDocs = operators.TextAnalysis.deterministicSplit(curated, "doc_id")
+    val chunks = operators.TextAnalysis.chunkDocuments(
+        splitDocs.select("doc_id", "text"), "text", "doc_id", 32, 16)
+      .join(splitDocs.select("doc_id", "split"), "doc_id")
+    chunks.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/chunks")
+
+    val census = spark.read.parquet(s"$outDir/chunks")
+      .groupBy("split").agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("sum_tokens"))
+      .orderBy("split")
+    println(s"[demo] kept ${curated.count()} of ${docs.count()} docs → $outDir")
+    census.collect().foreach(r => println(s"[demo]   $r"))
+    curated.unpersist()
+    spark.stop()
+  }
+}
