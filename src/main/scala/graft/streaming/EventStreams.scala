@@ -91,6 +91,16 @@ object EventStreams {
       .select(col("purchase_id"), col("user_id"), col("p_ts"), col("e_ts"))
   }
 
+  /** Stream-static enrichment: look up a dimension row for every event —
+    * the streaming analog of the batch broadcast dim join (J1). The static
+    * side is explicitly broadcast: each micro-batch joins against the
+    * dim without shuffling the stream, and Spark re-plans the static side
+    * per batch (a dim refresh between batches is picked up on file-backed
+    * dims). Left join: events with no dim row pass through with nulls —
+    * enrichment must never drop stream rows. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)

@@ -34,6 +34,25 @@ class StreamJoinSpec extends SparkSpec {
     assert(gotM == expM && gotM.nonEmpty)
   }
 
+  test("stream-static enrichment: broadcast dim join keeps all stream rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)] // (event_id, user_id)
+    val events = mem.toDF().toDF("event_id", "user_id")
+    val q = EventStreams.enrichedEvents(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 7L), (2L, 9L)) // user 9 has no dim row
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").select("user_id", "tier")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(7L -> Some("gold"), 9L -> None))
+    } finally q.stop()
+  }
+
   test("streaming execution: interval join runs append-mode with bounded state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
