@@ -235,6 +235,28 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- Cross-source duplication matrix ---------------------------------
+    // (which sources copy from which: near-dup pairs labeled with both
+    //  docs' source fields, aggregated into a (source_a, source_b) census —
+    //  the contamination/provenance report data teams run on dedup output)
+    "qx40_cross_source_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPipeline(docs, "text", "doc_id",
+          k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N,
+          rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = NEARDUP_JACCARD)
+        .select("doc_a", "doc_b")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+        .withColumn("src_lo", least(col("source_a"), col("source_b")))
+        .withColumn("src_hi", greatest(col("source_a"), col("source_b")))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("doc_a")).as("min_doc"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
     // ---- Flagship composition: the full curation pipeline ----------------
     // quality gate ∩ exact-dedup canonical ∩ near-dup-group canonical →
     // deterministic split → per-(split, lang) census. Every stage is an
@@ -512,6 +534,33 @@ object PipelineQueries {
          |FROM cand
          |WHERE bit_count(xor(sim_a, sim_b)) <= $SIMHASH_MAX_HAMMING
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "qx40_cross_source_dups" -> {
+      val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
+      val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
+      s"""WITH ${ExtensionQueries.sigCtes},
+         |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
+         |banded AS (${(0 until N_BANDS).map(b =>
+             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
+             .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS sh FROM t4 GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+         |  WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= $NEARDUP_JACCARD),
+         |lab AS (SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b
+         |        FROM pairs JOIN documents da ON doc_a = da.doc_id
+         |                   JOIN documents db ON doc_b = db.doc_id)
+         |SELECT LEAST(source_a, source_b) AS src_lo,
+         |  GREATEST(source_a, source_b) AS src_hi,
+         |  COUNT(*) AS n_pairs, MIN(doc_a) AS min_doc
+         |FROM lab GROUP BY src_lo, src_hi
+         |ORDER BY src_lo, src_hi""".stripMargin
     },
 
     "qx34_curation_pipeline" -> {

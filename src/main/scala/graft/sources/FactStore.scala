@@ -68,9 +68,16 @@ object FactStore {
     * co-located buckets. Requires a table catalog entry (saveAsTable) —
     * bucket metadata lives in the catalog, not the parquet footers. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    writeBucketedMulti(df, table, Seq(bucketCol), nBuckets)
+
+  /** Bucketed write on a composite key — the layout must carry EVERY join
+    * key column or the planner disables the bucketed scan (a join on
+    * (a, b) cannot reuse buckets hashed on b alone). */
+  def writeBucketedMulti(df: DataFrame, table: String, bucketCols: Seq[String],
+                         nBuckets: Int): Unit =
     df.write
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(table)

@@ -151,6 +151,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("incremental index stored bucketed on (band_id, band_key): corpus side of the candidate join scans bucketed") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val index = graft.operators.Dedup.indexForIncremental(docs, "text", "doc_id",
+      k = 16, shingleN = 3, rowsPerBand = 4)
+    graft.sources.FactStore.writeBucketedMulti(index, "corpus_band_index",
+      Seq("band_id", "band_key"), 4)
+    try {
+      val stored = spark.table("corpus_band_index")
+      val newBatch = docs.limit(5).withColumn("doc_id", col("doc_id") + 1000000L)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val inc = graft.operators.Dedup.incrementalNearDups(newBatch, stored,
+          "text", "doc_id", k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+        inc.count() // materialize for AQE's final plan
+        val plan = inc.queryExecution.executedPlan.toString
+        // the stored side reads its bucket layout; only the (small) new
+        // batch pays a shuffle for the band join
+        assert(plan.contains("Bucketed: true"), plan)
+        val bucketedScanSection = plan.split("FileScan").find(_.contains("corpus_band_index"))
+        assert(bucketedScanSection.isDefined, plan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS corpus_band_index")
+  }
+
   test("mixtureWeights: rejects targets not summing to 1000") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {
