@@ -131,7 +131,8 @@ object ExtraQueries {
     // ---- The full near-dup pipeline: minhash → bands → verify → decide ----
     "qx14_near_dup_pipeline" -> ((s, dir) => {
       graft.operators.Dedup.nearDupPipeline(t(s, dir, "documents"), "text", "doc_id",
-          k = 16, shingleN = 3, rowsPerBand = 4, threshold = 0.2)
+          k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N,
+          rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = 0.2)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -374,7 +375,7 @@ object ExtraQueries {
       val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
       s"""WITH ${ExtensionQueries.sigCtes},
          |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
-         |banded AS (${(0 until 4).map(b =>
+         |banded AS (${(0 until ExtensionQueries.MINHASH_K / ExtensionQueries.ROWS_PER_BAND).map(b =>
              s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
              .mkString("\n UNION ALL ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
