@@ -305,13 +305,22 @@ object Dedup {
   def incrementalNearDups(newDocs: DataFrame, corpusIndex: DataFrame,
                           textCol: String, idCol: String,
                           k: Int, shingleN: Int, rowsPerBand: Int,
-                          threshold: Double): DataFrame = {
-    requireBands(k, rowsPerBand)
+                          threshold: Double): DataFrame =
+    incrementalNearDupsFromIndex(
+      indexForIncremental(newDocs, textCol, idCol, k, shingleN, rowsPerBand),
+      corpusIndex, idCol, threshold)
+
+  /** [[incrementalNearDups]] for callers that ALREADY built the new side's
+    * band index (e.g. the streaming ingest loop, which must also append it
+    * to the store — building it once serves both uses). Both inputs are
+    * indexForIncremental-shaped: (id, band_id, band_key, sh). */
+  def incrementalNearDupsFromIndex(newIndex: DataFrame, corpusIndex: DataFrame,
+                                   idCol: String, threshold: Double): DataFrame = {
     // the new batch's verify set rides its band rows through the join
     // (same one-pass shape as indexForIncremental) — the per-doc aggregate
     // has exactly ONE consumer, so nothing needs persisting and repeated
     // per-batch calls leak no cache entries
-    val newBanded = indexForIncremental(newDocs, textCol, idCol, k, shingleN, rowsPerBand)
+    val newBanded = newIndex
       .select(col(idCol).as("doc_new"), col("band_id"), col("band_key"),
         col("sh").as("sh_new"))
     val corpusBands = corpusIndex

@@ -53,6 +53,33 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup-on-ingest: later batches flag dups against the growing index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("snd").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other = "completely different words about spark catalyst plans and shuffles here"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDup.start(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      s"$dir/index", s"$dir/dups", s"$dir/ckpt", threshold = 0.5)
+    try {
+      mem.addData((1L, base), (2L, other)) // first batch: nothing to match against
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/dups").count() == 0)
+      assert(spark.read.parquet(s"$dir/index").select("doc_id").distinct().count() == 2)
+      mem.addData((10L, near), (11L, "fresh unrelated text with novel content entirely"))
+      q.processAllAvailable()
+      val dups = spark.read.parquet(s"$dir/dups")
+        .select("doc_new", "doc_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups == Set((10L, 1L))) // near-dup of batch-1 doc flagged; fresh doc not
+      assert(spark.read.parquet(s"$dir/index").select("doc_id").distinct().count() == 4)
+    } finally q.stop()
+  }
+
   test("streaming execution: interval join runs append-mode with bounded state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
