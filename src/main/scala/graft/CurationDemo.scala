@@ -16,8 +16,12 @@ object CurationDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.t(spark, sfDir, "documents")
+    // the gate counts tokens with the SAME tokenizer the chunker uses —
+    // a hand-rolled split here would measure the 15..80 gate in different
+    // units than the chunks it admits
+    val sparkD = functions.Dialect(spark = true)
     val quality = docs.withColumn("n_tokens",
-        size(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")), " +")))
+        expr(s"CAST(${sparkD.size(functions.TextExprs.tokens("text")(sparkD))} AS BIGINT)"))
       .filter(col("n_tokens").between(15, 80))
     val canonical = operators.Dedup.exact(docs, "text", "doc_id")
       .select(col("canonical_id").as("doc_id"))

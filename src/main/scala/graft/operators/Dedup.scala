@@ -329,9 +329,12 @@ object Dedup {
       .filter(col("doc_new") =!= col("doc_old"))
       .groupBy("doc_new", "doc_old")
       .agg(first(col("sh_new")).as("sh_new")) // constant per doc_new
-    // the index carries sh once per (doc, band) — dedupe by id, never by
-    // comparing the array values themselves
+    // the index carries sh once per (doc, band): restrict to CANDIDATE
+    // docs first (semi-join against the tiny candidate set), THEN dedupe
+    // by id — the dedup shuffle is candidate-sized, not corpus-sized,
+    // which is what keeps per-batch cost flat in the streaming ingest loop
     val oldSets = corpusIndex.select(col(idCol).as("doc_old"), col("sh").as("sh_old"))
+      .join(candidates.select("doc_old").distinct(), Seq("doc_old"), "left_semi")
       .dropDuplicates("doc_old")
     candidates
       .join(oldSets, "doc_old")

@@ -74,13 +74,15 @@ object FactStore {
     * key column or the planner disables the bucketed scan (a join on
     * (a, b) cannot reuse buckets hashed on b alone). */
   def writeBucketedMulti(df: DataFrame, table: String, bucketCols: Seq[String],
-                         nBuckets: Int): Unit =
+                         nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketedMulti needs at least one bucket column")
     df.write
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** A7 freshness aggregate (ref: data_manager.py:304-331): latest filing
     * date + available periods per ticker — computed on demand from the facts

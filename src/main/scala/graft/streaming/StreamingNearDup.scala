@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types._
 import graft.operators.Dedup
 
 /** Streaming near-dup-on-ingest: the production dedup gate for a document
@@ -20,20 +19,12 @@ import graft.operators.Dedup
   * (k-min bands + hash sets per doc), queryable offline, and shared by
   * the batch pipeline (the same files serve qx35-style batch jobs).
   * foreachBatch gives at-least-once semantics for these external writes —
-  * a retried batch can re-append; consumers dedupe on (doc id, batch) or
-  * compact the index periodically, the standard contract for
-  * foreachBatch sinks.
+  * a retried batch can re-append, so both sinks carry `batch_id`:
+  * consumers dedupe on (ids, batch_id) and index compaction keeps the
+  * latest row per (doc, band, batch) — the standard foreachBatch sink
+  * contract, made implementable by actually writing the key.
   */
 object StreamingNearDup {
-
-  /** The index schema (indexForIncremental output) for the empty
-    * first-batch case. */
-  private def emptyIndex(spark: SparkSession, idCol: String): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField(idCol, LongType), StructField("band_id", LongType),
-        StructField("band_key", StringType),
-        StructField("sh", ArrayType(LongType)))))
 
   def start(docs: DataFrame, textCol: String, idCol: String,
             indexPath: String, dupsPath: String, checkpoint: String,
@@ -41,18 +32,35 @@ object StreamingNearDup {
             threshold: Double = 0.5): StreamingQuery = {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val newIndex = Dedup.indexForIncremental(batch, textCol, idCol,
             k, shingleN, rowsPerBand)
-          .persist() // two consumers: the match and the index append
+          .persist() // three consumers: cross-match, self-match, append
         try {
+          // ONLY path-not-found falls back to the empty first-batch index
+          // (schema-correct: derived from this batch's own index plan) —
+          // any other read failure must fail the batch so it retries,
+          // or the misses would be permanent and invisible
           val stored =
             try spark.read.parquet(indexPath)
-            catch { case _: Exception => emptyIndex(spark, idCol) }
-          Dedup.incrementalNearDupsFromIndex(newIndex, stored, idCol, threshold)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => newIndex.limit(0)
+            }
+          // near-dups vs everything ingested so far, PLUS within this very
+          // batch (same-batch arrivals would otherwise never be compared;
+          // the self-match keeps one direction of each pair)
+          val cross = Dedup.incrementalNearDupsFromIndex(newIndex, stored,
+            idCol, threshold)
+          val intra = Dedup.incrementalNearDupsFromIndex(newIndex, newIndex,
+              idCol, threshold)
+            .filter(col("doc_new") > col("doc_old"))
+          cross.unionByName(intra)
+            .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(dupsPath)
-          newIndex.write.mode("append").parquet(indexPath)
+          newIndex.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(indexPath)
         } finally { newIndex.unpersist(); () }
       }
       .start()

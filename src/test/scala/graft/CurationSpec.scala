@@ -168,10 +168,11 @@ class CurationSpec extends SparkSpec {
         inc.count() // materialize for AQE's final plan
         val plan = inc.queryExecution.executedPlan.toString
         // the stored side reads its bucket layout; only the (small) new
-        // batch pays a shuffle for the band join
-        assert(plan.contains("Bucketed: true"), plan)
-        val bucketedScanSection = plan.split("FileScan").find(_.contains("corpus_band_index"))
-        assert(bucketedScanSection.isDefined, plan)
+        // batch pays a shuffle for the band join. Assert on the
+        // corpus_band_index scan ITSELF, not just anywhere in the plan
+        val bucketedScanSection = plan.split("FileScan").find(s =>
+          s.contains("corpus_band_index") && s.contains("band_id"))
+        assert(bucketedScanSection.exists(_.contains("Bucketed: true")), plan)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally spark.sql("DROP TABLE IF EXISTS corpus_band_index")
   }

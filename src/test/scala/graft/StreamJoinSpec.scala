@@ -70,13 +70,20 @@ class StreamJoinSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.read.parquet(s"$dir/dups").count() == 0)
       assert(spark.read.parquet(s"$dir/index").select("doc_id").distinct().count() == 2)
-      mem.addData((10L, near), (11L, "fresh unrelated text with novel content entirely"))
+      // batch 2: one cross-batch near-dup (10~1) AND an intra-batch pair
+      // (12~13 arrive together — the self-match must catch them)
+      mem.addData((10L, near), (11L, "fresh unrelated text with novel content entirely"),
+        (12L, "same batch twin documents must still be caught by the gate one"),
+        (13L, "same batch twin documents must still be caught by the gate two"))
       q.processAllAvailable()
       val dups = spark.read.parquet(s"$dir/dups")
         .select("doc_new", "doc_old").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(dups == Set((10L, 1L))) // near-dup of batch-1 doc flagged; fresh doc not
-      assert(spark.read.parquet(s"$dir/index").select("doc_id").distinct().count() == 4)
+      assert(dups == Set((10L, 1L), (13L, 12L)))
+      assert(spark.read.parquet(s"$dir/index").select("doc_id").distinct().count() == 6)
+      // both sinks carry the at-least-once dedupe key
+      assert(spark.read.parquet(s"$dir/dups").columns.contains("batch_id"))
+      assert(spark.read.parquet(s"$dir/index").columns.contains("batch_id"))
     } finally q.stop()
   }
 
