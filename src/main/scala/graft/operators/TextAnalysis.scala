@@ -211,6 +211,32 @@ object TextAnalysis {
             x => x.getField("w"))).as("chunk_text"))
   }
 
+  /** Unigram log-probability scoring — the train-then-apply quality
+    * filter: fit token frequencies on the corpus, score each doc by the
+    * mean log-probability of its tokens (low = out-of-distribution /
+    * gibberish, the cheap stand-in for an LM perplexity filter).
+    *
+    * Laplace-smoothed: p(w) = (count(w) + 1) / (N + V). Scoring joins the
+    * token stream against the frequency table on the term — at corpus
+    * scale the vocabulary is orders of magnitude smaller than the token
+    * stream, so the table broadcasts and the stream never shuffles for
+    * the lookup; the per-doc mean is one doc-keyed partial-aggregable
+    * pass. Rounded to 6dp for cross-engine gating. */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(expr(TX.tokens(textCol))).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val totals = freq.agg(sum("cnt").as("n_tokens_corpus"),
+      count(lit(1)).as("vocab_size"))
+    val scored = tok.join(broadcast(freq), "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("logp",
+        log((col("cnt") + 1).cast("double")
+          / (col("n_tokens_corpus") + col("vocab_size")).cast("double")))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 6).as("mean_logp"))
+  }
+
   /** Domain-mixture planning: per-domain sampling rates that hit target
     * proportions while keeping as many docs as possible. With observed
     * counts n_d and integer permille targets t_d, the achievable total is

@@ -235,6 +235,15 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- Unigram log-prob quality scoring (train-then-apply) -------------
+    // (fit token frequencies on the corpus, score docs by mean log p(w) —
+    //  the cheap stand-in for an LM perplexity filter; vocab broadcasts,
+    //  the token stream never shuffles for the lookup)
+    "qx41_unigram_logprob" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- Cross-source duplication matrix ---------------------------------
     // (which sources copy from which: near-dup pairs labeled with both
     //  docs' source fields, aggregated into a (source_a, source_b) census —
@@ -534,6 +543,19 @@ object PipelineQueries {
          |FROM cand
          |WHERE bit_count(xor(sim_a, sim_b)) <= $SIMHASH_MAX_HAMMING
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "qx41_unigram_logprob" -> {
+      val toks = TX.tokens("text")
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens_corpus,
+         |          COUNT(*) AS vocab_size FROM freq)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ROUND(AVG(ln(CAST(cnt + 1 AS DOUBLE)
+         |    / CAST(n_tokens_corpus + vocab_size AS DOUBLE))), 6) AS mean_logp
+         |FROM tok JOIN freq USING (w) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "qx40_cross_source_dups" -> {

@@ -177,6 +177,21 @@ class CurationSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS corpus_band_index")
   }
 
+  test("unigramLogProb: common-token docs score higher; hand-checked smoothing") {
+    val docs = Seq(
+      (1L, "common common common"),   // all high-frequency tokens
+      (2L, "common rare"),            // mixed
+      (3L, "common common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: common×6, rare×1 → N=7, V=2; p(common)=(6+1)/9, p(rare)=(1+1)/9
+    val pc = math.log(7.0 / 9.0); val pr = math.log(2.0 / 9.0)
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - BigDecimal(pc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(2L)._2 - BigDecimal((pc + pr) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(1L)._2 > out(2L)._2) // rare-token doc scores lower
+  }
+
   test("mixtureWeights: rejects targets not summing to 1000") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {
