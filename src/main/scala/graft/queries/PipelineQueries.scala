@@ -55,6 +55,7 @@ object PipelineQueries {
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 16
   private val SIMHASH_MAX_HAMMING = 3
+  private val VOCAB_K = 200
   private val N_BANDS = ExtensionQueries.MINHASH_K / ExtensionQueries.ROWS_PER_BAND
 
   val queries: Map[String, Q] = Map(
@@ -233,6 +234,18 @@ object PipelineQueries {
       graft.operators.Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id",
           maxHamming = SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- Vocabulary building: top-K corpus terms (BPE-seed census) -------
+    // (term counts + deterministic top-K — plans as TakeOrderedAndProject:
+    //  per-partition heaps, k rows to the driver, never a full sort)
+    "qx42_vocabulary" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").select(
+        explode(expr(TX.tokens("text")(Dialect(spark = true)))).as("term"))
+      tok.groupBy("term")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(VOCAB_K)
     }),
 
     // ---- Unigram log-prob quality scoring (train-then-apply) -------------
@@ -543,6 +556,13 @@ object PipelineQueries {
          |FROM cand
          |WHERE bit_count(xor(sim_a, sim_b)) <= $SIMHASH_MAX_HAMMING
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "qx42_vocabulary" -> {
+      val toks = TX.tokens("text")
+      s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)
+         |SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+         |ORDER BY cnt DESC, term ASC LIMIT $VOCAB_K""".stripMargin
     },
 
     "qx41_unigram_logprob" -> {
