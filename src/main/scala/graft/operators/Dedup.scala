@@ -284,6 +284,19 @@ object Dedup {
         threshold) { pairsPlan =>
       val cc = Graph.connectedComponents(
         pairsPlan.select("doc_a", "doc_b"), "doc_a", "doc_b")
+      // Scope-escape invariant: the frame built below LEAVES this closure,
+      // which nearDupPipelineScoped's contract forbids for plans that still
+      // reference `pairsPlan` (the per-doc cache is unpersisted on return).
+      // It is safe ONLY because connectedComponents fully consumed the pairs
+      // and returned a checkpoint-backed frame whose lineage no longer
+      // reaches them. Assert that truncation here so a future change to
+      // CC's materialization fails loudly instead of silently recomputing
+      // the unpersisted per-doc aggregate on every downstream action.
+      assert(cc.queryExecution.logical
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+        "connectedComponents must return a checkpoint-backed frame " +
+          "(lineage truncated); dedupGroups returns its derivation out of " +
+          "the scoped-cache closure and relies on it")
       val sizes = cc.groupBy("component").agg(count(lit(1)).as("group_size"))
       cc.join(sizes, "component")
         .select(col("id").as(idCol), col("component").as("group_id"),

@@ -110,7 +110,16 @@ object Graph {
         if (sys.env.contains("GRAFT_CC_VERBOSE"))
           println(f"[cc] round $iter: violations=$violations ${(System.nanoTime() - t0) / 1e9}%.2f s")
         if (violations == 0L) return labels
+        // step() reads `labels` only through its own plan, so once the new
+        // round's checkpoint has materialized (localCheckpoint is eager) the
+        // previous round's blocks are dead — release them now instead of
+        // letting them pile up in executor storage until ContextCleaner
+        // eventually notices (high-round graphs would otherwise hold every
+        // intermediate labeling simultaneously). The final returned frame is
+        // never unpersisted — consumers read its cached blocks.
+        val prev = labels
         labels = step(labels).localCheckpoint()
+        prev.unpersist()
         iter += 1
       }
       throw new IllegalStateException(

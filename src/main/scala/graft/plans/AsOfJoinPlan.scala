@@ -99,6 +99,13 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // Co-partitioning invariant: zipPartitions requires both children to have
+  // the SAME partition count. EnsureRequirements guarantees it here — both
+  // requiredChildDistributions are ClusteredDistribution on one key, so the
+  // planner gives both sides the same HashPartitioning(numShufflePartitions)
+  // (or co-partitioned bucketed scans). zipPartitions itself throws loudly
+  // if the counts ever diverge, so a future Spark behavior change surfaces
+  // as a hard error, never silent misalignment.
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -202,6 +209,20 @@ object AsOfJoinPlan {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"$side side has no column '$name'"))
     val carried = valueCols.map(attr(rPlan, _, "right"))
+    // Carried columns join the right child's requiredChildOrdering (the
+    // deterministic tie-break), so they must be sort-orderable — validate
+    // HERE with a clear message instead of letting planning fail later
+    // with an opaque sort error on e.g. a MapType column.
+    (("key", attr(lPlan, keyCol, "left").dataType) +:
+      ("timestamp", attr(lPlan, tsCol, "left").dataType) +:
+      carried.map(a => (s"carried column '${a.name}'", a.dataType))).foreach {
+      case (what, dt) =>
+        require(RowOrdering.isOrderable(dt),
+          s"as-of join $what has non-orderable type ${dt.catalogString}; " +
+            "carried columns participate in the tie-break sort — project " +
+            "orderable columns (or re-attach unorderable ones by joining " +
+            "back on an orderable row id)")
+    }
     val carriedOut = carried.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
     val node = AsOfJoin(lPlan, rPlan,

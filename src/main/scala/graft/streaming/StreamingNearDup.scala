@@ -33,36 +33,56 @@ object StreamingNearDup {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val newIndex = Dedup.indexForIncremental(batch, textCol, idCol,
-            k, shingleN, rowsPerBand)
-          .persist() // three consumers: cross-match, self-match, append
-        try {
-          // ONLY path-not-found falls back to the empty first-batch index
-          // (schema-correct: derived from this batch's own index plan) —
-          // any other read failure must fail the batch so it retries,
-          // or the misses would be permanent and invisible
-          val stored =
-            try spark.read.parquet(indexPath)
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" => newIndex.limit(0)
-            }
-          // near-dups vs everything ingested so far, PLUS within this very
-          // batch (same-batch arrivals would otherwise never be compared;
-          // the self-match keeps one direction of each pair)
-          val cross = Dedup.incrementalNearDupsFromIndex(newIndex, stored,
-            idCol, threshold)
-          val intra = Dedup.incrementalNearDupsFromIndex(newIndex, newIndex,
-              idCol, threshold)
-            .filter(col("doc_new") > col("doc_old"))
-          cross.unionByName(intra)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(dupsPath)
-          newIndex.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(indexPath)
-        } finally { newIndex.unpersist(); () }
+        processBatch(batch, batchId, textCol, idCol, indexPath, dupsPath,
+          k, shingleN, rowsPerBand, threshold)
       }
       .start()
+  }
+
+  /** One micro-batch of the ingest-dedup gate — public so the retry
+    * semantics are testable outside a streaming query (foreachBatch may
+    * re-run a batch under the SAME batchId after a partial failure). */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   textCol: String, idCol: String,
+                   indexPath: String, dupsPath: String,
+                   k: Int, shingleN: Int, rowsPerBand: Int,
+                   threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val newIndex = Dedup.indexForIncremental(batch, textCol, idCol,
+        k, shingleN, rowsPerBand)
+      .persist() // three consumers: cross-match, self-match, append
+    try {
+      // ONLY path-not-found falls back to the empty first-batch index
+      // (schema-correct: derived from this batch's own index plan) —
+      // any other read failure must fail the batch so it retries,
+      // or the misses would be permanent and invisible.
+      // The batch_id filter closes the at-least-once retry hole: a batch
+      // that failed AFTER the index append re-runs with the same batchId
+      // and would otherwise read its own rows back as "stored", emitting
+      // every intra-batch pair in both orientations under one batch_id —
+      // which the (ids, batch_id) consumer dedupe cannot collapse.
+      // Excluding rows stamped with the current batchId leaves intra-batch
+      // pairs solely to the canonicalized self-match below.
+      val stored =
+        (try spark.read.parquet(indexPath)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+              newIndex.limit(0).withColumn("batch_id", lit(-1L))
+        }).filter(col("batch_id") =!= lit(batchId))
+      // near-dups vs everything ingested so far, PLUS within this very
+      // batch (same-batch arrivals would otherwise never be compared;
+      // the self-match keeps one direction of each pair)
+      val cross = Dedup.incrementalNearDupsFromIndex(newIndex, stored,
+        idCol, threshold)
+      val intra = Dedup.incrementalNearDupsFromIndex(newIndex, newIndex,
+          idCol, threshold)
+        .filter(col("doc_new") > col("doc_old"))
+      cross.unionByName(intra)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(dupsPath)
+      newIndex.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(indexPath)
+    } finally { newIndex.unpersist(); () }
   }
 }

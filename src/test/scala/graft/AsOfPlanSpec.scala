@@ -96,4 +96,17 @@ class AsOfPlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(k"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("non-orderable carried column fails fast with a clear message, not a planner error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L, "a")).toDF("k", "ts", "v")
+      .withColumn("m", map(col("v"), col("ts"))) // MapType: not sort-orderable
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan.asofJoinMerge(l, r, "k", "ts", Seq("m"))
+    }
+    assert(e.getMessage.contains("non-orderable") && e.getMessage.contains("'m'"),
+      e.getMessage)
+  }
 }

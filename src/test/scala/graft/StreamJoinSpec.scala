@@ -119,4 +119,28 @@ class StreamJoinSpec extends SparkSpec {
         Option(progress).map(_.json).getOrElse("no progress"))
     } finally q.stop()
   }
+
+  test("near-dup ingest retry: a re-run batch never matches its own stored index rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sndr").toString
+    val twinA = "same batch twin documents must still be caught by the gate one"
+    val twinB = "same batch twin documents must still be caught by the gate two"
+    val batch = Seq((12L, twinA), (13L, twinB)).toDF("doc_id", "text")
+    def run() = graft.streaming.StreamingNearDup.processBatch(
+      batch, batchId = 0L, "text", "doc_id",
+      s"$dir/index", s"$dir/dups", k = 16, shingleN = 3, rowsPerBand = 4,
+      threshold = 0.5)
+    // attempt 1 completes both appends, then the epoch commit "fails" and
+    // foreachBatch re-runs the SAME batchId — the at-least-once contract
+    run(); run()
+    val dups = spark.read.parquet(s"$dir/dups")
+      .select("doc_new", "doc_old", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Each attempt must emit the pair ONCE, in canonical orientation only:
+    // the consumer contract dedupes on (ids, batch_id), which collapses
+    // identical rows across retries but could not collapse (12,13)+(13,12).
+    assert(dups.toSet == Set((13L, 12L, 0L)), s"got $dups")
+    assert(dups.size == 2) // two attempts, one canonical row each
+    assert(dups.toSet.size == 1) // (ids, batch_id) dedupe collapses them
+  }
 }
