@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence batching for LLM training: exact GLOBAL prefix sums and
+  * concat-and-chunk packing of a document stream into fixed context
+  * windows — without the single-partition window that the naive
+  * `SUM(x) OVER (ORDER BY id)` plan degenerates to.
+  *
+  * Why this exists: packing assigns every document a position in the
+  * concatenated token stream, which is a global running sum. Spark plans
+  * an un-partitioned window as Exchange SinglePartition + one task that
+  * streams the entire corpus — the textbook 100 TB scale-killer (one
+  * straggler task, unbounded spill). The two-phase decomposition here
+  * keeps every data-sized operation fully parallel:
+  *
+  *  1. range-shuffle rows by the (unique) ordering key, so partition p
+  *     holds a contiguous key range and partitions are globally ordered;
+  *  2. per-partition local running sums (window PARTITION BY partition id
+  *     — parallel, one spillable buffer per partition);
+  *  3. per-partition totals (map-side-combinable aggregate, ≤ one row per
+  *     partition) → exclusive offsets via a window over that TINY frame
+  *     (its single-partition stage is bounded by partition COUNT, i.e.
+  *     cluster size, never data size);
+  *  4. broadcast the offsets back and add.
+  *
+  * The decomposition is exact, not approximate: addition of longs is
+  * associative, and the range shuffle preserves a total order as long as
+  * the ordering key is UNIQUE (enforced-by-contract; ties would make any
+  * running sum ill-defined in both engines anyway).
+  */
+object Packing {
+
+  /** Exact global running sum of `valueCol` (long) in `orderCol` order,
+    * appended as `outCol` — inclusive (each row's own value counted).
+    * `orderCol` must be unique and non-null; `valueCol` non-null.
+    * Adds two narrow columns and never single-partitions the data. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // contiguous, globally-ordered ranges; pid stamped BEFORE any further
+    // exchange so it names the range, not a later hash bucket
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local", sum(col(valueCol)).over(localW))
+    // exclusive prefix of per-partition totals: ≤ n rows, so the
+    // single-partition window is cluster-bounded, not data-bounded
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum(col(valueCol)).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(offW), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Concat-and-chunk packing: documents are laid head-to-tail in
+    * `idCol` order into an infinite token tape, which is cut every
+    * `contextLen` tokens — the standard pretraining batcher (documents
+    * MAY straddle a boundary; the consumer splits them). Per surviving
+    * doc (zero-token docs occupy no tape and are dropped):
+    *
+    *  - `start_off`   tokens on the tape before this doc
+    *  - `start_pack`  window holding the doc's first token
+    *  - `end_pack`    window holding its last token
+    *  - `n_packs`     windows the doc touches (straddlers have > 1)
+    *
+    * Built on [[prefixSum]], so the whole computation is data-parallel.
+    */
+  def packSequential(docs: DataFrame, idCol: String, tokensCol: String,
+                     contextLen: Long): DataFrame = {
+    require(contextLen > 0, s"contextLen=$contextLen must be positive")
+    val nonEmpty = docs.filter(col(tokensCol) > 0)
+    // integer `div`, not floating `/`: double division silently loses
+    // exactness once the tape position passes 2^53 tokens
+    prefixSum(nonEmpty, idCol, tokensCol, "__cum")
+      .withColumn("start_off", col("__cum") - col(tokensCol))
+      .withColumn("start_pack", expr(s"start_off div ${contextLen}L"))
+      .withColumn("end_pack", expr(s"(__cum - 1) div ${contextLen}L"))
+      .withColumn("n_packs", col("end_pack") - col("start_pack") + 1)
+      .drop("__cum")
+  }
+}

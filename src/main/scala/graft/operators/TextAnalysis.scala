@@ -280,4 +280,45 @@ object TextAnalysis {
       .select(col(domainCol), col("n_docs"), col("target_pm"),
         col("keep_docs"), col("rate_pm"))
   }
+
+  /** Collocation mining: top-`topK` token bigrams by pointwise mutual
+    * information, `minCount` occurrences or more. PMI =
+    * ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram instances and p(a),
+    * p(b) over unigram instances — the standard "which word pairs stick
+    * together" census (multi-word entities, boilerplate detection).
+    *
+    * Scale shape: bigrams reuse the shingle machinery (n=2) so Spark and
+    * the oracle share one definition; both censuses are map-side-combined
+    * grouped counts; the two unigram-frequency lookups are equi-joins on
+    * the token (AQE broadcasts them when the vocabulary allows); the
+    * 1-row totals cross-join in as broadcasts. Nothing driver-side, no
+    * quadratic stage. Final order: pmi desc (6dp), then (w1, w2) — fully
+    * deterministic under ties. */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long, topK: Int): DataFrame = {
+    val toks = docs.select(expr(TX.tokens(textCol)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val bi = toks.select(explode(expr(TX.shingles("__toks", 2))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    val nBi = bi.agg(sum(col("c_ab")).as("n_bi"))
+    bi.filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      // double-precision products in fixed left-to-right order — the
+      // oracle writes the same parenthesization, so ln sees an identical
+      // double in both engines
+      .withColumn("pmi", round(log(
+        col("c_ab").cast("double") * col("n_uni").cast("double")
+          * col("n_uni").cast("double")
+          / (col("n_bi").cast("double") * col("c1").cast("double")
+            * col("c2").cast("double"))), 6))
+      .select("w1", "w2", "c_ab", "pmi")
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

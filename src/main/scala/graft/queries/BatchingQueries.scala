@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.{Dialect, TextExprs => TX}
+import graft.operators.{Clustering, Packing, TextAnalysis}
+
+/** Round-3 batch: the operators that turn a curated corpus into training
+  * batches — sequence packing (exact distributed prefix sums), PMI
+  * collocations, k-means semantic clustering (both Lloyd half-steps), and
+  * the approximate-sketch census. All but the sketches oracle-gated; the
+  * sketches are estimator-based (HLL++, KLL) so they get spec-based error
+  * bounds instead (SketchSpec) and a rows-only driver check. */
+object BatchingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Context window for qx43 — ~2.3 docs per window at the corpus's ~55
+    * tokens/doc, so straddling docs (n_packs > 1) actually occur. */
+  private val PACK_CONTEXT = 128L
+  private val PMI_MIN_COUNT = 5L
+  private val PMI_TOP = 100
+  private val KMEANS_K = 8
+  private def sparkD = Dialect(spark = true)
+  private def duckD = Dialect(spark = false)
+
+  /** Shared centroid seed: the first KMEANS_K vectors (deterministic; the
+    * standard "seed from data" init without RNG). */
+  private def centroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+
+  def queries: Map[String, Q] = Map(
+
+    // ---- Sequence packing: concat-and-chunk into context windows --------
+    // (global prefix sum WITHOUT a single-partition window — the two-phase
+    //  range-partitioned decomposition in operators/Packing)
+    "qx43_sequence_packing" -> ((s, dir) => {
+      val d = sparkD
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+      Packing.packSequential(docs, "doc_id", "n_tokens", PACK_CONTEXT)
+        .orderBy("doc_id")
+    }),
+
+    // ---- PMI bigram collocations ----------------------------------------
+    "qx44_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
+        PMI_MIN_COUNT, PMI_TOP)),
+
+    // ---- k-means assign: nearest centroid by cosine, broadcast centroids
+    "qx45_kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Clustering.kmeansAssign(emb, "vec_id", "embedding",
+          centroids(emb), "centroid_id", "c_emb")
+        .orderBy("vec_id")
+    }),
+
+    // ---- k-means update: exact decimal per-dimension refit ---------------
+    "qx46_kmeans_update" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assign = Clustering.kmeansAssign(emb, "vec_id", "embedding",
+        centroids(emb), "centroid_id", "c_emb")
+      Clustering.kmeansUpdate(emb, "vec_id", "embedding", assign)
+        .orderBy("cluster", "dim")
+    }),
+
+    // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
+    // (estimators are engine-specific by design → no DuckDB oracle; the
+    //  error-bound contract is spec-enforced in SketchSpec instead)
+    "qx47_sketch_census" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_p50_chars"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("approx_p90_chars"))
+        .orderBy("source")
+    })
+  )
+
+  // -----------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "qx43_sequence_packing" -> {
+      val d = duckD
+      val toks = TX.tokens("text")(d)
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(${d.size(toks)} AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |nz AS (SELECT * FROM base WHERE n_tokens > 0),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         |  FROM nz)
+         |SELECT doc_id, n_tokens,
+         |  c - n_tokens AS start_off,
+         |  ${d.idiv("(c - n_tokens)", s"$PACK_CONTEXT")} AS start_pack,
+         |  ${d.idiv("(c - 1)", s"$PACK_CONTEXT")} AS end_pack,
+         |  ${d.idiv("(c - 1)", s"$PACK_CONTEXT")} - ${d.idiv("(c - n_tokens)", s"$PACK_CONTEXT")} + 1 AS n_packs
+         |FROM cum ORDER BY doc_id""".stripMargin
+    },
+
+    "qx44_pmi_bigrams" -> {
+      val d = duckD
+      val toks = TX.tokens("text")(d)
+      val bigrams = TX.shingles("__toks", 2)(d)
+      s"""WITH tokd AS (SELECT $toks AS __toks FROM documents),
+         |tok AS (SELECT unnest(__toks) AS w FROM tokd),
+         |uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+         |big AS (SELECT unnest($bigrams) AS bg FROM tokd),
+         |bc AS (SELECT bg, COUNT(*) AS c_ab FROM big GROUP BY bg),
+         |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bc)
+         |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         |  c_ab,
+         |  ROUND(ln(CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)
+         |    / (CAST(n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+         |FROM bc
+         |JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+         |JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c_ab >= $PMI_MIN_COUNT
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PMI_TOP""".stripMargin
+    },
+
+    "qx45_kmeans_assign" -> (kmeansAssignSql +
+      "\nSELECT vec_id, cluster, cosine FROM assign ORDER BY vec_id"),
+
+    "qx46_kmeans_update" -> (kmeansAssignSql + s"""
+         |SELECT a.cluster, CAST(i AS BIGINT) AS dim,
+         |  COUNT(*) AS n_vecs,
+         |  ROUND(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_val
+         |FROM assign a
+         |JOIN embeddings e USING (vec_id),
+         |  UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+         |GROUP BY a.cluster, i
+         |ORDER BY a.cluster, dim""".stripMargin)
+  )
+
+  /** Shared CTE prefix for qx45/qx46: deterministic nearest-centroid
+    * assignment (cosine desc, centroid asc), zero-norm rows excluded —
+    * the portable form of Clustering.kmeansAssign. */
+  private def kmeansAssignSql: String = {
+    val d = duckD
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS n2
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb, n2 AS cn2
+       |  FROM vecs WHERE vec_id < $KMEANS_K AND n2 > 0),
+       |scored AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ${TX.dot("v.embedding", "c.c_emb")(d)} / (sqrt(v.n2) * sqrt(c.cn2)) AS cos
+       |  FROM vecs v CROSS JOIN cents c WHERE v.n2 > 0),
+       |assign AS (
+       |  SELECT vec_id, cid AS cluster, ROUND(cos, 6) AS cosine
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, cid ASC) AS rn FROM scored)
+       |  WHERE rn = 1)""".stripMargin
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeansAssign picks the nearest centroid by cosine; ties go to the smaller id") {
+    val cents = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 2L -> Seq(1f, 0f))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val vs = emb(
+      10L -> Seq(2f, 0.1f),   // → centroid 0 (or 2, same vector) — tie → 0
+      11L -> Seq(0.1f, 3f),   // → centroid 1
+      12L -> Seq(0f, 0f))     // zero norm: excluded
+    val got = Clustering.kmeansAssign(vs, "vec_id", "embedding", cents, "cid", "cv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L))
+  }
+
+  test("kmeansUpdate: exact per-dimension means, 1-based dims") {
+    import spark.implicits._
+    val vs = emb(1L -> Seq(1f, 2f), 2L -> Seq(3f, 6f), 3L -> Seq(10f, 20f))
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("vec_id", "cluster")
+    val got = Clustering.kmeansUpdate(vs, "vec_id", "embedding", assign)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      (0L, 1L) -> (2L, 2.0), (0L, 2L) -> (2L, 4.0),
+      (1L, 1L) -> (1L, 10.0), (1L, 2L) -> (1L, 20.0)))
+  }
+
+  test("assign plan: broadcast centroids, partial-aggregated argmax, no window/sort-merge") {
+    val vs = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = vs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val plan = Clustering.kmeansAssign(vs, "vec_id", "embedding", cents, "cid", "cv")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // argmax reduces map-side: partial aggregation present
+    assert(plan.contains("partial_max_by") || plan.contains("HashAggregate"), plan)
+  }
+}
