@@ -76,4 +76,60 @@ object Clustering {
         round(sum(col("__v").cast("double").cast("decimal(20,10)")).cast("double")
           / count(lit(1)), 6).as("mean_val"))
   }
+
+  /** Long-form refit back to centroid vectors: (cidCol, cvecCol) with the
+    * per-dim means reassembled in dim order as float arrays. */
+  private def centroidsFromUpdate(update: DataFrame, cidCol: String,
+                                  cvecCol: String): DataFrame =
+    update
+      .groupBy(col("cluster").as(cidCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("__dm"))
+      .withColumn(cvecCol, expr("transform(__dm, x -> CAST(x.mean_val AS FLOAT))"))
+      .drop("__dm")
+
+  /** Full Lloyd loop: assign → refit until no centroid moves more than
+    * `tol` per coordinate (L∞) or `maxIter` rounds. Returns the final
+    * centroids as (cluster, centroid) — feed [[kmeansAssign]] once more
+    * for the final labeling.
+    *
+    * Driver-loop discipline (same contract as Graph.connectedComponents):
+    * the driver carries ONLY the k-row movement decision; each round's
+    * centroids localCheckpoint so the logical plan doesn't grow by one
+    * assign+refit per round, and the previous round's blocks are released
+    * once the next materializes. Empty clusters keep their previous
+    * centroid (refit emits no rows for them — the standard Lloyd choice
+    * that avoids k shrinking mid-run). */
+  def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
+                k: Int, maxIter: Int = 20, tol: Double = 1e-4): DataFrame = {
+    require(k > 0 && maxIter > 0, "k and maxIter must be positive")
+    // deterministic seed: the k smallest ids (no RNG, engine-portable)
+    var ck = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cluster"), col(vecCol).as("centroid"))
+      .localCheckpoint()
+    var cents = ck
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val assign = kmeansAssign(vectors, idCol, vecCol, cents, "cluster", "centroid")
+      val refit = centroidsFromUpdate(
+        kmeansUpdate(vectors, idCol, vecCol, assign), "cluster", "centroid")
+      // empty clusters: carry the old centroid forward
+      val nextCk = cents.select(col("cluster"), col("centroid").as("__old"))
+        .join(refit.withColumnRenamed("centroid", "__new"), Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("__new"), col("__old")).as("centroid"),
+          col("__old"))
+        .localCheckpoint()
+      // L∞ movement over all clusters — k rows to the driver, never data
+      moved = nextCk
+        .select(max(expr(
+          "aggregate(zip_with(centroid, __old, (a, b) -> abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))")).as("m"))
+        .collect()(0).getDouble(0)
+      Checkpoints.release(ck)
+      ck = nextCk
+      cents = nextCk.drop("__old")
+      iter += 1
+    }
+    cents
+  }
 }

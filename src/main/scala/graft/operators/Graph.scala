@@ -116,10 +116,10 @@ object Graph {
         // letting them pile up in executor storage until ContextCleaner
         // eventually notices (high-round graphs would otherwise hold every
         // intermediate labeling simultaneously). The final returned frame is
-        // never unpersisted — consumers read its cached blocks.
+        // never released — consumers read its cached blocks.
         val prev = labels
         labels = step(labels).localCheckpoint()
-        prev.unpersist()
+        Checkpoints.release(prev)
         iter += 1
       }
       throw new IllegalStateException(

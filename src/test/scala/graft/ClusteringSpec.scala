@@ -34,6 +34,26 @@ class ClusteringSpec extends SparkSpec {
       (1L, 1L) -> (1L, 10.0), (1L, 2L) -> (1L, 20.0)))
   }
 
+  test("kmeansFit converges on separable blobs and labels them correctly") {
+    import spark.implicits._
+    // three tight 2-D blobs; seeds (ids 1..3) land one per blob
+    val blob = Seq(
+      (1L, Seq(10f, 0f)), (4L, Seq(10.5f, 0.2f)), (5L, Seq(9.7f, -0.1f)),
+      (2L, Seq(0f, 10f)), (6L, Seq(0.2f, 10.4f)), (7L, Seq(-0.3f, 9.8f)),
+      (3L, Seq(-10f, -10f)), (8L, Seq(-9.5f, -10.2f)), (9L, Seq(-10.1f, -9.7f)))
+    val vs = blob.toDF("vec_id", "embedding").repartition(4)
+    val cents = Clustering.kmeansFit(vs, "vec_id", "embedding", k = 3,
+      maxIter = 10, tol = 1e-6)
+    val labeled = Clustering.kmeansAssign(vs, "vec_id", "embedding",
+        cents, "cluster", "centroid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member joins its seed's cluster
+    assert(labeled(4L) == labeled(1L) && labeled(5L) == labeled(1L))
+    assert(labeled(6L) == labeled(2L) && labeled(7L) == labeled(2L))
+    assert(labeled(8L) == labeled(3L) && labeled(9L) == labeled(3L))
+    assert(Set(labeled(1L), labeled(2L), labeled(3L)).size == 3)
+  }
+
   test("assign plan: broadcast centroids, partial-aggregated argmax, no window/sort-merge") {
     val vs = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = vs.filter(col("vec_id") < 8)

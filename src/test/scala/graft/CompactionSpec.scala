@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.Compaction
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+
+  test("compaction collapses a fragmented store, preserves content, bounds file sizes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/store"
+    val df = (1L to 10000L).map(i => (i, s"row-$i", i % 7)).toDF("id", "payload", "grp")
+    df.repartition(64).write.parquet(dir) // the decayed, fragmented state
+    val before = spark.read.parquet(dir)
+      .agg(sum("id"), count(lit(1))).collect()(0)
+
+    val stats = Compaction.compactParquet(spark, dir, maxRecordsPerFile = 5000L)
+
+    assert(stats.filesBefore >= 32, s"setup produced only ${stats.filesBefore} files")
+    // 10k rows / 5k cap → at least 2 files, and far fewer than 64
+    assert(stats.filesAfter >= 2 && stats.filesAfter <= 8, stats.toString)
+    val after = spark.read.parquet(dir)
+      .agg(sum("id"), count(lit(1))).collect()(0)
+    assert(after == before, s"content changed: $before -> $after")
+    // every surviving file respects the record cap
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 5000L), perFile.mkString(","))
+  }
+
+  test("partitioned layout survives compaction within partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/store"
+    val df = (1L to 3000L).map(i => (i, (i % 3).toString)).toDF("id", "part")
+    df.repartition(24).write.partitionBy("part").parquet(dir)
+    Compaction.compactParquet(spark, dir, maxRecordsPerFile = 100000L,
+      partitionCols = Seq("part"))
+    // hive layout intact → partition pruning still works
+    val pruned = spark.read.parquet(dir).filter(col("part") === "2")
+    assert(pruned.count() == 1000L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+  }
+}
