@@ -394,4 +394,33 @@ object Dedup {
       .withColumn("jaccard",
         col("inter_size").cast("double") / col("union_size").cast("double"))
   }
+
+  /** Cross-document duplicated-span census: per doc, the fraction of its
+    * n-gram positions whose shingle also occurs in ANOTHER doc — the
+    * corpus-level "how much of this document is copied text" signal
+    * (substring-level duplication à la exact-substring training-data
+    * dedup, at shingle granularity; complements the within-doc repetition
+    * score, which this census deliberately does NOT count: a shingle must
+    * appear in ≥ 2 distinct docs to mark its positions duplicated).
+    *
+    * Single scan of the tokenize+hash front end (the qx14 lesson): the
+    * per-(shingle, doc) aggregate feeds BOTH the distinct-doc count (a
+    * shingle-keyed window over already-aggregated rows) and the per-doc
+    * rollup — no second pass, nothing persisted. All shuffles are keyed
+    * on shingle hash or doc id; output is one row per doc with spans. */
+  def duplicatedSpanCensus(docs: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int): DataFrame = {
+    val perShDoc = shingleHashRows(docs, textCol, idCol, shingleN)
+      .groupBy(col("sh"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
+    // docs-per-shingle, windowed over the aggregate (one row per (sh, doc)
+    // — the window partition is the shingle's DOC list, already collapsed)
+    val nd = Window.partitionBy("sh")
+    perShDoc.withColumn("nd", count(lit(1)).over(nd))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_fraction",
+        round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 6))
+  }
 }

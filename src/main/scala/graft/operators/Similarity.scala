@@ -180,6 +180,54 @@ object Similarity {
       .select("query_id", "centroid_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Multi-probe IVF: each query searches its `nProbe` nearest cells
+    * instead of one — the standard recall/cost dial (cell boundaries cut
+    * off true neighbors; probing adjacent cells recovers them for nProbe×
+    * the candidate work, still nothing like the cross join). The corpus
+    * keeps its single-cell assignment; only the small, broadcast query
+    * side fans out, so the join stays a cell-keyed equi-join and per-cell
+    * work scales with cell size, not corpus size. A neighbor can appear
+    * via exactly one probed cell (corpus assignment is top-1), so no
+    * dedup step is needed. Output adds which probe found each neighbor. */
+  def ivfKnnMultiProbe(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String,
+                       centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                       k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    requireSmallQuerySide(queries, "ivfKnnMultiProbe")
+    val c = withNorm2(centroids, cenVecCol)
+      .select(col(cenIdCol).as("centroid_id"), col(cenVecCol).as("c_vec"),
+        col("norm2").as("c_norm2"))
+    val q = withNorm2(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("norm2").as("q_norm2"))
+    // top-nProbe cells per query: window over the (small) query×centroid
+    // frame only — the corpus never sees a window here
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(coalesce(col("q_cos"), lit(-2.0)).desc, col("centroid_id").asc)
+    val qa = q.crossJoin(broadcast(c))
+      .withColumn("q_cos",
+        when(col("q_norm2") > 0 && col("c_norm2") > 0,
+          expr(TX.dotAuto("q_vec", "c_vec")) / (sqrt(col("q_norm2")) * sqrt(col("c_norm2")))))
+      .withColumn("probe_rank", row_number().over(wProbe).cast("long"))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"),
+        col("q_vec"), col("q_norm2"))
+    val ca = ivfAssign(corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col(vecCol).as("n_vec"), col("norm2").as("n_norm2"))
+    val scored = ca.join(broadcast(qa), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        when(col("q_norm2") > 0 && col("n_norm2") > 0,
+          expr(TX.dotAuto("q_vec", "n_vec")) / (sqrt(col("q_norm2")) * sqrt(col("n_norm2")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine", "centroid_id", "probe_rank")
+  }
+
   /** Bucket re-splitting for skewed LSH buckets — the bound that keeps
     * per-bucket all-pairs work from becoming a straggler at scale. Buckets
     * whose population exceeds `maxBucketSize` get `extraPlanes` additional

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.{Dialect, TextExprs => TX}
-import graft.operators.{Clustering, Packing, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Packing, Similarity, TextAnalysis}
 
 /** Round-3 batch: the operators that turn a curated corpus into training
   * batches — sequence packing (exact distributed prefix sums), PMI
@@ -22,6 +22,11 @@ object BatchingQueries {
   private val PMI_MIN_COUNT = 5L
   private val PMI_TOP = 100
   private val KMEANS_K = 8
+  private val SPAN_N = 3
+  private val PROBE_CENTROIDS = 8
+  private val PROBE_QUERY_SET = 20
+  private val PROBE_K = 3
+  private val N_PROBE = 2
   private def sparkD = Dialect(spark = true)
   private def duckD = Dialect(spark = false)
 
@@ -64,6 +69,22 @@ object BatchingQueries {
         centroids(emb), "centroid_id", "c_emb")
       Clustering.kmeansUpdate(emb, "vec_id", "embedding", assign)
         .orderBy("cluster", "dim")
+    }),
+
+    // ---- Cross-doc duplicated-span census ---------------------------------
+    "qx48_dup_span_census" -> ((s, dir) =>
+      Dedup.duplicatedSpanCensus(t(s, dir, "documents"), "text", "doc_id", SPAN_N)
+        .orderBy("doc_id")),
+
+    // ---- Multi-probe IVF ANN ----------------------------------------------
+    "qx49_multiprobe_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < PROBE_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      Similarity.ivfKnnMultiProbe(emb.filter(col("vec_id") < PROBE_QUERY_SET), emb,
+          "vec_id", "embedding", cents, "centroid_id", "c_emb", PROBE_K, N_PROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
     }),
 
     // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
@@ -126,6 +147,54 @@ object BatchingQueries {
          |WHERE c_ab >= $PMI_MIN_COUNT
          |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PMI_TOP""".stripMargin
     },
+
+    "qx48_dup_span_census" ->
+      s"""WITH ${ExtensionQueries.shingleCtes(SPAN_N)},
+         |d1 AS (SELECT sh, doc_id, COUNT(*) AS occ FROM t4 GROUP BY sh, doc_id),
+         |d2 AS (SELECT sh, doc_id, occ,
+         |         COUNT(*) OVER (PARTITION BY sh) AS nd FROM d1)
+         |SELECT doc_id,
+         |  CAST(SUM(occ) AS BIGINT) AS n_spans,
+         |  CAST(SUM(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) AS dup_spans,
+         |  ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(occ) AS DOUBLE), 6) AS dup_fraction
+         |FROM d2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "qx49_multiprobe_ann" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(duckD)} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM n WHERE vec_id < $PROBE_CENTROIDS),
+         |assigned AS (
+         |  SELECT vec_id, embedding, norm2, centroid_id FROM (
+         |    SELECT n.vec_id, n.embedding, n.norm2, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("n.embedding", "c_vec")(duckD)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |        DESC NULLS LAST, centroid_id) AS rn
+         |    FROM n CROSS JOIN cen)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec, norm2 AS q_norm2
+         |      FROM n WHERE vec_id < $PROBE_QUERY_SET),
+         |probes AS (
+         |  SELECT query_id, centroid_id, CAST(rn AS BIGINT) AS probe_rank, q_vec, q_norm2 FROM (
+         |    SELECT q.query_id, cen.centroid_id, q.q_vec, q.q_norm2,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        COALESCE(CASE WHEN q.q_norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("q.q_vec", "c_vec")(duckD)} / (sqrt(q.q_norm2) * sqrt(c_norm2)) END, -2.0)
+         |        DESC, centroid_id ASC) AS rn
+         |    FROM q CROSS JOIN cen)
+         |  WHERE rn <= $N_PROBE),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, p.centroid_id, p.probe_rank,
+         |    CASE WHEN p.q_norm2 > 0 AND c.norm2 > 0
+         |         THEN ${TX.dot("p.q_vec", "c.embedding")(duckD)} / (sqrt(p.q_norm2) * sqrt(c.norm2)) END AS cosine
+         |  FROM assigned c JOIN probes p ON c.centroid_id = p.centroid_id
+         |   AND p.query_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS knn_rank, cosine,
+         |  centroid_id, probe_rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rn FROM scored)
+         |WHERE rn <= $PROBE_K ORDER BY query_id, knn_rank""".stripMargin,
 
     "qx45_kmeans_assign" -> (kmeansAssignSql +
       "\nSELECT vec_id, cluster, cosine FROM assign ORDER BY vec_id"),

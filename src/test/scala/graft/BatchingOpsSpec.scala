@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class BatchingOpsSpec extends SparkSpec {
+
+  test("duplicated-span census: hand-checked fractions, within-doc repeats don't count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // shingles: "a b c", "b c d"
+      (2L, "a b c e"),        // shares "a b c" with doc 1
+      (3L, "x y z w"),        // nothing shared
+      (4L, "p q r p q r p q") // self-repeating only — 0 cross-doc dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanCensus(docs, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L)._2 == 0L, s"within-doc repetition must not count: ${got(4L)}")
+  }
+
+  test("multi-probe IVF: recall vs brute force never drops when probing more cells") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3))
+    val p1 = pairs(Similarity.ivfKnn(queries, emb, "vec_id", "embedding",
+      cents, "cid", "cv", 3))
+    val p2 = pairs(Similarity.ivfKnnMultiProbe(queries, emb, "vec_id", "embedding",
+      cents, "cid", "cv", 3, 2))
+    val r1 = (truth intersect p1).size.toDouble / truth.size
+    val r2 = (truth intersect p2).size.toDouble / truth.size
+    assert(r2 >= r1, s"recall dropped with more probes: 1-probe=$r1 2-probe=$r2")
+    assert(r2 > 0.5, s"2-probe recall implausibly low: $r2")
+    // NOT asserted: p1 ⊆ p2. With fixed k, a closer candidate surfaced by
+    // the second cell rightfully displaces a 1-probe result — only recall
+    // against the true top-k is monotone (anything that outranks a true
+    // top-k member is itself in the true top-k).
+  }
+
+  test("multi-probe rejects nProbe < 1") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.limit(2).select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfKnnMultiProbe(emb.limit(5), emb, "vec_id", "embedding",
+        cents, "cid", "cv", 3, 0)
+    }
+  }
+}
