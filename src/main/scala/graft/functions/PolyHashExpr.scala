@@ -99,6 +99,8 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_lsh_bucket", exprs => LshBucket(exprs(0), lshPlanes(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_zorder", exprs => ZOrder(exprs(0), exprs(1), lshPlanes(exprs(2))), "built-in")
     // self-dot → single-pass norm rewrite for sessions built without
     // GraftExtensions (idempotent: overwrite, don't append)
     if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))
@@ -133,6 +135,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LshBucket].getName, "graft_lsh_bucket"),
       (exprs: Seq[Expression]) => LshBucket(exprs(0), GraftFunctions.lshPlanes(exprs(1)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ZOrder].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => ZOrder(exprs(0), exprs(1),
+        GraftFunctions.lshPlanes(exprs(2)))))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

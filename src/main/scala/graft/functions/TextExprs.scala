@@ -41,6 +41,8 @@ final case class Dialect(spark: Boolean) {
     if (spark) s"slice($arr, 1, 0)" else s"list_slice($arr, 1, 0)"
   def regexExtractAll(s: String, pat: String): String =
     if (spark) s"regexp_extract_all($s, '($pat)', 1)" else s"regexp_extract_all($s, '$pat')"
+  def shr(a: String, n: Int): String =
+    if (spark) s"shiftright($a, $n)" else s"($a >> $n)"
 }
 
 object TextExprs {
@@ -118,6 +120,27 @@ object TextExprs {
 
   def norm2Auto(a: String)(implicit d: Dialect): String =
     if (d.spark) s"graft_dot($a, $a)" else norm2(a)
+
+  /** Portable z-order (Morton) interleave of the low `bits` bits of two
+    * bigint expressions — literal-unrolled, so it's plain shifts/masks in
+    * both engines (inputs taken modulo 2^bits, matching the native
+    * expression's semantics; nulls must be handled by the caller). */
+  def zorder(x: String, y: String, bits: Int)(implicit d: Dialect): String = {
+    require(bits >= 1 && bits <= 31, s"zorder bits=$bits out of [1,31]")
+    val mask = (1L << bits) - 1L
+    val terms = (0 until bits).flatMap { j =>
+      Seq(s"((${d.shr(s"($x & $mask)", j)} & 1) * ${1L << (2 * j)})",
+        s"((${d.shr(s"($y & $mask)", j)} & 1) * ${1L << (2 * j + 1)})")
+    }
+    s"(CAST(${terms.mkString(" + ")} AS BIGINT))"
+  }
+
+  /** zorder, preferring the native codegen'd graft_zorder on the Spark
+    * side (register GraftFunctions first); the duck dialect keeps the
+    * unrolled portable form — the oracle compare then continuously proves
+    * the native implementation equivalent. */
+  def zorderAuto(x: String, y: String, bits: Int)(implicit d: Dialect): String =
+    if (d.spark) s"graft_zorder($x, $y, $bits)" else zorder(x, y, bits)
 
   /** Deterministic pseudo-random hyperplane component for plane j, dim
     * index i (1-based): integer mix → uniform-ish double in [-0.5, 0.5). */

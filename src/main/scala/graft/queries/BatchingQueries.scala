@@ -27,6 +27,8 @@ object BatchingQueries {
   private val PROBE_QUERY_SET = 20
   private val PROBE_K = 3
   private val N_PROBE = 2
+  private val ZORDER_BITS = 16
+  private val ZBUCKET_DIV = 1L << 14
   private def sparkD = Dialect(spark = true)
   private def duckD = Dialect(spark = false)
 
@@ -85,6 +87,22 @@ object BatchingQueries {
           "vec_id", "embedding", cents, "centroid_id", "c_emb", PROBE_K, N_PROBE)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- Z-order key census: the layout key the clustered writer sorts by
+    // (native graft_zorder on the Spark side; the oracle runs the unrolled
+    //  shift/mask form — every run re-proves the codegen'd interleave)
+    "qx50_zorder_census" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = sparkD
+      t(s, dir, "lineitem")
+        .withColumn("z", expr(TX.zorderAuto(
+          "COALESCE(l_partkey, CAST(0 AS BIGINT))",
+          "COALESCE(l_suppkey, CAST(0 AS BIGINT))", ZORDER_BITS)(d)))
+        .groupBy(expr(s"z div $ZBUCKET_DIV").as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy("z_bucket")
     }),
 
     // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
@@ -195,6 +213,16 @@ object BatchingQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rn FROM scored)
          |WHERE rn <= $PROBE_K ORDER BY query_id, knn_rank""".stripMargin,
+
+    "qx50_zorder_census" -> {
+      val d = duckD
+      val z = TX.zorder("COALESCE(l_partkey, CAST(0 AS BIGINT))",
+        "COALESCE(l_suppkey, CAST(0 AS BIGINT))", ZORDER_BITS)(d)
+      s"""WITH zz AS (SELECT $z AS z FROM lineitem)
+         |SELECT ${d.idiv("z", s"$ZBUCKET_DIV")} AS z_bucket, COUNT(*) AS n_rows,
+         |  MIN(z) AS z_min, MAX(z) AS z_max
+         |FROM zz GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
 
     "qx45_kmeans_assign" -> (kmeansAssignSql +
       "\nSELECT vec_id, cluster, cosine FROM assign ORDER BY vec_id"),
