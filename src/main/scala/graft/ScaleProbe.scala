@@ -36,6 +36,22 @@ object ScaleProbe {
       println(f"[scale] docs=${n0 * mult}%7d  minhash+bands=${secs}%6.2fs  buckets>=2: $nBuckets")
     }
 
+    // sequence packing: the global-prefix-sum decomposition should also be
+    // ~linear (range shuffle + pid-local windows); a single-partition
+    // window plan would flatline one core here and give super-linear walls
+    base.unpersist() // don't let the corpus cache skew the packing probe
+    graft.operators.Packing.packSequential(
+      spark.range(1000).select(col("id"), lit(10L).as("n")), "id", "n", 128L).count()
+    for (mult <- Seq(1, 4, 16)) {
+      val n = 2000000L * mult
+      val docs = spark.range(n).select(col("id"), (col("id") % 97 + 1).as("n"))
+      val t0 = System.nanoTime()
+      val packs = graft.operators.Packing.packSequential(docs, "id", "n", 2048L)
+        .select(max("end_pack")).collect()(0).getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] pack_docs=$n%9d  pack=${secs}%6.2fs  packs: ${packs + 1}")
+    }
+
     // connected components: synthetic chains of 8 (worst-ish shape for
     // min-propagation alone; pointer jumping keeps rounds O(log n)), grown
     // 1×/4×/16× — wall time should grow ~linearly, rounds logarithmically
