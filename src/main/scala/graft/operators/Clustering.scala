@@ -63,8 +63,12 @@ object Clustering {
   /** Lloyd refit: per-(cluster, dim) mean of member vectors, long-form
     * (`cluster, dim, n_vecs, mean_val`), dims 1-based. `assignment` is
     * (idCol, cluster) — typically [[kmeansAssign]] output. Exact: per-dim
-    * sums run in decimal(20,10), so the refit does not drift with
-    * partition count or reduction order. */
+    * sums run in decimal(30,10), so the refit does not drift with
+    * partition count or reduction order. Range contract: coordinates must
+    * satisfy |v| < 10^20 (any real embedding is orders of magnitude
+    * inside this) — under non-ANSI SQL a wider value would cast to null
+    * and SILENTLY leave the mean, which is why the bound is stated here
+    * rather than left to discovery. */
   def kmeansUpdate(vectors: DataFrame, idCol: String, vecCol: String,
                    assignment: DataFrame): DataFrame = {
     val members = vectors.select(col(idCol), col(vecCol).as("__vec"))
@@ -73,7 +77,7 @@ object Clustering {
       .select(col("cluster"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
       .groupBy(col("cluster"), (col("__pos") + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("__v").cast("double").cast("decimal(20,10)")).cast("double")
+        round(sum(col("__v").cast("double").cast("decimal(30,10)")).cast("double")
           / count(lit(1)), 6).as("mean_val"))
   }
 

@@ -157,28 +157,16 @@ object Similarity {
 
   /** IVF ANN: assign queries and corpus to cells, search only the query's
     * cell — the inverted-file scale path (cell equi-join replaces the cross
-    * join, complementing the LSH variant). `nProbe` is 1 by construction;
-    * multi-probe = union of per-cell searches. */
+    * join, complementing the LSH variant). Exactly the nProbe=1 case of
+    * [[ivfKnnMultiProbe]] (probe rank 1 picks the same top cell as
+    * ivfAssign's max_by — same cosine-desc, centroid-asc tie-break), so it
+    * DELEGATES there: one implementation of the score/rank tail to fix,
+    * continuously re-proven by qx22's oracle through this path. */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame, cenIdCol: String, cenVecCol: String, k: Int): DataFrame = {
-    requireSmallQuerySide(queries, "ivfKnn")
-    val qa = ivfAssign(queries, idCol, vecCol, centroids, cenIdCol, cenVecCol)
-      .select(col(idCol).as("query_id"), col("centroid_id"),
-        col(vecCol).as("q_vec"), col("norm2").as("q_norm2"))
-    val ca = ivfAssign(corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol)
-      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
-        col(vecCol).as("c_vec"), col("norm2").as("c_norm2"))
-    val scored = ca.join(broadcast(qa), Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        when(col("q_norm2") > 0 && col("c_norm2") > 0,
-          expr(TX.dotAuto("q_vec", "c_vec")) / (sqrt(col("q_norm2")) * sqrt(col("c_norm2")))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+             centroids: DataFrame, cenIdCol: String, cenVecCol: String, k: Int): DataFrame =
+    ivfKnnMultiProbe(queries, corpus, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol, k, nProbe = 1)
       .select("query_id", "centroid_id", "neighbor_id", "rank", "cosine")
-  }
 
   /** Multi-probe IVF: each query searches its `nProbe` nearest cells
     * instead of one — the standard recall/cost dial (cell boundaries cut

@@ -296,13 +296,32 @@ object TextAnalysis {
     * deterministic under ties. */
   def pmiBigrams(docs: DataFrame, textCol: String,
                  minCount: Long, topK: Int): DataFrame = {
-    val toks = docs.select(expr(TX.tokens(textCol)).as("__toks"))
-    val uni = toks.select(explode(col("__toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val nUni = uni.agg(sum(col("c")).as("n_uni"))
-    val bi = toks.select(explode(expr(TX.shingles("__toks", 2))).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
-    val nBi = bi.agg(sum(col("c_ab")).as("n_bi"))
+    // ONE tokenize pass (the qx14 lesson): tokenize into a materialized
+    // column FIRST (the shingle expression references its input many
+    // times — inlining the regex tokenizer there re-runs it per element),
+    // then tag-union the unigram and bigram streams out of that column in
+    // one projection, so a single (tag, term) census serves both sides.
+    // The census is PERSISTED: it has four consumers below (uni lookups
+    // ×2, bigram counts, totals) and exchange reuse does not dedupe
+    // across them in practice — without the cache the corpus scans once
+    // per consumer, which is exactly the cost this shape exists to avoid.
+    // Same lifecycle tradeoff as nearDupPipeline's per-doc cache: the
+    // vocabulary-sized entry lives until ContextCleaner collects the plan.
+    val tagged = docs.select(expr(TX.tokens(textCol)).as("__toks"))
+      .select(explode(expr(
+        s"concat(" +
+          s"transform(__toks, t -> named_struct('tag', 'u', 'term', t)), " +
+          s"transform(${TX.shingles("__toks", 2)}, b -> named_struct('tag', 'b', 'term', b)))"))
+        .as("e"))
+      .select(col("e.tag").as("tag"), col("e.term").as("term"))
+    val counts = tagged.groupBy("tag", "term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy("tag").agg(sum(col("c")).as("n"))
+    val uni = counts.filter(col("tag") === "u").select(col("term").as("w"), col("c"))
+    val bi = counts.filter(col("tag") === "b")
+      .select(col("term").as("bg"), col("c").as("c_ab"))
+    val nUni = totals.filter(col("tag") === "u").select(col("n").as("n_uni"))
+    val nBi = totals.filter(col("tag") === "b").select(col("n").as("n_bi"))
     bi.filter(col("c_ab") >= minCount)
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))

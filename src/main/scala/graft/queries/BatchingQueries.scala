@@ -230,7 +230,7 @@ object BatchingQueries {
     "qx46_kmeans_update" -> (kmeansAssignSql + s"""
          |SELECT a.cluster, CAST(i AS BIGINT) AS dim,
          |  COUNT(*) AS n_vecs,
-         |  ROUND(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+         |  ROUND(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
          |    / COUNT(*), 6) AS mean_val
          |FROM assign a
          |JOIN embeddings e USING (vec_id),

@@ -31,8 +31,13 @@ import graft.model.FactModel
   *    corpus scans as 10k parallel splits with no driver-side loops.
   *  - **Filter pushdown** (`SupportsPushDownFilters`): `cik` equality/IN
   *    prunes WHOLE FILES by name before any byte is read (the filename
-  *    carries the cik); `fiscal_year` comparisons apply during the parse
-  *    walk so non-matching entries never materialize rows.
+  *    carries the cik — file pruning leans on the SEC bulk-download
+  *    invariant that `CIK##########.json` names match the document's own
+  *    cik field; non-conforming names are never pruned); `fiscal_year`
+  *    comparisons apply during the parse walk so non-matching entries
+  *    never materialize rows. All filters are ALSO left with Spark for
+  *    re-application — pushdown here only reduces IO, it never decides
+  *    correctness.
   *  - **Column pruning** (`SupportsPushDownRequiredColumns`): the reader
   *    builds only requested fields. The parse itself still walks the
   *    tree (JSON has no columnar skip), but row width — and everything
@@ -83,10 +88,16 @@ class SecFactsScanBuilder(path: String) extends ScanBuilder
   private var required: StructType = SecFactsSource.schema
   private var pushed: Array[Filter] = Array.empty
 
-  /** cik file-level prunes and fiscal_year row-level ranges are consumed
-    * here; everything else stays with Spark (returned as unsupported). */
+  /** cik filters prune files, fiscal_year ranges filter during parse —
+    * but EVERY filter is also returned to Spark for re-application
+    * (filters this source "accepts" would otherwise never be re-checked,
+    * and the file-level cik prune is only an optimization: files with
+    * non-conforming names are read unpruned, and a filename whose digits
+    * disagreed with the JSON's own cik field must not leak wrong rows).
+    * Returning them all keeps pushdown purely an IO reducer, never a
+    * correctness gate. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, rest) = filters.partition {
+    pushed = filters.filter {
       case EqualTo("cik", _: String) => true
       case In("cik", vs) => vs.forall(_.isInstanceOf[String])
       case EqualTo("fiscal_year", _: Int) => true
@@ -96,8 +107,7 @@ class SecFactsScanBuilder(path: String) extends ScanBuilder
       case LessThanOrEqual("fiscal_year", _: Int) => true
       case _ => false
     }
-    pushed = supported
-    rest
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -145,10 +155,16 @@ class SecFactsScan(path: String, required: StructType, pushed: Array[Filter])
   override def planInputPartitions(): Array[InputPartition] =
     keptFiles.sorted.map(f => SecFactsPartition(f): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the session's Hadoop conf must travel to executors (s3a credentials,
+    // kerberos, custom fs impls) — a fresh Configuration() on the task side
+    // would list fine on the driver and then fail every read task
+    val confBytes = SecFactsScan.serializeConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     new SecFactsReaderFactory(required, pushed.filterNot {
       case EqualTo("cik", _) | In("cik", _) => true; case _ => false
-    })
+    }, confBytes)
+  }
 
   /** Shows in `.explain` — the spec asserts file skipping from this. */
   override def description(): String =
@@ -157,19 +173,38 @@ class SecFactsScan(path: String, required: StructType, pushed: Array[Filter])
       s"pushed=[${pushed.mkString(", ")}]"
 }
 
+object SecFactsScan {
+  /** Hadoop Configuration isn't Serializable — ship it as its writable
+    * byte form (what Spark's own SerializableConfiguration does). */
+  def serializeConf(conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    conf.write(out); out.flush()
+    bos.toByteArray
+  }
+  def deserializeConf(bytes: Array[Byte]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    conf
+  }
+}
+
 case class SecFactsPartition(file: String) extends InputPartition
 
-class SecFactsReaderFactory(required: StructType, rowFilters: Array[Filter])
+class SecFactsReaderFactory(required: StructType, rowFilters: Array[Filter],
+                            confBytes: Array[Byte])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SecFactsReader(partition.asInstanceOf[SecFactsPartition].file,
-      required, rowFilters)
+      required, rowFilters, SecFactsScan.deserializeConf(confBytes))
 }
 
 /** Per-file reader: jackson tree walk → InternalRows of the pruned schema.
   * One CompanyFacts document is MBs at most, so a per-file DOM parse is
   * the right tradeoff (the corpus parallelism is across files). */
-class SecFactsReader(file: String, required: StructType, rowFilters: Array[Filter])
+class SecFactsReader(file: String, required: StructType, rowFilters: Array[Filter],
+                     hadoopConf: org.apache.hadoop.conf.Configuration)
   extends PartitionReader[InternalRow] {
 
   private def fyOk(fy: Option[Int]): Boolean = rowFilters.forall {
@@ -182,15 +217,18 @@ class SecFactsReader(file: String, required: StructType, rowFilters: Array[Filte
   }
 
   private val rows: Iterator[InternalRow] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val p = new org.apache.hadoop.fs.Path(file)
-    val in = p.getFileSystem(conf).open(p)
+    val in = p.getFileSystem(hadoopConf).open(p)
     val root = try new ObjectMapper().readTree(in) finally in.close()
 
     def str(n: JsonNode, f: String): Option[String] =
       Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+    // malformed dates → null, matching from_json's permissive DateType
+    // behavior in CompanyFacts.flatten (one dirty filing must not fail
+    // the scan, and the row-identity contract must hold on dirty data)
     def dateDays(s: Option[String]): Any =
-      s.map(v => java.time.LocalDate.parse(v).toEpochDay.toInt).orNull
+      s.flatMap(v => scala.util.Try(
+        java.time.LocalDate.parse(v).toEpochDay.toInt).toOption).orNull
 
     val cik = Option(root.get("cik")).filterNot(_.isNull)
       .map(c => ("0" * 10 + c.asLong().toString).takeRight(10)).orNull

@@ -68,7 +68,16 @@ class StreamJoinSpec extends SparkSpec {
     try {
       mem.addData((1L, base), (2L, other)) // first batch: nothing to match against
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$dir/dups").count() == 0)
+      // a batch with zero dups writes no partition at all (dynamic
+      // overwrite of an empty frame) — the dups store holds no data yet
+      def dupsCount: Long =
+        try spark.read.parquet(s"$dir/dups").count()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+               e.getCondition == "UNABLE_TO_INFER_SCHEMA" => 0L
+        }
+      assert(dupsCount == 0)
       assert(spark.read.parquet(s"$dir/index").select("doc_id").distinct().count() == 2)
       // batch 2: one cross-batch near-dup (10~1) AND an intra-batch pair
       // (12~13 arrive together — the self-match must catch them)
@@ -120,7 +129,7 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("near-dup ingest retry: a re-run batch never matches its own stored index rows") {
+  test("near-dup ingest retry: idempotent — no self-matching, no duplicate rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sndr").toString
     val twinA = "same batch twin documents must still be caught by the gate one"
@@ -129,18 +138,44 @@ class StreamJoinSpec extends SparkSpec {
     def run() = graft.streaming.StreamingNearDup.processBatch(
       batch, batchId = 0L, "text", "doc_id",
       s"$dir/index", s"$dir/dups", k = 16, shingleN = 3, rowsPerBand = 4,
-      threshold = 0.5)
-    // attempt 1 completes both appends, then the epoch commit "fails" and
+      threshold = 0.5, streamTag = s"$dir/ckpt")
+    // attempt 1 completes both writes, then the epoch commit "fails" and
     // foreachBatch re-runs the SAME batchId — the at-least-once contract
     run(); run()
+    // dynamic partition overwrite: the retry REPLACED its batch partition,
+    // so exactly one canonical-orientation pair row exists — never
+    // (12,13)+(13,12), never two copies
     val dups = spark.read.parquet(s"$dir/dups")
-      .select("doc_new", "doc_old", "batch_id").collect()
+      .select(col("doc_new"), col("doc_old"), col("batch_id").cast("long"))
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    // Each attempt must emit the pair ONCE, in canonical orientation only:
-    // the consumer contract dedupes on (ids, batch_id), which collapses
-    // identical rows across retries but could not collapse (12,13)+(13,12).
-    assert(dups.toSet == Set((13L, 12L, 0L)), s"got $dups")
-    assert(dups.size == 2) // two attempts, one canonical row each
-    assert(dups.toSet.size == 1) // (ids, batch_id) dedupe collapses them
+    assert(dups == Seq((13L, 12L, 0L)), s"got $dups")
+    // the index holds ONE copy of each (doc, band) row despite the re-run
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.count() == idx.dropDuplicates("doc_id", "band_id").count())
+  }
+
+  test("near-dup ingest: attaching a fresh checkpoint to an existing index fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sndg").toString
+    val batch = Seq((1L, "some document text that is long enough to shingle properly here"))
+      .toDF("doc_id", "text")
+    def run(tag: String) = graft.streaming.StreamingNearDup.processBatch(
+      batch, batchId = 0L, "text", "doc_id",
+      s"$dir/index", s"$dir/dups", k = 16, shingleN = 3, rowsPerBand = 4,
+      threshold = 0.5, streamTag = tag)
+    run(s"$dir/ckpt1")
+    val e = intercept[IllegalArgumentException] { run(s"$dir/ckpt2") }
+    assert(e.getMessage.contains("ckpt1") && e.getMessage.contains("fresh"),
+      e.getMessage)
+    // and an index built OUTSIDE the gate (no marker) is refused outright
+    val foreign = java.nio.file.Files.createTempDirectory("sndf").toString
+    spark.range(1).write.parquet(s"$foreign/index")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingNearDup.processBatch(
+        batch, 0L, "text", "doc_id", s"$foreign/index", s"$foreign/dups",
+        16, 3, 4, 0.5, streamTag = s"$foreign/ckpt")
+    }
+    assert(e2.getMessage.contains("without a stream marker"), e2.getMessage)
   }
 }
