@@ -127,4 +127,30 @@ object Graph {
           "raise maxIter (convergence is O(log n) rounds in the node count)")
     } finally sym.unpersist()
   }
+
+  /** Incremental connected components: merge NEW edges into an EXISTING
+    * labeling without the historical edge list.
+    *
+    * The prior labeling is a compressed certificate of old connectivity —
+    * each labeled node links to its canonical representative — so running
+    * CC over (star edges ∪ new edges) yields exactly the components of
+    * (all historical edges ∪ new edges). Cost scales with labeled-node
+    * count + new-edge count, NEVER with historical pair count, and the
+    * star side is depth-1 so the pointer-jumping loop converges in a
+    * round or two. This is the daily-ingest closure: incremental near-dup
+    * emits the new batch's pairs, this folds them into the standing
+    * groups (including transitive merges where a new doc bridges two old
+    * groups).
+    *
+    * `prevLabels` must be CC-shaped ((id, component), every node sharing
+    * its component with ≥1 other node — what [[connectedComponents]] and
+    * Dedup.dedupGroups always produce; a singleton row would survive only
+    * through its own self-loop, which CC drops). */
+  def incrementalComponents(prevLabels: DataFrame, idCol: String, compCol: String,
+                            newEdges: DataFrame, srcCol: String, dstCol: String,
+                            maxIter: Int = 25): DataFrame = {
+    val star = prevLabels.select(col(idCol).as("u"), col(compCol).as("v"))
+    val e = newEdges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    connectedComponents(star.unionByName(e), "u", "v", maxIter)
+  }
 }

@@ -105,6 +105,39 @@ object BatchingQueries {
         .orderBy("z_bucket")
     }),
 
+    // ---- Incremental dedup groups: fold a new batch into standing groups
+    // (prev labeling = compressed certificate of old connectivity; new
+    //  pairs from the incremental band index; CC over star ∪ new edges ==
+    //  full-corpus groups — gated against qx29's full-recompute oracle)
+    "qx51_incremental_groups" -> ((s, dir) => {
+      import graft.operators.{Dedup => D, Graph}
+      val docs = t(s, dir, "documents")
+      val K = ExtensionQueries.MINHASH_K; val SN = ExtensionQueries.SHINGLE_N
+      val RPB = ExtensionQueries.ROWS_PER_BAND
+      val old = docs.filter(col("doc_id") % PipelineQueries.INC_MOD
+        =!= PipelineQueries.INC_REM)
+      val neu = docs.filter(col("doc_id") % PipelineQueries.INC_MOD
+        === PipelineQueries.INC_REM)
+      val prev = D.dedupGroups(old, "text", "doc_id", K, SN, RPB,
+        PipelineQueries.NEARDUP_JACCARD)
+      val oldIdx = D.indexForIncremental(old, "text", "doc_id", K, SN, RPB)
+      val newIdx = D.indexForIncremental(neu, "text", "doc_id", K, SN, RPB)
+      val cross = D.incrementalNearDupsFromIndex(newIdx, oldIdx, "doc_id",
+        PipelineQueries.NEARDUP_JACCARD)
+      val intra = D.incrementalNearDupsFromIndex(newIdx, newIdx, "doc_id",
+          PipelineQueries.NEARDUP_JACCARD)
+        .filter(col("doc_new") > col("doc_old"))
+      val merged = Graph.incrementalComponents(
+        prev.select(col("doc_id"), col("group_id")), "doc_id", "group_id",
+        cross.unionByName(intra).select("doc_new", "doc_old"),
+        "doc_new", "doc_old")
+      val sizes = merged.groupBy("component").agg(count(lit(1)).as("group_size"))
+      merged.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("group_id"),
+          col("group_size"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
     // (estimators are engine-specific by design → no DuckDB oracle; the
     //  error-bound contract is spec-enforced in SketchSpec instead)
@@ -165,6 +198,10 @@ object BatchingQueries {
          |WHERE c_ab >= $PMI_MIN_COUNT
          |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PMI_TOP""".stripMargin
     },
+
+    // incremental-vs-full equivalence IS the gate: the incremental path
+    // must reproduce the full-recompute groups bit-for-bit
+    "qx51_incremental_groups" -> PipelineQueries.oracleSql("qx29_dedup_groups"),
 
     "qx48_dup_span_census" ->
       s"""WITH ${ExtensionQueries.shingleCtes(SPAN_N)},

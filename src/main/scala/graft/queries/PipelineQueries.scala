@@ -49,9 +49,9 @@ object PipelineQueries {
   private val CURATE_MAX_TOKENS = 80L
   /** Verify-stage Jaccard threshold for qx29/qx34's near-dup closure —
     * must match qx14's pipeline parameters (ExtraQueries). */
-  private val NEARDUP_JACCARD = 0.2
-  private val INC_MOD = 5           // doc_id % 5 == 4 → the "new batch" docs
-  private val INC_REM = 4
+  private[queries] val NEARDUP_JACCARD = 0.2
+  private[queries] val INC_MOD = 5           // doc_id % 5 == 4 → the "new batch" docs
+  private[queries] val INC_REM = 4
   private val CHUNK_TOKENS = 32
   private val CHUNK_STRIDE = 16
   private val SIMHASH_MAX_HAMMING = 3

@@ -42,6 +42,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("incremental components ≡ full recompute on seeded random edge splits") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 40 + rnd.nextInt(20)
+      val edges = Seq.fill(40 + rnd.nextInt(30))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val (oldE, newE) = edges.partition(_ => rnd.nextBoolean())
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val prev = Graph.connectedComponents(oldE.toDF("a", "b"), "a", "b")
+        val got = Graph.incrementalComponents(prev, "id", "component",
+            newE.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        // full recompute over everything — the incremental path must agree
+        // on every node that appears in any edge
+        val want = ccMap(edges)
+        assert(got == want, s"seed=$seed")
+      }
+    }
+  }
+
   test("long path converges within the O(log n) round budget") {
     val path = (0L until 63L).map(i => (i, i + 1))
     // diameter 63: pure min-propagation needs 63 rounds; pointer jumping
