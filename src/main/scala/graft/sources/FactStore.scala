@@ -37,6 +37,28 @@ object FactStore {
       .mode(SaveMode.Overwrite)
       .parquet(base)
 
+  /** Retention: delete whole `fiscal_year=<y>` partition directories with
+    * y < `keepFromYear` — data expiry as pure partition-layout surgery
+    * (no scan, no rewrite; the layout IS the index, so retention is one
+    * directory walk regardless of store size). Returns the number of
+    * partition directories removed. Readers racing the deletes can see a
+    * partial prefix, the same contract as dynamic-overwrite upserts;
+    * production wraps both in a table format's snapshot commit. */
+  def expire(spark: SparkSession, base: String, keepFromYear: Int): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    val glob = new org.apache.hadoop.fs.Path(base, "*/*/fiscal_year=*")
+    val Year = """fiscal_year=(\d+)""".r
+    val doomed = fs.globStatus(glob).toSeq.filter { st =>
+      st.getPath.getName match {
+        case Year(y) => y.toInt < keepFromYear
+        case _ => false
+      }
+    }
+    doomed.foreach(st => fs.delete(st.getPath, true))
+    doomed.size.toLong
+  }
+
   /** Pruned read: ticker + lookback window → Catalyst prunes to the
     * matching partition directories (ref prune loop: data_manager.py:343-347). */
   def read(spark: SparkSession, base: String, ticker: Option[String] = None,

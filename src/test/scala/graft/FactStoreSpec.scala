@@ -42,6 +42,24 @@ class FactStoreSpec extends SparkSpec {
     assert(after.filter(col("ticker") === "AAA" && col("fiscal_year") === 2020).count() === 1)
   }
 
+  test("expire drops whole fiscal-year partitions below the cutoff, nothing else") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("factexp").toString
+    val facts = Seq(
+      fact("AAA", 1.0, 2018, "FY"), fact("AAA", 2.0, 2019, "FY"),
+      fact("AAA", 3.0, 2020, "FY"), fact("AAA", 3.5, 2020, "Q1"),
+      fact("BBB", 9.0, 2019, "FY"), fact("BBB", 8.0, 2021, "FY")).toDF()
+    FactStore.write(facts, base)
+    // 2018 + 2019 under AAA/annual, 2019 under BBB/annual → 3 dirs doomed
+    val removed = FactStore.expire(spark, base, keepFromYear = 2020)
+    assert(removed == 3L, s"removed=$removed")
+    val left = FactStore.read(spark, base)
+      .select("ticker", "fiscal_year").as[(String, Int)].collect().toSet
+    assert(left == Set(("AAA", 2020), ("BBB", 2021)))
+    // idempotent: nothing left below the cutoff
+    assert(FactStore.expire(spark, base, 2020) == 0L)
+  }
+
   test("freshness aggregate: latest date + sorted period keys per ticker") {
     import spark.implicits._
     val facts = Seq(fact("AAA", 1.0, 2020, "FY"), fact("AAA", 2.0, 2021, "FY"),
