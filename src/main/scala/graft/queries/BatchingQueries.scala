@@ -118,24 +118,38 @@ object BatchingQueries {
         =!= PipelineQueries.INC_REM)
       val neu = docs.filter(col("doc_id") % PipelineQueries.INC_MOD
         === PipelineQueries.INC_REM)
-      val prev = D.dedupGroups(old, "text", "doc_id", K, SN, RPB,
-        PipelineQueries.NEARDUP_JACCARD)
+      // ONE shingle front end per side: the same persisted index yields the
+      // standing groups (self-match pairs → CC), the cross-match, and the
+      // intra-batch match — exactly the production shape, where the index
+      // is the durable artifact and nothing re-tokenizes the corpus.
       val oldIdx = D.indexForIncremental(old, "text", "doc_id", K, SN, RPB)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newIdx = D.indexForIncremental(neu, "text", "doc_id", K, SN, RPB)
-      val cross = D.incrementalNearDupsFromIndex(newIdx, oldIdx, "doc_id",
-        PipelineQueries.NEARDUP_JACCARD)
-      val intra = D.incrementalNearDupsFromIndex(newIdx, newIdx, "doc_id",
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val prevPairs = D.incrementalNearDupsFromIndex(oldIdx, oldIdx, "doc_id",
+            PipelineQueries.NEARDUP_JACCARD)
+          .filter(col("doc_new") > col("doc_old"))
+        val prev = Graph.connectedComponents(
+          prevPairs.select("doc_new", "doc_old"), "doc_new", "doc_old")
+        val cross = D.incrementalNearDupsFromIndex(newIdx, oldIdx, "doc_id",
           PipelineQueries.NEARDUP_JACCARD)
-        .filter(col("doc_new") > col("doc_old"))
-      val merged = Graph.incrementalComponents(
-        prev.select(col("doc_id"), col("group_id")), "doc_id", "group_id",
-        cross.unionByName(intra).select("doc_new", "doc_old"),
-        "doc_new", "doc_old")
-      val sizes = merged.groupBy("component").agg(count(lit(1)).as("group_size"))
-      merged.join(sizes, "component")
-        .select(col("id").as("doc_id"), col("component").as("group_id"),
-          col("group_size"))
-        .orderBy("doc_id")
+        val intra = D.incrementalNearDupsFromIndex(newIdx, newIdx, "doc_id",
+            PipelineQueries.NEARDUP_JACCARD)
+          .filter(col("doc_new") > col("doc_old"))
+        val merged = Graph.incrementalComponents(
+          prev, "id", "component",
+          cross.unionByName(intra).select("doc_new", "doc_old"),
+          "doc_new", "doc_old")
+        // `merged` is checkpoint-backed (CC consumed every edge plan before
+        // returning), so the lazy size join below never re-reads the
+        // unpersisted indexes
+        val sizes = merged.groupBy("component").agg(count(lit(1)).as("group_size"))
+        merged.join(sizes, "component")
+          .select(col("id").as("doc_id"), col("component").as("group_id"),
+            col("group_size"))
+          .orderBy("doc_id")
+      } finally { oldIdx.unpersist(); newIdx.unpersist(); () }
     }),
 
     // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
