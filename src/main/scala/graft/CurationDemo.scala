@@ -42,7 +42,15 @@ object CurationDemo {
     val chunks = operators.TextAnalysis.chunkDocuments(
         splitDocs.select("doc_id", "text"), "text", "doc_id", 32, 16)
       .join(splitDocs.select("doc_id", "split"), "doc_id")
-    chunks.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/chunks")
+    // observed write gate: row/empty-chunk counters ride the write action
+    // itself (Metrics.observed) — monitoring without a second scan
+    val (gated, obs) = operators.Metrics.observed(chunks, "chunk_gate", Seq(
+      count(lit(1)).as("chunks"),
+      sum(when(col("n_tokens") <= 0, 1L).otherwise(0L)).as("empty_chunks")))
+    gated.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/chunks")
+    val gate = obs.get
+    require(gate("empty_chunks") == 0L, s"chunk gate tripped: $gate")
+    println(s"[demo] chunk gate (observed on the write itself): $gate")
 
     val census = spark.read.parquet(s"$outDir/chunks")
       .groupBy("split").agg(count(lit(1)).as("n_chunks"),
