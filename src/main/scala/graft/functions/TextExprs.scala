@@ -142,6 +142,34 @@ object TextExprs {
   def zorderAuto(x: String, y: String, bits: Int)(implicit d: Dialect): String =
     if (d.spark) s"graft_zorder($x, $y, $bits)" else zorder(x, y, bits)
 
+  /** Per-vector int8 quantization scale: max|v| / 127 (1.0 for all-zero
+    * vectors, so codes are well-defined everywhere). */
+  def quantScale(vec: String)(implicit d: Dialect): String = {
+    val absmax = d.fold(
+      d.map(d.seq("1", d.size(vec)), "i",
+        s"abs(CAST(${d.el(vec, "i")} AS DOUBLE))"),
+      "CAST(0 AS DOUBLE)", "acc", "x", "greatest(acc, x)")
+    s"(CASE WHEN $absmax > 0 THEN $absmax / 127.0 ELSE CAST(1.0 AS DOUBLE) END)"
+  }
+
+  /** Int8 codes (as BIGINTs; storage casts to tinyint): floor(v/s + 0.5)
+    * — floor-plus-half instead of round() because the two engines agree
+    * on floor bit-for-bit while round()'s negative-halfway behavior is
+    * implementation-defined. Codes land in [-127, 127] by construction
+    * (|v| ≤ 127·s). */
+  def quantCodes(vec: String, scale: String)(implicit d: Dialect): String =
+    d.map(d.seq("1", d.size(vec)), "i",
+      s"CAST(floor(CAST(${d.el(vec, "i")} AS DOUBLE) / $scale + 0.5) AS BIGINT)")
+
+  /** Max per-dimension reconstruction error |v_i − q_i·s| of a quantized
+    * vector — the bound the round-trip contract is stated in. */
+  def quantMaxErr(vec: String, codes: String, scale: String)
+                 (implicit d: Dialect): String =
+    d.fold(
+      d.map(d.seq("1", d.size(vec)), "i",
+        s"abs(CAST(${d.el(vec, "i")} AS DOUBLE) - CAST(${d.el(codes, "i")} AS DOUBLE) * $scale)"),
+      "CAST(0 AS DOUBLE)", "acc", "x", "greatest(acc, x)")
+
   /** Deterministic pseudo-random hyperplane component for plane j, dim
     * index i (1-based): integer mix → uniform-ish double in [-0.5, 0.5). */
   def planeComponent(j: Int, iExpr: String): String =

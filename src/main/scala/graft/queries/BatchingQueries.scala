@@ -152,6 +152,23 @@ object BatchingQueries {
       } finally { oldIdx.unpersist(); newIdx.unpersist(); () }
     }),
 
+    // ---- Int8 quantization audit: scales, code stats, error bound --------
+    // (the storage-compression transform under the oracle: DuckDB
+    //  recomputes scale/codes/max-error per vector and hash-matches)
+    "qx52_quantize_audit" -> ((s, dir) => {
+      val d = sparkD
+      val scale = TX.quantScale("embedding")(d)
+      val codes = TX.quantCodes("embedding", scale)(d)
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(expr(scale), 6).as("q_scale"),
+        expr(s"CAST(${d.fold(codes, "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)").as("q_sum"),
+        expr(s"CAST(${d.amin(codes)} AS BIGINT)").as("q_min"),
+        expr(s"CAST(${d.fold(codes, "CAST(-128 AS BIGINT)", "acc", "x", "greatest(acc, x)")} AS BIGINT)").as("q_max"),
+        round(expr(TX.quantMaxErr("embedding", codes, scale)(d)), 6).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
     // (estimators are engine-specific by design → no DuckDB oracle; the
     //  error-bound contract is spec-enforced in SketchSpec instead)
@@ -216,6 +233,19 @@ object BatchingQueries {
     // incremental-vs-full equivalence IS the gate: the incremental path
     // must reproduce the full-recompute groups bit-for-bit
     "qx51_incremental_groups" -> PipelineQueries.oracleSql("qx29_dedup_groups"),
+
+    "qx52_quantize_audit" -> {
+      val d = duckD
+      val scale = TX.quantScale("embedding")(d)
+      val codes = TX.quantCodes("embedding", scale)(d)
+      s"""SELECT vec_id,
+         |  ROUND($scale, 6) AS q_scale,
+         |  CAST(${d.fold(codes, "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT) AS q_sum,
+         |  CAST(${d.amin(codes)} AS BIGINT) AS q_min,
+         |  CAST(${d.fold(codes, "CAST(-128 AS BIGINT)", "acc", "x", "greatest(acc, x)")} AS BIGINT) AS q_max,
+         |  ROUND(${TX.quantMaxErr("embedding", codes, scale)(d)}, 6) AS max_err
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
 
     "qx48_dup_span_census" ->
       s"""WITH ${ExtensionQueries.shingleCtes(SPAN_N)},

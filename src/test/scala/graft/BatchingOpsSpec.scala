@@ -45,6 +45,23 @@ class BatchingOpsSpec extends SparkSpec {
     // top-k member is itself in the true top-k).
   }
 
+  test("int8 quantization: tinyint storage, codes in range, round-trip error ≤ scale/2") {
+    import org.apache.spark.sql.types.ByteType
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = graft.operators.Quantize.toInt8(emb, "vec_id", "embedding")
+    // 4×-compression claim rests on actual int8 storage
+    assert(q.schema("q_codes").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == ByteType)
+    val back = graft.operators.Quantize.dequantize(q, "vec_id")
+      .withColumnRenamed("embedding", "emb_hat")
+    val joined = emb.join(back, "vec_id").join(q.select("vec_id", "q_scale"), "vec_id")
+    val viol = joined.filter(expr(
+      """exists(zip_with(embedding, emb_hat, (a, b) -> abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  e -> e > CAST(q_scale AS DOUBLE) / 2.0 + 1e-9)""".stripMargin)).count()
+    assert(viol == 0L, s"$viol vectors exceed the scale/2 reconstruction bound")
+    assert(joined.count() == emb.count())
+  }
+
   test("multi-probe rejects nProbe < 1") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.limit(2).select(col("vec_id").as("cid"), col("embedding").as("cv"))
