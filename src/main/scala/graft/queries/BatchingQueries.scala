@@ -29,6 +29,9 @@ object BatchingQueries {
   private val N_PROBE = 2
   private val ZORDER_BITS = 16
   private val ZBUCKET_DIV = 1L << 14
+  private val QANN_PLANES = 8
+  private val QANN_K = 3
+  private val QANN_QUERY_SET = 20
   private def sparkD = Dialect(spark = true)
   private def duckD = Dialect(spark = false)
 
@@ -169,6 +172,21 @@ object BatchingQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- Quantized ANN: bucketed search over reconstructed int8 vectors --
+    // (the compressed-search path end to end: quantize → dequantize →
+    //  LSH-bucketed top-k, all under the oracle — DuckDB reconstructs the
+    //  same int8 vectors and must land the same neighbors)
+    "qx53_quantized_ann" -> ((s, dir) => {
+      import graft.operators.{Quantize, Similarity}
+      val emb = t(s, dir, "embeddings")
+      val deq = Quantize.dequantize(
+        Quantize.toInt8(emb, "vec_id", "embedding"), "vec_id")
+      Similarity.bucketedKnn(deq.filter(col("vec_id") < QANN_QUERY_SET), deq,
+          "vec_id", "embedding", QANN_PLANES, QANN_K)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
     // (estimators are engine-specific by design → no DuckDB oracle; the
     //  error-bound contract is spec-enforced in SketchSpec instead)
@@ -233,6 +251,29 @@ object BatchingQueries {
     // incremental-vs-full equivalence IS the gate: the incremental path
     // must reproduce the full-recompute groups bit-for-bit
     "qx51_incremental_groups" -> PipelineQueries.oracleSql("qx29_dedup_groups"),
+
+    "qx53_quantized_ann" -> {
+      val d = duckD
+      val scale = TX.quantScale("embedding")(d)
+      val codes = TX.quantCodes("embedding", scale)(d)
+      val recon = d.map(codes, "c",
+        s"CAST(CAST(c AS DOUBLE) * CAST($scale AS FLOAT) AS FLOAT)")
+      s"""WITH dq AS (SELECT vec_id, $recon AS embedding FROM embeddings),
+         |n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2,
+         |        CAST(${TX.lshBucket("embedding", QANN_PLANES)(d)} AS BIGINT) AS bucket FROM dq),
+         |q AS (SELECT vec_id AS query_id, bucket, embedding AS q_vec, norm2 AS q_norm2
+         |      FROM n WHERE vec_id < $QANN_QUERY_SET),
+         |c AS (SELECT vec_id AS neighbor_id, bucket, embedding AS c_vec, norm2 AS c_norm2 FROM n),
+         |scored AS (
+         |  SELECT query_id, q.bucket AS bucket, neighbor_id,
+         |    CASE WHEN q_norm2 > 0 AND c_norm2 > 0
+         |         THEN ${TX.dot("q_vec", "c_vec")(d)} / (sqrt(q_norm2) * sqrt(c_norm2)) END AS cosine
+         |  FROM c JOIN q ON c.bucket = q.bucket AND query_id <> neighbor_id)
+         |SELECT query_id, bucket, neighbor_id, CAST(rn AS BIGINT) AS knn_rank, cosine
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= $QANN_K ORDER BY query_id, knn_rank""".stripMargin
+    },
 
     "qx52_quantize_audit" -> {
       val d = duckD
