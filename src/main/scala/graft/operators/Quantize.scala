@@ -18,14 +18,17 @@ import graft.functions.{Dialect, TextExprs => TX}
 object Quantize {
   private implicit val d: Dialect = Dialect(spark = true)
 
-  /** (idCol, q_scale float, q_codes array<tinyint>) — the storage form. */
-  def toInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val scale = TX.quantScale(vecCol)
-    emb.select(col(idCol),
-      expr(scale).cast("float").as("q_scale"),
-      expr(d.map(TX.quantCodes(vecCol, scale), "c", "CAST(c AS TINYINT)"))
-        .as("q_codes"))
-  }
+  /** (idCol, q_scale float, q_codes array<tinyint>) — the storage form.
+    * The scale is materialized as a column BEFORE the code lambda uses it:
+    * inlining the max-abs fold into the per-element expression would
+    * re-run it per element — O(d²) per vector. */
+  def toInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+        expr(TX.quantScale(vecCol)).as("__s"))
+      .select(col(idCol),
+        col("__s").cast("float").as("q_scale"),
+        expr(d.map(TX.quantCodes(vecCol, "__s"), "c", "CAST(c AS TINYINT)"))
+          .as("q_codes"))
 
   /** Reconstruct float vectors from the storage form (lossy: per-dim
     * error ≤ q_scale/2). */

@@ -160,15 +160,18 @@ object BatchingQueries {
     //  recomputes scale/codes/max-error per vector and hash-matches)
     "qx52_quantize_audit" -> ((s, dir) => {
       val d = sparkD
-      val scale = TX.quantScale("embedding")(d)
-      val codes = TX.quantCodes("embedding", scale)(d)
-      t(s, dir, "embeddings").select(
-        col("vec_id"),
-        round(expr(scale), 6).as("q_scale"),
-        expr(s"CAST(${d.fold(codes, "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)").as("q_sum"),
-        expr(s"CAST(${d.amin(codes)} AS BIGINT)").as("q_min"),
-        expr(s"CAST(${d.fold(codes, "CAST(-128 AS BIGINT)", "acc", "x", "greatest(acc, x)")} AS BIGINT)").as("q_max"),
-        round(expr(TX.quantMaxErr("embedding", codes, scale)(d)), 6).as("max_err"))
+      // scale, then codes, as MATERIALIZED columns — inlining the folds
+      // into each metric would recompute them per element / per metric
+      t(s, dir, "embeddings")
+        .withColumn("__s", expr(TX.quantScale("embedding")(d)))
+        .withColumn("__q", expr(TX.quantCodes("embedding", "__s")(d)))
+        .select(
+          col("vec_id"),
+          round(col("__s"), 6).as("q_scale"),
+          expr(s"CAST(${d.fold("__q", "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)").as("q_sum"),
+          expr(s"CAST(${d.amin("__q")} AS BIGINT)").as("q_min"),
+          expr(s"CAST(${d.fold("__q", "CAST(-128 AS BIGINT)", "acc", "x", "greatest(acc, x)")} AS BIGINT)").as("q_max"),
+          round(expr(TX.quantMaxErr("embedding", "__q", "__s")(d)), 6).as("max_err"))
         .orderBy("vec_id")
     }),
 
@@ -254,11 +257,13 @@ object BatchingQueries {
 
     "qx53_quantized_ann" -> {
       val d = duckD
-      val scale = TX.quantScale("embedding")(d)
-      val codes = TX.quantCodes("embedding", scale)(d)
-      val recon = d.map(codes, "c",
-        s"CAST(CAST(c AS DOUBLE) * CAST($scale AS FLOAT) AS FLOAT)")
-      s"""WITH dq AS (SELECT vec_id, $recon AS embedding FROM embeddings),
+      val recon = d.map("q", "c",
+        s"CAST(CAST(c AS DOUBLE) * CAST(s AS FLOAT) AS FLOAT)")
+      s"""WITH sc AS (SELECT vec_id, embedding,
+         |              ${TX.quantScale("embedding")(d)} AS s FROM embeddings),
+         |qq AS (SELECT vec_id, s,
+         |         ${TX.quantCodes("embedding", "s")(d)} AS q FROM sc),
+         |dq AS (SELECT vec_id, $recon AS embedding FROM qq),
          |n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2,
          |        CAST(${TX.lshBucket("embedding", QANN_PLANES)(d)} AS BIGINT) AS bucket FROM dq),
          |q AS (SELECT vec_id AS query_id, bucket, embedding AS q_vec, norm2 AS q_norm2
@@ -277,15 +282,17 @@ object BatchingQueries {
 
     "qx52_quantize_audit" -> {
       val d = duckD
-      val scale = TX.quantScale("embedding")(d)
-      val codes = TX.quantCodes("embedding", scale)(d)
-      s"""SELECT vec_id,
-         |  ROUND($scale, 6) AS q_scale,
-         |  CAST(${d.fold(codes, "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT) AS q_sum,
-         |  CAST(${d.amin(codes)} AS BIGINT) AS q_min,
-         |  CAST(${d.fold(codes, "CAST(-128 AS BIGINT)", "acc", "x", "greatest(acc, x)")} AS BIGINT) AS q_max,
-         |  ROUND(${TX.quantMaxErr("embedding", codes, scale)(d)}, 6) AS max_err
-         |FROM embeddings ORDER BY vec_id""".stripMargin
+      s"""WITH sc AS (SELECT vec_id, embedding,
+         |              ${TX.quantScale("embedding")(d)} AS s FROM embeddings),
+         |qq AS (SELECT vec_id, embedding, s,
+         |         ${TX.quantCodes("embedding", "s")(d)} AS q FROM sc)
+         |SELECT vec_id,
+         |  ROUND(s, 6) AS q_scale,
+         |  CAST(${d.fold("q", "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT) AS q_sum,
+         |  CAST(${d.amin("q")} AS BIGINT) AS q_min,
+         |  CAST(${d.fold("q", "CAST(-128 AS BIGINT)", "acc", "x", "greatest(acc, x)")} AS BIGINT) AS q_max,
+         |  ROUND(${TX.quantMaxErr("embedding", "q", "s")(d)}, 6) AS max_err
+         |FROM qq ORDER BY vec_id""".stripMargin
     },
 
     "qx48_dup_span_census" ->
