@@ -54,6 +54,22 @@ object BatchingQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Pack fragmentation census: docs per context window --------------
+    // (how many documents — and document STARTS — each window holds; the
+    //  attention-masking / fragmentation diagnostic for the packer)
+    "qx54_pack_fragmentation" -> ((s, dir) => {
+      val d = sparkD
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+      Packing.packSequential(docs, "doc_id", "n_tokens", PACK_CONTEXT)
+        .select(col("start_pack"),
+          explode(expr("sequence(start_pack, end_pack)")).as("pack"))
+        .groupBy("pack")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("start_pack") === col("pack"), 1L).otherwise(0L)).as("n_starts"))
+        .orderBy("pack")
+    }),
+
     // ---- PMI bigram collocations ----------------------------------------
     "qx44_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
@@ -226,6 +242,28 @@ object BatchingQueries {
          |  ${d.idiv("(c - 1)", s"$PACK_CONTEXT")} AS end_pack,
          |  ${d.idiv("(c - 1)", s"$PACK_CONTEXT")} - ${d.idiv("(c - n_tokens)", s"$PACK_CONTEXT")} + 1 AS n_packs
          |FROM cum ORDER BY doc_id""".stripMargin
+    },
+
+    "qx54_pack_fragmentation" -> {
+      val d = duckD
+      val toks = TX.tokens("text")(d)
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(${d.size(toks)} AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |nz AS (SELECT * FROM base WHERE n_tokens > 0),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         |  FROM nz),
+         |spans AS (
+         |  SELECT ${d.idiv("(c - n_tokens)", s"$PACK_CONTEXT")} AS start_pack,
+         |         unnest(generate_series(${d.idiv("(c - n_tokens)", s"$PACK_CONTEXT")},
+         |                                ${d.idiv("(c - 1)", s"$PACK_CONTEXT")})) AS pack
+         |  FROM cum)
+         |SELECT pack, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN start_pack = pack THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+         |FROM spans GROUP BY pack ORDER BY pack""".stripMargin
     },
 
     "qx44_pmi_bigrams" -> {
