@@ -168,6 +168,35 @@ object Similarity {
         centroids, cenIdCol, cenVecCol, k, nProbe = 1)
       .select("query_id", "centroid_id", "neighbor_id", "rank", "cosine")
 
+  /** Per-vector nearest bucket-mate — the corpus-wide "nearest duplicate"
+    * report (one row per vector that shares its LSH bucket with anyone:
+    * its single best neighbor and the cosine). Unlike the kNN operators
+    * there is NO small query side here — every vector is a query — so the
+    * candidate set must come from the bucket equi-join (within-bucket
+    * pairs, bounded by bucket size; re-split hot buckets with
+    * [[cappedLshBuckets]] first if the embedding distribution skews), and
+    * the per-vector argmax reduces map-side via max_by rather than
+    * shuffling all pairs through a window. */
+  def nearestInBucket(emb: DataFrame, idCol: String, vecCol: String,
+                      nPlanes: Int): DataFrame = {
+    val b = withBucketAndNorm(emb, idCol, vecCol, nPlanes)
+    val l = b.select(col("bucket"), col(idCol).as("vec_a"),
+      col(vecCol).as("e_a"), col("norm2").as("n_a"))
+    val r = b.select(col("bucket").as("bucket2"), col(idCol).as("vec_b"),
+      col(vecCol).as("e_b"), col("norm2").as("n_b"))
+    l.join(r, col("bucket") === col("bucket2") && col("vec_a") =!= col("vec_b"))
+      .withColumn("cosine",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr(TX.dotAuto("e_a", "e_b")) / (sqrt(col("n_a")) * sqrt(col("n_b")))))
+      .groupBy(col("vec_a").as(idCol))
+      .agg(max_by(
+        struct(col("vec_b").as("neighbor_id"), col("cosine").as("cos")),
+        struct(coalesce(col("cosine"), lit(-2.0)).as("c"),
+          (-col("vec_b")).as("tb"))).as("__w"))
+      .select(col(idCol), col("__w.neighbor_id").as("neighbor_id"),
+        round(col("__w.cos"), 6).as("cosine"))
+  }
+
   /** Multi-probe IVF: each query searches its `nProbe` nearest cells
     * instead of one — the standard recall/cost dial (cell boundaries cut
     * off true neighbors; probing adjacent cells recovers them for nProbe×

@@ -206,6 +206,12 @@ object BatchingQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- Nearest duplicate per vector: corpus-wide best-neighbor report --
+    "qx55_nearest_per_vec" -> ((s, dir) =>
+      Similarity.nearestInBucket(t(s, dir, "embeddings"), "vec_id", "embedding",
+          QANN_PLANES)
+        .orderBy("vec_id")),
+
     // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
     // (estimators are engine-specific by design → no DuckDB oracle; the
     //  error-bound contract is spec-enforced in SketchSpec instead)
@@ -292,6 +298,22 @@ object BatchingQueries {
     // incremental-vs-full equivalence IS the gate: the incremental path
     // must reproduce the full-recompute groups bit-for-bit
     "qx51_incremental_groups" -> PipelineQueries.oracleSql("qx29_dedup_groups"),
+
+    "qx55_nearest_per_vec" -> {
+      val d = duckD
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2,
+         |        CAST(${TX.lshBucket("embedding", QANN_PLANES)(d)} AS BIGINT) AS bucket
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CASE WHEN a.norm2 > 0 AND b.norm2 > 0
+         |         THEN ${TX.dot("a.embedding", "b.embedding")(d)} / (sqrt(a.norm2) * sqrt(b.norm2)) END AS cosine
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT vec_a AS vec_id, vec_b AS neighbor_id, ROUND(cosine, 6) AS cosine
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
+         |        ORDER BY COALESCE(cosine, -2.0) DESC, vec_b ASC) AS rn FROM scored)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
 
     "qx53_quantized_ann" -> {
       val d = duckD

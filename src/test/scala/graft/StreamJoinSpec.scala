@@ -155,6 +155,36 @@ class StreamJoinSpec extends SparkSpec {
     assert(idx.count() == idx.dropDuplicates("doc_id", "band_id").count())
   }
 
+  test("near-dup ingest: restart from the SAME checkpoint continues the index seamlessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sndrs").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    def start(mem: MemoryStream[(Long, String)]) =
+      graft.streaming.StreamingNearDup.start(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        s"$dir/index", s"$dir/dups", s"$dir/ckpt", threshold = 0.5)
+    // run 1: ingest the base doc, stop
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = start(mem1)
+    try { mem1.addData((1L, base)); q1.processAllAvailable() } finally q1.stop()
+    // run 2: SAME checkpoint — the marker admits it; the near-dup of doc 1
+    // must be flagged against run 1's index rows
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((1L, base)) // replayed source prefix (memory streams restart at 0)
+    val q2 = start(mem2)
+    try {
+      mem2.addData((10L, near))
+      q2.processAllAvailable()
+      val dups = spark.read.parquet(s"$dir/dups")
+        .select("doc_new", "doc_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups.contains((10L, 1L)), s"cross-run match lost: $dups")
+    } finally q2.stop()
+  }
+
   test("near-dup ingest: attaching a fresh checkpoint to an existing index fails loudly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sndg").toString
