@@ -281,6 +281,34 @@ object TextAnalysis {
         col("keep_docs"), col("rate_pm"))
   }
 
+  /** Bigram-LM quality scoring — the step up from [[unigramLogProb]]:
+    * score each doc by the mean Laplace-smoothed conditional log
+    * probability ln((c(w₁w₂)+1) / (c(w₁)+V)) over its bigram positions
+    * (train-then-apply on the corpus itself, V = vocabulary size). Docs
+    * with fewer than two tokens have no bigram positions and drop out.
+    * Same scale shape as the unigram scorer: censuses are map-side
+    * combined; the frequency lookups are joins on the bigram/first-token
+    * keys; V and nothing else crosses the driver. */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toksDocs = docs.select(col(idCol), expr(TX.tokens(textCol)).as("__toks"))
+    val inst = toksDocs.select(col(idCol),
+        explode(expr(TX.shingles("__toks", 2))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val bc = inst.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val uni = toksDocs.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    inst
+      .join(bc, "bg")
+      .join(uni.select(col("w").as("w1"), col("c_w")), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c_bg") + 1).cast("double") / (col("c_w") + col("v")).cast("double")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("mean_logp"))
+  }
+
   /** Collocation mining: top-`topK` token bigrams by pointwise mutual
     * information, `minCount` occurrences or more. PMI =
     * ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram instances and p(a),

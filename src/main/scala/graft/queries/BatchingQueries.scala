@@ -75,6 +75,11 @@ object BatchingQueries {
       TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
         PMI_MIN_COUNT, PMI_TOP)),
 
+    // ---- Bigram-LM quality scoring (conditional log-prob, smoothed) -----
+    "qx56_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // ---- k-means assign: nearest centroid by cosine, broadcast centroids
     "qx45_kmeans_assign" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -298,6 +303,23 @@ object BatchingQueries {
     // incremental-vs-full equivalence IS the gate: the incremental path
     // must reproduce the full-recompute groups bit-for-bit
     "qx51_incremental_groups" -> PipelineQueries.oracleSql("qx29_dedup_groups"),
+
+    "qx56_bigram_logprob" -> {
+      val d = duckD
+      val toks = TX.tokens("text")(d)
+      val bigrams = TX.shingles("__toks", 2)(d)
+      s"""WITH td AS (SELECT doc_id, $toks AS __toks FROM documents),
+         |inst AS (SELECT doc_id, unnest($bigrams) AS bg FROM td),
+         |inst2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM inst),
+         |bc AS (SELECT bg, COUNT(*) AS c_bg FROM inst GROUP BY bg),
+         |uni AS (SELECT unnest(__toks) AS w FROM td),
+         |uc AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w),
+         |vv AS (SELECT COUNT(*) AS v FROM uc)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(AVG(ln(CAST(c_bg + 1 AS DOUBLE) / CAST(c_w + v AS DOUBLE))), 6) AS mean_logp
+         |FROM inst2 JOIN bc USING (bg) JOIN uc ON uc.w = inst2.w1 CROSS JOIN vv
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "qx55_nearest_per_vec" -> {
       val d = duckD
