@@ -309,6 +309,66 @@ object TextAnalysis {
         round(avg(col("logp")), 6).as("mean_logp"))
   }
 
+  /** Gopher-style heuristic quality rules — the classic curation rule
+    * pack (token-count bounds, mean-word-length band, symbol-character
+    * ratio cap, minimum stopword evidence) evaluated per document with a
+    * per-rule verdict and the combined keep decision.
+    *
+    * Entirely per-row scalar expressions: no shuffle at ANY scale — the
+    * rule pack runs inside the scan's whole-stage-codegen like a filter.
+    * The formulas are dialect-parametric ([[gopherSignalSelect]]), so the
+    * Spark plan and the DuckDB oracle evaluate literally the same
+    * arithmetic and the hash gate re-proves the rule pack each run. */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+                  minTokens: Long, maxTokens: Long,
+                  minAvgLen: Double, maxAvgLen: Double,
+                  maxSymbolRatio: Double, minStopHits: Long): DataFrame = {
+    val sels = gopherSignalSelect(textCol, minTokens, maxTokens,
+      minAvgLen, maxAvgLen, maxSymbolRatio, minStopHits)(d)
+    docs.select(col(idCol) +: sels.map { case (e, a) => expr(e).as(a) }: _*)
+  }
+
+  /** (expression, alias) pairs for [[gopherRules]], buildable in either
+    * dialect — the single source of truth both engines evaluate. */
+  def gopherSignalSelect(textCol: String,
+                         minTokens: Long, maxTokens: Long,
+                         minAvgLen: Double, maxAvgLen: Double,
+                         maxSymbolRatio: Double, minStopHits: Long)
+                        (implicit dl: Dialect): Seq[(String, String)] = {
+    val toks = TX.tokens(textCol)
+    val nTok = s"CAST(${dl.size(toks)} AS BIGINT)"
+    val sumLen = s"CAST(${dl.fold(dl.map(toks, "w", "CAST(length(w) AS BIGINT)"),
+      "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)"
+    val avgLen = s"(CASE WHEN $nTok > 0 THEN " +
+      s"ROUND(CAST($sumLen AS DOUBLE) / CAST($nTok AS DOUBLE), 6) END)"
+    val alnumSpace =
+      s"CAST(length(${dl.reAll(s"lower($textCol)", "[^a-z0-9 ]", "")}) AS BIGINT)"
+    val symRatio = s"(CASE WHEN length($textCol) > 0 THEN " +
+      s"ROUND(CAST(length($textCol) - $alnumSpace AS DOUBLE) " +
+      s"/ CAST(length($textCol) AS DOUBLE), 6) ELSE CAST(0.0 AS DOUBLE) END)"
+    val stopList = StopEn.map(w => s"'$w'").mkString("(", ", ", ")")
+    val stopHits =
+      s"CAST(${dl.size(dl.filt(toks, "w", s"w IN $stopList"))} AS BIGINT)"
+    // rules as BIGINT 0/1 flags (CASE handles the null avg of empty docs:
+    // null comparison falls to ELSE 0 in both engines)
+    val passTok = s"(CASE WHEN $nTok BETWEEN $minTokens AND $maxTokens THEN 1 ELSE 0 END)"
+    val passAvg = s"(CASE WHEN $avgLen >= $minAvgLen AND $avgLen <= $maxAvgLen THEN 1 ELSE 0 END)"
+    val passSym = s"(CASE WHEN $symRatio <= $maxSymbolRatio THEN 1 ELSE 0 END)"
+    val passStop = s"(CASE WHEN $stopHits >= $minStopHits THEN 1 ELSE 0 END)"
+    val nFailed = s"(4 - $passTok - $passAvg - $passSym - $passStop)"
+    Seq(
+      nTok -> "n_tokens",
+      avgLen -> "avg_token_len",
+      symRatio -> "symbol_ratio",
+      stopHits -> "stop_hits",
+      s"CAST($passTok AS BIGINT)" -> "pass_n_tokens",
+      s"CAST($passAvg AS BIGINT)" -> "pass_avg_len",
+      s"CAST($passSym AS BIGINT)" -> "pass_symbols",
+      s"CAST($passStop AS BIGINT)" -> "pass_stopwords",
+      s"CAST($nFailed AS BIGINT)" -> "n_failed",
+      s"CAST((CASE WHEN $nFailed = 0 THEN 1 ELSE 0 END) AS BIGINT)" -> "keep")
+  }
+
   /** Collocation mining: top-`topK` token bigrams by pointwise mutual
     * information, `minCount` occurrences or more. PMI =
     * ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram instances and p(a),
