@@ -335,7 +335,7 @@ object TextAnalysis {
                          minAvgLen: Double, maxAvgLen: Double,
                          maxSymbolRatio: Double, minStopHits: Long)
                         (implicit dl: Dialect): Seq[(String, String)] = {
-    val toks = TX.tokens(textCol)
+    val toks = TX.tokens(textCol)(dl)
     val nTok = s"CAST(${dl.size(toks)} AS BIGINT)"
     val sumLen = s"CAST(${dl.fold(dl.map(toks, "w", "CAST(length(w) AS BIGINT)"),
       "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)"
