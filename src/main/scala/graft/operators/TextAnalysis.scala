@@ -323,19 +323,25 @@ object TextAnalysis {
                   minTokens: Long, maxTokens: Long,
                   minAvgLen: Double, maxAvgLen: Double,
                   maxSymbolRatio: Double, minStopHits: Long): DataFrame = {
-    val sels = gopherSignalSelect(textCol, minTokens, maxTokens,
+    val sels = gopherSignalSelect(textCol, "__toks", minTokens, maxTokens,
       minAvgLen, maxAvgLen, maxSymbolRatio, minStopHits)(d)
-    docs.select(col(idCol) +: sels.map { case (e, a) => expr(e).as(a) }: _*)
+    docs
+      .withColumn("__toks", expr(TX.tokens(textCol)(d)))
+      .select(col(idCol) +: sels.map { case (e, a) => expr(e).as(a) }: _*)
   }
 
   /** (expression, alias) pairs for [[gopherRules]], buildable in either
-    * dialect — the single source of truth both engines evaluate. */
-  def gopherSignalSelect(textCol: String,
+    * dialect — the single source of truth both engines evaluate. `toks`
+    * names a MATERIALIZED tokens-array column ([[TX.tokens]] of `textCol`)
+    * that the caller provides (Spark: a `withColumn`; DuckDB: a CTE) —
+    * three of the four signals consume the token array, so tokenizing
+    * once per row instead of once per signal is the difference between
+    * one regex pass and four at 100 TB. */
+  def gopherSignalSelect(textCol: String, toks: String,
                          minTokens: Long, maxTokens: Long,
                          minAvgLen: Double, maxAvgLen: Double,
                          maxSymbolRatio: Double, minStopHits: Long)
                         (implicit dl: Dialect): Seq[(String, String)] = {
-    val toks = TX.tokens(textCol)(dl)
     val nTok = s"CAST(${dl.size(toks)} AS BIGINT)"
     val sumLen = s"CAST(${dl.fold(dl.map(toks, "w", "CAST(length(w) AS BIGINT)"),
       "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)"

@@ -47,6 +47,18 @@ object PipelineQueries {
 
   private val CURATE_MIN_TOKENS = 15L
   private val CURATE_MAX_TOKENS = 80L
+  /** Gopher-style rule-pack thresholds (qx57 + the qx34 second quality
+    * gate) — chosen so every rule bites on the synthetic corpus where the
+    * data allows: at sf0.01, 414/500 docs pass the token band, 460/500 the
+    * mean-word-length band, 453/500 the stopword floor (the corpus has no
+    * symbol characters, so the symbol cap is exercised by CurationSpec's
+    * synthetic rows instead), 367/500 pass all four. */
+  private[queries] val GOPHER_MIN_TOKENS = 20L
+  private[queries] val GOPHER_MAX_TOKENS = 90L
+  private[queries] val GOPHER_MIN_AVG_LEN = 4.0
+  private[queries] val GOPHER_MAX_AVG_LEN = 4.8
+  private[queries] val GOPHER_MAX_SYMBOL_RATIO = 0.05
+  private[queries] val GOPHER_MIN_STOP_HITS = 1L
   /** Verify-stage Jaccard threshold for qx29/qx34's near-dup closure —
     * must match qx14's pipeline parameters (ExtraQueries). */
   private[queries] val NEARDUP_JACCARD = 0.2
@@ -257,6 +269,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher-style heuristic rule pack --------------------------------
+    // (per-doc rule verdicts + combined keep decision; pure per-row
+    //  scalars — scan+project, zero shuffle, asserted in PlanAuditSpec)
+    "qx57_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+          GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS,
+          GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN,
+          GOPHER_MAX_SYMBOL_RATIO, GOPHER_MIN_STOP_HITS)
+        .orderBy("doc_id")
+    }),
+
     // ---- Cross-source duplication matrix ---------------------------------
     // (which sources copy from which: near-dup pairs labeled with both
     //  docs' source fields, aggregated into a (source_a, source_b) census —
@@ -280,10 +303,10 @@ object PipelineQueries {
     }),
 
     // ---- Flagship composition: the full curation pipeline ----------------
-    // quality gate ∩ exact-dedup canonical ∩ near-dup-group canonical →
-    // deterministic split → per-(split, lang) census. Every stage is an
-    // operator proven alone (qx09/qx01/qx29/qx20); this gates their
-    // COMPOSITION end to end.
+    // quality gate ∩ Gopher rule pack ∩ exact-dedup canonical ∩
+    // near-dup-group canonical → deterministic split → per-(split, lang)
+    // census. Every stage is an operator proven alone
+    // (qx09/qx57/qx01/qx29/qx20); this gates their COMPOSITION end to end.
     "qx34_curation_pipeline" -> ((s, dir) => {
       import graft.functions.{Dialect => Dlt}
       val sparkD = Dlt(spark = true)
@@ -298,8 +321,18 @@ object PipelineQueries {
           k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N, rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = NEARDUP_JACCARD)
         .filter(col("doc_id") =!= col("group_id"))
         .select("doc_id")
+      // second quality gate: the Gopher rule pack (qx57) — per-row scalars,
+      // so the semi-join side is another scan+project, no extra shuffle
+      // beyond the semi-join itself
+      val gopherKeep = TextAnalysis.gopherRules(docs, "text", "doc_id",
+          GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS,
+          GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN,
+          GOPHER_MAX_SYMBOL_RATIO, GOPHER_MIN_STOP_HITS)
+        .filter(col("keep") === 1L)
+        .select("doc_id")
       val curated = base
         .join(canonical, Seq("doc_id"), "left_semi")
+        .join(gopherKeep, Seq("doc_id"), "left_semi")
         .join(nearDupDrops, Seq("doc_id"), "left_anti")
       TextAnalysis.deterministicSplit(curated, "doc_id")
         .groupBy("split", "lang")
@@ -578,6 +611,18 @@ object PipelineQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "qx57_gopher_rules" -> {
+      val sels = TextAnalysis.gopherSignalSelect("text", "__toks",
+        GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS,
+        GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN,
+        GOPHER_MAX_SYMBOL_RATIO, GOPHER_MIN_STOP_HITS)
+      s"""WITH td AS (SELECT doc_id, text, ${TX.tokens("text")} AS __toks
+         |            FROM documents)
+         |SELECT doc_id,
+         |  ${sels.map { case (e, a) => s"$e AS $a" }.mkString(",\n  ")}
+         |FROM td ORDER BY doc_id""".stripMargin
+    },
+
     "qx40_cross_source_dups" -> {
       val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
       val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
@@ -609,6 +654,11 @@ object PipelineQueries {
       val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
       val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
       val splitH = s"(${TX.polyHash("CAST(doc_id AS VARCHAR)")} % 100)"
+      val gopherKeep = TextAnalysis.gopherSignalSelect("text", "__toks",
+        GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS,
+        GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN,
+        GOPHER_MAX_SYMBOL_RATIO, GOPHER_MIN_STOP_HITS)
+        .find(_._2 == "keep").get._1
       s"""WITH RECURSIVE ${ExtensionQueries.sigCtes},
          |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
          |banded AS (${(0 until N_BANDS).map(b =>
@@ -637,8 +687,12 @@ object PipelineQueries {
          |base AS (SELECT doc_id, lang, n_chars FROM documents
          |         WHERE len(${TX.tokens("text")})
          |               BETWEEN $CURATE_MIN_TOKENS AND $CURATE_MAX_TOKENS),
+         |gtd AS (SELECT doc_id, text, ${TX.tokens("text")} AS __toks
+         |        FROM documents),
+         |gk AS (SELECT doc_id FROM gtd WHERE $gopherKeep = 1),
          |curated AS (SELECT b.doc_id, lang, n_chars
          |            FROM base b JOIN canon USING (doc_id)
+         |                        JOIN gk USING (doc_id)
          |            WHERE b.doc_id NOT IN (SELECT doc_id FROM drops)),
          |sp AS (SELECT doc_id, lang, n_chars,
          |         CASE WHEN $splitH < 80 THEN 'train'

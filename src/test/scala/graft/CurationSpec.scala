@@ -192,6 +192,62 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2) // rare-token doc scores lower
   }
 
+  test("gopherRules: per-rule verdicts on edge rows (empty, null, symbol-heavy, boundary counts)") {
+    val docs = Seq(
+      (1L, "the cat sat mat"),        // 4 toks, avg 3.0, no symbols, 1 stop → keep
+      (2L, ""),                       // empty: 0 toks, null avg
+      (3L, null.asInstanceOf[String]),// null text
+      (4L, "a@# b$% c^&"),            // symbol-heavy; avg len 1.0 too short
+      (5L, "the of and"),             // exactly minTokens; all-stopword
+      (6L, "the of and to in is")     // 6 toks: one past maxTokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "text", "doc_id",
+        minTokens = 3, maxTokens = 5, minAvgLen = 2.0, maxAvgLen = 4.0,
+        maxSymbolRatio = 0.2, minStopHits = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val clean = out(1L)
+    assert(clean.getAs[Long]("n_tokens") == 4L)
+    assert(math.abs(clean.getAs[Double]("avg_token_len") - 3.0) < 1e-9)
+    assert(clean.getAs[Double]("symbol_ratio") == 0.0)
+    assert(clean.getAs[Long]("stop_hits") == 1L)
+    assert(clean.getAs[Long]("n_failed") == 0L && clean.getAs[Long]("keep") == 1L)
+
+    // empty doc: token rule + stopword rule fail; avg is NULL (no tokens)
+    // so the avg band fails too; symbol cap trivially passes on empty text
+    val empty = out(2L)
+    assert(empty.getAs[Long]("n_tokens") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("avg_token_len")))
+    assert(empty.getAs[Long]("pass_symbols") == 1L)
+    assert(empty.getAs[Long]("n_failed") == 3L && empty.getAs[Long]("keep") == 0L)
+
+    // null text: every token-derived signal is NULL; NULL comparisons fall
+    // to the ELSE 0 branch — a null doc must never be kept
+    val nul = out(3L)
+    assert(nul.isNullAt(nul.fieldIndex("n_tokens")))
+    assert(nul.getAs[Long]("pass_n_tokens") == 0L)
+    assert(nul.getAs[Long]("pass_stopwords") == 0L)
+    assert(nul.getAs[Long]("keep") == 0L)
+
+    // symbol-heavy: 6 of 11 chars are symbols (0.545... > 0.2); 'a' is a
+    // stopword so the stopword floor still passes; avg len 1.0 < 2.0
+    val sym = out(4L)
+    assert(sym.getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(sym.getAs[Double]("symbol_ratio") - 0.545455) < 1e-9)
+    assert(sym.getAs[Long]("pass_symbols") == 0L)
+    assert(sym.getAs[Long]("pass_avg_len") == 0L)
+    assert(sym.getAs[Long]("n_failed") == 2L && sym.getAs[Long]("keep") == 0L)
+
+    // boundary: exactly minTokens passes the band...
+    val lo = out(5L)
+    assert(lo.getAs[Long]("n_tokens") == 3L && lo.getAs[Long]("pass_n_tokens") == 1L)
+    assert(lo.getAs[Long]("keep") == 1L)
+    // ...and one past maxTokens fails it, and nothing else
+    val hi = out(6L)
+    assert(hi.getAs[Long]("n_tokens") == 6L && hi.getAs[Long]("pass_n_tokens") == 0L)
+    assert(hi.getAs[Long]("n_failed") == 1L && hi.getAs[Long]("keep") == 0L)
+  }
+
   test("mixtureWeights: rejects targets not summing to 1000") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {

@@ -16,6 +16,14 @@ class PlanAuditSpec extends SparkSpec {
 
   val sfDir = "/root/testdata/sf0.001"
 
+  test("gopherRules is scan+project only: zero Exchange in the physical plan") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val plan = graft.operators.TextAnalysis.gopherRules(docs, "text", "doc_id",
+        20L, 90L, 4.0, 4.8, 0.05, 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("no oracle query plans a CartesianProduct; all keep codegen") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
