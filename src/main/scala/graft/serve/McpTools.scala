@@ -6,15 +6,24 @@ import graft.model.MetricCatalog
 import graft.queries.Financials
 import graft.sources.Serve
 
-/** MCP-shaped tool surface (reference: src/sec_mcp/server.py:53-181 —
-  * tools/list returns the 6 tool schemas, tools/call dispatches by name
-  * and returns the result as JSON text content). The protocol framing
-  * (JSON-RPC transport) is host-specific; what the engine owes is the tool
-  * REGISTRY + DISPATCH: names, input schemas, and name→query execution.
-  * Every tool body is one of the Financials query surfaces — distributed
-  * compute, capped collect at the render edge.
+/** MCP-shaped tool + resource surface (reference: src/sec_mcp/server.py —
+  * tools/list returns the 6 tool schemas :53-146, tools/call dispatches by
+  * name :147-181, resources/list exposes the two data resources :183-200,
+  * resources/read serves them :202-230). The protocol framing (JSON-RPC
+  * transport) is host-specific; what the engine owes is the REGISTRY +
+  * DISPATCH: names, schemas/URIs, and name→query execution. Every tool
+  * body is one of the Financials query surfaces — distributed compute,
+  * capped collect at the render edge.
+  *
+  * `config`, when given, supplies the S&P 500 ticker list for the
+  * `sec://companies/sp500` resource (ref: config/sp500_tickers.json via
+  * core/config.py:122-127); absent — or empty — the resource falls back to
+  * the distinct tickers actually present in the fact store (a bounded
+  * companies dim; the collect is a render-edge read of at most a few
+  * thousand short strings).
   */
-final class McpTools(spark: SparkSession, facts: () => DataFrame) {
+final class McpTools(spark: SparkSession, facts: () => DataFrame,
+                     config: Option[GraftConfig] = None) {
 
   import McpTools._
 
@@ -25,6 +34,39 @@ final class McpTools(spark: SparkSession, facts: () => DataFrame) {
     }.mkString("[", ",", "]")
 
   def toolNames: Seq[String] = Tools.map(_.name)
+
+  /** resources/list payload: JSON array of {uri, name, description,
+    * mimeType} (ref: server.py:183-200). */
+  def listResources: String =
+    Resources.map { r =>
+      s"""{"uri":"${r.uri}","name":"${Serve.jsonEscape(r.name)}","description":"${Serve.jsonEscape(r.description)}","mimeType":"application/json"}"""
+    }.mkString("[", ",", "]")
+
+  def resourceUris: Seq[String] = Resources.map(_.uri)
+
+  /** resources/read: the resource's JSON text for a known URI, an
+    * `Unknown resource: ...` line otherwise (ref: server.py:202-230 —
+    * errors are returned as text content, never thrown to the client). */
+  def readResource(uri: String): String =
+    try uri match {
+      case "sec://companies/sp500" =>
+        val tickers = config.map(_.sp500Tickers).filter(_.nonEmpty)
+          .getOrElse(facts().select("ticker").distinct().orderBy("ticker")
+            .collect().map(_.getString(0)).toSeq)
+        tickers.map(t => s""""${Serve.jsonEscape(t)}"""")
+          .mkString("""{"sp500_tickers":[""", ",", "]}")
+      case "sec://metrics/available" =>
+        // ref data_service.py:301-310: [{metric, description,
+        // possible_labels}] over the serving-path label catalog
+        MetricCatalog.labelAliases.toSeq.sortBy(_._1).map { case (m, labels) =>
+          val title = m.split('_').map(_.capitalize).mkString(" ")
+          labels.map(l => s""""${Serve.jsonEscape(l)}"""")
+            .mkString(
+              s"""{"metric":"$m","description":"Financial metric: $title","possible_labels":[""",
+              ",", "]}")
+        }.mkString("[", ",", "]")
+      case other => s"Unknown resource: $other"
+    } catch { case e: Exception => s"Error: ${e.getMessage}" }
 
   /** tools/call with a parsed argument map. Returns the MCP text-content
     * payload: a JSON envelope on success, an `Error: ...` line on failure
@@ -90,6 +132,15 @@ final class McpTools(spark: SparkSession, facts: () => DataFrame) {
 object McpTools {
 
   final case class ToolDef(name: String, description: String, inputSchema: String)
+
+  final case class ResourceDef(uri: String, name: String, description: String)
+
+  /** The reference's two resources (src/sec_mcp/server.py:185-198). */
+  val Resources: Seq[ResourceDef] = Seq(
+    ResourceDef("sec://companies/sp500", "S&P 500 Companies",
+      "List of S&P 500 companies with tickers and basic info"),
+    ResourceDef("sec://metrics/available", "Available Financial Metrics",
+      "List of all available financial metrics"))
 
   /** The reference's six tools with their input schemas
     * (src/sec_mcp/server.py:53-146). */

@@ -222,6 +222,34 @@ class ServeLayerSpec extends SparkSpec {
     assert(tools.call("get_financial_metric", Map.empty).startsWith("Error:"))
   }
 
+  test("mcp: resources/list + resources/read serve both URIs end-to-end") {
+    val cfg = GraftConfig.fromString(
+      "sp500_tickers:\n  - AAPL\n  - MSFT\n", env = Map.empty)
+    val tools = new McpTools(spark, () => facts, Some(cfg))
+    assert(tools.resourceUris ===
+      Seq("sec://companies/sp500", "sec://metrics/available"))
+    val listing = tools.listResources
+    assert(listing.contains("\"uri\":\"sec://companies/sp500\""))
+    assert(listing.contains("\"mimeType\":\"application/json\""))
+    // config-backed ticker list (reference: config/sp500_tickers.json path)
+    val sp = tools.readResource("sec://companies/sp500")
+    assert(sp === """{"sp500_tickers":["AAPL","MSFT"]}""")
+    // no/empty config → distinct tickers from the fact store, sorted
+    val fallback = new McpTools(spark, () => facts)
+      .readResource("sec://companies/sp500")
+    assert(fallback.contains("\"ALFA\"") && fallback.contains("\"BETA\""))
+    assert(fallback.indexOf("ALFA") < fallback.indexOf("BETA"))
+    // metrics resource: one entry per serving-path metric with its labels
+    val met = tools.readResource("sec://metrics/available")
+    assert(met.contains("\"metric\":\"revenue\""))
+    assert(met.contains("\"description\":\"Financial metric: Revenue\""))
+    assert(met.contains("\"possible_labels\":[\"revenue\",\"revenues\",\"net sales\"]"))
+    assert(met.contains("\"metric\":\"net_income\"")
+      && met.contains("Financial metric: Net Income"))
+    // unknown URI → text error, never a throw (ref server.py:225-227)
+    assert(tools.readResource("sec://nope").startsWith("Unknown resource"))
+  }
+
   // ------------------------------------------------------- S13 config --
 
   test("config: YAML parse, dotted paths, env override, spark binding") {
