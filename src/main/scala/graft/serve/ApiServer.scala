@@ -257,11 +257,25 @@ object FinancialApi {
   }
 }
 
-/** HTTP shell: path routing over [[FinancialApi]]. Bind port 0 for an
-  * ephemeral test port (`boundPort` reports it). */
-final class ApiServer(api: FinancialApi, port: Int = 8000) {
+/** HTTP shell: path routing over [[FinancialApi]] plus the reference's
+  * response hygiene (src/api/main.py:53-54 + config.yaml performance
+  * section): gzip for bodies >= 1000 bytes when the client accepts it
+  * (`performance.enable_compression`), and a hard response-size cap
+  * (`performance.max_response_size_mb`, 413 when exceeded — the cap is
+  * checked on the UNcompressed payload, so a pathological query can't
+  * smuggle an oversized result past the cap by compressing well). Bind
+  * port 0 for an ephemeral test port (`boundPort` reports it). */
+final class ApiServer(api: FinancialApi, port: Int = 8000,
+                      enableCompression: Boolean = true,
+                      maxResponseBytes: Long = 100L * 1024 * 1024,
+                      gzipMinBytes: Int = ApiServer.GzipMinBytes) {
 
   import FinancialApi.Response
+
+  /** Shell keyed off the serving config (S13), reference precedence. */
+  def this(api: FinancialApi, port: Int, cfg: GraftConfig) =
+    this(api, port, cfg.enableCompression,
+      cfg.maxResponseSizeMb.toLong * 1024 * 1024)
 
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress(port), 0)
@@ -310,10 +324,24 @@ final class ApiServer(api: FinancialApi, port: Int = 8000) {
         case e: Exception => Response(500, "application/json",
           s"""{"success":false,"detail":"${graft.sources.Serve.jsonEscape(String.valueOf(e.getMessage))}"}""")
       }
-    val payload = resp.payload
-    exchange.getResponseHeaders.set("Content-Type", resp.contentType)
-    resp.headers.foreach { case (k, v) => exchange.getResponseHeaders.set(k, v) }
-    exchange.sendResponseHeaders(resp.status, payload.length)
+    val raw = resp.payload
+    val (status, contentType, headers, capped) =
+      if (raw.length > maxResponseBytes)
+        (413, "application/json", Map.empty[String, String],
+          (s"""{"success":false,"detail":"response of ${raw.length} bytes """ +
+            s"""exceeds the configured cap of $maxResponseBytes bytes"}""")
+            .getBytes("UTF-8"))
+      else (resp.status, resp.contentType, resp.headers, raw)
+    val acceptsGzip = Option(
+        exchange.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    val gzip = enableCompression && acceptsGzip &&
+      capped.length >= gzipMinBytes
+    val payload = if (gzip) ApiServer.gzipBytes(capped) else capped
+    exchange.getResponseHeaders.set("Content-Type", contentType)
+    if (gzip) exchange.getResponseHeaders.set("Content-Encoding", "gzip")
+    headers.foreach { case (k, v) => exchange.getResponseHeaders.set(k, v) }
+    exchange.sendResponseHeaders(status, payload.length)
     val os = exchange.getResponseBody
     os.write(payload)
     os.close()
@@ -321,4 +349,17 @@ final class ApiServer(api: FinancialApi, port: Int = 8000) {
 
   def start(): ApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
+}
+
+object ApiServer {
+  /** Bodies below this size are never compressed (ref: main.py:54,
+    * GZipMiddleware minimum_size=1000 — headers would outweigh savings). */
+  val GzipMinBytes: Int = 1000
+
+  private[serve] def gzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
 }

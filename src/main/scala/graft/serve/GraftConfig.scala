@@ -86,6 +86,9 @@ final class GraftConfig(root: JsonNode, env: Map[String, String] = sys.env) {
   def etlBatchSize: Int = getIntOr("etl.batch_size", 10)
   def skipUnchanged: Boolean = getBooleanOr("etl.skip_unchanged", true)
   def sp500Tickers: Seq[String] = getStringList("sp500_tickers")
+  /** Reference performance section (config.yaml:55-57). */
+  def maxResponseSizeMb: Int = getIntOr("performance.max_response_size_mb", 100)
+  def enableCompression: Boolean = getBooleanOr("performance.enable_compression", true)
 }
 
 object GraftConfig {

@@ -197,6 +197,63 @@ class ServeLayerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("api over real HTTP: gzip round-trip and the response-size cap") {
+    val cfg = GraftConfig.fromString(
+      "performance:\n  max_response_size_mb: 100\n  enable_compression: true\n",
+      env = Map.empty)
+    assert(cfg.maxResponseSizeMb === 100 && cfg.enableCompression)
+    val server = new ApiServer(newApi(), 0, cfg).start()
+    val client = HttpClient.newHttpClient()
+    def get(path: String, gz: Boolean): HttpResponse[Array[Byte]] = {
+      val b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$path")).GET()
+      client.send(if (gz) b.header("Accept-Encoding", "gzip").build() else b.build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    }
+    try {
+      // fixture bodies sit under the reference's 1000-byte floor — even a
+      // gzip-accepting client gets identity from the default server
+      val small = get("/financials/ALFA?years=5", gz = true)
+      assert(small.statusCode === 200)
+      assert(small.headers.firstValue("Content-Encoding").isEmpty)
+    } finally server.stop()
+    // floor lowered under the fixture payload → compressed for a
+    // gzip-accepting client, identity for everyone else
+    val gzServer = new ApiServer(newApi(), 0, enableCompression = true,
+      maxResponseBytes = 100L * 1024 * 1024, gzipMinBytes = 100).start()
+    def getz(path: String, gz: Boolean): HttpResponse[Array[Byte]] = {
+      val b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${gzServer.boundPort}$path")).GET()
+      client.send(if (gz) b.header("Accept-Encoding", "gzip").build() else b.build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    }
+    try {
+      val plain = getz("/financials/ALFA?years=5", gz = false)
+      assert(plain.statusCode === 200)
+      assert(plain.headers.firstValue("Content-Encoding").isEmpty)
+      val zipped = getz("/financials/ALFA?years=5", gz = true)
+      assert(zipped.headers.firstValue("Content-Encoding").orElse("") === "gzip")
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(zipped.body()))
+      assert(new String(in.readAllBytes(), "UTF-8") ===
+        new String(plain.body(), "UTF-8"))
+    } finally gzServer.stop()
+    // a 200-byte cap: the status line fits, the statement payload 413s
+    val capped = new ApiServer(newApi(), 0,
+      enableCompression = true, maxResponseBytes = 200L).start()
+    def getc(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${capped.boundPort}$path"))
+        .header("Accept-Encoding", "gzip").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(getc("/status").statusCode === 200)
+      val big = getc("/financials/ALFA?years=5")
+      assert(big.statusCode === 413)
+      assert(big.body().contains("exceeds the configured cap"))
+    } finally capped.stop()
+  }
+
   // ------------------------------------------------------ MCP dispatch --
 
   test("mcp: every tool name dispatches end-to-end") {
