@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *
   * The decomposition is exact, not approximate: addition of longs is
   * associative, and the range shuffle preserves a total order as long as
-  * the ordering key is UNIQUE (enforced-by-contract; ties would make any
-  * running sum ill-defined in both engines anyway).
+  * the ordering key is UNIQUE and non-null (fail-fast enforced inside the
+  * offsets aggregate — ties would make any running sum ill-defined in
+  * both engines anyway, so a violation throws instead of mis-packing).
   */
 object Packing {
 
@@ -43,8 +44,19 @@ object Packing {
     val n = spark.sessionState.conf.numShufflePartitions
     // contiguous, globally-ordered ranges; pid stamped BEFORE any further
     // exchange so it names the range, not a later hash bucket
-    val ranged = df.repartitionByRange(n, col(orderCol))
+    val ranged0 = df.repartitionByRange(n, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+    // `ranged` feeds TWO consumers (local sums + offsets), and correctness
+    // needs both to see the SAME range boundaries: the RangePartitioner
+    // samples its bounds per exchange, so two independently-planned
+    // exchanges can disagree and stamp different __pid's — offsets added
+    // to the wrong ranges, silently. With exchange reuse on (default) the
+    // planner dedupes the two subtrees into one exchange (pinned by
+    // PackingSpec's reuse test); with it off, materialize the ranged
+    // layout once so both consumers read identical partitions.
+    val ranged =
+      if (spark.sessionState.conf.exchangeReuseEnabled) ranged0
+      else ranged0.localCheckpoint()
     val localW = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__local", sum(col(valueCol)).over(localW))
@@ -52,9 +64,24 @@ object Packing {
     // single-partition window is cluster-bounded, not data-bounded
     val offW = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the order-key contract (unique, non-null) is ENFORCED here, not
+    // comment-enforced: equal keys land in the same range partition, so a
+    // per-partition rows-vs-distinct-non-null mismatch catches every
+    // violation, and the guard rides the aggregate the offsets frame
+    // already pays for (no extra pass over the data; the raise_error
+    // evaluates on the ≤ n-row frame)
     val offsets = ranged.groupBy("__pid")
-      .agg(sum(col(valueCol)).as("__ptot"))
-      .withColumn("__off", coalesce(sum(col("__ptot")).over(offW), lit(0L)))
+      .agg(sum(col(valueCol)).as("__ptot"),
+        count(lit(1)).as("__rows"),
+        countDistinct(col(orderCol)).as("__uniq"))
+      .withColumn("__off",
+        when(col("__rows") =!= col("__uniq"),
+          raise_error(format_string(
+            s"Packing.prefixSum: order column '$orderCol' must be unique " +
+              "and non-null, but range partition %s holds %s rows with " +
+              "only %s distinct non-null keys",
+            col("__pid"), col("__rows"), col("__uniq"))).cast("long"))
+          .otherwise(coalesce(sum(col("__ptot")).over(offW), lit(0L))))
       .select("__pid", "__off")
     local.join(broadcast(offsets), "__pid")
       .withColumn(outCol, col("__off") + col("__local"))

@@ -52,6 +52,46 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("prefixSum fails fast on duplicate and on null order keys") {
+    import spark.implicits._
+    val dup = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 5L)).toDF("id", "v")
+    val e = intercept[Exception] {
+      Packing.prefixSum(dup, "id", "v", "cum").collect()
+    }
+    assert(e.getMessage.contains("must be unique"), e.getMessage)
+    val withNull = Seq(Some(1L) -> 10L, None -> 20L, Some(3L) -> 5L)
+      .toDF("id", "v")
+    val e2 = intercept[Exception] {
+      Packing.prefixSum(withNull, "id", "v", "cum").collect()
+    }
+    assert(e2.getMessage.contains("must be unique"), e2.getMessage)
+  }
+
+  test("both prefixSum consumers read ONE range exchange (reuse pinned); correct with reuse off") {
+    import spark.implicits._
+    val df = (1L to 10000L).map(i => (i, 1L)).toDF("id", "v")
+    // reuse on (default): the offsets branch must resolve to a
+    // ReusedExchange of the local-sums branch's range shuffle — if
+    // canonicalization ever drifts, the two branches would sample range
+    // boundaries independently and mis-place offsets, so this fails loudly
+    val out = Packing.prefixSum(df, "id", "v", "cum")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(plan.split("\n").exists(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning")), plan)
+    // reuse off: prefixSum materializes the ranged layout instead, and the
+    // sums stay exact
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      val got = Packing.prefixSum(df, "id", "v", "cum")
+        .select("id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 10000L).forall(i => got(i) == i))
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+  }
+
   test("rejects nonpositive context length") {
     import spark.implicits._
     val docs = Seq((1L, 5L)).toDF("doc_id", "n")
