@@ -44,9 +44,9 @@ object CurationDemo {
       .join(splitDocs.select("doc_id", "split"), "doc_id")
     // observed write gate: row/empty-chunk counters ride the write action
     // itself (Metrics.observed) — monitoring without a second scan
-    val (gated, obs) = operators.Metrics.observed(chunks, "chunk_gate", Seq(
+    val (gated, obs) = operators.Metrics.observed(chunks, "chunk_gate",
       count(lit(1)).as("chunks"),
-      sum(when(col("n_tokens") <= 0, 1L).otherwise(0L)).as("empty_chunks")))
+      sum(when(col("n_tokens") <= 0, 1L).otherwise(0L)).as("empty_chunks"))
     gated.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/chunks")
     val gate = obs.get
     require(gate("empty_chunks") == 0L, s"chunk gate tripped: $gate")

@@ -49,13 +49,14 @@ object Clustering {
       .withColumn("__cos",
         expr(TX.dotAuto("__vec", "__cvec"))
           / (sqrt(col("__n2")) * sqrt(col("__cn2"))))
-      // max_by over (cosine, -cid): partial-aggregable argmax, so the
+      // min_by over (-cosine, cid): partial-aggregable argmax, so the
       // winner reduces map-side instead of shuffling every (vec, centroid)
-      // score through a window
+      // score through a window; the id rides the ordering struct
+      // un-negated, so the tie-break holds for any orderable id type
       .groupBy(idCol)
-      .agg(max_by(
+      .agg(min_by(
         struct(col("__cid").as("cluster"), col("__cos").as("cos")),
-        struct(col("__cos"), (-col("__cid")).as("tb"))).as("__w"))
+        struct((-col("__cos")).as("c"), col("__cid").as("tb"))).as("__w"))
       .select(col(idCol), col("__w.cluster").as("cluster"),
         round(col("__w.cos"), 6).as("cosine"))
   }

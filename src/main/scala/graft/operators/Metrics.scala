@@ -28,7 +28,7 @@ object Metrics {
     * runs on the RETURNED frame) and the Observation handle whose `get`
     * blocks until that action finishes. */
   def observed(df: DataFrame, name: String,
-               metrics: Seq[Column]): (DataFrame, Observation) = {
+               metrics: Column*): (DataFrame, Observation) = {
     require(metrics.nonEmpty, "at least one metric column required")
     val obs = Observation(name)
     val instrumented = df.observe(obs, metrics.head, metrics.tail: _*)

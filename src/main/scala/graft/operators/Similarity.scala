@@ -146,11 +146,15 @@ object Similarity {
       .withColumn("c_cos",
         when(col("norm2") > 0 && col("c_norm2") > 0,
           expr(TX.dotAuto(vecCol, "c_vec")) / (sqrt(col("norm2")) * sqrt(col("c_norm2")))))
+    // min_by over (-cosine, centroid_id): same partial-aggregable argmax,
+    // but the id rides the ordering struct UN-negated, so the tie-break is
+    // deterministic for ANY orderable id type (negating a string id would
+    // be null — a silently nondeterministic winner, not an error)
     scored.groupBy(col(idCol))
       .agg(
-        max_by(col("centroid_id"),
-          struct(coalesce(col("c_cos"), lit(-2.0)).as("c"),
-            (-col("centroid_id")).as("nc"))).as("centroid_id"),
+        min_by(col("centroid_id"),
+          struct((-coalesce(col("c_cos"), lit(-2.0))).as("c"),
+            col("centroid_id").as("nc"))).as("centroid_id"),
         first(col(vecCol)).as(vecCol),  // constant within the group (same id)
         first(col("norm2")).as("norm2"))
   }
@@ -188,11 +192,14 @@ object Similarity {
       .withColumn("cosine",
         when(col("n_a") > 0 && col("n_b") > 0,
           expr(TX.dotAuto("e_a", "e_b")) / (sqrt(col("n_a")) * sqrt(col("n_b")))))
+      // min_by on (-cosine, vec_b): type-agnostic deterministic tie-break
+      // (see ivfAssign — negating a non-numeric id yields null and a
+      // silently arbitrary winner)
       .groupBy(col("vec_a").as(idCol))
-      .agg(max_by(
+      .agg(min_by(
         struct(col("vec_b").as("neighbor_id"), col("cosine").as("cos")),
-        struct(coalesce(col("cosine"), lit(-2.0)).as("c"),
-          (-col("vec_b")).as("tb"))).as("__w"))
+        struct((-coalesce(col("cosine"), lit(-2.0))).as("c"),
+          col("vec_b").as("tb"))).as("__w"))
       .select(col(idCol), col("__w.neighbor_id").as("neighbor_id"),
         round(col("__w.cos"), 6).as("cosine"))
   }

@@ -23,6 +23,18 @@ import org.apache.spark.sql.SparkSession
   * production deployment wraps this in a table format's commit protocol,
   * which is exactly what Delta/Iceberg OPTIMIZE is; the data motion below
   * is the same either way).
+  *
+  * CONTRACT — the path must be QUIESCENT for the whole call: no writers
+  * (a concurrent append lands in the directory that becomes
+  * `.compact-bak` and its rows vanish with the backup), and readers must
+  * tolerate the swap window (between the two renames the live directory
+  * briefly does not exist — and on object stores "rename" is a copy, so
+  * the window is as wide as the copy; racing readers get FileNotFound,
+  * not a torn version). Schedule compaction in the same maintenance
+  * window as retention, or wrap it in a table-format commit when one is
+  * available. `keepBackup = true` retains `.compact-bak` (the complete
+  * pre-compaction directory) for the caller to inspect and delete after
+  * validating the rewrite, instead of dropping it immediately.
   */
 object Compaction {
 
@@ -46,7 +58,8 @@ object Compaction {
     * partitions); empty compacts to a flat layout. */
   def compactParquet(spark: SparkSession, path: String,
                      maxRecordsPerFile: Long,
-                     partitionCols: Seq[String] = Nil): Stats = {
+                     partitionCols: Seq[String] = Nil,
+                     keepBackup: Boolean = false): Stats = {
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
@@ -62,15 +75,16 @@ object Compaction {
       .mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
-    // swap: old → bak, new → live, drop bak. Readers racing the swap see
-    // either full version, except during the two renames themselves.
+    // swap: old → bak, new → live. Readers racing the swap see either
+    // full version, except during the two renames themselves (see the
+    // quiescence contract above).
     if (!fs.rename(dir, bak))
       throw new java.io.IOException(s"compaction swap failed: $dir -> $bak")
     if (!fs.rename(tmp, dir)) {
       fs.rename(bak, dir) // restore
       throw new java.io.IOException(s"compaction swap failed: $tmp -> $dir")
     }
-    fs.delete(bak, true)
+    if (!keepBackup) fs.delete(bak, true)
     val after = dataFiles(fs, dir)
     Stats(before.size, after.size, before.map(_._2).sum, after.map(_._2).sum)
   }

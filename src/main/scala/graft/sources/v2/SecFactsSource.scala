@@ -33,7 +33,10 @@ import graft.model.FactModel
   *    prunes WHOLE FILES by name before any byte is read (the filename
   *    carries the cik — file pruning leans on the SEC bulk-download
   *    invariant that `CIK##########.json` names match the document's own
-  *    cik field; non-conforming names are never pruned); `fiscal_year`
+  *    cik field; non-conforming names are never pruned, and the reader
+  *    fails loudly on any file whose name disagrees with its document, so
+  *    a violated invariant surfaces instead of silently losing rows from
+  *    pruned scans); `fiscal_year`
   *    comparisons apply during the parse walk so non-matching entries
   *    never materialize rows. All filters are ALSO left with Spark for
   *    re-application — pushdown here only reduces IO, it never decides
@@ -232,6 +235,20 @@ class SecFactsReader(file: String, required: StructType, rowFilters: Array[Filte
 
     val cik = Option(root.get("cik")).filterNot(_.isNull)
       .map(c => ("0" * 10 + c.asLong().toString).takeRight(10)).orNull
+    // filename-vs-document invariant check: the cik file prune
+    // (SecFactsScan) trusts that a CIK##########.json name matches the
+    // document's own cik field. If they ever disagree, a cik-filtered scan
+    // would silently never read this file's matching rows — so every read
+    // that DOES touch the file fails loudly, surfacing the broken
+    // invariant instead of letting pruned scans quietly lose data.
+    SecFactsSource.cikFromName(new org.apache.hadoop.fs.Path(file).getName)
+      .foreach { fromName =>
+        if (cik != null && cik != fromName)
+          throw new IllegalStateException(
+            s"secfacts: filename of $file encodes cik $fromName but the " +
+              s"document's cik field is $cik — the file-pruning naming " +
+              "invariant is violated (rename the file or fix the document)")
+      }
     val companyName = str(root, "entityName").orNull
 
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]

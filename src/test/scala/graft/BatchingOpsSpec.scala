@@ -62,6 +62,17 @@ class BatchingOpsSpec extends SparkSpec {
     assert(joined.count() == emb.count())
   }
 
+  test("nearestInBucket tie-break is deterministic for STRING vector ids") {
+    import spark.implicits._
+    // three identical vectors, string ids — every pair ties at cosine 1.0;
+    // each vector's reported neighbor must be the smallest OTHER id
+    val emb = Seq(("v3", Seq(1f, 1f)), ("v1", Seq(1f, 1f)), ("v2", Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.nearestInBucket(emb, "vec_id", "embedding", 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("v1" -> "v2", "v2" -> "v1", "v3" -> "v1"))
+  }
+
   test("multi-probe rejects nProbe < 1") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.limit(2).select(col("vec_id").as("cid"), col("embedding").as("cv"))

@@ -22,6 +22,19 @@ class ClusteringSpec extends SparkSpec {
     assert(got == Map(10L -> 0L, 11L -> 1L))
   }
 
+  test("kmeansAssign tie-break is deterministic for STRING centroid ids too") {
+    import spark.implicits._
+    // two identical centroids under string ids: negating a string id would
+    // be null (arbitrary winner); the typed struct tie-break must pick the
+    // lexicographically smaller id every time
+    val cents = Seq(("beta", Seq(1f, 0f)), ("alfa", Seq(1f, 0f)))
+      .toDF("cid", "cv")
+    val vs = emb(10L -> Seq(2f, 0.1f), 11L -> Seq(5f, 0.2f))
+    val got = Clustering.kmeansAssign(vs, "vec_id", "embedding", cents, "cid", "cv")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "alfa", 11L -> "alfa"))
+  }
+
   test("kmeansUpdate: exact per-dimension means, 1-based dims") {
     import spark.implicits._
     val vs = emb(1L -> Seq(1f, 2f), 2L -> Seq(3f, 6f), 3L -> Seq(10f, 20f))
@@ -64,6 +77,7 @@ class ClusteringSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("Window"), plan)
     // argmax reduces map-side: partial aggregation present
-    assert(plan.contains("partial_max_by") || plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_min_by") || plan.contains("partial_max_by")
+      || plan.contains("HashAggregate"), plan)
   }
 }

@@ -27,6 +27,22 @@ class CompactionSpec extends SparkSpec {
     assert(perFile.forall(_ <= 5000L), perFile.mkString(","))
   }
 
+  test("keepBackup retains the full pre-compaction directory until the caller drops it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactb").toString + "/store"
+    val df = (1L to 1000L).map(i => (i, s"row-$i")).toDF("id", "payload")
+    df.repartition(8).write.parquet(dir)
+    Compaction.compactParquet(spark, dir, maxRecordsPerFile = 100000L,
+      keepBackup = true)
+    // the backup is the complete old version, readable for validation...
+    val bak = spark.read.parquet(dir + ".compact-bak")
+    assert(bak.count() == 1000L)
+    assert(spark.read.parquet(dir).count() == 1000L)
+    // ...and the default mode removes it
+    Compaction.compactParquet(spark, dir, maxRecordsPerFile = 100000L)
+    assert(!new java.io.File(dir + ".compact-bak").exists())
+  }
+
   test("partitioned layout survives compaction within partitions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/store"

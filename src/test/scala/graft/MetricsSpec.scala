@@ -9,9 +9,9 @@ class MetricsSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "keep"), (2L, null), (3L, "keep"), (4L, null))
       .toDF("id", "text")
-    val (instrumented, obs) = Metrics.observed(docs, "gate", Seq(
+    val (instrumented, obs) = Metrics.observed(docs, "gate",
       count(lit(1)).as("rows"),
-      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts")))
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"))
     val survivors = instrumented.filter(col("text").isNotNull).count()
     val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val m = obs.get
@@ -26,7 +26,7 @@ class MetricsSpec extends SparkSpec {
   test("rejects empty metric lists") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
-      Metrics.observed(Seq(1).toDF("x"), "nope", Nil)
+      Metrics.observed(Seq(1).toDF("x"), "nope")
     }
   }
 }

@@ -61,6 +61,22 @@ class SecFactsSourceSpec extends SparkSpec {
     assert(plan.contains("columns=4/15"), plan)
   }
 
+  test("a filename disagreeing with its document's cik fails loudly, not silently") {
+    // CIK0000000777.json wrapping the cik-99 document: a cik-filtered scan
+    // would prune this file by name and silently lose the 99 rows — so any
+    // scan that reads it must surface the broken naming invariant instead
+    val d3 = java.nio.file.Files.createTempDirectory("secfacts3")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "CIK0000000099.json"),
+      d3.resolve("CIK0000000777.json"))
+    val e = intercept[Exception] {
+      spark.read.format("secfacts").load(d3.toString).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("naming invariant")), e.toString)
+  }
+
   test("non-conforming filenames are read, never wrongly skipped by cik pruning") {
     // copy the tiny filing under a name with no cik — a cik filter must
     // still read it (pruning is an optimization, not a correctness gate)
