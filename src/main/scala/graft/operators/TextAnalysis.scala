@@ -375,6 +375,49 @@ object TextAnalysis {
       s"CAST((CASE WHEN $nFailed = 0 THEN 1 ELSE 0 END) AS BIGINT)" -> "keep")
   }
 
+  /** DSIR-style importance weights (public method: Xie et al. 2023, "Data
+    * Selection via Importance Resampling"): hashed-bigram bag-of-features
+    * language models over a TARGET slice (what we want more of) and the
+    * SOURCE complement, Laplace-smoothed; each document scores
+    * `log p_target(doc) − log p_source(doc)` summed over its features —
+    * the standard importance weight for resampling a raw corpus toward a
+    * target domain. Feature hashing (poly-hash mod `buckets`) bounds the
+    * model at `buckets` rows regardless of vocabulary.
+    *
+    * Scale shape: train-then-apply like [[unigramLogProb]] — the feature
+    * census is a map-side-combinable grouped count over one exploded scan;
+    * apply is a second scan joined to the census. The census is at most
+    * `buckets` rows, so the apply-side join BROADCASTS it (no shuffle of
+    * the corpus side), and the 1-row totals ride a broadcast cross join.
+    * Output: one row per doc with >= 1 bigram (docs under 2 tokens have
+    * no features, hence no weight — resample treats them separately). */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  isTarget: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val feats = docs
+      .withColumn("__toks", expr(TX.tokens(textCol)(d)))
+      .withColumn("__tgt", isTarget.cast("boolean"))
+      .select(col(idCol), col("__tgt"),
+        explode(expr(TX.shingles("__toks", 2)(d))).as("__sh"))
+      .withColumn("__f", expr(s"${TX.polyHashAuto("__sh")(d)} % $buckets"))
+    val census = feats.groupBy("__f")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("c_s"))
+    val totals = census.agg(sum(col("c_t")).as("n_t"), sum(col("c_s")).as("n_s"))
+    feats
+      .join(broadcast(census), "__f")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lw",
+        log((col("c_t") + 1).cast("double")
+            / (col("n_t") + lit(buckets)).cast("double"))
+          - log((col("c_s") + 1).cast("double")
+            / (col("n_s") + lit(buckets)).cast("double")))
+      .groupBy(col(idCol), col("__tgt").as("is_target"))
+      .agg(count(lit(1)).as("n_features"),
+        round(sum(col("__lw")), 6).as("log_weight"))
+  }
+
   /** Collocation mining: top-`topK` token bigrams by pointwise mutual
     * information, `minCount` occurrences or more. PMI =
     * ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram instances and p(a),

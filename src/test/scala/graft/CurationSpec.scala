@@ -248,6 +248,49 @@ class CurationSpec extends SparkSpec {
     assert(hi.getAs[Long]("n_failed") == 1L && hi.getAs[Long]("keep") == 0L)
   }
 
+  test("dsirWeights: symmetric hand-checked weights; census broadcasts in the apply join") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", true),   // bigrams: 'alpha beta' (shared), 'beta gamma'
+      (2L, "alpha beta delta", false)   // bigrams: 'alpha beta' (shared), 'beta delta'
+    ).toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirWeights(docs, "text", "doc_id", col("tgt"), 4096)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getDouble(3))).toMap
+    // shared feature contributes 0 (c_t=c_s=1, n_t=n_s=2); the private
+    // feature contributes ±(ln(2/4098) - ln(1/4098)) = ±ln 2
+    assert(m(1L)._1 && !m(2L)._1)
+    assert(m(1L)._2 == 2L && m(2L)._2 == 2L)
+    assert(math.abs(m(1L)._3 - math.log(2.0)) < 1e-5, m(1L)._3.toString)
+    assert(math.abs(m(2L)._3 + math.log(2.0)) < 1e-5, m(2L)._3.toString)
+    // the ≤buckets-row census must broadcast — the corpus-side apply join
+    // must never shuffle on the feature key
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("group canonical selection keeps the highest-quality duplicate, not the smallest id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today indeed"),
+      (3L, "completely unrelated text about catalyst optimizer internals only")
+    ).toDF("doc_id", "text")
+    val groups = graft.operators.Dedup.dedupGroups(docs, "text", "doc_id",
+      k = 16, shingleN = 3, rowsPerBand = 2, threshold = 0.2)
+    implicit val d: graft.functions.Dialect = graft.functions.Dialect(spark = true)
+    val quality = docs.select(col("doc_id"),
+      expr(s"CAST(size(${graft.functions.TextExprs.tokens("text")}) AS BIGINT)")
+        .as("n_tokens"))
+    val got = groups.join(quality, "doc_id")
+      .groupBy("group_id")
+      .agg(min_by(struct(col("doc_id"), col("n_tokens")),
+        struct((-col("n_tokens")).as("q"), col("doc_id").as("tb"))).as("w"))
+      .select(col("group_id"), col("w.doc_id").as("keep_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 2 group together (group id = min member = 1); the LONGER
+    // doc 2 is kept, though doc 1 has the smaller id
+    assert(got == Map(1L -> 2L), got.toString)
+  }
+
   test("mixtureWeights: rejects targets not summing to 1000") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {
