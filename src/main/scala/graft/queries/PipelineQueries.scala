@@ -311,28 +311,30 @@ object PipelineQueries {
       import graft.functions.{Dialect => Dlt}
       val sparkD = Dlt(spark = true)
       val docs = t(s, dir, "documents")
+      // both quality gates (token band + Gopher rule pack, qx57) are
+      // per-row scalars over the SAME token array — fold them into one
+      // scan's filter instead of a second tokenize + semi-join (the rule
+      // pack conjoins, so filter composition is semantically identical)
+      val gopherKeep = TextAnalysis.gopherSignalSelect("text", "__toks",
+        GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS,
+        GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN,
+        GOPHER_MAX_SYMBOL_RATIO, GOPHER_MIN_STOP_HITS)(sparkD)
+        .find(_._2 == "keep").get._1
       val base = docs
+        .withColumn("__toks", expr(TX.tokens("text")(sparkD)))
         .withColumn("n_tokens",
-          expr(s"CAST(${sparkD.size(TX.tokens("text")(sparkD))} AS BIGINT)"))
-        .filter(col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS))
+          expr(s"CAST(${sparkD.size("__toks")} AS BIGINT)"))
+        .filter(col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
+          && expr(gopherKeep) === 1L)
+        .drop("__toks")
       val canonical = graft.operators.Dedup.exact(docs, "text", "doc_id")
         .select(col("canonical_id").as("doc_id"))
       val nearDupDrops = graft.operators.Dedup.dedupGroups(docs, "text", "doc_id",
           k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N, rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = NEARDUP_JACCARD)
         .filter(col("doc_id") =!= col("group_id"))
         .select("doc_id")
-      // second quality gate: the Gopher rule pack (qx57) — per-row scalars,
-      // so the semi-join side is another scan+project, no extra shuffle
-      // beyond the semi-join itself
-      val gopherKeep = TextAnalysis.gopherRules(docs, "text", "doc_id",
-          GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS,
-          GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN,
-          GOPHER_MAX_SYMBOL_RATIO, GOPHER_MIN_STOP_HITS)
-        .filter(col("keep") === 1L)
-        .select("doc_id")
       val curated = base
         .join(canonical, Seq("doc_id"), "left_semi")
-        .join(gopherKeep, Seq("doc_id"), "left_semi")
         .join(nearDupDrops, Seq("doc_id"), "left_anti")
       TextAnalysis.deterministicSplit(curated, "doc_id")
         .groupBy("split", "lang")
@@ -684,15 +686,14 @@ object PipelineQueries {
          |drops AS (SELECT id AS doc_id FROM comp WHERE id <> group_id),
          |canon AS (SELECT MIN(doc_id) AS doc_id FROM documents
          |          GROUP BY ${TX.norm("text")}),
-         |base AS (SELECT doc_id, lang, n_chars FROM documents
-         |         WHERE len(${TX.tokens("text")})
-         |               BETWEEN $CURATE_MIN_TOKENS AND $CURATE_MAX_TOKENS),
-         |gtd AS (SELECT doc_id, text, ${TX.tokens("text")} AS __toks
+         |gtd AS (SELECT doc_id, lang, n_chars, text, ${TX.tokens("text")} AS __toks
          |        FROM documents),
-         |gk AS (SELECT doc_id FROM gtd WHERE $gopherKeep = 1),
+         |base AS (SELECT doc_id, lang, n_chars FROM gtd
+         |         WHERE len(__toks)
+         |               BETWEEN $CURATE_MIN_TOKENS AND $CURATE_MAX_TOKENS
+         |           AND $gopherKeep = 1),
          |curated AS (SELECT b.doc_id, lang, n_chars
          |            FROM base b JOIN canon USING (doc_id)
-         |                        JOIN gk USING (doc_id)
          |            WHERE b.doc_id NOT IN (SELECT doc_id FROM drops)),
          |sp AS (SELECT doc_id, lang, n_chars,
          |         CASE WHEN $splitH < 80 THEN 'train'
