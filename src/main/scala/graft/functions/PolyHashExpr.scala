@@ -101,6 +101,9 @@ object GraftFunctions {
       "graft_lsh_bucket", exprs => LshBucket(exprs(0), lshPlanes(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_zorder", exprs => ZOrder(exprs(0), exprs(1), lshPlanes(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_doc", exprs => MinHashDoc(exprs(0),
+        lshPlanes(exprs(1)), lshPlanes(exprs(2))), "built-in")
     // self-dot → single-pass norm rewrite for sessions built without
     // GraftExtensions (idempotent: overwrite, don't append)
     if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))
@@ -141,6 +144,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[ZOrder].getName, "graft_zorder"),
       (exprs: Seq[Expression]) => ZOrder(exprs(0), exprs(1),
         GraftFunctions.lshPlanes(exprs(2)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_doc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashDoc].getName, "graft_minhash_doc"),
+      (exprs: Seq[Expression]) => MinHashDoc(exprs(0),
+        GraftFunctions.lshPlanes(exprs(1)), GraftFunctions.lshPlanes(exprs(2)))))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

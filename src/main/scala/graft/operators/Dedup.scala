@@ -68,6 +68,24 @@ object Dedup {
 
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
                        k: Int, shingleN: Int): DataFrame = {
+    // the whole front end (tokenize → token hashes → shingles → k minima)
+    // is ONE codegen'd expression — a pure scan projection, no explode, no
+    // window sort, no doc-keyed shuffle (graft.functions.MinHashDoc;
+    // MinHashSpec proves it row-identical to the exploded k-MIN pipeline)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol),
+        expr(s"graft_minhash_doc(`$textCol`, $k, $shingleN)").as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(col(idCol) +:
+        (0 until k).map(i => col("__d.sig").getItem(i).as(f"mh$i%02d")): _*)
+  }
+
+  /** The exploded/windowed signature pipeline — the portable reference
+    * implementation [[minhashSignature]]'s native expression is proven
+    * against (MinHashSpec), and the shape the DuckDB oracle mirrors. */
+  def minhashSignatureExploded(docs: DataFrame, textCol: String, idCol: String,
+                               k: Int, shingleN: Int): DataFrame = {
     // no distinct: MIN over a multiset equals MIN over its set, so the
     // dedup shuffle would be pure waste — one doc-id-keyed agg is the plan
     val shingled = shingleHashRows(docs, textCol, idCol, shingleN)
@@ -180,19 +198,22 @@ object Dedup {
       s"rowsPerBand=$rowsPerBand must divide the signature length k=$k " +
         "(a remainder would silently drop trailing signature columns and degrade recall)")
 
-  /** ONE pass over the corpus: the tokenize+hash front end
-    * (shingleHashRows) feeds a single per-doc aggregation producing BOTH
-    * the k signature minima and the verify set — running the front end
-    * once per consumer would double the most expensive scan. The per-doc
-    * result (k longs + hash set) is narrow; persisting it lets the banding
-    * self-join and the two verify joins all reuse one computation. */
+  /** ONE pass over the corpus: the whole front end (tokenize → token
+    * hashes → shingles → k minima + DISTINCT hash set) is one codegen'd
+    * expression (graft.functions.MinHashDoc) — a pure scan projection.
+    * The per-doc result (k longs + hash set) is narrow; persisting it
+    * lets the banding self-join and the two verify joins all reuse one
+    * computation, and NOTHING shuffles until the band join. */
   private def perDocAggregate(docs: DataFrame, textCol: String, idCol: String,
                               k: Int, shingleN: Int): DataFrame = {
-    val shingled = shingleHashRows(docs, textCol, idCol, shingleN)
-    val minCols = (0 until k).map(i =>
-      min(expr(s"(${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}")).as(f"mh$i%02d"))
-    shingled.groupBy(idCol)
-      .agg(minCols.head, (minCols.tail :+ collect_set(col("sh")).as("sh")): _*)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol),
+        expr(s"graft_minhash_doc(`$textCol`, $k, $shingleN)").as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(col(idCol) +:
+        ((0 until k).map(i => col("__d.sig").getItem(i).as(f"mh$i%02d"))
+          :+ col("__d.sh").as("sh")): _*)
   }
 
   private def nearDupPlan(perDoc: DataFrame, idCol: String,

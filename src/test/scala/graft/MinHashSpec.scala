@@ -3,17 +3,50 @@ package graft
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
-/** The typed sketch aggregator must equal the k-MIN expression form. */
+/** Three independent signature implementations must agree row for row:
+  * the native one-pass expression (production), the exploded/windowed
+  * k-MIN pipeline (portable reference), and the typed Aggregator. */
 class MinHashSpec extends SparkSpec {
 
-  test("MinHashAggregator signature equals the k-MIN form on real docs") {
+  test("native MinHashDoc signature equals the exploded k-MIN form AND the typed aggregator") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)
     val a = Dedup.minhashSignature(docs, "text", "doc_id", 16, 3)
       .orderBy("doc_id").collect().map(_.toSeq)
+    val ex = Dedup.minhashSignatureExploded(docs, "text", "doc_id", 16, 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
     val b = Dedup.minhashSignatureTyped(docs, "text", "doc_id", 16, 3)
       .orderBy("doc_id").collect().map(_.toSeq)
-    assert(a.length === 100 && a.toSeq === b.toSeq)
+    assert(a.length === 100 && a.toSeq === ex.toSeq && a.toSeq === b.toSeq)
+  }
+
+  test("native signature plan is a pure scan projection: zero Exchange before banding") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.minhashSignature(docs, "text", "doc_id", 16, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("MinHashDoc edge rows: null, empty, and short docs have no signature; token boundaries match the regex pipeline") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // 4 tokens, 2 shingles at n=3
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "one two"),                      // < n tokens → no signature
+      (5L, "The--QUICK  brown\tfox!!")      // same tokens as doc 1 after norm
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashSignature(docs, "text", "doc_id", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got.keySet == Set(1L, 5L))
+    // normalization-insensitive: punctuation/case/whitespace variants of
+    // the same words produce the identical signature
+    assert(got(1L) == got(5L))
+    // and the exploded reference agrees on the same edge inputs
+    val ex = Dedup.minhashSignatureExploded(docs, "text", "doc_id", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(ex == got)
   }
 
   test("aggregator partial merge is order-insensitive") {
