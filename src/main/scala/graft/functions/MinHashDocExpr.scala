@@ -90,11 +90,12 @@ case class MinHashDoc(child: Expression, k: Int, shingleN: Int)
 object MinHashDoc {
   private val P = TextExprs.P
 
-  /** Whole front end for one document; null when it yields no shingles.
-    * Called from generated code — keep the signature Java-friendly. */
-  def compute(s: UTF8String, k: Int, n: Int): InternalRow = {
+  /** Normalized-token poly hashes of one document, in order, multiplicity
+    * kept — the shared procedural tokenizer of the native text front end
+    * (graft_minhash_doc / graft_shingle_hashes / graft_simhash). Exactly
+    * `transform(tokens(s), w -> polyHash(w))` of the portable form. */
+  def tokenHashes(s: UTF8String): Array[Long] = {
     val str = s.toLowerCase.toString
-    // --- pass 1: token poly-hashes (no token strings materialized) ---
     var hs = new Array[Long](16)
     var m = 0
     var th = 0L
@@ -118,6 +119,14 @@ object MinHashDoc {
       if (m == hs.length) hs = java.util.Arrays.copyOf(hs, m + 1)
       hs(m) = th; m += 1
     }
+    java.util.Arrays.copyOf(hs, m)
+  }
+
+  /** Whole front end for one document; null when it yields no shingles.
+    * Called from generated code — keep the signature Java-friendly. */
+  def compute(s: UTF8String, k: Int, n: Int): InternalRow = {
+    val hs = tokenHashes(s)
+    val m = hs.length
     if (m < n) return null
     // --- pass 2: shingle rolling hashes → k minima + distinct set ---
     val nsh = m - n + 1
@@ -148,4 +157,126 @@ object MinHashDoc {
       new GenericArrayData(mins),
       new GenericArrayData(java.util.Arrays.copyOf(distinct, nd))))
   }
+
+  /** All word-shingle rolling hashes of one document, in order,
+    * multiplicity kept; empty when the doc has fewer than n tokens. */
+  def shingleHashes(s: UTF8String, n: Int): GenericArrayData = {
+    val hs = tokenHashes(s)
+    val m = hs.length
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var acc = hs(i)
+      var j = 1
+      while (j < n) { acc = (acc * 8191L + hs(i + j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash fingerprint of one document (sign-sum over the
+    * 32-bit-mixed token hashes, multiset semantics); null when the doc
+    * has no tokens — such docs have no fingerprint, matching the
+    * exploded form where they simply contribute no rows. */
+  def simhash(s: UTF8String): java.lang.Long = {
+    val hs = tokenHashes(s)
+    if (hs.length == 0) return null
+    val sums = new Array[Int](32)
+    var i = 0
+    while (i < hs.length) {
+      val h2 = (hs(i) * TextExprs.MIX) % TextExprs.MIX_MOD
+      var j = 0
+      while (j < 32) {
+        if (((h2 >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) { if (sums(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}
+
+/** Native array of all word-shingle rolling hashes (order + multiplicity
+  * preserved) — `explode(graft_shingle_hashes(text, n))` replaces the
+  * posexplode → window-lead pipeline for every shingle-stream consumer
+  * (contamination, repetition signals, span census). Empty array (no
+  * rows after explode) for short/null docs, exactly like the windowed
+  * form's null-filter. */
+case class ShingleHashes(child: Expression, shingleN: Int)
+  extends UnaryExpression {
+
+  require(shingleN >= 1 && shingleN <= 64,
+    s"graft_shingle_hashes: shingleN=$shingleN out of [1,64]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes needs a string argument, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.emptyLongArray)
+    else MinHashDoc.shingleHashes(v.asInstanceOf[UTF8String], shingleN)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val emptyArr = "new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0])"
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $emptyArr
+            : graft.functions.MinHashDoc.shingleHashes(${c.value}, $shingleN);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** Native 32-bit SimHash fingerprint — one pass per document instead of
+  * the token explode + 32 CASE-sum aggregation. Null for token-less docs
+  * (they have no fingerprint; callers filter). */
+case class SimHashDoc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash needs a string argument, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MinHashDoc.simhash(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        long ${ev.value} = 0L;
+        boolean ${ev.isNull} = true;
+        if (!${c.isNull}) {
+          java.lang.Long fp = graft.functions.MinHashDoc.simhash(${c.value});
+          if (fp != null) { ${ev.value} = fp.longValue(); ${ev.isNull} = false; }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashDoc =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
 }

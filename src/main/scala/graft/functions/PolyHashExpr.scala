@@ -104,6 +104,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_minhash_doc", exprs => MinHashDoc(exprs(0),
         lshPlanes(exprs(1)), lshPlanes(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes", exprs => ShingleHashes(exprs(0),
+        lshPlanes(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashDoc(exprs.head), "built-in")
     // self-dot → single-pass norm rewrite for sessions built without
     // GraftExtensions (idempotent: overwrite, don't append)
     if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))
@@ -150,6 +155,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[MinHashDoc].getName, "graft_minhash_doc"),
       (exprs: Seq[Expression]) => MinHashDoc(exprs(0),
         GraftFunctions.lshPlanes(exprs(1)), GraftFunctions.lshPlanes(exprs(2)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+        GraftFunctions.lshPlanes(exprs(1)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHashDoc].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHashDoc(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

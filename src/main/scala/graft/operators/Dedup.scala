@@ -41,18 +41,31 @@ object Dedup {
       .select("canonical_id", "n_copies")
   }
 
-  /** (id, sh) rows of word-n-gram shingle hashes — the shared front end of
-    * signature, banding, and verify: posexplode tokens → native word hash →
-    * window-lead arithmetic combine. Every hash computed exactly once.
+  /** (id, sh) rows of word-n-gram shingle hashes — the shared front end
+    * of every shingle-stream consumer (contamination, repetition, span
+    * census, and the portable signature references). The whole per-doc
+    * computation is one codegen'd array expression
+    * (graft.functions.ShingleHashes), so this is explode-of-a-projection:
+    * no posexplode row blowup through a shuffle, no window sort. Order
+    * and multiplicity match the windowed pipeline exactly
+    * ([[shingleHashRowsWindowed]], kept as the independently-derived
+    * reference that MinHashSpec proves this equal to). */
+  def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      explode(expr(s"graft_shingle_hashes(`$textCol`, $shingleN)")).as("sh"))
+  }
+
+  /** The posexplode → window-lead shingle pipeline — the portable
+    * reference [[shingleHashRows]]'s native expression is proven against.
     *
     * Rejected shapes (measured at sf0.1): k array-min columns over a shared
     * shingle-hash array lets ProjectCollapse inline the hashing into every
     * column (k× recompute, ~180 s); explode of char-hashed shingle strings
-    * hashes ~20 chars per shingle instead of ~6 per word (~30 s). This
-    * shape runs the corpus in ~2 s and all shuffles are doc-id-keyed with
-    * map-side combine — the 100 TB-safe plan. */
-  def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
-                      shingleN: Int): DataFrame = {
+    * hashes ~20 chars per shingle instead of ~6 per word (~30 s). */
+  def shingleHashRowsWindowed(docs: DataFrame, textCol: String, idCol: String,
+                              shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(col(idCol),
       posexplode(expr(TX.tokens(textCol))).as(Seq("pos", "w")))
@@ -88,7 +101,7 @@ object Dedup {
                                k: Int, shingleN: Int): DataFrame = {
     // no distinct: MIN over a multiset equals MIN over its set, so the
     // dedup shuffle would be pure waste — one doc-id-keyed agg is the plan
-    val shingled = shingleHashRows(docs, textCol, idCol, shingleN)
+    val shingled = shingleHashRowsWindowed(docs, textCol, idCol, shingleN)
     val minCols = (0 until k).map(i =>
       min(expr(s"(${TX.aK(i)}*sh + ${TX.bK(i)}) % ${TX.P}")).as(f"mh$i%02d"))
     shingled.groupBy(idCol).agg(minCols.head, minCols.tail: _*)
@@ -104,7 +117,7 @@ object Dedup {
     // so the id keeps its own type/schema (a cast-to-long groupByKey would
     // silently null-collapse non-numeric ids)
     val mh = udaf(new graft.functions.MinHashAggregator(k))
-    val sig = shingleHashRows(docs, textCol, idCol, shingleN)
+    val sig = shingleHashRowsWindowed(docs, textCol, idCol, shingleN)
       .groupBy(idCol).agg(mh(col("sh")).as("sig"))
     val cols = (0 until k).map(i => element_at(col("sig"), i + 1).as(f"mh$i%02d"))
     sig.select((col(idCol) +: cols): _*)
@@ -140,9 +153,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc"))
       .filter(col("n_docs") >= 2)
 
-  /** SimHash 32-bit fingerprint via explode + sign-sum per bit.
-    * Partial-aggregable: the 32 CASE-sums combine map-side. */
+  /** SimHash 32-bit fingerprint — one codegen'd expression per doc
+    * (graft.functions.SimHashDoc): a pure scan projection, no token
+    * explode, no 32-CASE-sum aggregation, no shuffle.
+    * [[simhashExploded]] keeps the independently-derived pipeline the
+    * native form is proven against (MinHashSpec). */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol), expr(s"graft_simhash(`$textCol`)").as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** SimHash via explode + sign-sum per bit (partial-aggregable 32
+    * CASE-sums) — the portable reference for [[simhash]]. */
+  def simhashExploded(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(col(idCol),
       explode(expr(TX.tokens(textCol))).as("w"))

@@ -49,6 +49,27 @@ class MinHashSpec extends SparkSpec {
     assert(ex == got)
   }
 
+  test("native shingle stream and simhash equal their exploded reference forms") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    // shingle hashes: same (doc, hash) multiset, multiplicity included
+    val a = Dedup.shingleHashRows(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Dedup.shingleHashRowsWindowed(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.nonEmpty && (a sameElements b))
+    // simhash: identical fingerprints per doc
+    val sa = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sb = Dedup.simhashExploded(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sa.nonEmpty && sa == sb)
+    // and the native simhash plans no shuffle at all
+    val plan = Dedup.simhash(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("aggregator partial merge is order-insensitive") {
     val agg = new graft.functions.MinHashAggregator(4)
     val xs = Seq(5L, 99L, 12345L, 7L)
