@@ -20,6 +20,35 @@ class CurationPropertySpec extends SparkSpec {
   private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "w1", "w2", "zz")
   private val docGen: Gen[List[String]] = Gen.chooseNum(0, 23).flatMap(Gen.listOfN(_, wordGen))
 
+  test("native tokenizer front end equals the regex/window pipeline on adversarial strings") {
+    // the native expressions (graft_minhash_doc / graft_shingle_hashes /
+    // graft_simhash) re-implement lower+strip+split procedurally; this
+    // hammers that claim with case mixes, unicode (including the Kelvin
+    // sign, which LOWERCASES INTO ascii 'k'), combining marks, surrogate
+    // pairs, digits, runs of separators, and empty/whitespace-only docs
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '-', '_', '!', '@'),
+      1 -> Gen.oneOf('É', 'ß', 'Ω', '中', 'K' /* Kelvin → 'k' */,
+        '́' /* combining acute */, '\uD83D', '\uDE00' /* 😀 halves */))
+    val textGen: Gen[String] = Gen.chooseNum(0, 60)
+      .flatMap(Gen.listOfN(_, charGen)).map(_.mkString)
+    forSamples(Gen.listOfN(40, textGen), n = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nat = graft.operators.Dedup.shingleHashRows(df, "text", "doc_id", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val ref = graft.operators.Dedup.shingleHashRowsWindowed(df, "text", "doc_id", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(nat == ref, s"shingle mismatch on ${texts.mkString("|")}")
+      val sa = graft.operators.Dedup.simhash(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sb = graft.operators.Dedup.simhashExploded(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sa == sb, s"simhash mismatch on ${texts.mkString("|")}")
+    }
+  }
+
   test("chunkDocuments equals a local sliding-window reference on random docs") {
     val chunk = 4; val stride = 2
     forSamples(Gen.listOfN(5, docGen)) { docs =>
