@@ -114,4 +114,26 @@ object Packing {
       .withColumn("n_packs", col("end_pack") - col("start_pack") + 1)
       .drop("__cum")
   }
+
+  /** The pack MANIFEST — the artifact a training loader actually consumes:
+    * one row per (window, document) with the token slice of the document
+    * that lands in that window: `pack, id, slice_start, slice_len`
+    * (slice_start is 0-based within the doc; a straddling doc appears in
+    * several packs with contiguous slices). Pure arithmetic on
+    * [[packSequential]]'s output plus a bounded explode (a doc fans out
+    * only to the packs it touches), so the manifest inherits the prefix
+    * sum's data-parallel shape. Invariants (spec-enforced): per-doc
+    * slices partition [0, n_tokens); every pack except the tape's last
+    * sums to exactly `contextLen`. */
+  def packManifest(docs: DataFrame, idCol: String, tokensCol: String,
+                   contextLen: Long): DataFrame =
+    packSequential(docs, idCol, tokensCol, contextLen)
+      .select(col(idCol), col(tokensCol), col("start_off"),
+        explode(expr("sequence(start_pack, end_pack)")).as("pack"))
+      .withColumn("slice_start",
+        greatest(lit(0L), col("pack") * contextLen - col("start_off")))
+      .withColumn("slice_len",
+        least(col(tokensCol), (col("pack") + lit(1L)) * contextLen - col("start_off"))
+          - col("slice_start"))
+      .select(col("pack"), col(idCol), col("slice_start"), col("slice_len"))
 }

@@ -20,6 +20,18 @@ object CurationQueries {
     * synthetic vocabulary. */
   private[queries] val DSIR_BUCKETS = 4096
 
+  /** qx60's context window (same as the qx43 packer). */
+  private val PACK_CONTEXT = 128L
+
+  /** qx61's quantized resampling schedule over the 6dp-rounded DSIR
+    * weight (the rounding is what makes the thresholds engine-portable:
+    * qx58's hash gate proves both engines produce the identical rounded
+    * double, so >= comparisons agree). Chosen so every step bites at
+    * sf0.01: target docs span the 0/-3 boundaries, source docs span
+    * -3/-8/floor. */
+  private val DSIR_RATES = Seq(0.0 -> 1000L, -3.0 -> 600L, -8.0 -> 300L)
+  private val DSIR_FLOOR_RATE = 100L
+
   private def duckD = Dialect(spark = false)
   private def sparkD = Dialect(spark = true)
 
@@ -32,6 +44,45 @@ object CurationQueries {
       TextAnalysis.dsirWeights(t(s, dir, "documents"), "text", "doc_id",
           col("lang") === "en", DSIR_BUCKETS)
         .orderBy("doc_id")),
+
+    // ---- Pack manifest: the artifact the training loader consumes -------
+    // (one row per (window, doc): which token slice of which doc fills
+    //  which context window; straddlers appear once per touched window)
+    "qx60_pack_manifest" -> ((s, dir) => {
+      val d = sparkD
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+      graft.operators.Packing.packManifest(docs, "doc_id", "n_tokens", PACK_CONTEXT)
+        .orderBy("pack", "doc_id")
+    }),
+
+    // ---- DSIR resampling APPLIED: quantized-rate hash sampling ----------
+    // (the selection step after qx58's scoring: per-doc keep rate from the
+    //  rounded weight, deterministic salted-hash keep decision, per-lang
+    //  census — corpus mixing you can re-run byte-identically)
+    "qx61_dsir_resample" -> ((s, dir) => {
+      val d = sparkD
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val w = TextAnalysis.dsirWeights(docs, "text", "doc_id",
+        col("lang") === "en", DSIR_BUCKETS)
+      val rate = DSIR_RATES.foldRight(
+          when(col("log_weight").isNotNull, DSIR_FLOOR_RATE).otherwise(0L)) {
+        case ((thr, r), elseExpr) => when(col("log_weight") >= thr, r).otherwise(elseExpr)
+      }
+      docs.select("doc_id", "lang")
+        .join(w.select(col("doc_id"), col("log_weight")), Seq("doc_id"), "left")
+        .withColumn("rate", rate)
+        .withColumn("keep",
+          (expr(s"${TX.polyHashAuto("concat('dsir', CAST(`doc_id` AS STRING))")(d)} % 1000")
+            < col("rate")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("log_weight").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+          sum(col("keep")).as("n_kept"),
+          min(when(col("keep") === 1L, col("doc_id"))).as("min_kept_doc"))
+        .orderBy("lang")
+    }),
 
     // ---- Quality-canonical selection within near-dup groups -------------
     // (production keeps the BEST duplicate, not the arbitrary smallest id:
@@ -58,28 +109,85 @@ object CurationQueries {
     })
   )
 
+  /** Shared CTE prefix of qx58/qx61: hashed-bigram features, the
+    * target/source census, and corpus totals. */
+  private def dsirCtes: String = {
+    val d = duckD
+    val B = DSIR_BUCKETS
+    s"""td AS (SELECT doc_id, (lang = 'en') AS tgt,
+       |        ${TX.tokens("text")(d)} AS __toks FROM documents),
+       |inst AS (SELECT doc_id, tgt, unnest(${TX.shingles("__toks", 2)(d)}) AS sh
+       |         FROM td),
+       |f AS (SELECT doc_id, tgt, (${TX.polyHash("sh")(d)}) % $B AS f FROM inst),
+       |census AS (SELECT f,
+       |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+       |    CAST(SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_s
+       |  FROM f GROUP BY f),
+       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |               CAST(SUM(c_s) AS BIGINT) AS n_s FROM census)""".stripMargin
+  }
+
+  /** The per-doc weight select shared by both DSIR oracles (identical
+    * grouping in both, so the 6dp rounding sees the same sums). */
+  private def dsirWeightSelect: String = {
+    val B = DSIR_BUCKETS
+    s"""SELECT doc_id, tgt AS is_target, COUNT(*) AS n_features,
+       |  ROUND(SUM(ln(CAST(c.c_t + 1 AS DOUBLE) / CAST(n_t + $B AS DOUBLE))
+       |          - ln(CAST(c.c_s + 1 AS DOUBLE) / CAST(n_s + $B AS DOUBLE))), 6)
+       |    AS log_weight
+       |FROM f JOIN census c USING (f) CROSS JOIN tot
+       |GROUP BY doc_id, tgt""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
-    "qx58_dsir_weights" -> {
+    "qx58_dsir_weights" ->
+      s"""WITH $dsirCtes
+         |$dsirWeightSelect ORDER BY doc_id""".stripMargin,
+
+    "qx60_pack_manifest" -> {
       val d = duckD
-      val B = DSIR_BUCKETS
-      s"""WITH td AS (SELECT doc_id, (lang = 'en') AS tgt,
-         |              ${TX.tokens("text")(d)} AS __toks FROM documents),
-         |inst AS (SELECT doc_id, tgt, unnest(${TX.shingles("__toks", 2)(d)}) AS sh
-         |         FROM td),
-         |f AS (SELECT doc_id, tgt, (${TX.polyHash("sh")(d)}) % $B AS f FROM inst),
-         |census AS (SELECT f,
-         |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
-         |    CAST(SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_s
-         |  FROM f GROUP BY f),
-         |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
-         |               CAST(SUM(c_s) AS BIGINT) AS n_s FROM census)
-         |SELECT doc_id, tgt AS is_target, COUNT(*) AS n_features,
-         |  ROUND(SUM(ln(CAST(c.c_t + 1 AS DOUBLE) / CAST(n_t + $B AS DOUBLE))
-         |          - ln(CAST(c.c_s + 1 AS DOUBLE) / CAST(n_s + $B AS DOUBLE))), 6)
-         |    AS log_weight
-         |FROM f JOIN census c USING (f) CROSS JOIN tot
-         |GROUP BY doc_id, tgt ORDER BY doc_id""".stripMargin
+      val toks = TX.tokens("text")(d)
+      val C = PACK_CONTEXT
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(${d.size(toks)} AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |nz AS (SELECT * FROM base WHERE n_tokens > 0),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         |  FROM nz),
+         |sp AS (
+         |  SELECT doc_id, n_tokens, c - n_tokens AS start_off,
+         |    unnest(generate_series(${d.idiv("(c - n_tokens)", s"$C")},
+         |                           ${d.idiv("(c - 1)", s"$C")})) AS pack
+         |  FROM cum)
+         |SELECT pack, doc_id,
+         |  GREATEST(CAST(0 AS BIGINT), pack*$C - start_off) AS slice_start,
+         |  LEAST(n_tokens, (pack+1)*$C - start_off)
+         |    - GREATEST(CAST(0 AS BIGINT), pack*$C - start_off) AS slice_len
+         |FROM sp ORDER BY pack, doc_id""".stripMargin
+    },
+
+    "qx61_dsir_resample" -> {
+      val d = duckD
+      val rateCase = DSIR_RATES.map { case (thr, r) =>
+        s"WHEN log_weight >= $thr THEN $r"
+      }.mkString("CASE ", " ", s" WHEN log_weight IS NOT NULL THEN $DSIR_FLOOR_RATE ELSE 0 END")
+      val keepHash = TX.polyHash("concat('dsir', CAST(doc_id AS VARCHAR))")(d)
+      s"""WITH $dsirCtes,
+         |wts AS ($dsirWeightSelect),
+         |rated AS (
+         |  SELECT dd.doc_id, dd.lang, w.log_weight, $rateCase AS rate
+         |  FROM documents dd LEFT JOIN wts w USING (doc_id)),
+         |k AS (SELECT *, CASE WHEN ($keepHash) % 1000 < rate THEN 1 ELSE 0 END AS keep
+         |      FROM rated)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN log_weight IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+         |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |  MIN(CASE WHEN keep = 1 THEN doc_id END) AS min_kept_doc
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "qx59_group_canonical" -> {

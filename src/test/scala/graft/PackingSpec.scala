@@ -92,6 +92,35 @@ class PackingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
 
+  test("packManifest: slices partition every doc; every non-final pack sums to the context length") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 500L).map(i => (i, rnd.between(1L, 40L))).toDF("doc_id", "n")
+    val C = 16L
+    val rows = Packing.packManifest(docs, "doc_id", "n", C)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTokens = docs.collect().map(_.getLong(1)).sum
+    // per-doc: slices are contiguous from 0 and cover exactly n_tokens
+    val byDoc = rows.groupBy(_._2)
+    docs.collect().foreach { d =>
+      val (id, n) = (d.getLong(0), d.getLong(1))
+      val slices = byDoc(id).sortBy(_._1).map(s => (s._3, s._4))
+      assert(slices.head._1 == 0L, s"doc $id starts at ${slices.head._1}")
+      assert(slices.map(_._2).sum == n, s"doc $id covers ${slices.map(_._2).sum} of $n")
+      slices.sliding(2).foreach {
+        case Array((s1, l1), (s2, _)) => assert(s1 + l1 == s2, s"doc $id gap at $s2")
+        case _ =>
+      }
+    }
+    // per-pack: all full except the tape's last
+    val lastPack = (totalTokens - 1) / C
+    rows.groupBy(_._1).foreach { case (pack, ss) =>
+      val tot = ss.map(_._4).sum
+      if (pack < lastPack) assert(tot == C, s"pack $pack holds $tot of $C")
+      else assert(tot == totalTokens - lastPack * C)
+    }
+  }
+
   test("rejects nonpositive context length") {
     import spark.implicits._
     val docs = Seq((1L, 5L)).toDF("doc_id", "n")
