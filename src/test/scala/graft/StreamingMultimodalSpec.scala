@@ -32,6 +32,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher rule pack on a stream: stateless projection, streaming equals batch row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat sat on the mat again"),
+      (2L, ""), (3L, "a@# b$% c^&"), (4L, "the of and to in is extra words here")
+    )
+    val expected = graft.operators.TextAnalysis.gopherRules(
+        docs.toDF("doc_id", "text"), "text", "doc_id",
+        3L, 8L, 2.0, 4.0, 0.2, 1L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    // same rule pack applied to a stream — a per-row projection needs no
+    // state, no watermark, no output-mode gymnastics: curation-on-ingest
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.gopherRules(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        3L, 8L, 2.0, 4.0, 0.2, 1L)
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_stream")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(got.toSeq === expected.toSeq && got.length === 4)
+    } finally q.stop()
+  }
+
   test("stateful user sessions close on gap and batch flushes trailing open sessions") {
     import spark.implicits._
     def ev(id: Long, uid: Long, minute: Long, v: Double) =
