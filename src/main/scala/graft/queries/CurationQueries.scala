@@ -84,6 +84,31 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // ---- Token-budget split: exact token counts, not doc counts ---------
+    // (training-data splits are budgeted in TOKENS; the doc-id-ordered
+    //  tape is cut at 80%/90% of the total token mass via the distributed
+    //  prefix sum — integer cross-multiplication, so both engines cut at
+    //  identical rows. The 1-row total broadcasts.)
+    "qx62_token_budget_split" -> ((s, dir) => {
+      val d = sparkD
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+          expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val cum = graft.operators.Packing.prefixSum(
+        docs, "doc_id", "n_tokens", "cum_tokens")
+      val tot = docs.agg(sum(col("n_tokens")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("split",
+          when(col("cum_tokens") * 100 <= col("total") * 80, "train")
+            .when(col("cum_tokens") * 100 <= col("total") * 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    }),
+
     // ---- Quality-canonical selection within near-dup groups -------------
     // (production keeps the BEST duplicate, not the arbitrary smallest id:
     //  per group, the doc with the most tokens wins, ties to smaller id —
@@ -168,6 +193,31 @@ object CurationQueries {
          |  LEAST(n_tokens, (pack+1)*$C - start_off)
          |    - GREATEST(CAST(0 AS BIGINT), pack*$C - start_off) AS slice_len
          |FROM sp ORDER BY pack, doc_id""".stripMargin
+    },
+
+    "qx62_token_budget_split" -> {
+      val d = duckD
+      val toks = TX.tokens("text")(d)
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(${d.size(toks)} AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |nz AS (SELECT * FROM base WHERE n_tokens > 0),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         |  FROM nz),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM nz),
+         |sp AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN c * 100 <= total * 80 THEN 'train'
+         |         WHEN c * 100 <= total * 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM cum CROSS JOIN tot)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
     },
 
     "qx61_dsir_resample" -> {
