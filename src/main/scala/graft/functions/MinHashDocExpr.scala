@@ -158,6 +158,25 @@ object MinHashDoc {
       new GenericArrayData(java.util.Arrays.copyOf(distinct, nd))))
   }
 
+  /** Normalized token count without materializing anything — the walk of
+    * [[tokenHashes]] minus the hashes. */
+  def tokenCount(s: UTF8String): Long = {
+    val str = s.toLowerCase.toString
+    var m = 0L
+    var inTok = false
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')
+      if (alnum) inTok = true
+      else if (inTok) { m += 1; inTok = false }
+      i += Character.charCount(cp)
+    }
+    if (inTok) m += 1
+    m
+  }
+
   /** All word-shingle rolling hashes of one document, in order,
     * multiplicity kept; empty when the doc has fewer than n tokens. */
   def shingleHashes(s: UTF8String, n: Int): GenericArrayData = {
@@ -242,6 +261,42 @@ case class ShingleHashes(child: Expression, shingleN: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** Native normalized-token count — `size(tokens(text))` as one codegen'd
+  * walk with no split/filter/array allocation. Null propagates (the
+  * portable form's `size(null)` is null too). */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_token_count needs a string argument, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MinHashDoc.tokenCount(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        long ${ev.value} = 0L;
+        boolean ${ev.isNull} = ${c.isNull};
+        if (!${c.isNull}) {
+          ${ev.value} = graft.functions.MinHashDoc.tokenCount(${c.value});
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_count"
 }
 
 /** Native 32-bit SimHash fingerprint — one pass per document instead of

@@ -109,6 +109,8 @@ object GraftFunctions {
         lshPlanes(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashDoc(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_token_count", exprs => TokenCount(exprs.head), "built-in")
     // self-dot → single-pass norm rewrite for sessions built without
     // GraftExtensions (idempotent: overwrite, don't append)
     if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))
@@ -166,6 +168,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHashDoc].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHashDoc(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokenCount].getName, "graft_token_count"),
+      (exprs: Seq[Expression]) => TokenCount(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -67,6 +67,15 @@ object TextExprs {
   def tokens(col: String)(implicit d: Dialect): String =
     d.filt(d.splitSpace(norm(col)), "w", "w <> ''")
 
+  /** `size(tokens(col))` as BIGINT — preferring the native codegen'd walk
+    * on the Spark side (register GraftFunctions first); the duck dialect
+    * keeps the portable regex/split/filter form, so the oracle compare
+    * continuously proves the native tokenizer equivalent. Null text is
+    * null in both (size(null) / len(NULL)). */
+  def tokenCountAuto(col: String)(implicit d: Dialect): String =
+    if (d.spark) s"graft_token_count($col)"
+    else s"CAST(${d.size(tokens(col))} AS BIGINT)"
+
   /** Polynomial rolling hash of a string expression, in [0, P). Guarded for
     * empty input (Spark's sequence(1,0) would step backwards). */
   def polyHash(e: String)(implicit d: Dialect): String = {

@@ -69,8 +69,9 @@ object BatchingQueries {
     //  range-partitioned decomposition in operators/Packing)
     "qx43_sequence_packing" -> ((s, dir) => {
       val d = sparkD
+      graft.functions.GraftFunctions.register(s)
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+        expr(TX.tokenCountAuto("text")(d)).as("n_tokens"))
       Packing.packSequential(docs, "doc_id", "n_tokens", PACK_CONTEXT)
         .orderBy("doc_id")
     }),
@@ -80,8 +81,9 @@ object BatchingQueries {
     //  attention-masking / fragmentation diagnostic for the packer)
     "qx54_pack_fragmentation" -> ((s, dir) => {
       val d = sparkD
+      graft.functions.GraftFunctions.register(s)
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+        expr(TX.tokenCountAuto("text")(d)).as("n_tokens"))
       Packing.packSequential(docs, "doc_id", "n_tokens", PACK_CONTEXT)
         .select(col("start_pack"),
           explode(expr("sequence(start_pack, end_pack)")).as("pack"))

@@ -50,8 +50,9 @@ object CurationQueries {
     //  which context window; straddlers appear once per touched window)
     "qx60_pack_manifest" -> ((s, dir) => {
       val d = sparkD
+      graft.functions.GraftFunctions.register(s)
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+        expr(TX.tokenCountAuto("text")(d)).as("n_tokens"))
       graft.operators.Packing.packManifest(docs, "doc_id", "n_tokens", PACK_CONTEXT)
         .orderBy("pack", "doc_id")
     }),
@@ -91,8 +92,9 @@ object CurationQueries {
     //  identical rows. The 1-row total broadcasts.)
     "qx62_token_budget_split" -> ((s, dir) => {
       val d = sparkD
+      graft.functions.GraftFunctions.register(s)
       val docs = t(s, dir, "documents").select(col("doc_id"),
-          expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+          expr(TX.tokenCountAuto("text")(d)).as("n_tokens"))
         .filter(col("n_tokens") > 0)
       val cum = graft.operators.Packing.prefixSum(
         docs, "doc_id", "n_tokens", "cum_tokens")
@@ -115,13 +117,14 @@ object CurationQueries {
     //  an argmax via partial-aggregable min_by, no window over the corpus)
     "qx59_group_canonical" -> ((s, dir) => {
       val d = sparkD
+      graft.functions.GraftFunctions.register(s)
       val docs = t(s, dir, "documents")
       val groups = graft.operators.Dedup.dedupGroups(docs, "text", "doc_id",
         k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N,
         rowsPerBand = ExtensionQueries.ROWS_PER_BAND,
         threshold = PipelineQueries.NEARDUP_JACCARD)
       val quality = docs.select(col("doc_id"),
-        expr(s"CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)").as("n_tokens"))
+        expr(TX.tokenCountAuto("text")(d)).as("n_tokens"))
       groups.join(quality, "doc_id")
         .groupBy("group_id")
         .agg(count(lit(1)).as("group_size"),

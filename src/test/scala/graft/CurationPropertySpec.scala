@@ -46,6 +46,18 @@ class CurationPropertySpec extends SparkSpec {
       val sb = graft.operators.Dedup.simhashExploded(df, "text", "doc_id")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(sa == sb, s"simhash mismatch on ${texts.mkString("|")}")
+      // token count: native walk vs portable regex/split/filter
+      graft.functions.GraftFunctions.register(spark)
+      implicit val sd: graft.functions.Dialect = graft.functions.Dialect(spark = true)
+      val tc = df.select(col("doc_id"),
+          expr(graft.functions.TextExprs.tokenCountAuto("text")).as("a"),
+          expr(s"CAST(size(${graft.functions.TextExprs.tokens("text")}) AS BIGINT)").as("b"))
+        .collect()
+      tc.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2)
+          && (r.isNullAt(1) || r.getLong(1) == r.getLong(2)),
+          s"token count mismatch on doc ${r.getLong(0)}")
+      }
     }
   }
 
