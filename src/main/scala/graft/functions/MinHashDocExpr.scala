@@ -158,6 +158,27 @@ object MinHashDoc {
       new GenericArrayData(java.util.Arrays.copyOf(distinct, nd))))
   }
 
+  /** Normalized tokens as strings (lowered, [a-z0-9] runs) — the walk of
+    * [[tokenHashes]] materializing the tokens instead of their hashes. */
+  def tokens(s: UTF8String): GenericArrayData = {
+    val str = s.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](16)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')
+      if (alnum) sb.appendCodePoint(cp)
+      else if (sb.length > 0) {
+        out += UTF8String.fromString(sb.toString); sb.setLength(0)
+      }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) out += UTF8String.fromString(sb.toString)
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** Normalized token count without materializing anything — the walk of
     * [[tokenHashes]] minus the hashes. */
   def tokenCount(s: UTF8String): Long = {
@@ -261,6 +282,43 @@ case class ShingleHashes(child: Expression, shingleN: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** Native normalized tokens array — `tokens(text)` (lower → strip →
+  * split → filter empties) as one codegen'd walk instead of a regex
+  * pass, a split, and an interpreted filter lambda. Null propagates
+  * (split(null) is null in the portable form too). */
+case class Tokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens needs a string argument, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MinHashDoc.tokens(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        boolean ${ev.isNull} = ${c.isNull};
+        if (!${c.isNull}) {
+          ${ev.value} = graft.functions.MinHashDoc.tokens(${c.value});
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tokens"
 }
 
 /** Native normalized-token count — `size(tokens(text))` as one codegen'd

@@ -111,6 +111,8 @@ object GraftFunctions {
       "graft_simhash", exprs => SimHashDoc(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_token_count", exprs => TokenCount(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_tokens", exprs => Tokens(exprs.head), "built-in")
     // self-dot → single-pass norm rewrite for sessions built without
     // GraftExtensions (idempotent: overwrite, don't append)
     if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))
@@ -173,6 +175,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenCount].getName, "graft_token_count"),
       (exprs: Seq[Expression]) => TokenCount(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokens"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Tokens].getName, "graft_tokens"),
+      (exprs: Seq[Expression]) => Tokens(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -67,6 +67,14 @@ object TextExprs {
   def tokens(col: String)(implicit d: Dialect): String =
     d.filt(d.splitSpace(norm(col)), "w", "w <> ''")
 
+  /** tokens, preferring the native codegen'd walk on the Spark side
+    * (register GraftFunctions first); the duck dialect keeps the portable
+    * regex/split/filter form — the oracle compare continuously proves the
+    * native tokenizer equivalent (CurationPropertySpec hammers the edge
+    * cases directly). */
+  def tokensAuto(col: String)(implicit d: Dialect): String =
+    if (d.spark) s"graft_tokens($col)" else tokens(col)
+
   /** `size(tokens(col))` as BIGINT — preferring the native codegen'd walk
     * on the Spark side (register GraftFunctions first); the duck dialect
     * keeps the portable regex/split/filter form, so the oracle compare

@@ -427,8 +427,12 @@ object Dedup {
     * corpus — this is the verify stage after banding, not the search. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // STRING shingles (not hashes): the verify contract — and qx05's
+    // oracle — is exact Jaccard over shingle strings, immune to hash
+    // collisions; only the tokenizer inside is the native walk
     val withSet = docs.select(col(idCol).as("doc_id"),
-      expr(d.adistinct(TX.shingles(TX.tokens(textCol), shingleN))).as("sh"))
+      expr(d.adistinct(TX.shingles(TX.tokensAuto(textCol), shingleN))).as("sh"))
     val a = withSet.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = withSet.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))

@@ -60,8 +60,9 @@ object TextAnalysis {
   def langId(docs: DataFrame, textCol: String, idCol: String,
              threshold: Double = 0.05,
              carryCols: Seq[String] = Seq.empty): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val keep = (idCol +: carryCols).map(col)
-    val tok = docs.select(keep :+ explode(expr(TX.tokens(textCol))).as("w"): _*)
+    val tok = docs.select(keep :+ explode(expr(TX.tokensAuto(textCol))).as("w"): _*)
     tok.groupBy(idCol, carryCols: _*)
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("w").isInCollection(StopEn), 1L).otherwise(0L)).as("en_hits"))
@@ -72,8 +73,11 @@ object TextAnalysis {
   /** Quality signals: char-class ratios + token stats + a deterministic
     * composite score. All single-pass scalar expressions. */
   def qualitySignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = TX.tokens(textCol)
-    docs.select(
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = "__toks"
+    docs
+      .withColumn("__toks", expr(TX.tokensAuto(textCol)))
+      .select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_raw_chars"),
       expr(s"CAST(length(${d.reAll(s"lower($textCol)", "[^a-z]", "")}) AS BIGINT)").as("n_alpha"),
@@ -88,12 +92,14 @@ object TextAnalysis {
         col("alpha_ratio") * 0.5
           + when(col("n_tokens").between(20, 80), 0.3).otherwise(0.0)
           + when(col("avg_token_len").between(3.0, 8.0), 0.2).otherwise(0.0))
+      .drop("__toks")
   }
 
   /** Token counting three ways: raw whitespace split, regex word tokens,
     * and a BPE-ish subword estimate (ceil(len/4) chunks per word). */
   def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = TX.tokens(textCol)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = TX.tokensAuto(textCol)
     docs.select(
       col(idCol),
       expr(s"CAST(${d.size(d.splitSpace(textCol))} AS BIGINT)").as("n_ws_tokens"),
@@ -199,7 +205,7 @@ object TextAnalysis {
       s"stride=$stride must divide chunkTokens=$chunkTokens")
     val nK = chunkTokens / stride
     docs
-      .select(col(idCol), posexplode(expr(TX.tokens(textCol))).as(Seq("pos", "w")))
+      .select(col(idCol), posexplode(expr(TX.tokensAuto(textCol))).as(Seq("pos", "w")))
       .withColumn("k", explode(sequence(lit(0), lit(nK - 1))))
       .withColumn("chunk_start",
         ((expr(s"pos div $stride") - col("k")) * stride).cast("long"))
@@ -223,7 +229,8 @@ object TextAnalysis {
     * the lookup; the per-doc mean is one doc-keyed partial-aggregable
     * pass. Rounded to 6dp for cross-engine gating. */
   def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(expr(TX.tokens(textCol))).as("w"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tok = docs.select(col(idCol), explode(expr(TX.tokensAuto(textCol))).as("w"))
     val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
     val totals = freq.agg(sum("cnt").as("n_tokens_corpus"),
       count(lit(1)).as("vocab_size"))
@@ -290,7 +297,8 @@ object TextAnalysis {
     * combined; the frequency lookups are joins on the bigram/first-token
     * keys; V and nothing else crosses the driver. */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toksDocs = docs.select(col(idCol), expr(TX.tokens(textCol)).as("__toks"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toksDocs = docs.select(col(idCol), expr(TX.tokensAuto(textCol)).as("__toks"))
     val inst = toksDocs.select(col(idCol),
         explode(expr(TX.shingles("__toks", 2))).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -325,8 +333,9 @@ object TextAnalysis {
                   maxSymbolRatio: Double, minStopHits: Long): DataFrame = {
     val sels = gopherSignalSelect(textCol, "__toks", minTokens, maxTokens,
       minAvgLen, maxAvgLen, maxSymbolRatio, minStopHits)(d)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("__toks", expr(TX.tokens(textCol)(d)))
+      .withColumn("__toks", expr(TX.tokensAuto(textCol)(d)))
       .select(col(idCol) +: sels.map { case (e, a) => expr(e).as(a) }: _*)
   }
 
@@ -444,7 +453,8 @@ object TextAnalysis {
     // per consumer, which is exactly the cost this shape exists to avoid.
     // Same lifecycle tradeoff as nearDupPipeline's per-doc cache: the
     // vocabulary-sized entry lives until ContextCleaner collects the plan.
-    val tagged = docs.select(expr(TX.tokens(textCol)).as("__toks"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tagged = docs.select(expr(TX.tokensAuto(textCol)).as("__toks"))
       .select(explode(expr(
         s"concat(" +
           s"transform(__toks, t -> named_struct('tag', 'u', 'term', t)), " +
