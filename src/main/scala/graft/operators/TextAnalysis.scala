@@ -427,6 +427,59 @@ object TextAnalysis {
         round(sum(col("__lw")), 6).as("log_weight"))
   }
 
+  /** The trained DSIR model: the hashed-bigram feature census
+    * (`f, c_t, c_s`, at most `buckets` rows — write it to parquet; it IS
+    * the model). Totals for the smoothing denominators are an aggregate
+    * of the census ([[dsirTotals]]). */
+  def dsirModel(docs: DataFrame, textCol: String,
+                isTarget: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__toks", expr(TX.tokensAuto(textCol)(d)))
+      .withColumn("__tgt", isTarget.cast("boolean"))
+      .select(col("__tgt"),
+        explode(expr(TX.shingles("__toks", 2)(d))).as("__sh"))
+      .withColumn("f", expr(s"${TX.polyHashAuto("__sh")(d)} % $buckets"))
+      .groupBy("f")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("c_s"))
+  }
+
+  /** (n_target, n_source) of a trained model — two longs, model metadata
+    * (collected once at train time, not per scored batch). */
+  def dsirTotals(model: DataFrame): (Long, Long) = {
+    val r = model.agg(sum(col("c_t")), sum(col("c_s"))).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Score ANY document set against a trained DSIR model — the
+    * train-offline / score-online half of [[dsirWeights]]: same formula,
+    * but the census is a given (persisted) table and the totals are
+    * literals, so the plan is scan → explode → broadcast-join census →
+    * per-doc sum. No action, no corpus-dependent state — which makes it
+    * STREAMING-safe: on a stream it is a stateless projection plus a
+    * stream-static broadcast join (proven batch≡stream in
+    * StreamingMultimodalSpec). */
+  def dsirScore(docs: DataFrame, textCol: String, idCol: String,
+                model: DataFrame, totals: (Long, Long), buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val (nT, nS) = totals
+    docs
+      .withColumn("__toks", expr(TX.tokensAuto(textCol)(d)))
+      .select(col(idCol),
+        explode(expr(TX.shingles("__toks", 2)(d))).as("__sh"))
+      .withColumn("f", expr(s"${TX.polyHashAuto("__sh")(d)} % $buckets"))
+      .join(broadcast(model), "f")
+      .withColumn("__lw",
+        log((col("c_t") + 1).cast("double") / lit(nT + buckets).cast("double"))
+          - log((col("c_s") + 1).cast("double") / lit(nS + buckets).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        round(sum(col("__lw")), 6).as("log_weight"))
+  }
+
   /** Collocation mining: top-`topK` token bigrams by pointwise mutual
     * information, `minCount` occurrences or more. PMI =
     * ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram instances and p(a),

@@ -268,6 +268,20 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("dsirScore against a trained model equals dsirWeights' per-doc scores") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 150)
+    val tgt = col("lang") === "en"
+    val expected = TextAnalysis.dsirWeights(docs, "text", "doc_id", tgt, 4096)
+      .select("doc_id", "n_features", "log_weight")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val model = TextAnalysis.dsirModel(docs, "text", tgt, 4096)
+    val totals = TextAnalysis.dsirTotals(model)
+    val got = TextAnalysis.dsirScore(docs, "text", "doc_id", model, totals, 4096)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.length > 0 && got.toSeq === expected.toSeq)
+  }
+
   test("group canonical selection keeps the highest-quality duplicate, not the smallest id") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

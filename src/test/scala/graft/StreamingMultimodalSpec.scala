@@ -61,6 +61,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DSIR score-on-ingest: stream-static join against the trained census equals batch scoring") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 200)
+    // train offline: census + totals are the persisted model
+    val model = graft.operators.TextAnalysis.dsirModel(
+        corpus, "text", col("lang") === "en", 4096)
+      .persist()
+    val totals = graft.operators.TextAnalysis.dsirTotals(model)
+    try {
+      // the incoming batch: scored in batch mode...
+      val incoming = Tables.t(spark, sfDir, "documents")
+        .filter(col("doc_id").between(200, 249))
+        .select("doc_id", "text")
+      val expected = graft.operators.TextAnalysis.dsirScore(
+          incoming, "text", "doc_id", model, totals, 4096)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(expected.length > 0)
+      // ...and as a stream (same rows through MemoryStream)
+      val in = MemoryStream[(Long, String)]
+      val q = graft.operators.TextAnalysis.dsirScore(
+          in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+          model, totals, 4096)
+        .writeStream.format("memory").queryName("dsir_stream")
+        .outputMode("complete").start()
+      try {
+        in.addData(incoming.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+        q.processAllAvailable()
+        val got = spark.table("dsir_stream")
+          .orderBy("doc_id").collect().map(_.toSeq)
+        assert(got.toSeq === expected.toSeq)
+      } finally q.stop()
+    } finally { model.unpersist(); () }
+  }
+
   test("stateful user sessions close on gap and batch flushes trailing open sessions") {
     import spark.implicits._
     def ev(id: Long, uid: Long, minute: Long, v: Double) =
