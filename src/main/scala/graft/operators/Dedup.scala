@@ -84,12 +84,17 @@ object Dedup {
     // the whole front end (tokenize → token hashes → shingles → k minima)
     // is ONE codegen'd expression — a pure scan projection, no explode, no
     // window sort, no doc-keyed shuffle (graft.functions.MinHashDoc;
-    // MinHashSpec proves it row-identical to the exploded k-MIN pipeline)
+    // MinHashSpec proves it row-identical to the exploded k-MIN pipeline).
+    // Short docs are dropped by the CHEAP count walk, not by
+    // filter(isNotNull(__d)): the optimizer pushes a filter through the
+    // project by substituting the alias, which would evaluate the full
+    // signature expression twice per row (once in the pushed filter, once
+    // in the projection). After the count gate, __d is never null.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
+      .filter(expr(s"graft_token_count(`$textCol`) >= $shingleN"))
       .select(col(idCol),
         expr(s"graft_minhash_doc(`$textCol`, $k, $shingleN)").as("__d"))
-      .filter(col("__d").isNotNull)
       .select(col(idCol) +:
         (0 until k).map(i => col("__d.sig").getItem(i).as(f"mh$i%02d")): _*)
   }
@@ -160,8 +165,10 @@ object Dedup {
     * native form is proven against (MinHashSpec). */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol), expr(s"graft_simhash(`$textCol`)").as("simhash"))
-      .filter(col("simhash").isNotNull)
+    // count gate, not filter(isNotNull) — see minhashSignature
+    docs
+      .filter(expr(s"graft_token_count(`$textCol`) >= 1"))
+      .select(col(idCol), expr(s"graft_simhash(`$textCol`)").as("simhash"))
   }
 
   /** SimHash via explode + sign-sum per bit (partial-aggregable 32
@@ -231,10 +238,13 @@ object Dedup {
   private def perDocAggregate(docs: DataFrame, textCol: String, idCol: String,
                               k: Int, shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // cheap count gate instead of filter(isNotNull(__d)) — see
+    // minhashSignature: a pushed-through null filter would re-evaluate
+    // the whole signature expression in the scan
     docs
+      .filter(expr(s"graft_token_count(`$textCol`) >= $shingleN"))
       .select(col(idCol),
         expr(s"graft_minhash_doc(`$textCol`, $k, $shingleN)").as("__d"))
-      .filter(col("__d").isNotNull)
       .select(col(idCol) +:
         ((0 until k).map(i => col("__d.sig").getItem(i).as(f"mh$i%02d"))
           :+ col("__d.sh").as("sh")): _*)
