@@ -43,6 +43,10 @@ final case class Dialect(spark: Boolean) {
     if (spark) s"regexp_extract_all($s, '($pat)', 1)" else s"regexp_extract_all($s, '$pat')"
   def shr(a: String, n: Int): String =
     if (spark) s"shiftright($a, $n)" else s"($a >> $n)"
+  /** Length-`len` slice starting at 1-based `start1` (an expression). */
+  def slice(arr: String, start1: String, len: Int): String =
+    if (spark) s"slice($arr, $start1, $len)"
+    else s"list_slice($arr, $start1, ($start1) + ${len - 1})"
 }
 
 object TextExprs {

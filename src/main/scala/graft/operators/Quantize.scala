@@ -36,4 +36,49 @@ object Quantize {
     quantized.select(col(idCol),
       expr("transform(q_codes, c -> CAST(CAST(c AS DOUBLE) * q_scale AS FLOAT))")
         .as("embedding"))
+
+  /** Product-quantization ENCODE: split each `dims`-wide vector into
+    * `nBlocks` equal sub-vectors and assign every (vector, block) the
+    * nearest codebook entry's matching sub-vector by squared L2 — the
+    * standard PQ code assignment (a 64-dim float vector compresses to
+    * nBlocks bytes + the shared codebook). `codebook` holds FULL-width
+    * centroid vectors (production would Lloyd-refine per block — that
+    * changes the codebook table, not this operator).
+    *
+    * Scale shape: the codebook is tiny by definition → broadcast; the
+    * corpus explodes only nBlocks× (bounded, not data-dependent) and the
+    * per-(vector, block) argmin is a partial-aggregable min_by on
+    * (distance, code) — no window over the corpus, nothing shuffles but
+    * the grouped argmin on (id, block). Distances are the deterministic
+    * sequential-fold dots (TextExprs.dot / native graft_dot), so the
+    * DuckDB oracle reproduces the argmin bit-for-bit. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, cidCol: String, cvecCol: String,
+               dims: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val w = dims / nBlocks
+    val e = emb
+      .select(col(idCol), col(vecCol),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__sub", expr(d.slice(vecCol, s"block * $w + 1", w)))
+      .select(col(idCol), col("block"), col("__sub"),
+        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
+    val c = codebook
+      .select(col(cidCol).as("code"), col(cvecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
+      .select(col("code"), col("block"), col("__csub"),
+        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
+    e.join(broadcast(c), "block")
+      .withColumn("__d2",
+        col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
+      .groupBy(col(idCol), col("block"))
+      .agg(min_by(
+        struct(col("code"), col("__d2")),
+        struct(col("__d2").as("d"), col("code").as("tb"))).as("__w"))
+      .select(col(idCol), col("block"), col("__w.code").as("code"),
+        round(col("__w.__d2"), 6).as("dist2"))
+  }
 }

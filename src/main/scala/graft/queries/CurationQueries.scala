@@ -32,6 +32,12 @@ object CurationQueries {
   private val DSIR_RATES = Seq(0.0 -> 1000L, -3.0 -> 600L, -8.0 -> 300L)
   private val DSIR_FLOOR_RATE = 100L
 
+  /** qx63 PQ geometry: 64-dim embeddings → 4 blocks of 16 dims, 4-entry
+    * codebook seeded from the first vectors. */
+  private val PQ_DIMS = 64
+  private val PQ_BLOCKS = 4
+  private val PQ_CODES = 4
+
   private def duckD = Dialect(spark = false)
   private def sparkD = Dialect(spark = true)
 
@@ -109,6 +115,19 @@ object CurationQueries {
           sum(col("n_tokens")).as("sum_tokens"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("split")
+    }),
+
+    // ---- Product-quantization encode: per-block code assignment ---------
+    // (the PQ compression step after int8: 64 floats → 4 codes + a shared
+    //  codebook; broadcast codebook, bounded nBlocks× explode, grouped
+    //  argmin — see Quantize.pqEncode)
+    "qx63_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+      graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding",
+          codebook, "code_id", "c_emb", PQ_DIMS, PQ_BLOCKS)
+        .orderBy("vec_id", "block")
     }),
 
     // ---- Quality-canonical selection within near-dup groups -------------
@@ -221,6 +240,29 @@ object CurationQueries {
          |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM sp GROUP BY split ORDER BY split""".stripMargin
+    },
+
+    "qx63_pq_encode" -> {
+      val d = duckD
+      val w = PQ_DIMS / PQ_BLOCKS
+      val sub = d.slice("embedding", s"block * $w + 1", w)
+      val csub = d.slice("cv", s"block * $w + 1", w)
+      s"""WITH b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
+         |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
+         |       FROM embeddings CROSS JOIN b),
+         |cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+         |       WHERE vec_id < $PQ_CODES),
+         |cs AS (SELECT code, CAST(block AS BIGINT) AS block, $csub AS csub
+         |       FROM cb CROSS JOIN b),
+         |scored AS (
+         |  SELECT vec_id, es.block AS block, code,
+         |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS d2
+         |  FROM es JOIN cs ON es.block = cs.block)
+         |SELECT vec_id, block, code, ROUND(d2, 6) AS dist2
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+         |        ORDER BY d2 ASC, code ASC) AS rn FROM scored)
+         |WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
     },
 
     "qx61_dsir_resample" -> {

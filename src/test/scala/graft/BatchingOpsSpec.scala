@@ -73,6 +73,27 @@ class BatchingOpsSpec extends SparkSpec {
     assert(got == Map("v1" -> "v2", "v2" -> "v1", "v3" -> "v1"))
   }
 
+  test("pqEncode: codebook vectors self-assign at distance 0; broadcast codebook, no window; bad geometry rejected") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val codebook = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val out = graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding",
+      codebook, "code_id", "c_emb", 64, 4)
+    val self = out.filter(col("vec_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+    assert(self.length == 16)
+    self.foreach { case ((vid, blk), (code, d2)) =>
+      assert(code == vid && d2 == 0.0, s"vec $vid block $blk -> code $code dist $d2")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding",
+        codebook, "code_id", "c_emb", 64, 5)
+    }
+  }
+
   test("multi-probe rejects nProbe < 1") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.limit(2).select(col("vec_id").as("cid"), col("embedding").as("cv"))
