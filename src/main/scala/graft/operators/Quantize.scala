@@ -52,6 +52,56 @@ object Quantize {
     * the grouped argmin on (id, block). Distances are the deterministic
     * sequential-fold dots (TextExprs.dot / native graft_dot), so the
     * DuckDB oracle reproduces the argmin bit-for-bit. */
+  /** PQ ADC search (asymmetric distance computation): score every encoded
+    * corpus vector against a small query set WITHOUT reconstructing —
+    * per query, precompute the distance from each query sub-vector to
+    * every codebook sub-vector (a Q×nBlocks×K lookup table, broadcast by
+    * construction), then each corpus vector's approximate distance is the
+    * SUM of its blocks' table entries: one (block, code)-keyed broadcast
+    * join plus a grouped sum. This is why PQ exists — the corpus side
+    * touches only its codes (nBlocks small ints per vector), never floats.
+    *
+    * Determinism: the per-block partial distances are the sequential-fold
+    * dots, and the cross-block sum runs in DECIMAL(30,12) — exact and
+    * order-independent — so ranking never depends on float reduction
+    * order and the DuckDB oracle reproduces the top-k bit-for-bit.
+    * Ranking: distance asc, then vec id asc (total order). */
+  def pqSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
+               codes: DataFrame, codesIdCol: String, codebook: DataFrame,
+               cidCol: String, cvecCol: String,
+               dims: Int, nBlocks: Int, k: Int): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    require(k >= 1, s"k=$k must be >= 1")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val w = dims / nBlocks
+    val q = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__qsub", expr(d.slice("__qv", s"block * $w + 1", w)))
+    val c = codebook
+      .select(col(cidCol).as("code"), col(cvecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
+    // the lookup table: ||q_b − c_b||² per (query, block, code)
+    val table = q.join(c, "block")
+      .withColumn("__pd2",
+        (expr(TX.dotAuto("__qsub", "__qsub"))
+          - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
+          + expr(TX.dotAuto("__csub", "__csub"))).cast("decimal(30,12)"))
+      .select("query_id", "block", "code", "__pd2")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__d2").asc, col("vec_id").asc)
+    codes.join(broadcast(table), Seq("block", "code"))
+      .groupBy(col("query_id"), col(codesIdCol).as("vec_id"))
+      .agg(sum(col("__pd2")).as("__d2"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("__d2").cast("double"), 6).as("dist2"))
+  }
+
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, cidCol: String, cvecCol: String,
                dims: Int, nBlocks: Int): DataFrame = {

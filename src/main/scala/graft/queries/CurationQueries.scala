@@ -37,6 +37,8 @@ object CurationQueries {
   private val PQ_DIMS = 64
   private val PQ_BLOCKS = 4
   private val PQ_CODES = 4
+  private val PQ_QUERY_SET = 20
+  private val PQ_K = 3
 
   private def duckD = Dialect(spark = false)
   private def sparkD = Dialect(spark = true)
@@ -128,6 +130,24 @@ object CurationQueries {
       graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding",
           codebook, "code_id", "c_emb", PQ_DIMS, PQ_BLOCKS)
         .orderBy("vec_id", "block")
+    }),
+
+    // ---- PQ ADC search: code-only scoring against the lookup table ------
+    // (the payoff of qx63: approximate top-k where the corpus side touches
+    //  only its nBlocks codes; decimal-exact cross-block sums make the
+    //  ranking order-independent and engine-portable)
+    "qx64_pq_adc_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+      val codes = graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding",
+        codebook, "code_id", "c_emb", PQ_DIMS, PQ_BLOCKS)
+      graft.operators.Quantize.pqSearch(
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+          codes, "vec_id", codebook, "code_id", "c_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
     }),
 
     // ---- Quality-canonical selection within near-dup groups -------------
@@ -263,6 +283,45 @@ object CurationQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
          |        ORDER BY d2 ASC, code ASC) AS rn FROM scored)
          |WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
+    },
+
+    "qx64_pq_adc_search" -> {
+      val d = duckD
+      val w = PQ_DIMS / PQ_BLOCKS
+      val sub = d.slice("embedding", s"block * $w + 1", w)
+      val csub = d.slice("cv", s"block * $w + 1", w)
+      val qsub = d.slice("embedding", s"block * $w + 1", w)
+      s"""WITH b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
+         |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
+         |       FROM embeddings CROSS JOIN b),
+         |cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+         |       WHERE vec_id < $PQ_CODES),
+         |cs AS (SELECT code, CAST(block AS BIGINT) AS block, $csub AS csub
+         |       FROM cb CROSS JOIN b),
+         |scored AS (
+         |  SELECT vec_id, es.block AS block, code,
+         |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS d2
+         |  FROM es JOIN cs ON es.block = cs.block),
+         |codes AS (SELECT vec_id, block, code
+         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+         |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
+         |          WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, CAST(block AS BIGINT) AS block,
+         |         $qsub AS qsub
+         |       FROM embeddings CROSS JOIN b WHERE vec_id < $PQ_QUERY_SET),
+         |tbl AS (SELECT query_id, qs.block AS block, code,
+         |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
+         |  FROM qs JOIN cs ON qs.block = cs.block),
+         |summed AS (SELECT query_id, codes.vec_id AS vec_id, SUM(pd2) AS d2
+         |  FROM codes JOIN tbl ON codes.block = tbl.block AND codes.code = tbl.code
+         |  GROUP BY query_id, codes.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
+         |  ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
+         |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
     },
 
     "qx61_dsir_resample" -> {
