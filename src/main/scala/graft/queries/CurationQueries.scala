@@ -150,6 +150,73 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- Flagship composition v2: the modern curation pipeline ----------
+    // Gopher rule pack ∩ best-of-group near-dup canonical ∩ DSIR
+    // resample → token-budget split → per-split census. Every stage is an
+    // operator proven alone (qx57/qx59/qx61/qx62); this gates their
+    // COMPOSITION end to end, the way qx34 gates the round-2 stages.
+    "qx65_curation_v2" -> ((s, dir) => {
+      val d = sparkD
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      // gate 1: rule pack + non-empty, one tokenize in the scan filter
+      val keepExpr = TextAnalysis.gopherSignalSelect("text", "__toks",
+        PipelineQueries.GOPHER_MIN_TOKENS, PipelineQueries.GOPHER_MAX_TOKENS,
+        PipelineQueries.GOPHER_MIN_AVG_LEN, PipelineQueries.GOPHER_MAX_AVG_LEN,
+        PipelineQueries.GOPHER_MAX_SYMBOL_RATIO,
+        PipelineQueries.GOPHER_MIN_STOP_HITS)(d)
+        .find(_._2 == "keep").get._1
+      val gated = docs
+        .withColumn("__toks", expr(TX.tokensAuto("text")(d)))
+        .withColumn("n_tokens", expr(s"CAST(${d.size("__toks")} AS BIGINT)"))
+        .filter(expr(keepExpr) === 1L && col("n_tokens") > 0)
+        .select("doc_id", "n_tokens")
+      // gate 2: within each near-dup group only the best member survives
+      val groups = graft.operators.Dedup.dedupGroups(docs, "text", "doc_id",
+        k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N,
+        rowsPerBand = ExtensionQueries.ROWS_PER_BAND,
+        threshold = PipelineQueries.NEARDUP_JACCARD)
+      val quality = docs.select(col("doc_id"),
+        expr(TX.tokenCountAuto("text")(d)).as("q_tokens"))
+      val keepers = groups.join(quality, "doc_id")
+        .groupBy("group_id")
+        .agg(min_by(col("doc_id"),
+          struct((-col("q_tokens")).as("q"), col("doc_id").as("tb"))).as("keep_id"))
+        .select(col("keep_id").as("doc_id"))
+      val dropped = groups.select("doc_id")
+        .join(keepers, Seq("doc_id"), "left_anti")
+      // gate 3: DSIR resample keep decision (qx61's schedule)
+      val w = TextAnalysis.dsirWeights(docs, "text", "doc_id",
+        col("lang") === "en", DSIR_BUCKETS)
+      val rate = DSIR_RATES.foldRight(
+          when(col("log_weight").isNotNull, DSIR_FLOOR_RATE).otherwise(0L)) {
+        case ((thr, r), elseExpr) => when(col("log_weight") >= thr, r).otherwise(elseExpr)
+      }
+      val dsirKeep = docs.select("doc_id")
+        .join(w.select(col("doc_id"), col("log_weight")), Seq("doc_id"), "left")
+        .withColumn("rate", rate)
+        .filter(expr(s"${TX.polyHashAuto("concat('dsir', CAST(`doc_id` AS STRING))")(d)} % 1000")
+          < col("rate"))
+        .select("doc_id")
+      val survivors = gated
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(dsirKeep, Seq("doc_id"), "left_semi")
+      // split the surviving tape at exact token-mass fractions, census
+      val cum = graft.operators.Packing.prefixSum(
+        survivors, "doc_id", "n_tokens", "cum_tokens")
+      val tot = survivors.agg(sum(col("n_tokens")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("split",
+          when(col("cum_tokens") * 100 <= col("total") * 80, "train")
+            .when(col("cum_tokens") * 100 <= col("total") * 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("split")
+    }),
+
     // ---- Quality-canonical selection within near-dup groups -------------
     // (production keeps the BEST duplicate, not the arbitrary smallest id:
     //  per group, the doc with the most tokens wins, ties to smaller id —
@@ -283,6 +350,77 @@ object CurationQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
          |        ORDER BY d2 ASC, code ASC) AS rn FROM scored)
          |WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
+    },
+
+    "qx65_curation_v2" -> {
+      val d = duckD
+      val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
+      val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
+      val nBands = ExtensionQueries.MINHASH_K / ExtensionQueries.ROWS_PER_BAND
+      val gopherKeep = TextAnalysis.gopherSignalSelect("text", "__toks",
+        PipelineQueries.GOPHER_MIN_TOKENS, PipelineQueries.GOPHER_MAX_TOKENS,
+        PipelineQueries.GOPHER_MIN_AVG_LEN, PipelineQueries.GOPHER_MAX_AVG_LEN,
+        PipelineQueries.GOPHER_MAX_SYMBOL_RATIO,
+        PipelineQueries.GOPHER_MIN_STOP_HITS)(d)
+        .find(_._2 == "keep").get._1
+      val rateCase = DSIR_RATES.map { case (thr, r) =>
+        s"WHEN log_weight >= $thr THEN $r"
+      }.mkString("CASE ", " ", s" WHEN log_weight IS NOT NULL THEN $DSIR_FLOOR_RATE ELSE 0 END")
+      val keepHash = TX.polyHash("concat('dsir', CAST(doc_id AS VARCHAR))")(d)
+      s"""WITH RECURSIVE ${ExtensionQueries.sigCtes},
+         |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
+         |banded AS (${(0 until nBands).map(b =>
+             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
+             .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS sh FROM t4 GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+         |  WHERE CAST($inter AS DOUBLE)/CAST($uni AS DOUBLE) >= ${PipelineQueries.NEARDUP_JACCARD}),
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+         |comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+         |tokc AS (SELECT doc_id, CAST(${d.size(TX.tokens("text")(d))} AS BIGINT)
+         |           AS q_tokens FROM documents),
+         |sel AS (SELECT comp.group_id, comp.id AS doc_id,
+         |          ROW_NUMBER() OVER (PARTITION BY comp.group_id
+         |            ORDER BY q_tokens DESC, comp.id ASC) AS rn
+         |        FROM comp JOIN tokc ON comp.id = tokc.doc_id),
+         |dropped AS (SELECT doc_id FROM sel WHERE rn > 1),
+         |gtd AS (SELECT doc_id, text, ${TX.tokens("text")(d)} AS __toks
+         |        FROM documents),
+         |gk AS (SELECT doc_id, CAST(len(__toks) AS BIGINT) AS n_tokens FROM gtd
+         |       WHERE $gopherKeep = 1 AND len(__toks) > 0),
+         |$dsirCtes,
+         |wts AS ($dsirWeightSelect),
+         |rated AS (SELECT dd.doc_id, w.log_weight, $rateCase AS rate
+         |          FROM documents dd LEFT JOIN wts w USING (doc_id)),
+         |dkeep AS (SELECT doc_id FROM rated WHERE ($keepHash) % 1000 < rate),
+         |surv AS (SELECT gk.doc_id, gk.n_tokens FROM gk
+         |         WHERE gk.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |           AND gk.doc_id IN (SELECT doc_id FROM dkeep)),
+         |cum AS (SELECT doc_id, n_tokens,
+         |          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         |        FROM surv),
+         |gtot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM surv),
+         |sp AS (SELECT doc_id, n_tokens,
+         |         CASE WHEN c * 100 <= total * 80 THEN 'train'
+         |              WHEN c * 100 <= total * 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM cum CROSS JOIN gtot)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, MIN(doc_id) AS min_doc
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
     },
 
     "qx64_pq_adc_search" -> {
