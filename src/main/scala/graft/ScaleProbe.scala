@@ -25,7 +25,7 @@ object ScaleProbe {
       graft.operators.Dedup.minhashSignature(base, "text", "doc_id", 16, 3),
       "doc_id", 16, 4).count()
 
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16, 64)) {
       val inflated = (0 until mult).map(i =>
         base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text")))
         .reduce(_ unionByName _)

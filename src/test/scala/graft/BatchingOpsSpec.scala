@@ -94,6 +94,32 @@ class BatchingOpsSpec extends SparkSpec {
     }
   }
 
+  test("pqSearch: exact self-match at rank 1 for codebook members; k past corpus size returns everything ranked") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 50)
+    val codebook = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val codes = graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding",
+      codebook, "code_id", "c_emb", 64, 4)
+    val out = graft.operators.Quantize.pqSearch(
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+      codes, "vec_id", codebook, "code_id", "c_emb", 64, 4, 100)
+    val rows = out.collect()
+    // k=100 > 50 corpus vectors: every (query, vector) pair is ranked
+    assert(rows.length == 4 * 50)
+    // a codebook member's ADC distance to itself is exactly 0 → rank 1
+    // (its codes point at its own sub-vectors)
+    val top = rows.filter(_.getLong(2) == 1L)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    (0L until 4L).foreach { q =>
+      assert(top(q) == (q, 0.0), s"query $q top: ${top(q)}")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantize.pqSearch(emb, "vec_id", "embedding",
+        codes, "vec_id", codebook, "code_id", "c_emb", 64, 4, 0)
+    }
+  }
+
   test("multi-probe rejects nProbe < 1") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.limit(2).select(col("vec_id").as("cid"), col("embedding").as("cv"))
