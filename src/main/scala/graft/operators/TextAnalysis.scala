@@ -74,16 +74,17 @@ object TextAnalysis {
     * composite score. All single-pass scalar expressions. */
   def qualitySignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // tokenize ONCE into a column; the two token signals read the array
     val toks = "__toks"
     docs
       .withColumn("__toks", expr(TX.tokensAuto(textCol)))
       .select(
-      col(idCol),
-      length(col(textCol)).cast("long").as("n_raw_chars"),
-      expr(s"CAST(length(${d.reAll(s"lower($textCol)", "[^a-z]", "")}) AS BIGINT)").as("n_alpha"),
-      expr(s"CAST(length(${d.reAll(textCol, "[^0-9]", "")}) AS BIGINT)").as("n_digit"),
-      expr(s"CAST(${d.size(toks)} AS BIGINT)").as("n_tokens"),
-      expr(s"CAST(${d.fold(d.map(toks, "w", "CAST(length(w) AS BIGINT)"), "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)").as("sum_token_len"))
+        col(idCol),
+        length(col(textCol)).cast("long").as("n_raw_chars"),
+        expr(s"CAST(length(${d.reAll(s"lower($textCol)", "[^a-z]", "")}) AS BIGINT)").as("n_alpha"),
+        expr(s"CAST(length(${d.reAll(textCol, "[^0-9]", "")}) AS BIGINT)").as("n_digit"),
+        expr(s"CAST(${d.size(toks)} AS BIGINT)").as("n_tokens"),
+        expr(s"CAST(${d.fold(d.map(toks, "w", "CAST(length(w) AS BIGINT)"), "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)").as("sum_token_len"))
       .withColumn("alpha_ratio",
         when(col("n_raw_chars") > 0, col("n_alpha").cast("double") / col("n_raw_chars").cast("double")))
       .withColumn("avg_token_len",
