@@ -217,6 +217,22 @@ object CurationQueries {
         .orderBy("split")
     }),
 
+    // ---- Verified-pair Jaccard histogram: the threshold-tuning census ---
+    // (run the near-dup pipeline with NO threshold and bucket every
+    //  verified candidate pair by similarity decile — the diagnostic that
+    //  tells you where to set the dedup threshold and how selective the
+    //  banding is. Integer cross-multiplied buckets: no float compares.)
+    "qx66_jaccard_histogram" -> ((s, dir) =>
+      graft.operators.Dedup.nearDupPipeline(t(s, dir, "documents"), "text", "doc_id",
+          k = ExtensionQueries.MINHASH_K, shingleN = ExtensionQueries.SHINGLE_N,
+          rowsPerBand = ExtensionQueries.ROWS_PER_BAND, threshold = 0.0)
+        .withColumn("bucket", expr("(inter_size * 10) div union_size"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("jaccard")).as("min_j"), max(col("jaccard")).as("max_j"),
+          min(col("doc_a")).as("min_doc"))
+        .orderBy("bucket")),
+
     // ---- Quality-canonical selection within near-dup groups -------------
     // (production keeps the BEST duplicate, not the arbitrary smallest id:
     //  per group, the doc with the most tokens wins, ties to smaller id —
@@ -350,6 +366,32 @@ object CurationQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
          |        ORDER BY d2 ASC, code ASC) AS rn FROM scored)
          |WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
+    },
+
+    "qx66_jaccard_histogram" -> {
+      val d = duckD
+      val uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)"
+      val inter = s"CAST(len(sa.sh) + len(sb.sh) AS BIGINT) - $uni"
+      val nBands = ExtensionQueries.MINHASH_K / ExtensionQueries.ROWS_PER_BAND
+      s"""WITH ${ExtensionQueries.sigCtes},
+         |sig AS (SELECT doc_id, ${ExtensionQueries.sigSelect} FROM t4 GROUP BY doc_id),
+         |banded AS (${(0 until nBands).map(b =>
+             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${ExtensionQueries.bandKey(b)} AS band_key FROM sig")
+             .mkString("\n UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS sh FROM t4 GROUP BY doc_id),
+         |verified AS (
+         |  SELECT doc_a, doc_b, $inter AS inter_size, $uni AS union_size
+         |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id)
+         |SELECT ${d.idiv("(inter_size * 10)", "union_size")} AS bucket,
+         |  COUNT(*) AS n_pairs,
+         |  MIN(CAST(inter_size AS DOUBLE)/CAST(union_size AS DOUBLE)) AS min_j,
+         |  MAX(CAST(inter_size AS DOUBLE)/CAST(union_size AS DOUBLE)) AS max_j,
+         |  MIN(doc_a) AS min_doc
+         |FROM verified GROUP BY bucket ORDER BY bucket""".stripMargin
     },
 
     "qx65_curation_v2" -> {
