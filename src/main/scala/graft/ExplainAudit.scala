@@ -15,7 +15,8 @@ object ExplainAudit {
                "q01_pricing_summary", "qx02_minhash_signature",
                "qx13_bucket_top_pairs", "qx22_ivf_ann", "qx01_dedup_exact",
                "qx30_decontaminate", "qx35_incremental_neardup",
-               "qx34_curation_pipeline")
+               "qx34_curation_pipeline", "qx57_gopher_rules",
+               "qx58_dsir_weights", "qx64_pq_adc_search", "qx65_curation_v2")
     val full = sys.env.contains("GRAFT_EXPLAIN_FULL")
     for (q <- queryNames) {
       println(s"===== $q =====")
