@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.serve.{ApiServer, FinancialApi, GraftConfig, McpTools, ResultCache}
+import graft.serve.{ApiServer, FinancialApi, GraftConfig, McpTools}
 import graft.sources.{CompanyFacts, FactStore}
 
 /** End-to-end serving drive: YAML config → session conf → ingest a canned

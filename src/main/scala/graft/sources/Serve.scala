@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Serving-layer renderers (SURVEY §2.1 S9-S11): CSV, parquet byte payload,
   * JSON rows. Two regimes:
