@@ -52,6 +52,19 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("prefixSum on sparse random keys equals a local sorted scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // sparse, gappy, unordered keys — nothing contiguous about the domain
+    val keys = rnd.shuffle((1L to 200000L).toVector).take(3000).toVector
+    val rows = keys.map(k => (k, (k % 101) + 7))
+    val got = Packing.prefixSum(rows.toDF("id", "v").repartition(13), "id", "v", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (k, v) => acc += v; k -> acc }.toMap
+    assert(got == want && got.size == 3000)
+  }
+
   test("prefixSum fails fast on duplicate and on null order keys") {
     import spark.implicits._
     val dup = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 5L)).toDF("id", "v")
