@@ -1,15 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  private def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Minimal extraction of `"name":number` pairs from the prior round's
+    * BENCH_FULL.json "queries" object — enough to diff without a JSON lib. */
+  private def priorQueryTimes(path: String): Map[String, Double] = {
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val text = try src.mkString finally src.close()
+      val qStart = text.indexOf("\"queries\":{")
+      if (qStart < 0) return Map.empty
+      val body = text.substring(qStart + "\"queries\":{".length)
+      val obj = body.substring(0, body.indexOf('}'))
+      """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Diff baseline: the committed BENCH_FULL.json from the previous round,
+    // read BEFORE this run overwrites it.
+    val prior = priorQueryTimes("BENCH_FULL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures only the last ~2 KB of output, and
+    // any stray WARN after the contract line (or between it and process exit)
+    // evicts the JSON from that window — round 4's artifact was unparseable
+    // for exactly this reason.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session outside any per-query measurement: one pass of the
     // full suite at sf0.001 compiles every query's whole-stage-codegen unit
     // (Janino compiles are 100-500 ms each and cache on generated source,
@@ -36,10 +63,12 @@ object Bench {
     // min is the steady-state engine cost — the regime that matters at
     // scale — with single-run noise (GC pauses, page-cache misses, JIT
     // recompiles) excluded; single-run numbers on this suite vary ±40%.
+    // The max is kept alongside so the artifact records how noisy each
+    // query's measurement was (spread = max/min).
     val reps = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dt = (1 to reps).map { _ =>
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ds = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
@@ -47,24 +76,52 @@ object Bench {
         // (or pays eviction for) cached intermediates
         spark.catalog.clearCache()
         d
-      }.min
-      name -> dt
+      }
+      (name, ds.min, ds.max)
     }
+    val results = timings.map { case (n, mn, _) => (n, mn) }
     val total = results.map(_._2).sum
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Regression flag: any query whose steady-state min more than doubled
+    // vs the previous committed round. Written to its own artifact so a
+    // real plan regression is distinguishable from run-to-run VM noise
+    // (which the min-of-N already absorbs).
+    val regressions = timings.flatMap { case (name, mn, _) =>
+      prior.get(name).collect {
+        case p if p > 0.05 && mn > 2.0 * p => // sub-50ms priors are all noise
+          s"""{"query":"$name","prev":${fmt(p)},"now":${fmt(mn)},"ratio":${fmt(mn / p)}}"""
+      }
+    }
+    try {
+      val w = new java.io.PrintWriter("BENCH_DELTA.json")
+      try w.println(regressions.mkString(
+        s"""{"prev_queries":${prior.size},"flagged":${regressions.size},"threshold":2.0,"regressions":[""",
+        ",", "]}"))
+      finally w.close()
+    } catch { case _: Throwable => }
     // Full per-query detail goes to a file; the stdout contract line must
     // stay well under the driver's 2 KB tail-capture window (the round-2
     // 86-entry line overflowed it and the driver recorded parsed:null), so
     // it carries only the slowest 20 queries.
-    val fullJson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{\"total\":" + fmt(total) + ",\"queries\":{", ",", s"},\"sf\":\"$sfDir\",\"n_queries\":${results.size}}")
+    val fullJson = {
+      val mins = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString(",")
+      val spreads = timings.map { case (k, mn, mx) =>
+        s"\"" + k + "\":" + fmt(if (mn > 0) mx / mn else 1.0) }.mkString(",")
+      s"""{"total":${fmt(total)},"queries":{$mins},"spread_max_over_min":{$spreads},""" +
+        s""""reps":$reps,"regressions_vs_prev":${regressions.size},"sf":"$sfDir","n_queries":${results.size}}"""
+    }
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => }
     val top = results.sortBy(-_._2).take(20).sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top,"sf":"$sfDir","n_queries":${results.size}}""")
+    val topJson = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val spreadByName = timings.map { case (k, mn, mx) => k -> (if (mn > 0) mx / mn else 1.0) }.toMap
+    val topSpread = top.map { case (k, _) =>
+      s"\"" + k + "\":" + BigDecimal(spreadByName(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topJson,""" +
+      s""""spread":$topSpread,"reps":$reps,"regressions_vs_prev":${regressions.size},""" +
+      s""""sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

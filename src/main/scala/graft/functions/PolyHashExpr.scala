@@ -91,7 +91,16 @@ object GraftFunctions {
       s"graft_lsh_bucket plane count must be an integer literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit = {
+  // One registration per session: re-registering is harmless semantically
+  // but each createOrReplaceTempFunction on an existing name logs a
+  // SimpleFunctionRegistry WARN, and operators call register() defensively —
+  // a bench run emits ~40 of them, drowning the stdout contract line.
+  // Weak keys so dropped sessions don't pin memory.
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_polyhash", exprs => PolyHash(exprs.head), "built-in")

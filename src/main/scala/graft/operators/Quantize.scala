@@ -102,6 +102,134 @@ object Quantize {
         round(col("__d2").cast("double"), 6).as("dist2"))
   }
 
+  /** The IVF-PQ INDEX: every corpus vector routed to its nearest coarse
+    * centroid (cell) AND compressed to `nBlocks` PQ codes — the
+    * production-shaped ANN artifact (FAISS's IndexIVFPQ layout: an
+    * inverted list per cell holding code tuples, no floats). Built in one
+    * logical pass over the corpus: the coarse assignment's grouped argmax
+    * carries the vector through ([[Similarity.ivfAssign]] keeps `vecCol`),
+    * and the encode step groups by (id, cell, block) — cell is
+    * functionally dependent on id, so adding it to the key is free and
+    * AVOIDS an id-keyed join of two corpus-sized derivatives. Shuffled
+    * widths: (id, vec) for the assignment, (id, cell, block, code, d2)
+    * for the encode — the second is constant-width; only the first
+    * carries the vectors, once.
+    *
+    * Output: (idCol, centroid_id, block, code) — write it partitioned by
+    * centroid_id and searches prune to probed cells at the FILE level. */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                 codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                 dims: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val w = dims / nBlocks
+    val assigned = Similarity.ivfAssign(
+      corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol)
+    val e = assigned
+      .select(col(idCol), col("centroid_id"), col(vecCol),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__sub", expr(d.slice(vecCol, s"block * $w + 1", w)))
+      .select(col(idCol), col("centroid_id"), col("block"), col("__sub"),
+        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
+    val c = codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
+      .select(col("code"), col("block"), col("__csub"),
+        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
+    e.join(broadcast(c), "block")
+      .withColumn("__d2",
+        col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
+      .groupBy(col(idCol), col("centroid_id"), col("block"))
+      .agg(min_by(col("code"),
+        struct(col("__d2").as("d"), col("code").as("tb"))).as("code"))
+  }
+
+  /** IVF-PQ SEARCH — the composition of the two proven halves (qx22's
+    * cell probing, qx64's ADC scoring) into the index real deployments
+    * run: each query probes its `nProbe` nearest cells and ADC-scores
+    * ONLY the codes filed in those cells. Cost per query = nProbe cells'
+    * worth of constant-width code tuples; the corpus's floats are touched
+    * exactly once, at index-build time.
+    *
+    * Scale shape: probes (Q×nProbe rows) and the ADC lookup table
+    * (Q×nBlocks×K rows) are broadcast by construction; the index side is
+    * an equi-join on centroid_id then (query_id, block, code) — map-side
+    * against a centroid_id-partitioned index — and the cross-block sum is
+    * a grouped partial aggregate. No window, no join ever sees the
+    * corpus×query product.
+    *
+    * Determinism: identical to [[pqSearch]] — sequential-fold dots,
+    * DECIMAL(30,12) cross-block sums, (distance asc, id asc) total order —
+    * so the DuckDB oracle reproduces the top-k bit-for-bit.
+    * Output mirrors the IVF operators: which cell and probe found each
+    * neighbor ride along. */
+  def ivfPqSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
+                  corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                  codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                  dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    Similarity.requireSmallQuerySide(queries, "ivfPqSearch")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val wSub = dims / nBlocks
+    val index = ivfPqIndex(corpus, idCol, vecCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
+    // top-nProbe cells per query: window over the small query×centroid
+    // frame only (same shape as ivfKnnMultiProbe's probe step)
+    val cen = Similarity.withNorm2(centroids, cenVecCol)
+      .select(col(cenIdCol).as("centroid_id"), col(cenVecCol).as("c_vec"),
+        col("norm2").as("c_norm2"))
+    val q = Similarity.withNorm2(queries, qVecCol)
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("q_vec"),
+        col("norm2").as("q_norm2"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(coalesce(col("q_cos"), lit(-2.0)).desc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(cen))
+      .withColumn("q_cos",
+        when(col("q_norm2") > 0 && col("c_norm2") > 0,
+          expr(TX.dotAuto("q_vec", "c_vec"))
+            / (sqrt(col("q_norm2")) * sqrt(col("c_norm2")))))
+      .withColumn("probe_rank", row_number().over(wProbe).cast("long"))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"))
+    // ADC lookup table: ||q_b − c_b||² per (query, block, code), decimal
+    val qb = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__qsub", expr(d.slice("__qv", s"block * $wSub + 1", wSub)))
+    val cb = codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $wSub + 1", wSub)))
+    val table = qb.join(cb, "block")
+      .withColumn("__pd2",
+        (expr(TX.dotAuto("__qsub", "__qsub"))
+          - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
+          + expr(TX.dotAuto("__csub", "__csub"))).cast("decimal(30,12)"))
+      .select("query_id", "block", "code", "__pd2")
+    // candidates = codes filed in probed cells; both small sides broadcast
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__d2").asc, col("vec_id").asc)
+    index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .join(broadcast(table), Seq("query_id", "block", "code"))
+      .groupBy(col("query_id"), col(idCol).as("vec_id"))
+      .agg(sum(col("__pd2")).as("__d2"),
+        first(col("centroid_id")).as("centroid_id"), // single-valued per vec
+        first(col("probe_rank")).as("probe_rank"))   // single cell per vec
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("__d2").cast("double"), 6).as("dist2"),
+        col("centroid_id"), col("probe_rank"))
+  }
+
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, cidCol: String, cvecCol: String,
                dims: Int, nBlocks: Int): DataFrame = {

@@ -406,7 +406,7 @@ object TextAnalysis {
     require(buckets > 0, s"buckets=$buckets must be positive")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val feats = docs
-      .withColumn("__toks", expr(TX.tokens(textCol)(d)))
+      .withColumn("__toks", expr(TX.tokensAuto(textCol)(d)))
       .withColumn("__tgt", isTarget.cast("boolean"))
       .select(col(idCol), col("__tgt"),
         explode(expr(TX.shingles("__toks", 2)(d))).as("__sh"))

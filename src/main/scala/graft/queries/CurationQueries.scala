@@ -40,6 +40,12 @@ object CurationQueries {
   private val PQ_QUERY_SET = 20
   private val PQ_K = 3
 
+  /** qx67 coarse quantizer: 8 IVF cells, 2 probed per query (same dials
+    * as the standalone multi-probe qx49, so recall deltas between the
+    * float path and the PQ path are attributable to the codes alone). */
+  private val IVFPQ_CENTROIDS = 8
+  private val IVFPQ_NPROBE = 2
+
   private def duckD = Dialect(spark = false)
   private def sparkD = Dialect(spark = true)
 
@@ -146,6 +152,64 @@ object CurationQueries {
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
           codes, "vec_id", codebook, "code_id", "c_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- DSIR score-online, THROUGH the streaming runtime ----------------
+    // (qx58 proves the formula; StreamingMultimodalSpec proves batch≡stream
+    //  on a fixture. This row puts the REAL deployment shape under the
+    //  oracle: documents replayed as a file stream one file per
+    //  micro-batch, each batch scored against the static broadcast model
+    //  in foreachBatch and APPENDED to a parquet store — score-on-ingest
+    //  exactly as production runs it. The final store hash-matches the
+    //  all-at-once batch formula in DuckDB: per-doc scores depend only on
+    //  the doc and the frozen model, so batch boundaries must not show.)
+    "qx68_dsir_stream_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.dsirModel(docs, "text",
+        col("lang") === "en", DSIR_BUCKETS).persist()
+      val totals = TextAnalysis.dsirTotals(model) // action: pins the model
+      val work = java.nio.file.Files.createTempDirectory("qx68-").toString
+      val outDir = s"$work/scores"
+      // stage a LANDING DIRECTORY (file streams monitor directories; the
+      // testdata table is a single file): four files = four arrivals
+      val landing = s"$work/landing"
+      docs.select("doc_id", "text").repartition(4).write.parquet(landing)
+      val q = s.readStream
+        .schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1) // one arrival per micro-batch
+        .parquet(landing)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextAnalysis.dsirScore(batch, "text", "doc_id",
+              model, totals, DSIR_BUCKETS)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      model.unpersist()
+      s.read.parquet(outDir).orderBy("doc_id")
+    }),
+
+    // ---- IVF+PQ: the composed production index ---------------------------
+    // (qx22's cell probing × qx64's ADC scoring in ONE index — probe the
+    //  query's nProbe nearest cells, ADC-score only the codes filed there;
+    //  FAISS-IVFPQ shape: broadcast probes + lookup table, cell equi-join,
+    //  decimal-exact cross-block sums keep the top-k engine-portable)
+    "qx67_ivfpq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      graft.operators.Quantize.ivfPqSearch(
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          cents, "centroid_id", "cen_emb",
+          codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
     }),
@@ -294,6 +358,17 @@ object CurationQueries {
     "qx58_dsir_weights" ->
       s"""WITH $dsirCtes
          |$dsirWeightSelect ORDER BY doc_id""".stripMargin,
+
+    // same formula as qx58 minus the is_target tag (dsirScore scores any
+    // document set; target membership is a training-time concept)
+    "qx68_dsir_stream_scores" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, COUNT(*) AS n_features,
+         |  ROUND(SUM(ln(CAST(c.c_t + 1 AS DOUBLE) / CAST(n_t + $DSIR_BUCKETS AS DOUBLE))
+         |          - ln(CAST(c.c_s + 1 AS DOUBLE) / CAST(n_s + $DSIR_BUCKETS AS DOUBLE))), 6)
+         |    AS log_weight
+         |FROM f JOIN census c USING (f) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "qx60_pack_manifest" -> {
       val d = duckD
@@ -499,6 +574,72 @@ object CurationQueries {
          |  GROUP BY query_id, codes.vec_id)
          |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
          |  ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
+         |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
+    },
+
+    "qx67_ivfpq_search" -> {
+      val d = duckD
+      val w = PQ_DIMS / PQ_BLOCKS
+      val sub = d.slice("embedding", s"block * $w + 1", w)
+      val csub = d.slice("cv", s"block * $w + 1", w)
+      val qsub = d.slice("embedding", s"block * $w + 1", w)
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM n WHERE vec_id < $IVFPQ_CENTROIDS),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT n.vec_id, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("n.embedding", "c_vec")(d)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |        DESC NULLS LAST, centroid_id) AS rn
+         |    FROM n CROSS JOIN cen)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, centroid_id, CAST(rn AS BIGINT) AS probe_rank FROM (
+         |    SELECT q.vec_id AS query_id, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
+         |        DESC, centroid_id ASC) AS rn
+         |    FROM n q CROSS JOIN cen WHERE q.vec_id < $PQ_QUERY_SET)
+         |  WHERE rn <= $IVFPQ_NPROBE),
+         |b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
+         |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
+         |       FROM embeddings CROSS JOIN b),
+         |cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+         |       WHERE vec_id < $PQ_CODES),
+         |cs AS (SELECT code, CAST(block AS BIGINT) AS block, $csub AS csub
+         |       FROM cb CROSS JOIN b),
+         |scored AS (
+         |  SELECT vec_id, es.block AS block, code,
+         |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS d2
+         |  FROM es JOIN cs ON es.block = cs.block),
+         |codes AS (SELECT vec_id, block, code
+         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+         |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
+         |          WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, CAST(block AS BIGINT) AS block,
+         |         $qsub AS qsub
+         |       FROM embeddings CROSS JOIN b WHERE vec_id < $PQ_QUERY_SET),
+         |tbl AS (SELECT query_id, qs.block AS block, code,
+         |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
+         |  FROM qs JOIN cs ON qs.block = cs.block),
+         |summed AS (SELECT p.query_id AS query_id, codes.vec_id AS vec_id,
+         |    SUM(pd2) AS d2,
+         |    MIN(a.centroid_id) AS centroid_id, MIN(p.probe_rank) AS probe_rank
+         |  FROM codes
+         |  JOIN assigned a ON codes.vec_id = a.vec_id
+         |  JOIN probes p ON a.centroid_id = p.centroid_id AND p.query_id <> codes.vec_id
+         |  JOIN tbl ON tbl.query_id = p.query_id
+         |    AND codes.block = tbl.block AND codes.code = tbl.code
+         |  GROUP BY p.query_id, codes.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
+         |  ROUND(CAST(d2 AS DOUBLE), 6) AS dist2, centroid_id, probe_rank
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
          |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin

@@ -339,6 +339,10 @@ final class ApiServer(api: FinancialApi, port: Int = 8000,
       capped.length >= gzipMinBytes
     val payload = if (gzip) ApiServer.gzipBytes(capped) else capped
     exchange.getResponseHeaders.set("Content-Type", contentType)
+    // Representation varies on the request's Accept-Encoding whenever
+    // compression is possible — not just when it fired — else a shared
+    // cache could hand a gzipped body to a client that never asked.
+    if (enableCompression) exchange.getResponseHeaders.set("Vary", "Accept-Encoding")
     if (gzip) exchange.getResponseHeaders.set("Content-Encoding", "gzip")
     headers.foreach { case (k, v) => exchange.getResponseHeaders.set(k, v) }
     exchange.sendResponseHeaders(status, payload.length)

@@ -34,7 +34,10 @@ import org.apache.spark.sql.SparkSession
   * window as retention, or wrap it in a table-format commit when one is
   * available. `keepBackup = true` retains `.compact-bak` (the complete
   * pre-compaction directory) for the caller to inspect and delete after
-  * validating the rewrite, instead of dropping it immediately.
+  * validating the rewrite, instead of dropping it immediately. A retained
+  * backup lives until the caller deletes it: the next compactParquet on
+  * the same path REFUSES to run while `.compact-bak` exists, so a backup
+  * is never silently destroyed mid-validation.
   */
 object Compaction {
 
@@ -67,7 +70,14 @@ object Compaction {
     val before = dataFiles(fs, dir)
     val tmp = new Path(path + ".compact-tmp")
     val bak = new Path(path + ".compact-bak")
-    fs.delete(tmp, true); fs.delete(bak, true)
+    // A leftover backup is a previous rewrite's pre-image that the caller
+    // asked to keep and has not yet released — deleting it here would
+    // destroy it while they may still be validating. Make them decide.
+    if (fs.exists(bak))
+      throw new java.io.IOException(
+        s"refusing to compact: backup $bak already exists from a previous " +
+        "keepBackup run — validate and delete it (or restore it) first")
+    fs.delete(tmp, true)
     val writer = spark.read.parquet(path)
       .hint("rebalance")
       .write

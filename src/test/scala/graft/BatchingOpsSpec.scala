@@ -45,6 +45,95 @@ class BatchingOpsSpec extends SparkSpec {
     // top-k member is itself in the true top-k).
   }
 
+  test("IVF+PQ: index = exactly its two halves; full-probe search = pqSearch; recall above chance") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // 16 codebook entries (vs qx63's toy 4): recall against the exact kNN
+    // is bounded by codebook resolution — PQ also ranks by approximate L2
+    // while the truth ranks by cosine, so the bar below is deliberately
+    // modest; the oracle gate (qx67) carries exactness, this row carries
+    // "the approximation is useful"
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    // 1) the fused index carries the SAME cells as ivfAssign and the SAME
+    //    codes as pqEncode — the composition adds routing, not new math
+    val index = Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4)
+    val cells = Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
+      .select(col("vec_id"), col("centroid_id").as("cell_ref"))
+    val codes = Quantize.pqEncode(emb, "vec_id", "embedding",
+        codebook, "code_id", "c_emb", 64, 4)
+      .select(col("vec_id"), col("block"), col("code").as("code_ref"))
+    val mismatch = index
+      .join(cells, "vec_id").join(codes, Seq("vec_id", "block"))
+      .filter(col("centroid_id") =!= col("cell_ref") || col("code") =!= col("code_ref"))
+      .count()
+    assert(mismatch == 0L, s"$mismatch index rows disagree with ivfAssign/pqEncode")
+    assert(index.count() == emb.count() * 4, "one code per (vector, block)")
+    // 2) recall against the float-exact truth: more probes never hurt,
+    //    and the 2-probe composed index finds a solid share of true kNN
+    //    (PQ distances are approximate, so the bar sits below the float
+    //    multi-probe IVF's — the codes, not the routing, cost recall)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = emb.filter(col("vec_id") < 20)
+    // two truths: the index approximates exact L2 (what PQ codes encode),
+    // so that's the gated recall; cosine brute force is recorded alongside
+    // (it diverges from L2 on unnormalized vectors — informative, not
+    // a property of this operator)
+    val cosTruth = pairs(Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3))
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+    val l2Truth = pairs(emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin))
+      .withColumn("rank", row_number().over(wL2))
+      .filter(col("rank") <= 3))
+    def ivfpq(nProbe: Int) = Quantize.ivfPqSearch(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, nProbe)
+    // 3) probing EVERY cell removes the routing: the composed search must
+    //    then equal plain pqSearch (k+1, self dropped, re-ranked) row for
+    //    row — ranks, rounded distances, everything. This pins the ADC
+    //    tail to the qx64-proven half; the recall rows below then measure
+    //    only what routing + codes cost.
+    val fullProbe = ivfpq(8)
+      .select("query_id", "neighbor_id", "rank", "dist2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val pqRef = Quantize.pqSearch(queries, "vec_id", "embedding",
+        Quantize.pqEncode(emb, "vec_id", "embedding",
+          codebook, "code_id", "c_emb", 64, 4).select("vec_id", "block", "code"),
+        "vec_id", codebook, "code_id", "c_emb", 64, 4, 4)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("rank").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "rank", "dist2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fullProbe == pqRef,
+      s"full-probe IVF+PQ diverges from pqSearch: only-ivfpq=${fullProbe -- pqRef} only-pq=${pqRef -- fullProbe}")
+    // 4) recall rows: well above the ~0.002 chance floor for top-3 of 2000.
+    //    NOT asserted monotone in nProbe — with approximate ADC distances,
+    //    extra candidates can displace true neighbors, unlike the float
+    //    multi-probe IVF where scoring is exact.
+    def recall(truth: Set[(Long, Long)], got: Set[(Long, Long)]) =
+      (truth intersect got).size.toDouble / truth.size
+    val got2 = pairs(ivfpq(2))
+    val (rl2, rcos) = (recall(l2Truth, got2), recall(cosTruth, got2))
+    info(f"IVF+PQ(2-probe) recall: vs exact L2 $rl2%.2f, vs cosine brute force $rcos%.2f")
+    assert(rl2 > 0.05, s"2-probe IVF+PQ recall vs exact L2 at chance level: $rl2")
+    assert(rcos > 0.05, s"2-probe IVF+PQ recall vs bruteForceKnn at chance level: $rcos")
+  }
+
   test("int8 quantization: tinyint storage, codes in range, round-trip error ≤ scale/2") {
     import org.apache.spark.sql.types.ByteType
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

@@ -38,7 +38,18 @@ class CompactionSpec extends SparkSpec {
     val bak = spark.read.parquet(dir + ".compact-bak")
     assert(bak.count() == 1000L)
     assert(spark.read.parquet(dir).count() == 1000L)
-    // ...and the default mode removes it
+    // ...a second compaction REFUSES to run while it exists (it would
+    // destroy the pre-image the caller is still validating)...
+    val e = intercept[java.io.IOException] {
+      Compaction.compactParquet(spark, dir, maxRecordsPerFile = 100000L)
+    }
+    assert(e.getMessage.contains("compact-bak"), e.getMessage)
+    assert(spark.read.parquet(dir + ".compact-bak").count() == 1000L)
+    // ...and once the caller releases it, compaction proceeds and the
+    // default mode leaves no backup behind
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".compact-bak"), true)
     Compaction.compactParquet(spark, dir, maxRecordsPerFile = 100000L)
     assert(!new java.io.File(dir + ".compact-bak").exists())
   }

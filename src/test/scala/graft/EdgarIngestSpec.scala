@@ -83,6 +83,62 @@ class EdgarIngestSpec extends SparkSpec {
     assert(done === 1 && failed === 1 && math.abs(rate - 50.0) < 1e-9)
   }
 
+  test("EtlDaemon: two simulated cycles — first ingests everything, second fetches nothing") {
+    val base = java.nio.file.Files.createTempDirectory("daemon").toString + "/facts"
+    val meta = base + "_meta/last_fetch"
+    // a CURRENT filing date puts both tickers in tier 1 (refresh after 24h)
+    val json =
+      """{"cik": 1, "entityName": "Daemon Co", "facts": {"us-gaap": {
+        |"Revenues": {"label": "Revenues", "description": "",
+        |  "units": {"USD": [{"start":"2026-01-01","end":"2026-08-01","val":10,
+        |    "fy":2026,"fp":"Q2","form":"10-Q"}]}}}}}""".stripMargin
+    // closures are task-serialized even in local mode — a captured
+    // AtomicInteger would increment a copy; an accumulator reports back
+    val fetches = spark.sparkContext.longAccumulator("fetches")
+    val fetch = (_: String) => { fetches.add(1); json }
+    val tickers = Seq("AAA", "BBB")
+    val today = LocalDate.of(2026, 8, 12)
+    val t0 = 1000000000000L
+    // cycle 1: empty store → everything due → both fetched and stored
+    val c1 = EtlDaemon.cycle(spark, base, meta, tickers, fetch, today, t0)
+    assert(c1.due.toSet === Set("AAA", "BBB"))
+    assert(c1.completed === 2 && c1.failed === 0)
+    assert(fetches.value === 2)
+    assert(graft.sources.FactStore.read(spark, base)
+      .select("ticker").distinct().count() === 2)
+    // cycle 2 an hour later: fresh store + fresh fetch metadata → nothing
+    // due → the fetch function is never called
+    val c2 = EtlDaemon.cycle(spark, base, meta, tickers, fetch,
+      today, t0 + 3600L * 1000)
+    assert(c2.due.isEmpty && c2.jobs.isEmpty)
+    assert(fetches.value === 2, "second cycle must not fetch anything")
+    // cycle 3 past the tier-1 cadence (25h): due again, skip-unchanged
+    // sees identical content and still records the fetch
+    val c3 = EtlDaemon.cycle(spark, base, meta, tickers, fetch,
+      today.plusDays(2), t0 + 50L * 3600 * 1000)
+    assert(c3.due.toSet === Set("AAA", "BBB") && c3.completed === 2)
+    assert(fetches.value === 4)
+    // a NEW ticker joins the universe: only it is due mid-cadence
+    val c4 = EtlDaemon.cycle(spark, base, meta, tickers :+ "CCC", fetch,
+      today.plusDays(2), t0 + 51L * 3600 * 1000)
+    assert(c4.due === Seq("CCC") && fetches.value === 5)
+  }
+
+  test("EtlDaemon.runDaemon: jittered sleeps between cycles, bounded by maxCycles") {
+    val base = java.nio.file.Files.createTempDirectory("daemonloop").toString + "/facts"
+    var slept = Vector.empty[Long]
+    var clock = 1000000000000L
+    val n = EtlDaemon.runDaemon(spark, base, base + "_meta/last_fetch",
+      Seq.empty, _ => "", intervalMs = 1000L, maxCycles = 3,
+      nowMs = () => { clock += 60000; clock },
+      sleep = ms => slept :+= ms, log = _ => ())
+    assert(n === 3)
+    assert(slept.size === 2, "no sleep after the final cycle")
+    // jitter stays within ±10% and differs between cycles
+    assert(slept.forall(ms => ms >= 900 && ms <= 1100), slept.toString)
+    assert(slept.distinct.size === slept.size, s"jitter must vary: $slept")
+  }
+
   test("end-to-end ingest: fetch -> flatten -> partitioned store with failure isolation") {
     val base = java.nio.file.Files.createTempDirectory("ingest").toString
     val goodJson =

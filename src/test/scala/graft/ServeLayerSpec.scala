@@ -231,8 +231,13 @@ class ServeLayerSpec extends SparkSpec {
       val plain = getz("/financials/ALFA?years=5", gz = false)
       assert(plain.statusCode === 200)
       assert(plain.headers.firstValue("Content-Encoding").isEmpty)
+      // Vary on BOTH variants — a shared cache must key on Accept-Encoding
+      // even for the identity response, else it could serve it to nobody
+      // or gzip to a client that never asked
+      assert(plain.headers.firstValue("Vary").orElse("") === "Accept-Encoding")
       val zipped = getz("/financials/ALFA?years=5", gz = true)
       assert(zipped.headers.firstValue("Content-Encoding").orElse("") === "gzip")
+      assert(zipped.headers.firstValue("Vary").orElse("") === "Accept-Encoding")
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(zipped.body()))
       assert(new String(in.readAllBytes(), "UTF-8") ===

@@ -156,11 +156,51 @@ class StreamingMultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(feats.map(_.byte_len).toSeq === Seq(6L, 256L, 1024L))
     assert(feats.forall(_.features.length == 16))
+    // none of these payloads is a readable image → every row is the stub
+    // path, metadata dims passed through
+    assert(feats.forall(!_.decoded))
+    assert(feats(0).width === 64 && feats(0).height === 64)
     // histogram semantics: payload of all-7s → all mass in bin 0
     assert(math.abs(feats(1).features(0) - 1.0f) < 1e-6)
     // determinism: same payload → same sha
     val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(feats.map(_.sha).toSeq === again.map(_.sha).toSeq)
+  }
+
+  test("multimodal: a real PNG decodes through javax.imageio — true dims + luminance histogram") {
+    import spark.implicits._
+    // 8×4 PNG: left half pure black (luminance 0 → bin 0), right half
+    // pure white (255 → bin 15) — generated, written, decoded, no codecs
+    // beyond the JDK
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK must ship a PNG writer")
+    val png = bos.toByteArray
+    val media = Seq(
+      // metadata LIES about the dims (99×99): the decoder must report the
+      // real ones, proving the bytes were actually parsed
+      MediaRow(1L, MediaMeta("image", 99, 99, 0, 0L), png),
+      // corrupt payload under the image modality → stub fallback, not a crash
+      MediaRow(2L, MediaMeta("image", 10, 10, 0, 0L), Array[Byte](1, 2, 3, 4)),
+      // a real PNG under a non-image modality stays on the stub path
+      MediaRow(3L, MediaMeta("video", 0, 0, 0, 0L), png)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val real = feats(0)
+    assert(real.decoded && real.width === 8 && real.height === 4,
+      s"expected a real 8x4 decode, got $real")
+    assert(math.abs(real.features(0) - 0.5f) < 1e-6, "half the pixels are black")
+    assert(math.abs(real.features(15) - 0.5f) < 1e-6, "half the pixels are white")
+    assert((1 to 14).forall(b => real.features(b) == 0f))
+    assert(!feats(1).decoded && feats(1).width === 10, "corrupt image falls back to stub")
+    assert(!feats(2).decoded, "non-image modality never image-decodes")
+    // direct kernel check: same answer without the Spark plumbing
+    val direct = Multimodal.decodeImage(png)
+    assert(direct.exists { case (w, h, hist) =>
+      w == 8 && h == 4 && math.abs(hist(0) - 0.5f) < 1e-6 })
   }
 
   test("multimodal: metadata scan does not read payload bytes (column pruning)") {
