@@ -16,7 +16,8 @@ object ExplainAudit {
                "qx13_bucket_top_pairs", "qx22_ivf_ann", "qx01_dedup_exact",
                "qx30_decontaminate", "qx35_incremental_neardup",
                "qx34_curation_pipeline", "qx57_gopher_rules",
-               "qx58_dsir_weights", "qx64_pq_adc_search", "qx65_curation_v2")
+               "qx58_dsir_weights", "qx64_pq_adc_search", "qx65_curation_v2",
+               "qx67_ivfpq_search")
     val full = sys.env.contains("GRAFT_EXPLAIN_FULL")
     for (q <- queryNames) {
       println(s"===== $q =====")

@@ -170,16 +170,20 @@ object Quantize {
                   corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                   codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                  dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
-    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
-    require(k >= 1, s"k=$k must be >= 1")
-    Similarity.requireSmallQuerySide(queries, "ivfPqSearch")
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val wSub = dims / nBlocks
-    val index = ivfPqIndex(corpus, idCol, vecCol,
-      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
-    // top-nProbe cells per query: window over the small query×centroid
-    // frame only (same shape as ivfKnnMultiProbe's probe step)
+                  dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame =
+    ivfPqSearchOn(
+      ivfPqIndex(corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol,
+        codebook, cbIdCol, cbVecCol, dims, nBlocks),
+      queries, qIdCol, qVecCol, idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
+
+  /** Top-nProbe cells per query: window over the small query×centroid
+    * frame only (same shape as ivfKnnMultiProbe's probe step). Output:
+    * (query_id, centroid_id, probe_rank). */
+  private def probeCells(queries: DataFrame, qIdCol: String, qVecCol: String,
+                         centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                         nProbe: Int): DataFrame = {
     val cen = Similarity.withNorm2(centroids, cenVecCol)
       .select(col(cenIdCol).as("centroid_id"), col(cenVecCol).as("c_vec"),
         col("norm2").as("c_norm2"))
@@ -189,7 +193,7 @@ object Quantize {
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(coalesce(col("q_cos"), lit(-2.0)).desc, col("centroid_id").asc)
-    val probes = q.crossJoin(broadcast(cen))
+    q.crossJoin(broadcast(cen))
       .withColumn("q_cos",
         when(col("q_norm2") > 0 && col("c_norm2") > 0,
           expr(TX.dotAuto("q_vec", "c_vec"))
@@ -197,6 +201,24 @@ object Quantize {
       .withColumn("probe_rank", row_number().over(wProbe).cast("long"))
       .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("centroid_id"), col("probe_rank"))
+  }
+
+  /** The search tail over an ALREADY-BUILT index (in-memory from
+    * [[ivfPqIndex]] or a pruned read of a persisted one) — probes +
+    * ADC tables + cell equi-join + decimal sums. */
+  private def ivfPqSearchOn(index: DataFrame,
+                            queries: DataFrame, qIdCol: String, qVecCol: String,
+                            idCol: String,
+                            centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                            codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                            dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    Similarity.requireSmallQuerySide(queries, "ivfPqSearch")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val wSub = dims / nBlocks
+    val probes = probeCells(queries, qIdCol, qVecCol,
+      centroids, cenIdCol, cenVecCol, nProbe)
     // ADC lookup table: ||q_b − c_b||² per (query, block, code), decimal
     val qb = queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
@@ -223,6 +245,163 @@ object Quantize {
       .agg(sum(col("__pd2")).as("__d2"),
         first(col("centroid_id")).as("centroid_id"), // single-valued per vec
         first(col("probe_rank")).as("probe_rank"))   // single cell per vec
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("__d2").cast("double"), 6).as("dist2"),
+        col("centroid_id"), col("probe_rank"))
+  }
+
+  /** Persist an IVF-PQ index partitioned by cell — the durable form of
+    * the artifact: each cell's inverted list is its own directory, so a
+    * probed search reads ONLY those directories (hive partition pruning;
+    * at 100 TB the difference between scanning the whole code table and
+    * scanning nProbe/nCells of it). */
+  def writeIvfPqIndex(index: DataFrame, path: String): Unit =
+    index.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Search a PERSISTED index: the union of all probed cells (bounded by
+    * min(|Q|·nProbe, nCells) — centroid-count-sized planning metadata,
+    * never row data) becomes a literal partition filter on the store, so
+    * only the probed cells' files are read. Everything after the pruned
+    * scan is [[ivfPqSearch]]'s tail, so results are identical to the
+    * in-memory path — asserted row-for-row in BatchingOpsSpec, along with
+    * the PartitionFilters line in the plan. */
+  def ivfPqSearchStored(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        idCol: String,
+                        centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                        codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                        dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    Similarity.requireSmallQuerySide(queries, "ivfPqSearchStored")
+    val cells = probeCells(queries, qIdCol, qVecCol,
+        centroids, cenIdCol, cenVecCol, nProbe)
+      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
+    val pruned = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isInCollection(cells))
+    ivfPqSearchOn(pruned, queries, qIdCol, qVecCol, idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
+  }
+
+  /** RESIDUAL IVF-PQ index: encode (vector − its cell centroid) instead
+    * of the raw vector — the accuracy step production IVFPQ deployments
+    * use (FAISS's default `by_residual`). When the coarse clustering
+    * captures structure, residuals carry far less energy than raw
+    * vectors, so the same code budget quantizes a smaller thing and ADC
+    * distances sharpen.
+    *
+    * WHEN IT HELPS — measured, not assumed: on clustered embeddings
+    * (points near their cell centroid) residual energy « raw energy and
+    * recall strictly improves at equal code budget (the BatchingOpsSpec
+    * row constructs exactly that regime). On the unclustered synthetic
+    * test corpus the nearest-of-8 centroid is ~1.7× the raw energy away,
+    * so residual encoding would quantize a LARGER vector — use the raw
+    * [[ivfPqIndex]] there. The operator is the mechanism; the data
+    * decides which variant to deploy.
+    *
+    * `codebook` must hold RESIDUAL-space entries (train it on residuals;
+    * the spec seeds it with observed residuals). Same scale shape as
+    * [[ivfPqIndex]]: broadcast centroids + codebook, one corpus pass, no
+    * corpus self-join; arithmetic is double (this variant is spec-gated,
+    * not oracle-gated, so no cross-engine float contract is needed).
+    * Output: (idCol, centroid_id, block, code). */
+  def ivfPqIndexResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                         codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                         dims: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val w = dims / nBlocks
+    val cen = centroids.select(col(cenIdCol).as("centroid_id"),
+      col(cenVecCol).as("__cenv"))
+    val e = Similarity.ivfAssign(corpus, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol)
+      .join(broadcast(cen), "centroid_id")
+      .withColumn("__res", expr(
+        s"zip_with($vecCol, __cenv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col(idCol), col("centroid_id"), col("__res"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__sub", expr(d.slice("__res", s"block * $w + 1", w)))
+      .select(col(idCol), col("centroid_id"), col("block"), col("__sub"),
+        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
+    val c = codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
+      .select(col("code"), col("block"), col("__csub"),
+        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
+    e.join(broadcast(c), "block")
+      .withColumn("__d2",
+        col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
+      .groupBy(col(idCol), col("centroid_id"), col("block"))
+      .agg(min_by(col("code"),
+        struct(col("__d2").as("d"), col("code").as("tb"))).as("code"))
+  }
+
+  /** Residual IVF-PQ search: the ADC table is per (query, PROBED CELL,
+    * block, code) — ||(q − c_cell)_b − codebook_b(code)||² — because the
+    * reconstruction is centroid + residual code. Q × nProbe × nBlocks × K
+    * entries, still broadcast by construction; the corpus side still
+    * touches only its filed codes. Output matches [[ivfPqSearch]]. */
+  def ivfPqSearchResidual(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          corpus: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                          dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    Similarity.requireSmallQuerySide(queries, "ivfPqSearchResidual")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val wSub = dims / nBlocks
+    val index = ivfPqIndexResidual(corpus, idCol, vecCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
+    val cen = Similarity.withNorm2(centroids, cenVecCol)
+      .select(col(cenIdCol).as("centroid_id"), col(cenVecCol).as("c_vec"),
+        col("norm2").as("c_norm2"))
+    val q = Similarity.withNorm2(queries, qVecCol)
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("q_vec"),
+        col("norm2").as("q_norm2"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(coalesce(col("q_cos"), lit(-2.0)).desc, col("centroid_id").asc)
+    // probes KEEP the query vector: the table needs q − c_cell per cell
+    val probes = q.crossJoin(broadcast(cen))
+      .withColumn("q_cos",
+        when(col("q_norm2") > 0 && col("c_norm2") > 0,
+          expr(TX.dotAuto("q_vec", "c_vec"))
+            / (sqrt(col("q_norm2")) * sqrt(col("c_norm2")))))
+      .withColumn("probe_rank", row_number().over(wProbe).cast("long"))
+      .filter(col("probe_rank") <= nProbe)
+      .withColumn("__qres", expr(
+        "zip_with(q_vec, c_vec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"), col("__qres"))
+    val cb = codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $wSub + 1", wSub)))
+    // table per (query, cell, block, code) — the residual twist
+    val table = probes
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"), col("__qres"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__qsub", expr(d.slice("__qres", s"block * $wSub + 1", wSub)))
+      .join(cb, "block")
+      .withColumn("__pd2",
+        (expr(TX.dotAuto("__qsub", "__qsub"))
+          - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
+          + expr(TX.dotAuto("__csub", "__csub"))).cast("decimal(30,12)"))
+      .select("query_id", "centroid_id", "probe_rank", "block", "code", "__pd2")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__d2").asc, col("vec_id").asc)
+    index
+      .join(broadcast(table), Seq("centroid_id", "block", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol).as("vec_id"))
+      .agg(sum(col("__pd2")).as("__d2"),
+        first(col("centroid_id")).as("centroid_id"),
+        first(col("probe_rank")).as("probe_rank"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
