@@ -19,6 +19,9 @@ import java.time.LocalDate
   *  - `status`           — job stats + per-ticker freshness (run_etl.py status)
   *  - `daemon [hours]`   — loop incremental cycles with jittered sleep
   *                         (the crond replacement; docker-compose.yml:33-44)
+  *  - `compact [maxRecordsPerFile]` — maintenance-window small-file
+  *                         compaction of the store (Compaction contract:
+  *                         run it while no daemon cycle is writing)
   *
   * Everything effectful is injected (fetch function, clock, sleep), so the
   * scheduling policy itself is spec-tested without a network or a real
@@ -204,6 +207,12 @@ object EtlDaemon {
           .flatMap(_.toLongOption).getOrElse(Long.MaxValue)
         runDaemon(spark, base, metaPath, tickers, fetch,
           (hours * 3600 * 1000).toLong, maxCycles, tracker)
+      case "compact" =>
+        val maxRecords = args.lift(1).flatMap(_.toLongOption).getOrElse(1000000L)
+        val stats = graft.sources.Compaction.compactParquet(spark, base,
+          maxRecords, partitionCols = Seq("ticker", "period_type", "fiscal_year"))
+        println(s"compacted $base: ${stats.filesBefore} -> ${stats.filesAfter} files, " +
+          s"${stats.bytesBefore} -> ${stats.bytesAfter} bytes")
       case "status" =>
         val (done, failed, rate) = tracker.stats
         println(s"jobs this process: $done completed, $failed failed, $rate% success")
@@ -215,7 +224,7 @@ object EtlDaemon {
         } catch { case _: Throwable => println(s"store: empty ($base)") }
       case other =>
         System.err.println(s"unknown subcommand '$other' " +
-          "(expected fetch|incremental|full|daemon|status)")
+          "(expected fetch|incremental|full|daemon|compact|status)")
         sys.exit(2)
     }
     spark.stop()

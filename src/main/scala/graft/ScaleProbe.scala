@@ -52,6 +52,37 @@ object ScaleProbe {
       println(f"[scale] pack_docs=$n%9d  pack=${secs}%6.2fs  packs: ${packs + 1}")
     }
 
+    // IVF-PQ: index build + probed search, corpus inflated 1×/4×/16× —
+    // build is one assignment pass + one constant-width encode shuffle,
+    // search touches only probed cells' codes, so both should scale
+    // ~linearly with corpus size (an all-pairs or unpruned plan would not)
+    {
+      val emb0 = Tables.t(spark, dir, "embeddings")
+        .select("vec_id", "embedding").cache()
+      val e0 = emb0.count()
+      val cents = emb0.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val codebook = emb0.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+      val queries = emb0.filter(col("vec_id") < 20)
+      graft.operators.Quantize.ivfPqSearch(queries, "vec_id", "embedding",
+        emb0, "vec_id", "embedding", cents, "cid", "cv",
+        codebook, "code_id", "c_emb", 64, 4, 3, 2).count() // codegen warmup
+      for (mult <- Seq(1, 4, 16)) {
+        val inflated = (0 until mult).map(i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Quantize.ivfPqSearch(
+          queries, "vec_id", "embedding", inflated, "vec_id", "embedding",
+          cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ivfpq_vecs=${e0 * mult}%8d  build+search=${secs}%6.2fs  hits: $rows")
+      }
+      emb0.unpersist()
+    }
+
     // connected components: synthetic chains of 8 (worst-ish shape for
     // min-propagation alone; pointer jumping keeps rounds O(log n)), grown
     // 1×/4×/16× — wall time should grow ~linearly, rounds logarithmically

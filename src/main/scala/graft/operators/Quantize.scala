@@ -228,7 +228,11 @@ object Quantize {
       .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
         explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
       .withColumn("__csub", expr(d.slice("__cv", s"block * $wSub + 1", wSub)))
-    val table = qb.join(cb, "block")
+    // the codebook side is K×nBlocks rows BY DEFINITION — broadcast it
+    // explicitly (the other side has just crossed a window, so the
+    // planner's size estimate for it is unknown and a sort-merge join on
+    // `block` would sort both tiny frames through an exchange for nothing)
+    val table = qb.join(broadcast(cb), "block")
       .withColumn("__pd2",
         (expr(TX.dotAuto("__qsub", "__qsub"))
           - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
@@ -381,12 +385,14 @@ object Quantize {
       .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
         explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
       .withColumn("__csub", expr(d.slice("__cv", s"block * $wSub + 1", wSub)))
-    // table per (query, cell, block, code) — the residual twist
+    // table per (query, cell, block, code) — the residual twist; codebook
+    // side broadcast explicitly (K×nBlocks rows by definition; the probe
+    // side's estimate is unknown after its window)
     val table = probes
       .select(col("query_id"), col("centroid_id"), col("probe_rank"), col("__qres"),
         explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
       .withColumn("__qsub", expr(d.slice("__qres", s"block * $wSub + 1", wSub)))
-      .join(cb, "block")
+      .join(broadcast(cb), "block")
       .withColumn("__pd2",
         (expr(TX.dotAuto("__qsub", "__qsub"))
           - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
@@ -407,6 +413,100 @@ object Quantize {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("__d2").cast("double"), 6).as("dist2"),
         col("centroid_id"), col("probe_rank"))
+  }
+
+  /** TRAIN a per-block PQ codebook — the step that separates a toy PQ
+    * (codebook = first k vectors) from the production one (FAISS trains
+    * per-block k-means). Each block's sub-vector population gets its own
+    * Lloyd loop, all blocks advancing together in ONE distributed pass
+    * per iteration: assignment is the squared-L2 argmin (PQ's actual
+    * objective, unlike [[Clustering]]'s cosine), refit is a decimal-exact
+    * per-(block, code, dim) mean. Driver-loop discipline follows
+    * [[Clustering.kmeansFit]]: the driver carries only the k×nBlocks-row
+    * movement decision, per-round localCheckpoint keeps the plan flat,
+    * empty codes carry their previous centroid. The exploded sub-vector
+    * frame is persisted once (every iteration reads it; re-slicing the
+    * corpus per round would scan it maxIter times).
+    *
+    * Lloyd never increases its objective from any init, and the init IS
+    * the "first k vectors" seed — so the trained codebook's total encode
+    * distortion is ≤ the seeded one's by construction (asserted strictly
+    * < in BatchingOpsSpec). Returns full-width (code, cvecCol) rows,
+    * blocks concatenated in order — directly usable by [[pqEncode]] /
+    * [[ivfPqIndex]], which slice per block anyway. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              dims: Int, nBlocks: Int, k: Int,
+              maxIter: Int = 10, tol: Double = 1e-4,
+              cvecCol: String = "c_emb"): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    require(k > 0 && maxIter > 0, "k and maxIter must be positive")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val w = dims / nBlocks
+    val subs = emb
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__sub", expr(d.slice("__v", s"block * $w + 1", w)))
+      .select(col("__id"), col("block"), col("__sub"),
+        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed: per block, the sub-vectors of the k smallest ids (the same
+      // deterministic no-RNG init as kmeansFit, and exactly the "seeded
+      // codebook" a caller would otherwise use directly)
+      val seedIds = emb.select(col(idCol)).orderBy(col(idCol)).limit(k)
+        .collect().map(_.get(0))
+      var ck = subs.filter(col("__id").isInCollection(seedIds.toSeq))
+        .join(broadcast(emb.sparkSession.createDataFrame(
+          seedIds.zipWithIndex.map { case (id, i) => (id.toString, i.toLong) }
+            .toSeq).toDF("__sid", "code")),
+          col("__id").cast("string") === col("__sid"))
+        .select(col("code"), col("block"),
+          expr(d.map("__sub", "x", "CAST(x AS DOUBLE)")).as("__csub"))
+        .localCheckpoint()
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved > tol) {
+        val withCc = ck.withColumn("__cc", expr(TX.dotAuto("__csub", "__csub")))
+        // assign: L2 argmin per (vector, block) — broadcast k×nBlocks codes
+        val assign = subs.join(broadcast(withCc), "block")
+          .withColumn("__d2",
+            col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
+          .groupBy(col("__id"), col("block"))
+          .agg(min_by(col("code"),
+            struct(col("__d2").as("d"), col("code").as("tb"))).as("code"))
+        // refit: decimal-exact per-(block, code, dim) means, reassembled
+        val refit = subs.join(assign, Seq("__id", "block"))
+          .select(col("block"), col("code"),
+            posexplode(col("__sub")).as(Seq("__pos", "__x")))
+          .groupBy(col("block"), col("code"), col("__pos"))
+          .agg((sum(col("__x").cast("double").cast("decimal(30,10)")).cast("double")
+            / count(lit(1))).as("__m"))
+          .groupBy(col("block"), col("code"))
+          .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+          .withColumn("__new", expr("transform(__pm, x -> x.__m)"))
+          .select(col("block"), col("code"), col("__new"))
+        val nextCk = ck
+          .join(refit, Seq("block", "code"), "left")
+          .select(col("block"), col("code"),
+            coalesce(col("__new"), col("__csub")).as("__csub"),
+            col("__csub").as("__old"))
+          .localCheckpoint()
+        moved = nextCk
+          .select(max(expr(
+            "aggregate(zip_with(__csub, __old, (a, b) -> abs(a - b)), " +
+              "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))")).as("m"))
+          .collect()(0).getDouble(0)
+        Checkpoints.release(ck)
+        ck = nextCk.drop("__old")
+        iter += 1
+      }
+      // reassemble full-width codebook rows: blocks concatenated in order
+      ck.groupBy(col("code"))
+        .agg(array_sort(collect_list(struct(col("block"), col("__csub")))).as("__bc"))
+        .withColumn(cvecCol, expr("flatten(transform(__bc, x -> x.__csub))"))
+        .select(col("code"), col(cvecCol))
+    } finally { subs.unpersist(); () }
   }
 
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,

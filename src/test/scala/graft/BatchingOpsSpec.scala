@@ -178,6 +178,28 @@ class BatchingOpsSpec extends SparkSpec {
       s"2 probed cells must read 2 of 8 partitions, got ${scan.get.selectedPartitions.partitionCount}")
   }
 
+  test("pqTrain: Lloyd-trained codebook strictly reduces PQ distortion vs its own seed") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // the seed IS pqTrain's init (first 16 vectors), so Lloyd's monotone
+    // objective guarantees trained <= seeded; strict < is the "training
+    // actually moved" check
+    val seeded = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val trained = Quantize.pqTrain(emb, "vec_id", "embedding", 64, 4, 16, maxIter = 5)
+    assert(trained.count() === 16L, "one trained codebook row per code")
+    assert(trained.select(expr("size(c_emb)")).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(64), "full-width reassembly")
+    def distortion(cb: org.apache.spark.sql.DataFrame, cid: String, cvec: String) =
+      Quantize.pqEncode(emb, "vec_id", "embedding", cb, cid, cvec, 64, 4)
+        .agg(sum("dist2")).collect()(0).getDouble(0)
+    val dSeed = distortion(seeded, "code_id", "c_emb")
+    val dTrained = distortion(trained, "code", "c_emb")
+    info(f"PQ distortion: seeded $dSeed%.3f -> trained $dTrained%.3f")
+    assert(dTrained < dSeed,
+      f"training must reduce distortion: seed=$dSeed%.3f trained=$dTrained%.3f")
+  }
+
   test("residual IVF-PQ beats raw IVF-PQ at equal code budget on clustered embeddings") {
     import spark.implicits._
     import graft.operators.Quantize

@@ -24,6 +24,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("IVF-PQ search plans: every join broadcasts a small side — no corpus sort-merge join") {
+    // the composed-index queries live or die on this topology: probes and
+    // ADC tables broadcast, the corpus side only ever equi-joins them; a
+    // SortMergeJoin appearing here means a small side stopped broadcasting
+    // and the corpus is being sorted+shuffled for it
+    for (q <- Seq("qx67_ivfpq_search", "qx69_ivfpq_residual")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: a join fell off the broadcast path:\n${plan.take(1500)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q lost its broadcast joins:\n${plan.take(1500)}")
+    }
+  }
+
   test("no oracle query plans a CartesianProduct; all keep codegen") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
