@@ -16,12 +16,13 @@ import org.apache.spark.sql.types._
   *   per-row UDF dispatch, arbitrary native libs loadable per partition;
   * - IMAGES decode for real through pure-JDK `javax.imageio` (PNG/JPEG/
   *   GIF/BMP — the readers the JDK ships; zero native deps): width,
-  *   height, 16-bin luminance histogram. Payloads imageio can't read —
-  *   and the audio/video modalities, which have no JDK codec — fall back
-  *   to the deterministic byte-histogram stub (`decodeStub`), flagged
-  *   `decoded = false`; swap in a JNI/FFM codec binding there in
-  *   production. The batch shape, schema, and pruning are identical on
-  *   both paths.
+  *   height, 16-bin luminance histogram. AUDIO decodes for real through
+  *   pure-JDK `javax.sound.sampled` (WAV/AIFF/AU): sample rate, duration,
+  *   16-bin amplitude histogram over signed-16-bit PCM. Payloads the JDK
+  *   can't read — MP3/OGG, all of video — fall back to the deterministic
+  *   byte-histogram stub (`decodeStub`), flagged `decoded = false`; swap
+  *   in a JNI/FFM codec binding there in production. The batch shape,
+  *   schema, and pruning are identical on every path.
   */
 object Multimodal {
 
@@ -31,6 +32,7 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, modality: String,
                                  byte_len: Long, sha: String,
                                  decoded: Boolean, width: Int, height: Int,
+                                 sample_rate_hz: Int, duration_ms: Long,
                                  features: Array[Float])
 
   val mediaSchema: StructType = StructType(Seq(
@@ -95,10 +97,55 @@ object Multimodal {
     Some((w, h, bins))
   }
 
+  /** REAL audio decode, pure JDK: parse the payload with
+    * `javax.sound.sampled` (WAV/AIFF/AU — the readers the JDK ships),
+    * normalize to signed-16-bit PCM if the container isn't already, and
+    * produce (sampleRateHz, durationMs, 16-bin L1-normalized |amplitude|
+    * histogram — bin = |sample| >> 11). Returns None when no installed
+    * reader recognizes the bytes (MP3/OGG need codecs the JDK doesn't
+    * ship) — callers fall back to the stub rather than failing the
+    * partition. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Long, Array[Float])] = {
+    if (payload == null || payload.isEmpty) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais0 =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (ais0 == null) return None
+    try {
+      val f0 = ais0.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+        f0.getSampleRate, false)
+      val ais =
+        if (f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            f0.getSampleSizeInBits == 16 && !f0.isBigEndian) ais0
+        else AudioSystem.getAudioInputStream(target, ais0)
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      if (n == 0) return None
+      val bins = new Array[Float](16)
+      var i = 0
+      while (i < n) {
+        val s = ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xFF)).toShort.toInt
+        // |−32768| would index bin 16 — clamp to the top bin
+        bins(math.min(math.abs(s), 32767) >> 11) += 1f
+        i += 1
+      }
+      var j = 0
+      while (j < 16) { bins(j) /= n; j += 1 }
+      val frames = n / math.max(1, f0.getChannels)
+      val durationMs = frames * 1000L / math.max(1L, f0.getSampleRate.toLong)
+      Some((f0.getSampleRate.toInt, durationMs, bins))
+    } catch { case _: Exception => None }
+    finally ais0.close()
+  }
+
   /** Batch feature extraction: one pass per partition, payload pruned from
     * the output (features are narrow; never carry bytes forward). Image
-    * payloads go through the real imageio decoder; everything else (and
-    * unreadable images) takes the stub with `decoded = false`. */
+    * payloads go through the real imageio decoder, audio through the real
+    * javax.sound decoder; everything else (and unreadable payloads) takes
+    * the stub with `decoded = false` and metadata passed through. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
@@ -107,16 +154,26 @@ object Multimodal {
         val bytes = Option(row.payload).getOrElse(Array.emptyByteArray)
         digest.reset()
         val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-        val real =
-          if (row.meta.modality == "image") decodeImage(bytes) else None
-        real match {
-          case Some((w, h, hist)) =>
-            MediaFeatures(row.media_id, row.meta.modality,
-              bytes.length.toLong, sha, decoded = true, w, h, hist)
-          case None =>
-            MediaFeatures(row.media_id, row.meta.modality,
-              bytes.length.toLong, sha, decoded = false,
-              row.meta.width, row.meta.height, decodeStub(bytes))
+        def stub = MediaFeatures(row.media_id, row.meta.modality,
+          bytes.length.toLong, sha, decoded = false,
+          row.meta.width, row.meta.height,
+          row.meta.sampleRateHz, row.meta.durationMs, decodeStub(bytes))
+        row.meta.modality match {
+          case "image" => decodeImage(bytes) match {
+            case Some((w, h, hist)) =>
+              MediaFeatures(row.media_id, row.meta.modality,
+                bytes.length.toLong, sha, decoded = true, w, h,
+                row.meta.sampleRateHz, row.meta.durationMs, hist)
+            case None => stub
+          }
+          case "audio" => decodeAudio(bytes) match {
+            case Some((sr, durMs, hist)) =>
+              MediaFeatures(row.media_id, row.meta.modality,
+                bytes.length.toLong, sha, decoded = true,
+                row.meta.width, row.meta.height, sr, durMs, hist)
+            case None => stub
+          }
+          case _ => stub
         }
       }
     }

@@ -124,6 +124,32 @@ class EdgarIngestSpec extends SparkSpec {
     assert(c4.due === Seq("CCC") && fetches.value === 5)
   }
 
+  test("EtlDaemon: a failed fetch is not recorded — the ticker stays due next cycle") {
+    val base = java.nio.file.Files.createTempDirectory("daemonf").toString + "/facts"
+    val meta = base + "_meta/last_fetch"
+    val json =
+      """{"cik": 2, "entityName": "Flaky Co", "facts": {"us-gaap": {
+        |"Revenues": {"label": "Revenues", "description": "",
+        |  "units": {"USD": [{"start":"2026-01-01","end":"2026-08-01","val":5,
+        |    "fy":2026,"fp":"Q2","form":"10-Q"}]}}}}}""".stripMargin
+    val today = LocalDate.of(2026, 8, 12)
+    val t0 = 1000000000000L
+    // BBB's upstream is down for cycle 1
+    val c1 = EtlDaemon.cycle(spark, base, meta, Seq("AAA", "BBB"),
+      t => if (t == "BBB") throw Fatal("404") else json, today, t0)
+    assert(c1.completed === 1 && c1.failed === 1)
+    // an hour later: AAA is fresh (recorded), BBB was never recorded and
+    // has no stored facts → it alone is due, and this time it succeeds
+    val c2 = EtlDaemon.cycle(spark, base, meta, Seq("AAA", "BBB"),
+      _ => json, today, t0 + 3600L * 1000)
+    assert(c2.due === Seq("BBB"), s"only the failed ticker retries: ${c2.due}")
+    assert(c2.completed === 1 && c2.failed === 0)
+    // now both are fresh → nothing due
+    val c3 = EtlDaemon.cycle(spark, base, meta, Seq("AAA", "BBB"),
+      _ => json, today, t0 + 2 * 3600L * 1000)
+    assert(c3.due.isEmpty)
+  }
+
   test("EtlDaemon.runDaemon: jittered sleeps between cycles, bounded by maxCycles") {
     val base = java.nio.file.Files.createTempDirectory("daemonloop").toString + "/facts"
     var slept = Vector.empty[Long]

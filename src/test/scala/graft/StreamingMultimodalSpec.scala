@@ -203,6 +203,46 @@ class StreamingMultimodalSpec extends SparkSpec {
       w == 8 && h == 4 && math.abs(hist(0) - 0.5f) < 1e-6 })
   }
 
+  test("multimodal: a real WAV decodes through javax.sound — true rate/duration + amplitude histogram") {
+    import spark.implicits._
+    // 8 kHz mono 16-bit WAV, 4000 frames: first half silence (bin 0),
+    // second half constant amplitude 30000 (30000 >> 11 = bin 14) —
+    // generated, written, decoded, JDK only
+    val format = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](4000 * 2)
+    for (i <- 2000 until 4000) {
+      pcm(2 * i) = (30000 & 0xFF).toByte
+      pcm(2 * i + 1) = ((30000 >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), format, 4000),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val media = Seq(
+      // metadata LIES (44.1 kHz, 9s): the decoder must report 8 kHz/500ms,
+      // proving the container was actually parsed
+      MediaRow(1L, MediaMeta("audio", 0, 0, 44100, 9000L), wav),
+      // corrupt payload under the audio modality → stub fallback
+      MediaRow(2L, MediaMeta("audio", 0, 0, 8000, 1L), Array[Byte](9, 9, 9)),
+      // a real WAV under a non-audio modality stays on the stub path
+      MediaRow(3L, MediaMeta("video", 0, 0, 0, 0L), wav)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val real = feats(0)
+    assert(real.decoded && real.sample_rate_hz === 8000 && real.duration_ms === 500L,
+      s"expected a real 8kHz/500ms decode, got $real")
+    assert(math.abs(real.features(0) - 0.5f) < 1e-6, "half the samples are silence")
+    assert(math.abs(real.features(14) - 0.5f) < 1e-6, "half sit at amplitude 30000")
+    assert(!feats(1).decoded && feats(1).sample_rate_hz === 8000,
+      "corrupt audio falls back to stub with metadata passed through")
+    assert(!feats(2).decoded, "non-audio modality never audio-decodes")
+    // direct kernel check: same answer without the Spark plumbing
+    assert(Multimodal.decodeAudio(wav).exists { case (sr, ms, hist) =>
+      sr == 8000 && ms == 500L && math.abs(hist(14) - 0.5f) < 1e-6 })
+  }
+
   test("multimodal: metadata scan does not read payload bytes (column pruning)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("media").toString
