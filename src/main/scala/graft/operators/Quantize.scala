@@ -288,6 +288,54 @@ object Quantize {
       dims, nBlocks, k, nProbe)
   }
 
+  /** Exact-rescore refinement — the FAISS IndexRefineFlat pattern that
+    * completes the production ANN stack: the compressed index produces a
+    * `rerankDepth`-deep candidate shortlist cheaply (ADC never touches
+    * corpus floats), then ONE more pass over the corpus rescores just
+    * those candidates with exact distances and re-ranks to k. ADC's
+    * quantization error decides only who makes the shortlist, never the
+    * final order.
+    *
+    * Guarantee (not a heuristic): the final top-k by exact distance over
+    * the shortlist contains every true neighbor the shortlist contains —
+    * so recall can only improve over taking ADC's own top-k
+    * (BatchingOpsSpec asserts the inequality, qx70 hash-gates the values).
+    *
+    * Scale shape: the shortlist is |Q|×rerankDepth rows — BROADCAST onto
+    * the corpus scan (equi-join on the vector id), so the rescore costs
+    * one corpus read and zero corpus shuffle. Exact distances are the
+    * sequential-fold dots, composed in one expression — deterministic and
+    * engine-portable, so the oracle reproduces the re-ranking
+    * bit-for-bit. */
+  def ivfPqSearchRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                         corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                         codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                         dims: Int, nBlocks: Int, k: Int, nProbe: Int,
+                         rerankDepth: Int): DataFrame = {
+    require(rerankDepth >= k,
+      s"rerankDepth=$rerankDepth must be >= k=$k (the shortlist feeds the final rank)")
+    val shortlist = ivfPqSearch(queries, qIdCol, qVecCol,
+        corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol,
+        codebook, cbIdCol, cbVecCol, dims, nBlocks, rerankDepth, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val sl = shortlist.join(broadcast(qv), "query_id")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__d2x").asc, col("neighbor_id").asc)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(sl), "neighbor_id")
+      .withColumn("__d2x",
+        expr(TX.dotAuto("__qv", "__qv"))
+          - lit(2.0) * expr(TX.dotAuto("__qv", "__cv"))
+          + expr(TX.dotAuto("__cv", "__cv")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__d2x"), 6).as("dist2"))
+  }
+
   /** RESIDUAL IVF-PQ index: encode (vector − its cell centroid) instead
     * of the raw vector — the accuracy step production IVFPQ deployments
     * use (FAISS's default `by_residual`). When the coarse clustering

@@ -51,6 +51,10 @@ object CurationQueries {
     * centroids — self-assigned, zero residual). */
   private val RESCB_SEED_FROM = 100
 
+  /** qx70's shortlist depth: 4× the final k, so the exact rescore has
+    * real displacement room (at depth == k it would be a no-op ranking). */
+  private val REFINE_DEPTH = 12
+
   private def duckD = Dialect(spark = false)
   private def sparkD = Dialect(spark = true)
 
@@ -215,6 +219,27 @@ object CurationQueries {
           cents, "centroid_id", "cen_emb",
           codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- IVF+PQ with exact-rescore refinement -----------------------------
+    // (the FAISS refine pattern: ADC produces a 12-deep shortlist without
+    //  touching corpus floats; one broadcast-shortlist pass over the corpus
+    //  rescores exactly and re-ranks to top-3 — quantization error decides
+    //  who makes the shortlist, never the final order)
+    "qx70_ivfpq_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      graft.operators.Quantize.ivfPqSearchRefined(
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          cents, "centroid_id", "cen_emb",
+          codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE, REFINE_DEPTH)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
     }),
@@ -676,6 +701,81 @@ object CurationQueries {
          |  ROUND(CAST(d2 AS DOUBLE), 6) AS dist2, centroid_id, probe_rank
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
+         |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
+    },
+
+    "qx70_ivfpq_refine" -> {
+      val d = duckD
+      val w = PQ_DIMS / PQ_BLOCKS
+      val sub = d.slice("embedding", s"block * $w + 1", w)
+      val csub = d.slice("cv", s"block * $w + 1", w)
+      val qsub = d.slice("embedding", s"block * $w + 1", w)
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM n WHERE vec_id < $IVFPQ_CENTROIDS),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT n.vec_id, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("n.embedding", "c_vec")(d)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |        DESC NULLS LAST, centroid_id) AS rn
+         |    FROM n CROSS JOIN cen)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
+         |        DESC, centroid_id ASC) AS rn
+         |    FROM n q CROSS JOIN cen WHERE q.vec_id < $PQ_QUERY_SET)
+         |  WHERE rn <= $IVFPQ_NPROBE),
+         |b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
+         |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
+         |       FROM embeddings CROSS JOIN b),
+         |cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+         |       WHERE vec_id < $PQ_CODES),
+         |cs AS (SELECT code, CAST(block AS BIGINT) AS block, $csub AS csub
+         |       FROM cb CROSS JOIN b),
+         |scored AS (
+         |  SELECT vec_id, es.block AS block, code,
+         |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS d2
+         |  FROM es JOIN cs ON es.block = cs.block),
+         |codes AS (SELECT vec_id, block, code
+         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+         |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
+         |          WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, CAST(block AS BIGINT) AS block,
+         |         $qsub AS qsub
+         |       FROM embeddings CROSS JOIN b WHERE vec_id < $PQ_QUERY_SET),
+         |tbl AS (SELECT query_id, qs.block AS block, code,
+         |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
+         |  FROM qs JOIN cs ON qs.block = cs.block),
+         |summed AS (SELECT p.query_id AS query_id, codes.vec_id AS vec_id, SUM(pd2) AS d2
+         |  FROM codes
+         |  JOIN assigned a ON codes.vec_id = a.vec_id
+         |  JOIN probes p ON a.centroid_id = p.centroid_id AND p.query_id <> codes.vec_id
+         |  JOIN tbl ON tbl.query_id = p.query_id
+         |    AND codes.block = tbl.block AND codes.code = tbl.code
+         |  GROUP BY p.query_id, codes.vec_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
+         |  WHERE rn <= $REFINE_DEPTH),
+         |resc AS (SELECT s.query_id, s.vec_id,
+         |    ${TX.dot("q.embedding", "q.embedding")(d)}
+         |      - 2.0 * ${TX.dot("q.embedding", "c.embedding")(d)}
+         |      + ${TX.dot("c.embedding", "c.embedding")(d)} AS d2x
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings c ON c.vec_id = s.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
+         |  ROUND(d2x, 6) AS dist2
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY d2x ASC, vec_id ASC) AS rn FROM resc)
          |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
     },
 

@@ -178,6 +178,55 @@ class BatchingOpsSpec extends SparkSpec {
       s"2 probed cells must read 2 of 8 partitions, got ${scan.get.selectedPartitions.partitionCount}")
   }
 
+  test("exact-rescore refinement: recall never below ADC's top-k, and exact distances rule the order") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+    val truth = pairs(emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= 3))
+    val adc = pairs(Quantize.ivfPqSearch(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, 3, 2))
+    val refined = pairs(Quantize.ivfPqSearchRefined(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, 3, 2, rerankDepth = 12))
+    def recall(got: Set[(Long, Long)]) =
+      (truth intersect got).size.toDouble / truth.size
+    val (rAdc, rRef) = (recall(adc), recall(refined))
+    info(f"recall vs exact L2: ADC top-3 $rAdc%.3f, refined(12) $rRef%.3f")
+    // THEOREM for a shared shortlist: every true neighbor the shortlist
+    // contains survives exact re-ranking (true neighbors have globally
+    // minimal exact distance), while ADC's own top-k can bury them under
+    // quantization error — so refined recall is never below ADC's
+    assert(rRef >= rAdc, f"refinement lost recall: adc=$rAdc%.3f refined=$rRef%.3f")
+    // depth == k degenerates to re-ordering the same set: identical PAIRS
+    val depthK = pairs(Quantize.ivfPqSearchRefined(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, 3, 2, rerankDepth = 3))
+    assert(depthK == adc, "depth==k must keep exactly ADC's candidate set")
+    intercept[IllegalArgumentException] {
+      Quantize.ivfPqSearchRefined(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", cents, "cid", "cv",
+        codebook, "code_id", "c_emb", 64, 4, 3, 2, rerankDepth = 2)
+    }
+  }
+
   test("pqTrain: Lloyd-trained codebook strictly reduces PQ distortion vs its own seed") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
