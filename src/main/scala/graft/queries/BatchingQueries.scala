@@ -22,6 +22,10 @@ object BatchingQueries {
   private val PMI_MIN_COUNT = 5L
   private val PMI_TOP = 100
   private val KMEANS_K = 8
+
+  /** qx71 per-cluster keep cap — small enough that every synthetic
+    * cluster overflows it, so the balancing actually bites. */
+  private val CBS_CAP = 25L
   private val SPAN_N = 3
   private val PROBE_CENTROIDS = 8
   private val PROBE_QUERY_SET = 20
@@ -120,6 +124,31 @@ object BatchingQueries {
     "qx56_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+
+    // ---- Cluster-balanced sampling: semantic-diversity selection ---------
+    // (cluster the corpus, then keep a CAPPED deterministic-hash sample
+    //  per cluster — topic balancing for training mixes: a dominant
+    //  cluster can't crowd out the tail. Per-cluster rank = row_number
+    //  over (hash, id) within the cluster partition; k partitions, and
+    //  the census is a grouped aggregate — no corpus-wide window)
+    "qx71_cluster_sample" -> ((s, dir) => {
+      val d = sparkD
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val assign = Clustering.kmeansAssign(emb, "vec_id", "embedding",
+        centroids(emb), "centroid_id", "c_emb")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("__h").asc, col("vec_id").asc)
+      assign
+        .withColumn("__h",
+          expr(TX.polyHashAuto("concat('cbs', CAST(vec_id AS STRING))")(d)))
+        .withColumn("__rk", row_number().over(w).cast("long"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__rk") <= CBS_CAP, 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("__rk") <= CBS_CAP, col("vec_id"))).as("min_kept_vec"))
+        .orderBy("cluster")
+    }),
 
     // ---- k-means assign: nearest centroid by cosine, broadcast centroids
     "qx45_kmeans_assign" -> ((s, dir) => {
@@ -494,6 +523,19 @@ object BatchingQueries {
 
     "qx45_kmeans_assign" -> (kmeansAssignSql +
       "\nSELECT vec_id, cluster, cosine FROM assign ORDER BY vec_id"),
+
+    "qx71_cluster_sample" -> (kmeansAssignSql + s""",
+         |h AS (SELECT cluster, vec_id,
+         |        ${TX.polyHash("concat('cbs', CAST(vec_id AS VARCHAR))")(duckD)} AS hh
+         |      FROM assign),
+         |rk AS (SELECT cluster, vec_id,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster
+         |          ORDER BY hh ASC, vec_id ASC) AS rk
+         |       FROM h)
+         |SELECT cluster, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN rk <= $CBS_CAP THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  MIN(CASE WHEN rk <= $CBS_CAP THEN vec_id END) AS min_kept_vec
+         |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin),
 
     "qx46_kmeans_update" -> (kmeansAssignSql + s"""
          |SELECT a.cluster, CAST(i AS BIGINT) AS dim,
