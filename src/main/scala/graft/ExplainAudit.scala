@@ -17,7 +17,7 @@ object ExplainAudit {
                "qx30_decontaminate", "qx35_incremental_neardup",
                "qx34_curation_pipeline", "qx57_gopher_rules",
                "qx58_dsir_weights", "qx64_pq_adc_search", "qx65_curation_v2",
-               "qx67_ivfpq_search")
+               "qx67_ivfpq_search", "qx70_ivfpq_refine", "qx71_cluster_sample")
     val full = sys.env.contains("GRAFT_EXPLAIN_FULL")
     for (q <- queryNames) {
       println(s"===== $q =====")

@@ -53,6 +53,42 @@ object TextAnalysis {
         < ratePerMille)
   }
 
+  /** Corpus DRIFT detection between two snapshots — the monitoring step a
+    * long-running ingest pipeline needs: when tomorrow's crawl slice stops
+    * looking like today's, someone should know BEFORE a model trains on
+    * it. Both snapshots' token streams hash into `buckets` features (same
+    * census as DSIR), the two distributions are compared bucket-by-bucket
+    * under add-1 smoothing, and the topK movers by |log probability
+    * ratio| come back with their raw counts.
+    *
+    * Scale shape: two independent map-side-combinable censuses (≤ buckets
+    * rows each, regardless of corpus size), a bucket-keyed full-outer
+    * join of the two tiny censuses, 1-row totals broadcast — the corpora
+    * are each scanned once and never shuffled. Deterministic: the movers
+    * rank on the 6dp-rounded ratio with the bucket id as tie-break, so
+    * the oracle reproduces the topK exactly. */
+  def vocabDrift(docsA: DataFrame, docsB: DataFrame, textCol: String,
+                 buckets: Int, topK: Int): DataFrame = {
+    require(buckets > 0 && topK > 0, "buckets and topK must be positive")
+    graft.functions.GraftFunctions.register(docsA.sparkSession)
+    def census(docs: DataFrame, cnt: String) = docs
+      .withColumn("__toks", expr(TX.tokensAuto(textCol)(d)))
+      .select(explode(col("__toks")).as("__t"))
+      .withColumn("f", expr(s"${TX.polyHashAuto("__t")(d)} % $buckets"))
+      .groupBy("f").agg(count(lit(1)).as(cnt))
+    val j = census(docsA, "c_a")
+      .join(census(docsB, "c_b"), Seq("f"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val tot = j.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("log_ratio",
+        round(log((col("c_a") + 1).cast("double") / (col("n_a") + lit(buckets)).cast("double"))
+          - log((col("c_b") + 1).cast("double") / (col("n_b") + lit(buckets)).cast("double")), 6))
+      .orderBy(abs(col("log_ratio")).desc, col("f").asc)
+      .limit(topK)
+      .select(col("f"), col("c_a"), col("c_b"), col("log_ratio"))
+  }
+
   /** Language-ID heuristic: ratio of English stopword hits; `en` when the
     * ratio clears the threshold. (The corpus vocabulary is synthetic —
     * what matters is that the heuristic is deterministic and cheap: a

@@ -55,6 +55,11 @@ object CurationQueries {
     * real displacement room (at depth == k it would be a no-op ranking). */
   private val REFINE_DEPTH = 12
 
+  /** qx72 drift monitor dials: a hash space small enough that both
+    * snapshot censuses always broadcast, topK sized like a report. */
+  private val DRIFT_BUCKETS = 2048
+  private val DRIFT_TOP = 20
+
   private def duckD = Dialect(spark = false)
   private def sparkD = Dialect(spark = true)
 
@@ -221,6 +226,19 @@ object CurationQueries {
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- Corpus drift monitor: vocabulary movers between snapshots -------
+    // (two corpus slices stand in for yesterday's and today's crawl; the
+    //  hashed-unigram distributions are compared under add-1 smoothing and
+    //  the top movers by |log ratio| surface. Each corpus scans once into
+    //  a <= buckets-row census; nothing corpus-sized shuffles)
+    "qx72_vocab_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.vocabDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", DRIFT_BUCKETS, DRIFT_TOP)
     }),
 
     // ---- IVF+PQ with exact-rescore refinement -----------------------------
@@ -702,6 +720,30 @@ object CurationQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
          |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
+    },
+
+    "qx72_vocab_drift" -> {
+      val d = duckD
+      val B = DRIFT_BUCKETS
+      s"""WITH ta AS (SELECT ${TX.tokens("text")(d)} AS toks FROM documents WHERE doc_id % 2 = 0),
+         |tb AS (SELECT ${TX.tokens("text")(d)} AS toks FROM documents WHERE doc_id % 2 = 1),
+         |ia AS (SELECT unnest(toks) AS t FROM ta),
+         |ib AS (SELECT unnest(toks) AS t FROM tb),
+         |ca AS (SELECT (${TX.polyHash("t")(d)}) % $B AS f, COUNT(*) AS c_a FROM ia GROUP BY 1),
+         |cb AS (SELECT (${TX.polyHash("t")(d)}) % $B AS f, COUNT(*) AS c_b FROM ib GROUP BY 1),
+         |j AS (SELECT COALESCE(ca.f, cb.f) AS f,
+         |        CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+         |        CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+         |      FROM ca FULL OUTER JOIN cb ON ca.f = cb.f),
+         |tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+         |               CAST(SUM(c_b) AS BIGINT) AS n_b FROM j)
+         |SELECT f, c_a, c_b,
+         |  ROUND(ln(CAST(c_a + 1 AS DOUBLE) / CAST(n_a + $B AS DOUBLE))
+         |      - ln(CAST(c_b + 1 AS DOUBLE) / CAST(n_b + $B AS DOUBLE)), 6) AS log_ratio
+         |FROM j CROSS JOIN tot
+         |ORDER BY abs(ROUND(ln(CAST(c_a + 1 AS DOUBLE) / CAST(n_a + $B AS DOUBLE))
+         |      - ln(CAST(c_b + 1 AS DOUBLE) / CAST(n_b + $B AS DOUBLE)), 6)) DESC, f ASC
+         |LIMIT $DRIFT_TOP""".stripMargin
     },
 
     "qx70_ivfpq_refine" -> {

@@ -311,4 +311,27 @@ class CurationSpec extends SparkSpec {
       TextAnalysis.mixtureWeights(docs, "lang", Seq(("en", 500L)))
     }
   }
+
+  test("vocabDrift: a snapshot compared to itself has zero drift; an injected term surfaces as the top mover") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    // self-comparison: identical censuses → every log ratio is exactly 0
+    val self = TextAnalysis.vocabDrift(docs, docs, "text", 512, 10)
+      .collect()
+    assert(self.length == 10)
+    assert(self.forall(_.getDouble(3) == 0.0),
+      s"self-drift must be zero: ${self.map(_.getDouble(3)).mkString(",")}")
+    // inject a flood of one novel token into snapshot B only: the mover
+    // report must lead with a bucket that exists only in B (c_a == 0)
+    import spark.implicits._
+    val flooded = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq.tabulate(50)(i =>
+        (1000000L + i, "zzdriftterm zzdriftterm zzdriftterm"))
+        .toDF("doc_id", "text"))
+    val movers = TextAnalysis.vocabDrift(
+      docs.select("doc_id", "text"), flooded, "text", 512, 5).collect()
+    val top = movers.head
+    assert(top.getLong(2) > top.getLong(1),
+      s"top mover must have grown in snapshot B: $top")
+    assert(top.getDouble(3) < 0.0, "B-heavy mover has a negative A:B log ratio")
+  }
 }
