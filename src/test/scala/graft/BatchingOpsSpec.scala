@@ -227,6 +227,32 @@ class BatchingOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSearch with STRING vector ids: identical ties rank by id, repeat runs agree") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // four identical vectors under string ids + one distinct query vector:
+    // every corpus candidate ties exactly (same cell, same codes, same ADC
+    // distance), so the ranking must fall back to the id ordering — the
+    // library contract for non-numeric ids (a silently arbitrary winner
+    // here would make re-runs disagree at scale)
+    val vecA = Array.fill(8)(1.0f)
+    val corpus = Seq("v3", "v1", "v4", "v2").map((_, vecA))
+      .toDF("vec_id", "embedding")
+    val query = Seq(("q", Array.tabulate(8)(i => if (i < 4) 1.0f else 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(("c0", vecA)).toDF("cid", "cv")
+    val codebook = Seq(("k0", vecA)).toDF("code_id", "c_emb")
+    def run() = Quantize.ivfPqSearch(query, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", cents, "cid", "cv",
+        codebook, "code_id", "c_emb", 8, 2, 3, 1)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got === Seq(("v1", 1L), ("v2", 2L), ("v3", 3L)),
+      s"tied candidates must rank by id: $got")
+    assert(run() === got, "repeat runs must agree exactly")
+  }
+
   test("pqTrain: Lloyd-trained codebook strictly reduces PQ distortion vs its own seed") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
