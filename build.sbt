@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract line must be the process's FINAL, UNPREFIXED
+// stdout line (the driver tail-parses raw output). Three sbt behaviors
+// would break that for a forked `runMain`:
+//  - the default LoggedOutput strategy re-logs the fork's stdout as
+//    "[info] ..." lines            → StdoutOutput passes bytes through;
+//  - "[success] Total time: ..." prints AFTER the run's output
+//                                  → showSuccess := false drops it;
+//  - "[info] shutting down sbt server" prints at exit in batch mode
+//                                  → don't auto-start the server.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / autoStartServer := false
+Global / excludeLintKeys ++= Set(showSuccess, autoStartServer)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

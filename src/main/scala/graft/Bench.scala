@@ -6,12 +6,18 @@ object Bench {
   private def fmt(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** Minimal extraction of `"name":number` pairs from the prior round's
-    * BENCH_FULL.json "queries" object — enough to diff without a JSON lib. */
-  private def priorQueryTimes(path: String): Map[String, Double] = {
+  /** Minimal extraction of `"name":number` pairs from a committed bench
+    * artifact's "queries" object — enough to diff without a JSON lib.
+    * Returns empty when the artifact was measured at a DIFFERENT SF dir
+    * than `sfDir`: cross-SF deltas are all noise (a local sf0.001 probe
+    * run must not flag "regressions" against the official sf0.1 round,
+    * or vice versa). */
+  private def priorQueryTimes(path: String, sfDir: String): Map[String, Double] = {
     try {
       val src = scala.io.Source.fromFile(path)
       val text = try src.mkString finally src.close()
+      val sfRec = """"sf":"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+      if (!sfRec.contains(sfDir)) return Map.empty
       val qStart = text.indexOf("\"queries\":{")
       if (qStart < 0) return Map.empty
       val body = text.substring(qStart + "\"queries\":{".length)
@@ -26,7 +32,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Diff baseline: the committed BENCH_FULL.json from the previous round,
     // read BEFORE this run overwrites it.
-    val prior = priorQueryTimes("BENCH_FULL.json")
+    val prior = priorQueryTimes("BENCH_FULL.json", sfDir)
+    // Per-query DuckDB baseline (committed by tools/bench_duckdb.py at the
+    // official SF) — lets the artifact carry spark/duckdb ratios per query,
+    // so the "within 2x of the reference baseline" bar is checkable per
+    // query, not just on suite totals.
+    val duck = priorQueryTimes("BASELINE_DUCKDB.json", sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,18 +76,33 @@ object Bench {
     // recompiles) excluded; single-run numbers on this suite vary ±40%.
     // The max is kept alongside so the artifact records how noisy each
     // query's measurement was (spread = max/min).
+    //
+    // Reps run as FULL PASSES over the suite (pass 1 all queries, pass 2
+    // all queries, ...), not back-to-back per query: residual bench-SF
+    // warmup (first-touch file listing, page-cache fill after
+    // clearCache) lands entirely in pass 1, and the per-query min over
+    // passes 2..N is genuinely steady-state. The round-5 artifacts
+    // flagged the three alphabetically-first queries >2× their prior
+    // mins for exactly this reason — with back-to-back reps the suite
+    // head paid ALL of its reps before the JVM/page cache settled.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ds = (1 to reps).map { _ =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
         // drop anything the query persisted so no run's timing borrows
         // (or pays eviction for) cached intermediates
         spark.catalog.clearCache()
-        d
+        samples(name) = samples(name) :+ d
       }
+    }
+    val timings = ordered.map { case (name, _) =>
+      val ds = samples(name)
       (name, ds.min, ds.max)
     }
     val results = timings.map { case (n, mn, _) => (n, mn) }
@@ -102,12 +128,38 @@ object Bench {
     // stay well under the driver's 2 KB tail-capture window (the round-2
     // 86-entry line overflowed it and the driver recorded parsed:null), so
     // it carries only the slowest 20 queries.
+    // vs-DuckDB block: per-query spark/duckdb ratios over the shared query
+    // set (qx47 has no oracle → no DuckDB side; absent = not compared)
+    val duckCovered = results.filter { case (k, _) => duck.contains(k) }
+    val duckTotal = duckCovered.map { case (k, _) => duck(k) }.sum
+    val sparkOnDuckSet = duckCovered.map(_._2).sum
+    val ratioJson =
+      if (duck.isEmpty) """"duckdb":null"""
+      else {
+        val ratios = duckCovered.map { case (k, v) =>
+          s"\"" + k + "\":" + fmt(if (duck(k) > 0) v / duck(k) else -1.0) }.mkString(",")
+        val over2x = duckCovered.count { case (k, v) => duck(k) > 0 && v > 2.0 * duck(k) }
+        // Ratio floors: below ~50 ms of DuckDB work / ~500 ms of Spark
+        // work, the per-query ratio measures Spark's FIXED per-job cost
+        // (scheduling + codegen, ~0.1-0.2 s — amortized to nothing on a
+        // real cluster workload) against a millisecond in-process
+        // aggregate, not engine throughput. "Material" over-2× entries
+        // are the ones where both engines do real work — those get a
+        // plan note or a fix.
+        val over2xMaterial = duckCovered.count { case (k, v) =>
+          duck(k) >= 0.05 && v >= 0.5 && v > 2.0 * duck(k) }
+        s""""duckdb":{"total":${fmt(duckTotal)},"spark_total_on_shared":${fmt(sparkOnDuckSet)},""" +
+          s""""ratio_total":${fmt(if (duckTotal > 0) sparkOnDuckSet / duckTotal else -1.0)},""" +
+          s""""n_shared":${duckCovered.size},"n_over_2x":$over2x,""" +
+          s""""n_over_2x_material":$over2xMaterial,"ratios":{$ratios}}"""
+      }
     val fullJson = {
       val mins = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString(",")
       val spreads = timings.map { case (k, mn, mx) =>
         s"\"" + k + "\":" + fmt(if (mn > 0) mx / mn else 1.0) }.mkString(",")
       s"""{"total":${fmt(total)},"queries":{$mins},"spread_max_over_min":{$spreads},""" +
-        s""""reps":$reps,"regressions_vs_prev":${regressions.size},"sf":"$sfDir","n_queries":${results.size}}"""
+        s""""reps":$reps,"regressions_vs_prev":${regressions.size},"sf":"$sfDir",""" +
+        s"""$ratioJson,"n_queries":${results.size}}"""
     }
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
@@ -119,9 +171,12 @@ object Bench {
     val topSpread = top.map { case (k, _) =>
       s"\"" + k + "\":" + BigDecimal(spreadByName(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
+    val duckLine =
+      if (duck.isEmpty || duckTotal <= 0) ""
+      else s""""duckdb_total":${fmt(duckTotal)},"vs_duckdb":${fmt(sparkOnDuckSet / duckTotal)},"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topJson,""" +
       s""""spread":$topSpread,"reps":$reps,"regressions_vs_prev":${regressions.size},""" +
-      s""""sf":"$sfDir","n_queries":${results.size}}""")
+      s"""$duckLine"sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

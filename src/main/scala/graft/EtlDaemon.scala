@@ -42,17 +42,36 @@ object EtlDaemon {
   }
 
   /** Last-fetch metadata: (ticker, fetched_at_ms). Missing file = never
-    * fetched (dueForRefresh treats absent tickers as always due). */
+    * fetched (dueForRefresh treats absent tickers as always due). If the
+    * live table is missing but a `.old` copy exists, a [[recordFetched]]
+    * swap crashed between its two renames — recover from the copy rather
+    * than declaring every ticker due (refetch storm). Only path-not-found
+    * maps to "never fetched"; corruption or I/O errors propagate so they
+    * are distinguishable from an empty store. */
   def readLastFetch(spark: SparkSession, metaPath: String): DataFrame = {
     import spark.implicits._
+    def missing(t: Throwable): Boolean = t match {
+      case _: java.io.FileNotFoundException => true
+      case e: org.apache.spark.sql.AnalysisException =>
+        val m = Option(e.getMessage).getOrElse("")
+        m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
+      case _ => false
+    }
     try spark.read.parquet(metaPath)
-    catch { case _: Throwable =>
-      Seq.empty[(String, Long)].toDF("ticker", "fetched_at_ms") }
+    catch { case t: Throwable if missing(t) =>
+      try spark.read.parquet(metaPath + ".old")
+      catch { case t2: Throwable if missing(t2) =>
+        Seq.empty[(String, Long)].toDF("ticker", "fetched_at_ms") }
+    }
   }
 
   /** Upsert fetch timestamps: newest wins per ticker. The table is tiny
-    * (one row per ticker ever fetched) — rewritten atomically via a temp
-    * dir + rename, same discipline as the fact store's partition swap. */
+    * (one row per ticker ever fetched) — rewritten crash-safely via
+    * rename+rename: the live table moves aside to `.old` BEFORE the new
+    * one moves in, so a crash at any point leaves either the old table
+    * live or a recoverable `.old` copy ([[readLastFetch]] falls back to
+    * it) — never a window where all last-fetch history is gone and every
+    * ticker looks due. */
   def recordFetched(spark: SparkSession, metaPath: String,
                     tickers: Seq[String], nowMs: Long): Unit = {
     if (tickers.isEmpty) return
@@ -66,9 +85,13 @@ object EtlDaemon {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(metaPath), spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(metaPath)
-    fs.delete(live, true)
+    val old = new org.apache.hadoop.fs.Path(metaPath + ".old")
+    fs.delete(old, true) // previous round's backup has served its purpose
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"last-fetch metadata swap failed: $live -> $old")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
       throw new java.io.IOException(s"last-fetch metadata swap failed: $tmp -> $live")
+    fs.delete(old, true) // swap complete; drop the fallback copy
   }
 
   /** Which of `tickers` are due right now: tickers absent from the store
@@ -97,7 +120,12 @@ object EtlDaemon {
   }
 
   /** One incremental cycle: due-gate → ingest (skip-unchanged) → record
-    * fetch times. A cycle with nothing due does no fetch work at all. */
+    * fetch times. A cycle with nothing due does no fetch work at all.
+    * The MUTATING phase runs under the store's maintenance lock
+    * ([[graft.sources.StoreLock]]), so a cycle and a concurrent
+    * `compact` on the same store can never interleave — the loser fails
+    * loudly instead of the append's rows vanishing with the compaction
+    * backup. */
   def cycle(spark: SparkSession, base: String, metaPath: String,
             tickers: Seq[String], fetch: String => String,
             today: LocalDate, nowMs: Long,
@@ -105,11 +133,24 @@ object EtlDaemon {
             skipUnchanged: Boolean = true): CycleReport = {
     val due = dueTickers(spark, base, metaPath, tickers, today, nowMs)
     if (due.isEmpty) return CycleReport(Nil, Nil)
-    val jobs = EdgarIngest.ingest(spark, due, fetch, base, tracker, skipUnchanged)
-    recordFetched(spark, metaPath,
-      jobs.filter(_.status == EdgarIngest.Completed).map(_.ticker), nowMs)
-    CycleReport(due, jobs)
+    graft.sources.StoreLock.withLock(spark, base, "cycle") {
+      val jobs = EdgarIngest.ingest(spark, due, fetch, base, tracker, skipUnchanged)
+      recordFetched(spark, metaPath,
+        jobs.filter(_.status == EdgarIngest.Completed).map(_.ticker), nowMs)
+      CycleReport(due, jobs)
+    }
   }
+
+  /** Small-file compaction of the store, under the same maintenance lock
+    * as [[cycle]] — this pairing is what turns Compaction.scala's
+    * documented quiescence contract into an enforced one. */
+  def compactStore(spark: SparkSession, base: String, maxRecordsPerFile: Long,
+                   partitionCols: Seq[String] = Seq("ticker", "period_type", "fiscal_year"))
+      : graft.sources.Compaction.Stats =
+    graft.sources.StoreLock.withLock(spark, base, "compact") {
+      graft.sources.Compaction.compactParquet(spark, base, maxRecordsPerFile,
+        partitionCols)
+    }
 
   /** The crond replacement: incremental cycles forever (or `maxCycles`),
     * sleeping `intervalMs` ± deterministic jitter between them. Jitter
@@ -209,8 +250,7 @@ object EtlDaemon {
           (hours * 3600 * 1000).toLong, maxCycles, tracker)
       case "compact" =>
         val maxRecords = args.lift(1).flatMap(_.toLongOption).getOrElse(1000000L)
-        val stats = graft.sources.Compaction.compactParquet(spark, base,
-          maxRecords, partitionCols = Seq("ticker", "period_type", "fiscal_year"))
+        val stats = compactStore(spark, base, maxRecords)
         println(s"compacted $base: ${stats.filesBefore} -> ${stats.filesAfter} files, " +
           s"${stats.bytesBefore} -> ${stats.bytesAfter} bytes")
       case "status" =>

@@ -80,6 +80,30 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[scale] ivfpq_vecs=${e0 * mult}%8d  build+search=${secs}%6.2fs  hits: $rows")
       }
+
+      // incremental append: a FIXED batch appended to a stored index whose
+      // standing corpus grows 1×/4×/16× — per-batch cost must track the
+      // BATCH (≈flat walls down this column), not the store; a
+      // rebuild-shaped "append" would grow linearly here
+      val batch = emb0.filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
+      val bn = batch.count()
+      for (mult <- Seq(1, 4, 16)) {
+        val inflated = (0 until mult).map(i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+        val path = java.nio.file.Files.createTempDirectory("scale-ivfpq-app")
+          .toString + "/index"
+        graft.operators.Quantize.writeIvfPqIndex(
+          graft.operators.Quantize.ivfPqIndex(inflated, "vec_id", "embedding",
+            cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), path)
+        val t0 = System.nanoTime()
+        graft.operators.Quantize.appendToIvfPqIndex(batch, "vec_id", "embedding",
+          cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, path)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] append_store=${e0 * mult}%8d  batch=$bn%5d  append=${secs}%6.2fs")
+      }
       emb0.unpersist()
     }
 

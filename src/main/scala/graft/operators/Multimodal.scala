@@ -112,15 +112,17 @@ object Multimodal {
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
     if (ais0 == null) return None
+    // the converted stream may hold provider resources of its own — close
+    // it too (when it differs from ais0), not just the source stream
+    var ais: javax.sound.sampled.AudioInputStream = ais0
     try {
       val f0 = ais0.getFormat
       val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
         f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
         f0.getSampleRate, false)
-      val ais =
-        if (f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
-            f0.getSampleSizeInBits == 16 && !f0.isBigEndian) ais0
-        else AudioSystem.getAudioInputStream(target, ais0)
+      if (!(f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            f0.getSampleSizeInBits == 16 && !f0.isBigEndian))
+        ais = AudioSystem.getAudioInputStream(target, ais0)
       val pcm = ais.readAllBytes()
       val n = pcm.length / 2
       if (n == 0) return None
@@ -138,7 +140,10 @@ object Multimodal {
       val durationMs = frames * 1000L / math.max(1L, f0.getSampleRate.toLong)
       Some((f0.getSampleRate.toInt, durationMs, bins))
     } catch { case _: Exception => None }
-    finally ais0.close()
+    finally {
+      if (!(ais eq ais0)) try ais.close() catch { case _: Exception => }
+      ais0.close()
+    }
   }
 
   /** Batch feature extraction: one pass per partition, payload pruned from

@@ -264,6 +264,33 @@ object Quantize {
   def writeIvfPqIndex(index: DataFrame, path: String): Unit =
     index.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
 
+  /** Incrementally GROW a persisted IVF-PQ index: assign + encode only
+    * the new batch — against the same frozen coarse centroids and
+    * codebook the store was built with — and append the resulting code
+    * tuples to their cell partitions (`mode("append")` adds files under
+    * the affected `centroid_id=...` directories only; untouched cells'
+    * files are never rewritten). This is the ingest shape a growing
+    * corpus needs: per-batch cost scales with the BATCH (one batch pass
+    * + broadcast centroids/codebook), not the standing corpus — the
+    * same contract [[graft.operators.Dedup.indexForIncremental]] gives
+    * the near-dup store, and FAISS's `IndexIVFPQ.add` gives inverted
+    * lists (encode with train-time quantizers, append to cells).
+    *
+    * Caller contract: batch ids must be new to the store (appends don't
+    * upsert), and centroids/codebook must be the build-time frames —
+    * changing either invalidates every stored code, which is a rebuild,
+    * not an append. Gate (BatchingOpsSpec): store-after-append ≡
+    * one-shot rebuild over the union, row for row, and the probed
+    * search over the appended store equals the in-memory full-corpus
+    * search. */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                         codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                         dims: Int, nBlocks: Int, path: String): Unit =
+    ivfPqIndex(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
+        codebook, cbIdCol, cbVecCol, dims, nBlocks)
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
+
   /** Search a PERSISTED index: the union of all probed cells (bounded by
     * min(|Q|·nProbe, nCells) — centroid-count-sized planning metadata,
     * never row data) becomes a literal partition filter on the store, so
@@ -281,7 +308,20 @@ object Quantize {
     val cells = probeCells(queries, qIdCol, qVecCol,
         centroids, cenIdCol, cenVecCol, nProbe)
       .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
-    val pruned = spark.read.parquet(indexPath)
+    // Read the store with an EXPLICIT schema: hive partition-column type
+    // inference would parse numeric-looking string centroid ids (e.g.
+    // "01") as integers, silently breaking the equi-join/filter against
+    // probeCells' original id type — and the damage is not a cast away
+    // ("01" → 1 → "1" never round-trips). The data columns keep their
+    // parquet-embedded types; only the partition column's type is pinned
+    // to the centroid frame's id type, which is what the directory names
+    // were written from.
+    val cenType = centroids.schema.apply(cenIdCol).dataType
+    val dataFields = spark.read.parquet(indexPath).schema.fields
+      .filterNot(_.name == "centroid_id")
+    val storeSchema = org.apache.spark.sql.types.StructType(
+      dataFields :+ org.apache.spark.sql.types.StructField("centroid_id", cenType))
+    val pruned = spark.read.schema(storeSchema).parquet(indexPath)
       .filter(col("centroid_id").isInCollection(cells))
     ivfPqSearchOn(pruned, queries, qIdCol, qVecCol, idCol,
       centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
@@ -463,6 +503,237 @@ object Quantize {
         col("centroid_id"), col("probe_rank"))
   }
 
+  /** One-sided Jacobi SVD of a small dense matrix — DRIVER-side linear
+    * algebra on d×d planning metadata (d = embedding dims; 64×64 here),
+    * never row data. Returns (u, s, v) with m = u · diag(s) · vᵀ.
+    * Columns of `a` are orthogonalized by plane rotations accumulated
+    * into v; singular values are the resulting column norms. */
+  private[operators] def svdSmall(m: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var rotated = true
+    var sweep = 0
+    while (rotated && sweep < 60) {
+      rotated = false
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          var app = 0.0; var aqq = 0.0; var apq = 0.0
+          var i = 0
+          while (i < n) {
+            app += a(i)(p) * a(i)(p); aqq += a(i)(q) * a(i)(q)
+            apq += a(i)(p) * a(i)(q); i += 1
+          }
+          if (math.abs(apq) > 1e-12 * math.sqrt(app * aqq) + 1e-300) {
+            rotated = true
+            val zeta = (aqq - app) / (2.0 * apq)
+            val t = math.signum(zeta) / (math.abs(zeta) + math.sqrt(1.0 + zeta * zeta))
+            val cs = 1.0 / math.sqrt(1.0 + t * t)
+            val sn = cs * t
+            i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = cs * aip - sn * aiq; a(i)(q) = sn * aip + cs * aiq
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = cs * vip - sn * viq; v(i)(q) = sn * vip + cs * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val s = Array.tabulate(n) { j =>
+      math.sqrt((0 until n).map(i => a(i)(j) * a(i)(j)).sum)
+    }
+    val tol = 1e-12 * math.max(s.max, 1e-300)
+    val u = Array.ofDim[Double](n, n)
+    for (j <- 0 until n if s(j) > tol; i <- 0 until n) u(i)(j) = a(i)(j) / s(j)
+    // Complete near-null columns into an orthonormal basis (Gram-Schmidt
+    // of basis vectors against every filled column). A lazy e_j
+    // placeholder would leave U non-orthogonal exactly when the input is
+    // rank-deficient — and with it the Procrustes rotation R = V·Uᵀ.
+    val filled = scala.collection.mutable.ArrayBuffer(
+      (0 until n).filter(j => s(j) > tol): _*)
+    for (j <- 0 until n if s(j) <= tol) {
+      var cand = 0
+      var done = false
+      while (!done && cand < n) {
+        val w = Array.tabulate(n)(i => if (i == cand) 1.0 else 0.0)
+        filled.foreach { c =>
+          val proj = (0 until n).map(i => w(i) * u(i)(c)).sum
+          var i = 0; while (i < n) { w(i) -= proj * u(i)(c); i += 1 }
+        }
+        val nn = math.sqrt(w.map(x => x * x).sum)
+        if (nn > 1e-6) {
+          var i = 0; while (i < n) { u(i)(j) = w(i) / nn; i += 1 }
+          filled += j
+          done = true
+        }
+        cand += 1
+      }
+      require(done, "svdSmall: could not complete an orthonormal basis")
+    }
+    (u, s, v)
+  }
+
+  /** z = R·x as a codegen'd column expression: the d×d rotation rides
+    * along as a nested array LITERAL (broadcast in the plan, ~32 KB at
+    * d=64), each output dim one sequential-fold dot — O(d²) flops per
+    * row, zero UDFs, whole-stage-codegen friendly. */
+  private def rotateCol(r: Array[Array[Double]], vecCol: String)
+      : org.apache.spark.sql.Column = {
+    val d0 = r.length
+    val rl = typedLit(r.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(d0 - 1)), i =>
+      aggregate(
+        zip_with(element_at(rl, i + 1), col(vecCol),
+          (a, b) => a * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** Project `vecCol` through an OPQ rotation into `outCol` — the search
+    * path's half of OPQ: rotate queries and corpus with the SAME trained
+    * R, then every pqSearch / ivfPqSearch operator applies unchanged
+    * (orthogonal rotations preserve L2, so rotated-space top-k IS
+    * original-space top-k). */
+  def opqRotate(df: DataFrame, vecCol: String, r: Array[Array[Double]],
+                outCol: String): DataFrame =
+    df.withColumn(outCol, rotateCol(r, vecCol))
+
+  /** OPQ — train an ORTHOGONAL ROTATION in front of PQ (Ge et al., CVPR
+    * 2013 "Optimized Product Quantization", the non-parametric variant;
+    * the remaining FAISS accuracy step, `OPQMatrix`). PQ's blocking
+    * assumes distortion-relevant variance is spread evenly across the
+    * nBlocks sub-spaces; real embeddings concentrate energy in a few
+    * correlated directions, so fixed blocks waste code budget. OPQ
+    * alternates (a) train PQ on the rotated corpus, (b) given the codes'
+    * reconstructions Y, re-solve the rotation as the orthogonal
+    * Procrustes problem min_R ||R·X − Y||²_F — whose closed form is
+    * R = V·Uᵀ from the SVD of the d×d cross-covariance A = Σᵢ xᵢ·yᵢᵀ.
+    *
+    * Scale shape: each iteration is (1) one rotated-corpus PQ training
+    * ([[pqTrain]]'s broadcast Lloyd), (2) one id-keyed join to assemble
+    * reconstructions, (3) ONE corpus pass accumulating A per partition
+    * (d² doubles each — 32 KB at d=64) tree-reduced to the driver, and
+    * (4) a driver-side 64×64 SVD. Nothing corpus-sized ever reaches the
+    * driver; the rotation itself is plan metadata.
+    *
+    * Returns (R, codebook-in-rotated-space). Gate (BatchingOpsSpec): on
+    * anisotropic embeddings, OPQ encode distortion < plain PQ distortion
+    * and recall strictly improves at equal code budget; R is orthogonal
+    * to 1e-6. */
+  def opqTrain(emb: DataFrame, idCol: String, vecCol: String,
+               dims: Int, nBlocks: Int, k: Int,
+               opqIters: Int = 3, pqMaxIter: Int = 5)
+      : (Array[Array[Double]], DataFrame) = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    require(opqIters >= 1, "opqIters must be >= 1")
+    var r = Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
+    var codebook: DataFrame = null
+    var iter = 0
+    while (iter < opqIters) {
+      val rotated = opqRotate(emb, vecCol, r, "__z").select(col(idCol), col("__z"))
+      codebook = pqTrain(rotated, idCol, "__z", dims, nBlocks, k,
+        maxIter = pqMaxIter).localCheckpoint()
+      if (iter < opqIters - 1) {
+        // reconstructions y = concat of each block's winning codebook slice
+        val w = dims / nBlocks
+        val codes = pqEncode(rotated, idCol, "__z",
+          codebook, "code", "c_emb", dims, nBlocks)
+        val cbBlocks = codebook
+          .select(col("code"), col("c_emb"),
+            explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+          .withColumn("__csub", expr(d.slice("c_emb", s"block * $w + 1", w)))
+          .select(col("code"), col("block"), col("__csub"))
+        val recon = codes.join(broadcast(cbBlocks), Seq("code", "block"))
+          .groupBy(col(idCol))
+          .agg(array_sort(collect_list(struct(col("block"), col("__csub")))).as("__bc"))
+          .withColumn("__y", expr("flatten(transform(__bc, x -> x.__csub))"))
+          .select(col(idCol), col("__y"))
+        // A = Σ x·yᵀ in one pass: per-partition dense accumulation (d²
+        // doubles), tree-reduced — genuine per-partition imperative work
+        val dd = dims
+        val joined = emb
+          .select(col(idCol).as("__x_join_id"),
+            col(vecCol).cast("array<double>").as("__x"))
+          .join(recon.withColumnRenamed(idCol, "__x_join_id"), "__x_join_id")
+          .select(col("__x"), col("__y"))
+        val a = joined.rdd.mapPartitions { it =>
+          val partial = new Array[Double](dd * dd)
+          it.foreach { row =>
+            val x = row.getSeq[Double](0)
+            val y = row.getSeq[Double](1)
+            var p = 0
+            while (p < dd) {
+              val xp = x(p); var q = 0
+              while (q < dd) { partial(p * dd + q) += xp * y(q); q += 1 }
+              p += 1
+            }
+          }
+          Iterator.single(partial)
+        }.treeReduce { (x, y) =>
+          var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+        }
+        val aMat = Array.tabulate(dims, dims)((p, q) => a(p * dims + q))
+        val (u, _, v) = svdSmall(aMat)
+        // R = V·Uᵀ maximizes tr(R·A) over orthogonal R
+        r = Array.tabulate(dims, dims) { (i, j) =>
+          var s = 0.0; var t = 0
+          while (t < dims) { s += v(i)(t) * u(j)(t); t += 1 }
+          s
+        }
+      }
+      iter += 1
+    }
+    (r, codebook)
+  }
+
+  /** End-to-end TRAINED residual IVF-PQ build — the composition that
+    * closes the production loop: learn the coarse quantizer from the
+    * corpus ([[Clustering.kmeansFit]] — cosine Lloyd, the same metric
+    * [[Similarity.ivfAssign]] routes by, so trained cells and runtime
+    * routing agree), compute every vector's residual against its OWN
+    * trained cell, train the PQ codebook on those residuals
+    * ([[pqTrain]] — L2 Lloyd, PQ's actual objective), and hand back the
+    * two frames every ivfPq* operator takes. FAISS's
+    * `train_residual` does exactly this sequencing (coarse first,
+    * PQ on residuals second) because the codebook must model what the
+    * index will actually encode.
+    *
+    * Scale shape: both training loops are broadcast-centroid passes with
+    * k-row driver decisions; the residual materialization is one
+    * assignment pass (no corpus self-join). Gate (BatchingOpsSpec): on
+    * clustered data the trained build's recall strictly beats the
+    * qx69-style seeded build (first-N centroids + observed-residual
+    * codebook) at equal cell/code budget. */
+  def trainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 dims: Int, nCells: Int, nBlocks: Int, nCodes: Int,
+                 coarseMaxIter: Int = 20, pqMaxIter: Int = 10)
+      : (DataFrame, DataFrame) = {
+    require(nCells > 0 && nCodes > 0, "nCells and nCodes must be positive")
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    val cents = Clustering.kmeansFit(corpus, idCol, vecCol, nCells, coarseMaxIter)
+      .select(col("cluster").as("centroid_id"), col("centroid").as("cen_emb"))
+      .localCheckpoint() // both consumers below reuse the trained frame
+    val residuals = Similarity.ivfAssign(corpus, idCol, vecCol,
+        cents, "centroid_id", "cen_emb")
+      .join(broadcast(cents), "centroid_id")
+      .withColumn("__res", expr(
+        s"zip_with($vecCol, cen_emb, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col(idCol), col("__res"))
+    val codebook = pqTrain(residuals, idCol, "__res",
+      dims, nBlocks, nCodes, pqMaxIter)
+    (cents, codebook)
+  }
+
   /** TRAIN a per-block PQ codebook — the step that separates a toy PQ
     * (codebook = first k vectors) from the production one (FAISS trains
     * per-block k-means). Each block's sub-vector population gets its own
@@ -504,6 +775,9 @@ object Quantize {
       // codebook" a caller would otherwise use directly)
       val seedIds = emb.select(col(idCol)).orderBy(col(idCol)).limit(k)
         .collect().map(_.get(0))
+      require(seedIds.nonEmpty,
+        s"pqTrain: input corpus is empty — nothing to train a codebook on " +
+          s"(idCol=$idCol, vecCol=$vecCol)")
       var ck = subs.filter(col("__id").isInCollection(seedIds.toSeq))
         .join(broadcast(emb.sparkSession.createDataFrame(
           seedIds.zipWithIndex.map { case (id, i) => (id.toString, i.toLong) }

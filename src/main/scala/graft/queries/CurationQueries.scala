@@ -228,6 +228,39 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- Incremental IVF-PQ append: grow the stored index at batch cost --
+    // (the ingest shape for a growing corpus: the base index is built once
+    //  and persisted; a new batch is assigned+encoded ALONE against the
+    //  frozen build-time quantizers and appended to its cell partitions.
+    //  The probed search over the appended store must equal qx67's
+    //  one-shot full-corpus search — that equality IS the oracle.)
+    "qx73_ivfpq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      // every-10th split: the batch lands in many different cells, so the
+      // append exercises multi-cell partition appends, not one directory
+      val base = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val path = java.nio.file.Files.createTempDirectory("qx73-ivfpq")
+        .toString + "/index"
+      graft.operators.Quantize.writeIvfPqIndex(
+        graft.operators.Quantize.ivfPqIndex(base, "vec_id", "embedding",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS), path)
+      graft.operators.Quantize.appendToIvfPqIndex(batch, "vec_id", "embedding",
+        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+        PQ_DIMS, PQ_BLOCKS, path)
+      graft.operators.Quantize.ivfPqSearchStored(s, path,
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- Corpus drift monitor: vocabulary movers between snapshots -------
     // (two corpus slices stand in for yesterday's and today's crawl; the
     //  hashed-unigram distributions are compared under add-1 smoothing and
@@ -430,7 +463,15 @@ object CurationQueries {
        |GROUP BY doc_id, tgt""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // qx73's contract IS qx67's result: a batch appended to a stored base
+    // index must reproduce the one-shot full-corpus index exactly, so the
+    // full-corpus IVF-PQ search is its oracle, verbatim.
+    m + ("qx73_ivfpq_append" -> m("qx67_ivfpq_search"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     "qx58_dsir_weights" ->
       s"""WITH $dsirCtes

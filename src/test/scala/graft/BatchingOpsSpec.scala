@@ -178,6 +178,61 @@ class BatchingOpsSpec extends SparkSpec {
       s"2 probed cells must read 2 of 8 partitions, got ${scan.get.selectedPartitions.partitionCount}")
   }
 
+  test("appendToIvfPqIndex: store-after-append equals one-shot rebuild; base files survive untouched") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    // every-4th split: the batch routes to many cells, so the append
+    // exercises multi-directory partition appends
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val batch = emb.filter(col("vec_id") % 4 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    val appended = dir + "/appended"
+    val rebuilt = dir + "/rebuilt"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(base, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), appended)
+    def parquetFiles(p: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val baseFiles = parquetFiles(appended)
+    Quantize.appendToIvfPqIndex(batch, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, appended)
+    // append semantics at the FILE level: every base file is still there
+    // (mode("append") adds files to cell dirs, never rewrites the store)
+    val afterFiles = parquetFiles(appended)
+    assert(baseFiles.subsetOf(afterFiles),
+      s"append must not rewrite base files; lost ${baseFiles -- afterFiles}")
+    assert(afterFiles.size > baseFiles.size, "append must add files")
+    // THE gate: stored-after-append ≡ one-shot rebuild over the union,
+    // row for row (same qx51 incremental≡full pattern)
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), rebuilt)
+    def rows(p: String): Set[String] = spark.read.parquet(p)
+      .select("vec_id", "block", "code", "centroid_id")
+      .collect().map(_.toString).toSet
+    assert(rows(appended) == rows(rebuilt),
+      "appended store must equal the one-shot rebuild row for row")
+    // and the searched top-k over the appended store equals the in-memory
+    // full-corpus search
+    val queries = emb.filter(col("vec_id") < 5)
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "dist2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromStore = top(Quantize.ivfPqSearchStored(spark, appended,
+      queries, "vec_id", "embedding", "vec_id",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2))
+    val inMem = top(Quantize.ivfPqSearch(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, 3, 2))
+    assert(fromStore == inMem,
+      "search over the appended store must equal the in-memory full-corpus search")
+  }
+
   test("exact-rescore refinement: recall never below ADC's top-k, and exact distances rule the order") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
@@ -251,6 +306,45 @@ class BatchingOpsSpec extends SparkSpec {
     assert(got === Seq(("v1", 1L), ("v2", 2L), ("v3", 3L)),
       s"tied candidates must rank by id: $got")
     assert(run() === got, "repeat runs must agree exactly")
+  }
+
+  test("persisted IVF-PQ index with numeric-looking STRING centroid ids: stored search equals in-memory") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // centroid ids "01"/"10" LOOK numeric: hive partition-type inference
+    // would read them back as ints 1/10, and "01" can never round-trip
+    // ("01" → 1 → "1") — so the store must be read with the centroid
+    // frame's actual id type, not the inferred one
+    val up = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val dn = Array.tabulate(8)(i => if (i < 4) 0.0f else 1.0f)
+    def jig(v: Array[Float], eps: Float) = v.map(_ + eps)
+    val corpus = Seq(
+      ("a1", jig(up, 0.01f)), ("a2", jig(up, 0.02f)), ("a3", jig(up, 0.03f)),
+      ("b1", jig(dn, 0.01f)), ("b2", jig(dn, 0.02f)), ("b3", jig(dn, 0.03f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(("01", up), ("10", dn)).toDF("cid", "cv")
+    val codebook = Seq(("k0", up), ("k1", dn)).toDF("code_id", "c_emb")
+    val queries = corpus.filter(col("vec_id") === "a1")
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-str").toString + "/index"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(corpus, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 8, 2), path)
+    // the durable layout carries the ORIGINAL string form in the dir names
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("centroid_id=")).sorted.toSeq
+    assert(dirs == Seq("centroid_id=01", "centroid_id=10"), dirs.toString)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "dist2", "centroid_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toSet
+    val stored = rows(Quantize.ivfPqSearchStored(spark, path,
+      queries, "vec_id", "embedding", "vec_id",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 8, 2, 3, 2))
+    val inMem = rows(Quantize.ivfPqSearch(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 8, 2, 3, 2))
+    assert(stored.nonEmpty, "stored-index search returned nothing — partition ids mismatched")
+    assert(stored == inMem, s"stored=$stored inMem=$inMem")
   }
 
   test("pqTrain: Lloyd-trained codebook strictly reduces PQ distortion vs its own seed") {
@@ -336,6 +430,175 @@ class BatchingOpsSpec extends SparkSpec {
     assert(rRes > rRaw,
       f"residual must beat raw at equal code budget on clustered data: raw=$rRaw%.3f res=$rRes%.3f")
     assert(rRes > 0.5, f"residual recall implausibly low on easy clusters: $rRes%.3f")
+  }
+
+  test("trained end-to-end IVF-PQ (kmeansFit + pqTrain on residuals) beats the seeded build at equal budget") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // same clustered regime as the residual-vs-raw row: 8 well-separated
+    // centers, ±0.15/dim hash noise. The SEEDED build is qx69's shape —
+    // centroids = first 8 corpus vectors (noisy cluster members, not
+    // centers), codebook = observed residuals of 16 mid-corpus vectors
+    // against those noisy centroids. The TRAINED build learns both from
+    // the corpus: kmeansFit coarse centers + pqTrain on the residuals
+    // against them. Equal budget (8 cells, 16 codes) — the recall delta
+    // is attributable to training alone.
+    def h(i: Long, j: Int): Float = {
+      val x = (i * 2654435761L + j * 40503L) & 0xffffL
+      (x.toFloat / 0xffff - 0.5f) * 0.3f
+    }
+    val dims = 64
+    val centers = (0 until 8).map { c =>
+      Array.tabulate(dims)(j => if (j / 8 == c) 1.0f else 0.1f * h(c + 100L, j))
+    }
+    val vecs = (0L until 1200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(dims)(j => centers(c)(j) + h(i, j)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 16)
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= 5))
+    def recall(got: Set[(Long, Long)]) =
+      (truth intersect got).size.toDouble / truth.size
+    // SEEDED (qx69 shape): first-8-vector centroids, observed-residual codes
+    val seedCents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val seedResCb = graft.operators.Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 16 && col("vec_id") < 32),
+        "vec_id", "embedding", seedCents, "cid", "cv")
+      .join(broadcast(seedCents.withColumnRenamed("cid", "centroid_id")), "centroid_id")
+      .withColumn("c_emb", expr(
+        "zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("vec_id").as("code_id"), col("c_emb"))
+    val seeded = pairs(Quantize.ivfPqSearchResidual(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", seedCents, "cid", "cv",
+      seedResCb, "code_id", "c_emb", dims, 4, 5, 2))
+    // TRAINED: the composed build — same budget, everything learned
+    val (tCents, tCb) = Quantize.trainIvfPq(emb, "vec_id", "embedding",
+      dims, nCells = 8, nBlocks = 4, nCodes = 16, coarseMaxIter = 10, pqMaxIter = 5)
+    val trained = pairs(Quantize.ivfPqSearchResidual(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", tCents, "centroid_id", "cen_emb",
+      tCb, "code", "c_emb", dims, 4, 5, 2))
+    val (rSeed, rTrained) = (recall(seeded), recall(trained))
+    info(f"clustered recall@5: seeded build $rSeed%.3f, trained build $rTrained%.3f")
+    assert(rTrained > rSeed,
+      f"training both quantizers must beat the seeded build: seeded=$rSeed%.3f trained=$rTrained%.3f")
+    assert(rTrained > 0.5, f"trained recall implausibly low on easy clusters: $rTrained%.3f")
+  }
+
+  test("OPQ: trained rotation cuts PQ distortion and lifts recall at equal code budget; R is orthogonal") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    val dims = 32
+    def h(i: Long, j: Int): Double = {
+      val x = (i * 2654435761L + j * 97003L) & 0xffffL
+      x.toDouble / 0xffff - 0.5
+    }
+    // Anisotropic latent space with RESOLVABLE neighborhoods: 8 coarse ×
+    // 4 sub = 32 groups of 6 points. Group identity lives in latent dims
+    // 0..11 (coarse ±2.0 in 0..7, sub ±0.8 in 8..11, noise 0.1
+    // everywhere), then 45° Givens chains smear every latent dim across
+    // all four PQ blocks. Each point's true top-5 is exactly its 5
+    // sub-group mates. Under FIXED blocks, every block sees a quarter of
+    // the separating energy for all 32 groups — 16 codes underfit and
+    // candidates collide across groups; a learned rotation re-aligns the
+    // 12 separating dims into whole blocks, where 16 codes resolve the
+    // hierarchy. This is the regime OPQ exists for.
+    def g(c: Long, j: Int): Double =
+      if (((c * 2654435761L + j * 40503L) >> 7 & 1L) == 0L) -1.0 else 1.0
+    def mix(x: Array[Double]): Array[Float] = {
+      val y = x.clone()
+      val is = math.sqrt(0.5)
+      def giv(p: Int, q: Int): Unit = {
+        val a = y(p); val b = y(q)
+        y(p) = is * (a - b); y(q) = is * (a + b)
+      }
+      (0 until 16).foreach(j => giv(j, j + 16))
+      (0 until 8).foreach(j => giv(j, j + 8))
+      (16 until 24).foreach(j => giv(j, j + 8))
+      y.map(_.toFloat)
+    }
+    val vecs = (for (grp <- 0 until 32; m <- 0 until 6) yield {
+      val (coarse, sub) = (grp / 4, grp % 4)
+      val i = (grp * 6 + m).toLong
+      val lat = Array.tabulate(dims) { j =>
+        (if (j < 8) 2.0 * g(coarse, j)
+         else if (j < 12) 0.8 * g(1000L + sub, j)
+         else 0.0) + 0.1 * h(i, j)
+      }
+      (i, mix(lat))
+    }).toSeq
+    val emb = vecs.toDF("vec_id", "embedding")
+    def distortion(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                   cb: org.apache.spark.sql.DataFrame): Double =
+      Quantize.pqEncode(df, "vec_id", vecCol, cb, "code", "c_emb", dims, 4)
+        .agg(sum("dist2")).collect()(0).getDouble(0)
+    // plain PQ and OPQ at the SAME budget: 4 blocks × 8 codes — aligned,
+    // 8 codes exactly cover the 8 coarse patterns in one block; smeared,
+    // each block faces 32 distinct projections and must collide
+    val pqCb = Quantize.pqTrain(emb, "vec_id", "embedding", dims, 4, 8, maxIter = 8)
+    val pqDist = distortion(emb, "embedding", pqCb)
+    val (r, opqCb) = Quantize.opqTrain(emb, "vec_id", "embedding",
+      dims, 4, 8, opqIters = 4, pqMaxIter = 8)
+    // R must be orthogonal (R·Rᵀ = I) — the rotation preserves distances
+    val rrT = Array.tabulate(dims, dims) { (i, j) =>
+      (0 until dims).map(t => r(i)(t) * r(j)(t)).sum
+    }
+    val orthoDev = (for (i <- 0 until dims; j <- 0 until dims)
+      yield math.abs(rrT(i)(j) - (if (i == j) 1.0 else 0.0))).max
+    assert(orthoDev < 1e-6, s"R not orthogonal: max deviation $orthoDev")
+    val rotated = Quantize.opqRotate(emb, "embedding", r, "__z")
+      .select(col("vec_id"), col("__z"))
+    val opqDist = distortion(rotated, "__z", opqCb)
+    info(f"PQ distortion: plain $pqDist%.3f, OPQ $opqDist%.3f")
+    assert(opqDist < pqDist,
+      f"OPQ must cut distortion on anisotropic data: plain=$pqDist%.3f opq=$opqDist%.3f")
+    // recall@5: rotated-space ADC search vs plain ADC search, same budget
+    val queries = emb.filter(col("vec_id") < 18) // spans three full groups
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val truth = pairs(emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= 6)
+      .withColumn("query_id", col("query_id"))) // self dropped in pairs()
+    val plain = pairs(Quantize.pqSearch(queries, "vec_id", "embedding",
+      Quantize.pqEncode(emb, "vec_id", "embedding", pqCb, "code", "c_emb", dims, 4)
+        .select("vec_id", "block", "code"),
+      "vec_id", pqCb, "code", "c_emb", dims, 4, 6))
+    val rq = Quantize.opqRotate(queries, "embedding", r, "__z")
+      .select(col("vec_id"), col("__z"))
+    val opq = pairs(Quantize.pqSearch(rq, "vec_id", "__z",
+      Quantize.pqEncode(rotated, "vec_id", "__z", opqCb, "code", "c_emb", dims, 4)
+        .select("vec_id", "block", "code"),
+      "vec_id", opqCb, "code", "c_emb", dims, 4, 6))
+    def recall(got: Set[(Long, Long)]) =
+      (truth intersect got).size.toDouble / truth.size
+    val (rPlain, rOpq) = (recall(plain), recall(opq))
+    info(f"anisotropic recall@5: plain PQ $rPlain%.3f, OPQ $rOpq%.3f")
+    assert(rOpq > rPlain,
+      f"OPQ must lift recall at equal budget: plain=$rPlain%.3f opq=$rOpq%.3f")
   }
 
   test("int8 quantization: tinyint storage, codes in range, round-trip error ≤ scale/2") {

@@ -150,6 +150,68 @@ class EdgarIngestSpec extends SparkSpec {
     assert(c3.due.isEmpty)
   }
 
+  test("EtlDaemon: last-fetch swap is crash-safe — a mid-swap crash leaves a recoverable .old copy") {
+    val meta = java.nio.file.Files.createTempDirectory("daemonmeta").toString + "/last_fetch"
+    EtlDaemon.recordFetched(spark, meta, Seq("AAA", "BBB"), 1000L)
+    // simulate a crash between recordFetched's two renames: live moved
+    // aside to .old, the new table never arrived
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(meta), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(meta),
+      new org.apache.hadoop.fs.Path(meta + ".old")))
+    val recovered = EtlDaemon.readLastFetch(spark, meta)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recovered === Map("AAA" -> 1000L, "BBB" -> 1000L),
+      s"a mid-swap crash must not lose fetch history (refetch storm): $recovered")
+    // the next successful record heals: merges the recovered history,
+    // installs a fresh live table, and drops the .old copy
+    EtlDaemon.recordFetched(spark, meta, Seq("BBB"), 2000L)
+    val healed = EtlDaemon.readLastFetch(spark, meta)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(healed === Map("AAA" -> 1000L, "BBB" -> 2000L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(meta + ".old")),
+      "completed swap must drop the fallback copy")
+  }
+
+  test("EtlDaemon: cycle and compact cannot interleave on the same store — the loser fails loudly") {
+    import graft.sources.StoreLock
+    val base = java.nio.file.Files.createTempDirectory("daemonlock").toString + "/facts"
+    val meta = base + "_meta/last_fetch"
+    val json =
+      """{"cik": 3, "entityName": "Lock Co", "facts": {"us-gaap": {
+        |"Revenues": {"label": "Revenues", "description": "",
+        |  "units": {"USD": [{"start":"2026-01-01","end":"2026-08-01","val":7,
+        |    "fy":2026,"fp":"Q2","form":"10-Q"}]}}}}}""".stripMargin
+    val today = LocalDate.of(2026, 8, 12)
+    // populate the store with one clean cycle (takes and releases the lock)
+    val c1 = EtlDaemon.cycle(spark, base, meta, Seq("AAA"), _ => json, today, 1000000000000L)
+    assert(c1.completed === 1)
+    // a cycle is mid-write (holds the lock) → compact must refuse, loudly
+    StoreLock.acquire(spark, base, "cycle")
+    val e1 = intercept[java.io.IOException] { EtlDaemon.compactStore(spark, base, 1000L) }
+    assert(e1.getMessage.contains("locked") && e1.getMessage.contains("cycle"),
+      s"loser must name the holder: ${e1.getMessage}")
+    StoreLock.release(spark, base)
+    // and the reverse: compaction holds the lock → a due cycle must refuse
+    StoreLock.acquire(spark, base, "compact")
+    val e2 = intercept[java.io.IOException] {
+      EtlDaemon.cycle(spark, base, meta, Seq("AAA"), _ => json,
+        today.plusDays(2), 1000000000000L + 50L * 3600 * 1000)
+    }
+    assert(e2.getMessage.contains("locked") && e2.getMessage.contains("compact"),
+      s"loser must name the holder: ${e2.getMessage}")
+    StoreLock.release(spark, base)
+    // once released, both proceed: compact runs clean on the real store
+    val stats = EtlDaemon.compactStore(spark, base, 1000L)
+    assert(stats.filesAfter > 0)
+    assert(!new java.io.File(StoreLock.lockPath(base).toString.stripPrefix("file:")).exists(),
+      "lock must not outlive the operation")
+    // and a later due cycle still works after compaction
+    val c2 = EtlDaemon.cycle(spark, base, meta, Seq("AAA"), _ => json,
+      today.plusDays(2), 1000000000000L + 50L * 3600 * 1000)
+    assert(c2.completed === 1)
+  }
+
   test("EtlDaemon.runDaemon: jittered sleeps between cycles, bounded by maxCycles") {
     val base = java.nio.file.Files.createTempDirectory("daemonloop").toString + "/facts"
     var slept = Vector.empty[Long]
