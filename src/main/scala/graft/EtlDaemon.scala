@@ -171,7 +171,17 @@ object EtlDaemon {
       val t = nowMs()
       val today = java.time.Instant.ofEpochMilli(t)
         .atZone(java.time.ZoneOffset.UTC).toLocalDate
-      val report = cycle(spark, base, metaPath, tickers, fetch, today, t, tracker)
+      // A locked store (a compaction window, or another daemon's cycle)
+      // is a SKIP, not a crash: the due work is still due next interval,
+      // and a daemon that dies because maintenance was running defeats
+      // the point of the interlock. Any other failure still propagates.
+      val report =
+        try cycle(spark, base, metaPath, tickers, fetch, today, t, tracker)
+        catch {
+          case e: graft.sources.StoreLock.StoreLockedException =>
+            log(s"[etl] cycle ${cycles + 1} skipped: ${e.getMessage}")
+            CycleReport(Nil, Nil)
+        }
       log(s"[etl] cycle ${cycles + 1}: ${report.due.size} due, " +
         s"${report.completed} completed, ${report.failed} failed")
       cycles += 1

@@ -291,6 +291,20 @@ object Quantize {
         codebook, cbIdCol, cbVecCol, dims, nBlocks)
       .write.partitionBy("centroid_id").mode("append").parquet(path)
 
+  /** [[appendToIvfPqIndex]] for a RESIDUAL store: the batch's codes must
+    * quantize (vector − assigned centroid) with the residual-space
+    * codebook, exactly as the store's builder did — appending raw-encoded
+    * codes to a residual store (or vice versa) would silently corrupt
+    * every ADC distance in the appended cells. Same caller contract and
+    * the same store≡rebuild gate, against [[ivfPqIndexResidual]]. */
+  def appendToIvfPqIndexResidual(batch: DataFrame, idCol: String, vecCol: String,
+                                 centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                                 codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                                 dims: Int, nBlocks: Int, path: String): Unit =
+    ivfPqIndexResidual(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
+        codebook, cbIdCol, cbVecCol, dims, nBlocks)
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
+
   /** Search a PERSISTED index: the union of all probed cells (bounded by
     * min(|Q|·nProbe, nCells) — centroid-count-sized planning metadata,
     * never row data) becomes a literal partition filter on the store, so

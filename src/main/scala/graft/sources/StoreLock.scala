@@ -30,6 +30,12 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreLock {
 
+  /** Typed refusal so callers can tell "the store is busy" (retryable —
+    * the daemon skips the cycle and tries again next interval) from a
+    * genuine I/O failure (not). */
+  final class StoreLockedException(message: String, cause: Throwable)
+    extends java.io.IOException(message, cause)
+
   private def fsFor(spark: SparkSession, base: String): FileSystem =
     FileSystem.get(new java.net.URI(base),
       spark.sparkContext.hadoopConfiguration)
@@ -57,7 +63,7 @@ object StoreLock {
             val in = fs.open(lock)
             try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
           } catch { case _: Exception => "<unreadable>" }
-        throw new java.io.IOException(
+        throw new StoreLockedException(
           s"store $base is locked by [$holder] — refusing to start '$op'. " +
             "If the holder crashed, inspect and delete " + lock, e)
     }

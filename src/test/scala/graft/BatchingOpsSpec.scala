@@ -233,6 +233,37 @@ class BatchingOpsSpec extends SparkSpec {
       "search over the appended store must equal the in-memory full-corpus search")
   }
 
+  test("appendToIvfPqIndexResidual: residual store-after-append equals residual rebuild") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // residual-space codebook seeded from observed residuals (qx69 shape)
+    val resCb = graft.operators.Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 104),
+        "vec_id", "embedding", cents, "cid", "cv")
+      .join(broadcast(cents.withColumnRenamed("cid", "centroid_id")), "centroid_id")
+      .withColumn("c_emb", expr(
+        "zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("vec_id").as("code_id"), col("c_emb"))
+    val base = emb.filter(col("vec_id") % 4 =!= 2)
+    val batch = emb.filter(col("vec_id") % 4 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-resapp").toString
+    val appended = dir + "/appended"
+    val rebuilt = dir + "/rebuilt"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndexResidual(base, "vec_id", "embedding",
+      cents, "cid", "cv", resCb, "code_id", "c_emb", 64, 4), appended)
+    Quantize.appendToIvfPqIndexResidual(batch, "vec_id", "embedding",
+      cents, "cid", "cv", resCb, "code_id", "c_emb", 64, 4, appended)
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndexResidual(emb, "vec_id", "embedding",
+      cents, "cid", "cv", resCb, "code_id", "c_emb", 64, 4), rebuilt)
+    def rows(p: String): Set[String] = spark.read.parquet(p)
+      .select("vec_id", "block", "code", "centroid_id")
+      .collect().map(_.toString).toSet
+    assert(rows(appended) == rows(rebuilt),
+      "residual appended store must equal the residual one-shot rebuild row for row")
+  }
+
   test("exact-rescore refinement: recall never below ADC's top-k, and exact distances rule the order") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

@@ -212,6 +212,34 @@ class EdgarIngestSpec extends SparkSpec {
     assert(c2.completed === 1)
   }
 
+  test("EtlDaemon.runDaemon survives a locked store: cycles are skipped, not fatal, and resume after release") {
+    import graft.sources.StoreLock
+    val base = java.nio.file.Files.createTempDirectory("daemonskip").toString + "/facts"
+    val meta = base + "_meta/last_fetch"
+    val json =
+      """{"cik": 4, "entityName": "Skip Co", "facts": {"us-gaap": {
+        |"Revenues": {"label": "Revenues", "description": "",
+        |  "units": {"USD": [{"start":"2026-01-01","end":"2026-08-01","val":9,
+        |    "fy":2026,"fp":"Q2","form":"10-Q"}]}}}}}""".stripMargin
+    // a maintenance window holds the lock for the daemon's whole run
+    StoreLock.acquire(spark, base, "compact")
+    var logs = Vector.empty[String]
+    var clock = 1000000000000L
+    val n = EtlDaemon.runDaemon(spark, base, meta, Seq("AAA"), _ => json,
+      intervalMs = 1000L, maxCycles = 2,
+      nowMs = () => { clock += 60000; clock },
+      sleep = _ => (), log = logs :+= _)
+    assert(n === 2, "the daemon must outlive locked cycles")
+    assert(logs.count(_.contains("skipped")) === 2, logs.toString)
+    assert(EtlDaemon.readLastFetch(spark, meta).count() === 0L,
+      "skipped cycles must not record fetches")
+    // once maintenance releases, the next cycle does the skipped work
+    StoreLock.release(spark, base)
+    val c = EtlDaemon.cycle(spark, base, meta, Seq("AAA"), _ => json,
+      LocalDate.of(2026, 8, 12), clock)
+    assert(c.completed === 1)
+  }
+
   test("EtlDaemon.runDaemon: jittered sleeps between cycles, bounded by maxCycles") {
     val base = java.nio.file.Files.createTempDirectory("daemonloop").toString + "/facts"
     var slept = Vector.empty[Long]
