@@ -305,6 +305,81 @@ object Quantize {
         codebook, cbIdCol, cbVecCol, dims, nBlocks)
       .write.partitionBy("centroid_id").mode("append").parquet(path)
 
+  /** Incrementally SHRINK a persisted IVF-PQ index: remove the given
+    * vector ids, rewriting ONLY the cell partitions that contain them —
+    * the maintenance shape a curated corpus needs (dedup and
+    * decontamination retract documents; their vectors must leave the
+    * index without a rebuild). FAISS's `IndexIVF.remove_ids` is the
+    * same contract: surgery on the affected inverted lists, the rest of
+    * the store untouched.
+    *
+    * Mechanics: one id+cell-pruned scan finds the affected cells (the
+    * delete set broadcasts — it is retraction metadata, not corpus
+    * data); the survivors of just those cells are rewritten via dynamic
+    * partition overwrite (untouched cells' FILES are never opened,
+    * asserted byte-for-byte in BatchingOpsSpec); a cell whose rows are
+    * ALL deleted gets its directory removed explicitly, because an
+    * overwrite cannot write an empty partition. The partition column is
+    * read as STRING so directory names round-trip losslessly whatever
+    * the build-time id type was ("01" must stay "01", not become "1" —
+    * the same hive-inference trap [[ivfPqSearchStored]] pins with an
+    * explicit schema), and survivors are written back through that same
+    * string column, reproducing the directory names exactly.
+    *
+    * Caller contract: same single-writer discipline as
+    * [[appendToIvfPqIndex]] (schedule against appends/compaction — see
+    * [[graft.sources.StoreLock]]). Deleting ids absent from the store is
+    * a no-op. Returns the number of code rows removed (nBlocks rows per
+    * deleted vector present). */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String,
+                           deleteIds: DataFrame, idCol: String): Long = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val ids = deleteIds.select(col(idCol)).distinct()
+    val dataFields = spark.read.parquet(indexPath).schema.fields
+      .filterNot(_.name == "centroid_id")
+    val storeSchema = StructType(
+      dataFields :+ StructField("centroid_id", StringType))
+    val store = spark.read.schema(storeSchema).parquet(indexPath)
+    val vecId = dataFields.head.name // writer layout: id column leads
+    // Affected cells + doomed row count in one small aggregate: the scan
+    // reads only (id, partition) columns, and the delete set broadcasts.
+    val hits = store.join(broadcast(ids), store(vecId) === ids(idCol), "leftsemi")
+      .groupBy("centroid_id").agg(count(lit(1)).as("doomed"))
+      .collect()
+    if (hits.isEmpty) return 0L
+    val affected = hits.map(_.getString(0)).toSeq
+    val removed = hits.map(_.getLong(1)).sum
+    // Eagerly materialize the survivors BEFORE overwriting: the frame
+    // reads the very path the overwrite rewrites, and truncating the
+    // lineage (LogicalRDD) is what makes read-then-replace safe — the
+    // affected cells' rows are in memory, bounded by cell size, never
+    // the store.
+    val survivors = store
+      .filter(col("centroid_id").isInCollection(affected))
+      .join(broadcast(ids), store(vecId) === ids(idCol), "leftanti")
+      .localCheckpoint()
+    val keptCells = survivors.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    // Dynamic overwrite replaces exactly the partitions present in the
+    // written frame — cells with surviving rows. Emptied cells are not
+    // present, so their stale directories are removed by hand below.
+    if (keptCells.nonEmpty)
+      survivors.write.partitionBy("centroid_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(indexPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(keptCells).foreach { cell =>
+      val dir = new org.apache.hadoop.fs.Path(indexPath,
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString("centroid_id", cell))
+      if (fs.exists(dir) && !fs.delete(dir, true))
+        throw new java.io.IOException(s"failed to remove emptied cell $dir")
+    }
+    removed
+  }
+
   /** Search a PERSISTED index: the union of all probed cells (bounded by
     * min(|Q|·nProbe, nCells) — centroid-count-sized planning metadata,
     * never row data) becomes a literal partition filter on the store, so

@@ -24,6 +24,28 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** A1 argmax dedup as ONE hash aggregate — the shape that wins at scale
+    * over [[dedupArgmax]]'s window: `max_by(row, ordering)` partially
+    * aggregates map-side, so the shuffle carries ONE candidate row per
+    * (partition, key) instead of every row, and the whole pipeline stays
+    * inside whole-stage codegen (WindowExec is neither partial nor
+    * codegen'd — on a 100 TB fact table that is the difference between
+    * shuffling the table and shuffling the keys).
+    *
+    * Caller contract (narrower than the window version, which is why
+    * both exist): `maxOrd` columns must be oriented larger-is-preferred
+    * (negate a numeric to prefer-smallest; a string or date can only be
+    * prefer-largest), non-null, and jointly unique per group — struct
+    * ordering is lexicographic, so the combination decides the row
+    * deterministically. Result rows and schema match [[dedupArgmax]]
+    * with the equivalent ordering exactly (q05/q06 hash-gate this). */
+  def dedupArgmaxAgg(df: DataFrame, keys: Seq[String], maxOrd: Seq[Column]): DataFrame = {
+    val row = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(row, struct(maxOrd: _*)).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** J5/W6 latest-row-per-group (ref: financial_analyzer.py:421-444). */
   def latestPerGroup(df: DataFrame, keys: Seq[String], ts: Column, tieBreak: Column): DataFrame =
     dedupArgmax(df, keys, Seq(ts.desc, tieBreak.asc))

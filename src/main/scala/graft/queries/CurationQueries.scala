@@ -261,6 +261,37 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- IVF-PQ retraction: shrink the stored index at cell cost ---------
+    // (the other half of index maintenance: dedup/decontamination RETRACT
+    //  documents, and their vectors must leave the inverted lists without
+    //  a rebuild. Build the full index, delete every vec_id % 7 == 3 —
+    //  a set that includes centroid- and codebook-source ids, which is
+    //  the point: the frozen quantizers keep those VECTORS as build-time
+    //  artifacts even after the corpus rows leave — then probe-search the
+    //  shrunk store. The oracle is the full search formula over only the
+    //  surviving corpus: delete-then-search ≡ built-without-them.)
+    "qx74_ivfpq_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val path = java.nio.file.Files.createTempDirectory("qx74-ivfpq")
+        .toString + "/index"
+      graft.operators.Quantize.writeIvfPqIndex(
+        graft.operators.Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS), path)
+      graft.operators.Quantize.deleteFromIvfPqIndex(s, path,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      graft.operators.Quantize.ivfPqSearchStored(s, path,
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- Corpus drift monitor: vocabulary movers between snapshots -------
     // (two corpus slices stand in for yesterday's and today's crawl; the
     //  hashed-unigram distributions are compared under add-1 smoothing and
@@ -463,12 +494,94 @@ object CurationQueries {
        |GROUP BY doc_id, tgt""".stripMargin
   }
 
+  /** qx67's full IVF+PQ search oracle, optionally restricted to a surviving
+    * corpus. `corpusFilter` is a predicate over a bare `vec_id` column; it
+    * bites ONLY on the corpus side (`assigned` routing and `es` code
+    * derivation) — queries, centroids, and the codebook are build-time
+    * artifacts that keep seeing every vector, exactly the state
+    * [[graft.operators.Quantize.deleteFromIvfPqIndex]] leaves the store in
+    * (deleted vectors leave the inverted lists; the frozen quantizers and
+    * the query set don't change). */
+  private def ivfPqSearchOracle(corpusFilter: Option[String]): String = {
+    val d = duckD
+    val w = PQ_DIMS / PQ_BLOCKS
+    val sub = d.slice("embedding", s"block * $w + 1", w)
+    val csub = d.slice("cv", s"block * $w + 1", w)
+    val qsub = d.slice("embedding", s"block * $w + 1", w)
+    val esWhere = corpusFilter.map(f => s" WHERE $f").getOrElse("")
+    val asgWhere = corpusFilter.map(f => s" WHERE n.$f").getOrElse("")
+    s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM embeddings),
+       |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+       |        FROM n WHERE vec_id < $IVFPQ_CENTROIDS),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT n.vec_id, cen.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+       |              THEN ${TX.dot("n.embedding", "c_vec")(d)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+       |        DESC NULLS LAST, centroid_id) AS rn
+       |    FROM n CROSS JOIN cen$asgWhere)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id, CAST(rn AS BIGINT) AS probe_rank FROM (
+       |    SELECT q.vec_id AS query_id, cen.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
+       |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
+       |        DESC, centroid_id ASC) AS rn
+       |    FROM n q CROSS JOIN cen WHERE q.vec_id < $PQ_QUERY_SET)
+       |  WHERE rn <= $IVFPQ_NPROBE),
+       |b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
+       |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
+       |       FROM embeddings CROSS JOIN b$esWhere),
+       |cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+       |       WHERE vec_id < $PQ_CODES),
+       |cs AS (SELECT code, CAST(block AS BIGINT) AS block, $csub AS csub
+       |       FROM cb CROSS JOIN b),
+       |scored AS (
+       |  SELECT vec_id, es.block AS block, code,
+       |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
+       |      + ${TX.dot("csub", "csub")(d)} AS d2
+       |  FROM es JOIN cs ON es.block = cs.block),
+       |codes AS (SELECT vec_id, block, code
+       |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+       |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
+       |          WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, CAST(block AS BIGINT) AS block,
+       |         $qsub AS qsub
+       |       FROM embeddings CROSS JOIN b WHERE vec_id < $PQ_QUERY_SET),
+       |tbl AS (SELECT query_id, qs.block AS block, code,
+       |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
+       |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
+       |  FROM qs JOIN cs ON qs.block = cs.block),
+       |summed AS (SELECT p.query_id AS query_id, codes.vec_id AS vec_id,
+       |    SUM(pd2) AS d2,
+       |    MIN(a.centroid_id) AS centroid_id, MIN(p.probe_rank) AS probe_rank
+       |  FROM codes
+       |  JOIN assigned a ON codes.vec_id = a.vec_id
+       |  JOIN probes p ON a.centroid_id = p.centroid_id AND p.query_id <> codes.vec_id
+       |  JOIN tbl ON tbl.query_id = p.query_id
+       |    AND codes.block = tbl.block AND codes.code = tbl.code
+       |  GROUP BY p.query_id, codes.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
+       |  ROUND(CAST(d2 AS DOUBLE), 6) AS dist2, centroid_id, probe_rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
+       |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val m = oracleSqlBase
-    // qx73's contract IS qx67's result: a batch appended to a stored base
-    // index must reproduce the one-shot full-corpus index exactly, so the
-    // full-corpus IVF-PQ search is its oracle, verbatim.
-    m + ("qx73_ivfpq_append" -> m("qx67_ivfpq_search"))
+    m ++ Map(
+      // qx73's contract IS qx67's result: a batch appended to a stored base
+      // index must reproduce the one-shot full-corpus index exactly, so the
+      // full-corpus IVF-PQ search is its oracle, verbatim.
+      "qx73_ivfpq_append" -> m("qx67_ivfpq_search"),
+      // qx74's contract: after deleting ids from the stored index, a probed
+      // search must behave as if the index had been BUILT without them —
+      // the same search oracle with the deleted ids filtered off the
+      // corpus side only.
+      "qx74_ivfpq_delete" -> ivfPqSearchOracle(Some(s"vec_id % 7 <> 3")))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -697,71 +810,7 @@ object CurationQueries {
          |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
     },
 
-    "qx67_ivfpq_search" -> {
-      val d = duckD
-      val w = PQ_DIMS / PQ_BLOCKS
-      val sub = d.slice("embedding", s"block * $w + 1", w)
-      val csub = d.slice("cv", s"block * $w + 1", w)
-      val qsub = d.slice("embedding", s"block * $w + 1", w)
-      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM embeddings),
-         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
-         |        FROM n WHERE vec_id < $IVFPQ_CENTROIDS),
-         |assigned AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT n.vec_id, cen.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
-         |              THEN ${TX.dot("n.embedding", "c_vec")(d)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
-         |        DESC NULLS LAST, centroid_id) AS rn
-         |    FROM n CROSS JOIN cen)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, centroid_id, CAST(rn AS BIGINT) AS probe_rank FROM (
-         |    SELECT q.vec_id AS query_id, cen.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
-         |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
-         |        DESC, centroid_id ASC) AS rn
-         |    FROM n q CROSS JOIN cen WHERE q.vec_id < $PQ_QUERY_SET)
-         |  WHERE rn <= $IVFPQ_NPROBE),
-         |b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
-         |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
-         |       FROM embeddings CROSS JOIN b),
-         |cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
-         |       WHERE vec_id < $PQ_CODES),
-         |cs AS (SELECT code, CAST(block AS BIGINT) AS block, $csub AS csub
-         |       FROM cb CROSS JOIN b),
-         |scored AS (
-         |  SELECT vec_id, es.block AS block, code,
-         |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
-         |      + ${TX.dot("csub", "csub")(d)} AS d2
-         |  FROM es JOIN cs ON es.block = cs.block),
-         |codes AS (SELECT vec_id, block, code
-         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
-         |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
-         |          WHERE rn = 1),
-         |qs AS (SELECT vec_id AS query_id, CAST(block AS BIGINT) AS block,
-         |         $qsub AS qsub
-         |       FROM embeddings CROSS JOIN b WHERE vec_id < $PQ_QUERY_SET),
-         |tbl AS (SELECT query_id, qs.block AS block, code,
-         |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
-         |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
-         |  FROM qs JOIN cs ON qs.block = cs.block),
-         |summed AS (SELECT p.query_id AS query_id, codes.vec_id AS vec_id,
-         |    SUM(pd2) AS d2,
-         |    MIN(a.centroid_id) AS centroid_id, MIN(p.probe_rank) AS probe_rank
-         |  FROM codes
-         |  JOIN assigned a ON codes.vec_id = a.vec_id
-         |  JOIN probes p ON a.centroid_id = p.centroid_id AND p.query_id <> codes.vec_id
-         |  JOIN tbl ON tbl.query_id = p.query_id
-         |    AND codes.block = tbl.block AND codes.code = tbl.code
-         |  GROUP BY p.query_id, codes.vec_id)
-         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
-         |  ROUND(CAST(d2 AS DOUBLE), 6) AS dist2, centroid_id, probe_rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
-         |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
-    },
+    "qx67_ivfpq_search" -> ivfPqSearchOracle(None),
 
     "qx72_vocab_drift" -> {
       val d = duckD

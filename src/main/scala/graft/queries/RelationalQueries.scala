@@ -74,8 +74,10 @@ object RelationalQueries {
     // ---- J5/W6 latest-row-per-group --------------------------------------
     "q05_latest_order_per_customer" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      Relational.dedupArgmax(o, Seq("o_custkey"),
-          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      // (date desc, orderkey desc) is already larger-is-preferred on both
+      // fields — the single-aggregate argmax applies with no reorientation
+      Relational.dedupArgmaxAgg(o, Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
         .orderBy("o_custkey")
     }),
 
@@ -83,8 +85,9 @@ object RelationalQueries {
     "q06_dedup_argmax_line" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .withColumn("net_1e4", net1e4(col("l_extendedprice"), col("l_discount")))
-      Relational.dedupArgmax(li, Seq("l_orderkey"),
-          Seq(col("net_1e4").desc, col("l_linenumber").asc))
+      // linenumber-ascending tiebreak reoriented by negation (int, non-null)
+      Relational.dedupArgmaxAgg(li, Seq("l_orderkey"),
+          Seq(col("net_1e4"), -col("l_linenumber")))
         .select("l_orderkey", "l_linenumber", "net_1e4")
         .orderBy("l_orderkey")
     }),

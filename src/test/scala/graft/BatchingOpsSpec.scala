@@ -233,6 +233,65 @@ class BatchingOpsSpec extends SparkSpec {
       "search over the appended store must equal the in-memory full-corpus search")
   }
 
+  test("deleteFromIvfPqIndex: store-after-delete equals build-without-them; untouched cells keep their files") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-delete").toString
+    val store = dir + "/store"
+    val rebuilt = dir + "/rebuilt"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), store)
+    def parquetFiles(p: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    // pick the doomed set from the STORE's routing: every vector filed in
+    // cell 0 plus every-9th of the rest — cell 0 empties entirely (its
+    // directory must vanish) while other cells shrink in place
+    // (cast: hive partition inference re-types the numeric-looking
+    // partition column as int — pin to long for the driver-side pairs)
+    val byCell = spark.read.parquet(store)
+      .select(col("vec_id"), col("centroid_id").cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cell0 = byCell.filter(_._2 == 0L).map(_._1).toSet
+    assert(cell0.nonEmpty, "fixture needs a populated cell 0")
+    val doomedIds = cell0 ++ byCell.map(_._1).filter(_ % 9 == 0)
+    val doomed = emb.filter(col("vec_id").isInCollection(doomedIds)).select("vec_id")
+    val before = parquetFiles(store)
+    val untouchedCells = byCell.map(_._2).distinct.toSet --
+      byCell.filter(t => doomedIds(t._1)).map(_._2).toSet
+    val removed = Quantize.deleteFromIvfPqIndex(spark, store, doomed, "vec_id")
+    assert(removed == doomedIds.size * 4L,
+      s"expected ${doomedIds.size} vectors x 4 blocks removed, got $removed")
+    // cells with no doomed rows keep their FILES byte-for-byte (never opened)
+    val after = parquetFiles(store)
+    val untouchedBefore = before.filter(f => untouchedCells.exists(c => f.contains(s"centroid_id=$c/")))
+    assert(untouchedBefore.subsetOf(after),
+      s"delete must not rewrite unaffected cells; lost ${untouchedBefore -- after}")
+    // the emptied cell's directory is gone
+    assert(!new java.io.File(store, "centroid_id=0").exists(),
+      "a cell whose rows are all deleted must lose its directory")
+    // THE gate: store-after-delete equals an index built without the
+    // doomed vectors, row for row
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(
+      emb.filter(!col("vec_id").isInCollection(doomedIds)), "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), rebuilt)
+    def rows(p: String): Set[String] = spark.read.parquet(p)
+      .select("vec_id", "block", "code", "centroid_id")
+      .collect().map(_.toString).toSet
+    assert(rows(store) == rows(rebuilt),
+      "shrunk store must equal the build-without-them index row for row")
+    // deleting ids not present is a no-op: zero removed, files untouched
+    val absent = emb.filter(col("vec_id") < 0).select("vec_id")
+    assert(Quantize.deleteFromIvfPqIndex(spark, store, absent, "vec_id") == 0L)
+    assert(parquetFiles(store) == after, "no-op delete must leave files unchanged")
+  }
+
   test("appendToIvfPqIndexResidual: residual store-after-append equals residual rebuild") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

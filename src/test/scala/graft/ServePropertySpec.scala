@@ -61,6 +61,32 @@ class ServePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dedupArgmaxAgg equals the window dedupArgmax under an equivalent ordering") {
+    import spark.implicits._
+    // ids unique within a sample so the (|v|, id)-ordering picks ONE row
+    // deterministically in both implementations; smaller-id tiebreak is
+    // reoriented for the aggregate by negation (the documented contract)
+    val gen = Gen.listOfN(60, for {
+      k <- Gen.choose(0, 9); v <- Gen.choose(-1000, 1000)
+    } yield (k, v))
+    forSamples(gen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((k, v), id) => (k, v, id.toLong) }
+          .toDF("k", "v", "id")
+        val viaWindow = Relational.dedupArgmax(df, Seq("k"),
+          Seq(abs(col("v")).desc, col("id").asc))
+        val viaAgg = Relational.dedupArgmaxAgg(df, Seq("k"),
+          Seq(abs(col("v")), -col("id")))
+        assert(viaAgg.collect().map(_.toSeq).toSet ===
+               viaWindow.collect().map(_.toSeq).toSet)
+        // and the plan is the scale-winning shape: a hash aggregate with a
+        // map-side partial, no WindowExec anywhere
+        val plan = viaAgg.queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"), s"aggregate variant must not window:\n$plan")
+      }
+    }
+  }
+
   test("property: CIK normalization is idempotent and fixed-width") {
     forSamples(Gen.choose(0L, 9999999999L)) { cik =>
       import spark.implicits._
