@@ -454,6 +454,61 @@ object Dedup {
         col("inter_size").cast("double") / col("union_size").cast("double"))
   }
 
+  /** Semantic (embedding-space) deduplication — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+    * nearest k-means centroid, then compare pairs ONLY within a cluster
+    * and drop a member when a higher-priority cluster-mate sits within
+    * cosine `tau` of it. Priority = closer to the centroid (the paper's
+    * keep-the-representative rule), rounded to 6dp with the id as
+    * tie-break, so the keep set is deterministic in any engine.
+    *
+    * Scale shape: the quadratic step is fenced inside clusters — cost is
+    * Σ|cluster|², never n². At corpus scale the centroid count is chosen
+    * so clusters stay bounded (SemDeDup uses k≈110k on LAION; here k
+    * comes from the caller's `centroids`), which simultaneously bounds
+    * the pair join's skew: the join is keyed on cluster id, so the
+    * largest cluster is the critical path. Centroid assignment itself is
+    * a broadcast cross-join with a partial-aggregable argmax
+    * ([[Clustering.kmeansAssign]]) — the corpus never shuffles to be
+    * assigned; only the within-cluster pair join shuffles, keyed on
+    * cluster.
+    *
+    * Output: one row per nonzero-norm vector — (id, cluster,
+    * centroid_cosine, kept 1/0, dup_of = smallest dominating neighbor id
+    * within tau, NULL when kept). */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cidCol: String, cvecCol: String,
+                    tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val assign = Clustering.kmeansAssign(
+      vectors, idCol, vecCol, centroids, cidCol, cvecCol)
+    // carry each vector + its norm2 alongside the assignment (norm > 0
+    // guaranteed: kmeansAssign drops zero-norm rows)
+    val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+      .withColumn("__n2", expr(TX.norm2Auto("__vec")))
+    val a = assign.join(v, assign(idCol) === col("__vid")).drop("__vid")
+    val left = a.select(col(idCol).as("__i"), col("cluster").as("__ci"),
+      col("cosine").as("__pi"), col("__vec").as("__vi"), col("__n2").as("__ni"))
+    val right = a.select(col(idCol).as("__j"), col("cluster").as("__cj"),
+      col("cosine").as("__pj"), col("__vec").as("__vj"), col("__n2").as("__nj"))
+    // equi-join on cluster; the priority predicate (strictly closer to
+    // the centroid, id-tiebroken on the 6dp-rounded cosine) and the
+    // cosine-threshold test run as post-join filters on co-located rows
+    val dominated = left.join(right,
+        col("__ci") === col("__cj") &&
+          (col("__pj") > col("__pi") ||
+            (col("__pj") === col("__pi") && col("__j") < col("__i"))))
+      .filter(round(
+        expr(TX.dotAuto("__vi", "__vj"))
+          / (sqrt(col("__ni")) * sqrt(col("__nj"))), 6) >= tau)
+      .groupBy(col("__i")).agg(min(col("__j")).as("dup_of"))
+    assign.join(dominated, assign(idCol) === col("__i"), "left")
+      .select(col(idCol), col("cluster"),
+        col("cosine").as("centroid_cosine"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+        col("dup_of"))
+  }
+
   /** Cross-document duplicated-span census: per doc, the fraction of its
     * n-gram positions whose shingle also occurs in ANOTHER doc — the
     * corpus-level "how much of this document is copied text" signal

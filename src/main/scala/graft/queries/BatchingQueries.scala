@@ -33,6 +33,11 @@ object BatchingQueries {
   private val N_PROBE = 2
   private val ZORDER_BITS = 16
   private val ZBUCKET_DIV = 1L << 14
+  /** qx75 semantic-dedup threshold — between the within-cluster pairwise
+    * cosine p99 (~0.32) and max (~0.53) on the synthetic embeddings, so
+    * the drop rule bites without collapsing clusters (67/500 dropped at
+    * sf0.001, 832/2000 at sf0.1). */
+  private val SEM_TAU = 0.35
   private val QANN_PLANES = 8
   private val QANN_K = 3
   private val QANN_QUERY_SET = 20
@@ -159,6 +164,16 @@ object BatchingQueries {
     }),
 
     // ---- k-means update: exact decimal per-dimension refit ---------------
+    // ---- SemDeDup: cluster-fenced semantic dedup -------------------------
+    // (the pairwise step never sees the corpus — only cluster-mates; the
+    //  keep rule is the paper's closest-to-centroid representative)
+    "qx75_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+          centroids(emb), "centroid_id", "c_emb", SEM_TAU)
+        .orderBy("vec_id")
+    }),
+
     "qx46_kmeans_update" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val assign = Clustering.kmeansAssign(emb, "vec_id", "embedding",
@@ -536,6 +551,27 @@ object BatchingQueries {
          |  CAST(SUM(CASE WHEN rk <= $CBS_CAP THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  MIN(CASE WHEN rk <= $CBS_CAP THEN vec_id END) AS min_kept_vec
          |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin),
+
+    "qx75_semantic_dedup" -> {
+      val d = duckD
+      s"""$kmeansAssignSql,
+         |dominated AS (
+         |  SELECT a.vec_id AS i, MIN(b.vec_id) AS dup_of
+         |  FROM assign a
+         |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |   AND (b.cosine > a.cosine
+         |        OR (b.cosine = a.cosine AND b.vec_id < a.vec_id))
+         |  JOIN vecs va ON va.vec_id = a.vec_id
+         |  JOIN vecs vb ON vb.vec_id = b.vec_id
+         |  WHERE ROUND(${TX.dot("va.embedding", "vb.embedding")(d)}
+         |          / (sqrt(va.n2) * sqrt(vb.n2)), 6) >= $SEM_TAU
+         |  GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.cluster, a.cosine AS centroid_cosine,
+         |  CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+         |  p.dup_of
+         |FROM assign a LEFT JOIN dominated p ON a.vec_id = p.i
+         |ORDER BY a.vec_id""".stripMargin
+    },
 
     "qx46_kmeans_update" -> (kmeansAssignSql + s"""
          |SELECT a.cluster, CAST(i AS BIGINT) AS dim,

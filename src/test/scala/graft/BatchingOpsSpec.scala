@@ -22,6 +22,45 @@ class BatchingOpsSpec extends SparkSpec {
     assert(got(4L)._2 == 0L, s"within-doc repetition must not count: ${got(4L)}")
   }
 
+  test("semanticDedup: pairwise drop fenced inside clusters, closest-to-centroid wins, zero-norm excluded") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two orthogonal centroids; cluster 0 holds a near-identical pair
+    // (only the lower-priority twin must drop) plus a distant mate below
+    // tau; cluster 1 is a singleton; one zero vector must vanish entirely
+    val vecs = Seq(
+      10L -> Array(1f, 0.01f, 0f, 0f),   // closest to c0 — the representative
+      11L -> Array(1f, 0.02f, 0f, 0f),   // cos(10,11) ≈ 0.99995 ≥ tau → drops
+      12L -> Array(0.5f, 0.45f, 0f, 0f), // same cluster, cos ≈ 0.75 < tau → kept
+      20L -> Array(0f, 1f, 0.1f, 0f),    // cluster 1 singleton → kept
+      99L -> Array(0f, 0f, 0f, 0f),      // zero norm → not assignable, absent
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f))
+      .toDF("centroid_id", "c_emb")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      cents, "centroid_id", "c_emb", tau = 0.95)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(rows.keySet == Set(10L, 11L, 12L, 20L), "zero-norm row must be excluded")
+    assert(rows(10L) == (1L, None))
+    assert(rows(11L) == (0L, Some(10L)), "lower-priority twin drops, dominated by the representative")
+    assert(rows(12L) == (1L, None), "below-tau cluster-mate survives")
+    assert(rows(20L) == (1L, None), "singleton cluster keeps its only member")
+    // invariants: kept=0 iff dup_of present; the highest-priority member
+    // of every cluster is structurally undominateable, hence kept
+    val all = out.collect()
+    assert(all.forall(r => (r.getLong(3) == 0L) == !r.isNullAt(4)))
+    val byCluster = all.groupBy(_.getLong(1))
+    byCluster.values.foreach { members =>
+      val top = members.minBy(r => (-r.getDouble(2), r.getLong(0)))
+      assert(top.getLong(3) == 1L, s"cluster top priority must be kept: $top")
+    }
+    // plan shape: no unfenced cartesian anywhere — assignment is a
+    // broadcast cross-join, the pair stage an equi-join on cluster
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian product allowed:\n$plan")
+  }
+
   test("multi-probe IVF: recall vs brute force never drops when probing more cells") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
