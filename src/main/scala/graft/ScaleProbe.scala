@@ -104,6 +104,36 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[scale] append_store=${e0 * mult}%8d  batch=$bn%5d  append=${secs}%6.2fs")
       }
+      // delete: surgery cost tracks the REWRITTEN cells, not the store —
+      // a fixed-SIZE delete set confined to 1 cell rewrites ~1/8 the
+      // bytes of the same-size set spread over all 8 cells, so walls
+      // should grow down this column with cell spread; a rebuild-shaped
+      // delete would cost the same at every spread
+      for (spread <- Seq(1, 4, 8)) {
+        val inflated = (0 until 4).map(i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+        val path = java.nio.file.Files.createTempDirectory("scale-ivfpq-del")
+          .toString + "/index"
+        graft.operators.Quantize.writeIvfPqIndex(
+          graft.operators.Quantize.ivfPqIndex(inflated, "vec_id", "embedding",
+            cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), path)
+        val pairs = spark.read.parquet(path)
+          .select(col("vec_id"), col("centroid_id").cast("string"))
+          .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+        val cells = pairs.map(_._2).distinct.sorted.take(spread)
+        val perCell = 96 / spread
+        val ids = cells.flatMap(c =>
+          pairs.filter(_._2 == c).map(_._1).sorted.take(perCell)).toSeq
+        val doomed = spark.createDataset(ids)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("vec_id")
+        val t0 = System.nanoTime()
+        val removed = graft.operators.Quantize.deleteFromIvfPqIndex(
+          spark, path, doomed, "vec_id")
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] delete_cells=$spread%2d  ids=${ids.size}%3d  rows_removed=$removed%4d  delete=${secs}%6.2fs")
+      }
       emb0.unpersist()
     }
 

@@ -181,7 +181,7 @@ object Quantize {
   /** Top-nProbe cells per query: window over the small query×centroid
     * frame only (same shape as ivfKnnMultiProbe's probe step). Output:
     * (query_id, centroid_id, probe_rank). */
-  private def probeCells(queries: DataFrame, qIdCol: String, qVecCol: String,
+  private[graft] def probeCells(queries: DataFrame, qIdCol: String, qVecCol: String,
                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                          nProbe: Int): DataFrame = {
     val cen = Similarity.withNorm2(centroids, cenVecCol)
@@ -206,7 +206,7 @@ object Quantize {
   /** The search tail over an ALREADY-BUILT index (in-memory from
     * [[ivfPqIndex]] or a pruned read of a persisted one) — probes +
     * ADC tables + cell equi-join + decimal sums. */
-  private def ivfPqSearchOn(index: DataFrame,
+  private[graft] def ivfPqSearchOn(index: DataFrame,
                             queries: DataFrame, qIdCol: String, qVecCol: String,
                             idCol: String,
                             centroids: DataFrame, cenIdCol: String, cenVecCol: String,
@@ -304,6 +304,35 @@ object Quantize {
     ivfPqIndexResidual(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
         codebook, cbIdCol, cbVecCol, dims, nBlocks)
       .write.partitionBy("centroid_id").mode("append").parquet(path)
+
+  /** Compact a persisted IVF-PQ index's cell partitions — the maintenance
+    * step that closes the append lifecycle: every [[appendToIvfPqIndex]]
+    * lands new FILES in its cells, so a frequently-fed store decays into
+    * thousands of KB-sized files and probe-time planning cost grows with
+    * file count instead of cell count. Delegates to
+    * [[graft.sources.Compaction.compactParquet]] (REBALANCE + bounded
+    * files, rename-swap) preserving the cell layout, with hive partition
+    * TYPE INFERENCE pinned off for the rewrite: the compactor reads the
+    * store back generically, and letting Spark re-type numeric-looking
+    * STRING cell ids ("01" → 1) would rewrite the directory names and
+    * corrupt every probe filter — the same trap [[ivfPqSearchStored]]
+    * pins with an explicit schema.
+    *
+    * Caller contract: quiescent store + [[graft.sources.StoreLock]]
+    * scheduling, exactly as compactParquet documents. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String,
+                        maxRecordsPerFile: Long): graft.sources.Compaction.Stats = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try graft.sources.Compaction.compactParquet(
+      spark, indexPath, maxRecordsPerFile, Seq("centroid_id"))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Incrementally SHRINK a persisted IVF-PQ index: remove the given
     * vector ids, rewriting ONLY the cell partitions that contain them —

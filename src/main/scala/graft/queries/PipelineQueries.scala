@@ -344,6 +344,29 @@ object PipelineQueries {
         .orderBy("split", "lang")
     }),
 
+    // ---- Filtered (metadata-predicated) ANN ------------------------------
+    // (production "filtered vector search": a language-scoped query must
+    //  rank neighbors only among documents passing the predicate. The
+    //  filter is a semi-join on the id BEFORE assignment/scoring — the
+    //  declarative composition Catalyst pushes ahead of the expensive
+    //  stages, no new operator needed; centroids stay the SHARED index's
+    //  (trained on the whole space), so one index serves every slice. At
+    //  corpus scale the predicate lives denormalized on the vector table
+    //  or as this same id-keyed semi-join; either way nothing about the
+    //  search plan changes.)
+    "qx76_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val en = t(s, dir, "documents")
+        .filter(col("lang") === "en").select(col("doc_id"))
+      val corpus = emb.join(en, col("vec_id") === col("doc_id"), "left_semi")
+      val centroids = emb.filter(col("vec_id") < IVF_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      Similarity.ivfKnn(corpus.filter(col("vec_id") < QUERY_SET), corpus,
+          "vec_id", "embedding", centroids, "centroid_id", "c_emb", IVF_K)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- IVF ANN: nearest-centroid cells, search the query's cell --------
     "qx22_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -704,6 +727,34 @@ object PipelineQueries {
          |FROM sp GROUP BY split, lang
          |ORDER BY split, lang""".stripMargin
     },
+
+    "qx76_filtered_ann" ->
+      s"""WITH base AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM base WHERE vec_id < $IVF_CENTROIDS),
+         |n AS (SELECT b.vec_id, b.embedding, b.norm2 FROM base b
+         |      JOIN documents d ON b.vec_id = d.doc_id WHERE d.lang = 'en'),
+         |assigned AS (
+         |  SELECT vec_id, embedding, norm2, centroid_id FROM (
+         |    SELECT n.vec_id, n.embedding, n.norm2, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("n.embedding", "c_vec")} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |        DESC NULLS LAST, centroid_id) AS rn
+         |    FROM n CROSS JOIN cen)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, centroid_id, embedding AS q_vec, norm2 AS q_norm2
+         |      FROM assigned WHERE vec_id < $QUERY_SET),
+         |scored AS (
+         |  SELECT query_id, q.centroid_id AS centroid_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN q_norm2 > 0 AND c.norm2 > 0
+         |         THEN ${TX.dot("q_vec", "c.embedding")} / (sqrt(q_norm2) * sqrt(c.norm2)) END AS cosine
+         |  FROM assigned c JOIN q ON c.centroid_id = q.centroid_id
+         |   AND query_id <> c.vec_id)
+         |SELECT query_id, centroid_id, neighbor_id, CAST(rn AS BIGINT) AS knn_rank, cosine
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+         |WHERE rn <= $IVF_K ORDER BY query_id, knn_rank""".stripMargin,
 
     "qx22_ivf_ann" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2 FROM embeddings),

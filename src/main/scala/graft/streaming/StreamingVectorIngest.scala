@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Quantize
+
+/** Streaming ANN-index ingest: the vector-side twin of
+  * [[StreamingNearDup]], completing the durable IVF-PQ store's lifecycle
+  * (build → append → delete → compact → STREAM-INGEST). An embedding
+  * firehose lands in the index as it arrives: each micro-batch is
+  * assigned + PQ-encoded against the FROZEN build-time quantizers — the
+  * [[Quantize.appendToIvfPqIndex]] math, per-batch cost tracks the batch,
+  * never the standing store — and written to its cells.
+  *
+  * At-least-once hardening (foreachBatch may re-run a batch under the
+  * SAME batchId after a partial failure): the store is partitioned
+  * two-level, centroid_id then batch_id, and written with DYNAMIC partition
+  * overwrite, so a retry REPLACES its own (cell, batch) partitions
+  * instead of appending a second copy — `mode("append")` here would
+  * silently double every retried batch's vectors, corrupting ADC scores
+  * with duplicate rows. The `_graft_stream_id` marker pins the store to
+  * its checkpoint exactly as in [[StreamingNearDup]] (batch ids restart
+  * at 0 under a fresh checkpoint, which would make dynamic overwrite
+  * DELETE an unrelated old batch's partitions).
+  *
+  * Search-time: [[searchIngested]] reads the store with an explicit
+  * schema (centroid_id pinned to the centroid frame's id type — the
+  * hive-inference trap — and batch_id pinned long), prunes to probed
+  * cells at the FILE level (cell is still the leading partition
+  * directory), drops the bookkeeping column, and runs the standard
+  * search tail — so streamed stores answer queries identically to
+  * batch-built ones, which the spec gates against
+  * [[Quantize.ivfPqSearch]] over the same corpus.
+  */
+object StreamingVectorIngest {
+
+  def start(vectors: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+            codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+            dims: Int, nBlocks: Int,
+            indexPath: String, checkpoint: String): StreamingQuery = {
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, vecCol,
+          centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+          dims, nBlocks, indexPath, streamTag = checkpoint)
+      }
+      .start()
+  }
+
+  /** One micro-batch: encode ONLY the batch, replace-not-append its own
+    * (cell, batch) partitions. Public so retry semantics are testable
+    * outside a streaming query. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   idCol: String, vecCol: String,
+                   centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                   codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                   dims: Int, nBlocks: Int,
+                   indexPath: String, streamTag: String): Unit = {
+    StreamingNearDup.guardStreamIdentity(batch.sparkSession, indexPath, streamTag)
+    Quantize.ivfPqIndex(batch, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+        dims, nBlocks)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("centroid_id", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(indexPath)
+  }
+
+  /** Probed search over a stream-ingested store — identical results to
+    * [[Quantize.ivfPqSearchStored]] over a batch-built store of the same
+    * corpus (and hence to the in-memory [[Quantize.ivfPqSearch]]). */
+  def searchIngested(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     idCol: String,
+                     centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                     codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                     dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cells = Quantize.probeCells(queries, qIdCol, qVecCol,
+        centroids, cenIdCol, cenVecCol, nProbe)
+      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
+    val cenType = centroids.schema.apply(cenIdCol).dataType
+    val dataFields = spark.read.parquet(indexPath).schema.fields
+      .filterNot(f => f.name == "centroid_id" || f.name == "batch_id")
+    val storeSchema = StructType(dataFields
+      :+ StructField("centroid_id", cenType)
+      :+ StructField("batch_id", LongType))
+    val pruned = spark.read.schema(storeSchema).parquet(indexPath)
+      .filter(col("centroid_id").isInCollection(cells))
+      .drop("batch_id")
+    Quantize.ivfPqSearchOn(pruned, queries, qIdCol, qVecCol, idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
+  }
+}

@@ -476,6 +476,73 @@ class BatchingOpsSpec extends SparkSpec {
     assert(stored == inMem, s"stored=$stored inMem=$inMem")
   }
 
+  test("compactIvfPqIndex: append-fragmented store shrinks file count, rows and probed search unchanged, string cell ids survive") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // long-id store: base build + 4 appends fragment every touched cell
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-compact").toString + "/index"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(
+      emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), path)
+    (1 to 4).foreach { m =>
+      Quantize.appendToIvfPqIndex(emb.filter(col("vec_id") % 5 === m),
+        "vec_id", "embedding", cents, "cid", "cv",
+        codebook, "code_id", "c_emb", 64, 4, path)
+    }
+    def countFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getPath.endsWith(".parquet"))
+    }
+    def contents(p: String) = spark.read.parquet(p)
+      .select("vec_id", "block", "code", "centroid_id")
+      .collect().map(_.toString).toSet
+    val queries = emb.filter(col("vec_id") < 10)
+    def search() = Quantize.ivfPqSearchStored(spark, path,
+        queries, "vec_id", "embedding", "vec_id",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2)
+      .collect().map(_.toString).toSet
+    val (filesBefore, rowsBefore, searchBefore) = (countFiles(path), contents(path), search())
+    assert(filesBefore > 8, s"fixture must be fragmented, got $filesBefore files")
+    val stats = Quantize.compactIvfPqIndex(spark, path, maxRecordsPerFile = 1000000L)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction must shrink file count: $stats")
+    assert(countFiles(path) == stats.filesAfter.toInt)
+    assert(contents(path) == rowsBefore, "compaction must not change a single row")
+    assert(search() == searchBefore, "probed search must be identical over the compacted store")
+    // string-id store: numeric-looking cell dirs must survive the rewrite
+    // (partition-type inference is pinned off inside the compactor)
+    val up = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val dn = Array.tabulate(8)(i => if (i < 4) 0.0f else 1.0f)
+    val corpus = Seq(("a1", up.map(_ + 0.01f)), ("a2", up.map(_ + 0.02f)),
+      ("b1", dn.map(_ + 0.01f)), ("b2", dn.map(_ + 0.02f))).toDF("vec_id", "embedding")
+    val scents = Seq(("01", up), ("10", dn)).toDF("cid", "cv")
+    val scb = Seq(("k0", up), ("k1", dn)).toDF("code_id", "c_emb")
+    val spath = java.nio.file.Files.createTempDirectory("ivfpq-compact-str").toString + "/index"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(corpus, "vec_id", "embedding",
+      scents, "cid", "cv", scb, "code_id", "c_emb", 8, 2), spath)
+    def strStoreRows(p: String): Set[String] = {
+      val dataFields = spark.read.parquet(p).schema.fields
+        .filterNot(_.name == "centroid_id")
+      val sch = org.apache.spark.sql.types.StructType(dataFields :+
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.StringType))
+      spark.read.schema(sch).parquet(p).collect().map(_.toString).toSet
+    }
+    val srowsBefore = strStoreRows(spath)
+    Quantize.compactIvfPqIndex(spark, spath, maxRecordsPerFile = 1000000L)
+    val sdirs = new java.io.File(spath).listFiles().map(_.getName)
+      .filter(_.startsWith("centroid_id=")).sorted.toSeq
+    assert(sdirs == Seq("centroid_id=01", "centroid_id=10"),
+      s"string cell ids must round-trip through compaction: $sdirs")
+    assert(strStoreRows(spath) == srowsBefore)
+  }
+
   test("pqTrain: Lloyd-trained codebook strictly reduces PQ distortion vs its own seed") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

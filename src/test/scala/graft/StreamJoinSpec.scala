@@ -96,6 +96,57 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vector ingest: streamed store answers queries identically to the batch build; retry idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Quantize
+    import graft.streaming.StreamingVectorIngest
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dir = java.nio.file.Files.createTempDirectory("svi").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val slices = all.grouped(200).toSeq // 500 vectors → 3 micro-batches
+    val q = StreamingVectorIngest.start(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+      s"$dir/index", s"$dir/ckpt")
+    try {
+      slices.foreach { g => mem.addData(g.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // the gate: a store fed vector-by-stream answers EXACTLY like the
+    // one-shot in-memory search over the same corpus — batch boundaries
+    // are invisible to queries
+    val queries = emb.filter(col("vec_id") < 10)
+    def streamedSearch = StreamingVectorIngest.searchIngested(
+        spark, s"$dir/index", queries, "vec_id", "embedding", "vec_id",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2)
+      .collect().map(_.toString).toSet
+    val inMem = Quantize.ivfPqSearch(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", cents, "cid", "cv",
+        codebook, "code_id", "c_emb", 64, 4, 3, 2)
+      .collect().map(_.toString).toSet
+    val streamed = streamedSearch
+    assert(streamed.nonEmpty && streamed == inMem,
+      "stream-ingested store must answer identically to the in-memory full-corpus search")
+    // at-least-once retry: re-running the LAST batch under its own id
+    // replaces its partitions — row count and answers unchanged (an
+    // append-shaped retry would double the batch's vectors)
+    val before = spark.read.parquet(s"$dir/index").count()
+    val last = slices.last.toSeq.toDF("vec_id", "embedding")
+    StreamingVectorIngest.processBatch(last, (slices.size - 1).toLong,
+      "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, s"$dir/index", s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/index").count() == before,
+      "retried batch must replace its partitions, not append a second copy")
+    assert(streamedSearch == inMem)
+  }
+
   test("streaming execution: interval join runs append-mode with bounded state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
