@@ -128,11 +128,27 @@ object ScaleProbe {
           pairs.filter(_._2 == c).map(_._1).sorted.take(perCell)).toSeq
         val doomed = spark.createDataset(ids)(
           org.apache.spark.sql.Encoders.scalaLong).toDF("vec_id")
+        def cellBytes(only: Option[Set[String]]): Long = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(new java.io.File(path))
+            .filter(f => f.getPath.endsWith(".parquet") && only.forall(cs =>
+              cs.exists(c => f.getPath.contains(s"centroid_id=$c/"))))
+            .map(_.length()).sum
+        }
+        val total = cellBytes(None)
         val t0 = System.nanoTime()
         val removed = graft.operators.Quantize.deleteFromIvfPqIndex(
           spark, path, doomed, "vec_id")
         val secs = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] delete_cells=$spread%2d  ids=${ids.size}%3d  rows_removed=$removed%4d  delete=${secs}%6.2fs")
+        // bytes REWRITTEN = post-delete bytes of the affected cells (plus
+        // the walls, which at this store size are fixed-cost-dominated);
+        // the untouched-files-byte-identical invariant is asserted in
+        // BatchingOpsSpec — this line shows the rewrite FRACTION scaling
+        // with cell spread while rows_removed stays constant
+        val rewritten = cellBytes(Some(cells.toSet))
+        println(f"[scale] delete_cells=$spread%2d  ids=${ids.size}%3d  rows_removed=$removed%4d  " +
+          f"rewritten=${rewritten}%8dB of ${total}%8dB (${100.0 * rewritten / total}%4.1f%%)  delete=${secs}%6.2fs")
       }
       emb0.unpersist()
     }
