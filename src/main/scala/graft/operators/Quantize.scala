@@ -813,6 +813,81 @@ object Quantize {
     (r, codebook)
   }
 
+  /** PCA over an embedding corpus — mean vector + the top-`m` principal
+    * directions, the dimensionality-reduction front end a production
+    * embedding pipeline runs before indexing (FAISS `PCAMatrix`): a
+    * 768-dim model embedding carries most of its variance in far fewer
+    * directions, and every downstream cost — storage, shuffle width, ADC
+    * table size, brute-force flops — scales with the projected width.
+    *
+    * Scale shape (the [[opqTrain]] pattern): ONE corpus pass accumulates
+    * n, Σx and Σx·xᵀ per partition (1 + d + d² doubles each — 33 KB at
+    * d=64) tree-reduced to the driver; covariance, eigendecomposition
+    * ([[svdSmall]] on the symmetric d×d — singular vectors ARE
+    * eigenvectors there) and component selection are driver-side work on
+    * planning metadata. Nothing corpus-sized moves.
+    *
+    * Returns (mean, components) with components m×d, rows orthonormal,
+    * ordered by explained variance (eigenvalue) descending — ties and
+    * signs resolved by the deterministic Jacobi sweep order, so repeat
+    * runs agree. Gate (BatchingOpsSpec): orthonormality, exact recovery
+    * of a planted rank-2 subspace, monotone reconstruction error in m,
+    * ~zero error at m = d. */
+  def pcaTrain(emb: DataFrame, vecCol: String, dims: Int, m: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    require(m >= 1 && m <= dims, s"m=$m must be in [1, $dims]")
+    val dd = dims
+    val acc = emb.select(col(vecCol).cast("array<double>")).rdd
+      .mapPartitions { it =>
+        val partial = new Array[Double](1 + dd + dd * dd)
+        it.foreach { row =>
+          val x = row.getSeq[Double](0)
+          partial(0) += 1.0
+          var p = 0
+          while (p < dd) {
+            partial(1 + p) += x(p)
+            val xp = x(p); var q = 0
+            while (q < dd) { partial(1 + dd + p * dd + q) += xp * x(q); q += 1 }
+            p += 1
+          }
+        }
+        Iterator.single(partial)
+      }.treeReduce { (x, y) =>
+        var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+      }
+    val n = acc(0)
+    require(n > 0, "pcaTrain: empty corpus — nothing to train on")
+    val mean = Array.tabulate(dims)(p => acc(1 + p) / n)
+    val cov = Array.tabulate(dims, dims)((p, q) =>
+      acc(1 + dd + p * dd + q) / n - mean(p) * mean(q))
+    val (_, s, v) = svdSmall(cov)
+    val order = s.indices.sortBy(j => -s(j)).take(m)
+    (mean, order.map(j => Array.tabulate(dims)(i => v(i)(j))).toArray)
+  }
+
+  /** Project vectors onto trained principal components: y = P·(x − μ),
+    * an `m`-wide array column. Same expression discipline as
+    * [[opqRotate]]: the centered vector is MATERIALIZED once (inlining
+    * it into each component's fold would re-run the subtraction m times),
+    * then each output dim is one sequential zip_with/aggregate dot —
+    * codegen-friendly, zero UDFs. Orthonormal rows preserve L2 within
+    * the retained subspace, so distances computed on projections are the
+    * original distances minus the discarded directions' energy. */
+  def pcaProject(df: DataFrame, vecCol: String,
+                 mean: Array[Double], components: Array[Array[Double]],
+                 outCol: String): DataFrame = {
+    val ml = typedLit(mean.toSeq)
+    val cl = typedLit(components.map(_.toSeq).toSeq)
+    df.withColumn("__pca_ctr",
+        zip_with(col(vecCol), ml, (x, mu) => x.cast("double") - mu))
+      .withColumn(outCol,
+        transform(sequence(lit(0), lit(components.length - 1)), i =>
+          aggregate(
+            zip_with(element_at(cl, i + 1), col("__pca_ctr"), (a, b) => a * b),
+            lit(0.0), (acc0, x) => acc0 + x)))
+      .drop("__pca_ctr")
+  }
+
   /** End-to-end TRAINED residual IVF-PQ build — the composition that
     * closes the production loop: learn the coarse quantizer from the
     * corpus ([[Clustering.kmeansFit]] — cosine Lloyd, the same metric

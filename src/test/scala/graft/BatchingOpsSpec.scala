@@ -543,6 +543,60 @@ class BatchingOpsSpec extends SparkSpec {
     assert(strStoreRows(spath) == srowsBefore)
   }
 
+  test("pcaTrain/pcaProject: orthonormal components, planted subspace recovered exactly, error monotone in m") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // planted rank-2 corpus in 8 dims: x = a·e1 + b·e3, integer coefs
+    // (exact in float), deterministic — top-2 PCA must recover the span
+    val pts = (0 until 200).map { i =>
+      val a = (i % 17 - 8).toFloat; val b = ((i * 7) % 23 - 11).toFloat
+      (i.toLong, Array(a, 0f, b, 0f, 0f, 0f, 0f, 0f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val (mean, comp) = Quantize.pcaTrain(df, "embedding", dims = 8, m = 2)
+    // rows orthonormal
+    for (r1 <- comp.indices; r2 <- comp.indices) {
+      val dot = comp(r1).zip(comp(r2)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (r1 == r2) 1.0 else 0.0)) < 1e-9,
+        s"components must be orthonormal: <$r1,$r2> = $dot")
+    }
+    // the span {e1, e3} is recovered: every component's energy outside
+    // dims {0, 2} is ~zero (sign/order free)
+    comp.foreach { c =>
+      val outside = c.indices.filterNot(i => i == 0 || i == 2).map(i => c(i) * c(i)).sum
+      assert(outside < 1e-9, s"component leaks outside the planted span: ${c.toSeq}")
+    }
+    // rank-2 data through 2 components reconstructs EXACTLY (μ + Pᵀ·y = x)
+    def reconError(data: Seq[(Long, Array[Float])], mu: Array[Double],
+                   p: Array[Array[Double]]): Double = {
+      val src = data.map(_._2)
+      val proj = Quantize.pcaProject(data.toDF("vec_id", "embedding"),
+          "embedding", mu, p, "y")
+        .orderBy("vec_id").select("y").collect().map(_.getSeq[Double](0))
+      src.zip(proj).map { case (x, y) =>
+        x.indices.map { i =>
+          val xi = x(i).toDouble
+          val xhat = mu(i) + p.indices.map(j => p(j)(i) * y(j)).sum
+          (xi - xhat) * (xi - xhat)
+        }.sum
+      }.sum / src.size
+    }
+    assert(reconError(pts, mean, comp) < 1e-9,
+      "rank-2 corpus must reconstruct exactly from its top-2 components")
+    // real embeddings: error strictly shrinks as m grows, ~zero at m = d
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val real = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val errs = Seq(2, 8, 32, 64).map { m =>
+      val (mu, p) = Quantize.pcaTrain(emb, "embedding", dims = 64, m = m)
+      m -> reconError(real, mu, p)
+    }
+    errs.sliding(2).foreach { case Seq((m1, e1), (m2, e2)) =>
+      assert(e2 < e1, s"error must shrink with m: m=$m1 → $e1, m=$m2 → $e2")
+    }
+    assert(errs.last._2 < 1e-6, s"full basis must reconstruct: ${errs.last}")
+  }
+
   test("pqTrain: Lloyd-trained codebook strictly reduces PQ distortion vs its own seed") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
