@@ -261,6 +261,72 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- IVF-PQ compaction: defragment cells, answers unchanged ----------
+    // (the store is built fragmented — an initial write plus two appends
+    //  put multiple files in most cells — then compacted; the oracle is
+    //  qx67's full-corpus search verbatim, so the gate proves compaction
+    //  moves BYTES and never rows: probe-pruned search over the rewritten
+    //  cells must hash-match the formula exactly)
+    "qx77_ivfpq_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val path = java.nio.file.Files.createTempDirectory("qx77-ivfpq")
+        .toString + "/index"
+      graft.operators.Quantize.writeIvfPqIndex(
+        graft.operators.Quantize.ivfPqIndex(
+          emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS), path)
+      Seq(1, 2).foreach { m =>
+        graft.operators.Quantize.appendToIvfPqIndex(
+          emb.filter(col("vec_id") % 3 === m), "vec_id", "embedding",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, path)
+      }
+      graft.operators.Quantize.compactIvfPqIndex(s, path,
+        maxRecordsPerFile = 1000000L)
+      graft.operators.Quantize.ivfPqSearchStored(s, path,
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- Streaming vector ingest under the oracle ------------------------
+    // (the qx68 precedent for the ANN store: embeddings arrive as a FILE
+    //  stream, one landing file per micro-batch, each batch encoded
+    //  against the frozen quantizers and landed in its (cell, batch)
+    //  partitions; the probed search over the stream-fed store must
+    //  hash-match qx67's one-shot full-corpus formula — batch boundaries
+    //  provably invisible to queries)
+    "qx78_ivfpq_stream_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val work = java.nio.file.Files.createTempDirectory("qx78-").toString
+      val landing = s"$work/landing"
+      emb.select("vec_id", "embedding").repartition(4).write.parquet(landing)
+      val q = graft.streaming.StreamingVectorIngest.start(
+        s.readStream.schema(s.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing),
+        "vec_id", "embedding",
+        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+        PQ_DIMS, PQ_BLOCKS, s"$work/index", s"$work/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamingVectorIngest.searchIngested(s, s"$work/index",
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- IVF-PQ retraction: shrink the stored index at cell cost ---------
     // (the other half of index maintenance: dedup/decontamination RETRACT
     //  documents, and their vectors must leave the inverted lists without
@@ -577,6 +643,11 @@ object CurationQueries {
       // index must reproduce the one-shot full-corpus index exactly, so the
       // full-corpus IVF-PQ search is its oracle, verbatim.
       "qx73_ivfpq_append" -> m("qx67_ivfpq_search"),
+      // qx77/qx78: compaction and stream-fed ingest both promise "the
+      // stored index IS the one-shot full-corpus index" — same oracle,
+      // verbatim.
+      "qx77_ivfpq_compact" -> m("qx67_ivfpq_search"),
+      "qx78_ivfpq_stream_ingest" -> m("qx67_ivfpq_search"),
       // qx74's contract: after deleting ids from the stored index, a probed
       // search must behave as if the index had been BUILT without them —
       // the same search oracle with the deleted ids filtered off the
