@@ -39,6 +39,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-6 curation plans: qx75 pair stage is a cluster-keyed equi-join, qx76 keeps every small side on the broadcast path") {
+    // qx75: the quadratic step must be FENCED — an equi-join keyed on
+    // cluster with the priority/threshold tests as residual filters; a
+    // Window here would mean a corpus-wide sort snuck in, a
+    // CartesianProduct that the fence fell off entirely
+    val p75 = SparkEntry.queries("qx75_semantic_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p75.contains("CartesianProduct"), p75.take(1500))
+    assert(!p75.contains("Window"),
+      s"semantic dedup must not window over the corpus:\n${p75.take(1500)}")
+    // qx76: the metadata semi-join and every search-side small frame must
+    // broadcast — a SortMergeJoin means the corpus is being sorted for a
+    // side that should have shipped to it
+    val p76 = SparkEntry.queries("qx76_filtered_ann")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p76.contains("SortMergeJoin"),
+      s"qx76: a join fell off the broadcast path:\n${p76.take(1500)}")
+  }
+
   test("no oracle query plans a CartesianProduct; all keep codegen") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
