@@ -325,6 +325,40 @@ object TextAnalysis {
         col("keep_docs"), col("rate_pm"))
   }
 
+  /** Temperature-scaled (α-sampling) mixture planning — the standard LLM
+    * data-recipe step ([[mixtureWeights]]' complement: that one enforces
+    * CALLER-CHOSEN proportions; this one DERIVES them from corpus sizes):
+    * domain i gets weight nᵢ^α / Σ nⱼ^α, so α=1 is natural proportions,
+    * α=0 is uniform, and the usual α∈(0,1) up-weights small domains
+    * without letting any single corpus dominate (the multilingual-
+    * sampling rule of Conneau & Lample 2019, used for domain mixing by
+    * GPT-3/PaLM-class recipes). `epochs` = planned/n — how many passes
+    * over a domain the plan implies (>1 flags repetition).
+    *
+    * Determinism across engines: the α-powers are doubles, but each is
+    * pinned to DECIMAL(30,12) BEFORE the cross-domain sum — the one
+    * reduction whose float order could differ — so both engines divide
+    * identical numbers and the floor'd allocation can't be off by one.
+    * One tiny aggregate per domain; the totals row broadcasts. */
+  def mixtureAlpha(docs: DataFrame, domainCol: String,
+                   alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0, 1]")
+    require(budget > 0, "budget must be positive")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w",
+        pow(col("n_docs").cast("double"), lit(alpha)).cast("decimal(30,12)"))
+    val tot = counts.agg(sum(col("__w")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__p", col("__w").cast("double") / col("__tot").cast("double"))
+      .withColumn("weight", round(col("__p"), 6))
+      .withColumn("planned_docs",
+        floor(lit(budget.toDouble) * col("__p")).cast("long"))
+      .withColumn("epochs", round(
+        col("planned_docs").cast("double") / col("n_docs").cast("double"), 6))
+      .select(col(domainCol), col("n_docs"), col("weight"),
+        col("planned_docs"), col("epochs"))
+  }
+
   /** Bigram-LM quality scoring — the step up from [[unigramLogProb]]:
     * score each doc by the mean Laplace-smoothed conditional log
     * probability ln((c(w₁w₂)+1) / (c(w₁)+V)) over its bigram positions

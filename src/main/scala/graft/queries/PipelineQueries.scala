@@ -42,6 +42,10 @@ object PipelineQueries {
     ("phone", "[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<phone>"))
 
   /** Mixture targets (permille, sums to 1000) over documents.lang. */
+  /** qx79: α=0.5 (square-root scaling, the common multilingual choice)
+    * over a 10k-sample budget — small sources get >proportional share. */
+  private val MIX_ALPHA = 0.5
+  private val MIX_BUDGET = 10000L
   private val MIX_TARGETS = Seq(
     ("de", 150L), ("en", 400L), ("es", 150L), ("fr", 150L), ("zh", 150L))
 
@@ -228,6 +232,15 @@ object PipelineQueries {
     "qx33_mixture_weights" -> ((s, dir) => {
       TextAnalysis.mixtureWeights(t(s, dir, "documents"), "lang", MIX_TARGETS)
         .orderBy("lang")
+    }),
+
+    // ---- α-sampling mixture: temperature-scaled domain weights -----------
+    // (derive the mix from corpus sizes — n^α up-weights small domains;
+    //  qx33 is the complement that enforces caller-chosen proportions)
+    "qx79_mixture_alpha" -> ((s, dir) => {
+      TextAnalysis.mixtureAlpha(t(s, dir, "documents"), "source",
+          MIX_ALPHA, MIX_BUDGET)
+        .orderBy("source")
     }),
 
     // ---- Context-window chunking: overlapping token windows per doc ------
@@ -578,6 +591,20 @@ object PipelineQueries {
          |       ELSE 0 END AS BIGINT) AS rate_pm
          |FROM j CROSS JOIN m ORDER BY lang""".stripMargin
     },
+
+    "qx79_mixture_alpha" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |        CAST(pow(CAST(n_docs AS DOUBLE), $MIX_ALPHA) AS DECIMAL(30,12)) AS ww
+         |      FROM c),
+         |m AS (SELECT SUM(ww) AS tot FROM w)
+         |SELECT source, n_docs,
+         |  ROUND(CAST(ww AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+         |  CAST(FLOOR($MIX_BUDGET.0 * (CAST(ww AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT)
+         |    AS planned_docs,
+         |  ROUND(CAST(FLOOR($MIX_BUDGET.0 * (CAST(ww AS DOUBLE) / CAST(tot AS DOUBLE))) AS DOUBLE)
+         |      / CAST(n_docs AS DOUBLE), 6) AS epochs
+         |FROM w CROSS JOIN m ORDER BY source""".stripMargin,
 
     "qx36_chunking" -> {
       val toks = TX.tokens("text")

@@ -11,6 +11,35 @@ class PipelineOpsSpec extends SparkSpec {
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("mixtureAlpha: alpha=1 is natural proportions, alpha=0 uniform, alpha=0.5 up-weights small domains; budget never exceeded") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 3 domains with 8:2:1 sizes — skewed enough that temperature bites
+    val docs = (Seq.fill(800)("a") ++ Seq.fill(200)("b") ++ Seq.fill(100)("c"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "source")
+    def plan(alpha: Double) = TextAnalysis
+      .mixtureAlpha(docs, "source", alpha, budget = 10000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    val nat = plan(1.0)
+    assert(math.abs(nat("a")._2 - 800.0 / 1100) < 1e-6, s"alpha=1 must be proportional: $nat")
+    val uni = plan(0.0)
+    assert(Seq("a", "b", "c").forall(d => math.abs(uni(d)._2 - 1.0 / 3) < 1e-6),
+      s"alpha=0 must be uniform: $uni")
+    val sqrtP = plan(0.5)
+    assert(sqrtP("c")._2 > nat("c")._2 && sqrtP("a")._2 < nat("a")._2,
+      s"alpha=0.5 must up-weight the small domain: $sqrtP vs $nat")
+    // floor'd allocations can never overshoot the budget; epochs > 1
+    // flags repetition exactly when planned exceeds the domain's docs
+    Seq(nat, uni, sqrtP).foreach { p =>
+      assert(p.values.map(_._3).sum <= 10000L)
+      p.values.foreach { case (n, _, planned, epochs) =>
+        assert((epochs > 1.0) == (planned > n))
+      }
+    }
+    assert(uni("c")._4 > 1.0, "uniform over 8:2:1 must repeat the smallest domain")
+  }
+
   test("deterministicSplit: total partition, stable across runs and corpus growth") {
     val s1 = TextAnalysis.deterministicSplit(docs, "doc_id")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
