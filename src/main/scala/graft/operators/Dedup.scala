@@ -454,6 +454,64 @@ object Dedup {
         col("inter_size").cast("double") / col("union_size").cast("double"))
   }
 
+  /** Exact-substring span REMOVAL — the rewrite step behind
+    * [[duplicatedSpanCensus]] (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", at shingle granularity): a token
+    * position is excised when it falls inside ANY `shingleN`-gram that
+    * also occurs in a DIFFERENT document; the survivors are re-joined
+    * into `clean_text`. Within-doc repeats deliberately do NOT count
+    * (same contract as the census): the target is boilerplate shared
+    * ACROSS documents, not a doc's own refrain.
+    *
+    * Plan: one tokenize pass fans into the positional rolling-hash
+    * stream (the [[shingleHashRowsWindowed]] formula, positions kept);
+    * the cross-doc dup set is a distinct-(sh, doc) aggregate; coverage
+    * is a bounded window frame (`shingleN−1 PRECEDING`) over the
+    * doc-keyed stream — start flags propagate to every covered position
+    * without a range self-join; reconstruction is one per-doc sorted
+    * collect. Shuffles: token stream on sh (dup-flag join; AQE
+    * broadcasts the dup set when small) then on doc id — the
+    * decontamination topology. The per-doc collect_list is bounded by
+    * document length, the same bound tokenization itself already
+    * carries.
+    *
+    * Output: one row per input doc — (idCol, n_tokens, n_removed,
+    * clean_text), empty docs kept with empty text. */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tok = docs.select(col(idCol),
+      posexplode(expr(TX.tokensAuto(textCol))).as(Seq("pos", "w")))
+    val tokh = tok.withColumn("h", expr(TX.polyHashAuto("w")))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val sh = (1 until shingleN).foldLeft(col("h")) { (acc, j) =>
+      (acc * lit(8191L) + lead(col("h"), j).over(win)) % lit(TX.P)
+    }
+    val withSh = tokh.withColumn("sh", sh)
+    val dup = withSh.filter(col("sh").isNotNull)
+      .select(col("sh"), col(idCol)).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("sh"), lit(1).as("__dupflag"))
+    val covFrame = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(shingleN - 1), Window.currentRow)
+    val covered = withSh.join(dup, Seq("sh"), "left")
+      .withColumn("__st", coalesce(col("__dupflag"), lit(0)))
+      .withColumn("covered", max(col("__st")).over(covFrame))
+    val agg = covered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).cast("long").as("n_removed"),
+        array_sort(collect_list(struct(col("pos"), col("covered"), col("w"))))
+          .as("__a"))
+      .withColumn("clean_text",
+        array_join(expr("transform(filter(__a, x -> x.covered = 0), x -> x.w)"), " "))
+      .select(col(idCol), col("n_tokens"), col("n_removed"), col("clean_text"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Semantic (embedding-space) deduplication — the SemDeDup recipe
     * (Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
     * nearest k-means centroid, then compare pairs ONLY within a cluster

@@ -187,6 +187,14 @@ object BatchingQueries {
       Dedup.duplicatedSpanCensus(t(s, dir, "documents"), "text", "doc_id", SPAN_N)
         .orderBy("doc_id")),
 
+    // ---- Duplicated-span REMOVAL: the census's rewrite step --------------
+    // (cross-doc duplicated n-gram positions are excised and the text
+    //  re-joined — Lee-et-al-style exact-substring dedup at shingle
+    //  granularity; qx48 measures the duplication, this one removes it)
+    "qx80_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "text", "doc_id", SPAN_N)
+        .orderBy("doc_id")),
+
     // ---- Multi-probe IVF ANN ----------------------------------------------
     "qx49_multiprobe_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -489,6 +497,40 @@ object BatchingQueries {
          |  ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS DOUBLE)
          |    / CAST(SUM(occ) AS DOUBLE), 6) AS dup_fraction
          |FROM d2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "qx80_remove_dup_spans" -> {
+      val d = duckD
+      val toks = TX.tokens("text")(d)
+      val shComb = (1 until SPAN_N).foldLeft("h") { (acc, j) =>
+        s"(($acc * 8191 + lead(h, $j) OVER win) % ${TX.P})"
+      }
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |t1 AS (SELECT doc_id, unnest(toks) AS w,
+         |         unnest(generate_series(1, len(toks))) AS pos FROM t0),
+         |t2 AS (SELECT doc_id, pos, w, ${TX.polyHash("w")(d)} AS h FROM t1),
+         |t3 AS (SELECT doc_id, pos, w, $shComb AS sh FROM t2
+         |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |dup AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS nd
+         |                        FROM t3 WHERE sh IS NOT NULL GROUP BY sh)
+         |        WHERE nd >= 2),
+         |mk AS (SELECT doc_id, pos, w,
+         |         CASE WHEN sh IN (SELECT sh FROM dup) THEN 1 ELSE 0 END AS st
+         |       FROM t3),
+         |cov AS (SELECT doc_id, pos, w,
+         |          MAX(st) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN ${SPAN_N - 1} PRECEDING AND CURRENT ROW) AS covered
+         |        FROM mk),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |          CAST(SUM(covered) AS BIGINT) AS n_removed,
+         |          COALESCE(string_agg(CASE WHEN covered = 0 THEN w END, ' '
+         |            ORDER BY pos), '') AS clean_text
+         |        FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+         |  COALESCE(n_removed, 0) AS n_removed,
+         |  COALESCE(clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "qx49_multiprobe_ann" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(duckD)} AS norm2 FROM embeddings),

@@ -22,6 +22,31 @@ class BatchingOpsSpec extends SparkSpec {
     assert(got(4L)._2 == 0L, s"within-doc repetition must not count: ${got(4L)}")
   }
 
+  test("removeDuplicatedSpans: only cross-doc shared spans excised; within-doc repeats, unique text, empty docs untouched") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // docs 1/2 share exactly one 3-gram ("common boiler plate"); doc 3
+    // repeats its own trigram (must NOT count); doc 4 is unique; doc 5
+    // is empty — the rewrite must be surgical, not a blanket filter
+    val docs = Seq(
+      (1L, "alpha beta common boiler plate gamma delta"),
+      (2L, "zeta common boiler plate eta theta iota"),
+      (3L, "one two three one two three one two three"),
+      (4L, "completely unique words nobody else uses anywhere"),
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (7L, 3L, "alpha beta gamma delta"),
+      s"doc 1 must lose exactly the shared trigram: ${out(1L)}")
+    assert(out(2L) == (7L, 3L, "zeta eta theta iota"), out(2L).toString)
+    assert(out(3L) == (9L, 0L, "one two three one two three one two three"),
+      s"within-doc repetition must NOT be excised: ${out(3L)}")
+    assert(out(4L) == (7L, 0L, "completely unique words nobody else uses anywhere"))
+    assert(out(5L) == (0L, 0L, ""), "empty doc kept with empty text")
+  }
+
   test("semanticDedup: pairwise drop fenced inside clusters, closest-to-centroid wins, zero-norm excluded") {
     import spark.implicits._
     import graft.operators.Dedup
