@@ -622,6 +622,44 @@ class BatchingOpsSpec extends SparkSpec {
     assert(errs.last._2 < 1e-6, s"full basis must reconstruct: ${errs.last}")
   }
 
+  test("pcaProject is an exact isometry on a planted low-rank corpus: every pairwise L2 survives the 64→8 projection") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // 120 vectors in a ROTATED 8-dim subspace of 64: integer coefficients
+    // in dims 0..7, then Givens rotations smear the subspace across
+    // block boundaries (so the test can't pass by PCA trivially reading
+    // off coordinates). Pairwise differences cancel the mean, and the
+    // components span the data's subspace, so ||y_i − y_j|| must equal
+    // ||x_i − x_j|| exactly — the license for running every L2-based
+    // downstream stage (k-means, PQ training, IVF search) at 8 dims.
+    def rot(v: Array[Double], p: Int, q: Int, th: Double): Unit = {
+      val c = math.cos(th); val s = math.sin(th)
+      val vp = v(p); val vq = v(q)
+      v(p) = c * vp - s * vq; v(q) = s * vp + c * vq
+    }
+    val pts = (0 until 120).map { i =>
+      val x = new Array[Double](64)
+      for (j <- 0 until 8) x(j) = ((i * (j + 3)) % 19 - 9).toDouble
+      rot(x, 0, 8, 0.7); rot(x, 1, 16, 0.5); rot(x, 2, 24, 1.1)
+      rot(x, 3, 40, 0.3); rot(x, 7, 63, 0.9); rot(x, 5, 33, 1.3)
+      (i.toLong, x.map(_.toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val (mu, p) = Quantize.pcaTrain(df, "embedding", dims = 64, m = 8)
+    val proj = Quantize.pcaProject(df, "embedding", mu, p, "y")
+      .orderBy("vec_id").select("y").collect().map(_.getSeq[Double](0).toArray)
+    val full = pts.map(_._2.map(_.toDouble)).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var maxDev = 0.0
+    for (i <- full.indices; j <- (i + 1) until full.length) {
+      val dev = math.abs(d2(full(i), full(j)) - d2(proj(i), proj(j)))
+      if (dev > maxDev) maxDev = dev
+    }
+    assert(maxDev < 1e-6,
+      f"projection must preserve every pairwise squared distance; max deviation $maxDev%g")
+  }
+
   test("pqTrain: Lloyd-trained codebook strictly reduces PQ distortion vs its own seed") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
