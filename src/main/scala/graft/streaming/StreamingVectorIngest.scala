@@ -79,6 +79,7 @@ object StreamingVectorIngest {
                      codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                      dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    graft.operators.Similarity.requireSmallQuerySide(queries, "searchIngested")
     val cells = Quantize.probeCells(queries, qIdCol, qVecCol,
         centroids, cenIdCol, cenVecCol, nProbe)
       .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
