@@ -27,6 +27,11 @@ object BatchingQueries {
     * cluster overflows it, so the balancing actually bites. */
   private val CBS_CAP = 25L
   private val SPAN_N = 3
+  /** qx81's span length — longer than qx48/qx80's so excision is
+    * SURGICAL (~10 % of tokens) and the downstream rule pack still sees
+    * substantial documents (n=3 on this tiny-vocabulary synthetic corpus
+    * removes ~93 %, which would starve every later stage). */
+  private val SPAN_V3_N = 5
   private val PROBE_CENTROIDS = 8
   private val PROBE_QUERY_SET = 20
   private val PROBE_K = 3
@@ -194,6 +199,28 @@ object BatchingQueries {
     "qx80_remove_dup_spans" -> ((s, dir) =>
       Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "text", "doc_id", SPAN_N)
         .orderBy("doc_id")),
+
+    // ---- Curation v3: excise shared spans → rule-pack the CLEAN text →
+    //      α-mixture plan over the survivors --------------------------------
+    // (round 6's own layer composed stage-into-stage: Lee-style span
+    //  removal rewrites the text BEFORE quality rules judge it — a doc
+    //  whose bulk was cross-doc boilerplate now fails the token floor it
+    //  passed raw — and the final sampling plan is derived from what
+    //  actually survived, not the raw corpus)
+    "qx81_curation_v3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cleaned = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", SPAN_V3_N)
+      val kept = TextAnalysis.gopherRules(cleaned, "clean_text", "doc_id",
+          PipelineQueries.GOPHER_MIN_TOKENS, PipelineQueries.GOPHER_MAX_TOKENS,
+          PipelineQueries.GOPHER_MIN_AVG_LEN, PipelineQueries.GOPHER_MAX_AVG_LEN,
+          PipelineQueries.GOPHER_MAX_SYMBOL_RATIO,
+          PipelineQueries.GOPHER_MIN_STOP_HITS)
+        .filter(col("keep") === 1)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      TextAnalysis.mixtureAlpha(kept, "source",
+          PipelineQueries.MIX_ALPHA, PipelineQueries.MIX_BUDGET)
+        .orderBy("source")
+    }),
 
     // ---- Multi-probe IVF ANN ----------------------------------------------
     "qx49_multiprobe_ann" -> ((s, dir) => {
@@ -498,38 +525,42 @@ object BatchingQueries {
          |    / CAST(SUM(occ) AS DOUBLE), 6) AS dup_fraction
          |FROM d2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "qx80_remove_dup_spans" -> {
-      val d = duckD
-      val toks = TX.tokens("text")(d)
-      val shComb = (1 until SPAN_N).foldLeft("h") { (acc, j) =>
-        s"(($acc * 8191 + lead(h, $j) OVER win) % ${TX.P})"
-      }
-      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
-         |t1 AS (SELECT doc_id, unnest(toks) AS w,
-         |         unnest(generate_series(1, len(toks))) AS pos FROM t0),
-         |t2 AS (SELECT doc_id, pos, w, ${TX.polyHash("w")(d)} AS h FROM t1),
-         |t3 AS (SELECT doc_id, pos, w, $shComb AS sh FROM t2
-         |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-         |dup AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS nd
-         |                        FROM t3 WHERE sh IS NOT NULL GROUP BY sh)
-         |        WHERE nd >= 2),
-         |mk AS (SELECT doc_id, pos, w,
-         |         CASE WHEN sh IN (SELECT sh FROM dup) THEN 1 ELSE 0 END AS st
-         |       FROM t3),
-         |cov AS (SELECT doc_id, pos, w,
-         |          MAX(st) OVER (PARTITION BY doc_id ORDER BY pos
-         |            ROWS BETWEEN ${SPAN_N - 1} PRECEDING AND CURRENT ROW) AS covered
-         |        FROM mk),
-         |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
-         |          CAST(SUM(covered) AS BIGINT) AS n_removed,
-         |          COALESCE(string_agg(CASE WHEN covered = 0 THEN w END, ' '
-         |            ORDER BY pos), '') AS clean_text
-         |        FROM cov GROUP BY doc_id)
+    "qx80_remove_dup_spans" ->
+      s"""WITH ${dupSpanCleanCtes(SPAN_N)}
          |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
          |  COALESCE(n_removed, 0) AS n_removed,
          |  COALESCE(clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN agg USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "qx81_curation_v3" -> {
+      val d = duckD
+      val keepExpr = TextAnalysis.gopherSignalSelect("text", "__toks",
+          PipelineQueries.GOPHER_MIN_TOKENS, PipelineQueries.GOPHER_MAX_TOKENS,
+          PipelineQueries.GOPHER_MIN_AVG_LEN, PipelineQueries.GOPHER_MAX_AVG_LEN,
+          PipelineQueries.GOPHER_MAX_SYMBOL_RATIO,
+          PipelineQueries.GOPHER_MIN_STOP_HITS)(d)
+        .collectFirst { case (e, "keep") => e }.get
+      s"""WITH ${dupSpanCleanCtes(SPAN_V3_N)},
+         |cd AS (SELECT a.doc_id, d.source, a.clean_text FROM agg a
+         |       JOIN documents d USING (doc_id)),
+         |td AS (SELECT doc_id, source, clean_text AS text,
+         |         ${TX.tokens("clean_text")(d)} AS __toks FROM cd),
+         |g AS (SELECT doc_id, source, $keepExpr AS keep FROM td),
+         |k AS (SELECT source, COUNT(*) AS n_docs FROM g WHERE keep = 1
+         |      GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |        CAST(pow(CAST(n_docs AS DOUBLE), ${PipelineQueries.MIX_ALPHA})
+         |          AS DECIMAL(30,12)) AS ww FROM k),
+         |m AS (SELECT SUM(ww) AS tot FROM w)
+         |SELECT source, n_docs,
+         |  ROUND(CAST(ww AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+         |  CAST(FLOOR(${PipelineQueries.MIX_BUDGET}.0
+         |      * (CAST(ww AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS planned_docs,
+         |  ROUND(CAST(FLOOR(${PipelineQueries.MIX_BUDGET}.0
+         |      * (CAST(ww AS DOUBLE) / CAST(tot AS DOUBLE))) AS DOUBLE)
+         |      / CAST(n_docs AS DOUBLE), 6) AS epochs
+         |FROM w CROSS JOIN m ORDER BY source""".stripMargin
     },
 
     "qx49_multiprobe_ann" ->
@@ -626,6 +657,39 @@ object BatchingQueries {
          |GROUP BY a.cluster, i
          |ORDER BY a.cluster, dim""".stripMargin)
   )
+
+  /** Shared CTE chain for qx80/qx81: positional token stream → rolling
+    * shingle hashes → cross-doc dup set → coverage propagation → per-doc
+    * `agg(doc_id, n_tokens, n_removed, clean_text)`. The SQL mirror of
+    * [[graft.operators.Dedup.removeDuplicatedSpans]]. */
+  private def dupSpanCleanCtes(n: Int): String = {
+    val d = duckD
+    val toks = TX.tokens("text")(d)
+    val shComb = (1 until n).foldLeft("h") { (acc, j) =>
+      s"(($acc * 8191 + lead(h, $j) OVER win) % ${TX.P})"
+    }
+    s"""t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+       |t1 AS (SELECT doc_id, unnest(toks) AS w,
+       |         unnest(generate_series(1, len(toks))) AS pos FROM t0),
+       |t2 AS (SELECT doc_id, pos, w, ${TX.polyHash("w")(d)} AS h FROM t1),
+       |t3 AS (SELECT doc_id, pos, w, $shComb AS sh FROM t2
+       |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |dup AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS nd
+       |                        FROM t3 WHERE sh IS NOT NULL GROUP BY sh)
+       |        WHERE nd >= 2),
+       |mk AS (SELECT doc_id, pos, w,
+       |         CASE WHEN sh IN (SELECT sh FROM dup) THEN 1 ELSE 0 END AS st
+       |       FROM t3),
+       |cov AS (SELECT doc_id, pos, w,
+       |          MAX(st) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS covered
+       |        FROM mk),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |          CAST(SUM(covered) AS BIGINT) AS n_removed,
+       |          COALESCE(string_agg(CASE WHEN covered = 0 THEN w END, ' '
+       |            ORDER BY pos), '') AS clean_text
+       |        FROM cov GROUP BY doc_id)""".stripMargin
+  }
 
   /** Shared CTE prefix for qx45/qx46: deterministic nearest-centroid
     * assignment (cosine desc, centroid asc), zero-norm rows excluded —

@@ -44,8 +44,8 @@ object PipelineQueries {
   /** Mixture targets (permille, sums to 1000) over documents.lang. */
   /** qx79: α=0.5 (square-root scaling, the common multilingual choice)
     * over a 10k-sample budget — small sources get >proportional share. */
-  private val MIX_ALPHA = 0.5
-  private val MIX_BUDGET = 10000L
+  private[queries] val MIX_ALPHA = 0.5
+  private[queries] val MIX_BUDGET = 10000L
   private val MIX_TARGETS = Seq(
     ("de", 150L), ("en", 400L), ("es", 150L), ("fr", 150L), ("zh", 150L))
 
