@@ -12,33 +12,108 @@ object Bench {
     * than `sfDir`: cross-SF deltas are all noise (a local sf0.001 probe
     * run must not flag "regressions" against the official sf0.1 round,
     * or vice versa). */
-  private def priorQueryTimes(path: String, sfDir: String): Map[String, Double] = {
+  private def priorQueryTimes(path: String, sfDir: String): Map[String, Double] =
+    priorObject(path, sfDir, "queries")
+
+  /** Same extraction for the prior round's per-query spark/duckdb ratios
+    * (the `"ratios"` object inside BENCH_FULL.json's duckdb block). These
+    * are the drift-proof regression baseline: a ratio compares Spark to a
+    * DuckDB measurement taken in the SAME run, so machine-load swings that
+    * move both engines ±20% cancel instead of flagging. */
+  private def priorRatios(path: String, sfDir: String): Map[String, Double] =
+    priorObject(path, sfDir, "ratios")
+
+  private def priorObject(path: String, sfDir: String, key: String): Map[String, Double] = {
     try {
       val src = scala.io.Source.fromFile(path)
       val text = try src.mkString finally src.close()
       // whitespace-tolerant: BENCH_FULL.json is compact, but the DuckDB
       // baseline is python-pretty-printed ("sf": "..." with a space)
-      val sfRec = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+      val sfRec = ("\"sf\":\\s*\"([^\"]+)\"").r.findFirstMatchIn(text).map(_.group(1))
       if (!sfRec.contains(sfDir)) return Map.empty
-      val qm = """"queries":\s*\{""".r.findFirstMatchIn(text).getOrElse(return Map.empty)
+      val qm = ("\"" + key + "\":\\s*\\{").r.findFirstMatchIn(text).getOrElse(return Map.empty)
       val body = text.substring(qm.end)
       val obj = body.substring(0, body.indexOf('}'))
-      """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(obj)
+      """"([^"]+)":\s*(-?[0-9.]+)""".r.findAllMatchIn(obj)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** 1-minute load average from /proc/loadavg (linux; -1 elsewhere). */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Environment pinning: wait (bounded) for the machine to quiet down
+    * before measuring, and record the load we actually measured under.
+    * A concurrent sbt compile or driver job inflates a whole run ~25%;
+    * recording the load makes a hot run self-identifying instead of
+    * masquerading as a plan regression. */
+  private def waitForQuiet(maxWaitSec: Int, threshold: Double): (Double, Int) = {
+    var waited = 0
+    var l = loadAvg()
+    while (l > threshold && waited < maxWaitSec) {
+      Thread.sleep(15000); waited += 15; l = loadAvg()
+    }
+    (l, waited)
+  }
+
+  /** Measure DuckDB over the oracle suite IN THIS RUN (same machine
+    * conditions as the Spark numbers above it) by shelling to the repo's
+    * baseline tool with a temp output path. Child output is captured so
+    * the stdout contract line stays the process's final line. Returns
+    * (perQueryTimes, sourceTag). Falls back to the committed
+    * BASELINE_DUCKDB.json when python/duckdb is unavailable. */
+  private def sameRunDuck(sfDir: String, reps: Int): (Map[String, Double], String) = {
+    import scala.sys.process._
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_duck")
+      // oracle_sql.json for the tool, same escaping discipline as Verify
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"), json)
+      val outPath = tmp.resolve("duck_now.json").toString
+      val log = new StringBuilder
+      val logger = ProcessLogger(s => log.append(s).append('\n'), s => log.append(s).append('\n'))
+      val p = Process(Seq("python3", "tools/bench_duckdb.py", sfDir, tmp.toString,
+        reps.toString, outPath), new java.io.File(".")).run(logger)
+      val deadlineNs = System.nanoTime() + 20L * 60 * 1000000000L
+      while (p.isAlive() && System.nanoTime() < deadlineNs) Thread.sleep(500)
+      if (p.isAlive()) { p.destroy(); return (committedDuck(sfDir), "committed_fallback_timeout") }
+      p.exitValue() // bench_duckdb exits 1 on per-query SQL errors; partial timings still usable
+      val m = priorQueryTimes(outPath, sfDir)
+      if (m.nonEmpty) (m, "same_run")
+      else (committedDuck(sfDir), "committed_fallback_empty")
+    } catch { case _: Throwable => (committedDuck(sfDir), "committed_fallback_error") }
+  }
+
+  private def committedDuck(sfDir: String): Map[String, Double] =
+    priorQueryTimes("BASELINE_DUCKDB.json", sfDir)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Diff baseline: the committed BENCH_FULL.json from the previous round,
-    // read BEFORE this run overwrites it.
+    // Diff baselines from the previous committed round, read BEFORE this
+    // run overwrites BENCH_FULL.json. Regression flagging keys off the
+    // RATIOS (spark / same-run-duckdb); the absolute walls are kept in the
+    // artifact for context only.
+    val prevRatios = priorRatios("BENCH_FULL.json", sfDir)
     val prior = priorQueryTimes("BENCH_FULL.json", sfDir)
-    // Per-query DuckDB baseline (committed by tools/bench_duckdb.py at the
-    // official SF) — lets the artifact carry spark/duckdb ratios per query,
-    // so the "within 2x of the reference baseline" bar is checkable per
-    // query, not just on suite totals.
-    val duck = priorQueryTimes("BASELINE_DUCKDB.json", sfDir)
+    // Environment pinning: bounded wait for background load to drain, then
+    // record the load the measurement actually ran under.
+    val quietThreshold = math.max(4.0, cpus.toDouble / 4.0)
+    val (loadStart, loadWaited) = waitForQuiet(maxWaitSec = 180, threshold = quietThreshold)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,22 +184,44 @@ object Bench {
       }
       (name, ds.min, ds.max)
     }
+    val loadEnd = loadAvg()
     val results = timings.map { case (n, mn, _) => (n, mn) }
     val total = results.map(_._2).sum
-    // Regression flag: any query whose steady-state min more than doubled
-    // vs the previous committed round. Written to its own artifact so a
-    // real plan regression is distinguishable from run-to-run VM noise
-    // (which the min-of-N already absorbs).
+    // Same-run DuckDB baseline: measured AFTER the Spark loop completes (a
+    // concurrent measurement would corrupt both), under the same machine
+    // conditions, so the per-query spark/duck ratio is load-invariant.
+    // Fewer reps than Spark's: the duck side only normalizes, and min-of-2
+    // is within a few % of min-of-3 on this suite.
+    val duckReps = math.max(1,
+      sys.env.get("SPARK_GRAFT_DUCK_REPS").flatMap(_.toIntOption).getOrElse(2))
+    val (duck, duckSource) =
+      if (sys.env.get("SPARK_GRAFT_SAMERUN_DUCK").contains("0"))
+        (committedDuck(sfDir), "committed_by_request")
+      else sameRunDuck(sfDir, duckReps)
+    // Regression flag — RATIO mode (round-7 change): a query is flagged only
+    // when its spark/duckdb ratio (both sides measured in the SAME run)
+    // exceeds 2× the prior committed round's ratio for that query, with
+    // materiality floors on both engines' absolute walls. Absolute-wall
+    // deltas are NOT flagged: same-day machine drift moves walls ±20% while
+    // moving both engines together, and two rounds of false flags proved
+    // the wall diff measures the machine, not the plan.
     val regressions = timings.flatMap { case (name, mn, _) =>
-      prior.get(name).collect {
-        case p if p > 0.05 && mn > 2.0 * p => // sub-50ms priors are all noise
-          s"""{"query":"$name","prev":${fmt(p)},"now":${fmt(mn)},"ratio":${fmt(mn / p)}}"""
-      }
+      for {
+        dn <- duck.get(name)
+        pr <- prevRatios.get(name)
+        if dn >= 0.05 && mn >= 0.5 && pr > 0
+        rn = mn / dn
+        if rn > 2.0 * pr
+      } yield s"""{"query":"$name","prev_ratio":${fmt(pr)},"now_ratio":${fmt(rn)},""" +
+        s""""spark_now":${fmt(mn)},"duck_now":${fmt(dn)},""" +
+        s""""prev_spark_wall":${fmt(prior.getOrElse(name, -1.0))}}"""
     }
     try {
       val w = new java.io.PrintWriter("BENCH_DELTA.json")
       try w.println(regressions.mkString(
-        s"""{"prev_queries":${prior.size},"flagged":${regressions.size},"threshold":2.0,"regressions":[""",
+        s"""{"mode":"ratio_vs_same_run_duckdb","duck_source":"$duckSource",""" +
+          s""""prev_ratio_baseline_n":${prevRatios.size},"flagged":${regressions.size},""" +
+          s""""threshold":2.0,"floors":{"duck_sec":0.05,"spark_sec":0.5},"regressions":[""",
         ",", "]}"))
       finally w.close()
     } catch { case _: Throwable => }
@@ -133,7 +230,8 @@ object Bench {
     // 86-entry line overflowed it and the driver recorded parsed:null), so
     // it carries only the slowest 20 queries.
     // vs-DuckDB block: per-query spark/duckdb ratios over the shared query
-    // set (qx47 has no oracle → no DuckDB side; absent = not compared)
+    // set (qx47's estimator query has no oracle SQL → no DuckDB side;
+    // absent = not compared)
     val duckCovered = results.filter { case (k, _) => duck.contains(k) }
     val duckTotal = duckCovered.map { case (k, _) => duck(k) }.sum
     val sparkOnDuckSet = duckCovered.map(_._2).sum
@@ -152,7 +250,8 @@ object Bench {
         // plan note or a fix.
         val over2xMaterial = duckCovered.count { case (k, v) =>
           duck(k) >= 0.05 && v >= 0.5 && v > 2.0 * duck(k) }
-        s""""duckdb":{"total":${fmt(duckTotal)},"spark_total_on_shared":${fmt(sparkOnDuckSet)},""" +
+        s""""duckdb":{"source":"$duckSource","total":${fmt(duckTotal)},""" +
+          s""""spark_total_on_shared":${fmt(sparkOnDuckSet)},""" +
           s""""ratio_total":${fmt(if (duckTotal > 0) sparkOnDuckSet / duckTotal else -1.0)},""" +
           s""""n_shared":${duckCovered.size},"n_over_2x":$over2x,""" +
           s""""n_over_2x_material":$over2xMaterial,"ratios":{$ratios}}"""
@@ -163,6 +262,8 @@ object Bench {
         s"\"" + k + "\":" + fmt(if (mn > 0) mx / mn else 1.0) }.mkString(",")
       s"""{"total":${fmt(total)},"queries":{$mins},"spread_max_over_min":{$spreads},""" +
         s""""reps":$reps,"regressions_vs_prev":${regressions.size},"sf":"$sfDir",""" +
+        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+        s""""load_wait_sec":$loadWaited,"load_ok":${if (loadStart >= 0 && loadStart <= quietThreshold) 1 else 0},""" +
         s"""$ratioJson,"n_queries":${results.size}}"""
     }
     try {

@@ -355,11 +355,23 @@ object Quantize {
     * explicit schema), and survivors are written back through that same
     * string column, reproducing the directory names exactly.
     *
+    * Crash safety: the affected cells follow [[graft.sources.Compaction]]'s
+    * rename-swap discipline — their pre-image directories are MOVED to a
+    * sibling `<indexPath>.delete-bak` before survivors are written back,
+    * and the backup is removed only after the write commits. A crash at
+    * any point leaves the backup (the marker) behind;
+    * [[recoverDeleteBackup]] restores the pre-delete store, after which
+    * the delete can simply be re-run. A leftover backup also makes the
+    * next delete refuse loudly instead of compounding the damage.
+    *
     * Caller contract: same single-writer discipline as
     * [[appendToIvfPqIndex]] (schedule against appends/compaction — see
-    * [[graft.sources.StoreLock]]). Deleting ids absent from the store is
-    * a no-op. Returns the number of code rows removed (nBlocks rows per
-    * deleted vector present). */
+    * [[graft.sources.StoreLock]]). `idCol` must name the store's vector-id
+    * column (it is validated against the store schema, not inferred from
+    * column position — a store written by other tooling fails loudly
+    * instead of keying the join on the wrong column). Deleting ids absent
+    * from the store is a no-op. Returns the number of code rows removed
+    * (nBlocks rows per deleted vector present). */
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                            indexPath: String,
                            deleteIds: DataFrame, idCol: String): Long = {
@@ -367,46 +379,89 @@ object Quantize {
     val ids = deleteIds.select(col(idCol)).distinct()
     val dataFields = spark.read.parquet(indexPath).schema.fields
       .filterNot(_.name == "centroid_id")
+    if (!dataFields.exists(_.name == idCol))
+      throw new IllegalArgumentException(
+        s"deleteFromIvfPqIndex: store $indexPath has no column '$idCol' " +
+          s"(data columns: ${dataFields.map(_.name).mkString(", ")}) — " +
+          "pass the id column the index was written with")
     val storeSchema = StructType(
       dataFields :+ StructField("centroid_id", StringType))
     val store = spark.read.schema(storeSchema).parquet(indexPath)
-    val vecId = dataFields.head.name // writer layout: id column leads
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(
+      indexPath.stripSuffix("/") + ".delete-bak")
+    if (fs.exists(bak))
+      throw new java.io.IOException(
+        s"refusing to delete from $indexPath: backup $bak exists from an " +
+          "interrupted delete — run Quantize.recoverDeleteBackup first")
     // Affected cells + doomed row count in one small aggregate: the scan
     // reads only (id, partition) columns, and the delete set broadcasts.
-    val hits = store.join(broadcast(ids), store(vecId) === ids(idCol), "leftsemi")
+    val hits = store.join(broadcast(ids), store(idCol) === ids(idCol), "leftsemi")
       .groupBy("centroid_id").agg(count(lit(1)).as("doomed"))
       .collect()
     if (hits.isEmpty) return 0L
     val affected = hits.map(_.getString(0)).toSeq
     val removed = hits.map(_.getLong(1)).sum
-    // Eagerly materialize the survivors BEFORE overwriting: the frame
-    // reads the very path the overwrite rewrites, and truncating the
-    // lineage (LogicalRDD) is what makes read-then-replace safe — the
+    // Eagerly materialize the survivors BEFORE touching the store: the
+    // frame reads the very cells about to be moved aside, and truncating
+    // the lineage (LogicalRDD) is what makes read-then-replace safe — the
     // affected cells' rows are in memory, bounded by cell size, never
     // the store.
     val survivors = store
       .filter(col("centroid_id").isInCollection(affected))
-      .join(broadcast(ids), store(vecId) === ids(idCol), "leftanti")
-      .localCheckpoint()
-    val keptCells = survivors.select("centroid_id").distinct()
-      .collect().map(_.getString(0)).toSet
-    // Dynamic overwrite replaces exactly the partitions present in the
-    // written frame — cells with surviving rows. Emptied cells are not
-    // present, so their stale directories are removed by hand below.
-    if (keptCells.nonEmpty)
-      survivors.write.partitionBy("centroid_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(indexPath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
-      spark.sparkContext.hadoopConfiguration)
-    affected.filterNot(keptCells).foreach { cell =>
-      val dir = new org.apache.hadoop.fs.Path(indexPath,
+      .join(broadcast(ids), store(idCol) === ids(idCol), "leftanti")
+      .localCheckpoint() // eager: materialized while the cells still exist
+    def cellDir(root: org.apache.hadoop.fs.Path, cell: String) =
+      new org.apache.hadoop.fs.Path(root,
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString("centroid_id", cell))
-      if (fs.exists(dir) && !fs.delete(dir, true))
-        throw new java.io.IOException(s"failed to remove emptied cell $dir")
+    // Swap phase 1: move every affected cell's pre-image into the backup.
+    // From here until the backup is removed, a crash is recoverable by
+    // restoring the backed-up directories over whatever exists.
+    fs.mkdirs(bak)
+    affected.foreach { cell =>
+      if (!fs.rename(cellDir(new org.apache.hadoop.fs.Path(indexPath), cell),
+          cellDir(bak, cell)))
+        throw new java.io.IOException(
+          s"delete swap failed moving cell $cell to $bak — " +
+            "run Quantize.recoverDeleteBackup to restore")
     }
+    // Swap phase 2: append the survivors as fresh cell directories.
+    // Emptied cells simply aren't written — their only copy now lives in
+    // the backup, which the success path deletes. No dynamic-overwrite or
+    // manual directory removal needed.
+    if (!survivors.isEmpty)
+      survivors.write.partitionBy("centroid_id")
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+    if (!fs.delete(bak, true))
+      throw new java.io.IOException(s"failed to remove delete backup $bak")
     removed
+  }
+
+  /** Restore a store from an interrupted [[deleteFromIvfPqIndex]]: every
+    * cell directory present in `<indexPath>.delete-bak` replaces its
+    * (possibly missing or partially rewritten) counterpart in the store,
+    * returning the store to its exact pre-delete state; the caller then
+    * re-runs the delete. Returns true when a backup existed and was
+    * restored, false when there was nothing to recover. */
+  def recoverDeleteBackup(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(
+      indexPath.stripSuffix("/") + ".delete-bak")
+    if (!fs.exists(bak)) return false
+    fs.listStatus(bak).foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(indexPath, st.getPath.getName)
+      if (fs.exists(dst) && !fs.delete(dst, true))
+        throw new java.io.IOException(s"recover: failed to clear $dst")
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"recover: failed to restore $dst")
+    }
+    if (!fs.delete(bak, true))
+      throw new java.io.IOException(s"recover: failed to remove $bak")
+    true
   }
 
   /** Search a PERSISTED index: the union of all probed cells (bounded by

@@ -9,9 +9,9 @@ import graft.operators.{Clustering, Dedup, Packing, Similarity, TextAnalysis}
 /** Round-3 batch: the operators that turn a curated corpus into training
   * batches — sequence packing (exact distributed prefix sums), PMI
   * collocations, k-means semantic clustering (both Lloyd half-steps), and
-  * the approximate-sketch census. All but the sketches oracle-gated; the
-  * sketches are estimator-based (HLL++, KLL) so they get spec-based error
-  * bounds instead (SketchSpec) and a rows-only driver check. */
+  * the approximate-sketch census. All oracle-gated — the sketches through
+  * a bounds-check oracle (estimates vs own exacts, envelope flags
+  * hash-matched) plus SketchSpec's direct error-bound asserts. */
 object BatchingQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -354,15 +354,48 @@ object BatchingQueries {
         .orderBy("vec_id")),
 
     // ---- Sketch census: HLL++ cardinality + KLL quantiles per source -----
-    // (estimators are engine-specific by design → no DuckDB oracle; the
-    //  error-bound contract is spec-enforced in SketchSpec instead)
+    // Estimator OUTPUTS are engine-specific (HLL++ vs DuckDB's HLL,
+    // percentile_approx vs t-digest), so the oracle is a BOUNDS CHECK:
+    // each engine computes its own estimate AND its own exact value, then
+    // emits 0/1 "within the documented envelope" flags — cardinality within
+    // max(1, 10%) of exact (5× the configured 2% rsd), and each quantile
+    // estimate occupying a RANK within eps = max(0.01, 1.5/n) of its
+    // target (rank space, not value space: with 25-row groups a value-space
+    // check is sub-element and flaps; the rank interval [#lt/n, #le/n] of
+    // the estimate must intersect [p−eps, p+eps]). Hash-matching the flags
+    // + exact columns gates the estimators without demanding bit-equal
+    // sketches. Per-estimator error bounds vs exact are additionally
+    // spec-enforced in SketchSpec.
     "qx47_sketch_census" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
-          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_p50_chars"),
-          percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("approx_p90_chars"))
+      val docs = t(s, dir, "documents")
+      val sketches = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("exact_distinct_texts"),
+        approx_count_distinct(col("text"), 0.02).as("__ad"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("__p50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("__p90"))
+      // sketches is source-cardinality (tiny by construction) → broadcast;
+      // the corpus pays one more source-keyed aggregate, nothing shuffles
+      // wider than (source, 4 counters).
+      val ranks = docs.select(col("source").as("__dsrc"), col("n_chars"))
+        .join(broadcast(sketches), col("__dsrc") === col("source"))
+        .groupBy(col("source"), col("n_docs"), col("exact_distinct_texts"),
+          col("__ad"), col("__p50"), col("__p90"))
+        .agg(
+          sum(when(col("n_chars") < col("__p50"), 1L).otherwise(0L)).as("__lt50"),
+          sum(when(col("n_chars") <= col("__p50"), 1L).otherwise(0L)).as("__le50"),
+          sum(when(col("n_chars") < col("__p90"), 1L).otherwise(0L)).as("__lt90"),
+          sum(when(col("n_chars") <= col("__p90"), 1L).otherwise(0L)).as("__le90"))
+      val eps = greatest(lit(0.01), lit(1.5) / col("n_docs"))
+      def rankWithin(p: Double, lt: String, le: String) =
+        when(col(lt).cast("double") / col("n_docs") <= lit(p) + eps &&
+             col(le).cast("double") / col("n_docs") >= lit(p) - eps, 1L).otherwise(0L)
+      ranks.select(col("source"), col("n_docs"), col("exact_distinct_texts"),
+          when(abs(col("__ad") - col("exact_distinct_texts")) <=
+            greatest(lit(1.0), col("exact_distinct_texts") * 0.1), 1L).otherwise(0L)
+            .as("distinct_within"),
+          rankWithin(0.5, "__lt50", "__le50").as("p50_within"),
+          rankWithin(0.9, "__lt90", "__le90").as("p90_within"))
         .orderBy("source")
     })
   )
@@ -370,6 +403,36 @@ object BatchingQueries {
   // -----------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+
+    // Bounds-check oracle (see the qx47 query comment): DuckDB runs its own
+    // estimators (HLL approx_count_distinct, t-digest approx_quantile)
+    // against its own exacts with the SAME envelopes; both engines must
+    // produce all-1 flags plus identical exact columns.
+    "qx47_sketch_census" ->
+      s"""WITH a AS (
+         |  SELECT source, COUNT(*) AS n, COUNT(DISTINCT text) AS ed,
+         |         approx_count_distinct(text) AS ad,
+         |         approx_quantile(n_chars, 0.5) AS p50,
+         |         approx_quantile(n_chars, 0.9) AS p90
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT a.source, a.n, a.ed, a.ad,
+         |    SUM(CASE WHEN d.n_chars <  a.p50 THEN 1 ELSE 0 END) AS lt50,
+         |    SUM(CASE WHEN d.n_chars <= a.p50 THEN 1 ELSE 0 END) AS le50,
+         |    SUM(CASE WHEN d.n_chars <  a.p90 THEN 1 ELSE 0 END) AS lt90,
+         |    SUM(CASE WHEN d.n_chars <= a.p90 THEN 1 ELSE 0 END) AS le90
+         |  FROM a JOIN documents d ON d.source = a.source
+         |  GROUP BY a.source, a.n, a.ed, a.ad)
+         |SELECT source, n AS n_docs, ed AS exact_distinct_texts,
+         |  CAST(CASE WHEN ABS(ad - ed) <= GREATEST(1.0, ed * 0.1)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS distinct_within,
+         |  CAST(CASE WHEN CAST(lt50 AS DOUBLE)/n <= 0.5 + GREATEST(0.01, 1.5/n)
+         |         AND CAST(le50 AS DOUBLE)/n >= 0.5 - GREATEST(0.01, 1.5/n)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS p50_within,
+         |  CAST(CASE WHEN CAST(lt90 AS DOUBLE)/n <= 0.9 + GREATEST(0.01, 1.5/n)
+         |         AND CAST(le90 AS DOUBLE)/n >= 0.9 - GREATEST(0.01, 1.5/n)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS p90_within
+         |FROM r ORDER BY source""".stripMargin,
 
     "qx43_sequence_packing" -> {
       val d = duckD

@@ -11,12 +11,16 @@ import org.apache.spark.sql.SparkSession
   * directory that becomes `.compact-bak` and its rows would vanish with
   * the backup.
   *
-  * Mechanism: a sibling `<store>.lock` file created with
-  * `FileSystem.create(path, overwrite = false)` — an ATOMIC
-  * create-no-overwrite on HDFS and local filesystems, so exactly one of
-  * two racing operations wins; the loser gets a loud IOException naming
-  * the holder (operation, timestamp, pid) instead of silently corrupting
-  * the store. Advisory: writers must opt in ([[graft.EtlDaemon]]'s cycle
+  * Mechanism: a sibling `<store>.lock` file created atomically, so
+  * exactly one of two racing operations wins; the loser gets a loud
+  * IOException naming the holder (operation, timestamp, pid) instead of
+  * silently corrupting the store. On HDFS, `FileSystem.create(path,
+  * overwrite = false)` is the atomic namenode-arbitrated primitive. On
+  * the LOCAL filesystem Hadoop's RawLocal/ChecksumFileSystem implements
+  * that call as a non-atomic exists()-then-create, so local paths use
+  * `java.nio.file.Files.createFile` instead — O_CREAT|O_EXCL at the OS
+  * level, genuinely atomic, closing the window where a daemon cycle and
+  * a concurrent compact could both think they acquired the lock. Advisory: writers must opt in ([[graft.EtlDaemon]]'s cycle
   * and compact subcommands both do), which is the standard posture for
   * filesystem stores without a table-format commit protocol (Delta and
   * Iceberg solve this with optimistic commits; on a plain directory the
@@ -52,20 +56,36 @@ object StoreLock {
     val holderLine =
       s"$op since=${java.time.Instant.ofEpochMilli(System.currentTimeMillis())} " +
         s"pid=${ProcessHandle.current().pid()}"
-    try {
-      val out = fs.create(lock, false) // atomic create-no-overwrite
-      try out.write(holderLine.getBytes("UTF-8")) finally out.close()
-      lock
-    } catch {
-      case e: java.io.IOException if fs.exists(lock) =>
-        val holder =
-          try {
-            val in = fs.open(lock)
-            try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-          } catch { case _: Exception => "<unreadable>" }
-        throw new StoreLockedException(
-          s"store $base is locked by [$holder] — refusing to start '$op'. " +
-            "If the holder crashed, inspect and delete " + lock, e)
+    def locked(cause: Throwable): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        } catch { case _: Exception => "<unreadable>" }
+      throw new StoreLockedException(
+        s"store $base is locked by [$holder] — refusing to start '$op'. " +
+          "If the holder crashed, inspect and delete " + lock, cause)
+    }
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // Local FS: Hadoop's create(path, overwrite=false) here is
+      // exists()-then-create (NOT atomic); go through the OS primitive.
+      val nio = java.nio.file.Paths.get(lock.toUri.getPath)
+      try {
+        java.nio.file.Files.createFile(nio) // O_CREAT|O_EXCL
+        java.nio.file.Files.writeString(nio, holderLine)
+        lock
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException => locked(e)
+      }
+    } else {
+      try {
+        val out = fs.create(lock, false) // atomic on HDFS (namenode-arbitrated)
+        try out.write(holderLine.getBytes("UTF-8")) finally out.close()
+        lock
+      } catch {
+        case e: java.io.IOException if fs.exists(lock) => locked(e)
+      }
     }
   }
 

@@ -35,6 +35,17 @@ import graft.operators.Quantize
   */
 object StreamingVectorIngest {
 
+  /** Source contract: at-least-once hardening covers re-runs of the SAME
+    * batchId only (that is the guarantee foreachBatch gives over a
+    * replayable source). The source must be replayable and vector ids
+    * unique across the stream — the [[Quantize.appendToIvfPqIndex]]
+    * ids-must-be-new contract. A source that re-delivers an id in a
+    * DIFFERENT micro-batch lands duplicate (id, block) code rows in
+    * different batch partitions, which dynamic overwrite cannot collapse;
+    * [[searchIngested]] defends at read time by deduping the probe-pruned
+    * slice on (id, block), so rankings stay correct even then, but the
+    * store itself carries the dead weight until a delete+re-append or
+    * compaction cycle. */
   def start(vectors: DataFrame, idCol: String, vecCol: String,
             centroids: DataFrame, cenIdCol: String, cenVecCol: String,
             codebook: DataFrame, cbIdCol: String, cbVecCol: String,
@@ -89,9 +100,17 @@ object StreamingVectorIngest {
     val storeSchema = StructType(dataFields
       :+ StructField("centroid_id", cenType)
       :+ StructField("batch_id", LongType))
+    // Dedup on (id, block) AFTER the cell pruning: a misbehaving source
+    // that re-delivered an id across micro-batches (see start()'s source
+    // contract) would otherwise double that vector's ADC distance — the
+    // per-block partials SUM over the probed slice. Duplicate rows are
+    // bit-identical (frozen quantizers: same vector → same cell, same
+    // code), so dropping any copy is exact; cost is bounded by the probed
+    // cells' rows, never the store.
     val pruned = spark.read.schema(storeSchema).parquet(indexPath)
       .filter(col("centroid_id").isInCollection(cells))
       .drop("batch_id")
+      .dropDuplicates(idCol, "block")
     Quantize.ivfPqSearchOn(pruned, queries, qIdCol, qVecCol, idCol,
       centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
       dims, nBlocks, k, nProbe)

@@ -354,6 +354,56 @@ class BatchingOpsSpec extends SparkSpec {
     val absent = emb.filter(col("vec_id") < 0).select("vec_id")
     assert(Quantize.deleteFromIvfPqIndex(spark, store, absent, "vec_id") == 0L)
     assert(parquetFiles(store) == after, "no-op delete must leave files unchanged")
+    // id-column contract: a name the store doesn't carry fails loudly
+    // (position-based inference could key the join on e.g. 'block', whose
+    // small values collide with vector ids and delete the wrong rows)
+    val mis = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("doc_id"))
+    val err = intercept[IllegalArgumentException] {
+      Quantize.deleteFromIvfPqIndex(spark, store, mis, "doc_id")
+    }
+    assert(err.getMessage.contains("doc_id") && err.getMessage.contains("vec_id"))
+  }
+
+  test("deleteFromIvfPqIndex: interrupted delete is recoverable and blocks further deletes until recovered") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-recover").toString
+    val store = dir + "/store"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), store)
+    def rows(p: String): Set[String] = spark.read.parquet(p)
+      .select("vec_id", "block", "code", "centroid_id")
+      .collect().map(_.toString).toSet
+    val pristine = rows(store)
+    // Simulate a crash mid-swap: one cell's pre-image moved to the backup,
+    // nothing written back yet — the exact state phase 1 leaves behind.
+    val cells = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).sortBy(_.getName)
+    assert(cells.length >= 2, "fixture needs multiple cells")
+    val bak = new java.io.File(store + ".delete-bak")
+    assert(bak.mkdirs())
+    val moved = cells.head
+    assert(moved.renameTo(new java.io.File(bak, moved.getName)))
+    // a fresh delete must refuse while the backup marker exists
+    val doomed = emb.filter(col("vec_id") % 11 === 0).select("vec_id")
+    val refusal = intercept[java.io.IOException] {
+      Quantize.deleteFromIvfPqIndex(spark, store, doomed, "vec_id")
+    }
+    assert(refusal.getMessage.contains("delete-bak"))
+    // recovery restores the pre-delete store exactly, then deletes work again
+    assert(Quantize.recoverDeleteBackup(spark, store))
+    assert(!bak.exists())
+    assert(rows(store) == pristine,
+      "recovery must restore the exact pre-delete store")
+    assert(!Quantize.recoverDeleteBackup(spark, store),
+      "recover with no backup present must report nothing to do")
+    val removed = Quantize.deleteFromIvfPqIndex(spark, store, doomed, "vec_id")
+    assert(removed > 0L)
   }
 
   test("appendToIvfPqIndexResidual: residual store-after-append equals residual rebuild") {

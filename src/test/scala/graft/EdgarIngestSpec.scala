@@ -173,6 +173,29 @@ class EdgarIngestSpec extends SparkSpec {
       "completed swap must drop the fallback copy")
   }
 
+  test("StoreLock: racing acquires on the local filesystem admit exactly one winner") {
+    import graft.sources.StoreLock
+    // The local-FS path must go through an OS-level O_CREAT|O_EXCL (Hadoop's
+    // RawLocalFileSystem create(overwrite=false) is exists-then-create, a
+    // TOCTOU window): 32 threads hammering acquire on a fresh lock must
+    // produce exactly one winner, every loser a StoreLockedException.
+    val base = java.nio.file.Files.createTempDirectory("lockrace").toString + "/store"
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 32).map { i =>
+      new Thread(() => {
+        gate.await()
+        try { StoreLock.acquire(spark, base, s"racer-$i"); winners.incrementAndGet() }
+        catch { case _: StoreLock.StoreLockedException => losers.incrementAndGet() }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(winners.get() == 1, s"exactly one acquire must win, got ${winners.get()}")
+    assert(losers.get() == 31)
+    StoreLock.release(spark, base)
+  }
+
   test("EtlDaemon: cycle and compact cannot interleave on the same store — the loser fails loudly") {
     import graft.sources.StoreLock
     val base = java.nio.file.Files.createTempDirectory("daemonlock").toString + "/facts"

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 /** Approximate sketches (qx47): estimator outputs can't hash-match a
   * different engine, so the contract is ERROR BOUNDS against the exact
   * answers — which is also the honest 100 TB contract (HLL++/KLL exist
-  * precisely because exact distinct/quantiles don't scale). */
+  * precisely because exact distinct/quantiles don't scale). The driver
+  * gate mirrors this: qx47's oracle hash-matches per-source 0/1
+  * within-envelope flags (each engine vs its own exacts), so a blown
+  * bound is a red oracle row, not just a red spec. */
 class SketchSpec extends SparkSpec {
 
   val sfDir = "/root/testdata/sf0.01"

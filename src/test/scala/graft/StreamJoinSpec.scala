@@ -145,6 +145,19 @@ class StreamJoinSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/index").count() == before,
       "retried batch must replace its partitions, not append a second copy")
     assert(streamedSearch == inMem)
+    // cross-batch re-delivery (a source VIOLATING the replayable/unique-id
+    // contract): the same vectors land again under a NEW batchId, which
+    // dynamic overwrite cannot collapse — the store now carries duplicate
+    // (id, block) rows, but searchIngested's read-time dedup keeps the
+    // rankings exact
+    StreamingVectorIngest.processBatch(last, 999L,
+      "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, s"$dir/index", s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/index").count() > before,
+      "fixture: the misdelivered batch must actually duplicate store rows")
+    assert(streamedSearch == inMem,
+      "searchIngested must dedup cross-batch duplicates — a doubled ADC " +
+        "distance would corrupt the ranking")
   }
 
   test("streaming execution: interval join runs append-mode with bounded state") {

@@ -11,7 +11,12 @@ matches and emits per-query spark/duckdb ratios into BENCH_FULL.json.
 DuckDB runs with its default thread count (all cores — the same hardware
 budget as Bench's local[32]).
 
-Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir> [reps=3]
+Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir> [reps=3] [outPath]
+
+outPath defaults to BASELINE_DUCKDB.json (the committed baseline). Bench.scala
+invokes this script with a temp outPath to obtain a SAME-RUN DuckDB measurement
+— both engines timed under identical machine conditions, so per-query ratios
+survive day-to-day load drift that moves absolute walls ±20%.
 """
 import json, sys, time
 import duckdb
@@ -20,7 +25,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir, reps=3):
+def main(sf_dir, out_dir, reps=3, out_path="BASELINE_DUCKDB.json"):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -53,12 +58,14 @@ def main(sf_dir, out_dir, reps=3):
         "errors": errors,
         "queries": timings,
     }
-    with open("BASELINE_DUCKDB.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\ntotal {total}s over {len(timings)} queries "
-          f"({len(errors)} errors) -> BASELINE_DUCKDB.json")
+          f"({len(errors)} errors) -> {out_path}")
     sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         sys.argv[4] if len(sys.argv) > 4 else "BASELINE_DUCKDB.json")
