@@ -116,6 +116,7 @@ object Bench {
     val (loadStart, loadWaited) = waitForQuiet(maxWaitSec = 180, threshold = quietThreshold)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -22,14 +22,27 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark vectorized reader rejects. Read nanos as raw longs and convert
-    * to a microsecond timestamp — the same ns→µs truncation DuckDB applies
-    * (its TIMESTAMP is µs-native), so oracle semantics are identical. */
+  /** The events table's `ts` physical type has varied across driver data
+    * generations: parquet TIMESTAMP(NANOS) (which the Spark vectorized
+    * reader only reads as a raw long) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ). Normalize
+    * both to a session-TZ microsecond TIMESTAMP: for nanos-as-long the same
+    * ns→µs truncation DuckDB applies (its TIMESTAMP is µs-native); for NTZ
+    * a plain cast (identity on the stored micros under the UTC session TZ
+    * GraftSession pins), so oracle semantics are identical either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(raw)
+  }
+
+  /** ts-column normalization shared by the batch and streaming readers. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => df // already a session-TZ timestamp
   }
 
   /** Exact integer cents from a 2-decimal double — deterministic across

@@ -15,21 +15,26 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events schema for streaming reads. `ts` arrives as parquet
-    * TIMESTAMP(NANOS) which Spark only reads as long (see Tables.events) —
-    * declare long + convert. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Events schema for streaming reads. The `ts` physical type has varied
+    * across driver data generations (TIMESTAMP(NANOS) → long under
+    * nanosAsLong; TIMESTAMP(MICROS) utc=false → TIMESTAMP_NTZ), and a
+    * file-stream source needs the schema declared up front — so peek at the
+    * file's footer with a batch read (metadata-only, no data scan) and
+    * declare what is actually there, then normalize exactly as
+    * Tables.events does for batch. */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // the file-stream source wants a directory; glob-filter to the one table
-    spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Tumbling-window counts + sums with a watermark for late data.
