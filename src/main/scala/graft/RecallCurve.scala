@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantize
+
+/** Recall-vs-budget evidence for the ANN family: recall@10 against exact
+  * L2 ground truth on the driver's synthetic embeddings corpus, for each
+  * build variant (seeded / trained / OPQ-rotated+trained, each with and
+  * without exact-rescore refinement) at several probe budgets.
+  *
+  * The per-operator spec gates (BatchingOpsSpec) prove the ORDERINGS on
+  * constructed fixtures — trained > seeded, refined >= ADC, OPQ distortion
+  * < PQ distortion. This main measures the same orderings at realistic
+  * parameters on the shared corpus and writes the table as a committed
+  * artifact (RECALL.md / RECALL.json), so the claimed headroom of the
+  * trained paths is a number, not an adjective.
+  *
+  * Budget is equal across variants by construction: same nCells coarse
+  * cells, same nBlocks x nCodes product codebook; only the training
+  * differs. OPQ's rotation is orthogonal (L2-isometric), so rotated-space
+  * search results compare directly against raw-space ground truth.
+  *
+  * Usage: runMain graft.RecallCurve [sfDir] [outDir]
+  */
+object RecallCurve {
+
+  private val Dims = 64
+  private val NCells = 16
+  private val NBlocks = 8
+  private val NCodes = 16
+  private val K = 10
+  private val NQueries = 50
+  private val RerankDepth = 30
+  private val Probes = Seq(1, 2, 4)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "."
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // every variant re-reads the corpus; scan once
+    val nCorpus = emb.count()
+    val queries = emb.filter(col("vec_id") < NQueries)
+
+    // Exact L2 ground truth: |Q| x corpus broadcast cross join, top-K per
+    // query with the id tiebreak every search operator uses.
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+    val truth = pairs(emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= K))
+
+    // SEEDED build (qx64/qx67 shape): centroids and codebook are the first
+    // N corpus vectors, raw-space codes. Zero training cost; the baseline
+    // every trained variant must justify itself against.
+    val seedCents = emb.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val seedCb = emb.filter(col("vec_id") < NCodes)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+
+    // TRAINED build: kmeansFit coarse centers + pqTrain residual codebook.
+    val (tCents, tCb) = Quantize.trainIvfPq(emb, "vec_id", "embedding",
+      Dims, NCells, NBlocks, NCodes, coarseMaxIter = 10, pqMaxIter = 5)
+
+    // OPQ: train the orthogonal rotation on the corpus, then run the SAME
+    // trained build in rotated space (rotation is isometric, so raw-space
+    // truth gates it directly).
+    val (rot, _) = Quantize.opqTrain(emb, "vec_id", "embedding",
+      Dims, NBlocks, NCodes, opqIters = 3, pqMaxIter = 5)
+    val embR = Quantize.opqRotate(emb, "embedding", rot, "emb_r")
+      .select(col("vec_id"), col("emb_r")).localCheckpoint()
+    val queriesR = embR.filter(col("vec_id") < NQueries)
+    val (oCents, oCb) = Quantize.trainIvfPq(embR, "vec_id", "emb_r",
+      Dims, NCells, NBlocks, NCodes, coarseMaxIter = 10, pqMaxIter = 5)
+
+    def seeded(nProbe: Int) = pairs(Quantize.ivfPqSearch(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      seedCents, "cid", "cv", seedCb, "code_id", "c_emb",
+      Dims, NBlocks, K, nProbe))
+    def seededRef(nProbe: Int) = pairs(Quantize.ivfPqSearchRefined(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      seedCents, "cid", "cv", seedCb, "code_id", "c_emb",
+      Dims, NBlocks, K, nProbe, RerankDepth))
+    def trained(nProbe: Int) = pairs(Quantize.ivfPqSearchResidual(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      tCents, "centroid_id", "cen_emb", tCb, "code", "c_emb",
+      Dims, NBlocks, K, nProbe))
+    def trainedRef(nProbe: Int) = pairs(Quantize.ivfPqSearchResidualRefined(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      tCents, "centroid_id", "cen_emb", tCb, "code", "c_emb",
+      Dims, NBlocks, K, nProbe, RerankDepth))
+    def opq(nProbe: Int) = pairs(Quantize.ivfPqSearchResidual(
+      queriesR, "vec_id", "emb_r", embR, "vec_id", "emb_r",
+      oCents, "centroid_id", "cen_emb", oCb, "code", "c_emb",
+      Dims, NBlocks, K, nProbe))
+    def opqRef(nProbe: Int) = pairs(Quantize.ivfPqSearchResidualRefined(
+      queriesR, "vec_id", "emb_r", embR, "vec_id", "emb_r",
+      oCents, "centroid_id", "cen_emb", oCb, "code", "c_emb",
+      Dims, NBlocks, K, nProbe, RerankDepth))
+
+    val variants: Seq[(String, Int => Set[(Long, Long)])] = Seq(
+      "seeded" -> (seeded _),
+      "seeded+refine" -> (seededRef _),
+      "trained" -> (trained _),
+      "trained+refine" -> (trainedRef _),
+      "opq+trained" -> (opq _),
+      "opq+trained+refine" -> (opqRef _))
+
+    val rows = for ((name, fn) <- variants; p <- Probes) yield {
+      val r = recall(truth, fn(p))
+      println(f"[recall] $name%-20s nProbe=$p  recall@$K = $r%.4f")
+      (name, p, r)
+    }
+
+    val md = new StringBuilder
+    md.append("# ANN recall vs probe budget\n\n")
+    md.append(s"Generated by `runMain graft.RecallCurve` on `$sfDir` ")
+    md.append(s"($nCorpus vectors, dim $Dims; $NQueries queries, k=$K; ")
+    md.append(s"equal budget: $NCells cells, $NBlocks x $NCodes codes; ")
+    md.append(s"refine rescores top-$RerankDepth exactly).\n\n")
+    md.append("Recall@10 against exact L2 ground truth:\n\n")
+    md.append("| variant | " + Probes.map(p => s"nProbe=$p").mkString(" | ") + " |\n")
+    md.append("|---|" + Probes.map(_ => "---|").mkString + "\n")
+    for ((name, _) <- variants) {
+      val vals = Probes.map(p =>
+        f"${rows.find(r => r._1 == name && r._2 == p).get._3}%.4f")
+      md.append(s"| $name | " + vals.mkString(" | ") + " |\n")
+    }
+    md.append("""
+Reading the table:
+
+- Recall is monotone in nProbe within every variant (more probed cells can
+  only add candidates; the spec gates assert this ordering, the table
+  measures its size).
+- `+refine` dominates its ADC base at every budget: the exact rescore of a
+  top-30 shortlist cannot lose a true neighbor the shortlist already has,
+  and at 2000 corpus vectors it recovers most of the quantization loss for
+  one extra corpus read.
+- `trained` vs `seeded` is the value of learning both quantizers (coarse
+  k-means + residual Lloyd) at EQUAL code budget; `opq+trained` adds the
+  learned orthogonal rotation in front (Ge et al. OPQ). On this corpus the
+  embeddings are synthesized nearly isotropic, so the rotation's headroom
+  over `trained` is small by construction - OPQ pays off on real
+  embeddings whose variance concentrates in few directions (its distortion
+  gate in BatchingOpsSpec constructs exactly that anisotropy).
+""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/RECALL.md"), md.toString)
+
+    val json = rows.map { case (n, p, r) =>
+      s"""{"variant":"$n","n_probe":$p,"recall_at_$K":$r}"""
+    }.mkString("[\n", ",\n", "\n]\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/RECALL.json"), json)
+    println(s"[recall] wrote $outDir/RECALL.md and $outDir/RECALL.json")
+    spark.stop()
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(truth: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+    (truth intersect got).size.toDouble / truth.size
+}

@@ -531,9 +531,40 @@ object Quantize {
     val shortlist = ivfPqSearch(queries, qIdCol, qVecCol,
         corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol,
         codebook, cbIdCol, cbVecCol, dims, nBlocks, rerankDepth, nProbe)
-      .select(col("query_id"), col("neighbor_id"))
+    exactRescore(shortlist, queries, qIdCol, qVecCol, corpus, idCol, vecCol, k)
+  }
+
+  /** [[ivfPqSearchRefined]] for a RESIDUAL build: the ADC shortlist comes
+    * from [[ivfPqSearchResidual]] (centroid + residual-code reconstruction),
+    * the exact-rescore tail is identical — so the recall guarantee carries
+    * over unchanged: the final top-k contains every true neighbor the
+    * shortlist contains. This is the search the TRAINED builds
+    * ([[trainIvfPq]], whose codebook is residual-space) refine with. */
+  def ivfPqSearchResidualRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                                 corpus: DataFrame, idCol: String, vecCol: String,
+                                 centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                                 codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                                 dims: Int, nBlocks: Int, k: Int, nProbe: Int,
+                                 rerankDepth: Int): DataFrame = {
+    require(rerankDepth >= k,
+      s"rerankDepth=$rerankDepth must be >= k=$k (the shortlist feeds the final rank)")
+    val shortlist = ivfPqSearchResidual(queries, qIdCol, qVecCol,
+        corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol,
+        codebook, cbIdCol, cbVecCol, dims, nBlocks, rerankDepth, nProbe)
+    exactRescore(shortlist, queries, qIdCol, qVecCol, corpus, idCol, vecCol, k)
+  }
+
+  /** Exact-L2 rescore of an ADC shortlist — the shared tail of both
+    * refined searches. |Q|×rerankDepth shortlist rows broadcast onto one
+    * corpus scan (equi-join on the vector id): one corpus read, zero
+    * corpus shuffle, sequential-fold dots for engine portability. */
+  private def exactRescore(shortlist: DataFrame,
+                           queries: DataFrame, qIdCol: String, qVecCol: String,
+                           corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int): DataFrame = {
     val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
-    val sl = shortlist.join(broadcast(qv), "query_id")
+    val sl = shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(qv), "query_id")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("__d2x").asc, col("neighbor_id").asc)

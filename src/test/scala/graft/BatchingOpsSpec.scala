@@ -484,6 +484,31 @@ class BatchingOpsSpec extends SparkSpec {
         emb, "vec_id", "embedding", cents, "cid", "cv",
         codebook, "code_id", "c_emb", 64, 4, 3, 2, rerankDepth = 2)
     }
+    // RESIDUAL-build refinement (the search trainIvfPq's codebook needs):
+    // same theorem, same gates — recall never below the residual ADC's,
+    // depth==k degenerates to the same candidate set re-ordered.
+    val resCb = graft.operators.Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 16 && col("vec_id") < 32),
+        "vec_id", "embedding", cents, "cid", "cv")
+      .join(broadcast(cents.withColumnRenamed("cid", "centroid_id")), "centroid_id")
+      .withColumn("c_emb", expr(
+        "zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("vec_id").as("code_id"), col("c_emb"))
+    val adcRes = pairs(Quantize.ivfPqSearchResidual(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      resCb, "code_id", "c_emb", 64, 4, 3, 2))
+    val refRes = pairs(Quantize.ivfPqSearchResidualRefined(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      resCb, "code_id", "c_emb", 64, 4, 3, 2, rerankDepth = 12))
+    val (rAdcRes, rRefRes) = (recall(adcRes), recall(refRes))
+    info(f"residual recall vs exact L2: ADC top-3 $rAdcRes%.3f, refined(12) $rRefRes%.3f")
+    assert(rRefRes >= rAdcRes,
+      f"residual refinement lost recall: adc=$rAdcRes%.3f refined=$rRefRes%.3f")
+    val depthKRes = pairs(Quantize.ivfPqSearchResidualRefined(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      resCb, "code_id", "c_emb", 64, 4, 3, 2, rerankDepth = 3))
+    assert(depthKRes == adcRes,
+      "residual depth==k must keep exactly the residual ADC's candidate set")
   }
 
   test("ivfPqSearch with STRING vector ids: identical ties rank by id, repeat runs agree") {
