@@ -146,10 +146,82 @@ object Multimodal {
     }
   }
 
+  /** MPEG-audio (MP3) frame-header metadata parse — pure JVM, no codec.
+    * The JDK ships no MP3 decoder and this environment admits no native
+    * binding, so PCM synthesis is out of scope; but the container's frame
+    * headers are a published 4-byte format (ISO/IEC 11172-3), so the
+    * METADATA a pipeline filters on — sample rate, duration — is
+    * recoverable exactly by walking frames: skip an ID3v2 tag if present
+    * (syncsafe size), then require consecutive sync-valid headers with a
+    * consistent sample rate, summing samples-per-frame/sample-rate across
+    * frames (VBR-correct: each frame's own bitrate sizes the hop to the
+    * next header; a Xing/VBRI estimate would be a guess, the walk is the
+    * ground truth). Returns None unless >= 2 consecutive valid frames
+    * parse — a random payload that happens to contain 0xFFEx once does
+    * not produce fabricated metadata. */
+  def parseMp3Meta(payload: Array[Byte]): Option[(Int, Long)] = {
+    if (payload == null || payload.length < 4) return None
+    var off = 0
+    // ID3v2 header: "ID3" vM.m flags size(4 x 7-bit syncsafe)
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      val sz = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+        ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+      off = 10 + sz
+    }
+    val srTab = Map(3 -> Array(44100, 48000, 32000),  // MPEG1
+                    2 -> Array(22050, 24000, 16000),  // MPEG2
+                    0 -> Array(11025, 12000, 8000))   // MPEG2.5
+    val brV1 = Map( // kbps by layer, MPEG1 (index 1..14; 0=free, 15=bad)
+      3 -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      2 -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      1 -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+    val brV2 = Map( // MPEG2 / 2.5
+      3 -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      2 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      1 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+    var frames = 0
+    var sampleRate = 0
+    var durationUs = 0L
+    while (off + 4 <= payload.length) {
+      val b1 = payload(off) & 0xFF; val b2 = payload(off + 1) & 0xFF
+      val b3 = payload(off + 2) & 0xFF
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) {
+        return if (frames >= 2) Some((sampleRate, durationUs / 1000L)) else None
+      }
+      val ver = (b2 >> 3) & 3      // 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+      val layer = (b2 >> 1) & 3    // 3=I 2=II 1=III 0=reserved
+      val brIdx = (b3 >> 4) & 0xF
+      val srIdx = (b3 >> 2) & 3
+      val pad = (b3 >> 1) & 1
+      if (ver == 1 || layer == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+        return if (frames >= 2) Some((sampleRate, durationUs / 1000L)) else None
+      val sr = srTab(ver)(srIdx)
+      if (sampleRate != 0 && sr != sampleRate)
+        return if (frames >= 2) Some((sampleRate, durationUs / 1000L)) else None
+      val br = (if (ver == 3) brV1 else brV2)(layer)(brIdx) * 1000
+      val (frameLen, samples) = layer match {
+        case 3 => ((12 * br / sr + pad) * 4, 384)                    // Layer I
+        case 2 => (144 * br / sr + pad, 1152)                        // Layer II
+        case _ =>                                                    // Layer III
+          if (ver == 3) (144 * br / sr + pad, 1152)
+          else (72 * br / sr + pad, 576)
+      }
+      if (frameLen <= 4) return None
+      sampleRate = sr
+      frames += 1
+      durationUs += samples.toLong * 1000000L / sr
+      off += frameLen
+    }
+    if (frames >= 2) Some((sampleRate, durationUs / 1000L)) else None
+  }
+
   /** Batch feature extraction: one pass per partition, payload pruned from
     * the output (features are narrow; never carry bytes forward). Image
     * payloads go through the real imageio decoder, audio through the real
-    * javax.sound decoder; everything else (and unreadable payloads) takes
+    * javax.sound decoder; MP3 payloads the JDK can't decode still get REAL
+    * metadata (sample rate + duration from [[parseMp3Meta]]'s frame walk)
+    * with stub features; everything else (and unreadable payloads) takes
     * the stub with `decoded = false` and metadata passed through. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -176,7 +248,15 @@ object Multimodal {
               MediaFeatures(row.media_id, row.meta.modality,
                 bytes.length.toLong, sha, decoded = true,
                 row.meta.width, row.meta.height, sr, durMs, hist)
-            case None => stub
+            case None => parseMp3Meta(bytes) match {
+              // PCM stays undecoded (decoded = false, stub features) but
+              // the filterable metadata is real, from the frame walk
+              case Some((sr, durMs)) =>
+                MediaFeatures(row.media_id, row.meta.modality,
+                  bytes.length.toLong, sha, decoded = false,
+                  row.meta.width, row.meta.height, sr, durMs, decodeStub(bytes))
+              case None => stub
+            }
           }
           case _ => stub
         }

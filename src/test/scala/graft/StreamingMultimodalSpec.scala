@@ -243,6 +243,45 @@ class StreamingMultimodalSpec extends SparkSpec {
       sr == 8000 && ms == 500L && math.abs(hist(14) - 0.5f) < 1e-6 })
   }
 
+  test("multimodal: MP3 frame walk recovers real rate/duration without a PCM decoder") {
+    import spark.implicits._
+    // Hand-assembled MPEG1 Layer III headers (ISO 11172-3): 44.1 kHz,
+    // 128 kbps (bitrate index 9) → frame length 144*128000/44100 = 417
+    // bytes, 1152 samples/frame. Zero-filled frame bodies can't false-sync.
+    def frame(brIdx: Int, len: Int): Array[Byte] = {
+      val f = new Array[Byte](len)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte // sync + MPEG1 + Layer III
+      f(2) = ((brIdx << 4) | 0).toByte       // bitrate idx, 44.1 kHz, no pad
+      f
+    }
+    val cbr = Array.fill(20)(frame(9, 417)).flatten
+    // 20 frames * floor(1152e6/44100) µs = 522440 µs → 522 ms
+    assert(Multimodal.parseMp3Meta(cbr).contains((44100, 522L)),
+      s"CBR walk: got ${Multimodal.parseMp3Meta(cbr)}")
+    // VBR: alternating 128/64 kbps (frame lengths 417/208) — the walk hops
+    // by each frame's OWN bitrate; samples per frame are constant
+    val vbr = (0 until 10).flatMap(i =>
+      if (i % 2 == 0) frame(9, 417) else frame(5, 208)).toArray
+    assert(Multimodal.parseMp3Meta(vbr).contains((44100, 261L)),
+      s"VBR walk: got ${Multimodal.parseMp3Meta(vbr)}")
+    // ID3v2 prefix (syncsafe size 100) is skipped, not parsed as audio
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100) ++ cbr
+    assert(Multimodal.parseMp3Meta(id3).contains((44100, 522L)), "ID3v2 skip")
+    // one lone sync in garbage must NOT fabricate metadata (< 2 frames)
+    assert(Multimodal.parseMp3Meta(frame(9, 100)).isEmpty, "single frame rejected")
+    assert(Multimodal.parseMp3Meta(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // end-to-end: an MP3 payload under the audio modality gets REAL
+    // metadata from the frame walk but stays decoded=false (PCM is out of
+    // scope without a codec) with the deterministic stub features
+    val media = Seq(
+      MediaRow(1L, MediaMeta("audio", 0, 0, 8000, 1L), cbr)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(!f.decoded && f.sample_rate_hz === 44100 && f.duration_ms === 522L,
+      s"MP3 metadata path: got $f")
+    assert(math.abs(f.features.sum - 1f) < 1e-5, "stub histogram is L1-normalized")
+  }
+
   test("multimodal: metadata scan does not read payload bytes (column pruning)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("media").toString
