@@ -464,6 +464,204 @@ object Quantize {
     true
   }
 
+  // --------------------------------------------------------------------
+  // Tombstoned retraction + retention sweep: the deferred-delete shape a
+  // HIGH-CHURN curated corpus needs. deleteFromIvfPqIndex rewrites the
+  // affected cells synchronously — right for bulk retractions, wasteful
+  // when documents retract one at a time (every retraction would rewrite
+  // a whole cell to remove nBlocks rows). The production pattern (same
+  // idea as Lucene's deleted-docs bitset or a Delta deletion vector):
+  //  - retraction appends the id to a tiny side table (O(1), no store IO),
+  //  - searches anti-join the tombstone set after the probe-pruned scan
+  //    (bounded by probed-cell size, the same cost envelope as the
+  //    (id, block) dedup searchIngested already pays),
+  //  - a maintenance-window RETENTION SWEEP physically rewrites only the
+  //    cells whose tombstoned fraction crossed a threshold, then shrinks
+  //    the tombstone set — amortizing the rewrite across many retractions
+  //    while bounding the dead-row fraction (and thus the filter cost and
+  //    wasted scan bytes) of every cell.
+  // Exact-delete semantics are INVARIANT under sweep timing: filtered
+  // search over (partially swept store + remaining tombstones) must equal
+  // the search over an index built without the retracted ids, whichever
+  // cells have or haven't been swept yet — that equivalence is qx82's
+  // oracle row (it reuses qx67's full search SQL with the retracted ids
+  // filtered off the corpus side, exactly like qx74).
+  // --------------------------------------------------------------------
+
+  private def tombstonesPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + ".tombstones"
+
+  /** Retract vector ids from a persisted index WITHOUT touching the store:
+    * append them to the sibling `<indexPath>.tombstones` parquet side
+    * table. O(batch) metadata IO; the inverted lists are not opened.
+    * `idCol` is validated against the store schema like
+    * [[deleteFromIvfPqIndex]] — a mismatched column name fails loudly.
+    * Returns the number of (distinct) ids in the appended batch. Pair
+    * with [[ivfPqSearchStoredRetained]] to query and [[retentionSweep]]
+    * to reclaim. */
+  def addTombstones(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    ids: DataFrame, idCol: String): Long = {
+    val dataFields = spark.read.parquet(indexPath).schema.fields
+      .filterNot(_.name == "centroid_id")
+    if (!dataFields.exists(_.name == idCol))
+      throw new IllegalArgumentException(
+        s"addTombstones: store $indexPath has no column '$idCol' " +
+          s"(data columns: ${dataFields.map(_.name).mkString(", ")})")
+    val batch = ids.select(col(idCol)).distinct().localCheckpoint()
+    batch.coalesce(1).write.mode("append").parquet(tombstonesPath(indexPath))
+    batch.count()
+  }
+
+  /** The standing tombstone set of a persisted index — empty frame (with
+    * the store's id column name and type) when none have been added.
+    * Falls back to `<path>.tombstones.old` if a [[retentionSweep]] crashed
+    * mid-swap, so retracted ids never transiently reappear in searches. */
+  def readTombstones(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     idCol: String): DataFrame = {
+    val main = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath))
+    val old = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(main)) spark.read.parquet(main.toString).select(idCol).distinct()
+    else if (fs.exists(old)) spark.read.parquet(old.toString).select(idCol).distinct()
+    else {
+      val idType = spark.read.parquet(indexPath).schema.apply(idCol).dataType
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, idType))))
+    }
+  }
+
+  /** [[ivfPqSearchStored]] with the tombstone set filtered out: the
+    * anti-join runs AFTER the probe-pruned scan (cost bounded by probed
+    * cells, broadcast tombstones) and BEFORE ADC ranking, so the top-k is
+    * k SURVIVORS — identical to searching a store the retracted ids were
+    * physically deleted from. This is the everyday search of a tombstoned
+    * deployment; [[retentionSweep]] only changes where the filtering cost
+    * is paid, never the result. */
+  def ivfPqSearchStoredRetained(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String,
+                                queries: DataFrame, qIdCol: String, qVecCol: String,
+                                idCol: String,
+                                centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                                codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                                dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    Similarity.requireSmallQuerySide(queries, "ivfPqSearchStoredRetained")
+    val tomb = readTombstones(spark, indexPath, idCol)
+    val pruned = prunedStoreScan(spark, indexPath, queries, qIdCol, qVecCol,
+      centroids, cenIdCol, cenVecCol, nProbe)
+    val live = pruned.join(broadcast(tomb), pruned(idCol) === tomb(idCol), "leftanti")
+    ivfPqSearchOn(live, queries, qIdCol, qVecCol, idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
+  }
+
+  final case class SweepStats(cellsSwept: Long, rowsRemoved: Long,
+                              tombstonesPurged: Long, tombstonesRemaining: Long)
+
+  /** Maintenance-window retention sweep: physically delete tombstoned
+    * vectors from every cell whose tombstoned row fraction is >=
+    * `maxTombstoneFraction`, then shrink the tombstone set to the ids
+    * that still have live rows — cells below the threshold keep carrying
+    * their (cheap, filtered-at-query-time) tombstones until churn
+    * accumulates. Runs under the store's [[graft.sources.StoreLock]]
+    * (same interlock as compaction/append — concurrent maintenance fails
+    * loudly).
+    *
+    * Cost shape: ONE column-pruned (id, cell) scan of the store computes
+    * per-cell fractions map-side (the tombstone set broadcasts); the
+    * physical rewrite is [[deleteFromIvfPqIndex]] restricted to the ids
+    * of crossing cells — only those cells' files are opened, with the
+    * same rename-swap crash discipline ([[recoverDeleteBackup]] applies).
+    *
+    * Crash ordering is safe at every point: the physical delete commits
+    * before the tombstone set shrinks, and the shrink is a rename swap
+    * (`.tombstones.new` written, old moved to `.tombstones.old`, new
+    * renamed in, old removed — [[readTombstones]] falls back to `.old`).
+    * A tombstone for an already-deleted id is a no-op filter, so every
+    * interrupted state still answers searches exactly; re-running the
+    * sweep converges. */
+  def retentionSweep(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     idCol: String, maxTombstoneFraction: Double): SweepStats = {
+    require(maxTombstoneFraction > 0 && maxTombstoneFraction <= 1,
+      s"maxTombstoneFraction=$maxTombstoneFraction must be in (0, 1]")
+    graft.sources.StoreLock.withLock(spark, indexPath, "retention-sweep") {
+      val tomb = readTombstones(spark, indexPath, idCol).localCheckpoint()
+      val nTomb = tomb.count()
+      if (nTomb == 0) SweepStats(0, 0, 0, 0)
+      else {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val dataFields = spark.read.parquet(indexPath).schema.fields
+          .filterNot(_.name == "centroid_id")
+        val storeSchema = StructType(
+          dataFields :+ StructField("centroid_id", StringType))
+        val store = spark.read.schema(storeSchema).parquet(indexPath)
+          .select(col(idCol), col("centroid_id"))
+        // one (id, cell) scan: per-cell totals and doomed counts, plus the
+        // per-tombstoned-id cell map (a vector's nBlocks rows share one
+        // cell) — both driver-side results bounded by nCells / |tombstones|
+        val flagged = store.join(
+          broadcast(tomb.withColumnRenamed(idCol, "__tid").withColumn("__t", lit(1))),
+          store(idCol) === col("__tid"), "left")
+        val perCell = flagged.groupBy("centroid_id")
+          .agg(count(lit(1)).as("total"), sum(coalesce(col("__t"), lit(0))).as("doomed"))
+          .filter(col("doomed") > 0)
+          .collect()
+        val present = flagged.filter(col("__t") === 1)
+          .select(col(idCol), col("centroid_id")).distinct()
+          .localCheckpoint() // read BEFORE the store mutates below
+        val sweepCells = perCell
+          .filter(r => r.getLong(2).toDouble / r.getLong(1) >= maxTombstoneFraction)
+          .map(_.getString(0)).toSet
+        if (sweepCells.isEmpty) {
+          // nothing crosses the threshold; still GC orphan tombstones whose
+          // ids have no store rows at all (already deleted or never present)
+          val orphanCount = nTomb - present.select(idCol).distinct().count()
+          if (orphanCount > 0)
+            swapTombstones(spark, indexPath,
+              tomb.join(present.select(col(idCol)).distinct(), Seq(idCol), "leftsemi"))
+          SweepStats(0, 0, orphanCount, nTomb - orphanCount)
+        } else {
+          val purgeIds = present.filter(col("centroid_id").isInCollection(sweepCells))
+            .select(col(idCol)).localCheckpoint()
+          val removed = deleteFromIvfPqIndex(spark, indexPath, purgeIds, idCol)
+          val remaining = tomb
+            .join(present.filter(!col("centroid_id").isInCollection(sweepCells))
+              .select(col(idCol)), Seq(idCol), "leftsemi")
+            .localCheckpoint()
+          val nRemaining = remaining.count()
+          swapTombstones(spark, indexPath, remaining)
+          SweepStats(sweepCells.size.toLong, removed, nTomb - nRemaining, nRemaining)
+        }
+      }
+    }
+  }
+
+  /** Crash-safe tombstone-set replacement: write `.tombstones.new`, move
+    * the current set to `.tombstones.old`, rename new in, drop old. Every
+    * intermediate state is readable ([[readTombstones]] falls back to
+    * `.old`) and only ever OVER-filters (stale tombstones for physically
+    * deleted ids are no-op filters), never under-filters. */
+  private def swapTombstones(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, remaining: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath))
+    val fresh = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".new")
+    val old = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old")
+    if (fs.exists(fresh) && !fs.delete(fresh, true))
+      throw new java.io.IOException(s"retention sweep: failed to clear $fresh")
+    remaining.coalesce(1).write.mode("overwrite").parquet(fresh.toString)
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"retention sweep: failed to clear $old")
+    if (fs.exists(main) && !fs.rename(main, old))
+      throw new java.io.IOException(s"retention sweep: failed to retire $main")
+    if (!fs.rename(fresh, main))
+      throw new java.io.IOException(s"retention sweep: failed to install $fresh")
+    fs.delete(old, true) // best-effort: a leftover .old only over-filters
+    ()
+  }
+
   /** Search a PERSISTED index: the union of all probed cells (bounded by
     * min(|Q|·nProbe, nCells) — centroid-count-sized planning metadata,
     * never row data) becomes a literal partition filter on the store, so
@@ -478,27 +676,40 @@ object Quantize {
                         codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                         dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
     Similarity.requireSmallQuerySide(queries, "ivfPqSearchStored")
+    val pruned = prunedStoreScan(spark, indexPath, queries, qIdCol, qVecCol,
+      centroids, cenIdCol, cenVecCol, nProbe)
+    ivfPqSearchOn(pruned, queries, qIdCol, qVecCol, idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
+  }
+
+  /** The probe-pruned store scan both stored searches start from: probed
+    * cells (bounded by min(|Q|·nProbe, nCells) planning metadata) become a
+    * literal partition filter on the cell-partitioned store.
+    *
+    * The store is read with an EXPLICIT schema: hive partition-column type
+    * inference would parse numeric-looking string centroid ids (e.g.
+    * "01") as integers, silently breaking the equi-join/filter against
+    * probeCells' original id type — and the damage is not a cast away
+    * ("01" → 1 → "1" never round-trips). The data columns keep their
+    * parquet-embedded types; only the partition column's type is pinned
+    * to the centroid frame's id type, which is what the directory names
+    * were written from. */
+  private def prunedStoreScan(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String,
+                              queries: DataFrame, qIdCol: String, qVecCol: String,
+                              centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                              nProbe: Int): DataFrame = {
     val cells = probeCells(queries, qIdCol, qVecCol,
         centroids, cenIdCol, cenVecCol, nProbe)
       .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
-    // Read the store with an EXPLICIT schema: hive partition-column type
-    // inference would parse numeric-looking string centroid ids (e.g.
-    // "01") as integers, silently breaking the equi-join/filter against
-    // probeCells' original id type — and the damage is not a cast away
-    // ("01" → 1 → "1" never round-trips). The data columns keep their
-    // parquet-embedded types; only the partition column's type is pinned
-    // to the centroid frame's id type, which is what the directory names
-    // were written from.
     val cenType = centroids.schema.apply(cenIdCol).dataType
     val dataFields = spark.read.parquet(indexPath).schema.fields
       .filterNot(_.name == "centroid_id")
     val storeSchema = org.apache.spark.sql.types.StructType(
       dataFields :+ org.apache.spark.sql.types.StructField("centroid_id", cenType))
-    val pruned = spark.read.schema(storeSchema).parquet(indexPath)
+    spark.read.schema(storeSchema).parquet(indexPath)
       .filter(col("centroid_id").isInCollection(cells))
-    ivfPqSearchOn(pruned, queries, qIdCol, qVecCol, idCol,
-      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
-      dims, nBlocks, k, nProbe)
   }
 
   /** Exact-rescore refinement — the FAISS IndexRefineFlat pattern that

@@ -296,6 +296,39 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- Tombstoned retraction + retention sweep -------------------------
+    // (the deferred-delete lifecycle: retractions append to a tombstone
+    //  side table at O(1) cost, searches anti-join it after the probe-
+    //  pruned scan, and a threshold-driven sweep physically rewrites only
+    //  the cells whose dead fraction crossed the line — leaving a MIXED
+    //  store (some cells swept, some still carrying tombstones). The
+    //  oracle is qx74's exact-delete contract: however the sweep split
+    //  the cells, filtered search over the partially-swept store must
+    //  equal the search over an index BUILT without the retracted ids.)
+    "qx82_ivfpq_retention" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val path = java.nio.file.Files.createTempDirectory("qx82-ivfpq")
+        .toString + "/index"
+      graft.operators.Quantize.writeIvfPqIndex(
+        graft.operators.Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS), path)
+      graft.operators.Quantize.addTombstones(s, path,
+        emb.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id")
+      graft.operators.Quantize.retentionSweep(s, path, "vec_id",
+        maxTombstoneFraction = 0.2)
+      graft.operators.Quantize.ivfPqSearchStoredRetained(s, path,
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- Streaming vector ingest under the oracle ------------------------
     // (the qx68 precedent for the ANN store: embeddings arrive as a FILE
     //  stream, one landing file per micro-batch, each batch encoded
@@ -652,7 +685,12 @@ object CurationQueries {
       // search must behave as if the index had been BUILT without them —
       // the same search oracle with the deleted ids filtered off the
       // corpus side only.
-      "qx74_ivfpq_delete" -> ivfPqSearchOracle(Some(s"vec_id % 7 <> 3")))
+      "qx74_ivfpq_delete" -> ivfPqSearchOracle(Some(s"vec_id % 7 <> 3")),
+      // qx82's contract: tombstoned retraction + threshold sweep is exact
+      // delete semantics WHENEVER the sweep runs and WHEREVER it drew the
+      // swept/unswept line — same oracle shape as qx74, with the
+      // retracted set filtered off the corpus side.
+      "qx82_ivfpq_retention" -> ivfPqSearchOracle(Some(s"vec_id % 5 <> 2")))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

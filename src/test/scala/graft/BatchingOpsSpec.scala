@@ -643,6 +643,85 @@ class BatchingOpsSpec extends SparkSpec {
     assert(strStoreRows(spath) == srowsBefore)
   }
 
+  test("tombstone + retentionSweep: filtered search is exact delete at EVERY sweep state; threshold splits cells; orphans GC'd") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-retention").toString
+    val store = dir + "/store"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), store)
+    // retract: all of cell 0 (high per-cell fraction -> will cross the
+    // threshold) plus every-13th vector elsewhere (low fraction -> won't)
+    val byCell = spark.read.parquet(store)
+      .select(col("vec_id"), col("centroid_id").cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cell0 = byCell.filter(_._2 == 0L).map(_._1).toSet
+    assert(cell0.nonEmpty, "fixture needs a populated cell 0")
+    val retracted = cell0 ++ byCell.map(_._1).filter(_ % 13 == 0)
+    val queries = emb.filter(col("vec_id") < 20)
+    def result(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // reference: search over an index BUILT without the retracted ids
+    val refDir = dir + "/ref"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(
+      emb.filter(!col("vec_id").isInCollection(retracted)), "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), refDir)
+    val reference = result(Quantize.ivfPqSearchStored(spark, refDir,
+      queries, "vec_id", "embedding", "vec_id",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2))
+    def retained() = result(Quantize.ivfPqSearchStoredRetained(spark, store,
+      queries, "vec_id", "embedding", "vec_id",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2))
+    val n = Quantize.addTombstones(spark, store,
+      emb.filter(col("vec_id").isInCollection(retracted)).select("vec_id"), "vec_id")
+    assert(n == retracted.size.toLong)
+    // state 1 — all tombstones, nothing swept: exact delete semantics
+    assert(retained() == reference, "pre-sweep filtered search must be exact delete")
+    // state 2 — mixed: cell 0 is 100% dead, others ~1/13; threshold 0.5
+    // sweeps exactly the all-dead cell(s) and keeps the sparse tombstones
+    val stats = Quantize.retentionSweep(spark, store, "vec_id", 0.5)
+    assert(stats.cellsSwept >= 1, s"cell 0 is 100% tombstoned, must sweep: $stats")
+    assert(!new java.io.File(store, "centroid_id=0").exists(),
+      "fully-retracted cell must lose its directory at sweep")
+    assert(stats.tombstonesRemaining > 0,
+      s"sparse cells stay tombstoned below threshold: $stats")
+    assert(stats.tombstonesPurged + stats.tombstonesRemaining == n, s"$stats")
+    assert(retained() == reference, "post-mixed-sweep filtered search must be exact delete")
+    // state 3 — sweep everything: tombstones drain, rows physically gone,
+    // the PLAIN stored search now equals the reference too
+    val stats2 = Quantize.retentionSweep(spark, store, "vec_id", 1e-9)
+    assert(stats2.tombstonesRemaining == 0, s"full sweep must drain: $stats2")
+    assert(result(Quantize.ivfPqSearchStored(spark, store,
+      queries, "vec_id", "embedding", "vec_id",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2)) == reference,
+      "after a full sweep even the unfiltered stored search is the delete result")
+    // state 4 — orphan GC: a tombstone for an id with no store rows is
+    // purged from the set without opening any cell
+    Quantize.addTombstones(spark, store,
+      emb.filter(col("vec_id").isInCollection(cell0.take(1))).select("vec_id"), "vec_id")
+    val stats3 = Quantize.retentionSweep(spark, store, "vec_id", 1.0)
+    assert(stats3 == Quantize.SweepStats(0, 0, 1, 0), s"orphan GC: $stats3")
+    // crash-state fallback: with the main set retired to .old mid-swap,
+    // reads see the OLD set (over-filtering is safe; vanishing is not)
+    Quantize.addTombstones(spark, store,
+      emb.filter(col("vec_id") < 2).select("vec_id"), "vec_id")
+    val fsPath = new java.io.File(store + ".tombstones")
+    assert(fsPath.exists)
+    assert(fsPath.renameTo(new java.io.File(store + ".tombstones.old")))
+    assert(Quantize.readTombstones(spark, store, "vec_id").count() == 2,
+      "mid-swap crash state must still read the retired tombstone set")
+    // id-column contract fails loudly, like delete's
+    val err = intercept[IllegalArgumentException] {
+      Quantize.addTombstones(spark, store,
+        emb.filter(col("vec_id") < 2).select(col("vec_id").as("doc_id")), "doc_id")
+    }
+    assert(err.getMessage.contains("doc_id"))
+  }
+
   test("pcaTrain/pcaProject: orthonormal components, planted subspace recovered exactly, error monotone in m") {
     import spark.implicits._
     import graft.operators.Quantize
