@@ -185,9 +185,6 @@ object Bench {
       }
       (name, ds.min, ds.max)
     }
-    val loadEnd = loadAvg()
-    val results = timings.map { case (n, mn, _) => (n, mn) }
-    val total = results.map(_._2).sum
     // Same-run DuckDB baseline: measured AFTER the Spark loop completes (a
     // concurrent measurement would corrupt both), under the same machine
     // conditions, so the per-query spark/duck ratio is load-invariant.
@@ -206,7 +203,41 @@ object Bench {
     // deltas are NOT flagged: same-day machine drift moves walls ±20% while
     // moving both engines together, and two rounds of false flags proved
     // the wall diff measures the machine, not the plan.
-    val regressions = timings.flatMap { case (name, mn, _) =>
+    def overRatio(name: String, mn: Double): Boolean =
+      (for {
+        dn <- duck.get(name)
+        pr <- prevRatios.get(name)
+      } yield dn >= 0.05 && mn >= 0.5 && pr > 0 && mn / dn > 2.0 * pr)
+        .getOrElse(false)
+    // Transient-flag kill (round-7): a sub-second query can triple on one
+    // run's JIT/GC state alone (observed back-to-back full runs: qx62 at
+    // 0.32 s and 1.17 s under load_ok=1 both times). Each PROVISIONALLY
+    // flagged query is re-measured fresh at the end of the run, mins
+    // folded in: a genuine plan regression reproduces; a transient
+    // evaporates — the committed artifact flags plans, not moments.
+    val provisional = timings.collect {
+      case (name, mn, _) if overRatio(name, mn) => name }.toSet
+    val queryByName = ordered.toMap
+    val finalTimings =
+      if (provisional.isEmpty) timings
+      else timings.map { case t @ (name, mn, mx) =>
+        if (!provisional(name)) t
+        else {
+          val again = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            try { queryByName(name)(spark, sfDir).count() }
+            catch { case _: Throwable => }
+            val d = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            d
+          }
+          (name, math.min(mn, again.min), math.max(mx, again.max))
+        }
+      }
+    val loadEnd = loadAvg()
+    val results = finalTimings.map { case (n, mn, _) => (n, mn) }
+    val total = results.map(_._2).sum
+    val regressions = finalTimings.flatMap { case (name, mn, _) =>
       for {
         dn <- duck.get(name)
         pr <- prevRatios.get(name)
@@ -259,7 +290,7 @@ object Bench {
       }
     val fullJson = {
       val mins = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString(",")
-      val spreads = timings.map { case (k, mn, mx) =>
+      val spreads = finalTimings.map { case (k, mn, mx) =>
         s"\"" + k + "\":" + fmt(if (mn > 0) mx / mn else 1.0) }.mkString(",")
       s"""{"total":${fmt(total)},"queries":{$mins},"spread_max_over_min":{$spreads},""" +
         s""""reps":$reps,"regressions_vs_prev":${regressions.size},"sf":"$sfDir",""" +
@@ -273,7 +304,7 @@ object Bench {
     } catch { case _: Throwable => }
     val top = results.sortBy(-_._2).take(20).sortBy(_._1)
     val topJson = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val spreadByName = timings.map { case (k, mn, mx) => k -> (if (mn > 0) mx / mn else 1.0) }.toMap
+    val spreadByName = finalTimings.map { case (k, mn, mx) => k -> (if (mn > 0) mx / mn else 1.0) }.toMap
     val topSpread = top.map { case (k, _) =>
       s"\"" + k + "\":" + BigDecimal(spreadByName(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
