@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantize
+
+/** The deployable ANN-store entry point — [[EtlDaemon]]'s counterpart for
+  * the vector side: every lifecycle operation the library implements
+  * (build / append / tombstone / sweep / delete / compact / search /
+  * status), drivable from a scheduler against a SELF-CONTAINED store
+  * (quantizers persisted beside the cells by `Quantize.saveQuantizers`,
+  * so no invocation can pass the wrong frozen frames). Mutating
+  * subcommands rely on the same `StoreLock` interlock the operators
+  * already take (sweep) or document (append/delete/compact single-writer
+  * contract).
+  *
+  * Subcommands (first arg; parquet paths for data args):
+  *  - `build <corpus> <idCol> <vecCol> <centroids> <cenId> <cenVec>
+  *           <codebook> <cbId> <cbVec> <dims> <nBlocks> <residual> <store>`
+  *  - `append <batch> <vecCol> <store>`        — frozen stored quantizers
+  *  - `tombstone <ids> <store>`                — O(1) deferred retraction
+  *  - `sweep <store> <maxDeadFraction>`        — threshold retention sweep
+  *  - `delete <ids> <store>`                   — immediate cell surgery
+  *  - `compact <store> [maxRecordsPerFile]`    — defragment cells
+  *  - `recover <store>`                        — restore interrupted delete
+  *  - `search <queries> <qIdCol> <qVecCol> <k> <nProbe> <store> [out]`
+  *  - `status <store>`                         — cells/rows/tombstones/params
+  */
+object VectorStoreCtl {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  private val usage =
+    "usage: build|append|tombstone|sweep|delete|compact|recover|search|status ..."
+
+  /** Dispatch split out of main so specs can drive subcommands on a test
+    * session without forking a JVM. */
+  def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+    case "build" =>
+      val Array(_, corpus, idCol, vecCol, cents, cenId, cenVec,
+        cb, cbId, cbVec, dims, nBlocks, residual, store) = args
+      Quantize.buildSelfContained(spark,
+        spark.read.parquet(corpus), idCol, vecCol,
+        spark.read.parquet(cents), cenId, cenVec,
+        spark.read.parquet(cb), cbId, cbVec,
+        dims.toInt, nBlocks.toInt, residual.toBoolean, store)
+      println(s"built $store (residual=$residual) with persisted quantizers")
+    case "append" =>
+      val Array(_, batch, vecCol, store) = args
+      Quantize.appendSelfContained(spark, store,
+        spark.read.parquet(batch), vecCol)
+      println(s"appended $batch into $store against stored quantizers")
+    case "tombstone" =>
+      val Array(_, ids, store) = args
+      val p = Quantize.loadQuantizers(spark, store)._3
+      val n = Quantize.addTombstones(spark, store,
+        spark.read.parquet(ids), p.idCol)
+      println(s"tombstoned $n ids in $store (deferred; sweep to reclaim)")
+    case "sweep" =>
+      val Array(_, store, frac) = args
+      val p = Quantize.loadQuantizers(spark, store)._3
+      val s = Quantize.retentionSweep(spark, store, p.idCol, frac.toDouble)
+      println(s"swept $store: ${s.cellsSwept} cells rewritten, " +
+        s"${s.rowsRemoved} rows removed, ${s.tombstonesPurged} tombstones " +
+        s"purged, ${s.tombstonesRemaining} remaining")
+    case "delete" =>
+      val Array(_, ids, store) = args
+      val p = Quantize.loadQuantizers(spark, store)._3
+      val n = Quantize.deleteFromIvfPqIndex(spark, store,
+        spark.read.parquet(ids), p.idCol)
+      println(s"deleted $n code rows from $store")
+    case "compact" =>
+      val store = args(1)
+      val maxRec = args.lift(2).flatMap(_.toLongOption).getOrElse(1000000L)
+      val s = Quantize.compactIvfPqIndex(spark, store, maxRec)
+      println(s"compacted $store: ${s.filesBefore} -> ${s.filesAfter} files")
+    case "recover" =>
+      val store = args(1)
+      val did = Quantize.recoverDeleteBackup(spark, store)
+      println(if (did) s"restored $store from interrupted delete backup"
+              else s"nothing to recover for $store")
+    case "search" =>
+      val Array(_, queries, qIdCol, qVecCol, k, nProbe, store) = args.take(7)
+      val res = Quantize.searchSelfContained(spark, store,
+        spark.read.parquet(queries), qIdCol, qVecCol, k.toInt, nProbe.toInt)
+        .orderBy("query_id", "rank")
+      args.lift(7) match {
+        case Some(out) =>
+          res.coalesce(1).write.mode("overwrite").parquet(out)
+          println(s"wrote search results to $out")
+        case None => res.show(100, truncate = false)
+      }
+    case "status" =>
+      val store = args(1)
+      val (cents, cb, p) = Quantize.loadQuantizers(spark, store)
+      val cells = spark.read.parquet(store)
+        .groupBy("centroid_id").agg(count(lit(1)).as("rows"))
+      val nCells = cells.count()
+      val nRows = cells.agg(sum(col("rows"))).collect().head.getLong(0)
+      val nTomb = Quantize.readTombstones(spark, store, p.idCol).count()
+      println(s"store $store: params=$p, ${cents.count()} centroids, " +
+        s"${cb.count()} codes, $nCells live cells, $nRows code rows " +
+        s"(${nRows / p.nBlocks} vectors), $nTomb pending tombstones")
+    case other =>
+      System.err.println(s"unknown subcommand '$other' — $usage")
+      sys.exit(2)
+  }
+}

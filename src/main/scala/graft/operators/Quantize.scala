@@ -491,6 +491,127 @@ object Quantize {
   private def tombstonesPath(indexPath: String): String =
     indexPath.stripSuffix("/") + ".tombstones"
 
+  // --------------------------------------------------------------------
+  // Self-contained store: quantizers persisted WITH the index. The
+  // append/delete contract says "centroids/codebook must be the
+  // build-time frames — changing either invalidates every stored code";
+  // holding them caller-side makes that a documented convention, storing
+  // them beside the cells makes it enforced by construction (FAISS
+  // serializes its quantizers inside the index file for the same
+  // reason). Layout: sibling `<indexPath>.quantizers/{centroids,
+  // codebook,params}` parquet dirs, canonical column names — so every
+  // existing bare-index path keeps working, and the self-contained
+  // entry points below never take a quantizer frame a caller could get
+  // wrong.
+  // --------------------------------------------------------------------
+
+  private def quantizersPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + ".quantizers"
+
+  final case class StoreParams(dims: Int, nBlocks: Int, residual: Boolean,
+                               idCol: String)
+
+  /** Persist the build-time quantizers beside the index (canonical
+    * columns: centroids (centroid_id, cen_emb), codebook (code, c_emb),
+    * 1-row params). Call once at build; [[appendSelfContained]] /
+    * [[searchSelfContained]] then need only the store path. */
+  def saveQuantizers(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                     codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                     params: StoreParams): Unit = {
+    val base = quantizersPath(indexPath)
+    centroids.select(col(cenIdCol).as("centroid_id"), col(cenVecCol).as("cen_emb"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+    codebook.select(col(cbIdCol).as("code"), col(cbVecCol).as("c_emb"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/codebook")
+    import spark.implicits._
+    Seq((params.dims, params.nBlocks, params.residual, params.idCol))
+      .toDF("dims", "n_blocks", "residual", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/params")
+  }
+
+  /** Load the persisted quantizers — fails loudly when the store was
+    * written without [[saveQuantizers]] (bare index dirs stay supported
+    * through the explicit-frame entry points). */
+  def loadQuantizers(spark: org.apache.spark.sql.SparkSession, indexPath: String)
+      : (DataFrame, DataFrame, StoreParams) = {
+    val base = quantizersPath(indexPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(base)))
+      throw new IllegalStateException(
+        s"store $indexPath has no persisted quantizers ($base missing) — " +
+          "build it with buildSelfContained, or use the explicit-frame APIs")
+    val p = spark.read.parquet(s"$base/params").collect().head
+    (spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/codebook"),
+      StoreParams(p.getAs[Int]("dims"), p.getAs[Int]("n_blocks"),
+        p.getAs[Boolean]("residual"), p.getAs[String]("id_col")))
+  }
+
+  /** Build + persist a SELF-CONTAINED store: index cells AND the
+    * quantizers that produced them, in one call. `residual` picks the
+    * encode ([[ivfPqIndexResidual]] vs [[ivfPqIndex]]); the flag is
+    * stored and honored by every later lifecycle call. */
+  def buildSelfContained(spark: org.apache.spark.sql.SparkSession,
+                         corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                         codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                         dims: Int, nBlocks: Int, residual: Boolean,
+                         indexPath: String): Unit = {
+    val index =
+      if (residual) ivfPqIndexResidual(corpus, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
+      else ivfPqIndex(corpus, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
+    writeIvfPqIndex(index, indexPath)
+    saveQuantizers(spark, indexPath, centroids, cenIdCol, cenVecCol,
+      codebook, cbIdCol, cbVecCol, StoreParams(dims, nBlocks, residual, idCol))
+  }
+
+  /** Append a batch against the STORED quantizers — the frozen-quantizer
+    * contract enforced by construction: there is no quantizer argument to
+    * pass stale. Same append semantics/gates as [[appendToIvfPqIndex]]. */
+  def appendSelfContained(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, batch: DataFrame,
+                          vecCol: String): Unit = {
+    val (cents, cb, p) = loadQuantizers(spark, indexPath)
+    if (p.residual)
+      appendToIvfPqIndexResidual(batch, p.idCol, vecCol,
+        cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+        p.dims, p.nBlocks, indexPath)
+    else
+      appendToIvfPqIndex(batch, p.idCol, vecCol,
+        cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+        p.dims, p.nBlocks, indexPath)
+  }
+
+  /** Tombstone-aware probed search against the STORED quantizers; the
+    * residual flag picks the matching ADC formula. Bare-index callers
+    * keep using the explicit-frame searches. */
+  def searchSelfContained(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, queries: DataFrame,
+                          qIdCol: String, qVecCol: String,
+                          k: Int, nProbe: Int): DataFrame = {
+    val (cents, cb, p) = loadQuantizers(spark, indexPath)
+    if (p.residual) {
+      Similarity.requireSmallQuerySide(queries, "searchSelfContained")
+      // residual stored search: pruned scan + tombstone filter + the
+      // residual ADC tail over the live rows' cells
+      val tomb = readTombstones(spark, indexPath, p.idCol)
+      val pruned = prunedStoreScan(spark, indexPath, queries, qIdCol, qVecCol,
+        cents, "centroid_id", "cen_emb", nProbe)
+      val live = pruned.join(broadcast(tomb), pruned(p.idCol) === tomb(p.idCol),
+        "leftanti")
+      ivfPqSearchResidualOn(live, queries, qIdCol, qVecCol, p.idCol,
+        cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+        p.dims, p.nBlocks, k, nProbe)
+    } else
+      ivfPqSearchStoredRetained(spark, indexPath, queries, qIdCol, qVecCol,
+        p.idCol, cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+        p.dims, p.nBlocks, k, nProbe)
+  }
+
   /** Retract vector ids from a persisted index WITHOUT touching the store:
     * append them to the sibling `<indexPath>.tombstones` parquet side
     * table. O(batch) metadata IO; the inverted lists are not opened.
@@ -860,10 +981,25 @@ object Quantize {
     require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
     Similarity.requireSmallQuerySide(queries, "ivfPqSearchResidual")
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val wSub = dims / nBlocks
     val index = ivfPqIndexResidual(corpus, idCol, vecCol,
       centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
+    ivfPqSearchResidualOn(index, queries, qIdCol, qVecCol, idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
+  }
+
+  /** The residual ADC search tail over an already-materialized (or
+    * pruned-from-store) index frame — the residual analog of
+    * [[ivfPqSearchOn]], shared by the in-memory and self-contained
+    * stored search paths. */
+  private[graft] def ivfPqSearchResidualOn(index: DataFrame,
+                          queries: DataFrame, qIdCol: String, qVecCol: String,
+                          idCol: String,
+                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                          dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val wSub = dims / nBlocks
     val cen = Similarity.withNorm2(centroids, cenVecCol)
       .select(col(cenIdCol).as("centroid_id"), col(cenVecCol).as("c_vec"),
         col("norm2").as("c_norm2"))

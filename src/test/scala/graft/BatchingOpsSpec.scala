@@ -722,6 +722,87 @@ class BatchingOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("doc_id"))
   }
 
+  test("self-contained store: persisted quantizers drive append/search/CLI; residual stored search equals in-memory") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-selfc").toString
+    def result(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // RAW store: self-contained search == explicit-frame stored search
+    val raw = dir + "/raw"
+    Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+      residual = false, raw)
+    val viaStoredApi = result(Quantize.ivfPqSearchStored(spark, raw,
+      queries, "vec_id", "embedding", "vec_id",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2))
+    assert(result(Quantize.searchSelfContained(spark, raw,
+        queries, "vec_id", "embedding", 3, 2)) == viaStoredApi,
+      "self-contained raw search must equal the explicit-frame stored search")
+    // RESIDUAL store: the NEW stored-residual path == in-memory residual
+    val resCb = graft.operators.Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 16 && col("vec_id") < 32),
+        "vec_id", "embedding", cents, "cid", "cv")
+      .join(broadcast(cents.withColumnRenamed("cid", "centroid_id")), "centroid_id")
+      .withColumn("c_emb", expr(
+        "zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("vec_id").as("code_id"), col("c_emb"))
+    val res = dir + "/res"
+    Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+      cents, "cid", "cv", resCb, "code_id", "c_emb", 64, 4,
+      residual = true, res)
+    val inMem = result(Quantize.ivfPqSearchResidual(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      resCb, "code_id", "c_emb", 64, 4, 3, 2))
+    assert(result(Quantize.searchSelfContained(spark, res,
+        queries, "vec_id", "embedding", 3, 2)) == inMem,
+      "stored residual search must equal the in-memory residual search")
+    // APPEND against stored quantizers == one-shot build over the union
+    val part = dir + "/part"
+    Quantize.buildSelfContained(spark, emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, residual = false, part)
+    Quantize.appendSelfContained(spark, part,
+      emb.filter(col("vec_id") % 3 === 0), "embedding")
+    assert(result(Quantize.searchSelfContained(spark, part,
+        queries, "vec_id", "embedding", 3, 2)) == viaStoredApi,
+      "append via stored quantizers must reproduce the full-corpus store")
+    // TOMBSTONES are honored by the self-contained search
+    Quantize.addTombstones(spark, raw,
+      emb.filter(col("vec_id") === 21L).select("vec_id"), "vec_id")
+    assert(!Quantize.searchSelfContained(spark, raw,
+        queries, "vec_id", "embedding", 3, 2)
+      .filter(col("neighbor_id") === 21L).collect().nonEmpty,
+      "retracted id must not appear in self-contained search results")
+    // a bare store (no persisted quantizers) fails loudly
+    val bare = dir + "/bare"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), bare)
+    val err = intercept[IllegalStateException] {
+      Quantize.searchSelfContained(spark, bare, queries, "vec_id", "embedding", 3, 2)
+    }
+    assert(err.getMessage.contains("quantizers"))
+    // CLI round-trip: build + status + search-to-parquet via run()
+    val cli = dir + "/cli"
+    val embP = dir + "/emb.parquet"; val cenP = dir + "/cen.parquet"
+    val cbP = dir + "/cb.parquet"; val qP = dir + "/q.parquet"
+    val outP = dir + "/out.parquet"
+    emb.write.parquet(embP); cents.write.parquet(cenP)
+    codebook.write.parquet(cbP); queries.write.parquet(qP)
+    VectorStoreCtl.run(spark, Array("build", embP, "vec_id", "embedding",
+      cenP, "cid", "cv", cbP, "code_id", "c_emb", "64", "4", "false", cli))
+    VectorStoreCtl.run(spark, Array("status", cli))
+    VectorStoreCtl.run(spark, Array("search", qP, "vec_id", "embedding",
+      "3", "2", cli, outP))
+    assert(result(spark.read.parquet(outP)) == viaStoredApi,
+      "CLI search output must equal the API result")
+  }
+
   test("pcaTrain/pcaProject: orthonormal components, planted subspace recovered exactly, error monotone in m") {
     import spark.implicits._
     import graft.operators.Quantize
