@@ -25,6 +25,10 @@ import graft.operators.Quantize
   *  - `compact <store> [maxRecordsPerFile]`    — defragment cells
   *  - `recover <store>`                        — restore interrupted delete
   *  - `search <queries> <qIdCol> <qVecCol> <k> <nProbe> <store> [out]`
+  *  - `maintain <store> <maxDeadFraction>`     — sweep, then compact if
+  *                                               cells fragmented
+  *  - `daemon <store> <maxDeadFraction> <hours>` — loop maintain cycles
+  *                                               with jittered sleep
   *  - `status <store>`                         — cells/rows/tombstones/params
   */
 object VectorStoreCtl {
@@ -43,7 +47,67 @@ object VectorStoreCtl {
   }
 
   private val usage =
-    "usage: build|append|tombstone|sweep|delete|compact|recover|search|status ..."
+    "usage: build|append|tombstone|sweep|delete|compact|recover|search|" +
+      "maintain|daemon|status ..."
+
+  final case class MaintainReport(sweep: Quantize.SweepStats,
+                                  compact: Option[graft.sources.Compaction.Stats])
+
+  /** One maintenance cycle: retention sweep, then — only when the sweep
+    * (or prior appends) left more files than `maxFilesPerCell` per live
+    * cell on average — a compaction. Both operations take the store lock
+    * themselves; the caller schedules, the operators interlock. */
+  def maintain(spark: SparkSession, store: String, maxDeadFraction: Double,
+               maxFilesPerCell: Double = 4.0,
+               maxRecordsPerFile: Long = 1000000L): MaintainReport = {
+    val sweep = Quantize.retentionSweep(spark, store,
+      Quantize.loadQuantizers(spark, store)._3.idCol, maxDeadFraction)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store),
+      spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+    val files = cells.map(c => fs.listStatus(c.getPath)
+      .count(f => f.getPath.getName.endsWith(".parquet")).toLong).sum
+    val compact =
+      if (cells.nonEmpty && files.toDouble / cells.length > maxFilesPerCell)
+        Some(Quantize.compactIvfPqIndex(spark, store, maxRecordsPerFile))
+      else None
+    MaintainReport(sweep, compact)
+  }
+
+  /** Maintenance daemon: loop [[maintain]] cycles with jittered sleep —
+    * [[EtlDaemon.runDaemon]]'s shape for the vector store. A locked store
+    * (a concurrent append window or another maintainer) is a SKIP, not a
+    * crash: the dead rows are still dead next interval. Injectable
+    * sleep/log so the policy is spec-testable without real time. */
+  def runMaintenanceDaemon(spark: SparkSession, store: String,
+                           maxDeadFraction: Double, intervalMs: Long,
+                           maxCycles: Long = Long.MaxValue,
+                           sleep: Long => Unit = ms => Thread.sleep(ms),
+                           log: String => Unit = println): Long = {
+    require(intervalMs > 0, "intervalMs must be positive")
+    var cycles = 0L
+    while (cycles < maxCycles) {
+      try {
+        val r = maintain(spark, store, maxDeadFraction)
+        log(s"[vec] cycle ${cycles + 1}: swept ${r.sweep.cellsSwept} cells, " +
+          s"${r.sweep.rowsRemoved} rows removed, " +
+          s"${r.sweep.tombstonesRemaining} tombstones pending" +
+          r.compact.map(c => s"; compacted ${c.filesBefore} -> ${c.filesAfter} files")
+            .getOrElse(""))
+      } catch {
+        case e: graft.sources.StoreLock.StoreLockedException =>
+          log(s"[vec] cycle ${cycles + 1} skipped: ${e.getMessage}")
+      }
+      cycles += 1
+      if (cycles < maxCycles) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"graft-vec-$cycles")
+        val frac = (h.toLong & 0xffffL).toDouble / 0xffffL * 2.0 - 1.0
+        sleep(math.max(0L, intervalMs + (intervalMs * 0.1 * frac).toLong))
+      }
+    }
+    cycles
+  }
 
   /** Dispatch split out of main so specs can drive subcommands on a test
     * session without forking a JVM. */
@@ -102,6 +166,19 @@ object VectorStoreCtl {
           println(s"wrote search results to $out")
         case None => res.show(100, truncate = false)
       }
+    case "maintain" =>
+      val Array(_, store, frac) = args.take(3)
+      val r = maintain(spark, store, frac.toDouble)
+      println(s"maintained $store: swept ${r.sweep.cellsSwept} cells, " +
+        s"${r.sweep.rowsRemoved} rows removed" +
+        r.compact.map(c => s", compacted ${c.filesBefore} -> ${c.filesAfter} files")
+          .getOrElse(""))
+    case "daemon" =>
+      val Array(_, store, frac, hours) = args.take(4)
+      val maxCycles = sys.env.get("GRAFT_MAX_CYCLES")
+        .flatMap(_.toLongOption).getOrElse(Long.MaxValue)
+      runMaintenanceDaemon(spark, store, frac.toDouble,
+        (hours.toDouble * 3600 * 1000).toLong, maxCycles)
     case "status" =>
       val store = args(1)
       val (cents, cb, p) = Quantize.loadQuantizers(spark, store)

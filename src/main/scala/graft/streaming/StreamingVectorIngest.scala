@@ -61,6 +61,24 @@ object StreamingVectorIngest {
       .start()
   }
 
+  /** [[start]] against STORED quantizers ([[Quantize.saveQuantizers]] /
+    * [[Quantize.buildSelfContained]] must have run for `indexPath`) — the
+    * streaming half of the self-contained store: no quantizer frames to
+    * pass stale across a long-running ingest deployment. Raw-encode
+    * stores only: [[processBatch]] encodes with [[Quantize.ivfPqIndex]],
+    * so a residual store must refuse loudly rather than silently mix
+    * encodings (the exact corruption the params row exists to prevent). */
+  def startSelfContained(vectors: DataFrame, vecCol: String,
+                         indexPath: String, checkpoint: String): StreamingQuery = {
+    val (cents, cb, p) =
+      Quantize.loadQuantizers(vectors.sparkSession, indexPath)
+    require(!p.residual,
+      s"streaming ingest raw-encodes batches; store $indexPath was built " +
+        "residual — streaming into it would corrupt every ADC distance")
+    start(vectors, p.idCol, vecCol, cents, "centroid_id", "cen_emb",
+      cb, "code", "c_emb", p.dims, p.nBlocks, indexPath, checkpoint)
+  }
+
   /** One micro-batch: encode ONLY the batch, replace-not-append its own
     * (cell, batch) partitions. Public so retry semantics are testable
     * outside a streaming query. */

@@ -803,6 +803,47 @@ class BatchingOpsSpec extends SparkSpec {
       "CLI search output must equal the API result")
   }
 
+  test("vector-store maintenance daemon: sweeps on schedule, locked store is a skip not a crash") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val store = java.nio.file.Files.createTempDirectory("ivfpq-daemon")
+      .toString + "/store"
+    Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+      residual = false, store)
+    // retract one full cell so the first cycle has real work
+    val cell0 = spark.read.parquet(store)
+      .filter(col("centroid_id").cast("long") === 0L)
+      .select("vec_id").distinct()
+    Quantize.addTombstones(spark, store, cell0, "vec_id")
+    val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var slept = 0L
+    val cycles = VectorStoreCtl.runMaintenanceDaemon(spark, store,
+      maxDeadFraction = 0.5, intervalMs = 3600000L, maxCycles = 2,
+      sleep = ms => slept += ms, log = logs += _)
+    assert(cycles == 2 && logs.size == 2, s"$cycles cycles, logs: $logs")
+    assert(logs(0).contains("swept 1 cells"), s"cycle 1 must sweep cell 0: ${logs(0)}")
+    assert(logs(1).contains("swept 0 cells"), s"cycle 2 must be a no-op: ${logs(1)}")
+    assert(slept >= 3240000L && slept <= 3960000L,
+      s"one inter-cycle sleep at ~interval±10%: $slept")
+    assert(Quantize.readTombstones(spark, store, "vec_id").count() == 0,
+      "full-cell retraction leaves no pending tombstones after the sweep")
+    // a store locked by concurrent maintenance: daemon skips, never dies
+    graft.sources.StoreLock.acquire(spark, store, "test-holder")
+    try {
+      val logs2 = scala.collection.mutable.ArrayBuffer.empty[String]
+      val c2 = VectorStoreCtl.runMaintenanceDaemon(spark, store,
+        maxDeadFraction = 0.5, intervalMs = 3600000L, maxCycles = 1,
+        sleep = _ => (), log = logs2 += _)
+      assert(c2 == 1 && logs2.head.contains("skipped"),
+        s"locked store must skip the cycle: $logs2")
+    } finally graft.sources.StoreLock.release(spark, store)
+  }
+
   test("pcaTrain/pcaProject: orthonormal components, planted subspace recovered exactly, error monotone in m") {
     import spark.implicits._
     import graft.operators.Quantize

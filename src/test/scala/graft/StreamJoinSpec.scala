@@ -158,6 +158,35 @@ class StreamJoinSpec extends SparkSpec {
     assert(streamedSearch == inMem,
       "searchIngested must dedup cross-batch duplicates — a doubled ADC " +
         "distance would corrupt the ranking")
+    // SELF-CONTAINED streaming: save quantizers beside a fresh store path,
+    // stream into it with no quantizer frames — answers identical again;
+    // a residual-flagged store refuses the raw-encoding stream loudly
+    val sc = s"$dir/index-sc"
+    Quantize.saveQuantizers(spark, sc, cents, "cid", "cv",
+      codebook, "code_id", "c_emb",
+      Quantize.StoreParams(64, 4, residual = false, "vec_id"))
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingVectorIngest.startSelfContained(
+      mem2.toDF().toDF("vec_id", "embedding"), "embedding", sc, s"$dir/ckpt-sc")
+    try {
+      slices.foreach { g => mem2.addData(g.toSeq: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+    assert(StreamingVectorIngest.searchIngested(
+        spark, sc, queries, "vec_id", "embedding", "vec_id",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2)
+      .collect().map(_.toString).toSet == inMem,
+      "self-contained streamed store must answer like the in-memory search")
+    val resSc = s"$dir/index-res"
+    Quantize.saveQuantizers(spark, resSc, cents, "cid", "cv",
+      codebook, "code_id", "c_emb",
+      Quantize.StoreParams(64, 4, residual = true, "vec_id"))
+    val err = intercept[IllegalArgumentException] {
+      StreamingVectorIngest.startSelfContained(
+        mem2.toDF().toDF("vec_id", "embedding"), "embedding",
+        resSc, s"$dir/ckpt-res")
+    }
+    assert(err.getMessage.contains("residual"),
+      "streaming into a residual store must refuse loudly")
   }
 
   test("streaming execution: interval join runs append-mode with bounded state") {
