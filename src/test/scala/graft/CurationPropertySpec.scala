@@ -142,6 +142,57 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("tombstone+sweep exact-delete property: ANY retraction set at ANY threshold equals built-without-them") {
+    import graft.operators.Quantize
+    // small planted corpus: 4 well-separated directions, 48 vectors — big
+    // enough for multi-cell routing, small enough to build a store per
+    // sample. The property: for a RANDOM retraction set and a RANDOM
+    // sweep threshold, the retained search over (partially swept store +
+    // remaining tombstones) equals the search over an index built without
+    // the retracted ids. The deterministic spec pins 4 curated states;
+    // this hammers the invariant across the state space.
+    def vec(c: Int, i: Long): Array[Float] =
+      Array.tabulate(16)(j => (if (j / 4 == c) 1.0f else 0.0f) +
+        ((i * 31 + j * 7) % 13).toFloat / 100f)
+    val corpusRows = (0L until 48L).map(i => (i, vec((i % 4).toInt, i)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(c => (c.toLong, vec(c, c.toLong)))
+      .toDF("cid", "cv")
+    val codebook = corpusRows.take(8).toDF("code_id", "c_emb")
+    val queries = corpus.filter(col("vec_id") < 6)
+    def result(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val caseGen = for {
+      retract <- Gen.someOf(6L until 48L) // queries never retracted
+      frac <- Gen.oneOf(0.001, 0.2, 0.5, 0.9, 1.0)
+    } yield (retract.toSet, frac)
+    forSamples(caseGen, n = 5) { case (retract, frac) =>
+      val dir = java.nio.file.Files.createTempDirectory("ret-prop").toString
+      val store = s"$dir/store"
+      Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(corpus, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 16, 4), store)
+      if (retract.nonEmpty) {
+        Quantize.addTombstones(spark, store,
+          corpus.filter(col("vec_id").isInCollection(retract)).select("vec_id"),
+          "vec_id")
+        Quantize.retentionSweep(spark, store, "vec_id", frac)
+      }
+      val survivors = corpus.filter(!col("vec_id").isInCollection(retract))
+      val ref = s"$dir/ref"
+      Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(survivors, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 16, 4), ref)
+      val expected = result(Quantize.ivfPqSearchStored(spark, ref,
+        queries, "vec_id", "embedding", "vec_id",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 16, 4, 3, 2))
+      val got = result(Quantize.ivfPqSearchStoredRetained(spark, store,
+        queries, "vec_id", "embedding", "vec_id",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 16, 4, 3, 2))
+      assert(got == expected,
+        s"retract=${retract.toSeq.sorted.mkString(",")} frac=$frac: " +
+          "retained search diverged from built-without-them")
+    }
+  }
+
   test("deterministicSplit: subset-invariance and exhaustive disjoint cover") {
     forSamples(Gen.listOfN(40, Gen.chooseNum(0L, 10000L)).map(_.distinct)) { ids =>
       val df = ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")
