@@ -182,14 +182,36 @@ object VectorStoreCtl {
     case "status" =>
       val store = args(1)
       val (cents, cb, p) = Quantize.loadQuantizers(spark, store)
-      val cells = spark.read.parquet(store)
-        .groupBy("centroid_id").agg(count(lit(1)).as("rows"))
-      val nCells = cells.count()
-      val nRows = cells.agg(sum(col("rows"))).collect().head.getLong(0)
+      // Explicit-schema scan, same discipline as the search/delete paths:
+      // hive partition-type inference would re-type numeric-looking string
+      // centroid ids ("01" -> 1) and misreport the cell census. The
+      // partition column is pinned to the STORED centroid frame's id type
+      // (what the directory names were written from); data columns keep
+      // their parquet-embedded types.
+      val cenType = cents.schema.apply("centroid_id").dataType
+      val dataFields = spark.read.parquet(store).schema.fields
+        .filterNot(_.name == "centroid_id")
+      val storeSchema = org.apache.spark.sql.types.StructType(
+        dataFields :+ org.apache.spark.sql.types.StructField("centroid_id", cenType))
+      val scan = spark.read.schema(storeSchema).parquet(store)
+      val stats = scan.agg(count(lit(1)).as("rows"),
+          countDistinct(col("centroid_id")).as("cells"),
+          countDistinct(col(p.idCol)).as("vectors"))
+        .collect().head
+      val nRows = stats.getLong(0)
+      val nCells = stats.getLong(1)
+      val nVec = stats.getLong(2)
       val nTomb = Quantize.readTombstones(spark, store, p.idCol).count()
+      // counted vectors, not nRows / nBlocks: a cell holding partial rows
+      // (torn write) would silently skew the quotient — count ids and say
+      // so loudly when the block arithmetic disagrees.
+      val integrity =
+        if (nRows == nVec * p.nBlocks) ""
+        else s" [WARNING: $nRows code rows != $nVec vectors x ${p.nBlocks} blocks" +
+          " — store may hold partial vectors]"
       println(s"store $store: params=$p, ${cents.count()} centroids, " +
         s"${cb.count()} codes, $nCells live cells, $nRows code rows " +
-        s"(${nRows / p.nBlocks} vectors), $nTomb pending tombstones")
+        s"($nVec vectors), $nTomb pending tombstones$integrity")
     case other =>
       System.err.println(s"unknown subcommand '$other' — $usage")
       sys.exit(2)

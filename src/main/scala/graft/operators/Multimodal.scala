@@ -162,12 +162,22 @@ object Multimodal {
   def parseMp3Meta(payload: Array[Byte]): Option[(Int, Long)] = {
     if (payload == null || payload.length < 4) return None
     var off = 0
-    // ID3v2 header: "ID3" vM.m flags size(4 x 7-bit syncsafe)
+    // ID3v2 header: "ID3" vM.m flags size(4 x 7-bit syncsafe). The size
+    // field excludes the 10-byte header AND the optional 10-byte footer
+    // (ID3v2.4 §3.1: flags bit 0x10 = footer present) — without the
+    // footer skip, off lands 10 bytes short of the first frame, the sync
+    // check fails, and real metadata is silently missed.
     if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
         payload(2) == '3') {
       val sz = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
         ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
-      off = 10 + sz
+      off = 10 + sz + (if ((payload(5) & 0x10) != 0) 10 else 0)
+      // Tolerate a short run of zero padding between tag and first frame
+      // (writers pad for in-place tag growth). Zero bytes can never start
+      // a frame header (sync is 0xFF), so skipping them fabricates
+      // nothing; the bound keeps a zero-filled payload from scanning far.
+      val padEnd = math.min(payload.length, off + 4096)
+      while (off < padEnd && payload(off) == 0) off += 1
     }
     val srTab = Map(3 -> Array(44100, 48000, 32000),  // MPEG1
                     2 -> Array(22050, 24000, 16000),  // MPEG2

@@ -619,18 +619,53 @@ object Quantize {
     * [[deleteFromIvfPqIndex]] — a mismatched column name fails loudly.
     * Returns the number of (distinct) ids in the appended batch. Pair
     * with [[ivfPqSearchStoredRetained]] to query and [[retentionSweep]]
-    * to reclaim. */
+    * to reclaim.
+    *
+    * Runs under the store's [[graft.sources.StoreLock]]: a retraction
+    * attempted while a [[retentionSweep]] holds the lock fails loudly
+    * (`StoreLockedException` — retry after the sweep) instead of racing
+    * the sweep's tombstone-set swap. Without the interlock, a batch
+    * appended between the sweep's snapshot read and its swap would be
+    * silently replaced by the snapshot-derived set — the retracted ids
+    * would REAPPEAR in searches, violating the over-filter-only
+    * invariant. Loud-and-retryable beats silent under-filtering.
+    * Also converges a crashed sweep swap (only `.tombstones.old` on
+    * disk) before appending — see [[recoverTombstoneSwap]]. */
   def addTombstones(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                    ids: DataFrame, idCol: String): Long = {
-    val dataFields = spark.read.parquet(indexPath).schema.fields
-      .filterNot(_.name == "centroid_id")
-    if (!dataFields.exists(_.name == idCol))
-      throw new IllegalArgumentException(
-        s"addTombstones: store $indexPath has no column '$idCol' " +
-          s"(data columns: ${dataFields.map(_.name).mkString(", ")})")
-    val batch = ids.select(col(idCol)).distinct().localCheckpoint()
-    batch.coalesce(1).write.mode("append").parquet(tombstonesPath(indexPath))
-    batch.count()
+                    ids: DataFrame, idCol: String): Long =
+    graft.sources.StoreLock.withLock(spark, indexPath, "tombstone-append") {
+      val dataFields = spark.read.parquet(indexPath).schema.fields
+        .filterNot(_.name == "centroid_id")
+      if (!dataFields.exists(_.name == idCol))
+        throw new IllegalArgumentException(
+          s"addTombstones: store $indexPath has no column '$idCol' " +
+            s"(data columns: ${dataFields.map(_.name).mkString(", ")})")
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+        spark.sparkContext.hadoopConfiguration)
+      recoverTombstoneSwap(fs, indexPath)
+      val batch = ids.select(col(idCol)).distinct().localCheckpoint()
+      batch.coalesce(1).write.mode("append").parquet(tombstonesPath(indexPath))
+      batch.count()
+    }
+
+  /** Converge a crashed [[swapTombstones]]: a crash between its
+    * rename(main → old) and rename(new → main) leaves only
+    * `.tombstones.old` on disk. READERS already fall back to it
+    * ([[readTombstones]]), but a WRITER must reinstate it before touching
+    * the set — an append-mode write against the missing main directory
+    * would create it holding only the new batch, and the reader's
+    * main-first preference would then silently retire the entire prior
+    * set: permanent under-filtering, the one failure mode the tombstone
+    * design must never have. Mirrors [[recoverDeleteBackup]]'s
+    * crashed-state discipline, but automatic — the recovery is a single
+    * rename, so nothing is left for an operator to decide. */
+  private def recoverTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                   indexPath: String): Unit = {
+    val main = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath))
+    val old = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old")
+    if (!fs.exists(main) && fs.exists(old) && !fs.rename(old, main))
+      throw new java.io.IOException(
+        s"tombstones: failed to reinstate crashed swap from $old")
   }
 
   /** The standing tombstone set of a persisted index — empty frame (with
@@ -759,10 +794,14 @@ object Quantize {
   }
 
   /** Crash-safe tombstone-set replacement: write `.tombstones.new`, move
-    * the current set to `.tombstones.old`, rename new in, drop old. Every
-    * intermediate state is readable ([[readTombstones]] falls back to
-    * `.old`) and only ever OVER-filters (stale tombstones for physically
-    * deleted ids are no-op filters), never under-filters. */
+    * the current set to `.tombstones.old`, rename new in, drop old. A
+    * READABLE SUPERSET of the current set exists at every intermediate
+    * state — the stale-`.old` delete happens only while main is present
+    * (readers prefer main), and a crashed prior swap (only `.old` on
+    * disk) is reinstated as main FIRST rather than deleted, so no window
+    * ever has neither set readable. [[readTombstones]] falls back to
+    * `.old`; stale tombstones for physically deleted ids are no-op
+    * filters, so every state only ever OVER-filters, never under. */
   private def swapTombstones(spark: org.apache.spark.sql.SparkSession,
                              indexPath: String, remaining: DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
@@ -770,9 +809,11 @@ object Quantize {
     val main = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath))
     val fresh = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".new")
     val old = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old")
+    recoverTombstoneSwap(fs, indexPath)
     if (fs.exists(fresh) && !fs.delete(fresh, true))
       throw new java.io.IOException(s"retention sweep: failed to clear $fresh")
     remaining.coalesce(1).write.mode("overwrite").parquet(fresh.toString)
+    // stale .old is deleted only while main exists — never the sole copy
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(s"retention sweep: failed to clear $old")
     if (fs.exists(main) && !fs.rename(main, old))

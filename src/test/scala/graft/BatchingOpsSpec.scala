@@ -722,6 +722,56 @@ class BatchingOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("doc_id"))
   }
 
+  test("tombstone crash/interlock: writers reinstate a crashed swap; retraction during a held lock fails loudly") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-ts-crash").toString
+    val store = dir + "/store"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), store)
+    assert(Quantize.addTombstones(spark, store,
+      emb.filter(col("vec_id") < 2).select("vec_id"), "vec_id") == 2)
+    val main = new java.io.File(store + ".tombstones")
+    val old = new java.io.File(store + ".tombstones.old")
+    // crash between the sweep swap's rename(main->old) and rename(new->main):
+    // only .old on disk. A subsequent APPEND must reinstate the prior set,
+    // not recreate main holding only its own batch (which would silently
+    // retire every earlier retraction — permanent under-filtering).
+    assert(main.renameTo(old))
+    assert(Quantize.addTombstones(spark, store,
+      emb.filter(col("vec_id") === 2).select("vec_id"), "vec_id") == 1)
+    assert(Quantize.readTombstones(spark, store, "vec_id").count() == 3,
+      "append after crashed swap must union with the reinstated prior set")
+    assert(!old.exists, "crashed-swap .old must be consumed by the recovery")
+    // same crash state entering a SWEEP: the swap converges it, and the
+    // physical delete still covers every tombstone read via the fallback
+    assert(main.renameTo(old))
+    val stats = Quantize.retentionSweep(spark, store, "vec_id", 1e-9)
+    assert(stats.tombstonesRemaining == 0, s"full sweep must drain: $stats")
+    assert(!old.exists && !new java.io.File(store + ".tombstones.new").exists,
+      "sweep from crash state must leave no intermediate tombstone dirs")
+    assert(Quantize.readTombstones(spark, store, "vec_id").count() == 0)
+    assert(spark.read.parquet(store).filter(col("vec_id") < 3).count() == 0,
+      "ids tombstoned before the crash must be physically deleted by the sweep")
+    // interlock: while a maintenance op holds the store lock (as the
+    // retention sweep does), a retraction fails LOUDLY and retryably
+    // instead of racing the tombstone-set swap
+    graft.sources.StoreLock.acquire(spark, store, "spec-hold")
+    try {
+      intercept[graft.sources.StoreLock.StoreLockedException] {
+        Quantize.addTombstones(spark, store,
+          emb.filter(col("vec_id") === 9).select("vec_id"), "vec_id")
+      }
+    } finally graft.sources.StoreLock.release(spark, store)
+    // and once released, the retraction goes through unchanged
+    assert(Quantize.addTombstones(spark, store,
+      emb.filter(col("vec_id") === 9).select("vec_id"), "vec_id") == 1)
+  }
+
   test("self-contained store: persisted quantizers drive append/search/CLI; residual stored search equals in-memory") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

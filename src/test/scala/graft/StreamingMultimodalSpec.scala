@@ -268,6 +268,16 @@ class StreamingMultimodalSpec extends SparkSpec {
     val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 100) ++
       new Array[Byte](100) ++ cbr
     assert(Multimodal.parseMp3Meta(id3).contains((44100, 522L)), "ID3v2 skip")
+    // ID3v2.4 footer flag (0x10): the syncsafe size excludes the 10-byte
+    // footer, so the skip must add it or land 10 bytes short of the sync
+    val id3f = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 100) ++
+      new Array[Byte](110) ++ cbr
+    assert(Multimodal.parseMp3Meta(id3f).contains((44100, 522L)), "ID3v2.4 footer skip")
+    // zero padding between tag end and first frame is tolerated (writers
+    // pad for in-place tag growth); zeros can never start a frame header
+    val id3p = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](164) ++ cbr
+    assert(Multimodal.parseMp3Meta(id3p).contains((44100, 522L)), "post-tag padding skip")
     // one lone sync in garbage must NOT fabricate metadata (< 2 frames)
     assert(Multimodal.parseMp3Meta(frame(9, 100)).isEmpty, "single frame rejected")
     assert(Multimodal.parseMp3Meta(Array[Byte](1, 2, 3, 4)).isEmpty)
