@@ -24,7 +24,13 @@ import graft.operators.Quantize
   *  - `delete <ids> <store>`                   — immediate cell surgery
   *  - `compact <store> [maxRecordsPerFile]`    — defragment cells
   *  - `recover <store>`                        — restore interrupted delete
-  *  - `search <queries> <qIdCol> <qVecCol> <k> <nProbe> <store> [out]`
+  *  - `search <queries> <qIdCol> <qVecCol> <k> <nProbe|auto> <store> [out]`
+  *  - `searchref <queries> <qIdCol> <qVecCol> <k> <nProbe|auto>
+  *               <depth|auto> <corpus> <vecCol> <store> [out]`
+  *    — the HIGH-RECALL configuration (RECALL.md): stored ADC search at
+  *    `depth`, then one exact-rescore pass over `corpus`. `auto` resolves
+  *    both budgets via `Quantize.HighRecall` (nProbe = ceil(cells/3),
+  *    depth = max(100, 10k)) — the measured recall@10 >= 0.9 default.
   *  - `maintain <store> <maxDeadFraction>`     — sweep, then compact if
   *                                               cells fragmented
   *  - `daemon <store> <maxDeadFraction> <hours>` — loop maintain cycles
@@ -48,7 +54,14 @@ object VectorStoreCtl {
 
   private val usage =
     "usage: build|append|tombstone|sweep|delete|compact|recover|search|" +
-      "maintain|daemon|status ..."
+      "searchref|maintain|daemon|status ..."
+
+  /** `auto` probe budget: [[Quantize.HighRecall.nProbe]] over the store's
+    * actual cell count (its persisted centroid frame). */
+  private def resolveNProbe(spark: SparkSession, store: String, arg: String): Int =
+    if (arg == "auto")
+      Quantize.HighRecall.nProbe(Quantize.loadQuantizers(spark, store)._1.count())
+    else arg.toInt
 
   final case class MaintainReport(sweep: Quantize.SweepStats,
                                   compact: Option[graft.sources.Compaction.Stats])
@@ -158,12 +171,30 @@ object VectorStoreCtl {
     case "search" =>
       val Array(_, queries, qIdCol, qVecCol, k, nProbe, store) = args.take(7)
       val res = Quantize.searchSelfContained(spark, store,
-        spark.read.parquet(queries), qIdCol, qVecCol, k.toInt, nProbe.toInt)
+        spark.read.parquet(queries), qIdCol, qVecCol, k.toInt,
+        resolveNProbe(spark, store, nProbe))
         .orderBy("query_id", "rank")
       args.lift(7) match {
         case Some(out) =>
           res.coalesce(1).write.mode("overwrite").parquet(out)
           println(s"wrote search results to $out")
+        case None => res.show(100, truncate = false)
+      }
+    case "searchref" =>
+      val Array(_, queries, qIdCol, qVecCol, k, nProbe, depth, corpus,
+        vecCol, store) = args.take(10)
+      val kk = k.toInt
+      val dep = if (depth == "auto") Quantize.HighRecall.rerankDepth(kk)
+                else depth.toInt
+      val res = Quantize.searchSelfContainedRefined(spark, store,
+        spark.read.parquet(queries), qIdCol, qVecCol,
+        spark.read.parquet(corpus), vecCol, kk,
+        resolveNProbe(spark, store, nProbe), dep)
+        .orderBy("query_id", "rank")
+      args.lift(10) match {
+        case Some(out) =>
+          res.coalesce(1).write.mode("overwrite").parquet(out)
+          println(s"wrote refined search results to $out")
         case None => res.show(100, truncate = false)
       }
     case "maintain" =>

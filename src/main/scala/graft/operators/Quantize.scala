@@ -612,6 +612,51 @@ object Quantize {
         p.dims, p.nBlocks, k, nProbe)
   }
 
+  /** The SHIPPED high-recall search configuration — the budget point
+    * RECALL.md measures at recall@10 >= 0.9 on the synthetic corpus and
+    * the default [[graft.VectorStoreCtl]]'s `auto` arguments resolve to.
+    * Shape, not constants: cells ~ √N keeps cell size ~√N rows so probe
+    * cost and cell-rewrite cost balance; probing ~1/3 of cells is where
+    * the measured recall curve crosses 0.9 on an (adversarially
+    * isotropic) corpus — clustered real embeddings cross earlier, so the
+    * fraction is an upper bound on what a deployment needs; rescoring a
+    * (10·k)-deep-per-query shortlist exactly costs one broadcast-joined
+    * corpus pass ([[ivfPqSearchRefined]]) and removes ADC's quantization
+    * error from the final ranking entirely. */
+  object HighRecall {
+    /** √N coarse cells (min 16), the build-time half of the config. */
+    def nCells(nCorpus: Long): Int =
+      math.max(16, math.round(math.sqrt(nCorpus.toDouble)).toInt)
+    /** Probe ~1/3 of the cells, floor 8 (small stores probe everything
+      * rather than under-probe). */
+    def nProbe(nCells: Long): Int =
+      math.min(nCells, math.max(8L, math.ceil(nCells / 3.0).toLong)).toInt
+    /** Exact-rescore depth: 10×k, floor 100. */
+    def rerankDepth(k: Int): Int = math.max(100, 10 * k)
+  }
+
+  /** [[searchSelfContained]] with the exact-rescore tail — the stored
+    * store's HIGH-RECALL search (RECALL.md's shipped configuration when
+    * paired with [[HighRecall]] budgets). The store holds only codes, so
+    * the exact vectors come from `corpus` (the table the deployment
+    * built the store from); the shortlist is tombstone-filtered BEFORE
+    * rescoring, so retracted ids can never re-enter through the refine.
+    * Cost: the stored ADC search at `rerankDepth`, plus one
+    * broadcast-joined corpus pass over |Q|×rerankDepth candidates. */
+  def searchSelfContainedRefined(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, queries: DataFrame,
+                                 qIdCol: String, qVecCol: String,
+                                 corpus: DataFrame, corpusVecCol: String,
+                                 k: Int, nProbe: Int, rerankDepth: Int): DataFrame = {
+    require(rerankDepth >= k,
+      s"rerankDepth=$rerankDepth must be >= k=$k (the shortlist feeds the final rank)")
+    val p = loadQuantizers(spark, indexPath)._3
+    val shortlist = searchSelfContained(spark, indexPath, queries,
+      qIdCol, qVecCol, rerankDepth, nProbe)
+    exactRescore(shortlist, queries, qIdCol, qVecCol,
+      corpus, p.idCol, corpusVecCol, k)
+  }
+
   /** Retract vector ids from a persisted index WITHOUT touching the store:
     * append them to the sibling `<indexPath>.tombstones` parquet side
     * table. O(batch) metadata IO; the inverted lists are not opened.

@@ -851,6 +851,29 @@ class BatchingOpsSpec extends SparkSpec {
       "3", "2", cli, outP))
     assert(result(spark.read.parquet(outP)) == viaStoredApi,
       "CLI search output must equal the API result")
+    // REFINED stored search (the high-recall configuration): equals the
+    // in-memory refined search over the same frames, and the tombstone
+    // filter applies BEFORE the rescore (retracted ids cannot re-enter)
+    val refInMem = result(Quantize.ivfPqSearchRefined(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2, 10))
+    assert(result(Quantize.searchSelfContainedRefined(spark, cli,
+        queries, "vec_id", "embedding", emb, "embedding", 3, 2, 10)) == refInMem,
+      "stored refined search must equal the in-memory refined search")
+    assert(!Quantize.searchSelfContainedRefined(spark, raw,
+        queries, "vec_id", "embedding", emb, "embedding", 3, 2, 10)
+      .filter(col("neighbor_id") === 21L).collect().nonEmpty,
+      "tombstoned id must not re-enter through the exact rescore")
+    // CLI searchref with auto budgets resolves via Quantize.HighRecall
+    // (8 cells -> nProbe 8, k=3 -> depth 100) and writes parquet
+    val outR = dir + "/outref.parquet"
+    VectorStoreCtl.run(spark, Array("searchref", qP, "vec_id", "embedding",
+      "3", "auto", "auto", embP, "embedding", cli, outR))
+    val autoRef = result(Quantize.searchSelfContainedRefined(spark, cli,
+      queries, "vec_id", "embedding", emb, "embedding", 3,
+      Quantize.HighRecall.nProbe(8), Quantize.HighRecall.rerankDepth(3)))
+    assert(result(spark.read.parquet(outR)) == autoRef,
+      "CLI searchref auto budgets must resolve via Quantize.HighRecall")
   }
 
   test("vector-store maintenance daemon: sweeps on schedule, locked store is a skip not a crash") {
