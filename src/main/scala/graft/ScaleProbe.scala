@@ -150,6 +150,54 @@ object ScaleProbe {
         println(f"[scale] delete_cells=$spread%2d  ids=${ids.size}%3d  rows_removed=$removed%4d  " +
           f"rewritten=${rewritten}%8dB of ${total}%8dB (${100.0 * rewritten / total}%4.1f%%)  delete=${secs}%6.2fs")
       }
+      // retention sweep: cost tracks the AFFECTED cells, not the store —
+      // dead rows confined to ONE cell (half that cell's vectors
+      // tombstoned, so it crosses any threshold below 0.5 while every
+      // other cell holds zero dead rows) at store 1×/4×/16×. The sweep's
+      // only store-sized cost is the single column-pruned (id, cell)
+      // scan that computes per-cell fractions; the rewrite opens just
+      // the crossing cell — so rewritten bytes stay a ~constant FRACTION
+      // of the store (one cell of 8) instead of the 100% a rebuild-shaped
+      // sweep would pay, and walls grow with the affected cell, not the
+      // corpus
+      for (mult <- Seq(1, 4, 16)) {
+        val inflated = (0 until mult).map(i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+        val path = java.nio.file.Files.createTempDirectory("scale-ivfpq-sweep")
+          .toString + "/index"
+        graft.operators.Quantize.writeIvfPqIndex(
+          graft.operators.Quantize.ivfPqIndex(inflated, "vec_id", "embedding",
+            cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), path)
+        val pairs = spark.read.parquet(path)
+          .select(col("vec_id"), col("centroid_id").cast("string"))
+          .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+        val cell = pairs.map(_._2).distinct.sorted.head
+        val cellIds = pairs.filter(_._2 == cell).map(_._1).sorted
+        val doomedIds = cellIds.take(cellIds.length / 2).toSeq
+        graft.operators.Quantize.addTombstones(spark, path,
+          spark.createDataset(doomedIds)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("vec_id"), "vec_id")
+        def cellBytes2(only: Option[Set[String]]): Long = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(new java.io.File(path))
+            .filter(f => f.getPath.endsWith(".parquet") && only.forall(cs =>
+              cs.exists(c => f.getPath.contains(s"centroid_id=$c/"))))
+            .map(_.length()).sum
+        }
+        val total = cellBytes2(None)
+        val t0 = System.nanoTime()
+        val stats = graft.operators.Quantize.retentionSweep(
+          spark, path, "vec_id", 0.3)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rewritten = cellBytes2(Some(Set(cell)))
+        println(f"[scale] sweep_store=${e0 * mult}%8d  dead=${doomedIds.size}%5d  " +
+          f"cells_swept=${stats.cellsSwept}  rows_removed=${stats.rowsRemoved}%6d  " +
+          f"rewritten=${rewritten}%8dB of ${total}%9dB (${100.0 * rewritten / total}%4.1f%%)  " +
+          f"sweep=${secs}%6.2fs")
+      }
       emb0.unpersist()
     }
 
