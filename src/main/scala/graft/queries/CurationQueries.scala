@@ -329,6 +329,34 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- High-recall deployment search under the oracle ------------------
+    // (round 8's shipped configuration end-to-end: SELF-CONTAINED store
+    //  build, O(1) tombstoned retraction, then the REFINED stored search
+    //  `searchSelfContainedRefined` — tombstone-filtered ADC shortlist,
+    //  exact rescore over the (deliberately UNfiltered) corpus frame. The
+    //  oracle is qx70's refine formula over an index built WITHOUT the
+    //  retracted ids: a hash match proves both the exact-delete contract
+    //  AND that retracted ids cannot re-enter through the rescore.)
+    "qx83_searchref_retained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val path = java.nio.file.Files.createTempDirectory("qx83-searchref")
+        .toString + "/store"
+      graft.operators.Quantize.buildSelfContained(s, emb, "vec_id", "embedding",
+        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+        PQ_DIMS, PQ_BLOCKS, residual = false, path)
+      graft.operators.Quantize.addTombstones(s, path,
+        emb.filter(col("vec_id") % 9 === 4).select("vec_id"), "vec_id")
+      graft.operators.Quantize.searchSelfContainedRefined(s, path,
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+          emb, "embedding", PQ_K, IVFPQ_NPROBE, REFINE_DEPTH)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- Streaming vector ingest under the oracle ------------------------
     // (the qx68 precedent for the ANN store: embeddings arrive as a FILE
     //  stream, one landing file per micro-batch, each batch encoded
@@ -669,6 +697,91 @@ object CurationQueries {
        |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
   }
 
+  /** [[ivfPqSearchOracle]]'s REFINED twin (the qx70 formula): probe-pruned
+    * ADC shortlist to REFINE_DEPTH, then exact-rescore re-rank to PQ_K.
+    * `corpusFilter` excludes retracted ids from the CORPUS side only
+    * (assignment + codes), exactly like the delete/retention oracles —
+    * queries, centroids, and codebook stay build-time artifacts. The
+    * rescore side needs no extra filter: it joins the already-filtered
+    * shortlist, which is precisely the "tombstoned ids cannot re-enter
+    * through the refine" contract. */
+  private def ivfPqRefineOracle(corpusFilter: Option[String]): String = {
+    val d = duckD
+    val w = PQ_DIMS / PQ_BLOCKS
+    val sub = d.slice("embedding", s"block * $w + 1", w)
+    val csub = d.slice("cv", s"block * $w + 1", w)
+    val qsub = d.slice("embedding", s"block * $w + 1", w)
+    val esWhere = corpusFilter.map(f => s" WHERE $f").getOrElse("")
+    val asgWhere = corpusFilter.map(f => s" WHERE n.$f").getOrElse("")
+    s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM embeddings),
+       |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+       |        FROM n WHERE vec_id < $IVFPQ_CENTROIDS),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT n.vec_id, cen.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+       |              THEN ${TX.dot("n.embedding", "c_vec")(d)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+       |        DESC NULLS LAST, centroid_id) AS rn
+       |    FROM n CROSS JOIN cen$asgWhere)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, cen.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
+       |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
+       |        DESC, centroid_id ASC) AS rn
+       |    FROM n q CROSS JOIN cen WHERE q.vec_id < $PQ_QUERY_SET)
+       |  WHERE rn <= $IVFPQ_NPROBE),
+       |b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
+       |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
+       |       FROM embeddings CROSS JOIN b$esWhere),
+       |cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+       |       WHERE vec_id < $PQ_CODES),
+       |cs AS (SELECT code, CAST(block AS BIGINT) AS block, $csub AS csub
+       |       FROM cb CROSS JOIN b),
+       |scored AS (
+       |  SELECT vec_id, es.block AS block, code,
+       |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
+       |      + ${TX.dot("csub", "csub")(d)} AS d2
+       |  FROM es JOIN cs ON es.block = cs.block),
+       |codes AS (SELECT vec_id, block, code
+       |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+       |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
+       |          WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, CAST(block AS BIGINT) AS block,
+       |         $qsub AS qsub
+       |       FROM embeddings CROSS JOIN b WHERE vec_id < $PQ_QUERY_SET),
+       |tbl AS (SELECT query_id, qs.block AS block, code,
+       |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
+       |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
+       |  FROM qs JOIN cs ON qs.block = cs.block),
+       |summed AS (SELECT p.query_id AS query_id, codes.vec_id AS vec_id, SUM(pd2) AS d2
+       |  FROM codes
+       |  JOIN assigned a ON codes.vec_id = a.vec_id
+       |  JOIN probes p ON a.centroid_id = p.centroid_id AND p.query_id <> codes.vec_id
+       |  JOIN tbl ON tbl.query_id = p.query_id
+       |    AND codes.block = tbl.block AND codes.code = tbl.code
+       |  GROUP BY p.query_id, codes.vec_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
+       |  WHERE rn <= $REFINE_DEPTH),
+       |resc AS (SELECT s.query_id, s.vec_id,
+       |    ${TX.dot("q.embedding", "q.embedding")(d)}
+       |      - 2.0 * ${TX.dot("q.embedding", "c.embedding")(d)}
+       |      + ${TX.dot("c.embedding", "c.embedding")(d)} AS d2x
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
+       |  ROUND(d2x, 6) AS dist2
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY d2x ASC, vec_id ASC) AS rn FROM resc)
+       |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val m = oracleSqlBase
     m ++ Map(
@@ -690,7 +803,15 @@ object CurationQueries {
       // delete semantics WHENEVER the sweep runs and WHEREVER it drew the
       // swept/unswept line — same oracle shape as qx74, with the
       // retracted set filtered off the corpus side.
-      "qx82_ivfpq_retention" -> ivfPqSearchOracle(Some(s"vec_id % 5 <> 2")))
+      "qx82_ivfpq_retention" -> ivfPqSearchOracle(Some(s"vec_id % 5 <> 2")),
+      // qx83's contract: the round-8 HIGH-RECALL deployment search —
+      // tombstone-filtered stored ADC shortlist, then exact rescore —
+      // equals the refined search over an index BUILT without the
+      // retracted ids. Same refine oracle as qx70 with the retracted set
+      // filtered off the corpus side; the rescore corpus the Spark side
+      // passes is UNfiltered, so a hash match also proves retracted ids
+      // cannot re-enter through the refine.
+      "qx83_searchref_retained" -> ivfPqRefineOracle(Some(s"vec_id % 9 <> 4")))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -945,80 +1066,7 @@ object CurationQueries {
          |LIMIT $DRIFT_TOP""".stripMargin
     },
 
-    "qx70_ivfpq_refine" -> {
-      val d = duckD
-      val w = PQ_DIMS / PQ_BLOCKS
-      val sub = d.slice("embedding", s"block * $w + 1", w)
-      val csub = d.slice("cv", s"block * $w + 1", w)
-      val qsub = d.slice("embedding", s"block * $w + 1", w)
-      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM embeddings),
-         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
-         |        FROM n WHERE vec_id < $IVFPQ_CENTROIDS),
-         |assigned AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT n.vec_id, cen.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
-         |              THEN ${TX.dot("n.embedding", "c_vec")(d)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
-         |        DESC NULLS LAST, centroid_id) AS rn
-         |    FROM n CROSS JOIN cen)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, centroid_id FROM (
-         |    SELECT q.vec_id AS query_id, cen.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
-         |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
-         |        DESC, centroid_id ASC) AS rn
-         |    FROM n q CROSS JOIN cen WHERE q.vec_id < $PQ_QUERY_SET)
-         |  WHERE rn <= $IVFPQ_NPROBE),
-         |b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
-         |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
-         |       FROM embeddings CROSS JOIN b),
-         |cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
-         |       WHERE vec_id < $PQ_CODES),
-         |cs AS (SELECT code, CAST(block AS BIGINT) AS block, $csub AS csub
-         |       FROM cb CROSS JOIN b),
-         |scored AS (
-         |  SELECT vec_id, es.block AS block, code,
-         |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
-         |      + ${TX.dot("csub", "csub")(d)} AS d2
-         |  FROM es JOIN cs ON es.block = cs.block),
-         |codes AS (SELECT vec_id, block, code
-         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
-         |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
-         |          WHERE rn = 1),
-         |qs AS (SELECT vec_id AS query_id, CAST(block AS BIGINT) AS block,
-         |         $qsub AS qsub
-         |       FROM embeddings CROSS JOIN b WHERE vec_id < $PQ_QUERY_SET),
-         |tbl AS (SELECT query_id, qs.block AS block, code,
-         |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
-         |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
-         |  FROM qs JOIN cs ON qs.block = cs.block),
-         |summed AS (SELECT p.query_id AS query_id, codes.vec_id AS vec_id, SUM(pd2) AS d2
-         |  FROM codes
-         |  JOIN assigned a ON codes.vec_id = a.vec_id
-         |  JOIN probes p ON a.centroid_id = p.centroid_id AND p.query_id <> codes.vec_id
-         |  JOIN tbl ON tbl.query_id = p.query_id
-         |    AND codes.block = tbl.block AND codes.code = tbl.code
-         |  GROUP BY p.query_id, codes.vec_id),
-         |short AS (SELECT query_id, vec_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
-         |  WHERE rn <= $REFINE_DEPTH),
-         |resc AS (SELECT s.query_id, s.vec_id,
-         |    ${TX.dot("q.embedding", "q.embedding")(d)}
-         |      - 2.0 * ${TX.dot("q.embedding", "c.embedding")(d)}
-         |      + ${TX.dot("c.embedding", "c.embedding")(d)} AS d2x
-         |  FROM short s
-         |  JOIN embeddings q ON q.vec_id = s.query_id
-         |  JOIN embeddings c ON c.vec_id = s.vec_id)
-         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
-         |  ROUND(d2x, 6) AS dist2
-         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY d2x ASC, vec_id ASC) AS rn FROM resc)
-         |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
-    },
+    "qx70_ivfpq_refine" -> ivfPqRefineOracle(None),
 
     "qx69_ivfpq_residual" -> {
       val d = duckD
