@@ -185,11 +185,19 @@ object RelationalQueries {
     }),
 
     // ---- E1 intersect -----------------------------------------------------
+    // (INTERSECT semantics, hand-lowered: Spark plans .intersect as a
+    //  shuffled join of two full-width distinct aggregates; both sides
+    //  here reduce map-side to a handful of years, so distinct + a
+    //  BROADCAST semi join gets the same rows with the lineitem-side
+    //  exchange carrying ~7 rows and no shuffled join at all. Dates are
+    //  non-null in this schema, so null-equality — the one place
+    //  INTERSECT and a semi join disagree — never arises; the hash gate
+    //  would catch it if the data changed.)
     "q15_intersect_years" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
-      o.select(year(col("o_orderdate")).cast("long").as("yr"))
-        .intersect(li.select(year(col("l_shipdate")).cast("long").as("yr")))
-        .orderBy("yr")
+      val oy = o.select(year(col("o_orderdate")).cast("long").as("yr")).distinct()
+      val ly = li.select(year(col("l_shipdate")).cast("long").as("yr")).distinct()
+      oy.join(broadcast(ly), Seq("yr"), "leftsemi").orderBy("yr")
     }),
 
     // ---- A7 freshness aggregate -------------------------------------------

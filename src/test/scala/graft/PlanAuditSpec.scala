@@ -29,7 +29,12 @@ class PlanAuditSpec extends SparkSpec {
     // ADC tables broadcast, the corpus side only ever equi-joins them; a
     // SortMergeJoin appearing here means a small side stopped broadcasting
     // and the corpus is being sorted+shuffled for it
-    for (q <- Seq("qx67_ivfpq_search", "qx69_ivfpq_residual")) {
+    // qx83 is the stored+refined composition (probe-pruned store scan →
+    // tombstone anti-join → ADC → broadcast-shortlist exact rescore);
+    // its lambda eagerly builds the store, so the plan under audit is the
+    // search the deployment actually runs
+    for (q <- Seq("qx67_ivfpq_search", "qx69_ivfpq_residual",
+                  "qx83_searchref_retained")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"),
