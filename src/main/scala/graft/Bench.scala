@@ -1,6 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** The bench's regression-flag decision, factored out of the measurement
+  * loop so the gate itself is spec-testable against the observed
+  * false-flag classes (BenchGateSpec replays round 7's three noise flags
+  * and a genuine regression). */
+object BenchGate {
+  val RatioThreshold = 2.0
+  val DuckFloorSec = 0.05
+  val SparkFloorSec = 0.5
+  val MinSpread = 1.25
+
+  /** Flag iff BOTH: the spark/duck ratio breached 2× the committed ratio
+    * (with materiality floors), AND the Spark wall exceeds the committed
+    * run's own observed ceiling (committed min × committed spread,
+    * spread floored — a wall the committed run itself reached cannot be
+    * a plan regression). Any missing committed datum → no flag (new
+    * queries establish a baseline, they don't diff against nothing). */
+  def regressed(sparkNow: Double, duckNow: Option[Double],
+                prevRatio: Option[Double], prevMin: Option[Double],
+                prevSpread: Option[Double]): Boolean =
+    (for {
+      dn <- duckNow
+      pr <- prevRatio
+      if dn >= DuckFloorSec && sparkNow >= SparkFloorSec && pr > 0 &&
+        sparkNow / dn > RatioThreshold * pr
+      pm <- prevMin
+      sp = math.max(prevSpread.getOrElse(1.0), MinSpread)
+      if sparkNow > pm * sp
+    } yield true).getOrElse(false)
+}
+
 object Bench {
 
   private def fmt(v: Double): String =
@@ -247,14 +277,8 @@ object Bench {
     // regression raises Spark's wall past anything the committed run saw
     // and still trips (2).
     def regressed(name: String, mn: Double): Boolean =
-      (for {
-        dn <- duck.get(name)
-        pr <- prevRatios.get(name)
-        if dn >= 0.05 && mn >= 0.5 && pr > 0 && mn / dn > 2.0 * pr
-        pm <- prior.get(name)
-        sp = math.max(prevSpread.getOrElse(name, 1.0), 1.25)
-        if mn > pm * sp
-      } yield true).getOrElse(false)
+      BenchGate.regressed(mn, duck.get(name), prevRatios.get(name),
+        prior.get(name), prevSpread.get(name))
     // Transient-flag kill (round-7): a sub-second query can triple on one
     // run's JIT/GC state alone (observed back-to-back full runs: qx62 at
     // 0.32 s and 1.17 s under load_ok=1 both times). Each PROVISIONALLY

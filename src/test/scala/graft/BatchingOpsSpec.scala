@@ -722,6 +722,20 @@ class BatchingOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("doc_id"))
   }
 
+  test("HighRecall policy: sqrt-N cells, third-of-cells probes clamped to cell count, depth floors") {
+    import graft.operators.Quantize.HighRecall
+    assert(HighRecall.nCells(2000) == 45)      // round(sqrt(2000))
+    assert(HighRecall.nCells(100) == 16)       // floor: tiny corpora keep >= 16 cells
+    assert(HighRecall.nCells(1000000) == 1000)
+    assert(HighRecall.nProbe(45) == 15)        // ceil(45/3)
+    assert(HighRecall.nProbe(8) == 8)          // floor 8, clamped to nCells
+    assert(HighRecall.nProbe(5) == 5)          // never probe more cells than exist
+    assert(HighRecall.nProbe(1000) == 334)
+    assert(HighRecall.rerankDepth(3) == 100)   // floor 100
+    assert(HighRecall.rerankDepth(10) == 100)
+    assert(HighRecall.rerankDepth(50) == 500)  // 10k past the floor
+  }
+
   test("tombstone crash/interlock: writers reinstate a crashed swap; retraction during a held lock fails loudly") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
