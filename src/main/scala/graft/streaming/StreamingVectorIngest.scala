@@ -50,13 +50,14 @@ object StreamingVectorIngest {
             centroids: DataFrame, cenIdCol: String, cenVecCol: String,
             codebook: DataFrame, cbIdCol: String, cbVecCol: String,
             dims: Int, nBlocks: Int,
-            indexPath: String, checkpoint: String): StreamingQuery = {
+            indexPath: String, checkpoint: String,
+            residual: Boolean = false): StreamingQuery = {
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol,
           centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
-          dims, nBlocks, indexPath, streamTag = checkpoint)
+          dims, nBlocks, indexPath, streamTag = checkpoint, residual = residual)
       }
       .start()
   }
@@ -64,19 +65,20 @@ object StreamingVectorIngest {
   /** [[start]] against STORED quantizers ([[Quantize.saveQuantizers]] /
     * [[Quantize.buildSelfContained]] must have run for `indexPath`) — the
     * streaming half of the self-contained store: no quantizer frames to
-    * pass stale across a long-running ingest deployment. Raw-encode
-    * stores only: [[processBatch]] encodes with [[Quantize.ivfPqIndex]],
-    * so a residual store must refuse loudly rather than silently mix
-    * encodings (the exact corruption the params row exists to prevent). */
+    * pass stale across a long-running ingest deployment, and no encoding
+    * flag to pass wrong either — the store's persisted `residual` param
+    * picks the batch encode ([[Quantize.ivfPqIndexResidual]] vs
+    * [[Quantize.ivfPqIndex]]), so the TRAINED high-recall configuration
+    * (a residual store) stream-ingests with the same frozen-quantizer
+    * math its batch appends use. Mixing encodings is impossible by
+    * construction: the flag travels with the store, never the caller. */
   def startSelfContained(vectors: DataFrame, vecCol: String,
                          indexPath: String, checkpoint: String): StreamingQuery = {
     val (cents, cb, p) =
       Quantize.loadQuantizers(vectors.sparkSession, indexPath)
-    require(!p.residual,
-      s"streaming ingest raw-encodes batches; store $indexPath was built " +
-        "residual — streaming into it would corrupt every ADC distance")
     start(vectors, p.idCol, vecCol, cents, "centroid_id", "cen_emb",
-      cb, "code", "c_emb", p.dims, p.nBlocks, indexPath, checkpoint)
+      cb, "code", "c_emb", p.dims, p.nBlocks, indexPath, checkpoint,
+      residual = p.residual)
   }
 
   /** One micro-batch: encode ONLY the batch, replace-not-append its own
@@ -87,15 +89,53 @@ object StreamingVectorIngest {
                    centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                    codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                    dims: Int, nBlocks: Int,
-                   indexPath: String, streamTag: String): Unit = {
+                   indexPath: String, streamTag: String,
+                   residual: Boolean = false): Unit = {
     StreamingNearDup.guardStreamIdentity(batch.sparkSession, indexPath, streamTag)
-    Quantize.ivfPqIndex(batch, idCol, vecCol,
-        centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
-        dims, nBlocks)
+    val encoded =
+      if (residual)
+        Quantize.ivfPqIndexResidual(batch, idCol, vecCol,
+          centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+          dims, nBlocks)
+      else
+        Quantize.ivfPqIndex(batch, idCol, vecCol,
+          centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+          dims, nBlocks)
+    encoded
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("centroid_id", "batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(indexPath)
+  }
+
+  /** The probe-pruned, (id, block)-deduped slice of a stream-ingested
+    * store both ingested searches run on. Dedup AFTER the cell pruning:
+    * a misbehaving source that re-delivered an id across micro-batches
+    * (see [[start]]'s source contract) would otherwise double that
+    * vector's ADC distance — the per-block partials SUM over the probed
+    * slice. Duplicate rows are bit-identical (frozen quantizers: same
+    * vector → same cell, same code), so dropping any copy is exact; cost
+    * is bounded by the probed cells' rows, never the store. */
+  private def prunedIngestedSlice(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                                  idCol: String,
+                                  centroids: DataFrame, cenIdCol: String,
+                                  cenVecCol: String, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cells = Quantize.probeCells(queries, qIdCol, qVecCol,
+        centroids, cenIdCol, cenVecCol, nProbe)
+      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
+    val cenType = centroids.schema.apply(cenIdCol).dataType
+    val dataFields = spark.read.parquet(indexPath).schema.fields
+      .filterNot(f => f.name == "centroid_id" || f.name == "batch_id")
+    val storeSchema = StructType(dataFields
+      :+ StructField("centroid_id", cenType)
+      :+ StructField("batch_id", LongType))
+    spark.read.schema(storeSchema).parquet(indexPath)
+      .filter(col("centroid_id").isInCollection(cells))
+      .drop("batch_id")
+      .dropDuplicates(idCol, "block")
   }
 
   /** Probed search over a stream-ingested store — identical results to
@@ -107,30 +147,56 @@ object StreamingVectorIngest {
                      centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                      codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                      dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     graft.operators.Similarity.requireSmallQuerySide(queries, "searchIngested")
-    val cells = Quantize.probeCells(queries, qIdCol, qVecCol,
-        centroids, cenIdCol, cenVecCol, nProbe)
-      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
-    val cenType = centroids.schema.apply(cenIdCol).dataType
-    val dataFields = spark.read.parquet(indexPath).schema.fields
-      .filterNot(f => f.name == "centroid_id" || f.name == "batch_id")
-    val storeSchema = StructType(dataFields
-      :+ StructField("centroid_id", cenType)
-      :+ StructField("batch_id", LongType))
-    // Dedup on (id, block) AFTER the cell pruning: a misbehaving source
-    // that re-delivered an id across micro-batches (see start()'s source
-    // contract) would otherwise double that vector's ADC distance — the
-    // per-block partials SUM over the probed slice. Duplicate rows are
-    // bit-identical (frozen quantizers: same vector → same cell, same
-    // code), so dropping any copy is exact; cost is bounded by the probed
-    // cells' rows, never the store.
-    val pruned = spark.read.schema(storeSchema).parquet(indexPath)
-      .filter(col("centroid_id").isInCollection(cells))
-      .drop("batch_id")
-      .dropDuplicates(idCol, "block")
+    val pruned = prunedIngestedSlice(spark, indexPath, queries, qIdCol, qVecCol,
+      idCol, centroids, cenIdCol, cenVecCol, nProbe)
     Quantize.ivfPqSearchOn(pruned, queries, qIdCol, qVecCol, idCol,
       centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
       dims, nBlocks, k, nProbe)
+  }
+
+  /** [[searchIngested]] for a RESIDUAL stream-fed store: same pruned +
+    * deduped slice, the residual ADC tail — identical results to the
+    * in-memory [[Quantize.ivfPqSearchResidual]] over the same corpus. */
+  def searchIngestedResidual(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String,
+                             queries: DataFrame, qIdCol: String, qVecCol: String,
+                             idCol: String,
+                             centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                             codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                             dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    graft.operators.Similarity.requireSmallQuerySide(queries, "searchIngestedResidual")
+    val pruned = prunedIngestedSlice(spark, indexPath, queries, qIdCol, qVecCol,
+      idCol, centroids, cenIdCol, cenVecCol, nProbe)
+    Quantize.ivfPqSearchResidualOn(pruned, queries, qIdCol, qVecCol, idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
+  }
+
+  /** Tombstone-aware search over a stream-fed SELF-CONTAINED store: the
+    * stored quantizers pick the frames AND the ADC formula (the residual
+    * flag), retractions are honored exactly as in
+    * [[Quantize.searchSelfContained]] — the one entry point a deployment
+    * that streams into a [[Quantize.buildSelfContained]] store needs. */
+  def searchIngestedSelfContained(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                                  k: Int, nProbe: Int): DataFrame = {
+    graft.operators.Similarity.requireSmallQuerySide(queries,
+      "searchIngestedSelfContained")
+    val (cents, cb, p) = Quantize.loadQuantizers(spark, indexPath)
+    val slice = prunedIngestedSlice(spark, indexPath, queries, qIdCol, qVecCol,
+      p.idCol, cents, "centroid_id", "cen_emb", nProbe)
+    val tomb = Quantize.readTombstones(spark, indexPath, p.idCol)
+    val live = slice.join(broadcast(tomb),
+      slice(p.idCol) === tomb(p.idCol), "leftanti")
+    if (p.residual)
+      Quantize.ivfPqSearchResidualOn(live, queries, qIdCol, qVecCol, p.idCol,
+        cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+        p.dims, p.nBlocks, k, nProbe)
+    else
+      Quantize.ivfPqSearchOn(live, queries, qIdCol, qVecCol, p.idCol,
+        cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+        p.dims, p.nBlocks, k, nProbe)
   }
 }

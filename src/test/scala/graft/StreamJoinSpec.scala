@@ -176,17 +176,42 @@ class StreamJoinSpec extends SparkSpec {
         cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2)
       .collect().map(_.toString).toSet == inMem,
       "self-contained streamed store must answer like the in-memory search")
+    // RESIDUAL self-contained streaming (round 8): the stored residual
+    // flag picks the batch encode — the trained high-recall configuration
+    // (a residual store) stream-ingests with no flag for a caller to get
+    // wrong — and the stream-fed store answers exactly like the in-memory
+    // residual search over the same corpus
     val resSc = s"$dir/index-res"
     Quantize.saveQuantizers(spark, resSc, cents, "cid", "cv",
       codebook, "code_id", "c_emb",
       Quantize.StoreParams(64, 4, residual = true, "vec_id"))
-    val err = intercept[IllegalArgumentException] {
-      StreamingVectorIngest.startSelfContained(
-        mem2.toDF().toDF("vec_id", "embedding"), "embedding",
-        resSc, s"$dir/ckpt-res")
-    }
-    assert(err.getMessage.contains("residual"),
-      "streaming into a residual store must refuse loudly")
+    val mem3 = MemoryStream[(Long, Seq[Float])]
+    val q3 = StreamingVectorIngest.startSelfContained(
+      mem3.toDF().toDF("vec_id", "embedding"), "embedding",
+      resSc, s"$dir/ckpt-res")
+    try {
+      slices.foreach { g => mem3.addData(g.toSeq: _*); q3.processAllAvailable() }
+    } finally q3.stop()
+    val inMemRes = Quantize.ivfPqSearchResidual(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", cents, "cid", "cv",
+        codebook, "code_id", "c_emb", 64, 4, 3, 2)
+      .collect().map(_.toString).toSet
+    assert(StreamingVectorIngest.searchIngestedResidual(
+        spark, resSc, queries, "vec_id", "embedding", "vec_id",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2)
+      .collect().map(_.toString).toSet == inMemRes,
+      "residual stream-fed store must answer like the in-memory residual search")
+    def scSearch = StreamingVectorIngest.searchIngestedSelfContained(
+      spark, resSc, queries, "vec_id", "embedding", 3, 2)
+    assert(scSearch.collect().map(_.toString).toSet == inMemRes,
+      "self-contained ingested search must pick the residual formula from the stored params")
+    // tombstoned retraction is honored by the self-contained ingested
+    // search: retract an id that provably appears, it must vanish
+    val someNeighbor = scSearch.select("neighbor_id").head().getLong(0)
+    Quantize.addTombstones(spark, resSc,
+      emb.filter(col("vec_id") === someNeighbor).select("vec_id"), "vec_id")
+    assert(scSearch.filter(col("neighbor_id") === someNeighbor).collect().isEmpty,
+      "retracted id must not appear in the self-contained ingested search")
   }
 
   test("streaming execution: interval join runs append-mode with bounded state") {
