@@ -23,6 +23,9 @@ import graft.operators.Quantize
   *  - `sweep <store> <maxDeadFraction>`        — threshold retention sweep
   *  - `delete <ids> <store>`                   — immediate cell surgery
   *  - `compact <store> [maxRecordsPerFile]`    — defragment cells
+  *  - `flatten <store>`                        — promote a stream-fed
+  *    (cell, batch) store to the canonical cell layout (the hand-off
+  *    from ingesting to maintained; single-level ops refuse until run)
   *  - `recover <store>`                        — restore interrupted delete
   *  - `search <queries> <qIdCol> <qVecCol> <k> <nProbe|auto> <store> [out]`
   *  - `searchref <queries> <qIdCol> <qVecCol> <k> <nProbe|auto>
@@ -53,8 +56,8 @@ object VectorStoreCtl {
   }
 
   private val usage =
-    "usage: build|append|tombstone|sweep|delete|compact|recover|search|" +
-      "searchref|maintain|daemon|status ..."
+    "usage: build|append|tombstone|sweep|delete|compact|flatten|recover|" +
+      "search|searchref|maintain|daemon|status ..."
 
   /** `auto` probe budget: [[Quantize.HighRecall.nProbe]] over the store's
     * actual cell count (its persisted centroid frame). */
@@ -163,6 +166,12 @@ object VectorStoreCtl {
       val maxRec = args.lift(2).flatMap(_.toLongOption).getOrElse(1000000L)
       val s = Quantize.compactIvfPqIndex(spark, store, maxRec)
       println(s"compacted $store: ${s.filesBefore} -> ${s.filesAfter} files")
+    case "flatten" =>
+      val store = args(1)
+      val p = Quantize.loadQuantizers(spark, store)._3
+      val n = Quantize.flattenIngestedStore(spark, store, p.idCol)
+      println(if (n < 0) s"$store already has the canonical cell layout"
+              else s"flattened $store to the cell layout ($n code rows)")
     case "recover" =>
       val store = args(1)
       val did = Quantize.recoverDeleteBackup(spark, store)

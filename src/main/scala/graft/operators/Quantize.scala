@@ -286,10 +286,14 @@ object Quantize {
   def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                         dims: Int, nBlocks: Int, path: String): Unit =
+                         dims: Int, nBlocks: Int, path: String): Unit = {
+    val spark = batch.sparkSession
+    requireSingleLevel(org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration), path, "appendToIvfPqIndex")
     ivfPqIndex(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
         codebook, cbIdCol, cbVecCol, dims, nBlocks)
       .write.partitionBy("centroid_id").mode("append").parquet(path)
+  }
 
   /** [[appendToIvfPqIndex]] for a RESIDUAL store: the batch's codes must
     * quantize (vector − assigned centroid) with the residual-space
@@ -300,10 +304,14 @@ object Quantize {
   def appendToIvfPqIndexResidual(batch: DataFrame, idCol: String, vecCol: String,
                                  centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                                  codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                                 dims: Int, nBlocks: Int, path: String): Unit =
+                                 dims: Int, nBlocks: Int, path: String): Unit = {
+    val spark = batch.sparkSession
+    requireSingleLevel(org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration), path, "appendToIvfPqIndexResidual")
     ivfPqIndexResidual(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
         codebook, cbIdCol, cbVecCol, dims, nBlocks)
       .write.partitionBy("centroid_id").mode("append").parquet(path)
+  }
 
   /** Compact a persisted IVF-PQ index's cell partitions — the maintenance
     * step that closes the append lifecycle: every [[appendToIvfPqIndex]]
@@ -323,6 +331,9 @@ object Quantize {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String,
                         maxRecordsPerFile: Long): graft.sources.Compaction.Stats = {
+    requireSingleLevel(org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration),
+      indexPath, "compactIvfPqIndex")
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
@@ -389,6 +400,7 @@ object Quantize {
     val store = spark.read.schema(storeSchema).parquet(indexPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
+    requireSingleLevel(fs, indexPath, "deleteFromIvfPqIndex")
     val bak = new org.apache.hadoop.fs.Path(
       indexPath.stripSuffix("/") + ".delete-bak")
     if (fs.exists(bak))
@@ -657,6 +669,91 @@ object Quantize {
       corpus, p.idCol, corpusVecCol, k)
   }
 
+  /** True iff the store carries [[graft.streaming.StreamingVectorIngest]]'s
+    * two-level (cell, batch) layout — any cell directory containing
+    * `batch_id=` children. The single-level lifecycle operators (append/
+    * delete/sweep/compact) refuse such stores loudly: their
+    * partitionBy("centroid_id") rewrites would demote batch_id into a
+    * data column for the touched cells only, leaving a store whose files
+    * disagree about the schema. [[flattenIngestedStore]] promotes the
+    * layout first. */
+  private[graft] def hasBatchPartitions(fs: org.apache.hadoop.fs.FileSystem,
+                                        indexPath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    fs.exists(root) && fs.listStatus(root).exists(c =>
+      c.isDirectory && c.getPath.getName.startsWith("centroid_id=") &&
+        fs.listStatus(c.getPath).exists(b =>
+          b.isDirectory && b.getPath.getName.startsWith("batch_id=")))
+  }
+
+  private def requireSingleLevel(fs: org.apache.hadoop.fs.FileSystem,
+                                 indexPath: String, op: String): Unit =
+    if (hasBatchPartitions(fs, indexPath))
+      throw new IllegalStateException(
+        s"$op: store $indexPath has the stream-fed (cell, batch) layout — " +
+          "run Quantize.flattenIngestedStore (CLI: flatten) to promote it " +
+          "to the canonical cell layout first")
+
+  /** Promote a stream-fed store ([[graft.streaming.StreamingVectorIngest]]'s
+    * (cell, batch) two-level layout) to the canonical single-level cell
+    * layout every lifecycle operator works on — the hand-off from
+    * "ingesting" to "maintained": stream → flatten → append/delete/
+    * sweep/compact apply unchanged. One store-sized pass: read with
+    * partition-type inference OFF (cell ids stay the literal directory
+    * strings — the "01" ≠ 1 trap), drop the batch_id bookkeeping column,
+    * dedup (id, block) exactly as [[graft.streaming.StreamingVectorIngest]]'s
+    * read path does (a contract-violating source's cross-batch
+    * re-deliveries are collapsed HERE, once, instead of at every later
+    * read), and rewrite partitioned by cell into a sibling directory,
+    * installed by rename swap (write `.flatten-new`, retire main to
+    * `.flatten-old`, rename in, drop old — a crash leaves either the
+    * untouched original or the marker, and a leftover `.flatten-old`
+    * with main missing is reinstated on the next run). Runs under
+    * [[graft.sources.StoreLock]]. Sibling `.quantizers`/`.tombstones`
+    * side tables are path-stable and unaffected. No-op (returns -1) on
+    * a store already in cell layout. Returns the number of code rows in
+    * the flattened store otherwise. */
+  def flattenIngestedStore(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, idCol: String): Long =
+    graft.sources.StoreLock.withLock(spark, indexPath, "flatten") {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+        spark.sparkContext.hadoopConfiguration)
+      val main = new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/"))
+      val fresh = new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".flatten-new")
+      val old = new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".flatten-old")
+      // crashed prior flatten: main gone, retired original still present →
+      // reinstate it (the original is complete; the fresh dir may not be)
+      if (!fs.exists(main) && fs.exists(old) && !fs.rename(old, main))
+        throw new java.io.IOException(s"flatten: failed to reinstate $old")
+      if (!hasBatchPartitions(fs, indexPath)) return -1L
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      val flat =
+        try {
+          val df = spark.read.parquet(indexPath)
+          if (!df.columns.contains(idCol))
+            throw new IllegalArgumentException(
+              s"flattenIngestedStore: store $indexPath has no column '$idCol'")
+          df.drop("batch_id").dropDuplicates(idCol, "block").localCheckpoint()
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      val n = flat.count()
+      if (fs.exists(fresh) && !fs.delete(fresh, true))
+        throw new java.io.IOException(s"flatten: failed to clear $fresh")
+      flat.write.partitionBy("centroid_id").parquet(fresh.toString)
+      if (fs.exists(old) && !fs.delete(old, true))
+        throw new java.io.IOException(s"flatten: failed to clear $old")
+      if (!fs.rename(main, old))
+        throw new java.io.IOException(s"flatten: failed to retire $main")
+      if (!fs.rename(fresh, main))
+        throw new java.io.IOException(s"flatten: failed to install $fresh")
+      fs.delete(old, true) // best-effort; main is complete from here
+      n
+    }
+
   /** Retract vector ids from a persisted index WITHOUT touching the store:
     * append them to the sibling `<indexPath>.tombstones` parquet side
     * table. O(batch) metadata IO; the inverted lists are not opened.
@@ -787,6 +884,9 @@ object Quantize {
     require(maxTombstoneFraction > 0 && maxTombstoneFraction <= 1,
       s"maxTombstoneFraction=$maxTombstoneFraction must be in (0, 1]")
     graft.sources.StoreLock.withLock(spark, indexPath, "retention-sweep") {
+      requireSingleLevel(org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration),
+        indexPath, "retentionSweep")
       val tomb = readTombstones(spark, indexPath, idCol).localCheckpoint()
       val nTomb = tomb.count()
       if (nTomb == 0) SweepStats(0, 0, 0, 0)

@@ -212,6 +212,41 @@ class StreamJoinSpec extends SparkSpec {
       emb.filter(col("vec_id") === someNeighbor).select("vec_id"), "vec_id")
     assert(scSearch.filter(col("neighbor_id") === someNeighbor).collect().isEmpty,
       "retracted id must not appear in the self-contained ingested search")
+    // LAYOUT hand-off: single-level lifecycle ops refuse the stream-fed
+    // (cell, batch) layout loudly — their cell rewrites would demote
+    // batch_id into a data column for touched cells only — and FLATTEN
+    // promotes it, after which they apply unchanged and the stored
+    // search answers exactly as before
+    val streamedStore = s"$dir/index" // the raw streamed store from above
+    val twoLevelErr = intercept[IllegalStateException] {
+      Quantize.deleteFromIvfPqIndex(spark, streamedStore,
+        emb.filter(col("vec_id") === 3L).select("vec_id"), "vec_id")
+    }
+    assert(twoLevelErr.getMessage.contains("flatten"))
+    intercept[IllegalStateException] {
+      Quantize.compactIvfPqIndex(spark, streamedStore, 1000000L)
+    }
+    intercept[IllegalStateException] {
+      Quantize.appendToIvfPqIndex(last, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, streamedStore)
+    }
+    val nFlat = Quantize.flattenIngestedStore(spark, streamedStore, "vec_id")
+    assert(nFlat == emb.count() * 4,
+      s"flatten must collapse the misdelivered duplicates to nBlocks rows/vector, got $nFlat")
+    assert(Quantize.flattenIngestedStore(spark, streamedStore, "vec_id") == -1L,
+      "second flatten must be a no-op on the cell layout")
+    assert(Quantize.ivfPqSearchStored(spark, streamedStore,
+        queries, "vec_id", "embedding", "vec_id",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2)
+      .collect().map(_.toString).toSet == inMem,
+      "flattened store must answer like the one-shot build through the stored search")
+    // and the previously-refused lifecycle op now works: delete an id,
+    // the stored search equals the built-without-it reference
+    Quantize.deleteFromIvfPqIndex(spark, streamedStore,
+      emb.filter(col("vec_id") === 499L).select("vec_id"), "vec_id")
+    assert(spark.read.parquet(streamedStore)
+      .filter(col("vec_id") === 499L).count() == 0,
+      "post-flatten delete must remove the id's code rows")
   }
 
   test("streaming execution: interval join runs append-mode with bounded state") {
