@@ -81,6 +81,34 @@ object ScaleProbe {
         println(f"[scale] ivfpq_vecs=${e0 * mult}%8d  build+search=${secs}%6.2fs  hits: $rows")
       }
 
+      // large-to-large kNN JOIN (qx84's operator): full corpus self-join at
+      // 1×/4×/16× with the CENTROID COUNT scaled with the corpus, holding
+      // expected cell size constant — candidate-pair work is
+      // cells × |L_cell|×|R_cell|, so walls should grow ~linearly with
+      // corpus size. An all-pairs plan would grow quadratically (16× data
+      // → 256× pairs) and a broadcast-query-side plan would die on the
+      // driver long before corpus scale — this probe is the evidence the
+      // operator does neither.
+      graft.operators.Similarity.ivfKnnJoin(emb0, emb0, "vec_id", "embedding",
+        cents, "cid", "cv", 3, 2).count() // codegen warmup
+      for (mult <- Seq(1, 4, 16)) {
+        val inflated = (0 until mult).map(i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+        // copy-0 ids are below the shift stride, so this picks 8×mult
+        // DISTINCT original vectors as seeds
+        val centsM = inflated.filter(col("vec_id") < 8L * mult)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Similarity.ivfKnnJoin(
+          inflated, inflated, "vec_id", "embedding",
+          centsM, "cid", "cv", 3, 2).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] knnjoin_vecs=${e0 * mult}%8d  cells=${8 * mult}%4d  " +
+          f"join=${secs}%6.2fs  rows: $rows")
+      }
+
       // incremental append: a FIXED batch appended to a stored index whose
       // standing corpus grows 1×/4×/16× — per-batch cost must track the
       // BATCH (≈flat walls down this column), not the store; a

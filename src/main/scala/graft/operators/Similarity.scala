@@ -252,6 +252,102 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine", "centroid_id", "probe_rank")
   }
 
+  /** Large-to-large k-NN JOIN: every LEFT vector finds its k nearest
+    * RIGHT vectors through a shared IVF grid — NEITHER side broadcasts,
+    * which is what separates this from the kNN searches above (all of
+    * which gate on [[requireSmallQuerySide]]). This is the kNN-graph /
+    * cross-corpus-dedup primitive: self-join a 100 TB embedding table to
+    * build the neighbor graph SemDeDup-style clustering consumes, or join
+    * a new crawl against a curated corpus to score novelty, with both
+    * sides at corpus scale.
+    *
+    * Scale shape (the reason this is not "ivfKnnMultiProbe with the cap
+    * removed"):
+    *  - The only broadcast-sized object is the CENTROID table, collapsed
+    *    to a single-row array and broadcast into a map-side expression.
+    *    Each left row computes its top-`nProbe` probe cells with
+    *    `transform` + `array_sort` over that array — per-row O(nCells),
+    *    NO window, NO shuffle: the multi-probe searches above rank probe
+    *    cells with a window because their query side is tiny; a window
+    *    keyed on the left id here would shuffle |L|·nCells rows before
+    *    any candidate is scored.
+    *  - The right side keeps its top-1 cell from [[ivfAssign]] (whose
+    *    min_by aggregation is partially aggregable — map-side combine
+    *    collapses the nCells candidates per row before the exchange).
+    *  - The candidate set is the cell EQUI-join: shuffle keyed on
+    *    centroid_id, |L|·nProbe + |R| rows in, Σ_cell |L_cell|·|R_cell|
+    *    pairs out — never |L|×|R|. A hot cell is an ordinary skewed
+    *    shuffle partition (AQE skew-join splits it); keep cells ~√N via
+    *    [[graft.operators.Quantize.HighRecall.nCells]] so per-cell work
+    *    stays bounded.
+    *  - The per-query top-k is one row_number window keyed on the left
+    *    id over the candidate pairs — the algorithm's output-scale data,
+    *    not the corpus.
+    * A (left, right) pair can surface via at most ONE probed cell (the
+    * right side's assignment is top-1), so no dedup stage is needed.
+    * Tie-breaks mirror the rest of the family: probe cells by (cosine
+    * desc, centroid asc), neighbors by (cosine desc, id asc) — the
+    * DuckDB oracle reproduces both orderings exactly.
+    *
+    * Output: (query_id, neighbor_id, rank, cosine, centroid_id,
+    * probe_rank) — rank 1..k per query, probe_rank = which probe found
+    * the neighbor. Self-pairs (same id) are excluded, matching
+    * [[bruteForceKnn]]. With nProbe = nCells the candidate set is every
+    * (cell-mate) pair of the full grid, and the result equals
+    * [[bruteForceKnn]]'s ranking (PipelineOpsSpec gates this). */
+  def ivfKnnJoin(left: DataFrame, right: DataFrame,
+                 idCol: String, vecCol: String,
+                 centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                 k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    GraftFunctions.register(left.sparkSession)
+    // centroid table → ONE row holding a sorted array of (id, vec, norm2)
+    // structs; broadcast of that row is the entire "index" the map side
+    // needs. sort_array fixes the array order so the transform below is
+    // deterministic regardless of centroid partitioning.
+    val centsOne = withNorm2(centroids, cenVecCol)
+      .select(struct(col(cenIdCol).as("cid"), col(cenVecCol).as("cvec"),
+        col("norm2").as("cn2")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("__cents"))
+    // map-side probe assignment: score every centroid per row inside a
+    // single expression, sort by (negated cosine, centroid id) — struct
+    // comparison gives exactly the (cosine desc, id asc) tie-break the
+    // window-based searches use — and keep the top nProbe. The null-norm
+    // case scores as cosine -2 (sorts last), same sentinel as the rest
+    // of the family.
+    val probeExpr = expr(
+      s"""slice(array_sort(transform(__cents, c -> struct(
+         |  CASE WHEN q_norm2 > 0 AND c.cn2 > 0
+         |       THEN -(${TX.dotAuto("q_vec", "c.cvec")}) / (sqrt(q_norm2) * sqrt(c.cn2))
+         |       ELSE CAST(2.0 AS DOUBLE) END AS negcos,
+         |  c.cid AS cid))), 1, $nProbe)""".stripMargin)
+    val qa = withNorm2(left, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("norm2").as("q_norm2"))
+      .crossJoin(broadcast(centsOne))
+      .select(col("query_id"), col("q_vec"), col("q_norm2"),
+        posexplode(probeExpr).as(Seq("__p", "__probe")))
+      .select(col("query_id"), col("q_vec"), col("q_norm2"),
+        (col("__p") + 1).cast("long").as("probe_rank"),
+        col("__probe.cid").as("centroid_id"))
+    val ca = ivfAssign(right, idCol, vecCol, centroids, cenIdCol, cenVecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col(vecCol).as("n_vec"), col("norm2").as("n_norm2"))
+    // the cell equi-join — deliberately UN-hinted: at corpus scale both
+    // sides are large and this is the shuffle the algorithm budgets for
+    val scored = ca.join(qa, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        when(col("q_norm2") > 0 && col("n_norm2") > 0,
+          expr(TX.dotAuto("q_vec", "n_vec")) / (sqrt(col("q_norm2")) * sqrt(col("n_norm2")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine", "centroid_id", "probe_rank")
+  }
+
   /** Bucket re-splitting for skewed LSH buckets — the bound that keeps
     * per-bucket all-pairs work from becoming a straggler at scale. Buckets
     * whose population exceeds `maxBucketSize` get `extraPlanes` additional

@@ -23,6 +23,7 @@ object PipelineQueries {
   private val IVF_CENTROIDS = 8
   private val IVF_K = 3
   private val QUERY_SET = 20
+  private val KNN_JOIN_NPROBE = 2
   private val TFIDF_DOC_CAP = 60
   private val SAMPLE_EN_PERMILLE = 500
   private val SAMPLE_OTHER_PERMILLE = 100
@@ -387,6 +388,24 @@ object PipelineQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       Similarity.ivfKnn(emb.filter(col("vec_id") < QUERY_SET), emb,
           "vec_id", "embedding", centroids, "centroid_id", "c_emb", IVF_K)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- Large-to-large k-NN JOIN: the kNN-graph primitive ---------------
+    // (EVERY vector is a query — the whole embeddings table self-joins
+    //  through the shared IVF grid with multi-probe on the query side.
+    //  Unlike qx22/qx76, no side is broadcast: probe cells are computed
+    //  map-side from a single-row centroid array, candidates come from
+    //  the cell equi-join, and the per-query top-k windows over candidate
+    //  pairs only. This is the neighbor-graph builder a corpus-scale
+    //  SemDeDup/novelty-scoring pass starts from.)
+    "qx84_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < IVF_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      Similarity.ivfKnnJoin(emb, emb, "vec_id", "embedding",
+          centroids, "centroid_id", "c_emb", IVF_K, nProbe = KNN_JOIN_NPROBE)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
     })
@@ -805,6 +824,37 @@ object PipelineQueries {
          |  FROM assigned c JOIN q ON c.centroid_id = q.centroid_id
          |   AND query_id <> c.vec_id)
          |SELECT query_id, centroid_id, neighbor_id, CAST(rn AS BIGINT) AS knn_rank, cosine
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+         |WHERE rn <= $IVF_K ORDER BY query_id, knn_rank""".stripMargin,
+
+    // Every vector queries with nProbe probe cells; corpus side keeps its
+    // top-1 assignment (same `assigned` CTE as qx22). Probe ranking
+    // mirrors the Spark side's struct sort: cosine desc (null → sentinel
+    // last), centroid id asc.
+    "qx84_knn_join" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM n WHERE vec_id < $IVF_CENTROIDS),
+         |ranked AS (
+         |  SELECT n.vec_id, n.embedding, n.norm2, cen.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |            THEN ${TX.dot("n.embedding", "c_vec")} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |      DESC NULLS LAST, centroid_id) AS rn
+         |  FROM n CROSS JOIN cen),
+         |assigned AS (SELECT vec_id, embedding, norm2, centroid_id FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id,
+         |             CAST(rn AS BIGINT) AS probe_rank,
+         |             embedding AS q_vec, norm2 AS q_norm2
+         |           FROM ranked WHERE rn <= $KNN_JOIN_NPROBE),
+         |scored AS (
+         |  SELECT query_id, q.centroid_id AS centroid_id, probe_rank, c.vec_id AS neighbor_id,
+         |    CASE WHEN q_norm2 > 0 AND c.norm2 > 0
+         |         THEN ${TX.dot("q_vec", "c.embedding")} / (sqrt(q_norm2) * sqrt(c.norm2)) END AS cosine
+         |  FROM assigned c JOIN probes q ON c.centroid_id = q.centroid_id
+         |   AND query_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS knn_rank, cosine, centroid_id, probe_rank
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
          |WHERE rn <= $IVF_K ORDER BY query_id, knn_rank""".stripMargin

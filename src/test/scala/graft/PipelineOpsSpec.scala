@@ -139,4 +139,48 @@ class PipelineOpsSpec extends SparkSpec {
     // centroid seeds are themselves members of their own cell
     (0L until 4L).foreach(c => assert(assigned(c) === c))
   }
+
+  test("ivfKnnJoin: full-probe equals brute force; invariants at partial probe; large query side accepted") {
+    val nCells = 4
+    val centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // nProbe = nCells → every (cell-mate) pair is a candidate for every
+    // probe, i.e. ALL pairs are candidates → ranking must equal brute force
+    val full = Similarity.ivfKnnJoin(emb, emb, "vec_id", "embedding",
+        centroids, "centroid_id", "c_emb", k = 3, nProbe = nCells)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceKnn(emb, emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === brute, "nProbe = nCells must reproduce the exact ranking")
+    // partial probe: EVERY vector is a query (no small-side gate), ranks
+    // dense from 1, probe_rank within budget, neighbors from probed cells,
+    // (query, neighbor) pairs unique
+    val nProbe = 2
+    val out = Similarity.ivfKnnJoin(emb, emb, "vec_id", "embedding",
+      centroids, "centroid_id", "c_emb", k = 3, nProbe = nProbe).collect()
+    val nVecs = emb.count()
+    assert(out.map(_.getAs[Long]("query_id")).distinct.length.toLong === nVecs,
+      "every corpus vector must appear as a query")
+    val pairs = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(pairs.distinct.length === pairs.length, "a pair must surface via exactly one probed cell")
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length).toSeq)
+      val cos = byRank.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      rows.foreach { r =>
+        assert(r.getAs[Long]("probe_rank") >= 1L && r.getAs[Long]("probe_rank") <= nProbe)
+        assert(r.getAs[Long]("neighbor_id") !== q)
+      }
+    }
+    // scale-shape pin: no CartesianProduct — the probe assignment is a
+    // map-side expression over the single-row centroid array, not an
+    // unkeyed pair enumeration
+    val plan = Similarity.ivfKnnJoin(emb, emb, "vec_id", "embedding",
+      centroids, "centroid_id", "c_emb", k = 3, nProbe = nProbe)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
 }
