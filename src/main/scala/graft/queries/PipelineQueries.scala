@@ -24,6 +24,8 @@ object PipelineQueries {
   private val IVF_K = 3
   private val QUERY_SET = 20
   private val KNN_JOIN_NPROBE = 2
+  private val NOVELTY_THRESHOLD = 0.3
+  private val KNN_GROUP_THRESHOLD = 0.3
   private val TFIDF_DOC_CAP = 60
   private val SAMPLE_EN_PERMILLE = 500
   private val SAMPLE_OTHER_PERMILLE = 100
@@ -408,6 +410,56 @@ object PipelineQueries {
           centroids, "centroid_id", "c_emb", IVF_K, nProbe = KNN_JOIN_NPROBE)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- Cross-corpus novelty scoring via the kNN join -------------------
+    // (the ingestion-time question a curation pipeline asks of every new
+    //  crawl batch: how close is each incoming vector to the CURATED
+    //  corpus? Here the "crawl" is every 4th vector and the curated side
+    //  the rest — disjoint by construction; both sides stay large, the
+    //  shared-grid join from qx84 carries the whole thing, and the
+    //  per-query aggregate reduces the top-k edges to a max-similarity +
+    //  neighbor-count novelty verdict. Novel = nothing curated within
+    //  NOVELTY_THRESHOLD cosine among the probed cells.)
+    "qx85_knn_novelty" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val crawl = emb.filter(col("vec_id") % 4 === 0)
+      val curated = emb.filter(col("vec_id") % 4 =!= 0)
+      val centroids = emb.filter(col("vec_id") < IVF_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      Similarity.ivfKnnJoin(crawl, curated, "vec_id", "embedding",
+          centroids, "centroid_id", "c_emb", IVF_K, nProbe = KNN_JOIN_NPROBE)
+        .groupBy("query_id")
+        .agg(max(col("cosine")).as("max_cosine"),
+          sum(when(col("cosine") >= NOVELTY_THRESHOLD, 1L).otherwise(0L))
+            .as("n_close"),
+          count(lit(1)).as("n_neighbors"))
+        .withColumn("novel",
+          (col("max_cosine") < NOVELTY_THRESHOLD).cast("int"))
+        .orderBy("query_id")
+    }),
+
+    // ---- kNN-graph near-dup groups: the SemDeDup-shaped composition ------
+    // (the corpus-scale alternative to the LSH pipeline of qx29: edges are
+    //  the kNN join's top-k neighbors above a cosine threshold — bounded
+    //  degree by construction, so the graph is k·N edges max no matter how
+    //  dense the duplicate clusters are, where a threshold-only pair
+    //  enumeration would go quadratic inside a hot cluster — then the same
+    //  pointer-jumping connected components labels the groups.)
+    "qx86_knn_graph_groups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < IVF_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      val edges = Similarity.ivfKnnJoin(emb, emb, "vec_id", "embedding",
+          centroids, "centroid_id", "c_emb", IVF_K, nProbe = KNN_JOIN_NPROBE)
+        .filter(col("cosine") >= KNN_GROUP_THRESHOLD)
+        .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+      val cc = graft.operators.Graph.connectedComponents(edges, "u", "v")
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("group_size"))
+      cc.join(sizes, "component")
+        .select(col("id").as("vec_id"), col("component").as("group_id"),
+          col("group_size"))
+        .orderBy("vec_id")
     })
   )
 
@@ -857,6 +909,79 @@ object PipelineQueries {
          |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS knn_rank, cosine, centroid_id, probe_rank
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
-         |WHERE rn <= $IVF_K ORDER BY query_id, knn_rank""".stripMargin
+         |WHERE rn <= $IVF_K ORDER BY query_id, knn_rank""".stripMargin,
+
+    // qx84's grid with the sides split crawl (vec_id % 4 = 0) vs curated
+    // (the rest), top-k edges reduced to a per-query novelty verdict.
+    "qx85_knn_novelty" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM n WHERE vec_id < $IVF_CENTROIDS),
+         |ranked AS (
+         |  SELECT n.vec_id, n.embedding, n.norm2, cen.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |            THEN ${TX.dot("n.embedding", "c_vec")} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |      DESC NULLS LAST, centroid_id) AS rn
+         |  FROM n CROSS JOIN cen),
+         |assigned AS (SELECT vec_id, embedding, norm2, centroid_id FROM ranked
+         |             WHERE rn = 1 AND vec_id % 4 <> 0),
+         |probes AS (SELECT vec_id AS query_id, centroid_id,
+         |             embedding AS q_vec, norm2 AS q_norm2
+         |           FROM ranked WHERE rn <= $KNN_JOIN_NPROBE AND vec_id % 4 = 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN q_norm2 > 0 AND c.norm2 > 0
+         |         THEN ${TX.dot("q_vec", "c.embedding")} / (sqrt(q_norm2) * sqrt(c.norm2)) END AS cosine
+         |  FROM assigned c JOIN probes q ON c.centroid_id = q.centroid_id
+         |   AND query_id <> c.vec_id),
+         |topk AS (SELECT query_id, cosine
+         |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY cosine DESC, neighbor_id) AS rn2 FROM scored)
+         |         WHERE rn2 <= $IVF_K)
+         |SELECT query_id, max(cosine) AS max_cosine,
+         |  CAST(SUM(CASE WHEN cosine >= $NOVELTY_THRESHOLD THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+         |  CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         |  CAST(CASE WHEN max(cosine) < $NOVELTY_THRESHOLD THEN 1 ELSE 0 END AS INT) AS novel
+         |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // qx84's top-k edges above the cosine threshold, symmetrized, closed
+    // under reachability (same recursive-CTE component labeling as qx29's
+    // oracle: group id = min reachable id).
+    "qx86_knn_graph_groups" ->
+      s"""WITH RECURSIVE n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM n WHERE vec_id < $IVF_CENTROIDS),
+         |ranked AS (
+         |  SELECT n.vec_id, n.embedding, n.norm2, cen.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |            THEN ${TX.dot("n.embedding", "c_vec")} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |      DESC NULLS LAST, centroid_id) AS rn
+         |  FROM n CROSS JOIN cen),
+         |assigned AS (SELECT vec_id, embedding, norm2, centroid_id FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id,
+         |             embedding AS q_vec, norm2 AS q_norm2
+         |           FROM ranked WHERE rn <= $KNN_JOIN_NPROBE),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN q_norm2 > 0 AND c.norm2 > 0
+         |         THEN ${TX.dot("q_vec", "c.embedding")} / (sqrt(q_norm2) * sqrt(c.norm2)) END AS cosine
+         |  FROM assigned c JOIN probes q ON c.centroid_id = q.centroid_id
+         |   AND query_id <> c.vec_id),
+         |edges AS (SELECT query_id AS u, neighbor_id AS v
+         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, neighbor_id) AS rn2 FROM scored)
+         |          WHERE rn2 <= $IVF_K AND cosine >= $KNN_GROUP_THRESHOLD),
+         |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |nodes AS (SELECT DISTINCT u AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+         |comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id)
+         |SELECT id AS vec_id, group_id,
+         |  COUNT(*) OVER (PARTITION BY group_id) AS group_size
+         |FROM comp ORDER BY vec_id""".stripMargin
   )
 }
