@@ -234,6 +234,36 @@ object RecallCurve {
       (nProbe, r, cf)
     }
 
+    // ---- kNN-graph edge recall: qx84/qx86's join measured as a GRAPH
+    // builder. Exact truth = brute-force cosine top-3 per vector (the
+    // join's own metric); got = ivfKnnJoin at the deployment cell count
+    // (the trained √N grid above) at increasing probe budgets. Unlike the
+    // search rows, there is no refine stage — within its candidate set
+    // the join scores exact cosine, so edge recall measures exactly what
+    // the cell pruning loses.
+    import graft.operators.Similarity
+    def edgeTruth(corpus: DataFrame, vc: String): Set[(Long, Long)] = pairs(
+      Similarity.bruteForceKnn(corpus, corpus, "vec_id", vc, k = 3)
+        .select(col("query_id"), col("neighbor_id")))
+    def edgeGot(corpus: DataFrame, vc: String, cents: DataFrame,
+                nProbe: Int): Set[(Long, Long)] = pairs(
+      Similarity.ivfKnnJoin(corpus, corpus, "vec_id", vc,
+          cents, "centroid_id", "cen_emb", 3, nProbe)
+        .select(col("query_id"), col("neighbor_id")))
+    val isoTruthE = edgeTruth(emb, "embedding")
+    val cluTruthE = edgeTruth(embC, "embedding")
+    val graphProbes = Seq(2, 8, 15)
+    val eGrid = for {
+      (cn, corp, vc, cents, te) <- Seq(
+        ("isotropic", emb, "embedding", hCents, isoTruthE),
+        ("clustered", embC, "embedding", cCents, cluTruthE))
+      nProbe <- graphProbes
+    } yield {
+      val r = (te intersect edgeGot(corp, vc, cents, nProbe)).size.toDouble / te.size
+      println(f"[recall] GRAPH $cn%-10s cells=$hCells nProbe=$nProbe edge-recall@3 = $r%.4f")
+      (cn, nProbe, r)
+    }
+
     val md = new StringBuilder
     md.append("# ANN recall vs probe budget\n\n")
     md.append(s"Generated by `runMain graft.RecallCurve` on `$sfDir` ")
@@ -301,6 +331,28 @@ clusters and the recall/probe curve steepens: compare each row's probe
 fraction against the isotropic grid's at equal recall. The shipped
 default (nProbe=$shipProbe) is sized for the isotropic worst case and is
 strictly conservative here.
+
+## kNN-graph edge recall (the qx84/qx86 join as a graph builder)
+
+Exact truth = brute-force cosine top-3 per vector; measured =
+`Similarity.ivfKnnJoin` at the same $hCells-cell trained grid. The join
+scores exact cosine within its candidate set (no quantization, no
+refine), so edge recall isolates what CELL PRUNING loses — the number a
+SemDeDup-style pass built on the graph actually cares about.
+
+| corpus | nProbe=${graphProbes(0)} | nProbe=${graphProbes(1)} | nProbe=${graphProbes(2)} |
+|---|---|---|---|
+""")
+    for (cn <- Seq("isotropic", "clustered")) {
+      val vals = graphProbes.map(p =>
+        f"${eGrid.find(e => e._1 == cn && e._2 == p).get._3}%.4f")
+      md.append(s"| $cn | " + vals.mkString(" | ") + " |\n")
+    }
+    md.append("""
+On the clustered corpus the graph is essentially complete at tiny probe
+budgets; the isotropic rows bound the worst case — and even there the
+within-cell edges the join does find are exact, so downstream grouping
+degrades by missing edges only, never by false ones.
 """)
     md.append("""
 Reading the equal-budget table:
@@ -335,6 +387,9 @@ Reading the equal-budget table:
       s"""{"variant":"clustered+trained+refine","n_cells":$hCells,""" +
         s""""n_clusters":$NClusters,"n_probe":$np,"rerank_depth":$shipDepth,""" +
         s""""recall_at_$K":$r,"candidate_fraction":$cf}"""
+    } ++ eGrid.map { case (cn, np, r) =>
+      s"""{"variant":"knn-graph+$cn","n_cells":$hCells,"n_probe":$np,""" +
+        s""""edge_recall_at_3":$r}"""
     }).mkString("[\n", ",\n", "\n]\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/RECALL.json"), json)

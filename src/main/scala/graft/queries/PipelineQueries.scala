@@ -25,7 +25,11 @@ object PipelineQueries {
   private val QUERY_SET = 20
   private val KNN_JOIN_NPROBE = 2
   private val NOVELTY_THRESHOLD = 0.3
-  private val KNN_GROUP_THRESHOLD = 0.3
+  // 0.4 sits in the TAIL of the corpus's top-3-neighbor cosine
+  // distribution (sf0.1: 884 of 6000 edges survive; mean edge cosine is
+  // 0.36) — the surviving graph is sparse near-dup structure, not the
+  // giant component a mean-level threshold would sweep in.
+  private val KNN_GROUP_THRESHOLD = 0.4
   private val TFIDF_DOC_CAP = 60
   private val SAMPLE_EN_PERMILLE = 500
   private val SAMPLE_OTHER_PERMILLE = 100
