@@ -183,4 +183,32 @@ class PipelineOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("ivfKnnJoin: when cells align with clusters, nProbe=1 recovers the COMPLETE graph") {
+    import spark.implicits._
+    // 4 well-separated clusters on orthogonal axes of R^8: member m of
+    // cluster c points along axis 2c with a small fixed tilt into axis
+    // 2c+1 — within-cluster cosines ≈ 1, cross-cluster ≈ 0, so every true
+    // neighbor is a cluster-mate and ONE probe of an aligned grid must
+    // find the exact brute-force graph (this is the semantic the clustered
+    // RECALL.md section measures at corpus scale; here it is a hard gate).
+    val dims = 8
+    val vecs = for (c <- 0 until 4; m <- 0 until 6) yield {
+      val v = Array.fill(dims)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.05f * (m + 1)
+      (c * 6L + m, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = df.filter(col("vec_id") % 6 === 0) // one seed per cluster
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    def edges(got: org.apache.spark.sql.DataFrame) =
+      got.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneProbe = edges(Similarity.ivfKnnJoin(df, df, "vec_id", "embedding",
+      cents, "centroid_id", "c_emb", k = 3, nProbe = 1))
+    val brute = edges(Similarity.bruteForceKnn(df, df, "vec_id", "embedding", k = 3))
+    assert(oneProbe === brute,
+      "aligned cells must make the single-probe graph exactly the brute-force graph")
+  }
 }
