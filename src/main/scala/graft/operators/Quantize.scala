@@ -256,6 +256,74 @@ object Quantize {
         col("centroid_id"), col("probe_rank"))
   }
 
+  /** BATCH ADC search: every row of a LARGE query frame searches the
+    * index — the [[Similarity.ivfKnnJoin]] restructuring applied to the
+    * PQ-coded index, removing [[ivfPqSearchOn]]'s small-query-side gate.
+    * This is what lets corpus-scale batch jobs (dedup the whole store,
+    * score a whole crawl) run against the PRODUCTION index instead of
+    * raw vectors: the corpus floats were read once at build time; this
+    * pass touches only codes.
+    *
+    * Restructuring vs the broadcast-query search:
+    *  - probe cells come from [[Similarity.probeAssignLarge]] (map-side
+    *    expression over the single-row broadcast centroid array — no
+    *    window, no shuffle), not the windowed [[probeCells]];
+    *  - there is no broadcast per-(query, block, code) ADC lookup table
+    *    (it would be |Q|×nBlocks×K rows — exactly what cannot broadcast
+    *    at batch scale). Instead the codebook's per-block subvectors
+    *    (K×nBlocks rows, broadcast by definition) attach to each
+    *    candidate code tuple after the cell equi-join and the partial
+    *    distance is computed in place from the query vector riding the
+    *    probe row. Per-candidate compute trades a second large shuffle
+    *    (candidates ⋈ LUT on query_id) for w-dim dots inside one
+    *    codegen'd stage — the shuffle-minimal choice;
+    *  - the candidate volume is the algorithm's own output-scale work:
+    *    Σ_probed-cell |cell| code tuples, never |Q|×|corpus|.
+    * Determinism is byte-identical to [[ivfPqSearchOn]]: same per-block
+    * formula, same DECIMAL(30,12) cross-block sums, same (dist asc, id
+    * asc) order — BatchingOpsSpec gates equality on a shared query set
+    * and the qx87 oracle hash-matches the whole-corpus batch. */
+  def ivfPqSearchAll(queries: DataFrame, qIdCol: String, qVecCol: String,
+                     index: DataFrame, idCol: String,
+                     centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                     codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                     dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val wSub = dims / nBlocks
+    val probes = Similarity.probeAssignLarge(queries, qIdCol, qVecCol,
+      centroids, cenIdCol, cenVecCol, nProbe)
+    val cb = codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $wSub + 1", wSub)))
+      .select(col("code"), col("block"), col("__csub"),
+        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__d2").asc, col("vec_id").asc)
+    index.join(probes, Seq("centroid_id")) // the shuffle the algorithm budgets for
+      .filter(col("query_id") =!= col(idCol))
+      .join(broadcast(cb), Seq("block", "code"))
+      .withColumn("__qsub", expr(d.slice("q_vec", s"block * $wSub + 1", wSub)))
+      .withColumn("__pd2",
+        (expr(TX.dotAuto("__qsub", "__qsub"))
+          - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
+          + col("__cc")).cast("decimal(30,12)"))
+      .groupBy(col("query_id"), col(idCol).as("vec_id"))
+      .agg(sum(col("__pd2")).as("__d2"),
+        first(col("centroid_id")).as("centroid_id"),
+        first(col("probe_rank")).as("probe_rank"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("__d2").cast("double"), 6).as("dist2"),
+        col("centroid_id"), col("probe_rank"))
+  }
+
   /** Persist an IVF-PQ index partitioned by cell — the durable form of
     * the artifact: each cell's inverted list is its own directory, so a
     * probed search reads ONLY those directories (hive partition pruning;

@@ -295,34 +295,34 @@ object Similarity {
     * [[bruteForceKnn]]. With nProbe = nCells the candidate set is every
     * (cell-mate) pair of the full grid, and the result equals
     * [[bruteForceKnn]]'s ranking (PipelineOpsSpec gates this). */
-  def ivfKnnJoin(left: DataFrame, right: DataFrame,
-                 idCol: String, vecCol: String,
-                 centroids: DataFrame, cenIdCol: String, cenVecCol: String,
-                 k: Int, nProbe: Int): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
+  /** Map-side top-`nProbe` probe-cell assignment for a LARGE vector frame
+    * — the piece that removes [[requireSmallQuerySide]] from the batch
+    * operators. The centroid table collapses to ONE row holding a sorted
+    * array of (id, vec, norm2) structs; broadcasting that row is the
+    * entire "index" the map side needs. Each input row scores every
+    * centroid inside a single expression, sorts by (negated cosine,
+    * centroid id) — struct comparison gives exactly the (cosine desc, id
+    * asc) tie-break the window-based searches use — and keeps the top
+    * nProbe. Null-norm rows score as cosine -2 (sorts last), the
+    * family's sentinel. Per-row O(nCells) compute, NO window, NO
+    * shuffle. Output: (query_id, q_vec, q_norm2, probe_rank 1-based
+    * long, centroid_id), nProbe rows per input row. */
+  private[graft] def probeAssignLarge(emb: DataFrame, idCol: String, vecCol: String,
+                                      centroids: DataFrame, cenIdCol: String,
+                                      cenVecCol: String, nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
-    GraftFunctions.register(left.sparkSession)
-    // centroid table → ONE row holding a sorted array of (id, vec, norm2)
-    // structs; broadcast of that row is the entire "index" the map side
-    // needs. sort_array fixes the array order so the transform below is
-    // deterministic regardless of centroid partitioning.
+    GraftFunctions.register(emb.sparkSession)
     val centsOne = withNorm2(centroids, cenVecCol)
       .select(struct(col(cenIdCol).as("cid"), col(cenVecCol).as("cvec"),
         col("norm2").as("cn2")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("__cents"))
-    // map-side probe assignment: score every centroid per row inside a
-    // single expression, sort by (negated cosine, centroid id) — struct
-    // comparison gives exactly the (cosine desc, id asc) tie-break the
-    // window-based searches use — and keep the top nProbe. The null-norm
-    // case scores as cosine -2 (sorts last), same sentinel as the rest
-    // of the family.
     val probeExpr = expr(
       s"""slice(array_sort(transform(__cents, c -> struct(
          |  CASE WHEN q_norm2 > 0 AND c.cn2 > 0
          |       THEN -(${TX.dotAuto("q_vec", "c.cvec")}) / (sqrt(q_norm2) * sqrt(c.cn2))
          |       ELSE CAST(2.0 AS DOUBLE) END AS negcos,
          |  c.cid AS cid))), 1, $nProbe)""".stripMargin)
-    val qa = withNorm2(left, vecCol)
+    withNorm2(emb, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         col("norm2").as("q_norm2"))
       .crossJoin(broadcast(centsOne))
@@ -331,6 +331,16 @@ object Similarity {
       .select(col("query_id"), col("q_vec"), col("q_norm2"),
         (col("__p") + 1).cast("long").as("probe_rank"),
         col("__probe.cid").as("centroid_id"))
+  }
+
+  def ivfKnnJoin(left: DataFrame, right: DataFrame,
+                 idCol: String, vecCol: String,
+                 centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                 k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    val qa = probeAssignLarge(left, idCol, vecCol,
+      centroids, cenIdCol, cenVecCol, nProbe)
     val ca = ivfAssign(right, idCol, vecCol, centroids, cenIdCol, cenVecCol)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         col(vecCol).as("n_vec"), col("norm2").as("n_norm2"))

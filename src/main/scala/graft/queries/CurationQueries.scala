@@ -228,6 +228,33 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- Batch ADC search: the WHOLE corpus queries the PQ index ---------
+    // (qx67's search without the broadcast-query-side gate: probe cells
+    //  come from the map-side single-row-centroid-array expression, the
+    //  per-(query,block,code) ADC lookup table — which could never
+    //  broadcast at |Q| = corpus — is replaced by per-candidate distances
+    //  computed in place from the query vector riding the probe row, and
+    //  the decimal cross-block sums keep the output byte-identical to the
+    //  broadcast path. This is corpus-scale batch scoring against the
+    //  production index: the store's codes are read, the corpus floats
+    //  are not re-encoded.)
+    "qx87_ivfpq_batch_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val index = graft.operators.Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+        PQ_DIMS, PQ_BLOCKS)
+      graft.operators.Quantize.ivfPqSearchAll(emb, "vec_id", "embedding",
+          index, "vec_id", cents, "centroid_id", "cen_emb",
+          codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- Incremental IVF-PQ append: grow the stored index at batch cost --
     // (the ingest shape for a growing corpus: the base index is built once
     //  and persisted; a new batch is assigned+encoded ALONE against the
@@ -629,7 +656,8 @@ object CurationQueries {
     * [[graft.operators.Quantize.deleteFromIvfPqIndex]] leaves the store in
     * (deleted vectors leave the inverted lists; the frozen quantizers and
     * the query set don't change). */
-  private def ivfPqSearchOracle(corpusFilter: Option[String]): String = {
+  private def ivfPqSearchOracle(corpusFilter: Option[String],
+                                querySetMax: Option[Int] = Some(PQ_QUERY_SET)): String = {
     val d = duckD
     val w = PQ_DIMS / PQ_BLOCKS
     val sub = d.slice("embedding", s"block * $w + 1", w)
@@ -656,7 +684,7 @@ object CurationQueries {
        |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
        |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
        |        DESC, centroid_id ASC) AS rn
-       |    FROM n q CROSS JOIN cen WHERE q.vec_id < $PQ_QUERY_SET)
+       |    FROM n q CROSS JOIN cen${querySetMax.map(m => s" WHERE q.vec_id < $m").getOrElse("")})
        |  WHERE rn <= $IVFPQ_NPROBE),
        |b AS (SELECT unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS block),
        |es AS (SELECT vec_id, CAST(block AS BIGINT) AS block, $sub AS sub
@@ -676,7 +704,7 @@ object CurationQueries {
        |          WHERE rn = 1),
        |qs AS (SELECT vec_id AS query_id, CAST(block AS BIGINT) AS block,
        |         $qsub AS qsub
-       |       FROM embeddings CROSS JOIN b WHERE vec_id < $PQ_QUERY_SET),
+       |       FROM embeddings CROSS JOIN b${querySetMax.map(m => s" WHERE vec_id < $m").getOrElse("")}),
        |tbl AS (SELECT query_id, qs.block AS block, code,
        |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
        |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
@@ -1041,6 +1069,7 @@ object CurationQueries {
     },
 
     "qx67_ivfpq_search" -> ivfPqSearchOracle(None),
+    "qx87_ivfpq_batch_search" -> ivfPqSearchOracle(None, querySetMax = None),
 
     "qx72_vocab_drift" -> {
       val d = duckD

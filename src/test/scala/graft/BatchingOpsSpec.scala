@@ -511,6 +511,43 @@ class BatchingOpsSpec extends SparkSpec {
       "residual depth==k must keep exactly the residual ADC's candidate set")
   }
 
+  test("ivfPqSearchAll: byte-identical to the broadcast-query search; whole corpus as queries accepted") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val index = Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSet
+    // equality on a shared small query set: same top-k, same rounded
+    // decimal distances, same cell/probe attribution — the batch
+    // restructuring (map-side probes, per-candidate distances instead of
+    // the broadcast LUT) must change the PLAN only, never a byte of output
+    val queries = emb.filter(col("vec_id") < 20)
+    val viaLut = rows(Quantize.ivfPqSearch(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, 3, 2))
+    val viaBatch = rows(Quantize.ivfPqSearchAll(queries, "vec_id", "embedding",
+      index, "vec_id", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, 3, 2))
+    assert(viaBatch === viaLut,
+      "batch ADC search must reproduce the broadcast-path search exactly")
+    // the whole corpus as the query side — the case the broadcast path
+    // refuses — produces k rows per vector, dense ranks, no cartesian
+    val all = Quantize.ivfPqSearchAll(emb, "vec_id", "embedding",
+      index, "vec_id", cents, "cid", "cv",
+      codebook, "code_id", "c_emb", 64, 4, 3, 2)
+    val collected = all.collect()
+    assert(collected.map(_.getLong(0)).distinct.length.toLong === emb.count(),
+      "every corpus vector must appear as a query")
+    val plan = all.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("ivfPqSearch with STRING vector ids: identical ties rank by id, repeat runs agree") {
     import spark.implicits._
     import graft.operators.Quantize
