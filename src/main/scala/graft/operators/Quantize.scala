@@ -324,6 +324,63 @@ object Quantize {
         col("centroid_id"), col("probe_rank"))
   }
 
+  /** [[ivfPqSearchAll]] for a RESIDUAL-coded index — the batch search for
+    * the SHIPPED configuration (the high-recall default is a residual
+    * store). Same restructuring, one residual twist: the partial
+    * distances compare (query − probed-cell centroid) sub-vectors against
+    * the residual codewords, so each probe row picks up its centroid's
+    * VECTOR from the broadcast centroid table and carries the per-cell
+    * query residual into the candidate join; everything downstream
+    * (per-candidate compute against the broadcast codebook,
+    * DECIMAL(30,12) cross-block sums, tie-breaks) is byte-identical to
+    * [[ivfPqSearchResidualOn]] — BatchingOpsSpec gates the equality and
+    * the qx88 oracle hash-matches the whole-corpus batch. */
+  def ivfPqSearchAllResidual(queries: DataFrame, qIdCol: String, qVecCol: String,
+                             index: DataFrame, idCol: String,
+                             centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                             codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                             dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val wSub = dims / nBlocks
+    val probes = Similarity.probeAssignLarge(queries, qIdCol, qVecCol,
+        centroids, cenIdCol, cenVecCol, nProbe)
+      .join(broadcast(centroids.select(col(cenIdCol).as("centroid_id"),
+        col(cenVecCol).as("__cvec"))), Seq("centroid_id"))
+      .withColumn("__qres", expr(
+        "zip_with(q_vec, __cvec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"), col("__qres"))
+    val cb = codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $wSub + 1", wSub)))
+      .select(col("code"), col("block"), col("__csub"),
+        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__d2").asc, col("vec_id").asc)
+    index.join(probes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .join(broadcast(cb), Seq("block", "code"))
+      .withColumn("__qsub", expr(d.slice("__qres", s"block * $wSub + 1", wSub)))
+      .withColumn("__pd2",
+        (expr(TX.dotAuto("__qsub", "__qsub"))
+          - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
+          + col("__cc")).cast("decimal(30,12)"))
+      .groupBy(col("query_id"), col(idCol).as("vec_id"))
+      .agg(sum(col("__pd2")).as("__d2"),
+        first(col("centroid_id")).as("centroid_id"),
+        first(col("probe_rank")).as("probe_rank"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("__d2").cast("double"), 6).as("dist2"),
+        col("centroid_id"), col("probe_rank"))
+  }
+
   /** Persist an IVF-PQ index partitioned by cell — the durable form of
     * the artifact: each cell's inverted list is its own directory, so a
     * probed search reads ONLY those directories (hive partition pruning;

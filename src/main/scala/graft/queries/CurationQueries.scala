@@ -255,6 +255,35 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- Batch residual ADC search: qx88 = qx87 for the SHIPPED encoding -
+    // (the high-recall default is a residual store; here the whole corpus
+    //  batch-scores against the residual-coded index — probe rows pick up
+    //  their cell centroid's vector from the broadcast table and carry the
+    //  per-cell query residual into the candidate join; output
+    //  byte-identical to the broadcast residual search.)
+    "qx88_ivfpq_batch_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val seeds = emb.filter(
+        col("vec_id") >= RESCB_SEED_FROM && col("vec_id") < RESCB_SEED_FROM + PQ_CODES)
+      val resCodebook = graft.operators.Similarity.ivfAssign(
+          seeds, "vec_id", "embedding", cents, "centroid_id", "cen_emb")
+        .join(broadcast(cents), "centroid_id")
+        .withColumn("c_emb", expr(
+          "zip_with(embedding, cen_emb, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+        .select(col("vec_id").as("code_id"), col("c_emb"))
+      val index = graft.operators.Quantize.ivfPqIndexResidual(emb, "vec_id", "embedding",
+        cents, "centroid_id", "cen_emb", resCodebook, "code_id", "c_emb",
+        PQ_DIMS, PQ_BLOCKS)
+      graft.operators.Quantize.ivfPqSearchAllResidual(emb, "vec_id", "embedding",
+          index, "vec_id", cents, "centroid_id", "cen_emb",
+          resCodebook, "code_id", "c_emb",
+          PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- Incremental IVF-PQ append: grow the stored index at batch cost --
     // (the ingest shape for a growing corpus: the base index is built once
     //  and persisted; a new batch is assigned+encoded ALONE against the
@@ -646,6 +675,89 @@ object CurationQueries {
        |    AS log_weight
        |FROM f JOIN census c USING (f) CROSS JOIN tot
        |GROUP BY doc_id, tgt""".stripMargin
+  }
+
+
+  /** qx69's residual IVF+PQ search oracle, with the query set as a
+    * parameter: Some(m) restricts queries to vec_id < m (the broadcast
+    * search's small set); None runs EVERY corpus vector as a query (the
+    * qx88 batch search). */
+  private def ivfPqResidualOracle(querySetMax: Option[Int]): String = {
+    val d = duckD
+    val w = PQ_DIMS / PQ_BLOCKS
+    // residual sub-vector for block `block` of vector V against centroid
+    // C: element-by-element double subtraction over the block's window —
+    // value-identical to the Spark side's zip_with-then-slice
+    def resSub(v: String, c: String): String =
+      d.map(d.seq("1", w.toString), "i",
+        s"CAST(${d.el(v, s"block * $w + i")} AS DOUBLE) - " +
+        s"CAST(${d.el(c, s"block * $w + i")} AS DOUBLE)")
+    val csub = d.slice("cv", s"block * $w + 1", w)
+    s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM embeddings),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
+         |        FROM n WHERE vec_id < $IVFPQ_CENTROIDS),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT n.vec_id, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("n.embedding", "c_vec")(d)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
+         |        DESC NULLS LAST, centroid_id) AS rn
+         |    FROM n CROSS JOIN cen)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, centroid_id, CAST(rn AS BIGINT) AS probe_rank FROM (
+         |    SELECT q.vec_id AS query_id, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
+         |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
+         |        DESC, centroid_id ASC) AS rn
+         |    FROM n q CROSS JOIN cen${querySetMax.map(m => s" WHERE q.vec_id < $m").getOrElse("")})
+         |  WHERE rn <= $IVFPQ_NPROBE),
+         |b AS (SELECT CAST(unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS BIGINT) AS block),
+         |rcb AS (
+         |  SELECT e.vec_id AS code,
+         |    ${d.map(d.seq("1", PQ_DIMS.toString), "i",
+               s"CAST(${d.el("e.embedding", "i")} AS DOUBLE) - CAST(${d.el("c.c_vec", "i")} AS DOUBLE)")} AS cv
+         |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  JOIN cen c ON a.centroid_id = c.centroid_id
+         |  WHERE e.vec_id >= $RESCB_SEED_FROM AND e.vec_id < ${RESCB_SEED_FROM + PQ_CODES}),
+         |cs AS (SELECT code, block, $csub AS csub FROM rcb CROSS JOIN b),
+         |es AS (
+         |  SELECT e.vec_id, a.centroid_id, block, ${resSub("e.embedding", "c.c_vec")} AS sub
+         |  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+         |  JOIN cen c ON a.centroid_id = c.centroid_id CROSS JOIN b),
+         |scored AS (
+         |  SELECT vec_id, centroid_id, es.block AS block, code,
+         |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS d2
+         |  FROM es JOIN cs ON es.block = cs.block),
+         |codes AS (SELECT vec_id, centroid_id, block, code
+         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+         |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
+         |          WHERE rn = 1),
+         |qs AS (
+         |  SELECT p.query_id, p.centroid_id, p.probe_rank, block,
+         |    ${resSub("q.embedding", "c.c_vec")} AS qsub
+         |  FROM probes p JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN cen c ON p.centroid_id = c.centroid_id CROSS JOIN b),
+         |tbl AS (SELECT query_id, centroid_id, probe_rank, qs.block AS block, code,
+         |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
+         |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
+         |  FROM qs JOIN cs ON qs.block = cs.block),
+         |summed AS (SELECT t.query_id AS query_id, codes.vec_id AS vec_id,
+         |    SUM(pd2) AS d2,
+         |    MIN(codes.centroid_id) AS centroid_id, MIN(t.probe_rank) AS probe_rank
+         |  FROM codes
+         |  JOIN tbl t ON codes.centroid_id = t.centroid_id
+         |    AND codes.block = t.block AND codes.code = t.code
+         |  WHERE t.query_id <> codes.vec_id
+         |  GROUP BY t.query_id, codes.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
+         |  ROUND(CAST(d2 AS DOUBLE), 6) AS dist2, centroid_id, probe_rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
+         |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
   }
 
   /** qx67's full IVF+PQ search oracle, optionally restricted to a surviving
@@ -1097,83 +1209,8 @@ object CurationQueries {
 
     "qx70_ivfpq_refine" -> ivfPqRefineOracle(None),
 
-    "qx69_ivfpq_residual" -> {
-      val d = duckD
-      val w = PQ_DIMS / PQ_BLOCKS
-      // residual sub-vector for block `block` of vector V against centroid
-      // C: element-by-element double subtraction over the block's window —
-      // value-identical to the Spark side's zip_with-then-slice
-      def resSub(v: String, c: String): String =
-        d.map(d.seq("1", w.toString), "i",
-          s"CAST(${d.el(v, s"block * $w + i")} AS DOUBLE) - " +
-          s"CAST(${d.el(c, s"block * $w + i")} AS DOUBLE)")
-      val csub = d.slice("cv", s"block * $w + 1", w)
-      s"""WITH n AS (SELECT vec_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM embeddings),
-         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm2 AS c_norm2
-         |        FROM n WHERE vec_id < $IVFPQ_CENTROIDS),
-         |assigned AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT n.vec_id, cen.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |        (CASE WHEN n.norm2 > 0 AND c_norm2 > 0
-         |              THEN ${TX.dot("n.embedding", "c_vec")(d)} / (sqrt(n.norm2) * sqrt(c_norm2)) END)
-         |        DESC NULLS LAST, centroid_id) AS rn
-         |    FROM n CROSS JOIN cen)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, centroid_id, CAST(rn AS BIGINT) AS probe_rank FROM (
-         |    SELECT q.vec_id AS query_id, cen.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        COALESCE(CASE WHEN q.norm2 > 0 AND c_norm2 > 0
-         |              THEN ${TX.dot("q.embedding", "c_vec")(d)} / (sqrt(q.norm2) * sqrt(c_norm2)) END, -2.0)
-         |        DESC, centroid_id ASC) AS rn
-         |    FROM n q CROSS JOIN cen WHERE q.vec_id < $PQ_QUERY_SET)
-         |  WHERE rn <= $IVFPQ_NPROBE),
-         |b AS (SELECT CAST(unnest(generate_series(0, ${PQ_BLOCKS - 1})) AS BIGINT) AS block),
-         |rcb AS (
-         |  SELECT e.vec_id AS code,
-         |    ${d.map(d.seq("1", PQ_DIMS.toString), "i",
-               s"CAST(${d.el("e.embedding", "i")} AS DOUBLE) - CAST(${d.el("c.c_vec", "i")} AS DOUBLE)")} AS cv
-         |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
-         |  JOIN cen c ON a.centroid_id = c.centroid_id
-         |  WHERE e.vec_id >= $RESCB_SEED_FROM AND e.vec_id < ${RESCB_SEED_FROM + PQ_CODES}),
-         |cs AS (SELECT code, block, $csub AS csub FROM rcb CROSS JOIN b),
-         |es AS (
-         |  SELECT e.vec_id, a.centroid_id, block, ${resSub("e.embedding", "c.c_vec")} AS sub
-         |  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
-         |  JOIN cen c ON a.centroid_id = c.centroid_id CROSS JOIN b),
-         |scored AS (
-         |  SELECT vec_id, centroid_id, es.block AS block, code,
-         |    ${TX.dot("sub", "sub")(d)} - 2.0 * ${TX.dot("sub", "csub")(d)}
-         |      + ${TX.dot("csub", "csub")(d)} AS d2
-         |  FROM es JOIN cs ON es.block = cs.block),
-         |codes AS (SELECT vec_id, centroid_id, block, code
-         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
-         |                  ORDER BY d2 ASC, code ASC) AS rn FROM scored)
-         |          WHERE rn = 1),
-         |qs AS (
-         |  SELECT p.query_id, p.centroid_id, p.probe_rank, block,
-         |    ${resSub("q.embedding", "c.c_vec")} AS qsub
-         |  FROM probes p JOIN embeddings q ON q.vec_id = p.query_id
-         |  JOIN cen c ON p.centroid_id = c.centroid_id CROSS JOIN b),
-         |tbl AS (SELECT query_id, centroid_id, probe_rank, qs.block AS block, code,
-         |    CAST(${TX.dot("qsub", "qsub")(d)} - 2.0 * ${TX.dot("qsub", "csub")(d)}
-         |      + ${TX.dot("csub", "csub")(d)} AS DECIMAL(30,12)) AS pd2
-         |  FROM qs JOIN cs ON qs.block = cs.block),
-         |summed AS (SELECT t.query_id AS query_id, codes.vec_id AS vec_id,
-         |    SUM(pd2) AS d2,
-         |    MIN(codes.centroid_id) AS centroid_id, MIN(t.probe_rank) AS probe_rank
-         |  FROM codes
-         |  JOIN tbl t ON codes.centroid_id = t.centroid_id
-         |    AND codes.block = t.block AND codes.code = t.code
-         |  WHERE t.query_id <> codes.vec_id
-         |  GROUP BY t.query_id, codes.vec_id)
-         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
-         |  ROUND(CAST(d2 AS DOUBLE), 6) AS dist2, centroid_id, probe_rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY d2 ASC, vec_id ASC) AS rn FROM summed)
-         |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
-    },
+    "qx69_ivfpq_residual" -> ivfPqResidualOracle(Some(PQ_QUERY_SET)),
+    "qx88_ivfpq_batch_residual" -> ivfPqResidualOracle(None),
 
     "qx61_dsir_resample" -> {
       val d = duckD

@@ -548,6 +548,40 @@ class BatchingOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("ivfPqSearchAllResidual: byte-identical to the broadcast residual search; whole corpus accepted") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // residual-space codebook from mid-corpus seeds (the qx69 recipe —
+    // seeding from 0..3 would make every entry the zero vector)
+    val seeds = emb.filter(col("vec_id") >= 100 && col("vec_id") < 104)
+    val resCb = Similarity.ivfAssign(seeds, "vec_id", "embedding", cents, "cid", "cv")
+      .join(broadcast(cents.withColumnRenamed("cid", "centroid_id")), "centroid_id")
+      .withColumn("c_emb", expr(
+        "zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("vec_id").as("code_id"), col("c_emb"))
+    val index = Quantize.ivfPqIndexResidual(emb, "vec_id", "embedding",
+      cents, "cid", "cv", resCb, "code_id", "c_emb", 64, 4).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSet
+    val queries = emb.filter(col("vec_id") < 20)
+    val viaLut = rows(Quantize.ivfPqSearchResidual(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cents, "cid", "cv",
+      resCb, "code_id", "c_emb", 64, 4, 3, 2))
+    val viaBatch = rows(Quantize.ivfPqSearchAllResidual(queries, "vec_id", "embedding",
+      index, "vec_id", cents, "cid", "cv",
+      resCb, "code_id", "c_emb", 64, 4, 3, 2))
+    assert(viaBatch === viaLut,
+      "residual batch search must reproduce the broadcast residual path exactly")
+    val all = Quantize.ivfPqSearchAllResidual(emb, "vec_id", "embedding",
+      index, "vec_id", cents, "cid", "cv",
+      resCb, "code_id", "c_emb", 64, 4, 3, 2)
+    assert(all.select("query_id").distinct().count() === emb.count(),
+      "every corpus vector must appear as a query")
+  }
+
   test("ivfPqSearch with STRING vector ids: identical ties rank by id, repeat runs agree") {
     import spark.implicits._
     import graft.operators.Quantize
