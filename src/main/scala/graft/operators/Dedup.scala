@@ -57,6 +57,18 @@ object Dedup {
       explode(expr(s"graft_shingle_hashes(`$textCol`, $shingleN)")).as("sh"))
   }
 
+  /** [[shingleHashRows]] deduplicated PER DOCUMENT in the scan projection
+    * (`array_distinct` before the explode) — callers that need the per-doc
+    * shingle SET get it without the cross-partition `.distinct()` shuffle
+    * the row-level form would need. Cross-document duplicates remain (they
+    * are different (id, sh) rows). */
+  def shingleHashRowsDistinct(docs: DataFrame, textCol: String, idCol: String,
+                              shingleN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      explode(expr(s"array_distinct(graft_shingle_hashes(`$textCol`, $shingleN))")).as("sh"))
+  }
+
   /** The posexplode → window-lead shingle pipeline — the portable
     * reference [[shingleHashRows]]'s native expression is proven against.
     *

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Dialect, TextExprs => TX}
 
@@ -610,5 +611,225 @@ object TextAnalysis {
       .select("w1", "w2", "c_ab", "pmi")
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
+  }
+
+  // --------------------------------------------------------------------
+  // Bloom-prefiltered decontamination
+  // --------------------------------------------------------------------
+
+  /** Probe-j position of a shingle hash in a `bloomBits`-wide Bloom filter.
+    * Reuses the MinHash permutation family at an offset index so the Bloom
+    * probes are decorrelated from the signature permutations; all integer
+    * arithmetic (portable, codegen'd). */
+  private def bloomPos(sh: String, j: Int, bloomBits: Int): String =
+    s"((($sh * ${TX.aK(100 + j)} + ${TX.bK(100 + j)}) % ${TX.P}) % $bloomBits)"
+
+  /** [[contamination]] with a broadcast Bloom prefilter on the corpus side —
+    * the 100 TB shape of training-on-the-test-set detection. qx30's plan
+    * shuffles every corpus shingle into the benchmark join; here the
+    * benchmark's shingle set is folded into a `bloomBits`-bit Bloom filter
+    * (built distributedly: probe positions → per-word `bit_or`, at most
+    * bloomBits/64 rows ever reach the driver) and the corpus's shingles are
+    * tested against it IN THE SCAN PROJECTION — `element_at` on a constant
+    * word array plus two shifts, all codegen'd. Only survivors (true
+    * overlaps + the Bloom's few-percent false positives) enter the exact
+    * confirm join, which removes the false positives, so the RESULT is
+    * byte-identical to [[contamination]] while the shuffle carries a few
+    * percent of the corpus's shingle volume. Per-doc shingle totals come
+    * from a partial-aggregable groupBy (narrow rows) instead of qx30's
+    * per-doc window, and only contaminated docs (a tiny set, broadcast)
+    * join back for the overlap fraction.
+    *
+    * False-positive math at the defaults (k=3 probes): fp ≈ (1-e^(-3n/m))³
+    * — at m/n ≈ 6.5 bits per benchmark shingle that is ~5 %. At 100 TB the
+    * benchmark side stays what it always is (the small, broadcastable
+    * side); m scales with IT, not the corpus. */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleN: Int, minShared: Long = 1L,
+                         bloomBits: Int = 1 << 17, nProbes: Int = 3): DataFrame = {
+    require(bloomBits > 64 && Integer.bitCount(bloomBits) == 1,
+      s"bloomBits must be a power of two > 64: $bloomBits")
+    require(nProbes >= 1 && nProbes <= 8, s"nProbes out of [1,8]: $nProbes")
+    val nWords = bloomBits / 64
+    // Build: benchmark shingles → k probe positions → (word, mask) →
+    // bit_or per word. The collect is bounded by nWords (16 KiB of longs
+    // at the default), NOT by benchmark size.
+    val b = Dedup.shingleHashRowsDistinct(benchmark, textCol, idCol, shingleN)
+      .select(col(idCol).as("bench_id"), col("sh"))
+    val posCols = (0 until nProbes).map(j => expr(bloomPos("sh", j, bloomBits)))
+    val words = b.select(explode(array(posCols: _*)).as("p"))
+      .select(expr("cast(p div 64 as int)").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val bits = new Array[Long](nWords)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    // Corpus side: per-doc-distinct shingles (array_distinct in the scan
+    // projection — no shuffle), totals via map-side-combinable counts,
+    // Bloom test as a pure projection over a constant array literal.
+    val c = Dedup.shingleHashRowsDistinct(corpus, textCol, idCol, shingleN)
+    val tot = c.groupBy(col(idCol)).agg(count(lit(1)).as("n_doc_shingles"))
+    val bloomTest = (0 until nProbes).map { j =>
+      val p = bloomPos("sh", j, bloomBits)
+      s"((shiftright(element_at(__bloom_bits, cast($p div 64 as int) + 1), cast($p % 64 as int)) & 1) = 1)"
+    }.mkString(" AND ")
+    val hits = c.withColumn("__bloom_bits", typedLit(bits.toSeq))
+      .filter(expr(bloomTest))
+      .drop("__bloom_bits")
+      .join(broadcast(b), "sh") // exact confirm: Bloom false positives die here
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    tot.join(broadcast(hits), idCol)
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_doc_shingles").cast("double"), 6))
+      .select(col(idCol), col("bench_id"), col("n_shared"),
+        col("n_doc_shingles"), col("overlap_frac"))
+  }
+
+  // --------------------------------------------------------------------
+  // Heavy hitters (Misra–Gries candidates + exact confirm)
+  // --------------------------------------------------------------------
+
+  /** Misra–Gries summary of one partition's token stream: at most
+    * `capacity` live counters; any token whose PARTITION frequency exceeds
+    * n_p/capacity survives, which is what the global guarantee below needs.
+    * Purely partition-local imperative state — the sanctioned mapPartitions
+    * case (a streaming summary no relational operator expresses). */
+  private def misraGries(capacity: Int)(it: Iterator[String]): Iterator[String] = {
+    val counters = new java.util.HashMap[String, Long](capacity * 2)
+    while (it.hasNext) {
+      val t = it.next()
+      val cur = counters.get(t)
+      if (cur != 0L || counters.containsKey(t)) counters.put(t, cur + 1)
+      else if (counters.size < capacity) counters.put(t, 1L)
+      else {
+        val iter = counters.entrySet().iterator()
+        while (iter.hasNext) {
+          val e = iter.next()
+          if (e.getValue == 1L) iter.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counters.keySet().iterator().asScala
+  }
+
+  /** Exact top-k tokens by corpus frequency WITHOUT shuffling the token
+    * stream — the vocabulary census (qx42) re-shaped for a corpus whose
+    * (token, count) pair volume is itself a bottleneck. Two scan-only
+    * passes: (1) a per-partition Misra–Gries summary emits ≤ capacity
+    * candidates per partition (the only rows that ever leave a partition);
+    * (2) the tiny candidate union broadcasts back as a semi-join and only
+    * MATCHING tokens are counted (partial-aggregable, shuffle carries ≤
+    * |candidates| distinct keys). The Misra–Gries guarantee — any token
+    * with global count > N/capacity is heavy in at least one partition and
+    * therefore a candidate — is CHECKED, not assumed: if the k-th candidate
+    * count fails to clear N/capacity the operator falls back to the full
+    * exact census, so the result is the exact top-k in every case. Output
+    * ordered (cnt desc, term asc) — deterministic under ties. */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   k: Int, capacity: Int): DataFrame = {
+    require(k > 0 && capacity > k, s"need capacity > k > 0: k=$k capacity=$capacity")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(expr(TX.tokensAuto(textCol))).as("term"))
+    val cap = capacity // stable closure capture (no $outer)
+    val candidates = toks.as[String].mapPartitions(misraGries(cap) _).toDF("term").distinct()
+    val topk = toks.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+    val nRow = docs.agg(coalesce(sum(expr(TX.tokenCountAuto(textCol))), lit(0L)).as("n")).collect()(0)
+    val nTokens = nRow.getLong(0)
+    val stats = topk.agg(count(lit(1)).as("rows"),
+      coalesce(min(col("cnt")), lit(0L)).as("kth")).collect()(0)
+    // Fast path ONLY when the guarantee is PROVEN: k candidates exist and
+    // the k-th one's exact count clears the N/capacity floor no missed
+    // token can exceed. Anything else — including the decrement-cascade
+    // worst case where a uniform stream leaves an EMPTY summary — falls
+    // back to the full census so the answer stays exact (and loudly so).
+    val proven = stats.getLong(0) == k && stats.getLong(1) * capacity > nTokens
+    if (proven) topk
+    else {
+      docs.sparkSession.sparkContext.setJobDescription(
+        s"heavyHitters fallback: rows=${stats.getLong(0)}/$k kth=${stats.getLong(1)} vs N/capacity=${nTokens / capacity}")
+      toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(k)
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Priority sampling (weighted corpus subsample, exact arithmetic)
+  // --------------------------------------------------------------------
+
+  /** Weighted random sample of `n` rows by priority sampling (Duffield,
+    * Lund & Thorup): priority q_i = w_i / u_i with u_i a deterministic
+    * id-hash uniform in (0,1]; keep the n largest priorities; τ = the
+    * (n+1)-th priority; est_weight = max(w_i, τ) is the Horvitz–Thompson
+    * weight that makes subset-sum estimates over the sample unbiased.
+    *
+    * Arithmetic is DELIBERATELY transcendental-free: u = (h+1)/(P+1) and
+    * q = w/u are single IEEE-754 divisions, which every engine rounds
+    * identically — unlike the ln() the Efraimidis–Spirakis exponential-key
+    * variant needs — so the oracle reproduces every priority bit-for-bit.
+    *
+    * Scale shape: the priority is a per-row projection; the top-(n+1) cut
+    * is TakeOrderedAndProject (per-partition top-n+1, driver merges n+1
+    * rows per partition — no global sort exchange); τ and the row-number
+    * trim then run over ≤ n+1 rows in one post-limit partition. */
+  def prioritySample(docs: DataFrame, idCol: String, weightCol: String,
+                     n: Int, salt: String = "ps"): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    require(salt.matches("[A-Za-z0-9_]*"),
+      s"salt must be alphanumeric/underscore (it is spliced into a SQL literal): '$salt'")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val h = TX.polyHashAuto(s"concat('$salt', CAST(`$idCol` AS STRING))")
+    val prio = s"CAST(`$weightCol` AS DOUBLE) / (CAST(($h) + 1 AS DOUBLE) / ${TX.P + 1}.0)"
+    val top = docs
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        expr(prio).as("__priority"))
+      .orderBy(col("__priority").desc, col(idCol).asc)
+      .limit(n + 1)
+    val wAll = Window.partitionBy() // ≤ n+1 rows post-limit: bounded by design
+    top
+      .withColumn("__tau", min(col("__priority")).over(wAll))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy().orderBy(col("__priority").desc, col(idCol).asc)))
+      .filter(col("__rn") <= n)
+      .select(col(idCol), col("weight"),
+        round(col("__priority"), 6).as("priority"),
+        round(greatest(col("weight").cast("double"), col("__tau")), 6).as("est_weight"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+  }
+
+  // --------------------------------------------------------------------
+  // Deterministic per-shard training order
+  // --------------------------------------------------------------------
+
+  /** Reproducible epoch shuffles for a sharded training job: for each
+    * epoch, every row hashes (salted by the epoch) to a shard and to a
+    * rank within that shard. A 1000-reader job seeks its shard's rows in
+    * `position` order and gets a bit-reproducible permutation that differs
+    * per epoch — with NO global sort: the only exchange is the (epoch,
+    * shard)-keyed window, and each window partition is corpus/nShards
+    * narrow (id, hash) rows. Re-runs, retries, and engines agree on every
+    * row's (shard, position). */
+  def shardOrder(docs: DataFrame, idCol: String,
+                 nShards: Int, nEpochs: Int): DataFrame = {
+    require(nShards > 0 && nEpochs > 0,
+      s"need positive shards/epochs: $nShards/$nEpochs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val h = TX.polyHashAuto(s"concat('ep', CAST(epoch AS STRING), '_', CAST(`$idCol` AS STRING))")
+    val hashed = docs
+      .select(col(idCol), explode(expr(s"sequence(0, ${nEpochs - 1})")).as("epoch"))
+      .withColumn("__h", expr(h))
+      .withColumn("shard", expr(s"cast(__h % $nShards as int)"))
+    val w = Window.partitionBy("epoch", "shard").orderBy(col("__h").asc, col(idCol).asc)
+    hashed
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("position"), col(idCol))
+      .orderBy("epoch", "shard", "position")
   }
 }

@@ -39,6 +39,25 @@ object PipelineQueries {
   private val DECON_MIN_SHARED = 2L
   private val REP_N = 2
   private val PII_CUST_CAP = 300
+  /** qx89: Bloom-prefiltered decontamination — longer shingles and a lower
+    * floor than qx30 so the two queries exercise different match regimes;
+    * the result is EXACT (the Bloom is a prefilter, the confirm join kills
+    * its false positives), so the oracle is the plain exact-overlap SQL. */
+  private val BLOOM_SHINGLE_N = 4
+  private val BLOOM_MIN_SHARED = 1L
+  private val BLOOM_BITS = 1 << 17
+  /** qx90: Misra–Gries heavy hitters. The synthetic corpus's 31-word
+    * vocabulary is near-uniform (MG's worst case for eviction), so the
+    * capacity is sized for the GUARANTEE (cnt_k·capacity > N, N/c20 ≈ 30.5
+    * at both SFs) and the eviction path is exercised by the spec's skewed
+    * fixture instead. */
+  private val HH_K = 20
+  private val HH_CAP = 64
+  /** qx91: priority sampling (Duffield–Lund–Thorup), n_chars-weighted. */
+  private val PRIO_N = 100
+  /** qx92: reproducible sharded training order. */
+  private val SHARD_N = 8
+  private val SHARD_EPOCHS = 2
 
   /** Redaction patterns (name, regex, replacement) — RE2-safe subset so
     * Spark's Java regex and DuckDB's RE2 agree; one source of truth for
@@ -464,6 +483,46 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("component").as("group_id"),
           col("group_size"))
         .orderBy("vec_id")
+    }),
+
+    // ---- Bloom-prefiltered decontamination: the 100 TB shape of qx30 -----
+    // (benchmark shingle set → broadcast Bloom bits tested in the corpus
+    //  scan projection; only survivors shuffle into the exact confirm
+    //  join, which removes the Bloom's false positives — result exact,
+    //  oracle is the plain overlap SQL)
+    "qx89_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % BENCH_MOD === BENCH_REM)
+      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
+      TextAnalysis.contaminationBloom(corpus, bench, "text", "doc_id",
+          BLOOM_SHINGLE_N, BLOOM_MIN_SHARED, BLOOM_BITS)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // ---- Heavy hitters: exact top-k tokens without a full-stream shuffle -
+    // (per-partition Misra–Gries candidates + broadcast-semi-join exact
+    //  recount; the guarantee cnt_k·capacity > N is checked, with a loud
+    //  exact-census fallback — the answer is the exact top-k either way)
+    "qx90_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text", HH_K, HH_CAP)
+    }),
+
+    // ---- Priority sampling: weighted subsample + HT estimator weights ----
+    // (q = w/u priorities from a deterministic id hash — single IEEE
+    //  divisions, no transcendentals, so the oracle matches every bit;
+    //  top-(n+1) via TakeOrderedAndProject, τ and the trim over ≤ n+1 rows)
+    "qx91_priority_sample" -> ((s, dir) => {
+      TextAnalysis.prioritySample(t(s, dir, "documents"), "doc_id", "n_chars",
+        PRIO_N)
+    }),
+
+    // ---- Sharded training order: reproducible per-epoch shuffles ---------
+    // (epoch-salted hash → shard + in-shard rank; the only exchange is the
+    //  (epoch, shard) window — no global sort — and every engine agrees on
+    //  every row's position)
+    "qx92_shard_order" -> ((s, dir) => {
+      TextAnalysis.shardOrder(t(s, dir, "documents"), "doc_id",
+        SHARD_N, SHARD_EPOCHS)
     })
   )
 
@@ -986,6 +1045,61 @@ object PipelineQueries {
          |comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id)
          |SELECT id AS vec_id, group_id,
          |  COUNT(*) OVER (PARTITION BY group_id) AS group_size
-         |FROM comp ORDER BY vec_id""".stripMargin
+         |FROM comp ORDER BY vec_id""".stripMargin,
+
+    // The Bloom prefilter is invisible to correctness (the exact confirm
+    // join removes every false positive), so the oracle is the plain
+    // exact-overlap query at qx89's shingle length and floor.
+    "qx89_bloom_decontaminate" ->
+      s"""WITH ${ExtensionQueries.shingleCtes(BLOOM_SHINGLE_N)},
+         |u AS (SELECT DISTINCT doc_id, sh FROM t4),
+         |c AS (SELECT doc_id, sh FROM u WHERE doc_id % $BENCH_MOD <> $BENCH_REM),
+         |b AS (SELECT doc_id AS bench_id, sh FROM u WHERE doc_id % $BENCH_MOD = $BENCH_REM),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_doc_shingles FROM c GROUP BY doc_id),
+         |shared AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+         |           FROM c JOIN b USING (sh) GROUP BY c.doc_id, b.bench_id)
+         |SELECT doc_id, bench_id, n_shared, n_doc_shingles,
+         |  ROUND(CAST(n_shared AS DOUBLE)/CAST(n_doc_shingles AS DOUBLE), 6) AS overlap_frac
+         |FROM shared JOIN tot USING (doc_id)
+         |WHERE n_shared >= $BLOOM_MIN_SHARED
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Misra–Gries + exact confirm returns the EXACT top-k (the guarantee
+    // is checked, the fallback is the census), so the oracle is the plain
+    // frequency top-k with the deterministic tie-break.
+    "qx90_heavy_hitters" -> {
+      val toks = TX.tokens("text")
+      s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)
+         |SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+         |ORDER BY cnt DESC, term ASC LIMIT $HH_K""".stripMargin
+    },
+
+    "qx91_priority_sample" -> {
+      val h = TX.polyHash("concat('ps', CAST(doc_id AS VARCHAR))")
+      s"""WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |    CAST(n_chars AS DOUBLE) / (CAST(($h) + 1 AS DOUBLE) / ${TX.P + 1}.0) AS pr
+         |  FROM documents),
+         |top AS (SELECT * FROM p ORDER BY pr DESC, doc_id ASC LIMIT ${PRIO_N + 1}),
+         |tau AS (SELECT MIN(pr) AS tau FROM top),
+         |r AS (SELECT doc_id, weight, pr,
+         |        ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id ASC) AS rn FROM top)
+         |SELECT doc_id, weight, ROUND(pr, 6) AS priority,
+         |  ROUND(GREATEST(CAST(weight AS DOUBLE), tau), 6) AS est_weight
+         |FROM r CROSS JOIN tau WHERE rn <= $PRIO_N
+         |ORDER BY priority DESC, doc_id ASC""".stripMargin
+    },
+
+    "qx92_shard_order" -> {
+      val h = TX.polyHash("concat('ep', CAST(epoch AS VARCHAR), '_', CAST(doc_id AS VARCHAR))")
+      s"""WITH e AS (SELECT doc_id,
+         |      CAST(unnest(generate_series(0, ${SHARD_EPOCHS - 1})) AS INT) AS epoch
+         |    FROM documents),
+         |h AS (SELECT doc_id, epoch, $h AS hh FROM e),
+         |s AS (SELECT doc_id, epoch, CAST(hh % $SHARD_N AS INT) AS shard, hh FROM h)
+         |SELECT epoch, shard,
+         |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY hh ASC, doc_id ASC) AS position,
+         |  doc_id
+         |FROM s ORDER BY epoch, shard, position""".stripMargin
+    }
   )
 }

@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Round-8 corpus-curation operators beyond the oracle hash-gate:
+  * Bloom-prefiltered decontamination (prefilter invisible to results, and
+  * it actually bites), Misra–Gries heavy hitters (eviction, guarantee,
+  * fallback), priority sampling (exact priorities + HT threshold), and
+  * the sharded training order (reproducible, contiguous, epoch-distinct).
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  val sfDir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private val BMOD = 29
+  private val BREM = 3
+
+  test("contaminationBloom is byte-identical to contamination across shingle lengths and floors") {
+    val bench = docs.filter(col("doc_id") % BMOD === BREM)
+    val corpus = docs.filter(col("doc_id") % BMOD =!= BREM)
+    for ((n, minShared) <- Seq((3, 1L), (4, 1L), (3, 2L))) {
+      val exact = TextAnalysis.contamination(corpus, bench, "text", "doc_id", n, minShared)
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      val bloom = TextAnalysis.contaminationBloom(corpus, bench, "text", "doc_id", n, minShared)
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      assert(bloom == exact,
+        s"n=$n minShared=$minShared: bloom variant diverged (${bloom.size} vs ${exact.size} rows)")
+    }
+  }
+
+  test("contaminationBloom: the prefilter bites — a disjoint-vocabulary benchmark yields zero survivors and an empty result") {
+    import spark.implicits._
+    // benchmark vocabulary shares no token with the corpus → no true
+    // overlap; the Bloom may pass a stray false positive but the confirm
+    // join must kill it, and with tiny bench the filter drops ~everything
+    val bench = Seq((900001L, "zzq qqz zqz qzq zzq qqz zqz qzq"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % BMOD =!= BREM)
+    val out = TextAnalysis.contaminationBloom(corpus, bench, "text", "doc_id", 3, 1L)
+    assert(out.count() == 0, "disjoint benchmark must contaminate nothing")
+  }
+
+  test("contaminationBloom plan: Bloom test is a scan-side filter (shiftright on the word array) feeding a broadcast join; no cartesian product") {
+    val bench = docs.filter(col("doc_id") % BMOD === BREM)
+    val corpus = docs.filter(col("doc_id") % BMOD =!= BREM)
+    val plan = TextAnalysis.contaminationBloom(corpus, bench, "text", "doc_id", 4, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shiftright"), "Bloom membership test missing from the plan")
+    assert(plan.contains("BroadcastHashJoin"), "confirm join must broadcast the benchmark side")
+    assert(!plan.contains("CartesianProduct"), "no cartesian product allowed")
+    // the corpus's shingle volume must meet the Bloom test BEFORE any join:
+    // the filter appears in the same (pre-exchange) stage as the generate
+    val beforeJoin = plan.substring(plan.indexOf("BroadcastHashJoin"))
+    assert(beforeJoin.contains("shiftright"),
+      "Bloom filter must sit under the join (scan side), not above it")
+  }
+
+  test("misraGries heavy hitters: exact top-k on a skewed corpus where eviction definitely fires") {
+    import spark.implicits._
+    // 1 partition, capacity 4, vocabulary 50: MG must evict constantly but
+    // keep the two runaway heavy tokens; the exact confirm then recounts.
+    val words = Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+      (0 until 50).flatMap(i => Seq.fill(6)(s"w$i"))
+    val text = new scala.util.Random(7).shuffle(words).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text").repartition(1)
+    val got = TextAnalysis.heavyHitters(d, "text", k = 2, capacity = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("alpha", 400L), ("beta", 300L)),
+      s"top-2 must be the exact heavy pair: $got")
+  }
+
+  test("misraGries heavy hitters: uniform corpus under a failing guarantee falls back to the exact census (answer still exact)") {
+    import spark.implicits._
+    // 60 tokens uniform over 30 words, capacity 5 → kth*cap <= N, the
+    // guarantee is unprovable; the fallback must return the true top-k
+    val text = (0 until 30).map(i => s"u$i u$i").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text").repartition(1)
+    val got = TextAnalysis.heavyHitters(d, "text", k = 3, capacity = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = (0 until 30).map(i => (s"u$i", 2L)).sortBy(_._1).take(3)
+    assert(got == expect, s"fallback must yield the exact (tie-broken) top-k: $got")
+  }
+
+  test("prioritySample: equals the top-n of independently computed priorities, with the HT threshold right") {
+    val n = 25
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference: the same u=(h+1)/(P+1), q=w/u arithmetic in plain Scala
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % graft.functions.TextExprs.P)
+    val pri = rows.map { case (id, w) =>
+      val h = polyHash(s"ps$id")
+      (id, w, w.toDouble / ((h + 1).toDouble / (graft.functions.TextExprs.P + 1).toDouble))
+    }.sortBy { case (id, _, q) => (-q, id) }
+    val tau = pri(n)._3 // (n+1)-th priority
+    val expect = pri.take(n).map { case (id, w, q) =>
+      (id, w, math.rint(q * 1e6) / 1e6, math.rint(math.max(w.toDouble, tau) * 1e6) / 1e6)
+    }
+    val got = TextAnalysis.prioritySample(docs, "doc_id", "n_chars", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2)) == expect.map(t => (t._1, t._2)).toSeq,
+      "sample membership/order must match the reference top-n")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-6 && math.abs(g._4 - e._4) < 1e-6,
+        s"priority/est_weight mismatch: $g vs $e")
+    }
+  }
+
+  test("prioritySample: corpus smaller than n keeps every row; est_weight floors at tau") {
+    import spark.implicits._
+    val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_chars")
+    val out = TextAnalysis.prioritySample(tiny, "doc_id", "n_chars", n = 10)
+    assert(out.count() == 3, "undersized corpus must be kept whole")
+  }
+
+  test("shardOrder: positions contiguous per (epoch, shard), each epoch a full permutation, epochs differ, re-runs agree") {
+    val out = TextAnalysis.shardOrder(docs, "doc_id", nShards = 4, nEpochs = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val nDocs = docs.count()
+    assert(out.length == 2 * nDocs, "every doc appears once per epoch")
+    // contiguous 1..count positions inside every (epoch, shard)
+    out.groupBy(t => (t._1, t._2)).foreach { case (k, rows) =>
+      val pos = rows.map(_._3).sorted.toSeq
+      assert(pos == (1L to rows.length).toSeq, s"positions not contiguous in $k")
+    }
+    // epochs must order docs differently (epoch-salted hash)
+    val e0 = out.filter(_._1 == 0).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    val e1 = out.filter(_._1 == 1).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(e0 != e1, "epochs must yield different permutations")
+    assert(e0.toSet == e1.toSet, "both epochs must cover the same docs")
+    // determinism across plans
+    val again = TextAnalysis.shardOrder(docs, "doc_id", nShards = 4, nEpochs = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.sameElements(out), "shardOrder must be bit-reproducible")
+  }
+}
