@@ -444,6 +444,38 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- Streaming vector SEARCH under the oracle ------------------------
+    // (qx78's twin, closing the retrieval loop: the QUERIES are the
+    //  stream. A self-contained store is built once; query vectors arrive
+    //  as a file stream, each micro-batch is answered through the batch
+    //  deployment path and landed in its own retry-idempotent result
+    //  partition. The accumulated result log must hash-match qx67's
+    //  one-shot full-corpus search formula — micro-batch boundaries
+    //  provably invisible to answers.)
+    "qx93_stream_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val work = java.nio.file.Files.createTempDirectory("qx93-").toString
+      graft.operators.Quantize.buildSelfContained(s, emb, "vec_id", "embedding",
+        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+        PQ_DIMS, PQ_BLOCKS, residual = false, s"$work/index")
+      val landing = s"$work/queries"
+      emb.filter(col("vec_id") < PQ_QUERY_SET).select("vec_id", "embedding")
+        .repartition(4).write.parquet(landing)
+      val q = graft.streaming.StreamingVectorSearch.start(
+        s.readStream.schema(s.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing),
+        "vec_id", "embedding",
+        s"$work/index", s"$work/out", s"$work/ckpt", PQ_K, IVFPQ_NPROBE)
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamingVectorSearch.results(s, s"$work/out")
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- IVF-PQ retraction: shrink the stored index at cell cost ---------
     // (the other half of index maintenance: dedup/decontamination RETRACT
     //  documents, and their vectors must leave the inverted lists without
@@ -934,6 +966,9 @@ object CurationQueries {
       // verbatim.
       "qx77_ivfpq_compact" -> m("qx67_ivfpq_search"),
       "qx78_ivfpq_stream_ingest" -> m("qx67_ivfpq_search"),
+      // qx93: streamed QUERIES against the stored index answer exactly
+      // like the one-shot search — same oracle, verbatim.
+      "qx93_stream_search" -> m("qx67_ivfpq_search"),
       // qx74's contract: after deleting ids from the stored index, a probed
       // search must behave as if the index had been BUILT without them —
       // the same search oracle with the deleted ids filtered off the
