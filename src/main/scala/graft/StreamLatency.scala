@@ -116,6 +116,52 @@ object StreamLatency {
       f"avg steady wall $steadyWall ms, ${steadyRps}%.0f rows/sec; " +
       f"$bigBatches batches -> avg steady wall $steadyBigWall ms, ${steadyBigRps}%.0f rows/sec")
 
+    // ---- Query-path latency (the qx93 pipeline): a self-contained store
+    // built once, the whole corpus streamed AS QUERIES, each micro-batch
+    // answered through the batch deployment search into its own
+    // retry-idempotent result partition. Same instrument, same
+    // completeness-before-numbers discipline.
+    val searchRows: Seq[(Long, Long, Long, Long, Double)] = {
+      val work = java.nio.file.Files.createTempDirectory("streamlat-q-").toString
+      graft.operators.Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+        Dims, NBlocks, residual = false, s"$work/index")
+      val landing = s"$work/queries"
+      emb.repartition(nBatches).write.parquet(landing)
+      val q = graft.streaming.StreamingVectorSearch.start(
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing),
+        "vec_id", "embedding",
+        s"$work/index", s"$work/out", s"$work/ckpt", k = 3, nProbe = 2)
+      try q.processAllAvailable() finally q.stop()
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0).sortBy(_.batchId)
+      require(progress.nonEmpty, "search stream reported no non-empty batches")
+      val answered = graft.streaming.StreamingVectorSearch
+        .results(spark, s"$work/out")
+        .select(countDistinct(col("query_id"))).collect().head.getLong(0)
+      require(answered == nVec,
+        s"result log answers $answered queries, corpus streamed $nVec — " +
+          "refusing to report latency for an incomplete search run")
+      progress.map { p =>
+        val wallMs = Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).getOrElse(0L)
+        val addMs = Option(p.durationMs.get("addBatch")).map(_.toLong).getOrElse(-1L)
+        val qps = if (wallMs > 0) p.numInputRows * 1000.0 / wallMs else -1.0
+        (p.batchId, p.numInputRows, wallMs, addMs, qps)
+      }
+    }
+    searchRows.foreach { case (id, n, wall, add, qps) =>
+      println(f"[streamlat] search batch=$id%2d queries=$n%6d wall=${wall}%5d ms " +
+        f"(addBatch=${add}%5d ms) queries/sec=${qps}%9.0f")
+    }
+    val steadySearch = searchRows.drop(1)
+    val steadyQps =
+      if (steadySearch.nonEmpty && steadySearch.map(_._3).sum > 0)
+        steadySearch.map(_._2).sum * 1000.0 / steadySearch.map(_._3).sum
+      else -1.0
+    println(f"[streamlat] search steady-state ${steadyQps}%.0f queries/sec " +
+      f"over ${searchRows.size} batches")
+
     val md = new StringBuilder
     md.append("# Streaming ANN-ingest latency (qx78 pipeline)\n\n")
     md.append(s"Generated by `runMain graft.StreamLatency` on `$sfDir` ")
@@ -148,8 +194,30 @@ searches identically to a batch-built one (qx78's oracle row and
 StreamingMultimodalSpec gate that equality); completeness is asserted
 above before any number is reported.
 """)
+    md.append("\n## Streaming ANN-search latency (qx93 pipeline)\n\n")
+    md.append(s"The query-side twin: a self-contained store built once over the ")
+    md.append(s"same $nVec vectors, then the whole corpus streamed AS QUERIES ")
+    md.append(s"(${searchRows.size} micro-batches, k=3, nProbe=2), each batch answered ")
+    md.append("through `searchSelfContained` into its own retry-idempotent ")
+    md.append("result partition. Completeness asserted (every query answered) ")
+    md.append("before any number below.\n\n")
+    md.append("| batch | queries | wall ms | addBatch ms | queries/sec |\n")
+    md.append("|---|---|---|---|---|\n")
+    for ((id, n, wall, add, qps) <- searchRows)
+      md.append(f"| $id | $n | $wall | $add | ${qps}%.0f |\n")
+    md.append(f"\nSteady-state (excl. batch 0's codegen warmup) ${steadyQps}%.0f ")
+    md.append("""queries/sec. Per-batch walls are flat: each batch pays its own
+probed-cell scan + broadcast-query ADC join + one result-partition
+commit — the standing store is read cell-pruned per batch and never
+rewritten, so search latency does not degrade as the ingest side grows
+the store.
+""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/STREAMLAT.md"), md.toString)
+    val searchJson = searchRows.map { case (id, n, wall, add, qps) =>
+      s"""{"batch":$id,"queries":$n,"wall_ms":$wall,"add_batch_ms":$add,""" +
+        f""""queries_per_sec":${qps}%.0f}"""
+    }.mkString("[", ",", "]")
     val json = rows.map { case (id, n, wall, add, rps) =>
       s"""{"batch":$id,"rows":$n,"wall_ms":$wall,"add_batch_ms":$add,""" +
         f""""rows_per_sec":${rps}%.0f}"""
@@ -158,7 +226,9 @@ above before any number is reported.
         f""""steady_rows_per_sec":${steadyRps}%.0f,""" +
         f""""big_batch_config":{"n_batches":$bigBatches,""" +
         f""""steady_rows_per_sec":${steadyBigRps}%.0f,""" +
-        f""""avg_steady_wall_ms":$steadyBigWall},"batches":[""",
+        f""""avg_steady_wall_ms":$steadyBigWall},""" +
+        f""""search":{"steady_queries_per_sec":${steadyQps}%.0f,""" +
+        s""""batches":$searchJson},"batches":[""",
       ",", "]}\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/STREAMLAT.json"), json)

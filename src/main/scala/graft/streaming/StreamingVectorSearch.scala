@@ -69,19 +69,27 @@ object StreamingVectorSearch {
                    rerankDepth: Int, streamTag: String): Unit = {
     val spark = batch.sparkSession
     StreamingNearDup.guardStreamIdentity(spark, outPath, streamTag)
-    val answered = refineWith match {
-      case Some((corpus, corpusVecCol)) =>
-        Quantize.searchSelfContainedRefined(spark, indexPath, batch,
-          qIdCol, qVecCol, corpus, corpusVecCol, k, nProbe, rerankDepth)
-      case None =>
-        Quantize.searchSelfContained(spark, indexPath, batch,
-          qIdCol, qVecCol, k, nProbe)
-    }
-    answered
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(outPath)
+    // The search tail consumes the query side several times (size guard,
+    // probe-cell collect, the candidate join) — without a cache each
+    // action re-reads the micro-batch from the SOURCE. The batch is
+    // bounded by the trigger, so caching it is cheap and makes the
+    // per-batch wall pay the source scan once.
+    val cached = batch.persist()
+    try {
+      val answered = refineWith match {
+        case Some((corpus, corpusVecCol)) =>
+          Quantize.searchSelfContainedRefined(spark, indexPath, cached,
+            qIdCol, qVecCol, corpus, corpusVecCol, k, nProbe, rerankDepth)
+        case None =>
+          Quantize.searchSelfContained(spark, indexPath, cached,
+            qIdCol, qVecCol, k, nProbe)
+      }
+      answered
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(outPath)
+    } finally cached.unpersist()
   }
 
   /** The accumulated result log, bookkeeping dropped — what a downstream
