@@ -778,7 +778,13 @@ object TextAnalysis {
     * Scale shape: the priority is a per-row projection; the top-(n+1) cut
     * is TakeOrderedAndProject (per-partition top-n+1, driver merges n+1
     * rows per partition — no global sort exchange); τ and the row-number
-    * trim then run over ≤ n+1 rows in one post-limit partition. */
+    * trim then run over ≤ n+1 rows in one post-limit partition.
+    *
+    * Weights must be POSITIVE for the scheme's inclusion probabilities
+    * (and the est_weight unbiasedness) to mean anything; rather than let
+    * a zero/negative weight silently skew the sample toward "never" (or
+    * a large-magnitude negative to the bottom of every ordering), rows
+    * with weight <= 0 are excluded up front — the standard DLT domain. */
   def prioritySample(docs: DataFrame, idCol: String, weightCol: String,
                      n: Int, salt: String = "ps"): DataFrame = {
     require(n > 0, s"sample size must be positive: $n")
@@ -788,6 +794,7 @@ object TextAnalysis {
     val h = TX.polyHashAuto(s"concat('$salt', CAST(`$idCol` AS STRING))")
     val prio = s"CAST(`$weightCol` AS DOUBLE) / (CAST(($h) + 1 AS DOUBLE) / ${TX.P + 1}.0)"
     val top = docs
+      .filter(col(weightCol) > 0)
       .select(col(idCol), col(weightCol).cast("long").as("weight"),
         expr(prio).as("__priority"))
       .orderBy(col("__priority").desc, col(idCol).asc)

@@ -58,6 +58,11 @@ object PipelineQueries {
   /** qx92: reproducible sharded training order. */
   private val SHARD_N = 8
   private val SHARD_EPOCHS = 2
+  /** qx94: the v4 composition — every stage must bite at every SF:
+    * decontamination drops docs (qx89's regime), the sample budget sits
+    * below the clean-corpus size, and the sample spreads across shards. */
+  private val V4_SAMPLE_N = 150
+  private val V4_SHARDS = 4
 
   /** Redaction patterns (name, regex, replacement) — RE2-safe subset so
     * Spark's Java regex and DuckDB's RE2 agree; one source of truth for
@@ -523,6 +528,33 @@ object PipelineQueries {
     "qx92_shard_order" -> ((s, dir) => {
       TextAnalysis.shardOrder(t(s, dir, "documents"), "doc_id",
         SHARD_N, SHARD_EPOCHS)
+    }),
+
+    // ---- Curation v4: the late-round ops composed stage-into-stage ------
+    // (Bloom-decontaminate at scan cost → drop every contaminated doc →
+    //  priority-sample the clean corpus by length weight (the HT
+    //  est_weight rides along as the training loss weight) → deal the
+    //  sample into a reproducible sharded training order. Every stage
+    //  bites: the contaminated set is non-empty at every SF, the sample
+    //  budget is below the clean-corpus size, and the sample spreads
+    //  across all shards.)
+    "qx94_curation_v4" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % BENCH_MOD === BENCH_REM)
+      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
+      val contaminated = TextAnalysis.contaminationBloom(corpus, bench,
+          "text", "doc_id", BLOOM_SHINGLE_N, BLOOM_MIN_SHARED, BLOOM_BITS)
+        .select("doc_id").distinct()
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = TextAnalysis.prioritySample(clean, "doc_id", "n_chars",
+        V4_SAMPLE_N)
+      TextAnalysis.shardOrder(sampled.select("doc_id"), "doc_id",
+          V4_SHARDS, nEpochs = 1)
+        .join(broadcast(sampled.select("doc_id", "weight", "est_weight")),
+          "doc_id")
+        .select(col("epoch"), col("shard"), col("position"), col("doc_id"),
+          col("weight"), col("est_weight"))
+        .orderBy("epoch", "shard", "position")
     })
   )
 
@@ -1078,7 +1110,7 @@ object PipelineQueries {
       val h = TX.polyHash("concat('ps', CAST(doc_id AS VARCHAR))")
       s"""WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
          |    CAST(n_chars AS DOUBLE) / (CAST(($h) + 1 AS DOUBLE) / ${TX.P + 1}.0) AS pr
-         |  FROM documents),
+         |  FROM documents WHERE n_chars > 0),
          |top AS (SELECT * FROM p ORDER BY pr DESC, doc_id ASC LIMIT ${PRIO_N + 1}),
          |tau AS (SELECT MIN(pr) AS tau FROM top),
          |r AS (SELECT doc_id, weight, pr,
@@ -1100,6 +1132,43 @@ object PipelineQueries {
          |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY hh ASC, doc_id ASC) AS position,
          |  doc_id
          |FROM s ORDER BY epoch, shard, position""".stripMargin
+    },
+
+    // The composition oracle chains the qx89 contamination CTEs, the qx91
+    // priority formula, and the qx92 shard/rank arithmetic over the same
+    // constants — one pipeline, one SQL derivation.
+    "qx94_curation_v4" -> {
+      val prioH = TX.polyHash("concat('ps', CAST(doc_id AS VARCHAR))")
+      val epochH = TX.polyHash("concat('ep', CAST(epoch AS VARCHAR), '_', CAST(doc_id AS VARCHAR))")
+      s"""WITH ${ExtensionQueries.shingleCtes(BLOOM_SHINGLE_N)},
+         |u AS (SELECT DISTINCT doc_id, sh FROM t4),
+         |c AS (SELECT doc_id, sh FROM u WHERE doc_id % $BENCH_MOD <> $BENCH_REM),
+         |b AS (SELECT doc_id AS bench_id, sh FROM u WHERE doc_id % $BENCH_MOD = $BENCH_REM),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id FROM c JOIN b USING (sh)
+         |    GROUP BY c.doc_id, b.bench_id HAVING COUNT(*) >= $BLOOM_MIN_SHARED)),
+         |clean AS (SELECT doc_id, n_chars FROM documents
+         |          WHERE doc_id % $BENCH_MOD <> $BENCH_REM AND n_chars > 0
+         |            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |        CAST(n_chars AS DOUBLE) / (CAST(($prioH) + 1 AS DOUBLE) / ${TX.P + 1}.0) AS pr
+         |      FROM clean),
+         |top AS (SELECT * FROM p ORDER BY pr DESC, doc_id ASC LIMIT ${V4_SAMPLE_N + 1}),
+         |tau AS (SELECT MIN(pr) AS tau FROM top),
+         |r AS (SELECT doc_id, weight, pr,
+         |        ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id ASC) AS rn FROM top),
+         |samp AS (SELECT doc_id, weight,
+         |           ROUND(GREATEST(CAST(weight AS DOUBLE), tau), 6) AS est_weight
+         |         FROM r CROSS JOIN tau WHERE rn <= $V4_SAMPLE_N),
+         |e AS (SELECT doc_id, CAST(0 AS INT) AS epoch FROM samp),
+         |h AS (SELECT doc_id, epoch, $epochH AS hh FROM e),
+         |o AS (SELECT doc_id, epoch, CAST(hh % $V4_SHARDS AS INT) AS shard, hh FROM h)
+         |SELECT epoch, shard,
+         |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY hh ASC, doc_id ASC) AS position,
+         |  doc_id, weight, est_weight
+         |FROM o JOIN samp USING (doc_id)
+         |ORDER BY epoch, shard, position""".stripMargin
     }
   )
 }

@@ -108,11 +108,39 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("prioritySample: corpus smaller than n keeps every row; est_weight floors at tau") {
+  test("prioritySample: corpus smaller than n keeps every row; zero/negative weights are excluded, not silently ranked") {
     import spark.implicits._
     val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_chars")
     val out = TextAnalysis.prioritySample(tiny, "doc_id", "n_chars", n = 10)
     assert(out.count() == 3, "undersized corpus must be kept whole")
+    // DLT priorities are only defined for w > 0 — a zero weight must not
+    // occupy a sample slot and a negative one must not invert the order
+    val mixed = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 20L)).toDF("doc_id", "n_chars")
+    val kept = TextAnalysis.prioritySample(mixed, "doc_id", "n_chars", n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"non-positive weights must be excluded: $kept")
+  }
+
+  test("curation v4 composition: every stage bites at sf0.001") {
+    val out = graft.SparkEntry.queries("qx94_curation_v4")(spark, sfDir)
+      .collect()
+    val corpus = docs.filter(col("doc_id") % BMOD =!= BREM)
+    val contaminated = TextAnalysis.contaminationBloom(corpus,
+        docs.filter(col("doc_id") % BMOD === BREM), "text", "doc_id", 4, 1L)
+      .select("doc_id").distinct().count()
+    assert(contaminated > 0, "stage 1 must bite: some docs are contaminated")
+    val clean = corpus.count() - contaminated
+    assert(out.length == 150 && out.length < clean,
+      s"stage 2 must bite: sample (${out.length}) below the clean corpus ($clean)")
+    val shards = out.map(_.getInt(1)).toSet
+    assert(shards == Set(0, 1, 2, 3), s"stage 3 must spread across shards: $shards")
+    // the sampled ids exclude every contaminated doc
+    val sampledIds = out.map(_.getLong(3)).toSet
+    val contaminatedIds = TextAnalysis.contaminationBloom(corpus,
+        docs.filter(col("doc_id") % BMOD === BREM), "text", "doc_id", 4, 1L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sampledIds.intersect(contaminatedIds).isEmpty,
+      "no contaminated doc may survive into the training order")
   }
 
   test("shardOrder: positions contiguous per (epoch, shard), each epoch a full permutation, epochs differ, re-runs agree") {
