@@ -381,4 +381,44 @@ object Similarity {
           .otherwise(lit(0L)).cast("long"))
       .select(col(idCol), col("bucket"), col("sub_bucket"), col("n_in_bucket"))
   }
+
+  /** Embedding-space DRIFT monitor — [[graft.operators.TextAnalysis.vocabDrift]]'s
+    * twin for the vector side: when tomorrow's embedding snapshot stops
+    * looking like today's (a new encoder checkpoint, a shifted crawl mix,
+    * a silent preprocessing change), the per-dimension first moments move
+    * first. Both snapshots reduce to per-dim (n, Σv, Σv²) censuses —
+    * dims×partitions narrow rows after map-side partial aggregation, the
+    * corpora themselves never shuffle — joined dim-on-dim (a dims-row
+    * join), and the report ranks dims by the standardized mean shift
+    * |mean_a − mean_b| / sqrt((var_a + var_b)/2 + ε).
+    *
+    * Engine-exact: sums run in decimal(30,10) (the kmeansUpdate idiom —
+    * order-independent, partition-count-independent), and the shift
+    * arithmetic after the cast back is division/sqrt only — IEEE-exact in
+    * any engine, no transcendentals — so the oracle reproduces the
+    * ranking bit-for-bit. Output: (dim, n_a, n_b, mean_a, mean_b, shift),
+    * shift desc (6dp) with dim as tie-break, top `topK`. */
+  def embeddingDrift(embA: DataFrame, embB: DataFrame, vecCol: String,
+                     topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    def census(df: DataFrame, tag: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy((col("__pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(col("__v").cast("double").cast("decimal(30,10)"))
+          .cast("double").as(s"s_$tag"),
+        sum((col("__v").cast("double") * col("__v").cast("double"))
+          .cast("decimal(30,10)")).cast("double").as(s"q_$tag"))
+    val j = census(embA, "a").join(census(embB, "b"), "dim")
+    val meanA = col("s_a") / col("n_a")
+    val meanB = col("s_b") / col("n_b")
+    val varA = col("q_a") / col("n_a") - meanA * meanA
+    val varB = col("q_b") / col("n_b") - meanB * meanB
+    j.withColumn("shift", round(
+        abs(meanA - meanB) / sqrt((varA + varB) / lit(2.0) + lit(1e-12)), 6))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"), col("shift"))
+      .orderBy(col("shift").desc, col("dim").asc)
+      .limit(topK)
+  }
 }

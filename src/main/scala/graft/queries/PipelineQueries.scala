@@ -63,6 +63,8 @@ object PipelineQueries {
     * below the clean-corpus size, and the sample spreads across shards. */
   private val V4_SAMPLE_N = 150
   private val V4_SHARDS = 4
+  /** qx95: embedding drift — top movers among the 64 dims. */
+  private val EDRIFT_TOP_K = 16
 
   /** Redaction patterns (name, regex, replacement) — RE2-safe subset so
     * Spark's Java regex and DuckDB's RE2 agree; one source of truth for
@@ -555,6 +557,19 @@ object PipelineQueries {
         .select(col("epoch"), col("shard"), col("position"), col("doc_id"),
           col("weight"), col("est_weight"))
         .orderBy("epoch", "shard", "position")
+    }),
+
+    // ---- Embedding drift: per-dim first-moment movers between snapshots -
+    // (vocabDrift's twin for the vector side — a new encoder checkpoint
+    //  or shifted crawl mix moves the per-dim means first; two map-side
+    //  (n, Σv, Σv²) censuses, a dims-row join, division/sqrt-only shift
+    //  arithmetic so the oracle matches bit-for-bit)
+    "qx95_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "embedding", EDRIFT_TOP_K)
     })
   )
 
@@ -1169,6 +1184,29 @@ object PipelineQueries {
          |  doc_id, weight, est_weight
          |FROM o JOIN samp USING (doc_id)
          |ORDER BY epoch, shard, position""".stripMargin
+    },
+
+    // Identical parenthesization to the Spark expression tree — the
+    // mean/variance/shift arithmetic is division/sqrt only, so identical
+    // IEEE ops on identical decimal-exact sums give identical doubles.
+    "qx95_embedding_drift" -> {
+      def censusSql(pred: String, tag: String) =
+        s"""x$tag AS (SELECT unnest(embedding) AS v,
+           |    unnest(generate_series(1, len(embedding))) AS dim
+           |  FROM embeddings WHERE $pred),
+           |c$tag AS (SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_$tag,
+           |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) AS s_$tag,
+           |    CAST(SUM(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) AS q_$tag
+           |  FROM x$tag GROUP BY dim)""".stripMargin
+      s"""WITH ${censusSql("vec_id % 2 = 0", "a")},
+         |${censusSql("vec_id % 2 = 1", "b")}
+         |SELECT dim, n_a, n_b,
+         |  ROUND(s_a/n_a, 6) AS mean_a, ROUND(s_b/n_b, 6) AS mean_b,
+         |  ROUND(abs(s_a/n_a - s_b/n_b)
+         |    / sqrt((((q_a/n_a - (s_a/n_a)*(s_a/n_a))
+         |            + (q_b/n_b - (s_b/n_b)*(s_b/n_b))) / 2.0) + 1e-12), 6) AS shift
+         |FROM ca JOIN cb USING (dim)
+         |ORDER BY shift DESC, dim ASC LIMIT $EDRIFT_TOP_K""".stripMargin
     }
   )
 }

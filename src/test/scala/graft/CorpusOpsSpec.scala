@@ -143,6 +143,20 @@ class CorpusOpsSpec extends SparkSpec {
       "no contaminated doc may survive into the training order")
   }
 
+  test("embeddingDrift: self-drift is exactly zero; an injected single-dim shift leads the mover report") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val self = Similarity.embeddingDrift(emb, emb, "embedding", 5).collect()
+    assert(self.forall(_.getDouble(5) == 0.0),
+      s"identical snapshots must report zero shift: ${self.mkString(",")}")
+    // shift dim 7 by +3.0 in snapshot B only — it must top the report
+    val shifted = emb.withColumn("embedding", expr(
+      "transform(embedding, (v, i) -> CASE WHEN i = 6 THEN CAST(v + 3.0 AS FLOAT) ELSE v END)"))
+    val top = Similarity.embeddingDrift(emb, shifted, "embedding", 3).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(5) > 1.0,
+      s"the injected dim-7 shift must lead: ${top.mkString(",")}")
+  }
+
   test("shardOrder: positions contiguous per (epoch, shard), each epoch a full permutation, epochs differ, re-runs agree") {
     val out = TextAnalysis.shardOrder(docs, "doc_id", nShards = 4, nEpochs = 2)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
