@@ -761,6 +761,35 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // BPE-style pre-tokenization counts
+  // --------------------------------------------------------------------
+
+  /** GPT-2-STYLE pre-tokenization pattern, reduced to the RE2-safe subset
+    * both engines execute identically (alternation + classes only — the
+    * original's negative lookahead is not RE2-expressible): contraction
+    * suffixes, space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed punctuation runs. ASCII scope (the corpus contract);
+    * apostrophes pre-doubled nowhere — the SQL splice escapes them. */
+  val BpePattern: String = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token counts under BOTH tokenizers — the whitespace/alnum count the
+    * quality gates use and a BPE-style pre-tokenization count (what a
+    * subword tokenizer's piece count tracks; budget planning against a
+    * real BPE vocab multiplies this by a fitted pieces-per-pretoken
+    * rate). `bpe_hash` is a rolling hash of the JOINED piece stream, so a
+    * hash-matched oracle run proves the PIECES equal, not just their
+    * count. Pure per-row projections — zero shuffle. */
+  def bpeTokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val pat = BpePattern.replace("'", "''")
+    val pieces = d.regexExtractAll(s"lower(`$textCol`)", pat)
+    docs.select(col(idCol),
+      expr(TX.tokenCountAuto(textCol)).as("n_ws_tokens"),
+      expr(s"CAST(${d.size(pieces)} AS BIGINT)").as("n_bpe_tokens"),
+      expr(TX.polyHashAuto(s"array_join($pieces, '|')")).as("bpe_hash"))
+  }
+
+  // --------------------------------------------------------------------
   // Priority sampling (weighted corpus subsample, exact arithmetic)
   // --------------------------------------------------------------------
 

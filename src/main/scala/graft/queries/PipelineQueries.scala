@@ -559,6 +559,15 @@ object PipelineQueries {
         .orderBy("epoch", "shard", "position")
     }),
 
+    // ---- BPE-style pre-tokenization counts: both tokenizers per doc -----
+    // (subword budget planning tracks the BPE piece count, quality gates
+    //  the whitespace count; bpe_hash makes the oracle prove the PIECES
+    //  equal, not just their number)
+    "qx96_bpe_token_counts" -> ((s, dir) => {
+      TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- Embedding drift: per-dim first-moment movers between snapshots -
     // (vocabDrift's twin for the vector side — a new encoder checkpoint
     //  or shifted crawl mix moves the per-dim means first; two map-side
@@ -1184,6 +1193,16 @@ object PipelineQueries {
          |  doc_id, weight, est_weight
          |FROM o JOIN samp USING (doc_id)
          |ORDER BY epoch, shard, position""".stripMargin
+    },
+
+    "qx96_bpe_token_counts" -> {
+      val pat = TextAnalysis.BpePattern.replace("'", "''")
+      val pieces = s"regexp_extract_all(lower(text), '$pat')"
+      s"""SELECT doc_id,
+         |  ${TX.tokenCountAuto("text")} AS n_ws_tokens,
+         |  CAST(len($pieces) AS BIGINT) AS n_bpe_tokens,
+         |  ${TX.polyHash(s"array_to_string($pieces, '|')")} AS bpe_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
     // Identical parenthesization to the Spark expression tree — the

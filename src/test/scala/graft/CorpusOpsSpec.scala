@@ -143,6 +143,24 @@ class CorpusOpsSpec extends SparkSpec {
       "no contaminated doc may survive into the training order")
   }
 
+  test("bpeTokenCounts: contraction/digit/punctuation piece classes split as the pattern promises") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "it's 42 red-cars!!"), // contraction + digits + punct runs
+      (2L, "plain words only"),   // degenerate: pieces == words
+      (3L, "")                    // empty: zero pieces, hash of empty = 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenCounts(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // "it" "'s" " 42" " red" "-" "cars" "!!" → 7 pieces vs 5 ws tokens
+    assert(out(0).getLong(1) == 5 && out(0).getLong(2) == 7,
+      s"piece split wrong: ${out(0)}")
+    assert(out(1).getLong(1) == 3 && out(1).getLong(2) == 3,
+      s"letters-only text must have pieces == words: ${out(1)}")
+    assert(out(2).getLong(2) == 0 && out(2).getLong(3) == 0,
+      s"empty text must yield zero pieces and the guarded empty hash: ${out(2)}")
+  }
+
   test("embeddingDrift: self-drift is exactly zero; an injected single-dim shift leads the mover report") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
