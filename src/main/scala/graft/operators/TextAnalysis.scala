@@ -841,6 +841,77 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Linear quality model (normal equations, one census pass)
+  // --------------------------------------------------------------------
+
+  /** Train-then-apply a linear model DISTRIBUTED, with zero iteration and
+    * zero transcendentals — the "ML on sufficient statistics" pattern:
+    * one map-side-combinable census pass accumulates the normal-equation
+    * sums (exact: integer feature products summed in DECIMAL(38,0), so
+    * the statistics are order- and partition-independent INTEGERS), the
+    * 3×3 system solves in closed form (Cramer — products and divisions of
+    * doubles in one fixed parenthesization, bit-identical in any engine),
+    * and the fitted plane scores every document in the same query: the
+    * output is the top-`topK` residual outliers — documents whose
+    * stopword evidence departs most from what their length statistics
+    * predict, the cheap "this document is structurally unusual" signal a
+    * curation pipeline triages.
+    *
+    * Model: stop_hits ~ b0 + b1·token_count + b2·Σtoken_len. Features and
+    * target are dialect-parametric expressions, so the DuckDB oracle runs
+    * THE SAME derivation end-to-end — coefficients included — and the
+    * hash gate proves the whole fit, not just the scoring.
+    *
+    * Scale shape: one scan → 10-value census (a single partial-aggregable
+    * row), a 1-row cross join broadcast onto the scoring scan, TakeOrdered
+    * top-K. The "training" never shuffles the corpus at all. */
+  def qualityRegressionSql(table: String, textCol: String, idCol: String,
+                           topK: Int)(implicit dl: Dialect): String = {
+    val toks = if (dl.spark) s"graft_tokens($textCol)" else TX.tokens(textCol)(dl)
+    val x1 = s"CAST(${dl.size(toks)} AS BIGINT)"
+    val x2 = s"CAST(${dl.fold(dl.map(toks, "w", "CAST(length(w) AS BIGINT)"),
+      "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS BIGINT)"
+    val stopList = StopEn.map(w => s"'$w'").mkString("(", ", ", ")")
+    val y = s"CAST(${dl.size(dl.filt(toks, "w", s"w IN $stopList"))} AS BIGINT)"
+    def dsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,0))) AS DOUBLE)"
+    // Cramer determinants in ONE fixed parenthesization (both engines)
+    val det = "(n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2) + sx2*(sx1*sx1x2 - sx1x1*sx2))"
+    val det0 = "(sy*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1y*sx2x2 - sx1x2*sx2y) + sx2*(sx1y*sx1x2 - sx1x1*sx2y))"
+    val det1 = "(n*(sx1y*sx2x2 - sx1x2*sx2y) - sy*(sx1*sx2x2 - sx1x2*sx2) + sx2*(sx1*sx2y - sx1y*sx2))"
+    val det2 = "(n*(sx1x1*sx2y - sx1y*sx1x2) - sx1*(sx1*sx2y - sx1y*sx2) + sy*(sx1*sx1x2 - sx1x1*sx2))"
+    val yhat = "(b0 + b1*CAST(x1 AS DOUBLE) + b2*CAST(x2 AS DOUBLE))"
+    s"""WITH s AS (SELECT $idCol, $x1 AS x1, $x2 AS x2, $y AS y FROM $table),
+       |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  ${dsum("x1")} AS sx1, ${dsum("x2")} AS sx2, ${dsum("y")} AS sy,
+       |  ${dsum("x1*x1")} AS sx1x1, ${dsum("x1*x2")} AS sx1x2,
+       |  ${dsum("x2*x2")} AS sx2x2, ${dsum("x1*y")} AS sx1y,
+       |  ${dsum("x2*y")} AS sx2y FROM s),
+       |w AS (SELECT CASE WHEN $det <> 0 THEN $det0/$det END AS b0,
+       |  CASE WHEN $det <> 0 THEN $det1/$det END AS b1,
+       |  CASE WHEN $det <> 0 THEN $det2/$det END AS b2 FROM c),
+       |scored AS (SELECT $idCol, y,
+       |  ROUND($yhat, 6) AS y_hat,
+       |  ROUND(CAST(y AS DOUBLE) - $yhat, 6) AS residual
+       |  FROM s CROSS JOIN w)
+       |SELECT $idCol, y, y_hat, residual FROM scored
+       |ORDER BY abs(residual) DESC, $idCol ASC LIMIT $topK""".stripMargin
+  }
+
+  /** [[qualityRegressionSql]] executed on the Spark side (temp view +
+    * `spark.sql` — the plan is ordinary Catalyst: one hash-aggregate
+    * census, a 1-row broadcast join, TakeOrderedAndProject). */
+  def qualityRegression(docs: DataFrame, textCol: String, idCol: String,
+                        topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val view = s"__graft_qreg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    docs.createOrReplaceTempView(view)
+    try docs.sparkSession.sql(
+      qualityRegressionSql(view, textCol, idCol, topK)(Dialect(spark = true)))
+    finally () // the view is session-scoped; harmless, unique per call
+  }
+
+  // --------------------------------------------------------------------
   // Deterministic per-shard training order
   // --------------------------------------------------------------------
 

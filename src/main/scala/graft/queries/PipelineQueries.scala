@@ -65,6 +65,8 @@ object PipelineQueries {
   private val V4_SHARDS = 4
   /** qx95: embedding drift — top movers among the 64 dims. */
   private val EDRIFT_TOP_K = 16
+  /** qx97: residual-outlier report size for the linear quality model. */
+  private val QREG_TOP_K = 60
 
   /** Redaction patterns (name, regex, replacement) — RE2-safe subset so
     * Spark's Java regex and DuckDB's RE2 agree; one source of truth for
@@ -566,6 +568,17 @@ object PipelineQueries {
     "qx96_bpe_token_counts" -> ((s, dir) => {
       TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // ---- Linear quality model: normal-equation fit + residual outliers --
+    // (ML on sufficient statistics: ONE census pass accumulates the exact
+    //  integer normal-equation sums, Cramer solves the 3×3 in closed form,
+    //  and the same query scores every doc — top-|residual| docs are the
+    //  structurally-unusual triage list. The oracle runs the identical
+    //  derivation end-to-end, coefficients included.)
+    "qx97_quality_regression" -> ((s, dir) => {
+      TextAnalysis.qualityRegression(t(s, dir, "documents"), "text", "doc_id",
+        QREG_TOP_K)
     }),
 
     // ---- Embedding drift: per-dim first-moment movers between snapshots -
@@ -1194,6 +1207,9 @@ object PipelineQueries {
          |FROM o JOIN samp USING (doc_id)
          |ORDER BY epoch, shard, position""".stripMargin
     },
+
+    "qx97_quality_regression" ->
+      TextAnalysis.qualityRegressionSql("documents", "text", "doc_id", QREG_TOP_K),
 
     "qx96_bpe_token_counts" -> {
       val pat = TextAnalysis.BpePattern.replace("'", "''")

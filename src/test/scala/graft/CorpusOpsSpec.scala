@@ -161,6 +161,37 @@ class CorpusOpsSpec extends SparkSpec {
       s"empty text must yield zero pieces and the guarded empty hash: ${out(2)}")
   }
 
+  test("qualityRegression: perfect linear corpus fits exactly, an injected violator tops the residual report, collinear features hit the singular guard") {
+    import spark.implicits._
+    // docs of a_i stopwords ("the", len 3) + b_i fillers ("zz", len 2):
+    // y = a = x2 - 2*x1 EXACTLY, and (a, b) vary independently → the
+    // normal equations have a unique solution and every residual is 0
+    def doc(a: Int, b: Int) = (Seq.fill(a)("the") ++ Seq.fill(b)("zz")).mkString(" ")
+    val base = Seq((1L, doc(2, 5)), (2L, doc(4, 1)), (3L, doc(1, 8)),
+      (4L, doc(6, 3)), (5L, doc(3, 3)))
+    val fit = TextAnalysis.qualityRegression(base.toDF("doc_id", "text"),
+      "text", "doc_id", topK = 10).collect()
+    assert(fit.length == 5 && fit.forall(r => r.getDouble(3) == 0.0),
+      s"exact linear corpus must fit with zero residuals: ${fit.mkString(",")}")
+    assert(fit.forall(r => r.getDouble(2) == r.getLong(1).toDouble),
+      "y_hat must reproduce y exactly on the perfect fit")
+    // one violator: same length stats as doc(4,1) built from non-stop
+    // words — its y breaks the plane, so it must top the |residual| list
+    val outlier = (99L, (Seq.fill(4)("zzz") ++ Seq.fill(1)("zz")).mkString(" "))
+    val withOut = TextAnalysis.qualityRegression((base :+ outlier)
+      .toDF("doc_id", "text"), "text", "doc_id", topK = 10).collect()
+    assert(withOut.head.getLong(0) == 99L &&
+      math.abs(withOut.head.getDouble(3)) > 0.5,
+      s"the violator must lead the residual report: ${withOut.mkString(",")}")
+    // collinear corpus (single word type → x2 = 3*x1, y = x1): det = 0,
+    // the guard must yield NULL coefficients, never Inf/NaN or a crash
+    val collinear = Seq((1L, doc(2, 0)), (2L, doc(5, 0)), (3L, doc(9, 0)))
+    val sing = TextAnalysis.qualityRegression(collinear.toDF("doc_id", "text"),
+      "text", "doc_id", topK = 10).collect()
+    assert(sing.forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      s"singular normal matrix must yield NULL fits: ${sing.mkString(",")}")
+  }
+
   test("embeddingDrift: self-drift is exactly zero; an injected single-dim shift leads the mover report") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
