@@ -607,4 +607,47 @@ object Dedup {
       .withColumn("dup_fraction",
         round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 6))
   }
+
+  /** ASYMMETRIC near-dup: containment pairs — the "short document quoted
+    * inside a long one" case Jaccard banding structurally MISSES (a 40-
+    * shingle doc fully contained in a 400-shingle doc has Jaccard 0.1;
+    * no LSH band tuned for 0.5-Jaccard twins will ever collide them).
+    * Candidates come from the shingle-hash equi-join itself, and
+    * containment(a,b) = |A∩B| / min(|A|,|B|) decides.
+    *
+    * The quadratic fence: a shingle shared by df documents contributes
+    * df·(df−1)/2 candidate pairs, so BOILERPLATE shingles (present in a
+    * large fraction of the corpus) would go quadratic. Shingles with
+    * document frequency > `maxDf` are dropped BEFORE the self-join — the
+    * standard common-gram cut: a shingle that appears in more than maxDf
+    * documents is boilerplate evidence, not containment evidence. The cut
+    * is part of the operator's CONTRACT (containment is measured over the
+    * rare-shingle subset, both in the numerator and the |A|,|B| sizes),
+    * which keeps the semantics engine-reproducible — the oracle applies
+    * the identical cut. Per-shingle candidate work is then ≤ maxDf² and
+    * the join stays an ordinary skew-splittable equi-join. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int, minContainment: Double,
+                       maxDf: Long): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0,1]: $minContainment")
+    require(maxDf >= 2, s"maxDf < 2 can never form a pair: $maxDf")
+    val s = shingleHashRowsDistinct(docs, textCol, idCol, shingleN)
+    val df = s.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val rare = s.join(df.filter(col("__df") <= maxDf), "sh")
+      .select(col(idCol), col("sh"))
+    val sizes = rare.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = rare.select(col(idCol).as("doc_a"), col("sh"))
+    val b = rare.select(col(idCol).as("doc_b"), col("sh"))
+    a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("__raw",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("__raw") >= minContainment) // threshold on RAW, round for display
+      .withColumn("containment", round(col("__raw"), 6))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("containment"))
+  }
 }

@@ -67,6 +67,11 @@ object PipelineQueries {
   private val EDRIFT_TOP_K = 16
   /** qx97: residual-outlier report size for the linear quality model. */
   private val QREG_TOP_K = 60
+  /** qx98: containment dedup — 3-gram shingles (cross-doc matches exist
+    * at every SF), boilerplate cut at df>8, report pairs ≥ 0.1. */
+  private val CONTAIN_SHINGLE_N = 3
+  private val CONTAIN_MIN = 0.1
+  private val CONTAIN_MAX_DF = 8L
 
   /** Redaction patterns (name, regex, replacement) — RE2-safe subset so
     * Spark's Java regex and DuckDB's RE2 agree; one source of truth for
@@ -568,6 +573,17 @@ object PipelineQueries {
     "qx96_bpe_token_counts" -> ((s, dir) => {
       TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // ---- Containment dedup: the asymmetric case Jaccard banding misses --
+    // (a short doc quoted inside a long one has tiny Jaccard but high
+    //  containment |A∩B|/min(|A|,|B|); candidates from the rare-shingle
+    //  self-join, boilerplate shingles cut at df > maxDf as part of the
+    //  operator contract — the quadratic fence AND the semantic)
+    "qx98_containment_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.containmentPairs(t(s, dir, "documents"),
+          "text", "doc_id", CONTAIN_SHINGLE_N, CONTAIN_MIN, CONTAIN_MAX_DF)
+        .orderBy("doc_a", "doc_b")
     }),
 
     // ---- Linear quality model: normal-equation fit + residual outliers --
@@ -1210,6 +1226,25 @@ object PipelineQueries {
 
     "qx97_quality_regression" ->
       TextAnalysis.qualityRegressionSql("documents", "text", "doc_id", QREG_TOP_K),
+
+    "qx98_containment_pairs" ->
+      s"""WITH ${ExtensionQueries.shingleCtes(CONTAIN_SHINGLE_N)},
+         |u AS (SELECT DISTINCT doc_id, sh FROM t4),
+         |df AS (SELECT sh, COUNT(*) AS d FROM u GROUP BY sh),
+         |rare AS (SELECT doc_id, u.sh FROM u JOIN df ON u.sh = df.sh
+         |         WHERE d <= $CONTAIN_MAX_DF),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |          FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+         |    AS containment
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+         |           JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)
+         |      >= $CONTAIN_MIN
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "qx96_bpe_token_counts" -> {
       val pat = TextAnalysis.BpePattern.replace("'", "''")

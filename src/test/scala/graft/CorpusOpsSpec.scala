@@ -206,6 +206,31 @@ class CorpusOpsSpec extends SparkSpec {
       s"the injected dim-7 shift must lead: ${top.mkString(",")}")
   }
 
+  test("containmentPairs: full containment found at Jaccard too low for symmetric near-dup; boilerplate shingles create no pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a 6-token quote embedded verbatim in a 40-token host: containment
+    // = 1.0 while Jaccard ≈ 4/38 ≈ 0.1 — the banding regime never fires
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = ("one two three four five six seven eight nine ten " +
+      quote + " eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty twentyone twentytwo")
+    val d = Seq((1L, quote), (2L, host), (3L, "unrelated words entirely distinct tokens here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "text", "doc_id", 3, 0.5, maxDf = 8)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L
+      && pairs.head.getDouble(5) == 1.0,
+      s"the embedded quote must surface at containment 1.0: ${pairs.mkString(",")}")
+    // boilerplate: ten docs share ONE trigram (df=10 > maxDf=8) and are
+    // otherwise disjoint — the cut must leave zero candidate pairs
+    val boiler = (0 until 10).map(i =>
+      (100L + i, s"copyright footer text plus unique$i filler$i own$i words$i"))
+    val none = Dedup.containmentPairs(boiler.toDF("doc_id", "text"),
+      "text", "doc_id", 3, 0.1, maxDf = 8).count()
+    assert(none == 0, "df > maxDf shingles must be cut before the self-join")
+  }
+
   test("shardOrder: positions contiguous per (epoch, shard), each epoch a full permutation, epochs differ, re-runs agree") {
     val out = TextAnalysis.shardOrder(docs, "doc_id", nShards = 4, nEpochs = 2)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
