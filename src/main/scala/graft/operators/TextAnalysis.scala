@@ -643,7 +643,14 @@ object TextAnalysis {
     * False-positive math at the defaults (k=3 probes): fp ≈ (1-e^(-3n/m))³
     * — at m/n ≈ 6.5 bits per benchmark shingle that is ~5 %. At 100 TB the
     * benchmark side stays what it always is (the small, broadcastable
-    * side); m scales with IT, not the corpus. */
+    * side); m scales with IT, not the corpus.
+    *
+    * Distribution mechanics: the word array ships as a plan LITERAL —
+    * embedded once per stage in the task binary, which is broadcast-
+    * equivalent for the defaults (16 KiB) and fine to ~1 MiB (2²³ bits, a
+    * ~500k-shingle benchmark at good fp). Past that, prefer raising
+    * nProbes over bits, or split the benchmark and union the results —
+    * the confirm join keeps any split exact. */
   def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String,
                          shingleN: Int, minShared: Long = 1L,
@@ -906,9 +913,12 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val view = s"__graft_qreg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     docs.createOrReplaceTempView(view)
+    // sql() analyzes eagerly — the returned plan holds the resolved
+    // relation, so the catalog entry can be dropped immediately (no view
+    // accumulation across calls)
     try docs.sparkSession.sql(
       qualityRegressionSql(view, textCol, idCol, topK)(Dialect(spark = true)))
-    finally () // the view is session-scoped; harmless, unique per call
+    finally docs.sparkSession.catalog.dropTempView(view)
   }
 
   // --------------------------------------------------------------------
