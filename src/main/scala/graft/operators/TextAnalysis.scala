@@ -655,13 +655,30 @@ object TextAnalysis {
                          textCol: String, idCol: String,
                          shingleN: Int, minShared: Long = 1L,
                          bloomBits: Int = 1 << 17, nProbes: Int = 3): DataFrame = {
+    val filterSide = bloomBuild(benchmark, textCol, idCol, shingleN,
+      bloomBits, nProbes)
+    contaminationWithBloom(corpus, filterSide, textCol, idCol,
+      shingleN, minShared)
+  }
+
+  /** The frozen benchmark side of Bloom decontamination: the per-doc
+    * shingle-set frame (the exact confirm side) plus the folded Bloom
+    * words — built ONCE and reusable across any number of corpus slices
+    * or stream micro-batches (the benchmark is immutable by definition;
+    * refreshing it means rebuilding this). */
+  final case class BloomSide(bench: DataFrame, bits: Array[Long],
+                             bloomBits: Int, nProbes: Int)
+
+  /** Fold the benchmark's shingle set into [[BloomSide]]. The collect is
+    * bounded by bloomBits/64 `bit_or` words (16 KiB at the default), NOT
+    * by benchmark size. */
+  def bloomBuild(benchmark: DataFrame, textCol: String, idCol: String,
+                 shingleN: Int, bloomBits: Int = 1 << 17,
+                 nProbes: Int = 3): BloomSide = {
     require(bloomBits > 64 && Integer.bitCount(bloomBits) == 1,
       s"bloomBits must be a power of two > 64: $bloomBits")
     require(nProbes >= 1 && nProbes <= 8, s"nProbes out of [1,8]: $nProbes")
     val nWords = bloomBits / 64
-    // Build: benchmark shingles → k probe positions → (word, mask) →
-    // bit_or per word. The collect is bounded by nWords (16 KiB of longs
-    // at the default), NOT by benchmark size.
     val b = Dedup.shingleHashRowsDistinct(benchmark, textCol, idCol, shingleN)
       .select(col(idCol).as("bench_id"), col("sh"))
     val posCols = (0 until nProbes).map(j => expr(bloomPos("sh", j, bloomBits)))
@@ -672,19 +689,28 @@ object TextAnalysis {
       .collect()
     val bits = new Array[Long](nWords)
     words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
-    // Corpus side: per-doc-distinct shingles (array_distinct in the scan
-    // projection — no shuffle), totals via map-side-combinable counts,
-    // Bloom test as a pure projection over a constant array literal.
+    BloomSide(b, bits, bloomBits, nProbes)
+  }
+
+  /** The corpus half of Bloom decontamination against a pre-built
+    * [[BloomSide]]: per-doc-distinct shingles (array_distinct in the scan
+    * projection — no shuffle), totals via map-side-combinable counts,
+    * Bloom test as a pure projection over a constant word array; only
+    * survivors reach the exact confirm join, which removes the Bloom's
+    * false positives. */
+  def contaminationWithBloom(corpus: DataFrame, filterSide: BloomSide,
+                             textCol: String, idCol: String,
+                             shingleN: Int, minShared: Long): DataFrame = {
     val c = Dedup.shingleHashRowsDistinct(corpus, textCol, idCol, shingleN)
     val tot = c.groupBy(col(idCol)).agg(count(lit(1)).as("n_doc_shingles"))
-    val bloomTest = (0 until nProbes).map { j =>
-      val p = bloomPos("sh", j, bloomBits)
+    val bloomTest = (0 until filterSide.nProbes).map { j =>
+      val p = bloomPos("sh", j, filterSide.bloomBits)
       s"((shiftright(element_at(__bloom_bits, cast($p div 64 as int) + 1), cast($p % 64 as int)) & 1) = 1)"
     }.mkString(" AND ")
-    val hits = c.withColumn("__bloom_bits", typedLit(bits.toSeq))
+    val hits = c.withColumn("__bloom_bits", typedLit(filterSide.bits.toSeq))
       .filter(expr(bloomTest))
       .drop("__bloom_bits")
-      .join(broadcast(b), "sh") // exact confirm: Bloom false positives die here
+      .join(broadcast(filterSide.bench), "sh") // false positives die here
       .groupBy(col(idCol), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

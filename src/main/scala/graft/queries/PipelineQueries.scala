@@ -575,6 +575,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Decontaminate-ON-INGEST under the oracle -----------------------
+    // (qx89's streaming face: the corpus arrives as a file stream, each
+    //  micro-batch checked against the ONCE-built benchmark Bloom; the
+    //  accumulated verdict log must hash-match the one-shot batch result
+    //  — a doc's verdict depends only on (doc, benchmark), so batch
+    //  boundaries are invisible by construction and the oracle proves it)
+    "qx99_stream_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % BENCH_MOD === BENCH_REM)
+      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
+      val filterSide = TextAnalysis.bloomBuild(bench, "text", "doc_id",
+        BLOOM_SHINGLE_N, BLOOM_BITS)
+      val work = java.nio.file.Files.createTempDirectory("qx99-").toString
+      val landing = s"$work/landing"
+      corpus.select("doc_id", "text").repartition(4).write.parquet(landing)
+      val q = graft.streaming.StreamingDecontaminate.start(
+        s.readStream.schema(s.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing),
+        "text", "doc_id", filterSide, BLOOM_SHINGLE_N, BLOOM_MIN_SHARED,
+        s"$work/verdicts", s"$work/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamingDecontaminate.verdicts(s, s"$work/verdicts")
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---- Containment dedup: the asymmetric case Jaccard banding misses --
     // (a short doc quoted inside a long one has tiny Jaccard but high
     //  containment |A∩B|/min(|A|,|B|); candidates from the rare-shingle
@@ -1136,6 +1161,22 @@ object PipelineQueries {
     // join removes every false positive), so the oracle is the plain
     // exact-overlap query at qx89's shingle length and floor.
     "qx89_bloom_decontaminate" ->
+      s"""WITH ${ExtensionQueries.shingleCtes(BLOOM_SHINGLE_N)},
+         |u AS (SELECT DISTINCT doc_id, sh FROM t4),
+         |c AS (SELECT doc_id, sh FROM u WHERE doc_id % $BENCH_MOD <> $BENCH_REM),
+         |b AS (SELECT doc_id AS bench_id, sh FROM u WHERE doc_id % $BENCH_MOD = $BENCH_REM),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_doc_shingles FROM c GROUP BY doc_id),
+         |shared AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+         |           FROM c JOIN b USING (sh) GROUP BY c.doc_id, b.bench_id)
+         |SELECT doc_id, bench_id, n_shared, n_doc_shingles,
+         |  ROUND(CAST(n_shared AS DOUBLE)/CAST(n_doc_shingles AS DOUBLE), 6) AS overlap_frac
+         |FROM shared JOIN tot USING (doc_id)
+         |WHERE n_shared >= $BLOOM_MIN_SHARED
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // qx99's contract IS qx89's result: the streamed verdict log equals
+    // the one-shot Bloom decontamination — same oracle, verbatim.
+    "qx99_stream_decontaminate" ->
       s"""WITH ${ExtensionQueries.shingleCtes(BLOOM_SHINGLE_N)},
          |u AS (SELECT DISTINCT doc_id, sh FROM t4),
          |c AS (SELECT doc_id, sh FROM u WHERE doc_id % $BENCH_MOD <> $BENCH_REM),

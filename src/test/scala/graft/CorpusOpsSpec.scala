@@ -57,6 +57,44 @@ class CorpusOpsSpec extends SparkSpec {
       "Bloom filter must sit under the join (scan side), not above it")
   }
 
+  test("streaming decontamination: verdict log equals the one-shot batch result; retries replace their own verdicts; foreign checkpoint refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDecontaminate
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = docs.filter(col("doc_id") % BMOD === BREM)
+    val corpus = docs.filter(col("doc_id") % BMOD =!= BREM)
+    val side = TextAnalysis.bloomBuild(bench, "text", "doc_id", 3)
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("sdecon").toString
+    val mem = MemoryStream[(Long, String)]
+    val slices = rows.grouped(200).toSeq
+    val q = StreamingDecontaminate.start(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", side,
+      shingleN = 3, minShared = 1L, s"$dir/out", s"$dir/ckpt")
+    try {
+      slices.foreach { g => mem.addData(g.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def streamed = StreamingDecontaminate.verdicts(spark, s"$dir/out")
+      .collect().map(_.toString).toSet
+    val oneShot = TextAnalysis.contaminationBloom(corpus, bench,
+      "text", "doc_id", 3, 1L).collect().map(_.toString).toSet
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "batch boundaries must be invisible: streamed verdicts == one-shot")
+    val before = spark.read.parquet(s"$dir/out").count()
+    val last = slices.last.toSeq.toDF("doc_id", "text")
+    StreamingDecontaminate.processBatch(last, (slices.size - 1).toLong,
+      "text", "doc_id", side, 3, 1L, s"$dir/out", s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/out").count() == before && streamed == oneShot,
+      "retried batch must replace its verdict partition, answers unchanged")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDecontaminate.processBatch(last, 0L,
+        "text", "doc_id", side, 3, 1L, s"$dir/out", s"$dir/other")
+    }
+    assert(ex.getMessage.contains("belongs to stream checkpoint"), ex.getMessage)
+  }
+
   test("misraGries heavy hitters: exact top-k on a skewed corpus where eviction definitely fires") {
     import spark.implicits._
     // 1 partition, capacity 4, vocabulary 50: MG must evict constantly but
