@@ -63,6 +63,33 @@ class PlanAuditSpec extends SparkSpec {
       s"qx76: a join fell off the broadcast path:\n${p76.take(1500)}")
   }
 
+  test("round-8 late plans: qx96 is scan-only, qx97 never shuffles the corpus, qx90's confirm pass stays broadcast-semi") {
+    // qx96: two tokenizer counts + a piece hash are pure projections —
+    // an Exchange here means something aggregated that shouldn't
+    val p96 = SparkEntry.queries("qx96_bpe_token_counts")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p96.replaceAll("Exchange rangepartitioning[^\n]*", "")
+        .contains("Exchange"),
+      s"qx96 must be scan+project (+ the output sort only):\n${p96.take(1500)}")
+    // qx97: training is a census to ONE row; the only corpus-touching
+    // stages are the census partial-agg and the scoring projection — a
+    // SortMergeJoin or a doc-keyed hash exchange means the fit shuffled
+    // the corpus it never needs to
+    val p97 = SparkEntry.queries("qx97_quality_regression")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p97.contains("SortMergeJoin"),
+      s"qx97: the 1-row coefficient join fell off the broadcast path:\n${p97.take(1500)}")
+    assert(!p97.contains("hashpartitioning(doc_id"),
+      s"qx97 must not shuffle the corpus by doc:\n${p97.take(1500)}")
+    // qx90 (fast path): the exact recount must reach the token stream
+    // through a BROADCAST LeftSemi — a shuffled semi-join would re-key
+    // the whole stream the Misra–Gries pass exists to avoid
+    val p90 = SparkEntry.queries("qx90_heavy_hitters")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p90.contains("BroadcastHashJoin") && p90.contains("LeftSemi"),
+      s"qx90's candidate filter must broadcast:\n${p90.take(1500)}")
+  }
+
   test("no oracle query plans a CartesianProduct; all keep codegen") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
