@@ -36,6 +36,31 @@ object ScaleProbe {
       println(f"[scale] docs=${n0 * mult}%7d  minhash+bands=${secs}%6.2fs  buckets>=2: $nBuckets")
     }
 
+    // Bloom decontamination: the BENCHMARK is fixed (bits built once,
+    // outside the timed region — the deployment shape) while the corpus
+    // inflates. The Bloom test is a scan projection and only survivors
+    // shuffle, so wall should track the corpus ~linearly; a plan that
+    // re-shuffled the whole shingle volume would grow its exchange 16×
+    // and show it here
+    {
+      val bench = base.filter(col("doc_id") % 29 === 3)
+      val side = graft.operators.TextAnalysis.bloomBuild(bench, "text", "doc_id", 4)
+      graft.operators.TextAnalysis.contaminationWithBloom(
+        base.filter(col("doc_id") % 29 =!= 3), side, "text", "doc_id", 4, 1L).count()
+      for (mult <- Seq(1, 4, 16)) {
+        val corpus = (0 until mult).map(i =>
+          base.filter(col("doc_id") % 29 =!= 3)
+            .select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val hits = graft.operators.TextAnalysis.contaminationWithBloom(
+          corpus, side, "text", "doc_id", 4, 1L).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] bloom_decon_docs=${(n0 - bench.count()) * mult}%8d  " +
+          f"decon=${secs}%6.2fs  contaminated_pairs: $hits")
+      }
+    }
+
     // sequence packing: the global-prefix-sum decomposition should also be
     // ~linear (range shuffle + pid-local windows); a single-partition
     // window plan would flatline one core here and give super-linear walls
