@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BatchingQueries, CurationQueries, ExtensionQueries, ExtraQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{BatchingQueries, CurationQueries, ExtensionQueries, ExtraQueries, PipelineQueries, RelationalQueries, RetrievalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ExtensionQueries.queries ++ ExtraQueries.queries ++
-      PipelineQueries.queries ++ BatchingQueries.queries ++ CurationQueries.queries
+      PipelineQueries.queries ++ BatchingQueries.queries ++ CurationQueries.queries ++
+      RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ExtensionQueries.oracleSql ++ ExtraQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ BatchingQueries.oracleSql ++ CurationQueries.oracleSql
+      PipelineQueries.oracleSql ++ BatchingQueries.oracleSql ++ CurationQueries.oracleSql ++
+      RetrievalQueries.oracleSql
 }

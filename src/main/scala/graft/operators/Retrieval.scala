@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Dialect, GraftFunctions, TextExprs => TX}
+
+/** Lexical (BM25) retrieval and hybrid rank fusion.
+  *
+  * The corpus-side cost model mirrors a production inverted index:
+  * ONE shuffle builds the (term, doc_id, tf) postings census (map-side
+  * partial counts), the document-length table falls out of the same
+  * census, and everything query-side — the query terms, the per-term
+  * document frequencies restricted to those terms, the corpus scalars
+  * (N, avgdl) — is planning-scale metadata that broadcasts. Scoring never
+  * shuffles the corpus again: candidate postings come from a broadcast
+  * hash join of the postings against the query-term list, so the big side
+  * is scanned, not exchanged.
+  *
+  * Determinism discipline (the DuckDB oracle hash-compares results): tf,
+  * df, dl, N are integers; idf and the length normalization are single
+  * IEEE operation chains over those integers (identical in both engines);
+  * each per-term score is quantized to integer micro-units —
+  * floor(x·10⁶ + 0.5) as BIGINT — BEFORE the per-document sum, so the
+  * reduction is an exact long sum: order-independent, and ~3× cheaper
+  * per row than the round+DECIMAL cast it replaces (Spark's Round on a
+  * double allocates a BigDecimal per row; the scoring stage is
+  * AQE-coalesced to few partitions, so per-row cost is wall time).
+  * Ties break on doc_id ascending.
+  *
+  * Reference analog: the reference serves keyword lookups over company
+  * facts via substring label match (financial_analyzer.py label search,
+  * F6/qx13's semantic); BM25 generalizes that to ranked free-text
+  * retrieval over the documents corpus — the lexical half of a
+  * training-data / RAG retrieval stack (Robertson & Zaragoza 2009).
+  */
+object Retrieval {
+
+  /** Okapi BM25 defaults (Robertson & Zaragoza 2009 §3.3). */
+  val K1 = 1.2
+  val B = 0.75
+  /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009). */
+  val RRF_K0 = 60
+
+  /** Inverted-index build: postings (term, doc_id, tf, dl) from ONE
+    * corpus shuffle. The doc length dl is the scan-side token count
+    * (`graft_token_count`), carried through the census as max(dl) — it
+    * never needs the doc-keyed aggregation+join a naive Lucene-norms
+    * translation would pay. Persisting this table IS the index artifact
+    * (Lucene postings + norms in one).
+    *
+    * The census is returned LAZY, not checkpointed: bm25TopK's two
+    * consumers (candidate postings, df census) plan as structurally
+    * different subtrees (per-branch column pruning defeats
+    * ReuseExchange), so the census computes once per branch — but the
+    * branches are independent stages of one DAG and run CONCURRENTLY,
+    * which measures ~2× faster end-to-end than a localCheckpoint that
+    * serializes the whole plan behind an eager materialization (profiled
+    * at sf0.1: 1.2 s vs 2.1 s). At 100 TB the one-shot form pays one
+    * extra tokenize pass; the deployment answer is to persist THIS table
+    * (it is the whole index) and serve bm25TopK from the parquet, where
+    * the scan is trivially reused. */
+  def bm25Index(corpus: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val sparkD = Dialect(spark = true)
+    val tok = corpus.select(col(idCol).as("doc_id"),
+      expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"),
+      explode(expr(TX.tokensAuto(textCol)(sparkD))).as("term"))
+    tok.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+  }
+
+  /** BM25 top-k: score every query (set-of-terms semantics, distinct
+    * query tokens) against the corpus; return the k best docs per query.
+    *
+    * Plan shape: corpus shuffles once (postings census, which carries
+    * the scan-computed doc length — no norms join exists). The per-term
+    * df ∩ query-terms table and the 1-row corpus scalars broadcast; the
+    * scalars branch off the scan so their broadcast builds concurrently
+    * with the census shuffle. Scoring is a map-side broadcast join over
+    * the census plus one (query_id, doc_id)-keyed aggregation of the
+    * candidate rows — bounded by the summed df of the query terms,
+    * never the corpus. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, textCol: String,
+               idCol: String, k: Int, k1: Double = K1, b: Double = B,
+               maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    val postings = bm25Index(corpus, textCol, idCol)
+    val sparkD = Dialect(spark = true)
+    val qtok = expr(TX.tokensAuto(textCol)(sparkD))
+    val qtokCapped =
+      if (maxQueryTerms == Int.MaxValue) qtok else slice(qtok, 1, maxQueryTerms)
+    val qterms = queries.select(col(idCol).as("query_id"),
+        explode(qtokCapped).as("term"))
+      .distinct()
+    // Corpus scalars (N = docs with ≥1 token, total token mass) branch
+    // off the SCAN, not the census — the broadcast builds concurrently
+    // with the postings shuffle instead of behind it.
+    val stats = corpus
+      .select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // per-(query, term) planning row: df for the query's terms only — tiny
+    val qstat = dfreq.join(broadcast(qterms), "term")
+    val scored = postings.join(broadcast(qstat), "term")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val termScore = floor(idf * tfNorm * lit(1000000.0) + lit(0.5)).cast("long")
+    val perDoc = scored
+      .withColumn("term_score", termScore)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_score").as("score_u"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score_u").cast("double") / lit(1000000.0), 6).as("score"))
+  }
+
+  /** Reciprocal rank fusion of two rankings (Cormack et al. 2009):
+    * rrf(d) = Σ_r 1/(k0 + rank_r(d)) over the rankings that retrieved d.
+    * Each reciprocal is quantized to integer nano-units —
+    * floor(x·10⁹ + 0.5) as BIGINT — and summed as longs, so the fused
+    * ordering is exact and engine-portable. Both inputs carry
+    * (query_id, doc_id, rank); candidates are the union of the two
+    * top-lists — both are k-bounded per query, so the fusion join is
+    * planning-scale (no corpus data moves here). */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k0: Int, topK: Int): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val v = vec.select(col("query_id"), col("doc_id"), col("rank").as("vec_rank"))
+    def contrib(rank: Column): Column =
+      when(rank.isNotNull,
+          floor(lit(1.0) / (lit(k0).cast("double") + rank.cast("double"))
+            * lit(1000000000.0) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    val fused = l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_u", contrib(col("lex_rank")) + contrib(col("vec_rank")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_u").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf_u").cast("double") / lit(1000000000.0), 9).as("rrf_score"),
+        col("lex_rank"), col("vec_rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Dialect-parametric SQL fragments shared with the DuckDB oracle —
+  // one source of truth for the arithmetic on both sides.
+  // ------------------------------------------------------------------
+
+  /** BM25 idf of integer columns n_docs/df (SQL text, both dialects). */
+  val idfSql: String =
+    "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
+      " / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
+
+  /** BM25 tf normalization of integer columns tf/dl with avgdl double. */
+  def tfNormSql(k1: Double, b: Double): String =
+    s"(CAST(tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE))" +
+      s" / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE)" +
+      s" * (1.0 - CAST($b AS DOUBLE) + CAST($b AS DOUBLE)" +
+      " * (CAST(dl AS DOUBLE) / avgdl)))"
+}

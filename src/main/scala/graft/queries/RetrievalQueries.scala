@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.{Dialect, TextExprs => TX}
+import graft.operators.{Retrieval, Similarity}
+
+/** Round-8 retrieval batch: BM25 lexical search and hybrid (lexical +
+  * vector) reciprocal-rank fusion — the retrieval half of a RAG /
+  * training-data stack over the curated corpus. Query workloads are
+  * deterministic corpus slices (doc_id residues) so both engines derive
+  * the identical workload from the shared parquet; all ranking arithmetic
+  * follows the repo's decimal-exact, order-independent discipline. */
+object RetrievalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Query docs: doc_id ≡ BM25_QREM (mod BM25_QMOD) — 3 queries at the
+    * 500-doc SFs, 24 at sf0.1. Queries use their first MAX_QTERMS tokens
+    * (realistic short keyword queries; also bounds the candidate set —
+    * the 31-word synthetic vocabulary makes every term a stopword, the
+    * worst case for postings pruning). */
+  private val BM25_QMOD = 211
+  private val BM25_QREM = 5
+  private val MAX_QTERMS = 6
+  private val BM25_K = 10
+  /** Hybrid corpus: documents ⋈ embeddings on doc_id = vec_id (ids are
+    * aligned by the generator; sf0.1 has vectors for the first 2000 docs
+    * only, so the hybrid corpus is the intersection). */
+  private val RRF_QMOD = 241
+  private val RRF_QREM = 11
+  private val RRF_DEPTH = 20
+  private val RRF_TOPK = 10
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- BM25 top-k lexical retrieval -----------------------------------
+    // (inverted-index cost shape: ONE corpus shuffle builds the postings
+    //  census; df/avgdl/N and the query terms broadcast; candidates come
+    //  from a broadcast join against the postings, never a corpus
+    //  re-shuffle. Decimal-exact per-doc sums make the ranking
+    //  order-independent; ties break on doc_id.)
+    "qx100_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Retrieval.bm25TopK(
+          docs.filter(col("doc_id") % BM25_QMOD =!= BM25_QREM),
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Hybrid retrieval: BM25 ∪ cosine kNN → reciprocal rank fusion --
+    // (the production RAG shape: the lexical and vector top-20 lists are
+    //  computed independently — each with its own scale path — and fused
+    //  on planning-scale candidate lists; 1/(60+rank) contributions are
+    //  9 dp-rounded decimals so the fused order is exact in both engines.)
+    "qx101_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      val isQuery = col("doc_id") % RRF_QMOD === RRF_QREM
+      val corpusDocs = hybrid.filter(!isQuery).select("doc_id", "text")
+      val queryDocs = hybrid.filter(isQuery).select("doc_id", "text")
+      val corpusVecs = hybrid.filter(!isQuery).select("doc_id", "embedding")
+      val queryVecs = hybrid.filter(isQuery).select("doc_id", "embedding")
+      val lex = Retrieval.bm25TopK(corpusDocs, queryDocs, "text", "doc_id",
+        RRF_DEPTH, maxQueryTerms = MAX_QTERMS)
+      val vec = Similarity.bruteForceKnn(queryVecs, corpusVecs,
+          "doc_id", "embedding", RRF_DEPTH)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, vec, Retrieval.RRF_K0, RRF_TOPK)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  private implicit val duck: Dialect = Dialect(spark = false)
+
+  /** BM25 scoring CTE chain over `corpus`/`q` CTEs (both (doc_id, text));
+    * yields a `ranked` relation (query_id, doc_id, score_dec, rn). */
+  private def bm25Ctes: String = {
+    val d = duck
+    s"""tok AS (SELECT doc_id, unnest(${TX.tokens("text")(d)}) AS term FROM corpus),
+       |postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dlens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len,
+       |            CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |          FROM dlens),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+       |qterms AS (SELECT DISTINCT doc_id AS query_id,
+       |             unnest(${d.slice(TX.tokens("text")(d), "1", MAX_QTERMS)}) AS term
+       |           FROM q),
+       |cand AS (SELECT query_id, p.term AS term, p.doc_id AS doc_id, tf, df
+       |         FROM postings p JOIN qterms USING (term) JOIN dfreq USING (term)),
+       |scored AS (
+       |  SELECT query_id, cand.doc_id AS doc_id,
+       |    CAST(floor(${Retrieval.idfSql} * ${Retrieval.tfNormSql(Retrieval.K1, Retrieval.B)}
+       |         * 1000000.0 + 0.5) AS BIGINT) AS term_score
+       |  FROM cand JOIN dlens ON cand.doc_id = dlens.doc_id CROSS JOIN stats),
+       |perdoc AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_u
+       |           FROM scored GROUP BY query_id, doc_id),
+       |ranked AS (SELECT query_id, doc_id, score_u,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY score_u DESC, doc_id ASC) AS rn
+       |           FROM perdoc)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    "qx100_bm25_topk" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |$bm25Ctes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,
+
+    "qx101_hybrid_rrf" -> {
+      val d = duck
+      s"""WITH hybrid AS (SELECT doc_id, text, embedding
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |corpus AS (SELECT doc_id, text FROM hybrid WHERE doc_id % $RRF_QMOD <> $RRF_QREM),
+         |q AS (SELECT doc_id, text FROM hybrid WHERE doc_id % $RRF_QMOD = $RRF_QREM),
+         |$bm25Ctes,
+         |lex AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank
+         |        FROM ranked WHERE rn <= $RRF_DEPTH),
+         |vn AS (SELECT doc_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM hybrid),
+         |vq AS (SELECT doc_id AS query_id, embedding AS q_vec, norm2 AS q_norm2
+         |       FROM vn WHERE doc_id % $RRF_QMOD = $RRF_QREM),
+         |vc AS (SELECT doc_id, embedding AS c_vec, norm2 AS c_norm2
+         |       FROM vn WHERE doc_id % $RRF_QMOD <> $RRF_QREM),
+         |vscored AS (
+         |  SELECT query_id, vc.doc_id AS doc_id,
+         |    CASE WHEN q_norm2 > 0 AND c_norm2 > 0
+         |         THEN ${TX.dot("q_vec", "c_vec")(d)} / (sqrt(q_norm2) * sqrt(c_norm2)) END AS cosine
+         |  FROM vc CROSS JOIN vq),
+         |vec AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS vec_rank
+         |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, doc_id ASC) AS rn FROM vscored)
+         |        WHERE rn <= $RRF_DEPTH),
+         |fused AS (
+         |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+         |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+         |    CAST(CASE WHEN lex_rank IS NOT NULL
+         |         THEN floor(1.0 / (CAST(${Retrieval.RRF_K0} AS DOUBLE) + CAST(lex_rank AS DOUBLE))
+         |              * 1000000000.0 + 0.5)
+         |         ELSE 0 END AS BIGINT) +
+         |    CAST(CASE WHEN vec_rank IS NOT NULL
+         |         THEN floor(1.0 / (CAST(${Retrieval.RRF_K0} AS DOUBLE) + CAST(vec_rank AS DOUBLE))
+         |              * 1000000000.0 + 0.5)
+         |         ELSE 0 END AS BIGINT) AS rrf_u
+         |  FROM lex FULL OUTER JOIN vec
+         |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(rrf_u AS DOUBLE) / 1000000000.0, 9) AS rrf_score, lex_rank, vec_rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_u DESC, doc_id ASC) AS rn FROM fused)
+         |WHERE rn <= $RRF_TOPK ORDER BY query_id, rank""".stripMargin
+    }
+  )
+}

@@ -63,6 +63,22 @@ class PlanAuditSpec extends SparkSpec {
       s"qx76: a join fell off the broadcast path:\n${p76.take(1500)}")
   }
 
+  test("qx100 BM25: query-side joins all broadcast — no corpus sort-merge join, no doc-keyed norms join") {
+    // the postings census carries the scan-computed doc length, so no
+    // (doc_id)-keyed join may exist anywhere: a SortMergeJoin or a
+    // hashpartitioning(doc_id) exchange (without term) means the plan
+    // re-grew the Lucene norms join the operator exists to avoid
+    val p = SparkEntry.queries("qx100_bm25_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"qx100 query-side joins must broadcast:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // single-column doc_id exchange only — the (doc_id, term) census and
+    // the (query_id, doc_id) score aggregation are the legitimate keys
+    assert(!"hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findFirstIn(p).isDefined,
+      s"qx100 must not shuffle on doc_id alone (norms join resurfaced):\n${p.take(1500)}")
+  }
+
   test("round-8 late plans: qx96 is scan-only, qx97 never shuffles the corpus, qx90's confirm pass stays broadcast-semi") {
     // qx96: two tokenizer counts + a piece hash are pure projections —
     // an Exchange here means something aggregated that shouldn't

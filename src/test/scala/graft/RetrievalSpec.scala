@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25TopK matches the hand-computed Okapi formula on a fixture") {
+    // corpus: 3 docs; query "cat" — df(cat)=2, N=3, dl = 4/4/2, avgdl=10/3
+    val corpus = docs(
+      1L -> "cat cat dog bird",
+      2L -> "cat fish fish fish",
+      3L -> "dog bird")
+    val q = docs(100L -> "cat")
+    val got = Retrieval.bm25TopK(corpus, q, "text", "doc_id", 10)
+      .orderBy("rank").collect()
+    def bm25(tf: Long, dl: Long): Double = {
+      val n = 3.0; val df = 2.0; val avgdl = 10.0 / 3.0
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val norm = (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+      val u = math.floor(idf * norm * 1000000.0 + 0.5).toLong // micro-units
+      BigDecimal(u.toDouble / 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc1: tf=2,dl=4 beats doc2: tf=1,dl=4; doc3 has no query term → absent
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // contiguous ranks
+    assert(got(0).getDouble(3) == bm25(2, 4))
+    assert(got(1).getDouble(3) == bm25(1, 4))
+  }
+
+  test("bm25TopK: multi-term scores are summed per doc; ties break on doc_id") {
+    val corpus = docs(
+      1L -> "alpha beta",
+      2L -> "alpha beta",  // identical doc → identical score; tie → doc 1 first
+      3L -> "alpha gamma")
+    val q = docs(100L -> "alpha beta")
+    val got = Retrieval.bm25TopK(corpus, q, "text", "doc_id", 10)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0).getDouble(3) == got(1).getDouble(3))  // exact tie survives
+    assert(got(2).getDouble(3) < got(0).getDouble(3))   // one term < two terms
+  }
+
+  test("bm25TopK is partitioning-invariant (decimal-exact, order-independent sums)") {
+    val corpus = docs((1L to 40L).map(i =>
+      i -> s"term${i % 7} term${i % 5} term${i % 5} filler$i common common"): _*)
+    val q = docs(900L -> "term3 common term1")
+    val base = Retrieval.bm25TopK(corpus, q, "text", "doc_id", 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val shuffled = Retrieval.bm25TopK(corpus.repartition(7), q, "text", "doc_id", 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(base == shuffled)
+    assert(base.nonEmpty)
+  }
+
+  test("bm25TopK caps query terms at maxQueryTerms (first tokens win)") {
+    val corpus = docs(1L -> "aa bb", 2L -> "zz yy")
+    // query's first 2 tokens are aa bb; the tail token zz must be ignored
+    val q = docs(100L -> "aa bb zz")
+    val got = Retrieval.bm25TopK(corpus, q, "text", "doc_id", 10, maxQueryTerms = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(got == Set(1L))
+  }
+
+  test("rrfFuse: doc retrieved by both rankings outranks single-list docs; missing ranks contribute 0") {
+    import spark.implicits._
+    // query 9: lex top = (A=1, B=2), vec top = (A=2, C=1)
+    val lex = Seq((9L, 10L, 1L), (9L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((9L, 12L, 1L), (9L, 10L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, vec, 60, 10).orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(10L, 12L, 11L))
+    def c(r: Long): Long = // nano-units
+      math.floor(1.0 / (60.0 + r) * 1000000000.0 + 0.5).toLong
+    def score(u: Long): Double =
+      BigDecimal(u.toDouble / 1000000000.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(3) == score(c(1) + c(2)))          // both lists
+    assert(got(1).getDouble(3) == score(c(1)))                 // vec only
+    assert(got(2).getDouble(3) == score(c(2)))                 // lex only
+    // single-list docs carry a null rank for the missing side
+    assert(got(1).isNullAt(4) && !got(1).isNullAt(5))
+    assert(!got(2).isNullAt(4) && got(2).isNullAt(5))
+  }
+
+  test("rrfFuse tie at equal rrf score breaks on doc_id") {
+    import spark.implicits._
+    val lex = Seq((9L, 20L, 1L), (9L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
+      .filter(col("doc_id") === 20L)  // lex: only doc 20 at rank 1
+    val vec = Seq((9L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, vec, 60, 10).orderBy("rank").collect()
+    // both docs have rrf = 1/61 → tie → doc 20 first
+    assert(got.map(_.getLong(2)).toSeq == Seq(20L, 21L))
+  }
+}
