@@ -106,6 +106,13 @@ object TextExprs {
   /** 32-bit widening of the poly hash. */
   def mix32(e: String): String = s"(($e * $MIX) % $MIX_MOD)"
 
+  /** Count-min bucket of a term for sketch row `row`: the MinHash
+    * permutation family applied to the widened poly hash, reduced mod the
+    * sketch width. Pure int64 arithmetic (max product ~4.3e15), identical
+    * in both engines. */
+  def cmBucket(term: String, row: Int, width: Int)(implicit d: Dialect): String =
+    s"(((${aK(row)} * ${mix32(polyHashAuto(term))} + ${bK(row)}) % $P) % $width)"
+
   /** Word n-gram shingle strings over a tokens-array expression. */
   def shingles(toks: String, n: Int)(implicit d: Dialect): String = {
     val parts = (0 until n).map(j => d.el(toks, if (j == 0) "i" else s"i+$j"))

@@ -975,4 +975,54 @@ object TextAnalysis {
       .select(col("epoch"), col("shard"), col("position"), col(idCol))
       .orderBy("epoch", "shard", "position")
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    * stream: `depth` hash rows × `width` buckets of exact occurrence
+    * counts. The 100 TB point of the structure: the corpus aggregates
+    * into a FIXED-SIZE census — map-side partial aggregation caps every
+    * partition's contribution at depth×width rows no matter how many
+    * tokens it holds, and sketches of disjoint corpora merge by cell-wise
+    * addition (spec-gated). All arithmetic is int64 (the MinHash
+    * permutation family over the widened poly hash — TextExprs.cmBucket),
+    * so unlike the library estimators behind qx47 the sketch itself is
+    * bit-identical in both engines and the oracle hash-matches it. */
+  def countMinSketch(docs: DataFrame, textCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tok = docs.select(explode(expr(TX.tokensAuto(textCol))).as("term"))
+    val buckets = array((0 until depth).map(i =>
+      expr(TX.cmBucket("term", i, width)).cast("long")): _*)
+    tok.select(posexplode(buckets).as(Seq("row", "bucket")))
+      .select(col("row").cast("long").as("row"), col("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-term count-min estimates next to the exact census: est(t) =
+    * min over rows of sketch[row][h_row(t)], always ≥ the true count.
+    * `within_markov` is the integer-exact factor-2 Markov envelope
+    * (est − true)·width ≤ 2·N, the per-row guarantee the min inherits
+    * with probability 1 − 2^−depth. The sketch broadcasts (depth×width
+    * rows); the truth census is vocab-bounded — at production scale the
+    * query terms would come from a candidate set instead. */
+  def countMinEstimates(docs: DataFrame, textCol: String,
+                        depth: Int, width: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sketch = countMinSketch(docs, textCol, depth, width)
+    val tok = docs.select(explode(expr(TX.tokensAuto(textCol))).as("term"))
+    val truth = tok.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    val total = tok.agg(count(lit(1)).as("n_tokens"))
+    val buckets = array((0 until depth).map(i =>
+      expr(TX.cmBucket("term", i, width)).cast("long")): _*)
+    val probes = truth.select(col("term"), col("true_cnt"),
+      posexplode(buckets).as(Seq("row", "bucket")))
+      .select(col("term"), col("true_cnt"),
+        col("row").cast("long").as("row"), col("bucket"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("term", "true_cnt").agg(min("cnt").as("est_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"),
+        when((col("est_cnt") - col("true_cnt")) * lit(width.toLong)
+          <= lit(2L) * col("n_tokens"), 1L).otherwise(0L).as("within_markov"))
+  }
 }

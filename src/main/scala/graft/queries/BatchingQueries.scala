@@ -46,6 +46,12 @@ object BatchingQueries {
   private val QANN_PLANES = 8
   private val QANN_K = 3
   private val QANN_QUERY_SET = 20
+  /** qx102 count-min geometry: 4 rows × 256 buckets — small enough that
+    * the 31-word synthetic vocabulary rarely collides (the spec exercises
+    * collision-heavy geometries instead), big enough to show the
+    * fixed-size-census shape. */
+  private val CM_DEPTH = 4
+  private val CM_WIDTH = 256
   private def sparkD = Dialect(spark = true)
   private def duckD = Dialect(spark = false)
 
@@ -397,12 +403,51 @@ object BatchingQueries {
           rankWithin(0.5, "__lt50", "__le50").as("p50_within"),
           rankWithin(0.9, "__lt90", "__le90").as("p90_within"))
         .orderBy("source")
+    }),
+
+    // ---- Count-min sketch: fixed-size frequency census -------------------
+    // (qx47's library estimators get a bounds oracle; the CM sketch is
+    //  pure int64 arithmetic, so the estimates themselves hash-match —
+    //  per term: exact count, sketch estimate, overcount, and the
+    //  integer-exact factor-2 Markov envelope verdict)
+    "qx102_count_min" -> ((s, dir) => {
+      graft.operators.TextAnalysis.countMinEstimates(
+          t(s, dir, "documents"), "text", CM_DEPTH, CM_WIDTH)
+        .orderBy("term")
     })
   )
 
   // -----------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+
+    // CM sketch: both engines build the identical int64 sketch cell-for-cell
+    // (TextExprs.cmBucket is the one source of truth for the hash family),
+    // so estimates, overcounts, and envelope verdicts all hash-match.
+    "qx102_count_min" -> {
+      val d = duckD
+      val arms = (0 until CM_DEPTH).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS row, ${TX.cmBucket("term", i, CM_WIDTH)(d)} AS bucket FROM tok")
+        .mkString("\n  UNION ALL ")
+      val probeArms = (0 until CM_DEPTH).map(i =>
+        s"SELECT term, true_cnt, CAST($i AS BIGINT) AS row, ${TX.cmBucket("term", i, CM_WIDTH)(d)} AS bucket FROM tr")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tok AS (SELECT unnest(${TX.tokens("text")(d)}) AS term FROM documents),
+         |sk AS (SELECT row, bucket, COUNT(*) AS cnt FROM (
+         |  $arms
+         |) GROUP BY row, bucket),
+         |tr AS (SELECT term, COUNT(*) AS true_cnt FROM tok GROUP BY term),
+         |tot AS (SELECT COUNT(*) AS n_tokens FROM tok),
+         |pr AS (
+         |  $probeArms
+         |),
+         |e AS (SELECT term, true_cnt, MIN(cnt) AS est_cnt
+         |      FROM pr JOIN sk USING (row, bucket) GROUP BY term, true_cnt)
+         |SELECT term, true_cnt, est_cnt, est_cnt - true_cnt AS overcount,
+         |  CAST(CASE WHEN (est_cnt - true_cnt) * $CM_WIDTH <= 2 * n_tokens
+         |       THEN 1 ELSE 0 END AS BIGINT) AS within_markov
+         |FROM e CROSS JOIN tot ORDER BY term""".stripMargin
+    },
 
     // Bounds-check oracle (see the qx47 query comment): DuckDB runs its own
     // estimators (HLL approx_count_distinct, t-digest approx_quantile)

@@ -44,4 +44,51 @@ class SketchSpec extends SparkSpec {
       assert(p50 == vs, s"source=$s approx_p50=$p50 exact=$vs")
     }
   }
+
+  // ---- Count-min sketch (qx102) — exact int64, so properties are hard --
+
+  private def cmDocs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("countMin: estimates never undercount, even under a collision-heavy geometry") {
+    // width 4 with 40 distinct terms forces collisions in every row
+    val docs = cmDocs((1L to 20L).map(i => i -> s"t$i u$i t$i"): _*)
+    val est = graft.operators.TextAnalysis
+      .countMinEstimates(docs, "text", depth = 2, width = 4)
+      .collect()
+    assert(est.length == 40)
+    est.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"term=${r.getString(0)} est=${r.getLong(2)} < true=${r.getLong(1)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // with width 4, SOME term must actually collide (pigeonhole)
+    assert(est.exists(_.getLong(3) > 0), "collision geometry produced no overcount")
+  }
+
+  test("countMin: sketch is fixed-size and merges by cell-wise addition") {
+    val a = cmDocs(1L -> "x y z x", 2L -> "y y q")
+    val b = cmDocs(3L -> "x q q w", 4L -> "z")
+    val union = cmDocs(1L -> "x y z x", 2L -> "y y q", 3L -> "x q q w", 4L -> "z")
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      graft.operators.TextAnalysis.countMinSketch(df, "text", 3, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ca, cb, cu) = (cells(a), cells(b), cells(union))
+    assert(cu.size <= 3 * 8, "sketch exceeded depth*width cells")
+    val merged = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(merged == cu, "sketch(A) + sketch(B) != sketch(A ∪ B)")
+  }
+
+  test("countMin: envelope flag is 1 everywhere at the qx102 geometry on the real corpus") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val est = graft.operators.TextAnalysis
+      .countMinEstimates(docs, "text", depth = 4, width = 256)
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach(r => assert(r.getLong(4) == 1L,
+      s"term=${r.getString(0)} blew the Markov envelope"))
+  }
 }
