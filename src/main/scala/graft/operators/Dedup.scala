@@ -650,4 +650,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
         col("n_b"), col("containment"))
   }
+
+  /** Exact shared-shingle overlap edges: (u, v, shared) for every doc
+    * pair sharing ≥ `minShared` distinct `shingleN`-gram shingles, with
+    * boilerplate shingles cut at df > `maxDf` — containmentPairs'
+    * candidate stage promoted to a graph primitive (the quadratic is the
+    * same Σ df² fence). The undirected edge list feeds the graph
+    * operators: connectedComponents for dedup groups,
+    * pageRankFixedPoint for centrality-based canonical selection. */
+  def overlapEdges(docs: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int, maxDf: Long, minShared: Long): DataFrame = {
+    require(maxDf >= 2, s"maxDf < 2 can never form a pair: $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val s = shingleHashRowsDistinct(docs, textCol, idCol, shingleN)
+    val df = s.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val rare = s.join(df.filter(col("__df") <= maxDf), "sh")
+      .select(col(idCol), col("sh"))
+    val a = rare.select(col(idCol).as("u"), col("sh"))
+    val b = rare.select(col(idCol).as("v"), col("sh"))
+    a.join(b, "sh").filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

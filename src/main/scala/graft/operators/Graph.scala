@@ -153,4 +153,60 @@ object Graph {
     val e = newEdges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     connectedComponents(star.unionByName(e), "u", "v", maxIter)
   }
+
+  /** Fixed-point integer PageRank (Page et al. 1999) over an undirected
+    * edge list — a centrality signal for canonical-document selection in
+    * near-dup neighborhoods (degree alone over-rewards boilerplate hubs;
+    * PageRank discounts neighbors that spread their mass thin).
+    *
+    * Arithmetic is EXACT int64 fixed-point so a DuckDB oracle can
+    * hash-match an iterative float algorithm: ranks live in `scale`
+    * units (r₀ = scale per node), each node sends floor(r/deg) to every
+    * neighbor, and the damped update is
+    * r' = (15·scale + 85·Σ incoming) div 100 — floor division in both
+    * engines, order-independent integer sums, no IEEE accumulation
+    * anywhere. Quantization error per iteration is < deg/scale of a
+    * unit — invisible at scale = 10¹². Keep the per-iteration mass
+    * N·scale·85 inside int64: at scale 10¹² that's ~10⁵ nodes; shrink
+    * `scale` for bigger graphs (or normalize r₀, the structure is
+    * scale-free).
+    *
+    * Plan shape: the edge list symmetrizes and persists once (every
+    * iteration re-reads it); each of the `iters` rounds is one
+    * (id)-keyed join + one map-side-combinable integer sum — the
+    * standard distributed PR step. The rank table localCheckpoints per
+    * round, truncating the otherwise-quadratic lineage (same discipline
+    * as connectedComponents). Isolated nodes never appear (no edges →
+    * no rank mass to receive); dangling nodes cannot exist in a
+    * symmetrized graph. */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+      var ranks = deg.select(col("u").as("id"), lit(scale).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = ranks
+          .join(deg, ranks("id") === deg("u"))
+          .select(col("id"), expr("r div deg").as("c"))
+          .join(sym, col("id") === col("u"))
+          .select(col("v").as("id"), col("c"))
+        val sums = contrib.groupBy("id").agg(sum("c").as("s"))
+        // eager per-round checkpoint (kmeansFit discipline): materializes
+        // the round so lineage never stacks iterations, and lets the edge
+        // cache be dropped before the caller's action
+        ranks = sums
+          .select(col("id"),
+            expr(s"(${15L * scale} + 85 * s) div 100").as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.join(deg, ranks("id") === deg("u"))
+        .select(col("id"), col("r").as("pr_units"), col("deg"))
+    } finally sym.unpersist(blocking = false)
+  }
 }

@@ -72,6 +72,13 @@ object PipelineQueries {
   private val CONTAIN_SHINGLE_N = 3
   private val CONTAIN_MIN = 0.1
   private val CONTAIN_MAX_DF = 8L
+  /** qx103: PageRank over the exact shared-shingle graph — same shingle
+    * regime as qx98, edges need ≥2 shared rare shingles (1242/1109/3612
+    * edges at the three SFs). 3 damped iterations in int64 fixed point. */
+  private val PR_MAX_DF = 8L
+  private val PR_MIN_SHARED = 2L
+  private val PR_ITERS = 3
+  private val PR_SCALE = 1000000000000L
 
   /** Redaction patterns (name, regex, replacement) — RE2-safe subset so
     * Spark's Java regex and DuckDB's RE2 agree; one source of truth for
@@ -620,6 +627,20 @@ object PipelineQueries {
     "qx97_quality_regression" -> ((s, dir) => {
       TextAnalysis.qualityRegression(t(s, dir, "documents"), "text", "doc_id",
         QREG_TOP_K)
+    }),
+
+    // ---- PageRank centrality over the exact overlap graph ---------------
+    // (canonical-doc selection signal inside near-dup neighborhoods:
+    //  degree over-rewards boilerplate hubs, PageRank discounts neighbors
+    //  that spread mass thin. Exact int64 fixed-point arithmetic — floor
+    //  divisions, order-independent integer sums — so an ITERATIVE graph
+    //  algorithm hash-matches a DuckDB oracle, 3 unrolled iterations deep)
+    "qx103_pagerank" -> ((s, dir) => {
+      val edges = graft.operators.Dedup.overlapEdges(t(s, dir, "documents"),
+        "text", "doc_id", CONTAIN_SHINGLE_N, PR_MAX_DF, PR_MIN_SHARED)
+      graft.operators.Graph.pageRankFixedPoint(edges, "u", "v", PR_ITERS, PR_SCALE)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }),
 
     // ---- Embedding drift: per-dim first-moment movers between snapshots -
@@ -1267,6 +1288,35 @@ object PipelineQueries {
 
     "qx97_quality_regression" ->
       TextAnalysis.qualityRegressionSql("documents", "text", "doc_id", QREG_TOP_K),
+
+    // Unrolled fixed-point PageRank: every operation is int64 (floor
+    // divisions, integer sums), so three chained iterations stay
+    // bit-identical across engines — no IEEE accumulation to drift.
+    "qx103_pagerank" -> {
+      val iters = (1 to PR_ITERS).map { k =>
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""c$k AS (SELECT s.v AS id, (r.r // d.deg) AS c
+           |        FROM $prev r JOIN deg d ON r.id = d.id JOIN sym s ON s.u = r.id),
+           |r$k AS (SELECT id, CAST((${15L * PR_SCALE} + 85 * SUM(c)) // 100 AS BIGINT) AS r
+           |        FROM c$k GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ExtensionQueries.shingleCtes(CONTAIN_SHINGLE_N)},
+         |uq AS (SELECT DISTINCT doc_id, sh FROM t4),
+         |dfr AS (SELECT sh, COUNT(*) AS d FROM uq GROUP BY sh),
+         |rare AS (SELECT doc_id, uq.sh FROM uq JOIN dfr ON uq.sh = dfr.sh
+         |         WHERE d <= $PR_MAX_DF),
+         |edges AS (SELECT a.doc_id AS eu, b.doc_id AS ev
+         |          FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY eu, ev HAVING COUNT(*) >= $PR_MIN_SHARED),
+         |sym AS (SELECT eu AS u, ev AS v FROM edges
+         |        UNION SELECT ev AS u, eu AS v FROM edges),
+         |deg AS (SELECT u AS id, COUNT(*) AS deg FROM sym GROUP BY u),
+         |r0 AS (SELECT id, CAST($PR_SCALE AS BIGINT) AS r FROM deg),
+         |$iters
+         |SELECT r$PR_ITERS.id AS doc_id, r$PR_ITERS.r AS pr_units, deg.deg AS deg
+         |FROM r$PR_ITERS JOIN deg ON r$PR_ITERS.id = deg.id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "qx98_containment_pairs" ->
       s"""WITH ${ExtensionQueries.shingleCtes(CONTAIN_SHINGLE_N)},

@@ -101,4 +101,59 @@ class GraphSpec extends SparkSpec {
     assert(grouped.keySet == Set(0L, 1L, 2L))
     assert(grouped.values.forall(_ == 0L))
   }
+
+  // ---- pageRankFixedPoint (qx103) --------------------------------------
+
+  /** Reference implementation of the exact fixed-point recurrence. */
+  private def prLocal(edges: Seq[(Long, Long)], iters: Int,
+                      scale: Long): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = deg.keys.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = r.keys.map(id => id -> (15L * scale + 85L * in(id)) / 100L).toMap
+    }
+    r
+  }
+
+  test("pageRankFixedPoint matches the local integer recurrence on path and star graphs") {
+    val path = Seq((1L, 2L), (2L, 3L))
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L))
+    for (g <- Seq(path, star, path ++ star)) {
+      val got = Graph.pageRankFixedPoint(g.toDF("u", "v"), "u", "v", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == prLocal(g, 3, 1000000000000L), s"graph=$g")
+    }
+  }
+
+  test("pageRank: star center outranks leaves; duplicate/reversed input edges don't change ranks") {
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L))
+    val got = Graph.pageRankFixedPoint(star.toDF("u", "v"), "u", "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((11L to 14L).forall(l => got(10L) > got(l)))
+    val noisy = star ++ star.map(_.swap) ++ star // dups + reversals
+    val got2 = Graph.pageRankFixedPoint(noisy.toDF("u", "v"), "u", "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
+  test("overlapEdges: boilerplate shingles above maxDf cannot form edges; rare overlap counts are exact") {
+    // every doc shares the 3-gram "common header line"; only 1 & 2 share
+    // a rare phrase long enough for TWO distinct rare 3-shingles
+    val docs = Seq(
+      1L -> "common header line alpha beta gamma delta",
+      2L -> "common header line alpha beta gamma epsilon",
+      3L -> "common header line zeta eta theta iota",
+      4L -> "common header line kappa lambda mu nu").toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .overlapEdges(docs, "text", "doc_id", shingleN = 3, maxDf = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 1,2 share: "header line alpha", "line alpha beta",
+    // "alpha beta gamma" (df=2 each); "common header line"
+    // (df=4 > maxDf=3) is cut and links nothing
+    assert(got == Map((1L, 2L) -> 3L))
+  }
 }
