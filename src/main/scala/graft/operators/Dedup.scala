@@ -305,21 +305,39 @@ object Dedup {
     * `maxHamming` must stay < the band count (4) for the recall
     * guarantee. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"maxHamming=$maxHamming breaks the 4-band pigeonhole recall guarantee")
-    val sh = simhash(docs, textCol, idCol)
-    val bandStructs = (0 until 4).map(b =>
+                      maxHamming: Int = 3): DataFrame =
+    hammingNearDups(simhash(docs, textCol, idCol), idCol, "simhash",
+      hashBits = 32, nBands = 4, maxHamming = maxHamming)
+
+  /** Hamming-ball near-dup pairs over ANY integer fingerprint column via
+    * band-bucket pigeonhole (the qx37 machinery generalized): split the
+    * `hashBits`-bit hash into `nBands` equal bands; any pair within
+    * Hamming distance < nBands must agree exactly on ≥1 band, so the
+    * band equi-join has FULL recall for maxHamming < nBands — no
+    * all-pairs comparison anywhere. Bands extract with an unsigned shift
+    * so a 64-bit fingerprint with the sign bit set still buckets
+    * correctly. Consumers: SimHash text fingerprints (32-bit),
+    * perceptual image hashes (Multimodal.phash64, 64-bit). */
+  def hammingNearDups(hashes: DataFrame, idCol: String, hashCol: String,
+                      hashBits: Int, nBands: Int, maxHamming: Int): DataFrame = {
+    require(hashBits > 0 && hashBits <= 64 && hashBits % nBands == 0,
+      s"hashBits=$hashBits must be in (0,64] and divisible by nBands=$nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"maxHamming=$maxHamming breaks the $nBands-band pigeonhole recall guarantee")
+    val bandBits = hashBits / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandStructs = (0 until nBands).map(b =>
       struct(lit(b.toLong).as("band_id"),
-        expr(s"(simhash div ${1L << (8 * b)}) % 256").as("band_val")))
-    val banded = sh.select(col(idCol), col("simhash"),
+        expr(s"shiftrightunsigned(`$hashCol`, ${b * bandBits}) & ${mask}L")
+          .as("band_val")))
+    val banded = hashes.select(col(idCol), col(hashCol),
       explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col(hashCol),
         col("bk.band_id").as("band_id"), col("bk.band_val").as("band_val"))
     val l = banded.select(col("band_id"), col("band_val"),
-      col(idCol).as("doc_a"), col("simhash").as("sim_a"))
+      col(idCol).as("doc_a"), col(hashCol).as("sim_a"))
     val r = banded.select(col("band_id").as("band_id_r"), col("band_val").as("band_val_r"),
-      col(idCol).as("doc_b"), col("simhash").as("sim_b"))
+      col(idCol).as("doc_b"), col(hashCol).as("sim_b"))
     l.join(r, col("band_id") === col("band_id_r")
         && col("band_val") === col("band_val_r") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()

@@ -294,4 +294,124 @@ object Multimodal {
     media.groupBy(col("meta.modality").as("modality"))
       .agg(count(lit(1)).as("n"),
         avg(col("meta.durationMs")).as("avg_duration_ms"))
+
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (DCT pHash) — REAL, pure JDK end to end.
+  // ------------------------------------------------------------------
+
+  final case class PhashRow(media_id: Long, phash: Option[Long])
+
+  private val PhashN = 32
+  /** DCT-II basis: cos((2x+1)·u·π/64) for u,x in [0,32). */
+  private lazy val dctCos: Array[Array[Double]] =
+    Array.tabulate(PhashN, PhashN)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * PhashN)))
+
+  /** 64-bit DCT perceptual hash (the classic pHash recipe): decode with
+    * `javax.imageio`, box-average the Rec. 601 luminance onto a 32×32
+    * grid (integer box sums — no Graphics2D interpolation, so the
+    * downsample is bit-deterministic), 2-D DCT-II, keep the low-frequency
+    * 8×8 block, threshold each coefficient against the block's lower
+    * median. Bit i = u·8+v. Robust to rescaling and small edits (the
+    * low-frequency spectrum barely moves), which Hamming-bands into
+    * near-dup candidates exactly like SimHash does for text. Returns
+    * None for payloads no installed reader recognizes — same fallback
+    * contract as decodeImage. */
+  def phash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    // 32×32 box-average luminance: per target cell, average the exact
+    // pixel box [floor(t·d/N), max(+1, floor((t+1)·d/N))) — every cell
+    // gets ≥1 pixel whichever side of 32 the dimension is on
+    val lum = Array.ofDim[Double](PhashN, PhashN)
+    val row = new Array[Int](w)
+    var ty = 0
+    while (ty < PhashN) {
+      val y0 = (ty.toLong * h / PhashN).toInt
+      val y1 = math.max(y0 + 1, ((ty + 1).toLong * h / PhashN).toInt)
+      val sums = new Array[Long](PhashN)
+      val cnts = new Array[Long](PhashN)
+      var y = y0
+      while (y < y1) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var tx = 0
+        while (tx < PhashN) {
+          val x0 = (tx.toLong * w / PhashN).toInt
+          val x1 = math.max(x0 + 1, ((tx + 1).toLong * w / PhashN).toInt)
+          var x = x0
+          while (x < x1) {
+            val rgb = row(x)
+            sums(tx) += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            cnts(tx) += 1
+            x += 1
+          }
+          tx += 1
+        }
+        y += 1
+      }
+      var tx = 0
+      while (tx < PhashN) {
+        lum(ty)(tx) += sums(tx).toDouble / cnts(tx)
+        tx += 1
+      }
+      ty += 1
+    }
+    // low-frequency 8×8 of the 2-D DCT-II (basis products, unscaled —
+    // the median threshold is scale-invariant)
+    val coeffs = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < PhashN) {
+          var x = 0
+          val cu = dctCos(u)(y)
+          while (x < PhashN) { s += lum(y)(x) * cu * dctCos(v)(x); x += 1 }
+          y += 1
+        }
+        coeffs(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // DC (i=0) is excluded — it is orders of magnitude larger than the AC
+    // coefficients and carries only global brightness; bit 0 stays 0 and
+    // the median is the lower median of the 63 AC coefficients
+    val med = coeffs.drop(1).sorted.apply(31)
+    var bits = 0L
+    var i = 1
+    while (i < 64) {
+      if (coeffs(i) > med) bits |= (1L << i)
+      i += 1
+    }
+    Some(bits)
+  }
+
+  /** Per-image perceptual hashes over the typed media Dataset — the same
+    * mapPartitions batch shape as extractFeatures (decode cost rides the
+    * scan; nothing shuffles). Null phash = undecodable payload. */
+  def imagePhash(media: Dataset[MediaRow]): Dataset[PhashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r => PhashRow(r.media_id, phash64(r.payload))))
+  }
+
+  /** Near-duplicate IMAGES: perceptual hashes → Hamming band-bucket join
+    * (Dedup.hammingNearDups, 8×8-bit bands → full recall for
+    * maxHamming ≤ 7). The image twin of SimHash text near-dup: resized /
+    * lightly-edited copies land within a few bits of each other while the
+    * candidate join stays bucket-fenced — no all-pairs image compare. */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int): DataFrame = {
+    val hashed = imagePhash(media).filter(_.phash.isDefined).toDF()
+    Dedup.hammingNearDups(hashed, "media_id", "phash",
+      hashBits = 64, nBands = 8, maxHamming = maxHamming)
+  }
 }
