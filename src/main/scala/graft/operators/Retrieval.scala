@@ -86,20 +86,38 @@ object Retrieval {
                idCol: String, k: Int, k1: Double = K1, b: Double = B,
                maxQueryTerms: Int = Int.MaxValue): DataFrame = {
     val postings = bm25Index(corpus, textCol, idCol)
-    val sparkD = Dialect(spark = true)
-    val qtok = expr(TX.tokensAuto(textCol)(sparkD))
-    val qtokCapped =
-      if (maxQueryTerms == Int.MaxValue) qtok else slice(qtok, 1, maxQueryTerms)
-    val qterms = queries.select(col(idCol).as("query_id"),
-        explode(qtokCapped).as("term"))
-      .distinct()
     // Corpus scalars (N = docs with ≥1 token, total token mass) branch
     // off the SCAN, not the census — the broadcast builds concurrently
     // with the postings shuffle instead of behind it.
+    val sparkD = Dialect(spark = true)
     val stats = corpus
       .select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
       .filter(col("dl") > 0)
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    scoreBm25(postings,
+      queryTerms(queries, textCol, idCol, maxQueryTerms), stats, k, k1, b)
+  }
+
+  /** Distinct (query_id, term) rows, capped at the first `maxQueryTerms`
+    * tokens of each query text. */
+  def queryTerms(queries: DataFrame, textCol: String, idCol: String,
+                 maxQueryTerms: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val sparkD = Dialect(spark = true)
+    val qtok = expr(TX.tokensAuto(textCol)(sparkD))
+    val qtokCapped =
+      if (maxQueryTerms == Int.MaxValue) qtok else slice(qtok, 1, maxQueryTerms)
+    queries.select(col(idCol).as("query_id"), explode(qtokCapped).as("term"))
+      .distinct()
+  }
+
+  /** The BM25 scoring tail over a postings table (doc_id, term, tf, dl) —
+    * shared by the one-shot and the persisted-store paths, so the store
+    * search cannot drift from the gated formula. `stats` is the 1-row
+    * (n_docs, total_len) frame of the WHOLE indexed corpus. */
+  private def scoreBm25(postings: DataFrame, qterms: DataFrame,
+                        stats: DataFrame, k: Int, k1: Double, b: Double)
+      : DataFrame = {
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     // per-(query, term) planning row: df for the query's terms only — tiny
     val qstat = dfreq.join(broadcast(qterms), "term")
@@ -123,6 +141,86 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score_u").cast("double") / lit(1000000.0), 6).as("score"))
+  }
+
+  // ------------------------------------------------------------------
+  // Durable BM25 store — the lexical twin of the IVF-PQ store family.
+  // Layout: `path/postings` (hive-partitioned by term-hash bucket) +
+  // `path/stats` (one row: n_docs, total_len, n_buckets). Caller
+  // contract mirrors the ANN store: single writer, append batches carry
+  // ids new to the store, and the bucket count is frozen at build.
+  // ------------------------------------------------------------------
+
+  /** Build + persist the inverted index. Postings land in
+    * `graft_polyhash(term) % nBuckets` partitions, so a query's
+    * candidate postings are a LITERAL partition filter at search time —
+    * the store serves keyword queries at pruned-scan cost, the same
+    * file-skipping shape as the IVF store's probed cells. */
+  def writeBm25Store(corpus: DataFrame, textCol: String, idCol: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    bm25Index(corpus, textCol, idCol)
+      .withColumn("bucket", expr(s"graft_polyhash(term) % $nBuckets"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    val sparkD = Dialect(spark = true)
+    corpus.select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Grow the store at batch cost: census only the new docs, append
+    * their postings to the bucket partitions they hash into (untouched
+    * buckets' files are never rewritten), and roll the corpus scalars
+    * forward by exact integer addition — never a standing-corpus
+    * re-scan. Gate: search-after-append ≡ one-shot store over the union
+    * (RetrievalSpec + the qx105 oracle). */
+  def appendBm25Store(batch: DataFrame, textCol: String, idCol: String,
+                      path: String): Unit = {
+    val spark = batch.sparkSession
+    val old = spark.read.parquet(s"$path/stats").collect().head
+    val nBuckets = old.getAs[Int]("n_buckets")
+    bm25Index(batch, textCol, idCol)
+      .withColumn("bucket", expr(s"graft_polyhash(term) % $nBuckets"))
+      .write.partitionBy("bucket").mode("append")
+      .parquet(s"$path/postings")
+    val sparkD = Dialect(spark = true)
+    val delta = batch
+      .select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      .collect().head
+    val spark2 = batch.sparkSession
+    import spark2.implicits._
+    Seq((old.getAs[Long]("n_docs") + delta.getAs[Long]("n_docs"),
+        old.getAs[Long]("total_len") + delta.getAs[Long]("total_len"),
+        nBuckets))
+      .toDF("n_docs", "total_len", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve BM25 top-k from the persisted store. The bucket set of the
+    * query's terms (bounded by the query-term count — planning metadata)
+    * becomes a literal `bucket IN (...)` partition filter, so only the
+    * relevant postings files are ever listed or read; df for the query
+    * terms falls out of the pruned read (a term's postings live entirely
+    * in its bucket). Identical scoring tail to [[bm25TopK]]. */
+  def bm25TopKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, textCol: String, idCol: String,
+                        k: Int, k1: Double = K1, b: Double = B,
+                        maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+    val nBuckets = stats.select("n_buckets").collect().head.getInt(0)
+    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val buckets = qterms
+      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .select("doc_id", "term", "tf", "dl")
+    scoreBm25(postings, qterms, stats.select("n_docs", "total_len"), k, k1, b)
   }
 
   /** Reciprocal rank fusion of two rankings (Cormack et al. 2009):

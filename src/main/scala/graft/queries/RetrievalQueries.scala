@@ -32,6 +32,13 @@ object RetrievalQueries {
   private val RRF_QREM = 11
   private val RRF_DEPTH = 20
   private val RRF_TOPK = 10
+  /** qx105 store lifecycle: base corpus → build, doc_id ≡ 3 (mod 7)
+    * slice → append, then serve. The oracle prices only the search
+    * formula over the UNION corpus — the build/append harness cost
+    * lands in the bench construct phase like the ANN store queries. */
+  private val STORE_APPEND_MOD = 7
+  private val STORE_APPEND_REM = 3
+  private val STORE_BUCKETS = 16
 
   val queries: Map[String, Q] = Map(
 
@@ -45,6 +52,28 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents")
       Retrieval.bm25TopK(
           docs.filter(col("doc_id") % BM25_QMOD =!= BM25_QREM),
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Durable BM25 store: build → append → pruned serve --------------
+    // (the lexical twin of the ANN store lifecycle: postings persisted in
+    //  term-hash bucket partitions, a new doc batch appended at batch
+    //  cost with the corpus scalars rolled forward by exact integer
+    //  addition, then the search reads ONLY the query terms' buckets — a
+    //  literal partition filter. The oracle is the plain BM25 formula
+    //  over the union corpus: store mutations must be invisible.)
+    "qx105_bm25_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
+      val work = java.nio.file.Files.createTempDirectory("qx105-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
+        "text", "doc_id", work, STORE_BUCKETS)
+      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
+        "text", "doc_id", work)
+      Retrieval.bm25TopKFromStore(s, work,
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
@@ -109,6 +138,16 @@ object RetrievalQueries {
   val oracleSql: Map[String, String] = Map(
 
     "qx100_bm25_topk" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |$bm25Ctes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,
+
+    // The store is invisible to correctness by construction: the oracle
+    // is qx100's formula over the union corpus (base ∪ appended batch).
+    "qx105_bm25_store" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
          |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
          |$bm25Ctes

@@ -88,6 +88,47 @@ class RetrievalSpec extends SparkSpec {
     assert(!got(2).isNullAt(4) && got(2).isNullAt(5))
   }
 
+  test("bm25 store: build+append serves identically to the one-shot in-memory search over the union") {
+    val base = docs((1L to 30L).map(i =>
+      i -> s"alpha doc$i beta term${i % 5} gamma common"): _*)
+    val batch = docs((31L to 40L).map(i =>
+      i -> s"delta doc$i alpha term${i % 5} epsilon common"): _*)
+    val union = base.unionByName(batch)
+    val q = docs(900L -> "alpha term3 common", 901L -> "delta epsilon")
+    val work = java.nio.file.Files.createTempDirectory("bm25st-").toString
+    Retrieval.writeBm25Store(base, "text", "doc_id", work, nBuckets = 8)
+    Retrieval.appendBm25Store(batch, "text", "doc_id", work)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromStore = rows(
+      Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 12))
+    val oneShot = rows(Retrieval.bm25TopK(union, q, "text", "doc_id", 12))
+    assert(fromStore == oneShot)
+    assert(fromStore.nonEmpty)
+    // rebuild-over-union equivalence: append must be invisible
+    val work2 = java.nio.file.Files.createTempDirectory("bm25st2-").toString
+    Retrieval.writeBm25Store(union, "text", "doc_id", work2, nBuckets = 8)
+    assert(rows(Retrieval.bm25TopKFromStore(spark, work2, q, "text", "doc_id", 12))
+      == fromStore)
+  }
+
+  test("bm25 store search prunes to the query terms' bucket partitions") {
+    val corpus = docs((1L to 50L).map(i => i -> s"w$i filler$i unique$i"): _*)
+    val q = docs(900L -> "w7")
+    val work = java.nio.file.Files.createTempDirectory("bm25pr-").toString
+    Retrieval.writeBm25Store(corpus, "text", "doc_id", work, nBuckets = 16)
+    val df = Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the single-term query's lone bucket becomes a LITERAL partition
+    // predicate (a 1-element isin folds to equality) on the postings scan
+    val b = spark.sql("SELECT graft_polyhash('w7') % 16").collect().head.getLong(0)
+    val pf = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, s"no bucket partition filter on the postings scan:\n$plan")
+    assert(pf.get.contains(s"= $b)") || pf.get.contains(s"IN ($b"),
+      s"partition filter does not pin bucket $b: ${pf.get}")
+    assert(df.collect().map(_.getLong(2)).toSeq == Seq(7L))
+  }
+
   test("rrfFuse tie at equal rrf score breaks on doc_id") {
     import spark.implicits._
     val lex = Seq((9L, 20L, 1L), (9L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
