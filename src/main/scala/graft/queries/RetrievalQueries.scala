@@ -39,6 +39,15 @@ object RetrievalQueries {
   private val STORE_APPEND_MOD = 7
   private val STORE_APPEND_REM = 3
   private val STORE_BUCKETS = 16
+  /** qx104: curation → retrieval composition. Decontamination runs at
+    * qx89's regime (4-gram shingles, ≥1 shared with the held-out
+    * benchmark slice — non-empty at every SF); the quality gate is the
+    * qx57 Gopher rule pack at its committed thresholds. */
+  private val V5_BENCH_MOD = 29
+  private val V5_BENCH_REM = 3
+  private val V5_SHINGLE_N = 4
+  private val V5_MIN_SHARED = 1L
+  private val V5_BLOOM_BITS = 1 << 17
 
   val queries: Map[String, Q] = Map(
 
@@ -76,6 +85,35 @@ object RetrievalQueries {
       Retrieval.bm25TopKFromStore(s, work,
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Curation v5: decontaminate → quality-gate → BM25-serve ---------
+    // (the retrieval layer riding the curated corpus: Bloom-decontaminate
+    //  against the held-out benchmark slice at scan cost, drop the
+    //  contaminated docs, keep only Gopher-rule passers, and serve BM25
+    //  queries over what survives. Every stage bites at every SF; the
+    //  oracle chains the qx89 contamination CTEs, the qx57 keep
+    //  expression, and the qx100 scoring CTEs into one derivation.)
+    "qx104_curate_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isQuery = col("doc_id") % BM25_QMOD === BM25_QREM
+      val isBench = col("doc_id") % V5_BENCH_MOD === V5_BENCH_REM
+      val corpus0 = docs.filter(!isQuery && !isBench)
+      val bench = docs.filter(isBench)
+      val contaminated = graft.operators.TextAnalysis.contaminationBloom(
+          corpus0, bench, "text", "doc_id",
+          V5_SHINGLE_N, V5_MIN_SHARED, V5_BLOOM_BITS)
+        .select("doc_id").distinct()
+      val clean = corpus0.join(contaminated, Seq("doc_id"), "left_anti")
+      val keepIds = graft.operators.TextAnalysis.gopherRules(clean, "text", "doc_id",
+          PipelineQueries.GOPHER_MIN_TOKENS, PipelineQueries.GOPHER_MAX_TOKENS,
+          PipelineQueries.GOPHER_MIN_AVG_LEN, PipelineQueries.GOPHER_MAX_AVG_LEN,
+          PipelineQueries.GOPHER_MAX_SYMBOL_RATIO, PipelineQueries.GOPHER_MIN_STOP_HITS)
+        .filter(col("keep") === 1).select("doc_id")
+      val kept = clean.join(keepIds, Seq("doc_id")).select("doc_id", "text")
+      Retrieval.bm25TopK(kept, docs.filter(isQuery), "text", "doc_id",
+          BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
 
@@ -144,6 +182,40 @@ object RetrievalQueries {
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
          |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
          |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,
+
+    // One chained derivation: contamination pairs (the Bloom is invisible
+    // — it only prefilters, the confirm join is exact), the Gopher keep
+    // expression evaluated inline, then the BM25 formula over survivors.
+    "qx104_curate_serve" -> {
+      val d = duck
+      val sels = graft.operators.TextAnalysis.gopherSignalSelect("text", "__toks",
+        PipelineQueries.GOPHER_MIN_TOKENS, PipelineQueries.GOPHER_MAX_TOKENS,
+        PipelineQueries.GOPHER_MIN_AVG_LEN, PipelineQueries.GOPHER_MAX_AVG_LEN,
+        PipelineQueries.GOPHER_MAX_SYMBOL_RATIO, PipelineQueries.GOPHER_MIN_STOP_HITS)(d)
+      val keepExpr = sels.find(_._2 == "keep").get._1
+      s"""WITH ${ExtensionQueries.shingleCtes(V5_SHINGLE_N)},
+         |u AS (SELECT DISTINCT doc_id, sh FROM t4),
+         |c AS (SELECT doc_id, sh FROM u
+         |      WHERE doc_id % $V5_BENCH_MOD <> $V5_BENCH_REM
+         |        AND doc_id % $BM25_QMOD <> $BM25_QREM),
+         |b AS (SELECT doc_id AS bench_id, sh FROM u
+         |      WHERE doc_id % $V5_BENCH_MOD = $V5_BENCH_REM),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id FROM c JOIN b USING (sh)
+         |    GROUP BY c.doc_id, b.bench_id HAVING COUNT(*) >= $V5_MIN_SHARED)),
+         |cl AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id % $V5_BENCH_MOD <> $V5_BENCH_REM
+         |         AND doc_id % $BM25_QMOD <> $BM25_QREM
+         |         AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |td AS (SELECT doc_id, text, ${TX.tokens("text")(d)} AS __toks FROM cl),
+         |corpus AS (SELECT doc_id, text FROM td WHERE $keepExpr = 1),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |$bm25Ctes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
+    },
 
     // The store is invisible to correctness by construction: the oracle
     // is qx100's formula over the union corpus (base ∪ appended batch).

@@ -129,6 +129,30 @@ class RetrievalSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(2)).toSeq == Seq(7L))
   }
 
+  test("qx104 composition: every stage bites on the real corpus and curation changes the answers") {
+    val dir = "/root/testdata/sf0.01"
+    val docs2 = Tables.t(spark, dir, "documents")
+    val isQuery = col("doc_id") % 211 === 5
+    val isBench = col("doc_id") % 29 === 3
+    val corpus0 = docs2.filter(!isQuery && !isBench)
+    val contaminated = graft.operators.TextAnalysis.contaminationBloom(
+        corpus0, docs2.filter(isBench), "text", "doc_id", 4, 1L, 1 << 17)
+      .select("doc_id").distinct()
+    val nContaminated = contaminated.count()
+    assert(nContaminated > 0, "decontamination stage is vacuous")
+    val clean = corpus0.join(contaminated, Seq("doc_id"), "left_anti")
+    val keep = graft.operators.TextAnalysis.gopherRules(clean, "text", "doc_id",
+        20L, 90L, 4.0, 4.8, 0.05, 1L)
+      .filter(col("keep") === 1).count()
+    assert(keep > 0 && keep < clean.count(), "gopher stage is vacuous")
+    // curation must actually change retrieval output
+    val curated = SparkEntry.queries("qx104_curate_serve")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val raw = SparkEntry.queries("qx100_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(curated != raw, "curation did not change any top-k answer")
+  }
+
   test("rrfFuse tie at equal rrf score breaks on doc_id") {
     import spark.implicits._
     val lex = Seq((9L, 20L, 1L), (9L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
