@@ -1005,9 +1005,17 @@ object TextAnalysis {
     * rows); the truth census is vocab-bounded — at production scale the
     * query terms would come from a candidate set instead. */
   def countMinEstimates(docs: DataFrame, textCol: String,
-                        depth: Int, width: Int): DataFrame = {
+                        depth: Int, width: Int): DataFrame =
+    countMinEstimatesWith(countMinSketch(docs, textCol, depth, width),
+      docs, textCol, depth, width)
+
+  /** [[countMinEstimates]] against a CALLER-SUPPLIED sketch (e.g. the
+    * cell-wise-merged batch partials a streaming ingest accumulated —
+    * [[graft.streaming.StreamingSketch]]); `docs` provides the exact
+    * census the estimates are audited against. */
+  def countMinEstimatesWith(sketch: DataFrame, docs: DataFrame, textCol: String,
+                            depth: Int, width: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sketch = countMinSketch(docs, textCol, depth, width)
     val tok = docs.select(explode(expr(TX.tokensAuto(textCol))).as("term"))
     val truth = tok.groupBy("term").agg(count(lit(1)).as("true_cnt"))
     val total = tok.agg(count(lit(1)).as("n_tokens"))

@@ -414,6 +414,28 @@ object BatchingQueries {
       graft.operators.TextAnalysis.countMinEstimates(
           t(s, dir, "documents"), "text", CM_DEPTH, CM_WIDTH)
         .orderBy("term")
+    }),
+
+    // ---- Count-min ON INGEST through the streaming runtime --------------
+    // (qx102's streaming face: the corpus arrives as a file stream, each
+    //  micro-batch folds into its own partial sketch partition, and the
+    //  standing sketch is the cell-wise SUM — mergeability IS the
+    //  exactly-once argument. Estimates computed against the ACCUMULATED
+    //  sketch must hash-match qx102's one-shot oracle verbatim.)
+    "qx106_stream_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("qx106-").toString
+      val landing = s"$work/landing"
+      docs.select("doc_id", "text").repartition(4).write.parquet(landing)
+      val q = graft.streaming.StreamingSketch.start(
+        s.readStream.schema(s.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing),
+        "text", CM_DEPTH, CM_WIDTH, s"$work/sketch", s"$work/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.TextAnalysis.countMinEstimatesWith(
+          graft.streaming.StreamingSketch.sketch(s, s"$work/sketch"),
+          docs, "text", CM_DEPTH, CM_WIDTH)
+        .orderBy("term")
     })
   )
 
@@ -424,7 +446,14 @@ object BatchingQueries {
     // CM sketch: both engines build the identical int64 sketch cell-for-cell
     // (TextExprs.cmBucket is the one source of truth for the hash family),
     // so estimates, overcounts, and envelope verdicts all hash-match.
-    "qx102_count_min" -> {
+    "qx102_count_min" -> cmOracleSql,
+
+    // qx106's contract IS qx102's result: the estimates computed against
+    // the streamed-and-merged sketch equal the one-shot derivation —
+    // batch boundaries are invisible to cell-wise sums by construction.
+    "qx106_stream_sketch" -> cmOracleSql) ++ oracleSqlRest
+
+  private lazy val cmOracleSql: String = {
       val d = duckD
       val arms = (0 until CM_DEPTH).map(i =>
         s"SELECT CAST($i AS BIGINT) AS row, ${TX.cmBucket("term", i, CM_WIDTH)(d)} AS bucket FROM tok")
@@ -447,7 +476,9 @@ object BatchingQueries {
          |  CAST(CASE WHEN (est_cnt - true_cnt) * $CM_WIDTH <= 2 * n_tokens
          |       THEN 1 ELSE 0 END AS BIGINT) AS within_markov
          |FROM e CROSS JOIN tot ORDER BY term""".stripMargin
-    },
+  }
+
+  private def oracleSqlRest: Map[String, String] = Map(
 
     // Bounds-check oracle (see the qx47 query comment): DuckDB runs its own
     // estimators (HLL approx_count_distinct, t-digest approx_quantile)

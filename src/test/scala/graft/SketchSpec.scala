@@ -82,6 +82,31 @@ class SketchSpec extends SparkSpec {
     assert(merged == cu, "sketch(A) + sketch(B) != sketch(A ∪ B)")
   }
 
+  test("streaming sketch: batch partials merge to the one-shot sketch; a retried batch replaces, never double-counts; foreign checkpoints refused") {
+    import graft.streaming.StreamingSketch
+    val all = cmDocs(1L -> "x y z x", 2L -> "y y q", 3L -> "x q q w", 4L -> "z w")
+    val work = java.nio.file.Files.createTempDirectory("cmstream-").toString
+    val out = s"$work/sketch"
+    StreamingSketch.processBatch(all.filter(col("doc_id") <= 2), 0L,
+      "text", 3, 8, out, streamTag = "ck-A")
+    StreamingSketch.processBatch(all.filter(col("doc_id") > 2), 1L,
+      "text", 3, 8, out, streamTag = "ck-A")
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = cells(graft.operators.TextAnalysis.countMinSketch(all, "text", 3, 8))
+    assert(cells(StreamingSketch.sketch(spark, out)) == oneShot)
+    // at-least-once retry of batch 1: partial REPLACED, cells unchanged
+    StreamingSketch.processBatch(all.filter(col("doc_id") > 2), 1L,
+      "text", 3, 8, out, streamTag = "ck-A")
+    assert(cells(StreamingSketch.sketch(spark, out)) == oneShot)
+    // a different checkpoint's batch ids must not silently collide
+    val e = intercept[IllegalArgumentException] {
+      StreamingSketch.processBatch(all.limit(1), 0L, "text", 3, 8, out,
+        streamTag = "ck-B")
+    }
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
   test("countMin: envelope flag is 1 everywhere at the qx102 geometry on the real corpus") {
     val docs = Tables.t(spark, sfDir, "documents")
     val est = graft.operators.TextAnalysis
