@@ -1,32 +1,37 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Dialect, GraftFunctions, TextExprs => TX}
 
 /** Lexical (BM25) retrieval and hybrid rank fusion.
   *
-  * The corpus-side cost model mirrors a production inverted index:
-  * ONE shuffle builds the (term, doc_id, tf) postings census (map-side
-  * partial counts), the document-length table falls out of the same
-  * census, and everything query-side — the query terms, the per-term
-  * document frequencies restricted to those terms, the corpus scalars
-  * (N, avgdl) — is planning-scale metadata that broadcasts. Scoring never
-  * shuffles the corpus again: candidate postings come from a broadcast
-  * hash join of the postings against the query-term list, so the big side
-  * is scanned, not exchanged.
+  * The one-shot [[bm25TopK]] pays TWO postings-scale exchanges: the
+  * (term, doc_id, tf) census itself, and the per-term document-frequency
+  * aggregation over that census (and the lazy census tokenizes once per
+  * consuming branch — the branches run concurrently, which measures ~2×
+  * faster than serializing them behind a checkpoint; see [[bm25Index]]).
+  * Everything query-side — the query terms, df restricted to those
+  * terms, the corpus scalars (N, avgdl) — is planning-scale metadata
+  * that broadcasts, and scoring joins candidates off the census by
+  * broadcast, so the corpus is scanned, never re-exchanged, there.
+  * The DEPLOYMENT answer to both exchanges is the durable store below:
+  * postings AND per-term df are persisted at build, so serving pays a
+  * bucket-pruned scan of each and zero corpus-scale aggregation.
   *
   * Determinism discipline (the DuckDB oracle hash-compares results): tf,
   * df, dl, N are integers; idf and the length normalization are single
-  * IEEE operation chains over those integers (identical in both engines);
-  * each per-term score is quantized to integer micro-units —
-  * floor(x·10⁶ + 0.5) as BIGINT — BEFORE the per-document sum, so the
-  * reduction is an exact long sum: order-independent, and ~3× cheaper
-  * per row than the round+DECIMAL cast it replaces (Spark's Round on a
-  * double allocates a BigDecimal per row; the scoring stage is
-  * AQE-coalesced to few partitions, so per-row cost is wall time).
-  * Ties break on doc_id ascending.
+  * IEEE operation chains over those integers. The JVM's `ln` and
+  * DuckDB's libm are not correctly-rounded, so the chains are identical
+  * up to 1 ulp — a divergence would only surface if a score landed
+  * within an ulp of a .5 micro-unit boundary of the floor(x·10⁶ + 0.5)
+  * quantization below (never observed across the gated SFs; the gate
+  * itself re-verifies the assumption on real data every run). Each
+  * per-term score is quantized to integer micro-units BEFORE the
+  * per-document sum, so the reduction is an exact long sum:
+  * order-independent, and ~3× cheaper per row than the round+DECIMAL
+  * cast it replaces. Ties break on doc_id ascending.
   *
   * Reference analog: the reference serves keyword lookups over company
   * facts via substring label match (financial_analyzer.py label search,
@@ -57,9 +62,9 @@ object Retrieval {
     * which measures ~2× faster end-to-end than a localCheckpoint that
     * serializes the whole plan behind an eager materialization (profiled
     * at sf0.1: 1.2 s vs 2.1 s). At 100 TB the one-shot form pays one
-    * extra tokenize pass; the deployment answer is to persist THIS table
-    * (it is the whole index) and serve bm25TopK from the parquet, where
-    * the scan is trivially reused. */
+    * extra tokenize pass; the deployment answer is the durable store
+    * ([[writeBm25Store]]), which persists this table AND its df census
+    * so serving re-aggregates neither. */
   def bm25Index(corpus: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
@@ -74,14 +79,14 @@ object Retrieval {
   /** BM25 top-k: score every query (set-of-terms semantics, distinct
     * query tokens) against the corpus; return the k best docs per query.
     *
-    * Plan shape: corpus shuffles once (postings census, which carries
-    * the scan-computed doc length — no norms join exists). The per-term
-    * df ∩ query-terms table and the 1-row corpus scalars broadcast; the
-    * scalars branch off the scan so their broadcast builds concurrently
-    * with the census shuffle. Scoring is a map-side broadcast join over
-    * the census plus one (query_id, doc_id)-keyed aggregation of the
-    * candidate rows — bounded by the summed df of the query terms,
-    * never the corpus. */
+    * Plan shape: the corpus pays the census shuffle plus the df
+    * aggregation over it (see the object doc — the persisted store
+    * amortizes both away). The per-term df ∩ query-terms table and the
+    * 1-row corpus scalars broadcast; the scalars branch off the scan so
+    * their broadcast builds concurrently with the census shuffle.
+    * Scoring is a map-side broadcast join over the census plus one
+    * (query_id, doc_id)-keyed aggregation of the candidate rows —
+    * bounded by the summed df of the query terms, never the corpus. */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, textCol: String,
                idCol: String, k: Int, k1: Double = K1, b: Double = B,
                maxQueryTerms: Int = Int.MaxValue): DataFrame = {
@@ -94,8 +99,9 @@ object Retrieval {
       .select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
       .filter(col("dl") > 0)
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     scoreBm25(postings,
-      queryTerms(queries, textCol, idCol, maxQueryTerms), stats, k, k1, b)
+      queryTerms(queries, textCol, idCol, maxQueryTerms), stats, dfreq, k, k1, b)
   }
 
   /** Distinct (query_id, term) rows, capped at the first `maxQueryTerms`
@@ -114,11 +120,12 @@ object Retrieval {
   /** The BM25 scoring tail over a postings table (doc_id, term, tf, dl) —
     * shared by the one-shot and the persisted-store paths, so the store
     * search cannot drift from the gated formula. `stats` is the 1-row
-    * (n_docs, total_len) frame of the WHOLE indexed corpus. */
+    * (n_docs, total_len) frame of the live indexed corpus; `dfreq` the
+    * (term, df) table over the same live corpus — computed from the
+    * census one-shot, read back pruned from the store. */
   private def scoreBm25(postings: DataFrame, qterms: DataFrame,
-                        stats: DataFrame, k: Int, k1: Double, b: Double)
-      : DataFrame = {
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+                        stats: DataFrame, dfreq: DataFrame,
+                        k: Int, k1: Double, b: Double): DataFrame = {
     // per-(query, term) planning row: df for the query's terms only — tiny
     val qstat = dfreq.join(broadcast(qterms), "term")
     val scored = postings.join(broadcast(qstat), "term")
@@ -144,83 +151,454 @@ object Retrieval {
   }
 
   // ------------------------------------------------------------------
-  // Durable BM25 store — the lexical twin of the IVF-PQ store family.
-  // Layout: `path/postings` (hive-partitioned by term-hash bucket) +
-  // `path/stats` (one row: n_docs, total_len, n_buckets). Caller
-  // contract mirrors the ANN store: single writer, append batches carry
-  // ids new to the store, and the bucket count is frozen at build.
+  // Durable BM25 store v2 — the lexical twin of the IVF-PQ store
+  // family, with the full maintenance lifecycle (append / delete /
+  // compact / rebucket) and idempotent, crash-recoverable writes.
+  //
+  // Layout under `path/`:
+  //   postings/bucket=B/epoch=E/  (doc_id, term, tf, dl) — term-hash
+  //     bucket partitions for pruned serving; epoch sub-partitions so
+  //     every append is a DYNAMIC PARTITION OVERWRITE: retrying a
+  //     failed append with the same epoch REPLACES the batch's
+  //     partitions instead of double-appending its postings.
+  //   df/bucket=B/                (term, df) over LIVE docs — persisted
+  //     at build, refreshed per affected bucket on append/delete, so
+  //     serving reads df from the pruned buckets instead of paying a
+  //     postings-scale aggregation.
+  //   tombstones/epoch=E/         (doc_id) retracted ids; dynamic
+  //     overwrite per epoch makes deletes retry-idempotent too.
+  //   epochs/epoch=E/             1 row (n_docs_delta, total_len_delta);
+  //     the corpus scalars are THE SUM of these deltas (append epochs
+  //     add, delete epochs subtract) — derived-on-read, so no ordering
+  //     of a stats overwrite can ever disagree with the postings.
+  //   meta/                       1 row (n_buckets), written at build.
+  //
+  // Caller contract: single writer per store (schedule mutations; each
+  // takes the store's StoreLock and fails loudly on contention), append
+  // epochs are >= 1 and unique per logical batch (re-using an epoch ==
+  // declaring a retry of that batch), and appended ids are new to the
+  // store. A failed mutation is healed by RE-RUNNING IT with the same
+  // epoch: every write lands in the partitions the (deterministic)
+  // batch derivation names, so the rerun converges.
   // ------------------------------------------------------------------
 
-  /** Build + persist the inverted index. Postings land in
+  private def postingsPath(path: String) = s"$path/postings"
+  private def dfPath(path: String) = s"$path/df"
+  private def metaPath(path: String) = s"$path/meta"
+  private def epochsPath(path: String) = s"$path/epochs"
+  private def storeTombstonesPath(path: String) = s"$path/tombstones"
+  private def compactBakPath(path: String) = s"$path/compact-bak"
+  private def compactNewPath(path: String) = s"$path/compact-new"
+
+  private def bucketCol(nBuckets: Int): Column =
+    expr(s"graft_polyhash(term) % $nBuckets")
+
+  private def fsFor(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def readMeta(spark: SparkSession, path: String): Int =
+    spark.read.parquet(metaPath(path)).select("n_buckets")
+      .collect().head.getInt(0)
+
+  /** Live corpus scalars, derived on read: the exact integer sum of the
+    * per-epoch deltas. 1 row (n_docs, total_len). */
+  def liveStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(epochsPath(path))
+      .agg(coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
+        coalesce(sum("total_len_delta"), lit(0L)).as("total_len"))
+
+  /** The standing retracted-doc set (distinct, across all delete
+    * epochs); empty frame with the store's doc_id type when none. */
+  def readBm25Tombstones(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
+    if (fs.exists(tp))
+      spark.read.parquet(tp.toString).select("doc_id").distinct()
+    else {
+      val idType = spark.read.parquet(postingsPath(path))
+        .schema.apply("doc_id").dataType
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", idType))))
+    }
+  }
+
+  /** Tombstones from every epoch EXCEPT `epoch` — the prior-set a delete
+    * at `epoch` de-duplicates against. Excluding the current epoch is
+    * what makes delete retries converge: a crashed delete's own
+    * half-written epoch must not hide its ids from the rerun. */
+  private def priorTombstones(spark: SparkSession, path: String,
+                              epoch: Long): DataFrame = {
+    val fs = fsFor(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
+    if (fs.exists(tp))
+      spark.read.parquet(tp.toString)
+        .filter(col("epoch") =!= epoch).select("doc_id").distinct()
+    else readBm25Tombstones(spark, path) // empty frame w/ correct type
+  }
+
+  /** Recompute the persisted per-term df for `buckets` from the LIVE
+    * postings (tombstones excluded) and dynamic-overwrite just those
+    * bucket partitions. df is a pure function of postings+tombstones
+    * state, so re-running after any crash converges — the reason the
+    * lifecycle refreshes df instead of rolling deltas forward. */
+  private def refreshDf(spark: SparkSession, path: String,
+                        buckets: Seq[Long]): Unit = {
+    if (buckets.isEmpty) return
+    val tomb = readBm25Tombstones(spark, path)
+    spark.read.parquet(postingsPath(path))
+      .filter(col("bucket").isInCollection(buckets))
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("bucket").parquet(dfPath(path))
+  }
+
+  /** One scalar-delta epoch row. Static `overwrite=false` callers use
+    * dynamic overwrite (replace this epoch only); the build replaces the
+    * whole table. */
+  private def writeEpochDelta(spark: SparkSession, path: String, epoch: Long,
+                              nDocsDelta: Long, totalLenDelta: Long,
+                              replaceAll: Boolean): Unit = {
+    import spark.implicits._
+    val w = Seq((epoch, nDocsDelta, totalLenDelta))
+      .toDF("epoch", "n_docs_delta", "total_len_delta")
+      .coalesce(1).write.mode("overwrite").partitionBy("epoch")
+    (if (replaceAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .parquet(epochsPath(path))
+  }
+
+  private def corpusScalars(corpus: DataFrame, textCol: String): (Long, Long) = {
+    val sparkD = Dialect(spark = true)
+    val r = corpus.select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("total_len"))
+      .collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build + persist the inverted index as epoch 0. Postings land in
     * `graft_polyhash(term) % nBuckets` partitions, so a query's
     * candidate postings are a LITERAL partition filter at search time —
     * the store serves keyword queries at pruned-scan cost, the same
-    * file-skipping shape as the IVF store's probed cells. */
+    * file-skipping shape as the IVF store's probed cells. The per-term
+    * df census is persisted beside them (bucket-partitioned from the
+    * same build pass), so serving never re-aggregates postings. */
   def writeBm25Store(corpus: DataFrame, textCol: String, idCol: String,
                      path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
-    bm25Index(corpus, textCol, idCol)
-      .withColumn("bucket", expr(s"graft_polyhash(term) % $nBuckets"))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings")
-    val sparkD = Dialect(spark = true)
-    corpus.select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
-      .filter(col("dl") > 0)
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val spark = corpus.sparkSession
+    graft.sources.StoreLock.withLock(spark, path, "bm25-build") {
+      bm25Index(corpus, textCol, idCol)
+        .withColumn("bucket", bucketCol(nBuckets))
+        .withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("bucket", "epoch")
+        .parquet(postingsPath(path))
+      // df straight off the written postings: one column-pruned read-back
+      // beats re-tokenizing the corpus, and build-time df == live df
+      // (no tombstones can exist yet; stale dirs from a previous store at
+      // this path are cleared below).
+      spark.read.parquet(postingsPath(path))
+        .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
+        .agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dfPath(path))
+      val (nd, tl) = corpusScalars(corpus, textCol)
+      writeEpochDelta(spark, path, 0L, nd, tl, replaceAll = true)
+      import spark.implicits._
+      Seq(nBuckets).toDF("n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+      val fs = fsFor(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(storeTombstonesPath(path)), true)
+    }
   }
 
-  /** Grow the store at batch cost: census only the new docs, append
-    * their postings to the bucket partitions they hash into (untouched
-    * buckets' files are never rewritten), and roll the corpus scalars
-    * forward by exact integer addition — never a standing-corpus
-    * re-scan. Gate: search-after-append ≡ one-shot store over the union
-    * (RetrievalSpec + the qx105 oracle). */
+  /** Grow the store at batch cost: census only the new docs, land their
+    * postings under `epoch` via dynamic partition overwrite (retrying a
+    * failed append with the same epoch REPLACES, never duplicates —
+    * the same exactly-once discipline as the streaming ingest paths),
+    * refresh the persisted df for just the buckets the batch touched,
+    * and add one scalar-delta epoch row. Untouched buckets' files are
+    * never rewritten; nothing re-scans the standing corpus. Gate:
+    * search-after-append ≡ one-shot store over the union (RetrievalSpec
+    * + the qx105 oracle). */
   def appendBm25Store(batch: DataFrame, textCol: String, idCol: String,
-                      path: String): Unit = {
+                      path: String, epoch: Long): Unit = {
+    require(epoch >= 1, s"append epochs start at 1 (0 is the build): $epoch")
     val spark = batch.sparkSession
-    val old = spark.read.parquet(s"$path/stats").collect().head
-    val nBuckets = old.getAs[Int]("n_buckets")
-    bm25Index(batch, textCol, idCol)
-      .withColumn("bucket", expr(s"graft_polyhash(term) % $nBuckets"))
-      .write.partitionBy("bucket").mode("append")
-      .parquet(s"$path/postings")
-    val sparkD = Dialect(spark = true)
-    val delta = batch
-      .select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
-      .filter(col("dl") > 0)
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-      .collect().head
-    val spark2 = batch.sparkSession
-    import spark2.implicits._
-    Seq((old.getAs[Long]("n_docs") + delta.getAs[Long]("n_docs"),
-        old.getAs[Long]("total_len") + delta.getAs[Long]("total_len"),
-        nBuckets))
-      .toDF("n_docs", "total_len", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    graft.sources.StoreLock.withLock(spark, path, "bm25-append") {
+      val nBuckets = readMeta(spark, path)
+      bm25Index(batch, textCol, idCol)
+        .withColumn("bucket", bucketCol(nBuckets))
+        .withColumn("epoch", lit(epoch))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("bucket", "epoch")
+        .parquet(postingsPath(path))
+      // affected buckets fall out of the just-written epoch's partition
+      // directories — an epoch-pruned, column-pruned read, never a
+      // second tokenize of the batch. Bounded by nBuckets.
+      val affected = spark.read.parquet(postingsPath(path))
+        .filter(col("epoch") === epoch)
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      refreshDf(spark, path, affected)
+      val (nd, tl) = corpusScalars(batch, textCol)
+      writeEpochDelta(spark, path, epoch, nd, tl, replaceAll = false)
+    }
+  }
+
+  /** Retract documents from the store — the lexical analog of
+    * [[Quantize.addTombstones]] + scalar roll-back, mirroring the
+    * reference's delete path (data_manager.py:393-424) for the corpus
+    * side. O(postings-scan at two narrow columns), zero bucket
+    * rewrites: the ids land in a tombstone epoch (searches anti-join
+    * them), the scalars get a NEGATIVE delta row for exactly the docs
+    * that were present, and the persisted df of the affected buckets is
+    * recomputed over the survivors. Ids absent from the store are
+    * no-ops; ids already tombstoned by an earlier epoch are skipped, so
+    * scalars are never double-decremented. Retrying a failed delete
+    * with the same epoch converges (all three writes are per-epoch /
+    * per-bucket dynamic overwrites of deterministically derived data).
+    * Returns the number of docs actually retracted. */
+  def deleteFromBm25Store(spark: SparkSession, path: String,
+                          ids: DataFrame, epoch: Long): Long = {
+    require(epoch >= 1, s"delete epochs start at 1 (0 is the build): $epoch")
+    graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
+      val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      val newIds = want.join(broadcast(priorTombstones(spark, path, epoch)),
+        Seq("doc_id"), "left_anti")
+      // One (bucket, doc_id, dl)-pruned postings scan, delete set
+      // broadcast: yields the affected buckets AND each present doc's
+      // length (dl repeats on every posting row of the doc).
+      val hits = spark.read.parquet(postingsPath(path))
+        .select(col("bucket").cast("long").as("bucket"),
+          col("doc_id"), col("dl"))
+        .join(broadcast(newIds), Seq("doc_id"))
+      val perDoc = hits.groupBy("doc_id").agg(max("dl").as("dl"))
+        .localCheckpoint() // eager: bounded by the delete set size
+      val stats = perDoc
+        .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tl"))
+        .collect().head
+      val (nd, tl) = (stats.getLong(0), stats.getLong(1))
+      if (nd == 0L) 0L
+      else {
+        val affected = hits.select("bucket").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // Order matters for the rerun-heals contract: tombstones first
+        // (df recomputation below must already see them), scalars last.
+        perDoc.select("doc_id").withColumn("epoch", lit(epoch))
+          .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("epoch")
+          .parquet(storeTombstonesPath(path))
+        refreshDf(spark, path, affected)
+        writeEpochDelta(spark, path, epoch, -nd, -tl, replaceAll = false)
+        nd
+      }
+    }
+  }
+
+  /** Physically remove tombstoned postings, rewriting ONLY the buckets
+    * that contain them — the maintenance step that bounds the dead-row
+    * fraction, mirroring [[Quantize.deleteFromIvfPqIndex]]'s
+    * surgery-plus-rename-swap discipline. Because a bucket can be far
+    * larger than an IVF cell, survivors are WRITTEN TO A SIBLING first
+    * (`compact-new`) and the swap is pure directory renames — no
+    * bucket's rows are ever held in memory. Crash at any point is
+    * recoverable: before the swap nothing moved; during it the backup
+    * (`compact-bak`) is the marker [[recoverBm25Compaction]] restores
+    * from; after it the remaining tombstones match no postings (their
+    * docs are gone), so searches stay exact and re-running converges by
+    * just clearing them. df and the scalar epochs are NOT touched: both
+    * already describe the live corpus (maintained at delete time) —
+    * compaction only moves the filtering cost, never the answer.
+    * Returns the number of posting rows removed. */
+  def compactBm25Store(spark: SparkSession, path: String): Long =
+    graft.sources.StoreLock.withLock(spark, path, "bm25-compact") {
+      val fs = fsFor(spark, path)
+      val bak = new org.apache.hadoop.fs.Path(compactBakPath(path))
+      if (fs.exists(bak))
+        throw new java.io.IOException(
+          s"refusing to compact $path: backup $bak exists from an " +
+            "interrupted compaction — run Retrieval.recoverBm25Compaction first")
+      val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
+      if (!fs.exists(tp)) 0L
+      else {
+      val tomb = readBm25Tombstones(spark, path)
+      val hits = spark.read.parquet(postingsPath(path))
+        .select(col("bucket").cast("long").as("bucket"), col("doc_id"))
+        .join(broadcast(tomb), Seq("doc_id"), "leftsemi")
+        .groupBy("bucket").agg(count(lit(1)).as("doomed"))
+        .collect()
+      val affected = hits.map(_.getLong(0)).toSeq
+      val removed = hits.map(_.getLong(1)).sum
+      if (affected.nonEmpty) {
+        val tmp = new org.apache.hadoop.fs.Path(compactNewPath(path))
+        fs.delete(tmp, true)
+        // Survivors of the affected buckets (all epochs), written beside
+        // the store: the main postings stay intact and serving-correct
+        // until the rename swap below.
+        spark.read.parquet(postingsPath(path))
+          .filter(col("bucket").isInCollection(affected))
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("bucket", "epoch")
+          .parquet(tmp.toString)
+        val root = new org.apache.hadoop.fs.Path(postingsPath(path))
+        fs.mkdirs(bak)
+        affected.foreach { b =>
+          val dir = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
+          if (fs.exists(dir) && !fs.rename(dir,
+              new org.apache.hadoop.fs.Path(bak, s"bucket=$b")))
+            throw new java.io.IOException(
+              s"compact swap failed moving bucket $b to $bak — " +
+                "run Retrieval.recoverBm25Compaction to restore")
+        }
+        fs.listStatus(tmp).filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("bucket=")).foreach { st =>
+          if (!fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(root, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"compact swap failed installing ${st.getPath.getName} — " +
+                "run Retrieval.recoverBm25Compaction to restore")
+        }
+        if (!fs.delete(bak, true))
+          throw new java.io.IOException(s"failed to remove compact backup $bak")
+        fs.delete(tmp, true)
+      }
+      // Last: retire the tombstones their postings no longer exist for.
+      // A crash before this line leaves them as harmless no-op filters.
+      fs.delete(tp, true)
+      removed
+      }
+    }
+
+  /** Restore a store from an interrupted [[compactBm25Store]]: every
+    * bucket directory in `compact-bak` replaces its (possibly missing
+    * or half-installed) counterpart, returning the postings to their
+    * exact pre-compaction state — tombstones were still standing, so
+    * searches were correct throughout. Re-run the compaction after.
+    * Returns true when a backup existed and was restored. */
+  def recoverBm25Compaction(spark: SparkSession, path: String): Boolean = {
+    val fs = fsFor(spark, path)
+    val bak = new org.apache.hadoop.fs.Path(compactBakPath(path))
+    if (!fs.exists(bak)) return false
+    val root = new org.apache.hadoop.fs.Path(postingsPath(path))
+    fs.listStatus(bak).foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+      if (fs.exists(dst) && !fs.delete(dst, true))
+        throw new java.io.IOException(s"recover: failed to clear $dst")
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"recover: failed to restore $dst")
+    }
+    if (!fs.delete(bak, true))
+      throw new java.io.IOException(s"recover: failed to remove $bak")
+    fs.delete(new org.apache.hadoop.fs.Path(compactNewPath(path)), true)
+    true
+  }
+
+  /** Rewrite the store at a new bucket count — the escape hatch for a
+    * store whose sustained appends have outgrown its build-time bucket
+    * geometry (fat buckets → coarse pruning), without losing the append
+    * history: the lexical analog of [[Quantize.compactIvfPqIndex]]'s
+    * full-rebalance role. One full-store pass by design: live postings
+    * (tombstones dropped) re-hash into `newBuckets` partitions folded to
+    * epoch 0, df and meta are rebuilt, and the scalar epochs fold to one
+    * row of the current live totals. The new store is built COMPLETE at
+    * a sibling path, then installed by two renames behind a backup
+    * marker — [[recoverBm25Rebucket]] resolves any crash, and the live
+    * store serves unchanged until the swap instant. Gate (RetrievalSpec):
+    * search-after-rebucket ≡ before, at the asked bucket count. */
+  def rebucketBm25Store(spark: SparkSession, path: String,
+                        newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1: $newBuckets")
+    graft.sources.StoreLock.withLock(spark, path, "bm25-rebucket") {
+      GraftFunctions.register(spark)
+      val fs = fsFor(spark, path)
+      val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".rebucket-bak")
+      if (fs.exists(bak))
+        throw new java.io.IOException(
+          s"refusing to rebucket $path: backup $bak exists from an " +
+            "interrupted rebucket — run Retrieval.recoverBm25Rebucket first")
+      val tmp = path.stripSuffix("/") + ".rebucket-new"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val tomb = readBm25Tombstones(spark, path)
+      spark.read.parquet(postingsPath(path))
+        .select("doc_id", "term", "tf", "dl")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .withColumn("bucket", bucketCol(newBuckets))
+        .withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("bucket", "epoch")
+        .parquet(postingsPath(tmp))
+      spark.read.parquet(postingsPath(tmp))
+        .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
+        .agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dfPath(tmp))
+      val st = liveStats(spark, path).collect().head
+      writeEpochDelta(spark, tmp, 0L, st.getLong(0), st.getLong(1),
+        replaceAll = true)
+      import spark.implicits._
+      Seq(newBuckets).toDF("n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(tmp))
+      // Install: old store → backup, new store → path, drop backup.
+      val main = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+      if (!fs.rename(main, bak))
+        throw new java.io.IOException(s"rebucket: failed to move $main aside")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
+        throw new java.io.IOException(
+          s"rebucket: failed to install $tmp — run recoverBm25Rebucket")
+      if (!fs.delete(bak, true))
+        throw new java.io.IOException(s"rebucket: failed to remove $bak")
+    }
+  }
+
+  /** Resolve an interrupted [[rebucketBm25Store]]. If the store path
+    * exists the install completed — the backup is just dropped; if it
+    * is missing the backup is renamed back. Either way the store is the
+    * complete pre- or post-rebucket image, never a mix. Returns true
+    * when there was a backup to resolve. */
+  def recoverBm25Rebucket(spark: SparkSession, path: String): Boolean = {
+    val fs = fsFor(spark, path)
+    val main = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".rebucket-bak")
+    if (!fs.exists(bak)) return false
+    if (!fs.exists(main) && !fs.rename(bak, main))
+      throw new java.io.IOException(s"recover: failed to restore $main from $bak")
+    if (fs.exists(main) && fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"recover: failed to remove $bak")
+    fs.delete(new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".rebucket-new"), true)
+    true
   }
 
   /** Serve BM25 top-k from the persisted store. The bucket set of the
-    * query's terms (bounded by the query-term count — planning metadata)
-    * becomes a literal `bucket IN (...)` partition filter, so only the
-    * relevant postings files are ever listed or read; df for the query
-    * terms falls out of the pruned read (a term's postings live entirely
-    * in its bucket). Identical scoring tail to [[bm25TopK]]. */
-  def bm25TopKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+    * query's terms (≤ min(query-term count, nBuckets) — planning
+    * metadata) becomes a literal `bucket IN (...)` partition filter on
+    * BOTH pruned reads: the postings candidates AND the persisted df —
+    * no postings-scale aggregation exists anywhere in the serving plan
+    * (PlanAuditSpec pins it). Tombstoned docs are anti-joined off the
+    * pruned candidates (broadcast — retraction metadata, not corpus
+    * data), and the corpus scalars are the summed epoch deltas, so the
+    * result is identical to a store rebuilt without the retracted docs.
+    * Identical scoring tail to [[bm25TopK]]. */
+  def bm25TopKFromStore(spark: SparkSession, path: String,
                         queries: DataFrame, textCol: String, idCol: String,
                         k: Int, k1: Double = K1, b: Double = B,
                         maxQueryTerms: Int = Int.MaxValue): DataFrame = {
-    val stats = spark.read.parquet(s"$path/stats")
-    val nBuckets = stats.select("n_buckets").collect().head.getInt(0)
+    val nBuckets = readMeta(spark, path)
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val buckets = qterms
       .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
-      .distinct().collect().map(_.getLong(0))
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tomb = readBm25Tombstones(spark, path)
+    val postings = spark.read.parquet(postingsPath(path))
+      .filter(col("bucket").isInCollection(buckets))
       .select("doc_id", "term", "tf", "dl")
-    scoreBm25(postings, qterms, stats.select("n_docs", "total_len"), k, k1, b)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val dfreq = spark.read.parquet(dfPath(path))
+      .filter(col("bucket").isInCollection(buckets))
+      .select("term", "df")
+    scoreBm25(postings, qterms, liveStats(spark, path), dfreq, k, k1, b)
   }
 
   /** Reciprocal rank fusion of two rankings (Cormack et al. 2009):

@@ -39,6 +39,15 @@ object RetrievalQueries {
   private val STORE_APPEND_MOD = 7
   private val STORE_APPEND_REM = 3
   private val STORE_BUCKETS = 16
+  /** qx108/qx109 delete lifecycle: retract doc_id ≡ 6 (mod 11) from the
+    * built store. qx109 additionally compacts and then RE-APPENDS the
+    * deleted docs with doc_id ≡ 0 (mod 3) — legal precisely because
+    * compaction physically removed them and cleared their tombstones,
+    * which is the contract the oracle proves. */
+  private val STORE_DEL_MOD = 11
+  private val STORE_DEL_REM = 6
+  private val STORE_READD_MOD = 3
+  private val STORE_READD_REM = 0
   /** qx104: curation → retrieval composition. Decontamination runs at
     * qx89's regime (4-gram shingles, ≥1 shared with the held-out
     * benchmark slice — non-empty at every SF); the quality gate is the
@@ -81,7 +90,61 @@ object RetrievalQueries {
       Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
         "text", "doc_id", work, STORE_BUCKETS)
       Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
-        "text", "doc_id", work)
+        "text", "doc_id", work, epoch = 1L)
+      Retrieval.bm25TopKFromStore(s, work,
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- BM25 store deletion: tombstoned retraction, scalars rolled back
+    // (the lexical twin of qx74/qx82: build → append → DELETE a slice →
+    //  serve. The delete writes a tombstone epoch, decrements the corpus
+    //  scalars by exactly the retracted docs' lengths, and refreshes the
+    //  persisted per-term df over the survivors — no bucket is rewritten.
+    //  The oracle is the plain BM25 formula over the corpus WITHOUT the
+    //  deleted docs: a hash match proves idf (via df AND n_docs), avgdl,
+    //  and the candidate set all behave as if the store had been rebuilt
+    //  without them.)
+    "qx108_bm25_store_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
+      val isDel = col("doc_id") % STORE_DEL_MOD === STORE_DEL_REM
+      val work = java.nio.file.Files.createTempDirectory("qx108-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
+        "text", "doc_id", work, STORE_BUCKETS)
+      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
+        "text", "doc_id", work, epoch = 1L)
+      Retrieval.deleteFromBm25Store(s, work,
+        docs.filter(notQuery && isDel).select("doc_id"), epoch = 2L)
+      Retrieval.bm25TopKFromStore(s, work,
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- BM25 store compaction + post-compaction re-append --------------
+    // (closing the maintenance loop: after DELETE, COMPACT physically
+    //  rewrites only the affected buckets and clears the tombstones; the
+    //  formerly-deleted ids are thereby legal to append again, and a
+    //  slice of them IS re-appended — the only way the oracle (which
+    //  keeps that slice) can hash-match is if compaction really cleared
+    //  the tombstones and the re-append really landed. Compaction itself
+    //  must be invisible for everything else.)
+    "qx109_bm25_store_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isDel = col("doc_id") % STORE_DEL_MOD === STORE_DEL_REM
+      val isReadd = col("doc_id") % STORE_READD_MOD === STORE_READD_REM
+      val work = java.nio.file.Files.createTempDirectory("qx109-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery),
+        "text", "doc_id", work, STORE_BUCKETS)
+      Retrieval.deleteFromBm25Store(s, work,
+        docs.filter(notQuery && isDel).select("doc_id"), epoch = 1L)
+      Retrieval.compactBm25Store(s, work)
+      Retrieval.appendBm25Store(docs.filter(notQuery && isDel && isReadd),
+        "text", "doc_id", work, epoch = 2L)
       Retrieval.bm25TopKFromStore(s, work,
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
@@ -216,6 +279,35 @@ object RetrievalQueries {
          |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
          |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
     },
+
+    // The lifecycle is invisible to correctness by construction: the
+    // oracle is qx100's formula over the corpus minus the deleted slice —
+    // delete-then-search ≡ rebuild-without-deleted, including n_docs,
+    // total_len (avgdl) and every per-term df.
+    "qx108_bm25_store_delete" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % $BM25_QMOD <> $BM25_QREM
+         |    AND doc_id % $STORE_DEL_MOD <> $STORE_DEL_REM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |$bm25Ctes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,
+
+    // delete → compact → re-append a slice of the deleted docs: the kept
+    // corpus is (all minus deleted) plus the re-added slice. Only a store
+    // whose compaction really cleared the tombstones can serve the
+    // re-added docs again.
+    "qx109_bm25_store_compact" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % $BM25_QMOD <> $BM25_QREM
+         |    AND (doc_id % $STORE_DEL_MOD <> $STORE_DEL_REM
+         |         OR doc_id % $STORE_READD_MOD = $STORE_READD_REM)),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |$bm25Ctes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,
 
     // The store is invisible to correctness by construction: the oracle
     // is qx100's formula over the union corpus (base ∪ appended batch).

@@ -97,7 +97,7 @@ class RetrievalSpec extends SparkSpec {
     val q = docs(900L -> "alpha term3 common", 901L -> "delta epsilon")
     val work = java.nio.file.Files.createTempDirectory("bm25st-").toString
     Retrieval.writeBm25Store(base, "text", "doc_id", work, nBuckets = 8)
-    Retrieval.appendBm25Store(batch, "text", "doc_id", work)
+    Retrieval.appendBm25Store(batch, "text", "doc_id", work, epoch = 1L)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     val fromStore = rows(
