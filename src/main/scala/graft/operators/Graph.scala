@@ -166,10 +166,14 @@ object Graph {
     * r' = (15·scale + 85·Σ incoming) div 100 — floor division in both
     * engines, order-independent integer sums, no IEEE accumulation
     * anywhere. Quantization error per iteration is < deg/scale of a
-    * unit — invisible at scale = 10¹². Keep the per-iteration mass
-    * N·scale·85 inside int64: at scale 10¹² that's ~10⁵ nodes; shrink
+    * unit — invisible at scale = 10¹². The per-iteration mass
+    * N·scale·85 must fit int64: at scale 10¹² that's ~10⁵ nodes; shrink
     * `scale` for bigger graphs (or normalize r₀, the structure is
-    * scale-free).
+    * scale-free). The bound is ENFORCED after symmetrization — Spark's
+    * non-ANSI long sum would silently wrap on an oversized graph
+    * (DuckDB errors instead), so the failure mode without the check
+    * would be quietly wrong centrality values, the one thing a
+    * fixed-point design must never produce.
     *
     * Plan shape: the edge list symmetrizes and persists once (every
     * iteration re-reads it); each of the `iters` rounds is one
@@ -189,6 +193,13 @@ object Graph {
     try {
       val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
         .localCheckpoint(false)
+      // int64 safety: the damped update multiplies the TOTAL standing
+      // mass (≤ N·scale, conserved up to truncation) by 85 before the
+      // div — that product must fit a long or the sum wraps silently.
+      val nNodes = deg.count()
+      require(BigInt(85) * nNodes * scale <= BigInt(Long.MaxValue),
+        s"pageRankFixedPoint: 85 * n_nodes($nNodes) * scale($scale) " +
+          "exceeds int64 — pass a smaller scale (keep 85*N*scale <= 2^63-1)")
       var ranks = deg.select(col("u").as("id"), lit(scale).as("r"))
       for (_ <- 1 to iters) {
         val contrib = ranks

@@ -32,6 +32,20 @@ object RetrievalQueries {
   private val RRF_QREM = 11
   private val RRF_DEPTH = 20
   private val RRF_TOPK = 10
+  /** qx107 store-served hybrid: the vector store's quantizer geometry
+    * (same family as the qx67–qx83 stores: first-8 centroid seeds,
+    * 64-dim / 4-block PQ, 2 probed cells). The refine depth is set PAST
+    * any probed candidate count, so the served shortlist is ALL probed
+    * candidates and the exact rescore makes the vector ranks the PLAIN
+    * probed-exact-kNN formula — ADC ordering (gated by qx70/qx83) drops
+    * out of this oracle, which is what lets the fusion oracle stay a
+    * closed-form derivation. */
+  private val HY_CENTROIDS = 8
+  private val HY_CODES = 4
+  private val HY_DIMS = 64
+  private val HY_BLOCKS = 4
+  private val HY_NPROBE = 2
+  private val HY_RERANK = 1000000
   /** qx105 store lifecycle: base corpus → build, doc_id ≡ 3 (mod 7)
     * slice → append, then serve. The oracle prices only the search
     * formula over the UNION corpus — the build/append harness cost
@@ -180,6 +194,49 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- STORE-SERVED hybrid retrieval: the production RAG shape -------
+    // (qx101 proves the fusion formula; THIS query proves the deployment
+    //  composition a user actually runs: BOTH retrievers serve from their
+    //  persisted stores — lexical from the bucket-partitioned BM25 store
+    //  (literal bucket IN pruning, persisted df), vector from the
+    //  self-contained IVF-PQ store (probed-cell pruning + exact-rescore
+    //  refine) — and the two k-bounded top-lists fuse via RRF on
+    //  planning-scale data. PlanAuditSpec pins that both serving scans
+    //  are partition-pruned. The oracle derives both rankings in closed
+    //  form: the qx100 BM25 CTEs for the lexical ranks, probed exact kNN
+    //  for the vector ranks (the refine depth exceeds every candidate
+    //  set, so rescore ≡ exact over the probed cells), and qx101's
+    //  nano-unit RRF arithmetic.)
+    "qx107_hybrid_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      val isQuery = col("doc_id") % RRF_QMOD === RRF_QREM
+      val corpusDocs = hybrid.filter(!isQuery).select("doc_id", "text")
+      val queryDocs = hybrid.filter(isQuery).select("doc_id", "text")
+      val corpusVecs = hybrid.filter(!isQuery).select("doc_id", "embedding")
+      val queryVecs = hybrid.filter(isQuery).select("doc_id", "embedding")
+      val cents = emb.filter(col("vec_id") < HY_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < HY_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val work = java.nio.file.Files.createTempDirectory("qx107-").toString
+      Retrieval.writeBm25Store(corpusDocs, "text", "doc_id",
+        s"$work/lex", STORE_BUCKETS)
+      graft.operators.Quantize.buildSelfContained(s, corpusVecs,
+        "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+        codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
+        residual = false, s"$work/vec")
+      val lex = Retrieval.bm25TopKFromStore(s, s"$work/lex", queryDocs,
+        "text", "doc_id", RRF_DEPTH, maxQueryTerms = MAX_QTERMS)
+      val vec = graft.operators.Quantize.searchSelfContainedRefined(s,
+          s"$work/vec", queryVecs, "doc_id", "embedding",
+          corpusVecs, "embedding", RRF_DEPTH, HY_NPROBE, HY_RERANK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, vec, Retrieval.RRF_K0, RRF_TOPK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Hybrid retrieval: BM25 ∪ cosine kNN → reciprocal rank fusion --
     // (the production RAG shape: the lexical and vector top-20 lists are
     //  computed independently — each with its own scale path — and fused
@@ -236,7 +293,82 @@ object RetrievalQueries {
        |           FROM perdoc)""".stripMargin
   }
 
+  /** RRF fusion tail over `lex(query_id, doc_id, lex_rank)` and
+    * `vec(query_id, doc_id, vec_rank)` CTEs — qx101's nano-unit
+    * arithmetic, shared with qx107 so the two fusion oracles cannot
+    * drift. Yields the final SELECT (rank ≤ RRF_TOPK). */
+  private def rrfTailSql: String =
+    s"""fused AS (
+       |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+       |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       |    CAST(CASE WHEN lex_rank IS NOT NULL
+       |         THEN floor(1.0 / (CAST(${Retrieval.RRF_K0} AS DOUBLE) + CAST(lex_rank AS DOUBLE))
+       |              * 1000000000.0 + 0.5)
+       |         ELSE 0 END AS BIGINT) +
+       |    CAST(CASE WHEN vec_rank IS NOT NULL
+       |         THEN floor(1.0 / (CAST(${Retrieval.RRF_K0} AS DOUBLE) + CAST(vec_rank AS DOUBLE))
+       |              * 1000000000.0 + 0.5)
+       |         ELSE 0 END AS BIGINT) AS rrf_u
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+       |  ROUND(CAST(rrf_u AS DOUBLE) / 1000000000.0, 9) AS rrf_score, lex_rank, vec_rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rrf_u DESC, doc_id ASC) AS rn FROM fused)
+       |WHERE rn <= $RRF_TOPK ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    // Store-served hybrid: lexical ranks are qx100's BM25 CTEs over the
+    // hybrid corpus; vector ranks are PROBED EXACT kNN (assignment and
+    // probe selection mirror Similarity.ivfAssign / Quantize.probeCells'
+    // cosine-argmax with nulls→-2.0 and centroid-asc ties; the refine
+    // depth exceeds every probed candidate set, so the exact rescore IS
+    // the ranking); the fusion is the shared nano-unit RRF tail.
+    "qx107_hybrid_store" -> {
+      val d = duck
+      def cosSim(v: String, n: String) =
+        s"COALESCE(CASE WHEN $n > 0 AND c_norm2 > 0 THEN " +
+          s"${TX.dot(v, "c_vec")(d)} / (sqrt($n) * sqrt(c_norm2)) END, -2.0)"
+      s"""WITH hybrid AS (SELECT doc_id, text, embedding
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |corpus AS (SELECT doc_id, text FROM hybrid WHERE doc_id % $RRF_QMOD <> $RRF_QREM),
+         |q AS (SELECT doc_id, text FROM hybrid WHERE doc_id % $RRF_QMOD = $RRF_QREM),
+         |$bm25Ctes,
+         |lex AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank
+         |        FROM ranked WHERE rn <= $RRF_DEPTH),
+         |hn AS (SELECT doc_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM hybrid),
+         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec,
+         |          ${TX.norm2("embedding")(d)} AS c_norm2
+         |        FROM embeddings WHERE vec_id < $HY_CENTROIDS),
+         |assigned AS (
+         |  SELECT doc_id, centroid_id FROM (
+         |    SELECT hn.doc_id, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY hn.doc_id ORDER BY
+         |        ${cosSim("hn.embedding", "hn.norm2")} DESC, centroid_id ASC) AS rn
+         |    FROM hn CROSS JOIN cen WHERE hn.doc_id % $RRF_QMOD <> $RRF_QREM)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT hn.doc_id AS query_id, cen.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY hn.doc_id ORDER BY
+         |        ${cosSim("hn.embedding", "hn.norm2")} DESC, centroid_id ASC) AS rn
+         |    FROM hn CROSS JOIN cen WHERE hn.doc_id % $RRF_QMOD = $RRF_QREM)
+         |  WHERE rn <= $HY_NPROBE),
+         |vresc AS (
+         |  SELECT p.query_id, a.doc_id,
+         |    ${TX.dot("qe.embedding", "qe.embedding")(d)}
+         |      - 2.0 * ${TX.dot("qe.embedding", "ce.embedding")(d)}
+         |      + ${TX.dot("ce.embedding", "ce.embedding")(d)} AS d2x
+         |  FROM assigned a JOIN probes p USING (centroid_id)
+         |  JOIN hybrid qe ON qe.doc_id = p.query_id
+         |  JOIN hybrid ce ON ce.doc_id = a.doc_id),
+         |vec AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS vec_rank
+         |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY d2x ASC, doc_id ASC) AS rn FROM vresc)
+         |        WHERE rn <= $RRF_DEPTH),
+         |$rrfTailSql""".stripMargin
+    },
 
     "qx100_bm25_topk" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
@@ -342,24 +474,7 @@ object RetrievalQueries {
          |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |                ORDER BY cosine DESC, doc_id ASC) AS rn FROM vscored)
          |        WHERE rn <= $RRF_DEPTH),
-         |fused AS (
-         |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
-         |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
-         |    CAST(CASE WHEN lex_rank IS NOT NULL
-         |         THEN floor(1.0 / (CAST(${Retrieval.RRF_K0} AS DOUBLE) + CAST(lex_rank AS DOUBLE))
-         |              * 1000000000.0 + 0.5)
-         |         ELSE 0 END AS BIGINT) +
-         |    CAST(CASE WHEN vec_rank IS NOT NULL
-         |         THEN floor(1.0 / (CAST(${Retrieval.RRF_K0} AS DOUBLE) + CAST(vec_rank AS DOUBLE))
-         |              * 1000000000.0 + 0.5)
-         |         ELSE 0 END AS BIGINT) AS rrf_u
-         |  FROM lex FULL OUTER JOIN vec
-         |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
-         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
-         |  ROUND(CAST(rrf_u AS DOUBLE) / 1000000000.0, 9) AS rrf_score, lex_rank, vec_rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY rrf_u DESC, doc_id ASC) AS rn FROM fused)
-         |WHERE rn <= $RRF_TOPK ORDER BY query_id, rank""".stripMargin
+         |$rrfTailSql""".stripMargin
     }
   )
 }

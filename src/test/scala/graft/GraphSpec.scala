@@ -140,6 +140,21 @@ class GraphSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("pageRank refuses a graph whose 85*N*scale exceeds int64 instead of wrapping silently") {
+    // 5 nodes at scale 2^61: 85*5*2^61 overflows — must fail LOUDLY
+    // (Spark's non-ANSI long sum would wrap; DuckDB would error: the
+    // cross-engine contract breaks exactly when this guard fires)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(star.toDF("u", "v"), "u", "v", 2,
+        scale = Long.MaxValue / 4)
+    }
+    assert(ex.getMessage.contains("int64"))
+    // and the documented safe point still runs
+    assert(Graph.pageRankFixedPoint(star.toDF("u", "v"), "u", "v", 2,
+      scale = Long.MaxValue / (85L * 5L)).count() == 5L)
+  }
+
   test("overlapEdges: boilerplate shingles above maxDf cannot form edges; rare overlap counts are exact") {
     // every doc shares the 3-gram "common header line"; only 1 & 2 share
     // a rare phrase long enough for TWO distinct rare 3-shingles

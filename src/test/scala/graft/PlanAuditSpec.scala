@@ -106,6 +106,45 @@ class PlanAuditSpec extends SparkSpec {
       s"qx90's candidate filter must broadcast:\n${p90.take(1500)}")
   }
 
+  test("qx107 store-served hybrid: BOTH serving scans are partition-pruned (bucket IN on postings/df, probed cells on the vector store)") {
+    // the round-9 deployment pin: the fused plan contains the lexical
+    // store's bucket-pruned reads AND the vector store's probed-cell
+    // read; if either filter disappears the store serves at full-scan
+    // cost and the whole point of the persisted layout is gone
+    val p = SparkEntry.queries("qx107_hybrid_store")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(p).toSeq
+    assert(pf.exists(_.contains("bucket")),
+      s"no bucket partition filter on the BM25 store scans:\n${p.take(2000)}")
+    assert(pf.exists(_.contains("centroid_id")),
+      s"no probed-cell partition filter on the vector store scan:\n${p.take(2000)}")
+    // (no SortMergeJoin ban here: the documents⋈embeddings hybrid-corpus
+    // equi-join is corpus-scale and SHOULD shuffle, and rrfFuse's
+    // full_outer over two k-bounded lists has no broadcast variant —
+    // both are planning-scale or legitimately exchanged)
+  }
+
+  test("BM25 store serving plan reads persisted df: no term-keyed aggregation over postings") {
+    // round 9 persisted the per-term df census in the store; the serving
+    // plan must READ it (bucket-pruned) instead of re-aggregating the
+    // postings — a HashAggregate keyed on term alone is the regression
+    val docs = Tables.t(spark, sfDir, "documents")
+    val work = java.nio.file.Files.createTempDirectory("pa-bm25-").toString
+    graft.operators.Retrieval.writeBm25Store(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 2),
+      "text", "doc_id", work, 8)
+    val p = graft.operators.Retrieval.bm25TopKFromStore(spark, work,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 2),
+        "text", "doc_id", 5, maxQueryTerms = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate(keys=[term#"),
+      s"serving plan re-aggregates postings for df:\n${p.take(2000)}")
+    // both pruned reads present: postings (doc_id,term,tf,dl) and df (term,df)
+    val pf = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(pf.size >= 2,
+      s"expected bucket-pruned postings AND df scans, got ${pf.size}:\n${p.take(2000)}")
+  }
+
   test("no oracle query plans a CartesianProduct; all keep codegen") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -153,6 +153,160 @@ class RetrievalSpec extends SparkSpec {
     assert(curated != raw, "curation did not change any top-k answer")
   }
 
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("bm25 store append retry (same epoch) replaces, never double-appends") {
+    val base = docs((1L to 20L).map(i => i -> s"alpha doc$i beta common"): _*)
+    val batch = docs((21L to 30L).map(i => i -> s"gamma doc$i alpha common"): _*)
+    val q = docs(900L -> "alpha common gamma")
+    val work = java.nio.file.Files.createTempDirectory("bm25rt-").toString
+    Retrieval.writeBm25Store(base, "text", "doc_id", work, nBuckets = 8)
+    Retrieval.appendBm25Store(batch, "text", "doc_id", work, epoch = 1L)
+    val once = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30))
+    // the "retry after a crash" path: the SAME logical batch lands again
+    Retrieval.appendBm25Store(batch, "text", "doc_id", work, epoch = 1L)
+    assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30)) == once)
+    // scalars were replaced, not summed twice
+    val st = Retrieval.liveStats(spark, work).collect().head
+    assert(st.getLong(0) == 30L, s"n_docs after retried append: ${st.getLong(0)}")
+  }
+
+  test("bm25 store delete: search equals a store rebuilt without the deleted docs; absent/repeat deletes are no-ops") {
+    import spark.implicits._
+    val all = docs((1L to 40L).map(i => i -> s"alpha doc$i term${i % 5} common"): _*)
+    val deadIds = (1L to 40L).filter(_ % 4 == 1)
+    val q = docs(900L -> "alpha term1 common")
+    val work = java.nio.file.Files.createTempDirectory("bm25del-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 8)
+    val n = Retrieval.deleteFromBm25Store(spark, work,
+      (deadIds :+ 9999L).toDF("doc_id"), epoch = 1L) // 9999 absent → no-op
+    assert(n == deadIds.size)
+    val got = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 40))
+    val work2 = java.nio.file.Files.createTempDirectory("bm25del2-").toString
+    Retrieval.writeBm25Store(all.filter(!col("doc_id").isin(deadIds: _*)),
+      "text", "doc_id", work2, nBuckets = 8)
+    assert(got == rows(Retrieval.bm25TopKFromStore(spark, work2, q, "text", "doc_id", 40)))
+    assert(got.nonEmpty && !got.exists(r => deadIds.contains(r._3)))
+    // deleting the same ids again (new epoch) must not double-decrement
+    assert(Retrieval.deleteFromBm25Store(spark, work,
+      deadIds.toDF("doc_id"), epoch = 2L) == 0L)
+    val st = Retrieval.liveStats(spark, work).collect().head
+    assert(st.getLong(0) == 40L - deadIds.size)
+    // delete retry with the SAME epoch also converges
+    Retrieval.deleteFromBm25Store(spark, work, deadIds.toDF("doc_id"), epoch = 1L)
+    assert(Retrieval.liveStats(spark, work).collect().head.getLong(0)
+      == 40L - deadIds.size)
+  }
+
+  test("bm25 store compact: answers invariant, tombstones cleared, untouched bucket files byte-identical, deleted ids re-appendable") {
+    import spark.implicits._
+    val all = docs((1L to 40L).map(i => i -> s"w${i % 3} doc$i common"): _*)
+    val dead = Seq(3L, 6L, 9L)
+    val q = docs(900L -> "w1 w2 common")
+    val work = java.nio.file.Files.createTempDirectory("bm25cp-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 16)
+    Retrieval.deleteFromBm25Store(spark, work, dead.toDF("doc_id"), epoch = 1L)
+    val before = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 40))
+    // fingerprint a bucket that holds none of the deleted docs' postings
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(work),
+      spark.sparkContext.hadoopConfiguration)
+    val affected = spark.read.parquet(s"$work/postings")
+      .filter(col("doc_id").isin(dead: _*))
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val untouched = spark.read.parquet(s"$work/postings")
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
+      .filterNot(affected).headOption
+    def fingerprint(b: Long) = {
+      val dir = new org.apache.hadoop.fs.Path(s"$work/postings/bucket=$b")
+      fs.listStatus(dir).map(s => (s.getPath.toString, s.getLen, s.getModificationTime)).toSet
+    }
+    val fpBefore = untouched.map(fingerprint)
+    val removed = Retrieval.compactBm25Store(spark, work)
+    assert(removed > 0L)
+    untouched.foreach(b => assert(fingerprint(b) == fpBefore.get,
+      s"untouched bucket $b was rewritten"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/tombstones")))
+    assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 40)) == before)
+    assert(spark.read.parquet(s"$work/postings")
+      .filter(col("doc_id").isin(dead: _*)).count() == 0L)
+    // the contract qx109 gates end-to-end: formerly-deleted ids are new again
+    Retrieval.appendBm25Store(all.filter(col("doc_id") === 3L),
+      "text", "doc_id", work, epoch = 2L)
+    val after = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 40))
+    assert(after.exists(_._3 == 3L))
+  }
+
+  test("bm25 store compact crash path: leftover backup makes compact refuse; recover restores and the store still answers exactly") {
+    import spark.implicits._
+    val all = docs((1L to 30L).map(i => i -> s"w${i % 4} doc$i common"): _*)
+    val q = docs(900L -> "w1 common")
+    val work = java.nio.file.Files.createTempDirectory("bm25cr-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 8)
+    Retrieval.deleteFromBm25Store(spark, work, Seq(5L, 10L).toDF("doc_id"), epoch = 1L)
+    val want = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30))
+    // simulate a crash mid-swap: move one bucket's pre-image into the backup
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(work),
+      spark.sparkContext.hadoopConfiguration)
+    val someBucket = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/postings"))
+      .map(_.getPath.getName).find(_.startsWith("bucket=")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/compact-bak"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$work/postings/$someBucket"),
+      new org.apache.hadoop.fs.Path(s"$work/compact-bak/$someBucket")))
+    val ex = intercept[java.io.IOException](Retrieval.compactBm25Store(spark, work))
+    assert(ex.getMessage.contains("recoverBm25Compaction"))
+    assert(Retrieval.recoverBm25Compaction(spark, work))
+    assert(!Retrieval.recoverBm25Compaction(spark, work)) // idempotent no-op
+    assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30)) == want)
+    // and the re-run compaction completes
+    assert(Retrieval.compactBm25Store(spark, work) > 0L)
+    assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30)) == want)
+  }
+
+  test("bm25 store rebucket: answers invariant at the new bucket count; tombstones folded away") {
+    import spark.implicits._
+    val all = docs((1L to 40L).map(i => i -> s"alpha w${i % 6} doc$i common"): _*)
+    val q = docs(900L -> "alpha w2 common", 901L -> "w5 common")
+    val work = java.nio.file.Files.createTempDirectory("bm25rb-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 4)
+    Retrieval.appendBm25Store(docs((41L to 50L).map(i =>
+      i -> s"alpha doc$i w${i % 6}"): _*), "text", "doc_id", work, epoch = 1L)
+    Retrieval.deleteFromBm25Store(spark, work, Seq(7L, 14L).toDF("doc_id"), epoch = 2L)
+    val want = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 50))
+    Retrieval.rebucketBm25Store(spark, work, newBuckets = 32)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(work),
+      spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/postings"))
+      .count(_.getPath.getName.startsWith("bucket="))
+    assert(bucketDirs > 4, s"rebucket to 32 left only $bucketDirs bucket dirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/tombstones")))
+    assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 50)) == want)
+    assert(Retrieval.liveStats(spark, work).collect().head.getLong(0) == 48L)
+  }
+
+  test("bm25 store persisted df stays consistent with live postings through the whole lifecycle") {
+    import spark.implicits._
+    val all = docs((1L to 40L).map(i => i -> s"t${i % 7} t${i % 5} doc$i common"): _*)
+    val work = java.nio.file.Files.createTempDirectory("bm25df-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 8)
+    Retrieval.appendBm25Store(docs((41L to 48L).map(i =>
+      i -> s"t${i % 7} doc$i fresh"): _*), "text", "doc_id", work, epoch = 1L)
+    Retrieval.deleteFromBm25Store(spark, work,
+      (1L to 48L by 5L).toDF("doc_id"), epoch = 2L)
+    def dfTable = spark.read.parquet(s"$work/df")
+      .select("term", "df").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def recomputed = {
+      val tomb = Retrieval.readBm25Tombstones(spark, work)
+      spark.read.parquet(s"$work/postings")
+        .join(org.apache.spark.sql.functions.broadcast(tomb), Seq("doc_id"), "left_anti")
+        .groupBy("term").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    assert(dfTable == recomputed)
+    Retrieval.compactBm25Store(spark, work)
+    assert(dfTable == recomputed) // compaction must not change df
+  }
+
   test("rrfFuse tie at equal rrf score breaks on doc_id") {
     import spark.implicits._
     val lex = Seq((9L, 20L, 1L), (9L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
