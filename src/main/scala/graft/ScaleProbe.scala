@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Scaling evidence for SCALE.md: inflate the documents corpus N× and time
   * the MinHash+LSH pipeline — the plan is one explode + doc-keyed shuffles,
   * so wall time should grow ~linearly with corpus size.
-  * `runMain graft.ScaleProbe [sfDir]` */
+  * `runMain graft.ScaleProbe [sfDir] [bm25only]` */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val bm25Only = args.contains("bm25only")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -18,6 +19,62 @@ object ScaleProbe {
 
     val base = Tables.t(spark, dir, "documents").select("doc_id", "text").cache()
     val n0 = base.count() // materialize cache so inflation cost is excluded
+
+    // BM25 store: SERVING cost must track the query terms' bucket bytes
+    // (a literal partition filter on postings AND df), never the corpus;
+    // and APPEND cost must track the batch, never the standing store.
+    // Corpus inflated 1×/4×/16× with a FIXED query set: the pruned-scan
+    // fraction stays ~flat (both the buckets and the store grow with the
+    // corpus) and the serving wall follows the bucket bytes — an unpruned
+    // plan would read 64/|query buckets| times more at every row. Then a
+    // FIXED batch appends to each store: ~flat walls down the column.
+    {
+      def dirBytes(f: java.io.File, pred: String => Boolean): Long = {
+        def walk(g: java.io.File): Seq[java.io.File] =
+          if (g.isDirectory) g.listFiles().toSeq.flatMap(walk) else Seq(g)
+        walk(f).filter(g => g.getPath.endsWith(".parquet") && pred(g.getPath))
+          .map(_.length()).sum
+      }
+      val queries = base.filter(col("doc_id") % 503 === 7)
+      val batch = base.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+      val bn = batch.count()
+      val warm = java.nio.file.Files.createTempDirectory("scale-bm25w").toString
+      graft.operators.Retrieval.writeBm25Store(base, "text", "doc_id", warm, 64)
+      graft.operators.Retrieval.bm25TopKFromStore(spark, warm, queries,
+        "text", "doc_id", 10, maxQueryTerms = 2).count() // codegen warmup
+      for (mult <- Seq(1, 4, 16)) {
+        val inflated = (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            col("text")))
+          .reduce(_ unionByName _)
+        val path = java.nio.file.Files.createTempDirectory("scale-bm25").toString
+        graft.operators.Retrieval.writeBm25Store(inflated, "text", "doc_id",
+          path, 64)
+        val t0 = System.nanoTime()
+        val hits = graft.operators.Retrieval.bm25TopKFromStore(spark, path,
+          queries, "text", "doc_id", 10, maxQueryTerms = 2).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // measured prune: bytes under the query terms' bucket dirs vs the
+        // whole postings+df store (exactly what the partition filter reads)
+        val qb = graft.operators.Retrieval
+          .queryTerms(queries, "text", "doc_id", 2)
+          .select(expr("graft_polyhash(term) % 64").as("b"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val isQB = (p: String) => qb.exists(b => p.contains(s"bucket=$b/"))
+        val root = new java.io.File(path)
+        val pruned = dirBytes(root, isQB)
+        val total = dirBytes(root, _ => true)
+        val t1 = System.nanoTime()
+        graft.operators.Retrieval.appendBm25Store(batch, "text", "doc_id",
+          path, epoch = 1L)
+        val appendSecs = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] bm25_docs=${n0 * mult}%8d  buckets=${qb.size}%2d/64  " +
+          f"pruned=${pruned}%9dB of ${total}%9dB (${100.0 * pruned / total}%4.1f%%)  " +
+          f"serve=${secs}%6.2fs  hits: $hits  |  append_batch=$bn%6d  append=${appendSecs}%6.2fs")
+      }
+    }
+    if (bm25Only) { spark.stop(); return }
 
     // untimed warmup: compile the pipeline's codegen units once so the 1×
     // measurement reflects steady-state throughput, not Janino compiles

@@ -162,6 +162,57 @@ object StreamLatency {
     println(f"[streamlat] search steady-state ${steadyQps}%.0f queries/sec " +
       f"over ${searchRows.size} batches")
 
+    // ---- Lexical-ingest latency (the qx110 pipeline): documents stream
+    // into a pre-built BM25 store, one epoch-addressed append per
+    // micro-batch. Same instrument, same completeness-before-numbers
+    // discipline: the store's live n_docs must equal the corpus before
+    // any wall is reported. The expected shape is the ANN ingest's:
+    // per-batch cost tracks the BATCH (census + df/scalar deltas of its
+    // own partitions), so walls stay flat while the store grows.
+    val bm25Rows: Seq[(Long, Long, Long, Long, Double)] = {
+      import graft.functions.{Dialect, TextExprs => TX}
+      graft.functions.GraftFunctions.register(spark)
+      val docsT = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+      val isBase = col("doc_id") % 101 === 0
+      val nLive = docsT.filter(
+        expr(TX.tokenCountAuto("text")(Dialect(spark = true))) > 0).count()
+      val work = java.nio.file.Files.createTempDirectory("streamlat-b-").toString
+      graft.operators.Retrieval.writeBm25Store(docsT.filter(isBase),
+        "text", "doc_id", s"$work/store", 64)
+      val landing = s"$work/landing"
+      docsT.filter(!isBase).repartition(nBatches).write.parquet(landing)
+      val q = graft.streaming.StreamingBm25Ingest.start(
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing),
+        "text", "doc_id", s"$work/store", s"$work/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0).sortBy(_.batchId)
+      require(progress.nonEmpty, "bm25 stream reported no non-empty batches")
+      val stored = graft.operators.Retrieval.liveStats(spark, s"$work/store")
+        .collect().head.getLong(0)
+      require(stored == nLive,
+        s"streamed BM25 store holds $stored live docs, corpus has $nLive — " +
+          "refusing to report throughput for an incomplete ingest")
+      progress.map { p =>
+        val wallMs = Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).getOrElse(0L)
+        val addMs = Option(p.durationMs.get("addBatch")).map(_.toLong).getOrElse(-1L)
+        val dps = if (wallMs > 0) p.numInputRows * 1000.0 / wallMs else -1.0
+        (p.batchId, p.numInputRows, wallMs, addMs, dps)
+      }
+    }
+    bm25Rows.foreach { case (id, n, wall, add, dps) =>
+      println(f"[streamlat] bm25 batch=$id%2d docs=$n%6d wall=${wall}%5d ms " +
+        f"(addBatch=${add}%5d ms) docs/sec=${dps}%9.0f")
+    }
+    val steadyBm25 = bm25Rows.drop(1)
+    val steadyDps =
+      if (steadyBm25.nonEmpty && steadyBm25.map(_._3).sum > 0)
+        steadyBm25.map(_._2).sum * 1000.0 / steadyBm25.map(_._3).sum
+      else -1.0
+    println(f"[streamlat] bm25 steady-state ${steadyDps}%.0f docs/sec " +
+      f"over ${bm25Rows.size} batches")
+
     val md = new StringBuilder
     md.append("# Streaming ANN-ingest latency (qx78 pipeline)\n\n")
     md.append(s"Generated by `runMain graft.StreamLatency` on `$sfDir` ")
@@ -212,8 +263,31 @@ commit — the standing store is read cell-pruned per batch and never
 rewritten, so search latency does not degrade as the ingest side grows
 the store.
 """)
+    md.append("\n## Streaming BM25-ingest latency (qx110 pipeline)\n\n")
+    md.append("The lexical ingest twin: documents stream into a pre-built ")
+    md.append("BM25 store, one EPOCH-ADDRESSED append per micro-batch — ")
+    md.append("postings census + df delta + scalar delta of the batch's own ")
+    md.append("partitions, exactly-once on the store's dynamic overwrites. ")
+    md.append("Completeness asserted (live n_docs == corpus) before any ")
+    md.append("number below.\n\n")
+    md.append("| batch | docs | wall ms | addBatch ms | docs/sec |\n")
+    md.append("|---|---|---|---|---|\n")
+    for ((id, n, wall, add, dps) <- bm25Rows)
+      md.append(f"| $id | $n | $wall | $add | ${dps}%.0f |\n")
+    md.append(f"\nSteady-state (excl. batch 0's codegen warmup) ${steadyDps}%.0f ")
+    md.append("""docs/sec. Per-batch walls are flat while the standing store
+grows every batch: the append derives everything it writes from the
+batch's own epoch partitions — the delta-df design means NO re-read of
+standing buckets exists anywhere in the per-batch path (SCALE.md's
+round-9 section records why the materialized-df alternative would have
+made this probe grow linearly).
+""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/STREAMLAT.md"), md.toString)
+    val bm25Json = bm25Rows.map { case (id, n, wall, add, dps) =>
+      s"""{"batch":$id,"docs":$n,"wall_ms":$wall,"add_batch_ms":$add,""" +
+        f""""docs_per_sec":${dps}%.0f}"""
+    }.mkString("[", ",", "]")
     val searchJson = searchRows.map { case (id, n, wall, add, qps) =>
       s"""{"batch":$id,"queries":$n,"wall_ms":$wall,"add_batch_ms":$add,""" +
         f""""queries_per_sec":${qps}%.0f}"""
@@ -228,7 +302,9 @@ the store.
         f""""steady_rows_per_sec":${steadyBigRps}%.0f,""" +
         f""""avg_steady_wall_ms":$steadyBigWall},""" +
         f""""search":{"steady_queries_per_sec":${steadyQps}%.0f,""" +
-        s""""batches":$searchJson},"batches":[""",
+        s""""batches":$searchJson},""" +
+        f""""bm25_ingest":{"steady_docs_per_sec":${steadyDps}%.0f,""" +
+        s""""batches":$bm25Json},"batches":[""",
       ",", "]}\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/STREAMLAT.json"), json)

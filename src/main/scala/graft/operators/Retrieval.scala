@@ -161,17 +161,23 @@ object Retrieval {
   //     every append is a DYNAMIC PARTITION OVERWRITE: retrying a
   //     failed append with the same epoch REPLACES the batch's
   //     partitions instead of double-appending its postings.
-  //   df/bucket=B/                (term, df) over LIVE docs — persisted
-  //     at build, refreshed per affected bucket on append/delete, so
-  //     serving reads df from the pruned buckets instead of paying a
-  //     postings-scale aggregation.
+  //   df/bucket=B/epoch=E/        (term, cnt) per-epoch document-
+  //     frequency DELTAS (append epochs positive from the batch census,
+  //     delete epochs negative from the deleted docs' postings). The
+  //     live df of a term is THE SUM of its deltas — derived-on-read
+  //     over the query's pruned buckets (vocabulary-of-bucket ×
+  //     epochs rows, planning scale), so serving never aggregates
+  //     postings AND appends never re-read the standing buckets to
+  //     refresh a materialized census (which would be a postings-scale
+  //     cost per batch with any realistic vocabulary).
   //   tombstones/epoch=E/         (doc_id) retracted ids; dynamic
   //     overwrite per epoch makes deletes retry-idempotent too.
-  //   epochs/epoch=E/             1 row (n_docs_delta, total_len_delta);
-  //     the corpus scalars are THE SUM of these deltas (append epochs
-  //     add, delete epochs subtract) — derived-on-read, so no ordering
-  //     of a stats overwrite can ever disagree with the postings.
-  //   meta/                       1 row (n_buckets), written at build.
+  //   epochs/epoch=E/             1 row (n_docs_delta, total_len_delta,
+  //     n_buckets); the corpus scalars are THE SUM of these deltas
+  //     (append epochs add, delete epochs subtract) — derived-on-read,
+  //     so no ordering of a stats overwrite can ever disagree with the
+  //     postings. n_buckets rides every row (constant per store) so one
+  //     tiny read serves both the scalars and the bucket geometry.
   //
   // Caller contract: single writer per store (schedule mutations; each
   // takes the store's StoreLock and fails loudly on contention), append
@@ -184,7 +190,6 @@ object Retrieval {
 
   private def postingsPath(path: String) = s"$path/postings"
   private def dfPath(path: String) = s"$path/df"
-  private def metaPath(path: String) = s"$path/meta"
   private def epochsPath(path: String) = s"$path/epochs"
   private def storeTombstonesPath(path: String) = s"$path/tombstones"
   private def compactBakPath(path: String) = s"$path/compact-bak"
@@ -198,8 +203,20 @@ object Retrieval {
       spark.sparkContext.hadoopConfiguration)
 
   private def readMeta(spark: SparkSession, path: String): Int =
-    spark.read.parquet(metaPath(path)).select("n_buckets")
+    spark.read.parquet(epochsPath(path)).select("n_buckets")
       .collect().head.getInt(0)
+
+  /** Live corpus scalars + bucket geometry in ONE tiny read: the exact
+    * integer sum of the per-epoch deltas, and the constant n_buckets. */
+  private def liveStatsAndBuckets(spark: SparkSession, path: String)
+      : (Long, Long, Int) = {
+    val r = spark.read.parquet(epochsPath(path))
+      .agg(coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
+        coalesce(sum("total_len_delta"), lit(0L)).as("total_len"),
+        max("n_buckets").as("n_buckets"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
 
   /** Live corpus scalars, derived on read: the exact integer sum of the
     * per-epoch deltas. 1 row (n_docs, total_len). */
@@ -239,42 +256,45 @@ object Retrieval {
     else readBm25Tombstones(spark, path) // empty frame w/ correct type
   }
 
-  /** Recompute the persisted per-term df for `buckets` from the LIVE
-    * postings (tombstones excluded) and dynamic-overwrite just those
-    * bucket partitions. df is a pure function of postings+tombstones
-    * state, so re-running after any crash converges — the reason the
-    * lifecycle refreshes df instead of rolling deltas forward. */
-  private def refreshDf(spark: SparkSession, path: String,
-                        buckets: Seq[Long]): Unit = {
-    if (buckets.isEmpty) return
-    val tomb = readBm25Tombstones(spark, path)
-    spark.read.parquet(postingsPath(path))
-      .filter(col("bucket").isInCollection(buckets))
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .write.option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").partitionBy("bucket").parquet(dfPath(path))
+  /** Write one epoch's per-term df DELTA rows: `counted` is a
+    * (bucket, term, cnt) frame — the batch census's term counts on
+    * append, the deleted docs' negated postings counts on delete. A
+    * dynamic overwrite of (bucket, epoch) partitions: deterministically
+    * derived, so a retry with the same epoch replaces, never
+    * double-counts. `replaceAll` at build truncates stale epochs. */
+  private def writeDfDelta(counted: DataFrame, path: String, epoch: Long,
+                           replaceAll: Boolean): Unit = {
+    val w = counted.withColumn("epoch", lit(epoch))
+      .repartition(col("bucket")) // co-locate: one file per bucket, not one per task
+      .write.mode("overwrite").partitionBy("bucket", "epoch")
+    (if (replaceAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .parquet(dfPath(path))
   }
 
-  /** One scalar-delta epoch row. Static `overwrite=false` callers use
-    * dynamic overwrite (replace this epoch only); the build replaces the
-    * whole table. */
+  /** One scalar-delta epoch row (n_buckets rides along — constant per
+    * store). Static `overwrite=false` callers use dynamic overwrite
+    * (replace this epoch only); the build replaces the whole table. */
   private def writeEpochDelta(spark: SparkSession, path: String, epoch: Long,
                               nDocsDelta: Long, totalLenDelta: Long,
-                              replaceAll: Boolean): Unit = {
+                              nBuckets: Int, replaceAll: Boolean): Unit = {
     import spark.implicits._
-    val w = Seq((epoch, nDocsDelta, totalLenDelta))
-      .toDF("epoch", "n_docs_delta", "total_len_delta")
+    val w = Seq((epoch, nDocsDelta, totalLenDelta, nBuckets))
+      .toDF("epoch", "n_docs_delta", "total_len_delta", "n_buckets")
       .coalesce(1).write.mode("overwrite").partitionBy("epoch")
     (if (replaceAll) w else w.option("partitionOverwriteMode", "dynamic"))
       .parquet(epochsPath(path))
   }
 
-  private def corpusScalars(corpus: DataFrame, textCol: String): (Long, Long) = {
-    val sparkD = Dialect(spark = true)
-    val r = corpus.select(expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"))
-      .filter(col("dl") > 0)
+  /** Corpus scalars OF ONE WRITTEN EPOCH, derived from its postings
+    * partitions (epoch-pruned, column-pruned read — never a second
+    * tokenize of the batch): n_docs = docs with ≥1 posting, total_len =
+    * Σ per-doc dl (dl repeats on every posting row of a doc). Docs whose
+    * text tokenized empty have no postings and correctly don't count. */
+  private def epochScalars(spark: SparkSession, path: String,
+                           epoch: Long): (Long, Long) = {
+    val r = spark.read.parquet(postingsPath(path))
+      .filter(col("epoch") === epoch)
+      .groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("dl"), lit(0L)).as("total_len"))
       .collect().head
@@ -286,31 +306,32 @@ object Retrieval {
     * candidate postings are a LITERAL partition filter at search time —
     * the store serves keyword queries at pruned-scan cost, the same
     * file-skipping shape as the IVF store's probed cells. The per-term
-    * df census is persisted beside them (bucket-partitioned from the
-    * same build pass), so serving never re-aggregates postings. */
+    * df census is persisted beside them (epoch-0 delta rows, from one
+    * column-pruned read-back of the written postings — never a second
+    * tokenize), so serving never re-aggregates postings. */
   def writeBm25Store(corpus: DataFrame, textCol: String, idCol: String,
                      path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     val spark = corpus.sparkSession
     graft.sources.StoreLock.withLock(spark, path, "bm25-build") {
+      // repartition by bucket before the partitionBy write: without it
+      // every census task drops a file into every bucket dir (tasks ×
+      // buckets tiny files — listing/footer cost on every later read);
+      // with it each bucket's postings co-locate into few files. At
+      // cluster scale pair with spark.sql.files.maxRecordsPerFile to
+      // bound file size; bucket skew re-splits under AQE.
       bm25Index(corpus, textCol, idCol)
         .withColumn("bucket", bucketCol(nBuckets))
         .withColumn("epoch", lit(0L))
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket", "epoch")
         .parquet(postingsPath(path))
-      // df straight off the written postings: one column-pruned read-back
-      // beats re-tokenizing the corpus, and build-time df == live df
-      // (no tombstones can exist yet; stale dirs from a previous store at
-      // this path are cleared below).
-      spark.read.parquet(postingsPath(path))
-        .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
-        .agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(dfPath(path))
-      val (nd, tl) = corpusScalars(corpus, textCol)
-      writeEpochDelta(spark, path, 0L, nd, tl, replaceAll = true)
-      import spark.implicits._
-      Seq(nBuckets).toDF("n_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+      writeDfDelta(spark.read.parquet(postingsPath(path))
+          .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
+          .agg(count(lit(1)).as("cnt")),
+        path, 0L, replaceAll = true)
+      val (nd, tl) = epochScalars(spark, path, 0L)
+      writeEpochDelta(spark, path, 0L, nd, tl, nBuckets, replaceAll = true)
       val fs = fsFor(spark, path)
       fs.delete(new org.apache.hadoop.fs.Path(storeTombstonesPath(path)), true)
     }
@@ -320,11 +341,14 @@ object Retrieval {
     * postings under `epoch` via dynamic partition overwrite (retrying a
     * failed append with the same epoch REPLACES, never duplicates —
     * the same exactly-once discipline as the streaming ingest paths),
-    * refresh the persisted df for just the buckets the batch touched,
-    * and add one scalar-delta epoch row. Untouched buckets' files are
-    * never rewritten; nothing re-scans the standing corpus. Gate:
-    * search-after-append ≡ one-shot store over the union (RetrievalSpec
-    * + the qx105 oracle). */
+    * add the batch's per-term df delta rows, and one scalar-delta epoch
+    * row — both derived from an epoch-pruned read-back of the written
+    * postings, never a second tokenize. Untouched partitions' files are
+    * never rewritten and NOTHING re-reads the standing corpus (the
+    * df-delta design exists for exactly this: a materialized live-df
+    * census would need the standing buckets re-aggregated per batch).
+    * Gate: search-after-append ≡ one-shot store over the union
+    * (RetrievalSpec + the qx105 oracle). */
   def appendBm25Store(batch: DataFrame, textCol: String, idCol: String,
                       path: String, epoch: Long): Unit = {
     require(epoch >= 1, s"append epochs start at 1 (0 is the build): $epoch")
@@ -334,35 +358,36 @@ object Retrieval {
       bm25Index(batch, textCol, idCol)
         .withColumn("bucket", bucketCol(nBuckets))
         .withColumn("epoch", lit(epoch))
+        .repartition(col("bucket")) // co-locate (see writeBm25Store)
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy("bucket", "epoch")
         .parquet(postingsPath(path))
-      // affected buckets fall out of the just-written epoch's partition
-      // directories — an epoch-pruned, column-pruned read, never a
-      // second tokenize of the batch. Bounded by nBuckets.
-      val affected = spark.read.parquet(postingsPath(path))
-        .filter(col("epoch") === epoch)
-        .select(col("bucket").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      refreshDf(spark, path, affected)
-      val (nd, tl) = corpusScalars(batch, textCol)
-      writeEpochDelta(spark, path, epoch, nd, tl, replaceAll = false)
+      writeDfDelta(spark.read.parquet(postingsPath(path))
+          .filter(col("epoch") === epoch)
+          .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
+          .agg(count(lit(1)).as("cnt")),
+        path, epoch, replaceAll = false)
+      val (nd, tl) = epochScalars(spark, path, epoch)
+      writeEpochDelta(spark, path, epoch, nd, tl, nBuckets, replaceAll = false)
     }
   }
 
   /** Retract documents from the store — the lexical analog of
     * [[Quantize.addTombstones]] + scalar roll-back, mirroring the
     * reference's delete path (data_manager.py:393-424) for the corpus
-    * side. O(postings-scan at two narrow columns), zero bucket
-    * rewrites: the ids land in a tombstone epoch (searches anti-join
-    * them), the scalars get a NEGATIVE delta row for exactly the docs
-    * that were present, and the persisted df of the affected buckets is
-    * recomputed over the survivors. Ids absent from the store are
-    * no-ops; ids already tombstoned by an earlier epoch are skipped, so
-    * scalars are never double-decremented. Retrying a failed delete
-    * with the same epoch converges (all three writes are per-epoch /
-    * per-bucket dynamic overwrites of deterministically derived data).
-    * Returns the number of docs actually retracted. */
+    * side. Cost: ONE postings scan pruned to (bucket, doc_id, term, dl)
+    * with the delete set broadcast, zero bucket rewrites: the present
+    * ids land in a tombstone epoch (searches anti-join them), the
+    * scalars get a NEGATIVE delta row for exactly those docs, and the
+    * df sidecar gets the NEGATED per-term counts of their postings —
+    * so summed-on-read df rolls back exactly. Ids absent from the
+    * store are no-ops; ids already tombstoned by an earlier epoch are
+    * skipped, so nothing is ever double-decremented. Retrying a failed
+    * delete with the same epoch converges (all three writes are
+    * per-epoch dynamic overwrites of deterministically derived data —
+    * the prior-tombstone set deliberately EXCLUDES the current epoch so
+    * a crashed attempt's own half-written epoch can't hide its ids from
+    * the rerun). Returns the number of docs actually retracted. */
   def deleteFromBm25Store(spark: SparkSession, path: String,
                           ids: DataFrame, epoch: Long): Long = {
     require(epoch >= 1, s"delete epochs start at 1 (0 is the build): $epoch")
@@ -370,31 +395,27 @@ object Retrieval {
       val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
       val newIds = want.join(broadcast(priorTombstones(spark, path, epoch)),
         Seq("doc_id"), "left_anti")
-      // One (bucket, doc_id, dl)-pruned postings scan, delete set
-      // broadcast: yields the affected buckets AND each present doc's
-      // length (dl repeats on every posting row of the doc).
       val hits = spark.read.parquet(postingsPath(path))
         .select(col("bucket").cast("long").as("bucket"),
-          col("doc_id"), col("dl"))
+          col("doc_id"), col("term"), col("dl"))
         .join(broadcast(newIds), Seq("doc_id"))
+        .localCheckpoint() // eager: bounded by the deleted docs' postings
       val perDoc = hits.groupBy("doc_id").agg(max("dl").as("dl"))
-        .localCheckpoint() // eager: bounded by the delete set size
       val stats = perDoc
         .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tl"))
         .collect().head
       val (nd, tl) = (stats.getLong(0), stats.getLong(1))
       if (nd == 0L) 0L
       else {
-        val affected = hits.select("bucket").distinct()
-          .collect().map(_.getLong(0)).toSeq
-        // Order matters for the rerun-heals contract: tombstones first
-        // (df recomputation below must already see them), scalars last.
         perDoc.select("doc_id").withColumn("epoch", lit(epoch))
           .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").partitionBy("epoch")
           .parquet(storeTombstonesPath(path))
-        refreshDf(spark, path, affected)
-        writeEpochDelta(spark, path, epoch, -nd, -tl, replaceAll = false)
+        writeDfDelta(hits.groupBy("bucket", "term")
+            .agg((-count(lit(1))).as("cnt")),
+          path, epoch, replaceAll = false)
+        writeEpochDelta(spark, path, epoch, -nd, -tl,
+          readMeta(spark, path), replaceAll = false)
         nd
       }
     }
@@ -411,9 +432,10 @@ object Retrieval {
     * (`compact-bak`) is the marker [[recoverBm25Compaction]] restores
     * from; after it the remaining tombstones match no postings (their
     * docs are gone), so searches stay exact and re-running converges by
-    * just clearing them. df and the scalar epochs are NOT touched: both
-    * already describe the live corpus (maintained at delete time) —
-    * compaction only moves the filtering cost, never the answer.
+    * just clearing them. The df deltas and the scalar epochs are NOT
+    * touched: both already sum to the live corpus (the delete wrote
+    * their negative rows) — compaction only moves the filtering cost,
+    * never the answer.
     * Returns the number of posting rows removed. */
   def compactBm25Store(spark: SparkSession, path: String): Long =
     graft.sources.StoreLock.withLock(spark, path, "bm25-compact") {
@@ -443,6 +465,7 @@ object Retrieval {
         spark.read.parquet(postingsPath(path))
           .filter(col("bucket").isInCollection(affected))
           .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .repartition(col("bucket")) // co-locate (see writeBm25Store)
           .write.mode("overwrite").partitionBy("bucket", "epoch")
           .parquet(tmp.toString)
         val root = new org.apache.hadoop.fs.Path(postingsPath(path))
@@ -529,18 +552,16 @@ object Retrieval {
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .withColumn("bucket", bucketCol(newBuckets))
         .withColumn("epoch", lit(0L))
+        .repartition(col("bucket")) // co-locate (see writeBm25Store)
         .write.mode("overwrite").partitionBy("bucket", "epoch")
         .parquet(postingsPath(tmp))
-      spark.read.parquet(postingsPath(tmp))
-        .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
-        .agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(dfPath(tmp))
+      writeDfDelta(spark.read.parquet(postingsPath(tmp))
+          .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
+          .agg(count(lit(1)).as("cnt")),
+        tmp, 0L, replaceAll = true)
       val st = liveStats(spark, path).collect().head
       writeEpochDelta(spark, tmp, 0L, st.getLong(0), st.getLong(1),
-        replaceAll = true)
-      import spark.implicits._
-      Seq(newBuckets).toDF("n_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath(tmp))
+        newBuckets, replaceAll = true)
       // Install: old store → backup, new store → path, drop backup.
       val main = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
       if (!fs.rename(main, bak))
@@ -574,31 +595,78 @@ object Retrieval {
   /** Serve BM25 top-k from the persisted store. The bucket set of the
     * query's terms (≤ min(query-term count, nBuckets) — planning
     * metadata) becomes a literal `bucket IN (...)` partition filter on
-    * BOTH pruned reads: the postings candidates AND the persisted df —
+    * BOTH pruned reads: the postings candidates AND the df sidecar —
     * no postings-scale aggregation exists anywhere in the serving plan
-    * (PlanAuditSpec pins it). Tombstoned docs are anti-joined off the
-    * pruned candidates (broadcast — retraction metadata, not corpus
-    * data), and the corpus scalars are the summed epoch deltas, so the
-    * result is identical to a store rebuilt without the retracted docs.
-    * Identical scoring tail to [[bm25TopK]]. */
+    * (PlanAuditSpec pins the only term-keyed aggregate onto the df
+    * sidecar scan: vocabulary-of-bucket × epochs rows, planning scale).
+    * Tombstoned docs are anti-joined off the pruned candidates
+    * (broadcast — retraction metadata, not corpus data), and the corpus
+    * scalars are the summed epoch deltas, so the result is identical to
+    * a store rebuilt without the retracted docs. Identical scoring tail
+    * to [[bm25TopK]]. */
   def bm25TopKFromStore(spark: SparkSession, path: String,
                         queries: DataFrame, textCol: String, idCol: String,
                         k: Int, k1: Double = K1, b: Double = B,
                         maxQueryTerms: Int = Int.MaxValue): DataFrame = {
-    val nBuckets = readMeta(spark, path)
+    // one tiny epochs read yields scalars AND bucket geometry; the
+    // scalars become a driver-LOCAL 1-row frame, so the serving plan's
+    // only jobs are the two bucket-pruned store reads
+    val (nd, tl, nBuckets) = liveStatsAndBuckets(spark, path)
+    import spark.implicits._
+    val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val buckets = qterms
       .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val tomb = readBm25Tombstones(spark, path)
-    val postings = spark.read.parquet(postingsPath(path))
+    val post = spark.read.parquet(postingsPath(path))
+    // absent-tombstone case reuses post's already-resolved schema — no
+    // second listing of the postings directory
+    val fs = fsFor(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
+    val tomb =
+      if (fs.exists(tp))
+        spark.read.parquet(tp.toString).select("doc_id").distinct()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
+    val postings = post
       .filter(col("bucket").isInCollection(buckets))
       .select("doc_id", "term", "tf", "dl")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    // live df = summed deltas of the pruned buckets; a term whose count
+    // summed to 0 has no live postings either, so it never scores
     val dfreq = spark.read.parquet(dfPath(path))
       .filter(col("bucket").isInCollection(buckets))
-      .select("term", "df")
-    scoreBm25(postings, qterms, liveStats(spark, path), dfreq, k, k1, b)
+      .groupBy("term").agg(sum("cnt").as("df"))
+    scoreBm25(postings, qterms, stats, dfreq, k, k1, b)
+  }
+
+  /** STORE-SERVED hybrid retrieval — the production RAG serving shape as
+    * ONE operator (what qx107 gates): lexical candidates from the BM25
+    * store's bucket-pruned postings + df sidecar, vector candidates from
+    * the self-contained IVF-PQ store's probed cells with the
+    * exact-rescore refine, each contributing its top-`depth` list,
+    * fused to the final top-`k` by [[rrfFuse]] on planning-scale
+    * candidates. `queries` carries id + text + vector columns;
+    * `rescoreCorpus` is the exact-vector table the refine rescores from
+    * (the store holds only codes). Both stores serve PRUNED —
+    * PlanAuditSpec pins the bucket IN and probed-cell filters on the
+    * fused plan. */
+  def hybridTopKFromStores(spark: SparkSession, lexPath: String,
+                           vecPath: String, queries: DataFrame,
+                           textCol: String, vecCol: String, idCol: String,
+                           k: Int, depth: Int, nProbe: Int, rerankDepth: Int,
+                           rescoreCorpus: DataFrame, rescoreVecCol: String,
+                           k0: Int = RRF_K0,
+                           maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    val lex = bm25TopKFromStore(spark, lexPath,
+      queries.select(col(idCol), col(textCol)), textCol, idCol,
+      depth, maxQueryTerms = maxQueryTerms)
+    val vec = Quantize.searchSelfContainedRefined(spark, vecPath,
+        queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+        rescoreCorpus, rescoreVecCol, depth, nProbe, rerankDepth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(lex, vec, k0, k)
   }
 
   /** Reciprocal rank fusion of two rankings (Cormack et al. 2009):

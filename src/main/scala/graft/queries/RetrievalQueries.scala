@@ -227,13 +227,39 @@ object RetrievalQueries {
         "doc_id", "embedding", cents, "centroid_id", "cen_emb",
         codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
         residual = false, s"$work/vec")
-      val lex = Retrieval.bm25TopKFromStore(s, s"$work/lex", queryDocs,
-        "text", "doc_id", RRF_DEPTH, maxQueryTerms = MAX_QTERMS)
-      val vec = graft.operators.Quantize.searchSelfContainedRefined(s,
-          s"$work/vec", queryVecs, "doc_id", "embedding",
-          corpusVecs, "embedding", RRF_DEPTH, HY_NPROBE, HY_RERANK)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      Retrieval.rrfFuse(lex, vec, Retrieval.RRF_K0, RRF_TOPK)
+      Retrieval.hybridTopKFromStores(s, s"$work/lex", s"$work/vec",
+          hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
+          "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
+          HY_NPROBE, HY_RERANK, corpusVecs, "embedding",
+          maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- STREAMING BM25 ingest: the lexical ingest twin -----------------
+    // (documents arrive as a FILE stream; each micro-batch appends at
+    //  epoch batchId+1 — exactly-once lands for free on the store's
+    //  epoch-addressed dynamic overwrites, the same idempotent-retry
+    //  contract the batch API gates. The oracle is qx100's plain formula
+    //  over the whole corpus: micro-batch boundaries must be invisible
+    //  to the serving path.)
+    "qx110_bm25_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isStream = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
+      val work = java.nio.file.Files.createTempDirectory("qx110-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery && !isStream),
+        "text", "doc_id", s"$work/store", STORE_BUCKETS)
+      val landing = s"$work/landing"
+      docs.filter(notQuery && isStream).select("doc_id", "text")
+        .repartition(4).write.parquet(landing)
+      val q = graft.streaming.StreamingBm25Ingest.start(
+        s.readStream.schema(s.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing),
+        "text", "doc_id", s"$work/store", s"$work/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      Retrieval.bm25TopKFromStore(s, s"$work/store",
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
 
@@ -435,6 +461,16 @@ object RetrievalQueries {
          |  WHERE doc_id % $BM25_QMOD <> $BM25_QREM
          |    AND (doc_id % $STORE_DEL_MOD <> $STORE_DEL_REM
          |         OR doc_id % $STORE_READD_MOD = $STORE_READD_REM)),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |$bm25Ctes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,
+
+    // Stream-fed store ≡ batch-built store ≡ plain formula: micro-batch
+    // boundaries are invisible to serving (qx105's oracle, verbatim).
+    "qx110_bm25_stream_ingest" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
          |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
          |$bm25Ctes
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,

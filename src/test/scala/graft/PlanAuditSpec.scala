@@ -124,22 +124,39 @@ class PlanAuditSpec extends SparkSpec {
     // both are planning-scale or legitimately exchanged)
   }
 
-  test("BM25 store serving plan reads persisted df: no term-keyed aggregation over postings") {
-    // round 9 persisted the per-term df census in the store; the serving
-    // plan must READ it (bucket-pruned) instead of re-aggregating the
-    // postings — a HashAggregate keyed on term alone is the regression
+  test("BM25 store serving plan: the only term-keyed aggregate reads the df sidecar, never the postings") {
+    // round 9 persisted per-term df DELTAS in the store; serving sums
+    // them from the pruned df scan (vocabulary-scale) — a term-keyed
+    // aggregate whose subtree reads the POSTINGS is the regression
+    // (that's the corpus-scale census the sidecar exists to amortize)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val docs = Tables.t(spark, sfDir, "documents")
     val work = java.nio.file.Files.createTempDirectory("pa-bm25-").toString
     graft.operators.Retrieval.writeBm25Store(
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 2),
       "text", "doc_id", work, 8)
-    val p = graft.operators.Retrieval.bm25TopKFromStore(spark, work,
-        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 2),
-        "text", "doc_id", 5, maxQueryTerms = 4)
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("HashAggregate(keys=[term#"),
-      s"serving plan re-aggregates postings for df:\n${p.take(2000)}")
-    // both pruned reads present: postings (doc_id,term,tf,dl) and df (term,df)
+    val df = graft.operators.Retrieval.bm25TopKFromStore(spark, work,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 2),
+      "text", "doc_id", 5, maxQueryTerms = 4)
+    // the df-census shape is a SINGLE-key aggregate on term (the
+    // query-side (query_id, term) distinct is planning-scale and fine)
+    val termAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.size == 1 &&
+        a.groupingExpressions.head.references.exists(_.name == "term") => a
+    }
+    assert(termAggs.nonEmpty, "expected the df-sidecar sum to survive optimization")
+    termAggs.foreach { a =>
+      val locs = a.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(locs.nonEmpty && locs.forall(_.contains("/df")),
+        s"a term-keyed aggregate reads ${locs.mkString(",")} — " +
+          "df must come from the sidecar, not a postings census")
+    }
+    // and both store reads carry the literal bucket partition filter
+    val p = df.queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r.findAllIn(p).toSeq
     assert(pf.size >= 2,
       s"expected bucket-pruned postings AND df scans, got ${pf.size}:\n${p.take(2000)}")

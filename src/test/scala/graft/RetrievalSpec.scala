@@ -294,7 +294,9 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.deleteFromBm25Store(spark, work,
       (1L to 48L by 5L).toDF("doc_id"), epoch = 2L)
     def dfTable = spark.read.parquet(s"$work/df")
-      .select("term", "df").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      .groupBy("term").agg(org.apache.spark.sql.functions.sum("cnt").as("df"))
+      .filter(col("df") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     def recomputed = {
       val tomb = Retrieval.readBm25Tombstones(spark, work)
       spark.read.parquet(s"$work/postings")
@@ -305,6 +307,75 @@ class RetrievalSpec extends SparkSpec {
     assert(dfTable == recomputed)
     Retrieval.compactBm25Store(spark, work)
     assert(dfTable == recomputed) // compaction must not change df
+  }
+
+  test("streaming BM25 ingest: batch retry is exactly-once, foreign checkpoints refused, manual-epoch stores refused at adoption") {
+    import graft.streaming.StreamingBm25Ingest
+    val base = docs((1L to 20L).map(i => i -> s"alpha doc$i common"): _*)
+    val b1 = docs((21L to 25L).map(i => i -> s"beta doc$i alpha"): _*)
+    val b2 = docs((26L to 30L).map(i => i -> s"gamma doc$i common"): _*)
+    val q = docs(900L -> "alpha common gamma")
+    val work = java.nio.file.Files.createTempDirectory("bm25si-").toString
+    Retrieval.writeBm25Store(base, "text", "doc_id", work, nBuckets = 8)
+    // adoption must refuse a store carrying manual appends (epoch 1)
+    val work2 = java.nio.file.Files.createTempDirectory("bm25si2-").toString
+    Retrieval.writeBm25Store(base, "text", "doc_id", work2, nBuckets = 8)
+    Retrieval.appendBm25Store(b1, "text", "doc_id", work2, epoch = 1L)
+    val exAdopt = intercept[IllegalArgumentException](
+      StreamingBm25Ingest.adopt(spark, work2, "ck"))
+    assert(exAdopt.getMessage.contains("batch-appended"))
+    // and an unmarked store can't be fed batches either (no adoption ran)
+    val exBare = intercept[IllegalArgumentException](
+      StreamingBm25Ingest.processBatch(b2, 0L, "text", "doc_id", work2, "ck"))
+    assert(exBare.getMessage.contains("stream marker"))
+    // the streamed store: two batches, batch 0 RETRIED (foreachBatch's
+    // at-least-once) — the epoch overwrite must make the retry invisible
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(work),
+      spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(work, "_graft_stream_id")
+    val out = fs.create(m, false)
+    try out.write("ckA".getBytes("UTF-8")) finally out.close()
+    StreamingBm25Ingest.processBatch(b1, 0L, "text", "doc_id", work, "ckA")
+    StreamingBm25Ingest.processBatch(b1, 0L, "text", "doc_id", work, "ckA") // retry
+    StreamingBm25Ingest.processBatch(b2, 1L, "text", "doc_id", work, "ckA")
+    val got = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30))
+    val oneShot = rows(Retrieval.bm25TopK(
+      base.unionByName(b1).unionByName(b2), q, "text", "doc_id", 30))
+    assert(got == oneShot)
+    assert(Retrieval.liveStats(spark, work).collect().head.getLong(0) == 30L)
+    // a fresh checkpoint must be refused (its batch 0 would overwrite epoch 1)
+    val exCk = intercept[IllegalArgumentException](
+      StreamingBm25Ingest.processBatch(b2, 0L, "text", "doc_id", work, "ckB"))
+    assert(exCk.getMessage.contains("ckA"))
+  }
+
+  test("Bm25StoreCtl drives the whole lifecycle: build, append, delete, compact, rebucket, recover, search, status") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("bm25ctl-").toString
+    docs((1L to 30L).map(i => i -> s"alpha doc$i term${i % 4} common"): _*)
+      .write.parquet(s"$work/corpus")
+    docs((31L to 40L).map(i => i -> s"beta doc$i alpha"): _*)
+      .write.parquet(s"$work/batch")
+    Seq(4L, 8L).toDF("doc_id").write.parquet(s"$work/dead")
+    docs(900L -> "alpha term1 common").write.parquet(s"$work/q")
+    def ctl(a: String*): Unit = Bm25StoreCtl.run(spark, a.toArray)
+    ctl("build", s"$work/corpus", "text", "doc_id", "8", s"$work/store")
+    ctl("append", s"$work/batch", "text", "doc_id", "1", s"$work/store")
+    ctl("delete", s"$work/dead", "2", s"$work/store")
+    ctl("compact", s"$work/store")
+    ctl("rebucket", s"$work/store", "16")
+    ctl("recover", s"$work/store") // no-op on a healthy store
+    ctl("status", s"$work/store")
+    ctl("search", s"$work/q", "text", "doc_id", "25", "6",
+      s"$work/store", s"$work/out")
+    val got = rows(spark.read.parquet(s"$work/out"))
+    val want = rows(Retrieval.bm25TopK(
+      docs(((1L to 30L) ++ (31L to 40L)).filterNot(Set(4L, 8L)).map(i =>
+        if (i <= 30L) i -> s"alpha doc$i term${i % 4} common"
+        else i -> s"beta doc$i alpha"): _*),
+      docs(900L -> "alpha term1 common"), "text", "doc_id", 25,
+      maxQueryTerms = 6))
+    assert(got == want && got.nonEmpty)
   }
 
   test("rrfFuse tie at equal rrf score breaks on doc_id") {
