@@ -171,7 +171,10 @@ object Retrieval {
   //     refresh a materialized census (which would be a postings-scale
   //     cost per batch with any realistic vocabulary).
   //   tombstones/epoch=E/         (doc_id) retracted ids; dynamic
-  //     overwrite per epoch makes deletes retry-idempotent too.
+  //     overwrite per epoch makes deletes retry-idempotent too. Delete
+  //     epochs are stored NEGATED across all three tables: appends (and
+  //     stream batches) own the positive space, so the two writers'
+  //     replace-don't-append tricks can never clobber each other's rows.
   //   epochs/epoch=E/             1 row (n_docs_delta, total_len_delta,
   //     n_buckets); the corpus scalars are THE SUM of these deltas
   //     (append epochs add, delete epochs subtract) — derived-on-read,
@@ -242,17 +245,17 @@ object Retrieval {
     }
   }
 
-  /** Tombstones from every epoch EXCEPT `epoch` — the prior-set a delete
-    * at `epoch` de-duplicates against. Excluding the current epoch is
-    * what makes delete retries converge: a crashed delete's own
-    * half-written epoch must not hide its ids from the rerun. */
+  /** Tombstones from every epoch EXCEPT `storedEpoch` — the prior-set a
+    * delete de-duplicates against. Excluding the current epoch is what
+    * makes delete retries converge: a crashed delete's own half-written
+    * epoch must not hide its ids from the rerun. */
   private def priorTombstones(spark: SparkSession, path: String,
-                              epoch: Long): DataFrame = {
+                              storedEpoch: Long): DataFrame = {
     val fs = fsFor(spark, path)
     val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
     if (fs.exists(tp))
       spark.read.parquet(tp.toString)
-        .filter(col("epoch") =!= epoch).select("doc_id").distinct()
+        .filter(col("epoch") =!= storedEpoch).select("doc_id").distinct()
     else readBm25Tombstones(spark, path) // empty frame w/ correct type
   }
 
@@ -387,13 +390,24 @@ object Retrieval {
     * per-epoch dynamic overwrites of deterministically derived data —
     * the prior-tombstone set deliberately EXCLUDES the current epoch so
     * a crashed attempt's own half-written epoch can't hide its ids from
-    * the rerun). Returns the number of docs actually retracted. */
+    * the rerun).
+    *
+    * Delete epochs are stored NEGATED (`-epoch`): append and stream
+    * epochs own the positive space (a stream batch B lands at B+1), and
+    * a delete whose epoch number a LATER stream batch happened to reuse
+    * would otherwise have its scalar/df delta rows silently REPLACED by
+    * that batch's dynamic overwrite — the epoch spaces must be disjoint
+    * for the two writers' idempotency tricks to compose. Callers still
+    * pass positive epochs; retries of the same delete still converge.
+    * Returns the number of docs actually retracted. */
   def deleteFromBm25Store(spark: SparkSession, path: String,
                           ids: DataFrame, epoch: Long): Long = {
     require(epoch >= 1, s"delete epochs start at 1 (0 is the build): $epoch")
+    val storedEpoch = -epoch
     graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
       val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
-      val newIds = want.join(broadcast(priorTombstones(spark, path, epoch)),
+      val newIds = want.join(
+        broadcast(priorTombstones(spark, path, storedEpoch)),
         Seq("doc_id"), "left_anti")
       val hits = spark.read.parquet(postingsPath(path))
         .select(col("bucket").cast("long").as("bucket"),
@@ -407,14 +421,14 @@ object Retrieval {
       val (nd, tl) = (stats.getLong(0), stats.getLong(1))
       if (nd == 0L) 0L
       else {
-        perDoc.select("doc_id").withColumn("epoch", lit(epoch))
+        perDoc.select("doc_id").withColumn("epoch", lit(storedEpoch))
           .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").partitionBy("epoch")
           .parquet(storeTombstonesPath(path))
         writeDfDelta(hits.groupBy("bucket", "term")
             .agg((-count(lit(1))).as("cnt")),
-          path, epoch, replaceAll = false)
-        writeEpochDelta(spark, path, epoch, -nd, -tl,
+          path, storedEpoch, replaceAll = false)
+        writeEpochDelta(spark, path, storedEpoch, -nd, -tl,
           readMeta(spark, path), replaceAll = false)
         nd
       }

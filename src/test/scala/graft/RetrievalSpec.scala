@@ -378,6 +378,29 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("delete epochs live in negative space: a later append reusing the number cannot clobber the delete's deltas") {
+    import spark.implicits._
+    // the hazard: delete at epoch 2, then a stream/append batch lands at
+    // epoch 2 — with shared epoch space its dynamic overwrite would
+    // REPLACE the delete's scalar/df delta rows, silently resurrecting
+    // the deleted docs' mass in every idf/avgdl
+    val base = docs((1L to 20L).map(i => i -> s"alpha doc$i common"): _*)
+    val late = docs((21L to 26L).map(i => i -> s"beta doc$i alpha"): _*)
+    val q = docs(900L -> "alpha common beta")
+    val work = java.nio.file.Files.createTempDirectory("bm25neg-").toString
+    Retrieval.writeBm25Store(base, "text", "doc_id", work, nBuckets = 8)
+    Retrieval.deleteFromBm25Store(spark, work, Seq(3L, 7L).toDF("doc_id"), epoch = 2L)
+    Retrieval.appendBm25Store(late, "text", "doc_id", work, epoch = 2L) // same number
+    val st = Retrieval.liveStats(spark, work).collect().head
+    assert(st.getLong(0) == 20L - 2L + 6L,
+      s"append at a reused epoch number clobbered the delete: n_docs=${st.getLong(0)}")
+    val got = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30))
+    val want = rows(Retrieval.bm25TopK(
+      base.filter(!col("doc_id").isin(3L, 7L)).unionByName(late),
+      q, "text", "doc_id", 30))
+    assert(got == want && !got.exists(r => Set(3L, 7L)(r._3)))
+  }
+
   test("rrfFuse tie at equal rrf score breaks on doc_id") {
     import spark.implicits._
     val lex = Seq((9L, 20L, 1L), (9L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
