@@ -539,7 +539,11 @@ object Retrieval {
     * store whose sustained appends have outgrown its build-time bucket
     * geometry (fat buckets → coarse pruning), without losing the append
     * history: the lexical analog of [[Quantize.compactIvfPqIndex]]'s
-    * full-rebalance role. One full-store pass by design: live postings
+    * full-rebalance role. Rebucketing at the SAME count is the store's
+    * epoch-fold DEFRAG: a long-lived stream-fed store accumulates one
+    * (bucket, epoch) directory per micro-batch, and folding them back to
+    * epoch 0 collapses the file/listing overhead in one maintenance
+    * window (the stream marker survives the swap, so ingest continues). One full-store pass by design: live postings
     * (tombstones dropped) re-hash into `newBuckets` partitions folded to
     * epoch 0, df and meta are rebuilt, and the scalar epochs fold to one
     * row of the current live totals. The new store is built COMPLETE at
@@ -576,6 +580,16 @@ object Retrieval {
       val st = liveStats(spark, path).collect().head
       writeEpochDelta(spark, tmp, 0L, st.getLong(0), st.getLong(1),
         newBuckets, replaceAll = true)
+      // a stream-pinned store keeps its checkpoint identity across the
+      // rebucket: the marker travels to the new image (epochs fold to 0,
+      // so the continuing stream's positive batch epochs stay collision-
+      // free), otherwise the next micro-batch would refuse the store
+      val marker = new org.apache.hadoop.fs.Path(
+        path.stripSuffix("/"), "_graft_stream_id")
+      if (fs.exists(marker))
+        org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
+          new org.apache.hadoop.fs.Path(tmp, "_graft_stream_id"),
+          false, spark.sparkContext.hadoopConfiguration)
       // Install: old store → backup, new store → path, drop backup.
       val main = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
       if (!fs.rename(main, bak))
@@ -649,6 +663,50 @@ object Retrieval {
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     // live df = summed deltas of the pruned buckets; a term whose count
     // summed to 0 has no live postings either, so it never scores
+    val dfreq = spark.read.parquet(dfPath(path))
+      .filter(col("bucket").isInCollection(buckets))
+      .groupBy("term").agg(sum("cnt").as("df"))
+    scoreBm25(postings, qterms, stats, dfreq, k, k1, b)
+  }
+
+  /** Metadata-predicated store serving — the lexical twin of the
+    * filtered ANN search (qx76): only docs in `allowedDocs` (an id
+    * allow-list: ACLs, source filters, freshness windows) may appear in
+    * the top-k, enforced BEFORE ranking so the k results are k SURVIVORS,
+    * never a post-filtered shorter list. Scoring statistics stay
+    * CORPUS-GLOBAL (idf from the full live df, avgdl from the full live
+    * scalars) — the standard filtered-retrieval semantics (a Lucene
+    * filter query doesn't reweight idf); the filter fences candidates
+    * only. The allow-list broadcasts: it is predicate metadata, not
+    * corpus data. */
+  def bm25TopKFromStoreFiltered(spark: SparkSession, path: String,
+                                queries: DataFrame, allowedDocs: DataFrame,
+                                textCol: String, idCol: String,
+                                k: Int, k1: Double = K1, b: Double = B,
+                                maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    val (nd, tl, nBuckets) = liveStatsAndBuckets(spark, path)
+    import spark.implicits._
+    val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
+    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val buckets = qterms
+      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val post = spark.read.parquet(postingsPath(path))
+    val fs = fsFor(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
+    val tomb =
+      if (fs.exists(tp))
+        spark.read.parquet(tp.toString).select("doc_id").distinct()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
+    val allowed = allowedDocs
+      .select(col(allowedDocs.columns.head).as("doc_id")).distinct()
+    val postings = post
+      .filter(col("bucket").isInCollection(buckets))
+      .select("doc_id", "term", "tf", "dl")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .join(broadcast(allowed), Seq("doc_id"), "leftsemi")
     val dfreq = spark.read.parquet(dfPath(path))
       .filter(col("bucket").isInCollection(buckets))
       .groupBy("term").agg(sum("cnt").as("df"))

@@ -165,6 +165,26 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Filtered store serving: metadata-predicated lexical retrieval --
+    // (the lexical twin of qx76's filtered ANN: an id allow-list — ACLs,
+    //  source filters, freshness windows — fences the CANDIDATES before
+    //  ranking, so the top-k are k survivors; idf/avgdl stay
+    //  corpus-global, the standard filtered-retrieval semantics. The
+    //  allow-list broadcasts; the store still serves bucket-pruned.)
+    "qx111_bm25_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val work = java.nio.file.Files.createTempDirectory("qx111-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery),
+        "text", "doc_id", work, STORE_BUCKETS)
+      val allowed = docs.filter(notQuery && col("doc_id") % 3 === 1)
+        .select("doc_id")
+      Retrieval.bm25TopKFromStoreFiltered(s, work,
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
+          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Curation v5: decontaminate → quality-gate → BM25-serve ---------
     // (the retrieval layer riding the curated corpus: Bloom-decontaminate
     //  against the held-out benchmark slice at scan cost, drop the
@@ -291,8 +311,12 @@ object RetrievalQueries {
   private implicit val duck: Dialect = Dialect(spark = false)
 
   /** BM25 scoring CTE chain over `corpus`/`q` CTEs (both (doc_id, text));
-    * yields a `ranked` relation (query_id, doc_id, score_dec, rn). */
-  private def bm25Ctes: String = {
+    * yields a `ranked` relation (query_id, doc_id, score_dec, rn).
+    * `candWhere` optionally fences the CANDIDATE docs (filtered
+    * retrieval, qx111) — df/stats stay corpus-global, matching
+    * [[Retrieval.bm25TopKFromStoreFiltered]]'s semantics. */
+  private def bm25Ctes: String = bm25CtesWhere("")
+  private def bm25CtesWhere(candWhere: String): String = {
     val d = duck
     s"""tok AS (SELECT doc_id, unnest(${TX.tokens("text")(d)}) AS term FROM corpus),
        |postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -305,7 +329,7 @@ object RetrievalQueries {
        |             unnest(${d.slice(TX.tokens("text")(d), "1", MAX_QTERMS)}) AS term
        |           FROM q),
        |cand AS (SELECT query_id, p.term AS term, p.doc_id AS doc_id, tf, df
-       |         FROM postings p JOIN qterms USING (term) JOIN dfreq USING (term)),
+       |         FROM postings p JOIN qterms USING (term) JOIN dfreq USING (term)$candWhere),
        |scored AS (
        |  SELECT query_id, cand.doc_id AS doc_id,
        |    CAST(floor(${Retrieval.idfSql} * ${Retrieval.tfNormSql(Retrieval.K1, Retrieval.B)}
@@ -463,6 +487,17 @@ object RetrievalQueries {
          |         OR doc_id % $STORE_READD_MOD = $STORE_READD_REM)),
          |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
          |$bm25Ctes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,
+
+    // Filtered serving: the allow-list fences cand only — df/stats CTEs
+    // untouched, proving idf/avgdl stayed corpus-global through the
+    // store path as well.
+    "qx111_bm25_filtered" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |${bm25CtesWhere(" WHERE p.doc_id % 3 = 1")}
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
          |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
          |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,

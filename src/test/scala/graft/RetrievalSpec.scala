@@ -282,6 +282,16 @@ class RetrievalSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/tombstones")))
     assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 50)) == want)
     assert(Retrieval.liveStats(spark, work).collect().head.getLong(0) == 48L)
+    // a stream-pinned store keeps its checkpoint identity across rebucket
+    val m = new org.apache.hadoop.fs.Path(work, "_graft_stream_id")
+    val out = fs.create(m, false)
+    try out.write("ckR".getBytes("UTF-8")) finally out.close()
+    Retrieval.rebucketBm25Store(spark, work, newBuckets = 8)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(work, "_graft_stream_id")),
+      "rebucket dropped the stream marker")
+    graft.streaming.StreamingBm25Ingest.processBatch(
+      docs(60L -> "alpha extra common"), 5L, "text", "doc_id", work, "ckR")
+    assert(Retrieval.liveStats(spark, work).collect().head.getLong(0) == 49L)
   }
 
   test("bm25 store persisted df stays consistent with live postings through the whole lifecycle") {
