@@ -407,7 +407,19 @@ object Quantize {
     * not an append. Gate (BatchingOpsSpec): store-after-append ≡
     * one-shot rebuild over the union, row for row, and the probed
     * search over the appended store equals the in-memory full-corpus
-    * search. */
+    * search.
+    *
+    * RETRY PROTOCOL (this is `mode("append")`, so re-running a FAILED
+    * append naively would double-land the batch's code rows and double
+    * its ADC distances — the hazard the epoch-addressed BM25 store and
+    * the stream ingest's (cell, batch) dynamic overwrite design away):
+    * run `deleteFromIvfPqIndex(batchIds)` first, then re-append. The
+    * delete is exact surgery on whatever fraction of the batch landed
+    * (absent ids are no-ops) with its own crash discipline, so
+    * delete-then-reappend from ANY partial state converges to the clean
+    * append — BatchingOpsSpec gates that equality. Streams should use
+    * [[graft.streaming.StreamingVectorIngest]], whose retries are
+    * replace-not-append by construction. */
   def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,

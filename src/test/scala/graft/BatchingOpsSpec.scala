@@ -297,6 +297,45 @@ class BatchingOpsSpec extends SparkSpec {
       "search over the appended store must equal the in-memory full-corpus search")
   }
 
+  test("append retry protocol: delete(batchIds) then re-append converges from a partial append to the clean store") {
+    // appendToIvfPqIndex is mode(\"append\") — a naive retry of a FAILED
+    // append would double-land the batch's code rows and double ADC
+    // distances. The documented retry protocol is delete-then-reappend;
+    // this gate proves it converges from the WORST partial state (the
+    // whole batch already landed once, i.e. a crash after commit) and
+    // from the half-landed state (some batch rows present).
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val batch = emb.filter(col("vec_id") % 4 === 1)
+    val half = batch.filter(col("vec_id") % 8 === 1)
+    def build(path: String, corpus: org.apache.spark.sql.DataFrame): Unit =
+      Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(corpus, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), path)
+    def append(path: String, b: org.apache.spark.sql.DataFrame): Unit =
+      Quantize.appendToIvfPqIndex(b, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, path)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "block", "code", "centroid_id")
+      .collect().map(_.toString).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-retry").toString
+    build(s"$dir/clean", base); append(s"$dir/clean", batch)
+    for ((name, partial) <- Seq("full" -> batch, "half" -> half)) {
+      val p = s"$dir/$name"
+      build(p, base)
+      append(p, partial) // the interrupted attempt's landed fraction
+      // retry per protocol: delete the batch ids (absent ones no-op) …
+      Quantize.deleteFromIvfPqIndex(spark, p, batch.select("vec_id"), "vec_id")
+      append(p, batch) // … then re-append
+      assert(rows(p) == rows(s"$dir/clean"),
+        s"delete-then-reappend from the $name-landed state must equal the clean append")
+    }
+  }
+
   test("deleteFromIvfPqIndex: store-after-delete equals build-without-them; untouched cells keep their files") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
