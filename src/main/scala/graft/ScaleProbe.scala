@@ -72,6 +72,26 @@ object ScaleProbe {
         println(f"[scale] bm25_docs=${n0 * mult}%8d  buckets=${qb.size}%2d/64  " +
           f"pruned=${pruned}%9dB of ${total}%9dB (${100.0 * pruned / total}%4.1f%%)  " +
           f"serve=${secs}%6.2fs  hits: $hits  |  append_batch=$bn%6d  append=${appendSecs}%6.2fs")
+        // delete a FIXED 100-doc set, then compact: delete pays one
+        // column-pruned postings scan (broadcast delete set, zero bucket
+        // rewrites) — wall should grow sub-linearly with the store;
+        // compact rewrites only the affected buckets' bytes, reported as
+        // the rewritten fraction
+        val dead = (0 until mult).flatMap(i =>
+          (1L to 100L).map(_ * 7L + i.toLong * 1000000L)).take(100)
+        val t2 = System.nanoTime()
+        val nDel = graft.operators.Retrieval.deleteFromBm25Store(spark, path,
+          spark.createDataset(dead)(org.apache.spark.sql.Encoders.scalaLong)
+            .toDF("doc_id"), epoch = 2L)
+        val delSecs = (System.nanoTime() - t2) / 1e9
+        val preBytes = dirBytes(new java.io.File(s"$path/postings"), _ => true)
+        val t3 = System.nanoTime()
+        val removed = graft.operators.Retrieval.compactBm25Store(spark, path)
+        val compSecs = (System.nanoTime() - t3) / 1e9
+        val postBytes = dirBytes(new java.io.File(s"$path/postings"), _ => true)
+        println(f"[scale] bm25_docs=${n0 * mult}%8d  delete_docs=$nDel%4d  " +
+          f"delete=${delSecs}%6.2fs  |  compact_rows=$removed%6d  " +
+          f"compact=${compSecs}%6.2fs  store ${preBytes}%9dB -> ${postBytes}%9dB")
       }
     }
     if (bm25Only) { spark.stop(); return }
