@@ -635,10 +635,38 @@ object Retrieval {
   def bm25TopKFromStore(spark: SparkSession, path: String,
                         queries: DataFrame, textCol: String, idCol: String,
                         k: Int, k1: Double = K1, b: Double = B,
-                        maxQueryTerms: Int = Int.MaxValue): DataFrame = {
-    // one tiny epochs read yields scalars AND bucket geometry; the
-    // scalars become a driver-LOCAL 1-row frame, so the serving plan's
-    // only jobs are the two bucket-pruned store reads
+                        maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    servedBm25(spark, path, queries, textCol, idCol, k, k1, b,
+      maxQueryTerms, allowed = None)
+
+  /** Metadata-predicated store serving — the lexical twin of the
+    * filtered ANN search (qx76): only docs in `allowedDocs` (an id
+    * allow-list: ACLs, source filters, freshness windows) may appear in
+    * the top-k, enforced BEFORE ranking so the k results are k SURVIVORS,
+    * never a post-filtered shorter list. Scoring statistics stay
+    * CORPUS-GLOBAL (idf from the full live df, avgdl from the full live
+    * scalars) — the standard filtered-retrieval semantics (a Lucene
+    * filter query doesn't reweight idf); the filter fences candidates
+    * only. The allow-list broadcasts: it is predicate metadata, not
+    * corpus data. */
+  def bm25TopKFromStoreFiltered(spark: SparkSession, path: String,
+                                queries: DataFrame, allowedDocs: DataFrame,
+                                textCol: String, idCol: String,
+                                k: Int, k1: Double = K1, b: Double = B,
+                                maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    servedBm25(spark, path, queries, textCol, idCol, k, k1, b,
+      maxQueryTerms, allowed = Some(allowedDocs))
+
+  /** The one serving core (filtered and unfiltered cannot drift): one
+    * tiny epochs read yields scalars AND bucket geometry (the scalars
+    * become a driver-LOCAL 1-row frame), postings and the df sidecar
+    * both read behind the literal bucket filter, tombstones anti-joined,
+    * the optional allow-list semi-joined — then the shared scoring
+    * tail. */
+  private def servedBm25(spark: SparkSession, path: String,
+                         queries: DataFrame, textCol: String, idCol: String,
+                         k: Int, k1: Double, b: Double, maxQueryTerms: Int,
+                         allowed: Option[DataFrame]): DataFrame = {
     val (nd, tl, nBuckets) = liveStatsAndBuckets(spark, path)
     import spark.implicits._
     val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
@@ -657,56 +685,16 @@ object Retrieval {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
-    val postings = post
+    val live = post
       .filter(col("bucket").isInCollection(buckets))
       .select("doc_id", "term", "tf", "dl")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val postings = allowed.fold(live) { a =>
+      val ids = a.select(col(a.columns.head).as("doc_id")).distinct()
+      live.join(broadcast(ids), Seq("doc_id"), "leftsemi")
+    }
     // live df = summed deltas of the pruned buckets; a term whose count
     // summed to 0 has no live postings either, so it never scores
-    val dfreq = spark.read.parquet(dfPath(path))
-      .filter(col("bucket").isInCollection(buckets))
-      .groupBy("term").agg(sum("cnt").as("df"))
-    scoreBm25(postings, qterms, stats, dfreq, k, k1, b)
-  }
-
-  /** Metadata-predicated store serving — the lexical twin of the
-    * filtered ANN search (qx76): only docs in `allowedDocs` (an id
-    * allow-list: ACLs, source filters, freshness windows) may appear in
-    * the top-k, enforced BEFORE ranking so the k results are k SURVIVORS,
-    * never a post-filtered shorter list. Scoring statistics stay
-    * CORPUS-GLOBAL (idf from the full live df, avgdl from the full live
-    * scalars) — the standard filtered-retrieval semantics (a Lucene
-    * filter query doesn't reweight idf); the filter fences candidates
-    * only. The allow-list broadcasts: it is predicate metadata, not
-    * corpus data. */
-  def bm25TopKFromStoreFiltered(spark: SparkSession, path: String,
-                                queries: DataFrame, allowedDocs: DataFrame,
-                                textCol: String, idCol: String,
-                                k: Int, k1: Double = K1, b: Double = B,
-                                maxQueryTerms: Int = Int.MaxValue): DataFrame = {
-    val (nd, tl, nBuckets) = liveStatsAndBuckets(spark, path)
-    import spark.implicits._
-    val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
-    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
-    val buckets = qterms
-      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val post = spark.read.parquet(postingsPath(path))
-    val fs = fsFor(spark, path)
-    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
-    val tomb =
-      if (fs.exists(tp))
-        spark.read.parquet(tp.toString).select("doc_id").distinct()
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
-    val allowed = allowedDocs
-      .select(col(allowedDocs.columns.head).as("doc_id")).distinct()
-    val postings = post
-      .filter(col("bucket").isInCollection(buckets))
-      .select("doc_id", "term", "tf", "dl")
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .join(broadcast(allowed), Seq("doc_id"), "leftsemi")
     val dfreq = spark.read.parquet(dfPath(path))
       .filter(col("bucket").isInCollection(buckets))
       .groupBy("term").agg(sum("cnt").as("df"))

@@ -283,6 +283,59 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- FULLY-STREAMED hybrid retrieval: the RAG loop under ingestion -
+    // (qx107's composition with BOTH stores fed by streams: documents
+    //  micro-batch into the BM25 store via epoch-addressed appends, the
+    //  corpus vectors micro-batch into a self-contained IVF-PQ store
+    //  against its persisted quantizers, the stream-fed vector store is
+    //  FLATTENED to the canonical cell layout (the documented
+    //  ingesting→maintained hand-off), and the same hybridTopKFromStores
+    //  serves the fused top-k. The oracle is qx107's VERBATIM: ingestion
+    //  mechanics — batch boundaries, epoch bookkeeping, the flatten —
+    //  must all be invisible to the served ranking.)
+    "qx112_hybrid_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      val isQuery = col("doc_id") % RRF_QMOD === RRF_QREM
+      val corpusDocs = hybrid.filter(!isQuery).select("doc_id", "text")
+      val corpusVecs = hybrid.filter(!isQuery).select("doc_id", "embedding")
+      val cents = emb.filter(col("vec_id") < HY_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < HY_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val work = java.nio.file.Files.createTempDirectory("qx112-").toString
+      // lexical: build on the even half, STREAM the odd half in
+      Retrieval.writeBm25Store(corpusDocs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", s"$work/lex", STORE_BUCKETS)
+      corpusDocs.filter(col("doc_id") % 2 === 1)
+        .repartition(2).write.parquet(s"$work/lexlanding")
+      val ql = graft.streaming.StreamingBm25Ingest.start(
+        s.readStream.schema(s.read.parquet(s"$work/lexlanding").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/lexlanding"),
+        "text", "doc_id", s"$work/lex", s"$work/lexckpt")
+      try ql.processAllAvailable() finally ql.stop()
+      // vector: quantizers persisted first, the WHOLE corpus streamed in,
+      // then the hand-off to the maintained single-level layout
+      graft.operators.Quantize.saveQuantizers(s, s"$work/vec",
+        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+        graft.operators.Quantize.StoreParams(HY_DIMS, HY_BLOCKS,
+          residual = false, "doc_id"))
+      corpusVecs.repartition(2).write.parquet(s"$work/veclanding")
+      val qv = graft.streaming.StreamingVectorIngest.startSelfContained(
+        s.readStream.schema(s.read.parquet(s"$work/veclanding").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/veclanding"),
+        "embedding", s"$work/vec", s"$work/vecckpt")
+      try qv.processAllAvailable() finally qv.stop()
+      graft.operators.Quantize.flattenIngestedStore(s, s"$work/vec", "doc_id")
+      Retrieval.hybridTopKFromStores(s, s"$work/lex", s"$work/vec",
+          hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
+          "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
+          HY_NPROBE, HY_RERANK, corpusVecs, "embedding",
+          maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Hybrid retrieval: BM25 ∪ cosine kNN → reciprocal rank fusion --
     // (the production RAG shape: the lexical and vector top-20 lists are
     //  computed independently — each with its own scale path — and fused
@@ -367,7 +420,13 @@ object RetrievalQueries {
        |        ORDER BY rrf_u DESC, doc_id ASC) AS rn FROM fused)
        |WHERE rn <= $RRF_TOPK ORDER BY query_id, rank""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // qx112's contract IS qx107's result: both stores fed by streams
+    // (plus the flatten hand-off) must serve exactly what the
+    // batch-built deployment serves — same oracle, verbatim.
+    "qx112_hybrid_stream" -> oracleSqlBase("qx107_hybrid_store"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     // Store-served hybrid: lexical ranks are qx100's BM25 CTEs over the
     // hybrid corpus; vector ranks are PROBED EXACT kNN (assignment and
