@@ -101,20 +101,19 @@ object Bm25StoreCtl {
           .orderBy("query_id", "rank"), args.lift(13))
       case "status" =>
         val store = args(1)
-        val epochs = spark.read.parquet(s"$store/epochs")
-        val st = epochs.agg(
-            coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
-            coalesce(sum("total_len_delta"), lit(0L)).as("total_len"),
-            max("n_buckets").as("n_buckets"),
-            count(lit(1)).as("n_epochs"))
+        // scalar semantics live in ONE place: Retrieval.liveStats — the
+        // CLI only adds the bookkeeping columns beside it
+        val st = Retrieval.liveStats(spark, store).collect().head
+        val meta = spark.read.parquet(s"$store/epochs")
+          .agg(max("n_buckets").as("n_buckets"), count(lit(1)).as("n_epochs"))
           .collect().head
         val tomb = Retrieval.readBm25Tombstones(spark, store).count()
         val perBucket = spark.read.parquet(s"$store/postings")
           .groupBy(col("bucket").cast("long").as("bucket"))
           .agg(count(lit(1)).as("rows"))
         println(s"[bm25ctl] $store: live_docs=${st.getLong(0)} " +
-          s"total_len=${st.getLong(1)} n_buckets=${st.getInt(2)} " +
-          s"epochs=${st.getLong(3)} tombstones=$tomb")
+          s"total_len=${st.getLong(1)} n_buckets=${meta.getInt(0)} " +
+          s"epochs=${meta.getLong(1)} tombstones=$tomb")
         perBucket.orderBy("bucket").show(100, truncate = false)
       case other =>
         System.err.println(s"unknown subcommand '$other'\n$usage")

@@ -77,8 +77,7 @@ object ScaleProbe {
         // rewrites) — wall should grow sub-linearly with the store;
         // compact rewrites only the affected buckets' bytes, reported as
         // the rewritten fraction
-        val dead = (0 until mult).flatMap(i =>
-          (1L to 100L).map(_ * 7L + i.toLong * 1000000L)).take(100)
+        val dead = (1L to 100L).map(_ * 7L) // fixed set, present in every copy-0 slice
         val t2 = System.nanoTime()
         val nDel = graft.operators.Retrieval.deleteFromBm25Store(spark, path,
           spark.createDataset(dead)(org.apache.spark.sql.Encoders.scalaLong)

@@ -421,15 +421,29 @@ object Retrieval {
       val (nd, tl) = (stats.getLong(0), stats.getLong(1))
       if (nd == 0L) 0L
       else {
-        perDoc.select("doc_id").withColumn("epoch", lit(storedEpoch))
-          .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").partitionBy("epoch")
-          .parquet(storeTombstonesPath(path))
+        // Write order is the crash contract: df/scalar deltas FIRST,
+        // tombstones LAST. The tombstones are the delete's commit point
+        // — until they exist, a compaction is a no-op (nothing
+        // tombstoned to purge) and a same-epoch retry still sees the
+        // doomed postings, recomputes identical deltas, and lands the
+        // tombstones: the retry converges from every crash point EVEN IF
+        // a compact ran in between. (Tombstones-first had a poison
+        // state: crash before the deltas, then a compact physically
+        // removes the postings and clears the tombstones — the retry
+        // finds nothing to delete and the stats stay overstated
+        // forever.) The cost is a bounded transient: between the delta
+        // writes and the tombstone commit, searches score live postings
+        // against already-decremented stats — single-writer retry heals
+        // it, and no state in the window is unrecoverable.
         writeDfDelta(hits.groupBy("bucket", "term")
             .agg((-count(lit(1))).as("cnt")),
           path, storedEpoch, replaceAll = false)
         writeEpochDelta(spark, path, storedEpoch, -nd, -tl,
           readMeta(spark, path), replaceAll = false)
+        perDoc.select("doc_id").withColumn("epoch", lit(storedEpoch))
+          .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("epoch")
+          .parquet(storeTombstonesPath(path))
         nd
       }
     }
@@ -543,7 +557,11 @@ object Retrieval {
     * epoch-fold DEFRAG: a long-lived stream-fed store accumulates one
     * (bucket, epoch) directory per micro-batch, and folding them back to
     * epoch 0 collapses the file/listing overhead in one maintenance
-    * window (the stream marker survives the swap, so ingest continues). One full-store pass by design: live postings
+    * window. The stream marker survives the swap so ingest can resume —
+    * but the stream must be STOPPED with its last batch COMMITTED to
+    * the checkpoint first: folding voids per-epoch replay idempotency,
+    * so an uncommitted batch replayed after the fold would double-land
+    * (the in-body comment states the hazard precisely). One full-store pass by design: live postings
     * (tombstones dropped) re-hash into `newBuckets` partitions folded to
     * epoch 0, df and meta are rebuilt, and the scalar epochs fold to one
     * row of the current live totals. The new store is built COMPLETE at
@@ -581,9 +599,14 @@ object Retrieval {
       writeEpochDelta(spark, tmp, 0L, st.getLong(0), st.getLong(1),
         newBuckets, replaceAll = true)
       // a stream-pinned store keeps its checkpoint identity across the
-      // rebucket: the marker travels to the new image (epochs fold to 0,
-      // so the continuing stream's positive batch epochs stay collision-
-      // free), otherwise the next micro-batch would refuse the store
+      // rebucket: the marker travels to the new image, otherwise the
+      // next micro-batch would refuse the store. QUIESCENCE CONTRACT
+      // (stronger than compaction's): the stream must be STOPPED with
+      // its final batch COMMITTED to the checkpoint before rebucketing.
+      // Folding epochs to 0 voids the per-epoch replay idempotency — a
+      // batch whose append landed but whose checkpoint commit didn't
+      // would be REPLAYED after the fold and double-land its docs
+      // (its old epoch partition no longer exists to be replaced).
       val marker = new org.apache.hadoop.fs.Path(
         path.stripSuffix("/"), "_graft_stream_id")
       if (fs.exists(marker))

@@ -9,13 +9,13 @@ package graft.tools
   * No SparkSession needed — the maps are plain values. */
 object Counts {
   def main(args: Array[String]): Unit = {
-    val q = graft.SparkEntry.queries.size
-    val o = graft.SparkEntry.oracleSql.size
-    println(s"queries=$q")
-    println(s"oracles=$o")
+    // invariant BEFORE any output: a dangling oracle key must abort
+    // without printing counts a downstream grep could still harvest
     require(graft.SparkEntry.oracleSql.keySet.subsetOf(
         graft.SparkEntry.queries.keySet),
       "oracleSql contains keys with no matching query: " +
         (graft.SparkEntry.oracleSql.keySet -- graft.SparkEntry.queries.keySet))
+    println(s"queries=${graft.SparkEntry.queries.size}")
+    println(s"oracles=${graft.SparkEntry.oracleSql.size}")
   }
 }

@@ -411,6 +411,44 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want && !got.exists(r => Set(3L, 7L)(r._3)))
   }
 
+  test("delete crash window: deltas-written/tombstones-missing survives an interleaved compact and heals on retry") {
+    import spark.implicits._
+    // tombstones are the delete's COMMIT POINT (written last). The
+    // poison sequence under the old tombstones-first order: crash
+    // mid-delete, a scheduler runs compact (which would physically purge
+    // the tombstoned postings and clear the tombstones), and the retry
+    // finds nothing left to delete — stats overstated forever. With
+    // tombstones-last the compact is a NO-OP in the crash window and the
+    // retry fully converges.
+    val all = docs((1L to 30L).map(i => i -> s"alpha doc$i term${i % 4} common"): _*)
+    val dead = Seq(4L, 8L, 12L)
+    val q = docs(900L -> "alpha term0 common")
+    val work = java.nio.file.Files.createTempDirectory("bm25cw-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 8)
+    // construct the exact crash state: run the full delete, then remove
+    // the tombstones — identical to dying between the delta writes and
+    // the tombstone commit
+    Retrieval.deleteFromBm25Store(spark, work, dead.toDF("doc_id"), epoch = 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(work),
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$work/tombstones"), true))
+    // interleaved maintenance must not destroy convergence
+    assert(Retrieval.compactBm25Store(spark, work) == 0L)
+    assert(spark.read.parquet(s"$work/postings")
+      .filter(col("doc_id").isin(dead: _*)).count() > 0,
+      "compact in the crash window must not purge the un-tombstoned docs")
+    // the documented heal: re-run the SAME delete
+    assert(Retrieval.deleteFromBm25Store(spark, work,
+      dead.toDF("doc_id"), epoch = 1L) == dead.size)
+    val want = rows(Retrieval.bm25TopK(
+      all.filter(!col("doc_id").isin(dead: _*)), q, "text", "doc_id", 30))
+    assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30)) == want)
+    assert(Retrieval.liveStats(spark, work).collect().head.getLong(0) == 27L)
+    // and the post-heal compact now really purges
+    assert(Retrieval.compactBm25Store(spark, work) > 0L)
+    assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30)) == want)
+  }
+
   test("rrfFuse tie at equal rrf score breaks on doc_id") {
     import spark.implicits._
     val lex = Seq((9L, 20L, 1L), (9L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
