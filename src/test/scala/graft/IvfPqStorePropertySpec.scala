@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Quantize
+import org.apache.spark.sql.functions._
+
+/** Model-based lifecycle property for the IVF-PQ store — the vector twin
+  * of [[Bm25StorePropertySpec]]: a deterministic pseudo-random sequence
+  * of append / tombstone / retention-sweep / immediate-delete / compact
+  * operations (with the documented delete-then-reappend RETRY heal
+  * spliced in) must leave a store whose tombstone-filtered probed search
+  * answers EXACTLY like the in-memory search over the model's live
+  * vectors. Each op is proven alone in BatchingOpsSpec; this proves
+  * arbitrary interleavings compose. Fixed LCG per seed → replayable. */
+class IvfPqStorePropertySpec extends SparkSpec {
+
+  private final class Lcg(seed0: Long) {
+    private var s = seed0
+    def next(bound: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % bound) + bound).toInt % bound
+    }
+  }
+
+  test("random lifecycle sequences answer exactly like the in-memory search over the live vectors") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val queries = emb.filter(col("vec_id") < 5)
+
+    for (seed <- Seq(11L, 97L)) {
+      val rnd = new Lcg(seed)
+      // model: the live id set; start from a 60% slice so appends have room
+      var live = allIds.filter(_ % 5 != 3).toSet
+      var pending = allIds.filterNot(live).sorted.toSeq // appendable ids
+      val store = java.nio.file.Files
+        .createTempDirectory(s"ivfpqprop-$seed-").toString + "/index"
+      def frame(ids: Set[Long]) =
+        emb.filter(col("vec_id").isInCollection(ids.toSeq))
+      Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(frame(live),
+        "vec_id", "embedding", cents, "cid", "cv",
+        codebook, "code_id", "c_emb", 64, 4), store)
+      for (step <- 1 to 6) {
+        rnd.next(5) match {
+          case 0 if pending.nonEmpty => // append a fresh batch
+            val batch = pending.take(1 + rnd.next(30)).toSet
+            pending = pending.drop(batch.size)
+            live ++= batch
+            Quantize.appendToIvfPqIndex(frame(batch), "vec_id", "embedding",
+              cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, store)
+            if (rnd.next(2) == 0) {
+              // the documented append RETRY heal: delete batch ids, re-append
+              import spark.implicits._
+              Quantize.deleteFromIvfPqIndex(spark, store,
+                batch.toSeq.toDF("vec_id"), "vec_id")
+              Quantize.appendToIvfPqIndex(frame(batch), "vec_id", "embedding",
+                cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, store)
+            }
+          case 1 => // O(1) tombstoned retraction (+ an absent id no-op)
+            import spark.implicits._
+            val pick = live.toSeq.sorted
+            val dead = (0 until (1 + rnd.next(5)))
+              .map(_ => pick(rnd.next(pick.size))).toSet
+            live --= dead
+            Quantize.addTombstones(spark, store,
+              (dead.toSeq :+ 999999L).toDF("vec_id"), "vec_id")
+          case 2 => // threshold sweep at a random fraction
+            Quantize.retentionSweep(spark, store, "vec_id",
+              maxTombstoneFraction = 0.1 + 0.2 * rnd.next(4))
+          case 3 => // immediate cell surgery on a fresh slice
+            import spark.implicits._
+            val pick = live.toSeq.sorted
+            val dead = (0 until (1 + rnd.next(3)))
+              .map(_ => pick(rnd.next(pick.size))).toSet
+            live --= dead
+            Quantize.deleteFromIvfPqIndex(spark, store,
+              dead.toSeq.toDF("vec_id"), "vec_id")
+          case _ =>
+            Quantize.compactIvfPqIndex(spark, store, maxRecordsPerFile = 1000000L)
+        }
+      }
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "neighbor_id", "rank", "dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val served = canon(Quantize.ivfPqSearchStoredRetained(spark, store,
+        queries, "vec_id", "embedding", "vec_id",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2))
+      val inMem = canon(Quantize.ivfPqSearch(queries, "vec_id", "embedding",
+        frame(live), "vec_id", "embedding", cents, "cid", "cv",
+        codebook, "code_id", "c_emb", 64, 4, 3, 2))
+      assert(served == inMem, s"seed=$seed: store diverged from the model")
+      assert(served.nonEmpty, s"seed=$seed: vacuous sequence")
+    }
+  }
+}
