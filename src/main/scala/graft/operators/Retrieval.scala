@@ -209,6 +209,24 @@ object Retrieval {
     spark.read.parquet(epochsPath(path)).select("n_buckets")
       .collect().head.getInt(0)
 
+  /** Refuse to mutate a store carrying a leftover `compact-bak` from an
+    * interrupted compaction. In that state some bucket directories have
+    * been MOVED OUT of postings/ — an append would re-derive df deltas
+    * against a postings set missing live buckets, and a rebucket would
+    * fold that incomplete set into a fresh epoch 0, permanently losing
+    * the backed-up rows while the folded scalars (from liveStats) still
+    * count them. compactBm25Store has carried this guard since v2; every
+    * other mutator gets the same refusal so no path can compound the
+    * damage before [[recoverBm25Compaction]] restores the buckets. */
+  private def requireNoCompactBak(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String, op: String): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(compactBakPath(path))
+    if (fs.exists(bak))
+      throw new java.io.IOException(
+        s"refusing to $op $path: backup $bak exists from an interrupted " +
+          "compaction — run Retrieval.recoverBm25Compaction first")
+  }
+
   /** Live corpus scalars + bucket geometry in ONE tiny read: the exact
     * integer sum of the per-epoch deltas, and the constant n_buckets. */
   private def liveStatsAndBuckets(spark: SparkSession, path: String)
@@ -270,7 +288,10 @@ object Retrieval {
     val w = counted.withColumn("epoch", lit(epoch))
       .repartition(col("bucket")) // co-locate: one file per bucket, not one per task
       .write.mode("overwrite").partitionBy("bucket", "epoch")
-    (if (replaceAll) w else w.option("partitionOverwriteMode", "dynamic"))
+    // the mode is pinned per-write in BOTH branches: replaceAll must
+    // truncate stale epochs even under a session (GraftSession.create)
+    // whose default partitionOverwriteMode is dynamic
+    w.option("partitionOverwriteMode", if (replaceAll) "static" else "dynamic")
       .parquet(dfPath(path))
   }
 
@@ -284,7 +305,8 @@ object Retrieval {
     val w = Seq((epoch, nDocsDelta, totalLenDelta, nBuckets))
       .toDF("epoch", "n_docs_delta", "total_len_delta", "n_buckets")
       .coalesce(1).write.mode("overwrite").partitionBy("epoch")
-    (if (replaceAll) w else w.option("partitionOverwriteMode", "dynamic"))
+    // pinned per-write in both branches — see writeDfDelta
+    w.option("partitionOverwriteMode", if (replaceAll) "static" else "dynamic")
       .parquet(epochsPath(path))
   }
 
@@ -323,11 +345,18 @@ object Retrieval {
       // with it each bucket's postings co-locate into few files. At
       // cluster scale pair with spark.sql.files.maxRecordsPerFile to
       // bound file size; bucket skew re-splits under AQE.
+      // The static mode is pinned per-write: rebuilding over an existing
+      // path must TRUNCATE all stale epochs even under a session
+      // (GraftSession.create) whose default overwrite mode is dynamic —
+      // a dynamic rebuild would keep old epoch>=1 partitions, so
+      // liveStats would sum stale deltas and serving would resurrect
+      // retired docs.
       bm25Index(corpus, textCol, idCol)
         .withColumn("bucket", bucketCol(nBuckets))
         .withColumn("epoch", lit(0L))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket", "epoch")
+        .option("partitionOverwriteMode", "static")
         .parquet(postingsPath(path))
       writeDfDelta(spark.read.parquet(postingsPath(path))
           .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
@@ -335,8 +364,18 @@ object Retrieval {
         path, 0L, replaceAll = true)
       val (nd, tl) = epochScalars(spark, path, 0L)
       writeEpochDelta(spark, path, 0L, nd, tl, nBuckets, replaceAll = true)
+      // A rebuild is a NEW store at an old address: clear every piece of
+      // prior-life state, not just tombstones. A stale _graft_stream_id
+      // would pin the fresh store to a dead stream's checkpoint (a new
+      // stream adoption gets refused with a misleading identity error),
+      // and leftover compact-bak/compact-new debris would make the next
+      // compaction refuse a store that was never interrupted.
       val fs = fsFor(spark, path)
       fs.delete(new org.apache.hadoop.fs.Path(storeTombstonesPath(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        path.stripSuffix("/") + "/_graft_stream_id"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(compactBakPath(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(compactNewPath(path)), true)
     }
   }
 
@@ -357,6 +396,7 @@ object Retrieval {
     require(epoch >= 1, s"append epochs start at 1 (0 is the build): $epoch")
     val spark = batch.sparkSession
     graft.sources.StoreLock.withLock(spark, path, "bm25-append") {
+      requireNoCompactBak(fsFor(spark, path), path, "append to")
       val nBuckets = readMeta(spark, path)
       bm25Index(batch, textCol, idCol)
         .withColumn("bucket", bucketCol(nBuckets))
@@ -405,6 +445,7 @@ object Retrieval {
     require(epoch >= 1, s"delete epochs start at 1 (0 is the build): $epoch")
     val storedEpoch = -epoch
     graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
+      requireNoCompactBak(fsFor(spark, path), path, "delete from")
       val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
       val newIds = want.join(
         broadcast(priorTombstones(spark, path, storedEpoch)),
@@ -468,11 +509,8 @@ object Retrieval {
   def compactBm25Store(spark: SparkSession, path: String): Long =
     graft.sources.StoreLock.withLock(spark, path, "bm25-compact") {
       val fs = fsFor(spark, path)
+      requireNoCompactBak(fs, path, "compact")
       val bak = new org.apache.hadoop.fs.Path(compactBakPath(path))
-      if (fs.exists(bak))
-        throw new java.io.IOException(
-          s"refusing to compact $path: backup $bak exists from an " +
-            "interrupted compaction — run Retrieval.recoverBm25Compaction first")
       val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
       if (!fs.exists(tp)) 0L
       else {
@@ -575,6 +613,7 @@ object Retrieval {
     graft.sources.StoreLock.withLock(spark, path, "bm25-rebucket") {
       GraftFunctions.register(spark)
       val fs = fsFor(spark, path)
+      requireNoCompactBak(fs, path, "rebucket")
       val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".rebucket-bak")
       if (fs.exists(bak))
         throw new java.io.IOException(

@@ -449,6 +449,96 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30)) == want)
   }
 
+  test("store rebuild truncates stale epochs under a dynamic-overwrite session (GraftSession's default)") {
+    import spark.implicits._
+    // GraftSession.create sets partitionOverwriteMode=dynamic session-wide
+    // (for FactStore upserts). A store REBUILD under that session must
+    // still truncate all prior epochs: the replaceAll writes pin mode
+    // static per-write — without the pin, the old epoch>=1 partitions
+    // survive, liveStats sums stale deltas, and serving resurrects docs
+    // the rebuild dropped.
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val a = docs((1L to 20L).map(i => i -> s"alpha doc$i common"): _*)
+      val b = docs((21L to 30L).map(i => i -> s"beta doc$i common"): _*)
+      val c = docs((31L to 40L).map(i => i -> s"gamma doc$i common"): _*)
+      val q = docs(900L -> "alpha beta gamma common")
+      val work = java.nio.file.Files.createTempDirectory("bm25dyn-").toString
+      Retrieval.writeBm25Store(a, "text", "doc_id", work, nBuckets = 8)
+      Retrieval.appendBm25Store(b, "text", "doc_id", work, epoch = 1L)
+      Retrieval.deleteFromBm25Store(spark, work, Seq(3L).toDF("doc_id"), epoch = 2L)
+      // rebuild at the same path with ONLY corpus c
+      Retrieval.writeBm25Store(c, "text", "doc_id", work, nBuckets = 8)
+      assert(Retrieval.liveStats(spark, work).collect().head.getLong(0) == 10L,
+        "stale epoch deltas survived the rebuild")
+      val got = rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 50))
+      val want = rows(Retrieval.bm25TopK(c, q, "text", "doc_id", 50))
+      assert(got == want, "rebuilt store resurrects docs from the prior life")
+      assert(got.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("append/delete/rebucket refuse a store carrying a leftover compact backup") {
+    import spark.implicits._
+    val all = docs((1L to 20L).map(i => i -> s"w${i % 3} doc$i common"): _*)
+    val work = java.nio.file.Files.createTempDirectory("bm25bak-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 4)
+    Retrieval.deleteFromBm25Store(spark, work, Seq(5L).toDF("doc_id"), epoch = 1L)
+    // simulate the interrupted compaction: a bucket moved out into the backup
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(work),
+      spark.sparkContext.hadoopConfiguration)
+    val someBucket = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/postings"))
+      .map(_.getPath.getName).find(_.startsWith("bucket=")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/compact-bak"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$work/postings/$someBucket"),
+      new org.apache.hadoop.fs.Path(s"$work/compact-bak/$someBucket")))
+    // every mutator must refuse — an append would census a postings set
+    // missing live buckets, a rebucket would fold it and LOSE those rows
+    for ((name, op) <- Seq[(String, () => Any)](
+        "append" -> (() => Retrieval.appendBm25Store(
+          docs(90L -> "w1 fresh"), "text", "doc_id", work, epoch = 2L)),
+        "delete" -> (() => Retrieval.deleteFromBm25Store(
+          spark, work, Seq(6L).toDF("doc_id"), epoch = 3L)),
+        "rebucket" -> (() => Retrieval.rebucketBm25Store(spark, work, 8)))) {
+      val ex = intercept[java.io.IOException](op())
+      assert(ex.getMessage.contains("recoverBm25Compaction"),
+        s"$name did not direct to recoverBm25Compaction: ${ex.getMessage}")
+    }
+    // recovery reopens the road: the append then lands normally
+    assert(Retrieval.recoverBm25Compaction(spark, work))
+    Retrieval.appendBm25Store(docs(90L -> "w1 fresh"), "text", "doc_id", work, epoch = 2L)
+    assert(Retrieval.liveStats(spark, work).collect().head.getLong(0) == 20L)
+  }
+
+  test("store rebuild clears the prior life's stream marker and compact debris") {
+    val a = docs((1L to 10L).map(i => i -> s"alpha doc$i"): _*)
+    val work = java.nio.file.Files.createTempDirectory("bm25stale-").toString
+    Retrieval.writeBm25Store(a, "text", "doc_id", work, nBuckets = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(work),
+      spark.sparkContext.hadoopConfiguration)
+    // prior life: stream-pinned, and a compaction died mid-flight
+    val m = new org.apache.hadoop.fs.Path(work, "_graft_stream_id")
+    val out = fs.create(m, false)
+    try out.write("ckDead".getBytes("UTF-8")) finally out.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/compact-bak"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/compact-new"))
+    Retrieval.writeBm25Store(a, "text", "doc_id", work, nBuckets = 4)
+    assert(!fs.exists(m), "rebuild kept the dead stream's marker")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/compact-bak")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/compact-new")))
+    // and the rebuilt store can adopt a FRESH stream (the stale marker
+    // would have refused it with a misleading identity error)
+    graft.streaming.StreamingBm25Ingest.adopt(spark, work, "ckFresh")
+    graft.streaming.StreamingBm25Ingest.processBatch(
+      docs(50L -> "alpha extra"), 0L, "text", "doc_id", work, "ckFresh")
+    assert(Retrieval.liveStats(spark, work).collect().head.getLong(0) == 11L)
+  }
+
   test("rrfFuse tie at equal rrf score breaks on doc_id") {
     import spark.implicits._
     val lex = Seq((9L, 20L, 1L), (9L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
