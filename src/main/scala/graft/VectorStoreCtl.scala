@@ -7,8 +7,9 @@ import graft.operators.Quantize
 
 /** The deployable ANN-store entry point — [[EtlDaemon]]'s counterpart for
   * the vector side: every lifecycle operation the library implements
-  * (build / append / tombstone / sweep / delete / compact / search /
-  * status), drivable from a scheduler against a SELF-CONTAINED store
+  * (build / append / tombstone / sweep / delete / compact / recell /
+  * search / status), drivable from a scheduler against a SELF-CONTAINED
+  * store
   * (quantizers persisted beside the cells by `Quantize.saveQuantizers`,
   * so no invocation can pass the wrong frozen frames). Mutating
   * subcommands rely on the same `StoreLock` interlock the operators
@@ -26,7 +27,13 @@ import graft.operators.Quantize
   *  - `flatten <store>`                        — promote a stream-fed
   *    (cell, batch) store to the canonical cell layout (the hand-off
   *    from ingesting to maintained; single-level ops refuse until run)
+  *  - `recell <store> <corpus> <vecCol> [nCells|auto] [nCodes|keep]
+  *            [retrainCodebook]`               — retrain the quantizer
+  *    geometry from the live corpus (the lake table holding the exact
+  *    vectors); `auto` = HighRecall √N cells, `keep` = current codebook
+  *    size. Crash-safe rename-swap install; tombstones cleared.
   *  - `recover <store>`                        — restore interrupted delete
+  *  - `recover-recell <store>`                 — resolve interrupted recell
   *  - `search <queries> <qIdCol> <qVecCol> <k> <nProbe|auto> <store> [out]`
   *  - `searchref <queries> <qIdCol> <qVecCol> <k> <nProbe|auto>
   *               <depth|auto> <corpus> <vecCol> <store> [out]`
@@ -56,8 +63,8 @@ object VectorStoreCtl {
   }
 
   private val usage =
-    "usage: build|append|tombstone|sweep|delete|compact|flatten|recover|" +
-      "search|searchref|maintain|daemon|status ..."
+    "usage: build|append|tombstone|sweep|delete|compact|flatten|recell|" +
+      "recover|recover-recell|search|searchref|maintain|daemon|status ..."
 
   /** `auto` probe budget: [[Quantize.HighRecall.nProbe]] over the store's
     * actual cell count (its persisted centroid frame). */
@@ -172,10 +179,26 @@ object VectorStoreCtl {
       val n = Quantize.flattenIngestedStore(spark, store, p.idCol)
       println(if (n < 0) s"$store already has the canonical cell layout"
               else s"flattened $store to the cell layout ($n code rows)")
+    case "recell" =>
+      val Array(_, store, corpus, vecCol) = args.take(4)
+      val nCells = args.lift(4).filterNot(_ == "auto")
+        .flatMap(_.toIntOption).getOrElse(-1)
+      val nCodes = args.lift(5).filterNot(_ == "keep")
+        .flatMap(_.toIntOption).getOrElse(-1)
+      val retrainCb = args.lift(6).forall(_.toBoolean)
+      val (nLive, cells) = Quantize.recellIvfPqStore(spark, store,
+        spark.read.parquet(corpus), vecCol, nCells, nCodes, retrainCb)
+      println(s"recelled $store: $nLive live vectors re-encoded into " +
+        s"$cells cells (codebook ${if (retrainCb) "retrained" else "kept"})")
     case "recover" =>
       val store = args(1)
       val did = Quantize.recoverDeleteBackup(spark, store)
       println(if (did) s"restored $store from interrupted delete backup"
+              else s"nothing to recover for $store")
+    case "recover-recell" =>
+      val store = args(1)
+      val did = Quantize.recoverIvfPqRecell(spark, store)
+      println(if (did) s"resolved interrupted recell of $store"
               else s"nothing to recover for $store")
     case "search" =>
       val Array(_, queries, qIdCol, qVecCol, k, nProbe, store) = args.take(7)

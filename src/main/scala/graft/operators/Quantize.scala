@@ -891,6 +891,224 @@ object Quantize {
       n
     }
 
+  /** RETRAIN a standing self-contained store's quantizer geometry from
+    * its LIVE corpus — the vector analog of [[Retrieval.rebucketBm25Store]],
+    * closing the lifecycle asymmetry where the lexical store's bucket
+    * geometry can follow corpus growth but the IVF-PQ store's coarse
+    * cells and codebook stay frozen at build forever. [[HighRecall]]
+    * prescribes √N cells, N grows under appends, and qx95 measures the
+    * recall decay of a drifted store — this is the remediation path that
+    * keeps the maintained layout's discipline (quantizers swap WITH the
+    * cells, tombstones cleared, crash-recoverable install) instead of a
+    * by-hand rebuild outside the store lifecycle.
+    *
+    * `corpus` is the exact-vector lake table the deployment builds from
+    * (the store persists only codes — same contract as
+    * [[searchSelfContainedRefined]]'s rescore corpus): the live ids
+    * (store ids minus tombstones) are semi-joined out of it and become
+    * the training + encode input. A live id missing from the corpus
+    * fails LOUDLY (it cannot be re-encoded — silently dropping it would
+    * turn a maintenance op into data loss), as does a corpus carrying
+    * duplicate rows for a live id.
+    *
+    * Training is deterministic (first-k-ids seeding, no RNG): coarse
+    * centroids via [[Clustering.kmeansFit]] and — when `retrainCodebook`
+    * — a PQ codebook via [[pqTrain]] (raw-space for a raw store,
+    * residual-space via [[trainIvfPq]] for a residual store; with
+    * `retrainCodebook = false` the stored codebook is kept and only the
+    * cells move). Because the derivation is deterministic,
+    * search-after-recell ≡ search of a from-scratch
+    * [[buildSelfContained]] on the surviving corpus with the same
+    * parameters — BatchingOpsSpec gates that equality row-for-row.
+    *
+    * Install discipline (the rebucket contract verbatim): the new store
+    * is built COMPLETE at `<path>.recell-new` (cells AND
+    * `.recell-new.quantizers`), then installed by renames behind
+    * `<path>.recell-bak` markers; the live store serves unchanged until
+    * the swap instant, and [[recoverIvfPqRecell]] resolves any crash to
+    * a complete pre- or post-recell image (rolling FORWARD across the
+    * cells-installed/quantizers-pending window — the one state a naive
+    * roll-back would mispair). Tombstones are dropped LAST, inside the
+    * backup window: the new store holds only survivors, so a stale set
+    * would merely over-filter ids re-appended later — recovery finishes
+    * the drop. A `_graft_stream_id` marker survives the swap under the
+    * same QUIESCENCE CONTRACT as rebucket: stop the stream with its last
+    * batch committed first (the store's rows are re-encoded wholesale,
+    * so an uncommitted batch replayed after the swap would double-land).
+    *
+    * `nCells <= 0` resolves to [[HighRecall.nCells]] of the live count —
+    * the "follow the corpus" default; `nCodes <= 0` keeps the current
+    * codebook's size. Returns (liveVectors, nCells) actually built.
+    * Requires the canonical single-level layout
+    * ([[flattenIngestedStore]] first for stream-fed stores). */
+  def recellIvfPqStore(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, corpus: DataFrame, vecCol: String,
+                       nCells: Int = -1, nCodes: Int = -1,
+                       retrainCodebook: Boolean = true,
+                       coarseMaxIter: Int = 20, pqMaxIter: Int = 10)
+      : (Long, Int) =
+    graft.sources.StoreLock.withLock(spark, indexPath, "recell") {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+        spark.sparkContext.hadoopConfiguration)
+      requireSingleLevel(fs, indexPath, "recellIvfPqStore")
+      val base = indexPath.stripSuffix("/")
+      val bak = new org.apache.hadoop.fs.Path(base + ".recell-bak")
+      if (fs.exists(bak) ||
+          fs.exists(new org.apache.hadoop.fs.Path(base + ".recell-bak.quantizers")))
+        throw new java.io.IOException(
+          s"refusing to recell $indexPath: $bak exists from an interrupted " +
+            "recell — run Quantize.recoverIvfPqRecell first")
+      if (fs.exists(new org.apache.hadoop.fs.Path(base + ".delete-bak")))
+        throw new java.io.IOException(
+          s"refusing to recell $indexPath: delete backup exists from an " +
+            "interrupted delete — run Quantize.recoverDeleteBackup first")
+      val (_, oldCodebook, p) = loadQuantizers(spark, indexPath)
+      if (!corpus.columns.contains(p.idCol) || !corpus.columns.contains(vecCol))
+        throw new IllegalArgumentException(
+          s"recellIvfPqStore: corpus must carry '${p.idCol}' and '$vecCol' " +
+            s"(has: ${corpus.columns.mkString(", ")})")
+      // live ids = store ids minus tombstones — a column-pruned scan;
+      // localCheckpoint so the id set is pinned before the store mutates
+      val tomb = readTombstones(spark, indexPath, p.idCol)
+      val liveIds = spark.read.parquet(indexPath).select(p.idCol).distinct()
+        .join(broadcast(tomb), Seq(p.idCol), "left_anti")
+        .localCheckpoint()
+      val nLive = liveIds.count()
+      if (nLive == 0)
+        throw new IllegalStateException(
+          s"recellIvfPqStore: store $indexPath has no live vectors — " +
+            "nothing to retrain on (rebuild instead)")
+      val survivors = corpus.select(col(p.idCol), col(vecCol))
+        .join(liveIds, Seq(p.idCol), "leftsemi")
+        .localCheckpoint() // training + encode both read it; pin once
+      val nSurv = survivors.count()
+      if (nSurv != nLive)
+        throw new IllegalStateException(
+          s"recellIvfPqStore: store $indexPath has $nLive live vectors but " +
+            s"the corpus yields $nSurv rows for them — " +
+            (if (nSurv < nLive) "live ids are missing from the corpus and " +
+              "cannot be re-encoded (data loss); pass the lake table the " +
+              "store was built from"
+             else "the corpus carries duplicate rows for live ids; " +
+              "de-duplicate it first"))
+      val cells = if (nCells > 0) nCells else HighRecall.nCells(nLive)
+      val codes =
+        if (nCodes > 0) nCodes
+        else oldCodebook.select("code").distinct().count().toInt
+      // deterministic retrain on the survivors (first-k-ids seeding)
+      val (newCents, newCodebook) =
+        if (p.residual && retrainCodebook)
+          trainIvfPq(survivors, p.idCol, vecCol, p.dims, cells, p.nBlocks,
+            codes, coarseMaxIter, pqMaxIter)
+        else {
+          val c = Clustering.kmeansFit(survivors, p.idCol, vecCol,
+              cells, coarseMaxIter)
+            .select(col("cluster").as("centroid_id"),
+              col("centroid").as("cen_emb"))
+            .localCheckpoint()
+          val cb =
+            if (retrainCodebook)
+              pqTrain(survivors, p.idCol, vecCol, p.dims, p.nBlocks, codes,
+                pqMaxIter)
+            else oldCodebook
+          (c, cb)
+        }
+      // new store built COMPLETE at the sibling (cells + quantizers);
+      // the live store serves unchanged until the swap below
+      val tmp = base + ".recell-new"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp + ".quantizers"), true)
+      buildSelfContained(spark, survivors, p.idCol, vecCol,
+        newCents, "centroid_id", "cen_emb", newCodebook, "code", "c_emb",
+        p.dims, p.nBlocks, p.residual, tmp)
+      // stream marker travels (rebucket's quiescence contract applies)
+      val marker = new org.apache.hadoop.fs.Path(base, "_graft_stream_id")
+      if (fs.exists(marker))
+        org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
+          new org.apache.hadoop.fs.Path(tmp, "_graft_stream_id"),
+          false, spark.sparkContext.hadoopConfiguration)
+      // Install: cells aside, quantizers aside, new cells in, new
+      // quantizers in, tombstones dropped, backups dropped — every crash
+      // point resolvable by recoverIvfPqRecell (roll-back before the new
+      // cells land, roll-forward after).
+      val main = new org.apache.hadoop.fs.Path(base)
+      val qMain = new org.apache.hadoop.fs.Path(base + ".quantizers")
+      val qBak = new org.apache.hadoop.fs.Path(base + ".recell-bak.quantizers")
+      if (!fs.rename(main, bak))
+        throw new java.io.IOException(s"recell: failed to move $main aside")
+      if (!fs.rename(qMain, qBak))
+        throw new java.io.IOException(
+          s"recell: failed to move $qMain aside — run recoverIvfPqRecell")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
+        throw new java.io.IOException(
+          s"recell: failed to install $tmp — run recoverIvfPqRecell")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp + ".quantizers"), qMain))
+        throw new java.io.IOException(
+          s"recell: failed to install $tmp.quantizers — run recoverIvfPqRecell")
+      // the new store holds only survivors: the tombstones' work is done
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old"), true)
+      if (!fs.delete(bak, true))
+        throw new java.io.IOException(s"recell: failed to remove $bak")
+      if (!fs.delete(qBak, true))
+        throw new java.io.IOException(s"recell: failed to remove $qBak")
+      (nLive, cells)
+    }
+
+  /** Resolve an interrupted [[recellIvfPqStore]] to a complete pre- or
+    * post-recell image. The decision key is which pieces exist:
+    *  - store dir missing → the swap had not completed: the backed-up
+    *    cells (and quantizers, if they got as far as moving) are renamed
+    *    back and the `.recell-new` image is dropped — pre-recell state.
+    *  - store dir present but its `.quantizers` missing → the one
+    *    mid-install state: the NEW cells are in place, so recovery rolls
+    *    FORWARD by installing `.recell-new.quantizers` (pairing old
+    *    quantizers with new cells would corrupt every ADC distance).
+    *  - both present with backups still standing → the install
+    *    completed but cleanup didn't: finish the tombstone drop and
+    *    remove the backups — post-recell state.
+    * Returns true when there was anything to resolve. */
+  def recoverIvfPqRecell(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    val base = indexPath.stripSuffix("/")
+    val main = new org.apache.hadoop.fs.Path(base)
+    val qMain = new org.apache.hadoop.fs.Path(base + ".quantizers")
+    val bak = new org.apache.hadoop.fs.Path(base + ".recell-bak")
+    val qBak = new org.apache.hadoop.fs.Path(base + ".recell-bak.quantizers")
+    val tmp = new org.apache.hadoop.fs.Path(base + ".recell-new")
+    val qTmp = new org.apache.hadoop.fs.Path(base + ".recell-new.quantizers")
+    if (!fs.exists(bak) && !fs.exists(qBak)) return false
+    if (!fs.exists(main)) {
+      // roll back: reinstate the backed-up cells (and quantizers if they
+      // had been moved; otherwise the originals never left)
+      if (fs.exists(bak) && !fs.rename(bak, main))
+        throw new java.io.IOException(s"recover: failed to restore $main")
+      if (!fs.exists(qMain) && fs.exists(qBak) && !fs.rename(qBak, qMain))
+        throw new java.io.IOException(s"recover: failed to restore $qMain")
+      fs.delete(tmp, true); fs.delete(qTmp, true)
+    } else if (!fs.exists(qMain)) {
+      // new cells installed, quantizers pending → roll forward
+      if (!fs.exists(qTmp))
+        throw new java.io.IOException(
+          s"recover: store $main has no quantizers and no $qTmp to " +
+            "install — manual inspection required")
+      if (!fs.rename(qTmp, qMain))
+        throw new java.io.IOException(s"recover: failed to install $qMain")
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old"), true)
+      fs.delete(bak, true); fs.delete(qBak, true); fs.delete(tmp, true)
+    } else {
+      // install completed; finish cleanup (tombstone drop may be pending)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old"), true)
+      fs.delete(bak, true); fs.delete(qBak, true)
+      fs.delete(tmp, true); fs.delete(qTmp, true)
+    }
+    true
+  }
+
   /** Retract vector ids from a persisted index WITHOUT touching the store:
     * append them to the sibling `<indexPath>.tombstones` parquet side
     * table. O(batch) metadata IO; the inverted lists are not opened.

@@ -55,6 +55,22 @@ object CurationQueries {
     * real displacement room (at depth == k it would be a no-op ranking). */
   private val REFINE_DEPTH = 12
 
+  /** qx113 recell geometry: the retrained store's cell count is
+    * deliberately NOT the seeded 8 (new geometry is the point), and the
+    * serving probe budget covers EVERY cell with the refine depth past
+    * every candidate — kmeans-trained centroids are not SQL-expressible,
+    * so the cross-engine gate fences what IS closed-form: the LIVE SET
+    * and the serving path (tombstones cleared by the recell, the
+    * re-appended formerly-deleted slice landed and served, the retrained
+    * quantizers drive probe/encode/rescore end-to-end = exact kNN). The
+    * recell ≡ from-scratch-rebuild equality at PARTIAL probes — the
+    * geometry itself — is gated in BatchingOpsSpec, where both sides run
+    * the same deterministic trainer. */
+  private val RECELL_CELLS = 11
+  private val RECELL_CODES = 13
+  private val RECELL_COARSE_ITER = 4
+  private val RECELL_PQ_ITER = 2
+
   /** qx72 drift monitor dials: a hash space small enough that both
     * snapshot censuses always broadcast, topK sized like a report. */
   private val DRIFT_BUCKETS = 2048
@@ -409,6 +425,48 @@ object CurationQueries {
       graft.operators.Quantize.searchSelfContainedRefined(s, path,
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
           emb, "embedding", PQ_K, IVFPQ_NPROBE, REFINE_DEPTH)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- Quantizer retrain (recell) under the oracle ---------------------
+    // (the round-10 lifecycle closer: build → append → tombstone → RECELL
+    //  — the store's coarse cells and PQ codebook are RETRAINED from the
+    //  live corpus and swapped in crash-safely, tombstones cleared — then
+    //  a slice of the formerly-deleted ids is RE-APPENDED (legal only
+    //  because the recell really dropped their tombstones, the qx109
+    //  trick) and the store serves through the RETRAINED quantizers at
+    //  full probe + full refine depth, which makes the served ranking
+    //  the closed-form exact kNN over the live set. A hash match proves
+    //  the whole maintenance chain end-to-end; the retrained geometry's
+    //  rebuild-equality at partial probes is BatchingOpsSpec's gate.)
+    "qx113_ivfpq_recell" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val path = java.nio.file.Files.createTempDirectory("qx113-recell")
+        .toString + "/store"
+      val isAppend = col("vec_id") % 4 === 1
+      val isDel = col("vec_id") % 9 === 4
+      val isReadd = col("vec_id") % 2 === 0
+      graft.operators.Quantize.buildSelfContained(s, emb.filter(!isAppend),
+        "vec_id", "embedding", cents, "centroid_id", "cen_emb",
+        codebook, "code_id", "cb_emb", PQ_DIMS, PQ_BLOCKS,
+        residual = false, path)
+      graft.operators.Quantize.appendSelfContained(s, path,
+        emb.filter(isAppend), "embedding")
+      graft.operators.Quantize.addTombstones(s, path,
+        emb.filter(isDel).select("vec_id"), "vec_id")
+      graft.operators.Quantize.recellIvfPqStore(s, path, emb, "embedding",
+        RECELL_CELLS, RECELL_CODES, retrainCodebook = true,
+        coarseMaxIter = RECELL_COARSE_ITER, pqMaxIter = RECELL_PQ_ITER)
+      graft.operators.Quantize.appendSelfContained(s, path,
+        emb.filter(isDel && isReadd), "embedding")
+      graft.operators.Quantize.searchSelfContainedRefined(s, path,
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+          emb, "embedding", PQ_K, RECELL_CELLS, 1000000)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
     }),
@@ -986,7 +1044,34 @@ object CurationQueries {
       // filtered off the corpus side; the rescore corpus the Spark side
       // passes is UNfiltered, so a hash match also proves retracted ids
       // cannot re-enter through the refine.
-      "qx83_searchref_retained" -> ivfPqRefineOracle(Some(s"vec_id % 9 <> 4")))
+      "qx83_searchref_retained" -> ivfPqRefineOracle(Some(s"vec_id % 9 <> 4")),
+      // qx113's contract: after the recell (retrained quantizers, cleared
+      // tombstones) + the re-append of a formerly-deleted slice, serving
+      // at FULL probe + FULL refine depth is the closed-form exact kNN
+      // over the live set — (all \ deleted) ∪ re-added — with the
+      // self-match excluded. The retrained geometry cancels out of the
+      // formula BY CONSTRUCTION (every cell probed, every candidate
+      // rescored exactly), which is precisely what makes a kmeans-trained
+      // store oracle-able at all.
+      "qx113_ivfpq_recell" -> exactKnnRecellOracle)
+  }
+
+  /** qx113: exact kNN over the post-recell live set — see the entry above. */
+  private def exactKnnRecellOracle: String = {
+    val d = duckD
+    s"""WITH live AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 9 <> 4 OR vec_id % 2 = 0),
+       |resc AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${TX.dot("q.embedding", "q.embedding")(d)}
+       |      - 2.0 * ${TX.dot("q.embedding", "c.embedding")(d)}
+       |      + ${TX.dot("c.embedding", "c.embedding")(d)} AS d2x
+       |  FROM embeddings q CROSS JOIN live c
+       |  WHERE q.vec_id < $PQ_QUERY_SET AND c.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS knn_rank,
+       |  ROUND(d2x, 6) AS dist2
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY d2x ASC, vec_id ASC) AS rn FROM resc)
+       |WHERE rn <= $PQ_K ORDER BY query_id, knn_rank""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -1000,6 +1000,127 @@ class BatchingOpsSpec extends SparkSpec {
       "CLI searchref auto budgets must resolve via Quantize.HighRecall")
   }
 
+  test("recellIvfPqStore: retrain equals from-scratch build on survivors; tombstones cleared; crash states recover") {
+    import graft.operators.{Clustering, Quantize}
+    import spark.implicits._
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val cents0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cb0 = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val queries = emb.filter(col("vec_id") < 6)
+    val dir = java.nio.file.Files.createTempDirectory("recell-").toString
+    def result(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // lifecycle: build on a slice, append the rest, tombstone a third slice
+    val store = dir + "/store"
+    val isAppend = col("vec_id") % 4 === 1
+    val isDead = col("vec_id") % 7 === 2
+    Quantize.buildSelfContained(spark, emb.filter(!isAppend),
+      "vec_id", "embedding", cents0, "cid", "cv", cb0, "code_id", "c_emb",
+      64, 4, residual = false, store)
+    Quantize.appendSelfContained(spark, store, emb.filter(isAppend), "embedding")
+    Quantize.addTombstones(spark, store,
+      emb.filter(isDead).select("vec_id"), "vec_id")
+    val survivors = emb.filter(!isDead).localCheckpoint()
+    val nSurv = survivors.count()
+    // RECELL: retrain both quantizers on the live corpus
+    val (nLive, gotCells) = Quantize.recellIvfPqStore(spark, store, emb,
+      "embedding", nCells = 6, nCodes = 10, coarseMaxIter = 4, pqMaxIter = 2)
+    assert(nLive == nSurv && gotCells == 6)
+    // the gate: search-after-recell == from-scratch buildSelfContained on
+    // the surviving corpus with identically-trained quantizers
+    val fresh = dir + "/fresh"
+    val freshCents = Clustering.kmeansFit(survivors, "vec_id", "embedding", 6, 4)
+      .select(col("cluster").as("centroid_id"), col("centroid").as("cen_emb"))
+      .localCheckpoint()
+    val freshCb = Quantize.pqTrain(survivors, "vec_id", "embedding", 64, 4, 10, 2)
+    Quantize.buildSelfContained(spark, survivors, "vec_id", "embedding",
+      freshCents, "centroid_id", "cen_emb", freshCb, "code", "c_emb",
+      64, 4, residual = false, fresh)
+    val want = result(Quantize.searchSelfContained(spark, fresh,
+      queries, "vec_id", "embedding", 4, 3))
+    assert(result(Quantize.searchSelfContained(spark, store,
+        queries, "vec_id", "embedding", 4, 3)) == want,
+      "recelled store must serve exactly like a from-scratch rebuild on the survivors")
+    assert(want.nonEmpty)
+    // tombstones really cleared: a formerly-deleted id is re-appendable
+    // and findable (the qx109 trick) — with stale tombstones it would be
+    // silently filtered out of every search
+    val readd = emb.filter(col("vec_id") === 9L) // 9 % 7 == 2 → was dead
+    Quantize.appendSelfContained(spark, store, readd, "embedding")
+    // refine depth past every candidate (the qx107 trick): all 6 cells
+    // probed + full-depth exact rescore makes the served ranking exact
+    // kNN over the live store, so a query placed AT id 9's vector (under
+    // a fresh query id — the search excludes self-matches by id) MUST
+    // surface it at distance 0 — unless a stale tombstone still filters it
+    assert(Quantize.searchSelfContainedRefined(spark, store,
+        readd.select(lit(900900L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", emb, "embedding", 5, 6, 100000)
+      .filter(col("neighbor_id") === 9L && col("rank") === 1L).count() == 1,
+      "re-appended formerly-deleted id must be served again " +
+        "(exact rescore at full depth: its own query vector is at distance 0)")
+    // missing live vectors in the corpus fail LOUDLY (no silent data loss)
+    val exMiss = intercept[IllegalStateException](Quantize.recellIvfPqStore(
+      spark, store, emb.filter(col("vec_id") % 2 === 0), "embedding",
+      nCells = 6, nCodes = 10, coarseMaxIter = 2, pqMaxIter = 1))
+    assert(exMiss.getMessage.contains("missing from the corpus"))
+    // retrainCodebook=false keeps the stored codebook, moves only cells
+    val pre = Quantize.loadQuantizers(spark, store)._2
+      .collect().map(_.toString).toSet
+    Quantize.recellIvfPqStore(spark, store, emb, "embedding",
+      nCells = 5, nCodes = -1, retrainCodebook = false, coarseMaxIter = 2)
+    assert(Quantize.loadQuantizers(spark, store)._2
+      .collect().map(_.toString).toSet == pre,
+      "retrainCodebook=false must keep the stored codebook")
+    // default geometry follows the corpus: nCells <= 0 -> HighRecall's sqrt-N
+    val (n2, c2) = Quantize.recellIvfPqStore(spark, store, emb, "embedding",
+      coarseMaxIter = 2, pqMaxIter = 1)
+    assert(c2 == Quantize.HighRecall.nCells(n2))
+    // CRASH 1 (pre-install): cells moved aside, nothing installed → roll back
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store),
+      spark.sparkContext.hadoopConfiguration)
+    val preCrash = result(Quantize.searchSelfContained(spark, store,
+      queries, "vec_id", "embedding", 4, 3))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".recell-bak")))
+    val exBak = intercept[java.io.IOException](Quantize.recellIvfPqStore(
+      spark, store, emb, "embedding", nCells = 5, coarseMaxIter = 2))
+    assert(exBak.getMessage.contains("recoverIvfPqRecell"))
+    assert(Quantize.recoverIvfPqRecell(spark, store))
+    assert(!Quantize.recoverIvfPqRecell(spark, store)) // idempotent no-op
+    assert(result(Quantize.searchSelfContained(spark, store,
+      queries, "vec_id", "embedding", 4, 3)) == preCrash)
+    // CRASH 2 (mid-install): new cells in place, quantizers pending →
+    // recovery must roll FORWARD (old quantizers + new cells would
+    // corrupt every ADC distance)
+    val liveNow = spark.read.parquet(store).select("vec_id").distinct()
+      .join(emb, Seq("vec_id")).localCheckpoint()
+    val nc = Clustering.kmeansFit(liveNow, "vec_id", "embedding", 7, 2)
+      .select(col("cluster").as("centroid_id"), col("centroid").as("cen_emb"))
+    val ncb = Quantize.pqTrain(liveNow, "vec_id", "embedding", 64, 4, 10, 1)
+    Quantize.buildSelfContained(spark, liveNow, "vec_id", "embedding",
+      nc, "centroid_id", "cen_emb", ncb, "code", "c_emb", 64, 4,
+      residual = false, store + ".recell-new")
+    val forwardWant = result(Quantize.searchSelfContained(spark,
+      store + ".recell-new", queries, "vec_id", "embedding", 4, 3))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".recell-bak")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store + ".quantizers"),
+      new org.apache.hadoop.fs.Path(store + ".recell-bak.quantizers")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store + ".recell-new"),
+      new org.apache.hadoop.fs.Path(store)))
+    // crash point: .recell-new.quantizers not yet installed
+    assert(Quantize.recoverIvfPqRecell(spark, store))
+    assert(result(Quantize.searchSelfContained(spark, store,
+        queries, "vec_id", "embedding", 4, 3)) == forwardWant,
+      "roll-forward recovery must complete the new image")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".recell-bak")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(store + ".recell-bak.quantizers")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(store + ".recell-new.quantizers")))
+  }
+
   test("vector-store maintenance daemon: sweeps on schedule, locked store is a skip not a crash") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

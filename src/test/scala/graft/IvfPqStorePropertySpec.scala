@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Model-based lifecycle property for the IVF-PQ store — the vector twin
   * of [[Bm25StorePropertySpec]]: a deterministic pseudo-random sequence
-  * of append / tombstone / retention-sweep / immediate-delete / compact
-  * operations (with the documented delete-then-reappend RETRY heal
+  * of append / tombstone / retention-sweep / immediate-delete / compact /
+  * RECELL operations (with the documented delete-then-reappend RETRY heal
   * spliced in) must leave a store whose tombstone-filtered probed search
   * answers EXACTLY like the in-memory search over the model's live
-  * vectors. Each op is proven alone in BatchingOpsSpec; this proves
-  * arbitrary interleavings compose. Fixed LCG per seed → replayable. */
+  * vectors — under the store's CURRENT quantizers, which a recell
+  * retrains mid-sequence (the model reloads them for the comparison, and
+  * recell additionally clears the model's tombstone expectations: the
+  * new image holds only survivors). Each op is proven alone in
+  * BatchingOpsSpec; this proves arbitrary interleavings compose. Fixed
+  * LCG per seed → replayable. */
 class IvfPqStorePropertySpec extends SparkSpec {
 
   private final class Lcg(seed0: Long) {
@@ -31,7 +35,12 @@ class IvfPqStorePropertySpec extends SparkSpec {
     val allIds = emb.select("vec_id").collect().map(_.getLong(0)).sorted
     val queries = emb.filter(col("vec_id") < 5)
 
-    for (seed <- Seq(11L, 97L)) {
+    // seeds chosen so the op mix covers recell MID-sequence with standing
+    // tombstones before it and appends after it (the append must encode
+    // against the retrained quantizers): 7 → sweep, del, append, tomb,
+    // sweep, RECELL, append; 41 → sweep, compact, tomb, append, RECELL,
+    // append, compact.
+    for (seed <- Seq(7L, 41L)) {
       val rnd = new Lcg(seed)
       // model: the live id set; start from a 60% slice so appends have room
       var live = allIds.filter(_ % 5 != 3).toSet
@@ -40,24 +49,23 @@ class IvfPqStorePropertySpec extends SparkSpec {
         .createTempDirectory(s"ivfpqprop-$seed-").toString + "/index"
       def frame(ids: Set[Long]) =
         emb.filter(col("vec_id").isInCollection(ids.toSeq))
-      Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(frame(live),
-        "vec_id", "embedding", cents, "cid", "cv",
-        codebook, "code_id", "c_emb", 64, 4), store)
-      for (step <- 1 to 6) {
-        rnd.next(5) match {
+      Quantize.buildSelfContained(spark, frame(live), "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+        residual = false, store)
+      var recelled = false
+      for (step <- 1 to 7) {
+        rnd.next(6) match {
           case 0 if pending.nonEmpty => // append a fresh batch
             val batch = pending.take(1 + rnd.next(30)).toSet
             pending = pending.drop(batch.size)
             live ++= batch
-            Quantize.appendToIvfPqIndex(frame(batch), "vec_id", "embedding",
-              cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, store)
+            Quantize.appendSelfContained(spark, store, frame(batch), "embedding")
             if (rnd.next(2) == 0) {
               // the documented append RETRY heal: delete batch ids, re-append
               import spark.implicits._
               Quantize.deleteFromIvfPqIndex(spark, store,
                 batch.toSeq.toDF("vec_id"), "vec_id")
-              Quantize.appendToIvfPqIndex(frame(batch), "vec_id", "embedding",
-                cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, store)
+              Quantize.appendSelfContained(spark, store, frame(batch), "embedding")
             }
           case 1 => // O(1) tombstoned retraction (+ an absent id no-op)
             import spark.implicits._
@@ -78,6 +86,11 @@ class IvfPqStorePropertySpec extends SparkSpec {
             live --= dead
             Quantize.deleteFromIvfPqIndex(spark, store,
               dead.toSeq.toDF("vec_id"), "vec_id")
+          case 4 => // RETRAIN the geometry mid-sequence from the lake table
+            Quantize.recellIvfPqStore(spark, store, emb, "embedding",
+              nCells = 4 + rnd.next(5), nCodes = 8 + rnd.next(8),
+              coarseMaxIter = 2, pqMaxIter = 1)
+            recelled = true
           case _ =>
             Quantize.compactIvfPqIndex(spark, store, maxRecordsPerFile = 1000000L)
         }
@@ -85,13 +98,16 @@ class IvfPqStorePropertySpec extends SparkSpec {
       def canon(df: org.apache.spark.sql.DataFrame) = df
         .select("query_id", "neighbor_id", "rank", "dist2").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      val served = canon(Quantize.ivfPqSearchStoredRetained(spark, store,
-        queries, "vec_id", "embedding", "vec_id",
-        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2))
+      // the comparison quantizers are whatever the store CURRENTLY holds —
+      // frozen from build, or retrained by a mid-sequence recell
+      val (curCents, curCb, _) = Quantize.loadQuantizers(spark, store)
+      val served = canon(Quantize.searchSelfContained(spark, store,
+        queries, "vec_id", "embedding", 3, 2))
       val inMem = canon(Quantize.ivfPqSearch(queries, "vec_id", "embedding",
-        frame(live), "vec_id", "embedding", cents, "cid", "cv",
-        codebook, "code_id", "c_emb", 64, 4, 3, 2))
-      assert(served == inMem, s"seed=$seed: store diverged from the model")
+        frame(live), "vec_id", "embedding", curCents, "centroid_id", "cen_emb",
+        curCb, "code", "c_emb", 64, 4, 3, 2))
+      assert(served == inMem,
+        s"seed=$seed (recelled=$recelled): store diverged from the model")
       assert(served.nonEmpty, s"seed=$seed: vacuous sequence")
     }
   }
