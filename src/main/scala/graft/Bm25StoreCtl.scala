@@ -19,7 +19,10 @@ import graft.operators.Retrieval
   *  - `append <batch> <textCol> <idCol> <epoch> <store>`   — batch cost;
   *    re-run with the same epoch to heal a failure
   *  - `delete <ids> <epoch> <store>`       — tombstones + scalar/df
-  *    roll-back; zero bucket rewrites
+  *    roll-back; zero bucket rewrites (one column-pruned postings scan)
+  *  - `delete-text <docs> <textCol> <idCol> <epoch> <store>` — O(batch):
+  *    deltas from re-tokenizing the supplied docs, standing postings
+  *    never opened (docs must be in the store with exactly this text)
   *  - `compact <store>`                    — physically drop tombstoned
   *    postings, affected buckets only (rename-swap crash discipline)
   *  - `rebucket <store> <newBuckets>`      — full rewrite at a new
@@ -50,7 +53,7 @@ object Bm25StoreCtl {
   }
 
   private val usage =
-    "usage: build|append|delete|compact|rebucket|recover|search|hybrid|status ..."
+    "usage: build|append|delete|delete-text|compact|rebucket|recover|search|hybrid|status ..."
 
   private def maybeWrite(df: org.apache.spark.sql.DataFrame,
                          out: Option[String]): Unit = out match {
@@ -75,6 +78,14 @@ object Bm25StoreCtl {
         val n = Retrieval.deleteFromBm25Store(spark, store,
           spark.read.parquet(ids), epoch.toLong)
         println(s"[bm25ctl] retracted $n docs at epoch $epoch from $store")
+      case "delete-text" =>
+        // O(batch): df/scalar deltas from re-tokenizing the supplied
+        // docs — never opens the standing postings (the docs MUST be in
+        // the store with exactly this text; see the operator contract)
+        val Array(_, docsP, textCol, idCol, epoch, store) = args.take(6)
+        val n = Retrieval.deleteFromBm25Store(spark, store,
+          spark.read.parquet(docsP), textCol, idCol, epoch.toLong)
+        println(s"[bm25ctl] retracted $n docs at epoch $epoch from $store (text path)")
       case "compact" =>
         val removed = Retrieval.compactBm25Store(spark, args(1))
         println(s"[bm25ctl] compacted ${args(1)}: $removed posting rows removed")

@@ -345,6 +345,80 @@ object RecallCurve {
       (d, rl, rv, rf)
     }
 
+    // ---- Recell: drift remediation measured (round 10) -----------------
+    // The decay qx95 can only OBSERVE, remediated: a residual store is
+    // built + trained on a clustered base corpus, then a same-sized batch
+    // from a DIFFERENT cluster distribution (decorrelated centers — the
+    // phase knob) is appended against the frozen stale quantizers, and
+    // queries drawn from the DRIFTED distribution are searched at the
+    // shipped auto budgets. The stale geometry hurts twice: drifted
+    // vectors cram into whatever stale cells happen to be nearest (probe
+    // pruning misroutes), and their residuals live outside the space the
+    // codebook was trained on (ADC ordering degrades, so true neighbors
+    // miss the refine shortlist). recellIvfPqStore retrains both
+    // quantizers on the live union — same auto budgets after — and the
+    // recall must recover.
+    // Drift direction that actually bites: the store is built+trained on
+    // a CLUSTERED base (cells align with the clusters, residual codebook
+    // learns the tight within-cluster residuals), then the corpus drifts
+    // ISOTROPIC — a same-sized batch of the driver's adversarially
+    // isotropic embeddings appended under the frozen quantizers. (The
+    // opposite direction, clustered→clustered with moved centers, does
+    // NOT decay: near-identical neighbors share whatever stale cell and
+    // code they land in, so probe and ADC both still find them — we
+    // measured 1.0/1.0 and replaced the fixture.) Queries are small
+    // perturbations of drifted points, so their true neighbors live in
+    // the drifted (isotropic) region where the stale geometry has no
+    // cell resolution and the stale codebook no residual resolution.
+    val nBase = nCorpus
+    val embBase = clusteredCorpus(spark, nBase, Dims, NClusters, ClusterSpread)
+      .localCheckpoint()
+    val embDrift = emb
+      .select((col("vec_id") + nBase).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val embUnion = embBase.unionByName(embDrift).localCheckpoint()
+    val queriesD = emb.filter(col("vec_id") < NQueries)
+      .withColumn("embedding", expr(
+        s"""transform(embedding, (x, i) -> CAST(x
+           |  + 0.08 * sin(CAST(vec_id * $Dims + i AS DOUBLE) * 17.23 + 3.1)
+           |AS FLOAT))""".stripMargin))
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val truthD = pairs(embUnion
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queriesD
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= K))
+    val recellStore = java.nio.file.Files.createTempDirectory("recall-recell")
+      .toString + "/store"
+    val staleCells = Quantize.HighRecall.nCells(nBase)
+    val (dCents, dCb) = Quantize.trainIvfPq(embBase, "vec_id", "embedding",
+      Dims, staleCells, NBlocks, HighCodes, coarseMaxIter = 10, pqMaxIter = 5)
+    Quantize.buildSelfContained(spark, embBase, "vec_id", "embedding",
+      dCents, "centroid_id", "cen_emb", dCb, "code", "c_emb",
+      Dims, NBlocks, residual = true, recellStore)
+    Quantize.appendSelfContained(spark, recellStore, embDrift, "embedding")
+    def driftRecall(cells: Int): Double = recall(truthD,
+      pairs(Quantize.searchSelfContainedRefined(spark, recellStore, queriesD,
+        "vec_id", "embedding", embUnion, "embedding", K,
+        Quantize.HighRecall.nProbe(cells), shipDepth)))
+    val staleRecall = driftRecall(staleCells)
+    val staleFrac = candidateFraction(embUnion, "embedding", queriesD,
+      dCents, Quantize.HighRecall.nProbe(staleCells), 2 * nBase)
+    println(f"[recall] DRIFT stale geometry (cells=$staleCells trained on base only): " +
+      f"recall@$K = $staleRecall%.4f  probed=${staleFrac * 100}%.1f%%")
+    val (nLiveR, recellCells) = Quantize.recellIvfPqStore(spark, recellStore,
+      embUnion, "embedding", coarseMaxIter = 10, pqMaxIter = 5)
+    val recellRecall = driftRecall(recellCells)
+    val recellFrac = candidateFraction(embUnion, "embedding", queriesD,
+      Quantize.loadQuantizers(spark, recellStore)._1,
+      Quantize.HighRecall.nProbe(recellCells), 2 * nBase)
+    println(f"[recall] DRIFT after recell (cells=$recellCells retrained on the " +
+      f"$nLiveR live vectors): recall@$K = $recellRecall%.4f  probed=${recellFrac * 100}%.1f%%")
+
     val md = new StringBuilder
     md.append("# ANN recall vs probe budget\n\n")
     md.append(s"Generated by `runMain graft.RecallCurve` on `$sfDir` ")
@@ -464,6 +538,38 @@ it); the gap between each single-modality row and fused is the signal
 the OTHER modality contributes — the measured case for serving hybrid
 (qx107) rather than either store alone.
 """)
+    md.append(f"""
+## Recell — drift remediation measured (round 10)
+
+The decay a drifted corpus inflicts on a FROZEN-geometry store, and what
+`Quantize.recellIvfPqStore` recovers. Base: $nBase clustered vectors
+(the section above's generator), residual store trained at the shipped
+geometry (cells=sqrt(N)=$staleCells, $NBlocks x $hCodes codes). Drift: a
+same-sized ISOTROPIC batch (the driver's synthetic embeddings — the
+coarse quantizer's worst case) appended against the frozen stale
+quantizers; queries are small perturbations of drifted points, so their
+true neighbors lie in the drifted region; truth = exact L2 kNN over the
+union. Both rows serve `searchSelfContainedRefined` at the shipped auto
+budgets (nProbe=ceil(cells/3), depth=$shipDepth). (A clustered→clustered
+drift with moved centers does NOT decay — near-identical neighbors share
+whatever stale cell and code they land in; measured 1.0 both sides
+before this fixture replaced it.)
+
+| store state | cells | recall@$K | probed |
+|---|---|---|---|
+| stale (trained on base only, drift appended) | $staleCells | $staleRecall%.4f | ${staleFrac * 100}%.1f%% |
+| after recell (retrained on the live union) | $recellCells | **$recellRecall%.4f** | ${recellFrac * 100}%.1f%% |
+
+The stale row loses recall twice over: drifted vectors cram into
+whatever stale cells are nearest (probe pruning misroutes), and their
+residuals lie outside the codebook's trained space (ADC ordering
+degrades, so true neighbors miss the refine shortlist — the refine
+cannot rescue what was never shortlisted). The recell retrains both
+quantizers on the live corpus inside the store's own lifecycle —
+rename-swap install, tombstones cleared, auto sqrt-N geometry — and the
+same query budget recovers the recall. This is the remediation path for
+the drift qx95 measures.
+""")
     md.append("""
 Reading the equal-budget table:
 
@@ -500,7 +606,12 @@ Reading the equal-budget table:
     } ++ eGrid.map { case (cn, np, r) =>
       s"""{"variant":"knn-graph+$cn","n_cells":$hCells,"n_probe":$np,""" +
         s""""edge_recall_at_3":$r}"""
-    } ++ hybGrid.flatMap { case (d, rl, rv, rf) => Seq(
+    } ++ Seq(
+      s"""{"variant":"drift+stale","n_cells":$staleCells,""" +
+        s""""recall_at_$K":$staleRecall,"candidate_fraction":$staleFrac}""",
+      s"""{"variant":"drift+recelled","n_cells":$recellCells,""" +
+        s""""recall_at_$K":$recellRecall,"candidate_fraction":$recellFrac}"""
+    ) ++ hybGrid.flatMap { case (d, rl, rv, rf) => Seq(
       s"""{"variant":"hybrid+lex-only","depth":$d,"recall_at_$K":$rl}""",
       s"""{"variant":"hybrid+vec-only","depth":$d,"recall_at_$K":$rv}""",
       s"""{"variant":"hybrid+rrf-fused","depth":$d,"recall_at_$K":$rf}""")
@@ -519,13 +630,18 @@ Reading the equal-budget table:
     * each component = cluster center (a sin-hash of (cluster, dim)) plus
     * `spread` × a sin-hash of (vec_id, dim). Pure function of vec_id — no
     * RNG state, identical across runs/partitions — and entirely
-    * map-side generated (spark.range + one transform expression). */
+    * map-side generated (spark.range + one transform expression).
+    * `phase` shifts the CLUSTER CENTERS (a nonzero phase decorrelates
+    * them completely — the drift fixture's knob); `idOffset` shifts the
+    * id range so batches/queries get disjoint id spaces. */
   private def clusteredCorpus(spark: SparkSession, n: Long, dims: Int,
-                              nClusters: Int, spread: Double): DataFrame =
-    spark.range(n).toDF("vec_id")
+                              nClusters: Int, spread: Double,
+                              phase: Double = 0.0,
+                              idOffset: Long = 0L): DataFrame =
+    spark.range(idOffset, idOffset + n).toDF("vec_id")
       .withColumn("embedding", expr(
         s"""transform(sequence(0, ${dims - 1}), i -> CAST(
-           |  sin(CAST((vec_id % $nClusters) * $dims + i AS DOUBLE) * 12.9898 + 78.233)
+           |  sin(CAST((vec_id % $nClusters) * $dims + i AS DOUBLE) * 12.9898 + 78.233 + $phase)
            |  + $spread * sin(CAST(vec_id * $dims + i AS DOUBLE) * 39.3467 + 11.135)
            |AS FLOAT))""".stripMargin))
 

@@ -741,23 +741,53 @@ object Quantize {
   def searchSelfContained(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, queries: DataFrame,
                           qIdCol: String, qVecCol: String,
-                          k: Int, nProbe: Int): DataFrame = {
+                          k: Int, nProbe: Int): DataFrame =
+    searchSelfContainedImpl(spark, indexPath, queries, qIdCol, qVecCol,
+      k, nProbe, allowed = None)
+
+  /** Metadata-predicated stored search — the vector twin of
+    * [[Retrieval.bm25TopKFromStoreFiltered]] (and the stored form of the
+    * in-memory filtered ANN, qx76): only ids in `allowedDocs` (ACLs,
+    * source filters, freshness windows) may appear in the top-k. The
+    * allow-list is a broadcast semi-join applied AFTER the probe-pruned
+    * scan and the tombstone anti-join, BEFORE ADC ranking — so the k
+    * results are k SURVIVORS, never a post-filtered shorter list, and
+    * the scan cost envelope is unchanged (probed cells only; the
+    * allow-list is predicate metadata, not corpus data). */
+  def searchSelfContainedFiltered(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, queries: DataFrame,
+                                  qIdCol: String, qVecCol: String,
+                                  allowedDocs: DataFrame,
+                                  k: Int, nProbe: Int): DataFrame =
+    searchSelfContainedImpl(spark, indexPath, queries, qIdCol, qVecCol,
+      k, nProbe, allowed = Some(allowedDocs))
+
+  /** The one stored-serving core (filtered and unfiltered cannot drift):
+    * pruned scan → tombstone anti-join → optional allow-list semi-join →
+    * the residual-or-raw ADC tail. */
+  private def searchSelfContainedImpl(spark: org.apache.spark.sql.SparkSession,
+                                      indexPath: String, queries: DataFrame,
+                                      qIdCol: String, qVecCol: String,
+                                      k: Int, nProbe: Int,
+                                      allowed: Option[DataFrame]): DataFrame = {
     val (cents, cb, p) = loadQuantizers(spark, indexPath)
-    if (p.residual) {
-      Similarity.requireSmallQuerySide(queries, "searchSelfContained")
-      // residual stored search: pruned scan + tombstone filter + the
-      // residual ADC tail over the live rows' cells
-      val tomb = readTombstones(spark, indexPath, p.idCol)
-      val pruned = prunedStoreScan(spark, indexPath, queries, qIdCol, qVecCol,
-        cents, "centroid_id", "cen_emb", nProbe)
-      val live = pruned.join(broadcast(tomb), pruned(p.idCol) === tomb(p.idCol),
-        "leftanti")
+    Similarity.requireSmallQuerySide(queries, "searchSelfContained")
+    val tomb = readTombstones(spark, indexPath, p.idCol)
+    val pruned = prunedStoreScan(spark, indexPath, queries, qIdCol, qVecCol,
+      cents, "centroid_id", "cen_emb", nProbe)
+    val live0 = pruned.join(broadcast(tomb), pruned(p.idCol) === tomb(p.idCol),
+      "leftanti")
+    val live = allowed.fold(live0) { a =>
+      val ids = a.select(col(a.columns.head).as(p.idCol)).distinct()
+      live0.join(broadcast(ids), Seq(p.idCol), "leftsemi")
+    }
+    if (p.residual)
       ivfPqSearchResidualOn(live, queries, qIdCol, qVecCol, p.idCol,
         cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
         p.dims, p.nBlocks, k, nProbe)
-    } else
-      ivfPqSearchStoredRetained(spark, indexPath, queries, qIdCol, qVecCol,
-        p.idCol, cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+    else
+      ivfPqSearchOn(live, queries, qIdCol, qVecCol, p.idCol,
+        cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
         p.dims, p.nBlocks, k, nProbe)
   }
 
@@ -802,6 +832,27 @@ object Quantize {
     val p = loadQuantizers(spark, indexPath)._3
     val shortlist = searchSelfContained(spark, indexPath, queries,
       qIdCol, qVecCol, rerankDepth, nProbe)
+    exactRescore(shortlist, queries, qIdCol, qVecCol,
+      corpus, p.idCol, corpusVecCol, k)
+  }
+
+  /** [[searchSelfContainedRefined]] with [[searchSelfContainedFiltered]]'s
+    * allow-list: the fence is applied to the ADC SHORTLIST (after the
+    * pruned scan, before ranking), so the exact rescore re-ranks k-deep
+    * lists of ALLOWED survivors only — a disallowed id can neither make
+    * the shortlist nor re-enter through the refine, the same two-door
+    * guarantee the tombstone filter carries. */
+  def searchSelfContainedRefinedFiltered(spark: org.apache.spark.sql.SparkSession,
+                                         indexPath: String, queries: DataFrame,
+                                         qIdCol: String, qVecCol: String,
+                                         allowedDocs: DataFrame,
+                                         corpus: DataFrame, corpusVecCol: String,
+                                         k: Int, nProbe: Int, rerankDepth: Int): DataFrame = {
+    require(rerankDepth >= k,
+      s"rerankDepth=$rerankDepth must be >= k=$k (the shortlist feeds the final rank)")
+    val p = loadQuantizers(spark, indexPath)._3
+    val shortlist = searchSelfContainedFiltered(spark, indexPath, queries,
+      qIdCol, qVecCol, allowedDocs, rerankDepth, nProbe)
     exactRescore(shortlist, queries, qIdCol, qVecCol,
       corpus, p.idCol, corpusVecCol, k)
   }

@@ -76,6 +76,27 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
   }
 
+  /** [[bm25Index]] with POSITIONS: each (doc, term) row additionally
+    * carries the sorted 1-based token positions of the term — the
+    * Lucene-postings-with-positions shape, what [[phraseTopKFromStore]]'s
+    * adjacency intersection needs. This is the census the durable store
+    * persists (round 10): positions are a WRITE-side cost only — every
+    * scoring read selects (doc_id, term, tf, dl) and parquet column
+    * pruning never materializes the arrays (PlanAuditSpec pins the
+    * serving ReadSchema). Same one-shuffle shape as [[bm25Index]];
+    * tf = size(pos) by construction. */
+  def bm25IndexPositional(corpus: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val sparkD = Dialect(spark = true)
+    val tok = corpus.select(col(idCol).as("doc_id"),
+      expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"),
+      posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("p0", "term")))
+    tok.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"),
+        sort_array(collect_list(col("p0") + 1)).as("pos"))
+  }
+
   /** BM25 top-k: score every query (set-of-terms semantics, distinct
     * query tokens) against the corpus; return the k best docs per query.
     *
@@ -351,7 +372,7 @@ object Retrieval {
       // a dynamic rebuild would keep old epoch>=1 partitions, so
       // liveStats would sum stale deltas and serving would resurrect
       // retired docs.
-      bm25Index(corpus, textCol, idCol)
+      bm25IndexPositional(corpus, textCol, idCol)
         .withColumn("bucket", bucketCol(nBuckets))
         .withColumn("epoch", lit(0L))
         .repartition(col("bucket"))
@@ -398,7 +419,7 @@ object Retrieval {
     graft.sources.StoreLock.withLock(spark, path, "bm25-append") {
       requireNoCompactBak(fsFor(spark, path), path, "append to")
       val nBuckets = readMeta(spark, path)
-      bm25Index(batch, textCol, idCol)
+      bm25IndexPositional(batch, textCol, idCol)
         .withColumn("bucket", bucketCol(nBuckets))
         .withColumn("epoch", lit(epoch))
         .repartition(col("bucket")) // co-locate (see writeBm25Store)
@@ -439,7 +460,14 @@ object Retrieval {
     * that batch's dynamic overwrite — the epoch spaces must be disjoint
     * for the two writers' idempotency tricks to compose. Callers still
     * pass positive epochs; retries of the same delete still converge.
-    * Returns the number of docs actually retracted. */
+    * Returns the number of docs actually retracted.
+    *
+    * SCALE NOTE: the derivation scan is column-pruned but store-sized
+    * (a doc's terms span arbitrary buckets — partition pruning cannot
+    * help a delete). When the caller still has the retracted docs' TEXT
+    * (a curation pipeline always does), prefer the text overload below:
+    * it recomputes the same deltas at BATCH cost by re-tokenization and
+    * never opens the standing postings. */
   def deleteFromBm25Store(spark: SparkSession, path: String,
                           ids: DataFrame, epoch: Long): Long = {
     require(epoch >= 1, s"delete epochs start at 1 (0 is the build): $epoch")
@@ -455,38 +483,92 @@ object Retrieval {
           col("doc_id"), col("term"), col("dl"))
         .join(broadcast(newIds), Seq("doc_id"))
         .localCheckpoint() // eager: bounded by the deleted docs' postings
-      val perDoc = hits.groupBy("doc_id").agg(max("dl").as("dl"))
-      val stats = perDoc
-        .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tl"))
-        .collect().head
-      val (nd, tl) = (stats.getLong(0), stats.getLong(1))
-      if (nd == 0L) 0L
-      else {
-        // Write order is the crash contract: df/scalar deltas FIRST,
-        // tombstones LAST. The tombstones are the delete's commit point
-        // — until they exist, a compaction is a no-op (nothing
-        // tombstoned to purge) and a same-epoch retry still sees the
-        // doomed postings, recomputes identical deltas, and lands the
-        // tombstones: the retry converges from every crash point EVEN IF
-        // a compact ran in between. (Tombstones-first had a poison
-        // state: crash before the deltas, then a compact physically
-        // removes the postings and clears the tombstones — the retry
-        // finds nothing to delete and the stats stay overstated
-        // forever.) The cost is a bounded transient: between the delta
-        // writes and the tombstone commit, searches score live postings
-        // against already-decremented stats — single-writer retry heals
-        // it, and no state in the window is unrecoverable.
-        writeDfDelta(hits.groupBy("bucket", "term")
-            .agg((-count(lit(1))).as("cnt")),
-          path, storedEpoch, replaceAll = false)
-        writeEpochDelta(spark, path, storedEpoch, -nd, -tl,
-          readMeta(spark, path), replaceAll = false)
-        perDoc.select("doc_id").withColumn("epoch", lit(storedEpoch))
-          .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").partitionBy("epoch")
-          .parquet(storeTombstonesPath(path))
-        nd
-      }
+      commitBm25Delete(spark, path, hits, storedEpoch)
+    }
+  }
+
+  /** O(batch) retraction — [[deleteFromBm25Store]] with the deleted docs'
+    * TEXT supplied, so the df/scalar deltas come from re-tokenizing the
+    * batch instead of scanning the standing postings. The id-only
+    * overload's one column-pruned scan is correct but store-sized: a
+    * doc's terms span arbitrary buckets, so no partition pruning can
+    * help it, and at a 100 TB postings store every retraction batch pays
+    * a full narrow scan. A curation pipeline retracting docs always HAS
+    * their text (it just decided to drop them) — handing it over makes
+    * the delete batch-cost, the exact mirror of the append's
+    * never-re-read-the-standing-corpus discipline.
+    *
+    * CALLER CONTRACT (this is the price of skipping the scan): every
+    * supplied doc must be IN the store with exactly this text — the
+    * deltas are derived from the text, so a doc that was never ingested
+    * (or was ingested with different text) would corrupt df/scalars
+    * where the scan path would have no-op'd. Ids already tombstoned by
+    * an earlier epoch are still skipped (that guard is metadata-cheap),
+    * so delete retries and re-deletes stay safe. Same commit tail,
+    * crash contract, and negated epoch space as the scan path —
+    * RetrievalSpec cross-gates the two paths' equality, store state for
+    * store state. */
+  def deleteFromBm25Store(spark: SparkSession, path: String,
+                          deletedDocs: DataFrame, textCol: String,
+                          idCol: String, epoch: Long): Long = {
+    require(epoch >= 1, s"delete epochs start at 1 (0 is the build): $epoch")
+    val storedEpoch = -epoch
+    graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
+      requireNoCompactBak(fsFor(spark, path), path, "delete from")
+      val nBuckets = readMeta(spark, path)
+      val newDocs = deletedDocs
+        .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+        .dropDuplicates("doc_id")
+        .join(broadcast(priorTombstones(spark, path, storedEpoch)),
+          Seq("doc_id"), "left_anti")
+      // the same census the append wrote for these docs — identical
+      // tokenizer, identical (doc, term) row shape, so the negated
+      // counts roll back exactly what the ingest added
+      val hits = bm25Index(newDocs, "__text", "doc_id")
+        .withColumn("bucket", bucketCol(nBuckets))
+        .select(col("bucket"), col("doc_id"), col("term"), col("dl"))
+        .localCheckpoint() // eager: batch-sized
+      commitBm25Delete(spark, path, hits, storedEpoch)
+    }
+  }
+
+  /** The delete's shared commit tail over the doomed postings census
+    * (bucket, doc_id, term, dl) — one row per live (doc, term) pair of
+    * the retracted docs, derived from the postings scan (id-only path)
+    * or from re-tokenization (text path): the two cannot drift. */
+  private def commitBm25Delete(spark: SparkSession, path: String,
+                               hits: DataFrame, storedEpoch: Long): Long = {
+    val perDoc = hits.groupBy("doc_id").agg(max("dl").as("dl"))
+    val stats = perDoc
+      .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tl"))
+      .collect().head
+    val (nd, tl) = (stats.getLong(0), stats.getLong(1))
+    if (nd == 0L) 0L
+    else {
+      // Write order is the crash contract: df/scalar deltas FIRST,
+      // tombstones LAST. The tombstones are the delete's commit point
+      // — until they exist, a compaction is a no-op (nothing
+      // tombstoned to purge) and a same-epoch retry still sees the
+      // doomed postings, recomputes identical deltas, and lands the
+      // tombstones: the retry converges from every crash point EVEN IF
+      // a compact ran in between. (Tombstones-first had a poison
+      // state: crash before the deltas, then a compact physically
+      // removes the postings and clears the tombstones — the retry
+      // finds nothing to delete and the stats stay overstated
+      // forever.) The cost is a bounded transient: between the delta
+      // writes and the tombstone commit, searches score live postings
+      // against already-decremented stats — single-writer retry heals
+      // it, and no state in the window is unrecoverable.
+      writeDfDelta(hits.groupBy("bucket", "term")
+          .agg((-count(lit(1))).as("cnt")),
+        path, storedEpoch, replaceAll = false)
+      writeEpochDelta(spark, path, storedEpoch, -nd, -tl,
+        readMeta(spark, path), replaceAll = false)
+      perDoc.select("doc_id").withColumn("epoch", lit(storedEpoch))
+        .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("epoch")
+        .parquet(storeTombstonesPath(path))
+      nd
     }
   }
 
@@ -622,8 +704,11 @@ object Retrieval {
       val tmp = path.stripSuffix("/") + ".rebucket-new"
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       val tomb = readBm25Tombstones(spark, path)
-      spark.read.parquet(postingsPath(path))
-        .select("doc_id", "term", "tf", "dl")
+      val post = spark.read.parquet(postingsPath(path))
+      // positions (and any future data column) travel with the row; only
+      // the partition bookkeeping is re-derived
+      val dataCols = post.columns.filterNot(c => c == "bucket" || c == "epoch")
+      post.select(dataCols.map(col).toIndexedSeq: _*)
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .withColumn("bucket", bucketCol(newBuckets))
         .withColumn("epoch", lit(0L))
@@ -763,6 +848,79 @@ object Retrieval {
     scoreBm25(postings, qterms, stats, dfreq, k, k1, b)
   }
 
+  /** PHRASE query over the positional store — the first query class a
+    * Lucene-shaped user asks of a lexical index that tf-only postings
+    * cannot answer (round 10; the store has persisted positions since
+    * [[bm25IndexPositional]]). Each query's first `maxPhraseTerms` tokens
+    * form the phrase IN ORDER (duplicates kept — "to be or not to be" is
+    * a 6-term phrase); a document matches where the exact consecutive
+    * sequence occurs, and ranks by occurrence count (desc, doc_id asc
+    * ties), rank capped at `k`.
+    *
+    * Plan shape — the standard positional-intersection trick made
+    * relational: a phrase starts at position s iff for EVERY phrase slot
+    * i (1-based), the slot's term occurs at s+i-1. Each candidate
+    * posting's position array explodes to (slot, p) rows, normalized to
+    * the implied start s = p − slot + 1; a (query, doc, s) group holding
+    * ALL `plen` slots is one occurrence. Cost is candidate-bounded:
+    * postings AND the serving path's whole candidate set come from the
+    * SAME literal `bucket IN` pruned scan as BM25 serving (the phrase's
+    * terms are planning metadata; the position arrays are read ONLY for
+    * the pruned candidates), tombstones anti-join off, the query table
+    * broadcasts, and every aggregation is keyed by (query, doc[, s]) —
+    * never corpus-global. Occurrence arithmetic is integer-exact, so the
+    * qx115 oracle reproduces it bit-for-bit. */
+  def phraseTopKFromStore(spark: SparkSession, path: String,
+                          queries: DataFrame, textCol: String, idCol: String,
+                          k: Int, maxPhraseTerms: Int = Int.MaxValue): DataFrame = {
+    GraftFunctions.register(spark)
+    val sparkD = Dialect(spark = true)
+    val (_, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val qtok0 = queries.select(col(idCol).as("query_id"),
+      posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("qp0", "term")))
+    val qtok = (if (maxPhraseTerms == Int.MaxValue) qtok0
+                else qtok0.filter(col("qp0") < maxPhraseTerms))
+      .select(col("query_id"), (col("qp0") + 1).as("slot"), col("term"))
+    val qlen = qtok.groupBy("query_id").agg(count(lit(1)).as("plen"))
+    val buckets = qtok
+      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val post = spark.read.parquet(postingsPath(path))
+    require(post.columns.contains("pos"),
+      s"store $path has no positional postings — it predates the " +
+        "positional schema; rebuild (or rebucket) it to enable phrase queries")
+    val fs = fsFor(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
+    val tomb =
+      if (fs.exists(tp))
+        spark.read.parquet(tp.toString).select("doc_id").distinct()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
+    val cand = post
+      .filter(col("bucket").isInCollection(buckets))
+      .select("doc_id", "term", "pos")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    // (query, doc, slot, p) rows are unique by construction (a term's
+    // positions are distinct), so the per-start slot count is a plain
+    // count — a start s holding all plen slots is one phrase occurrence
+    val starts = cand.join(broadcast(qtok), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("slot"),
+        explode(col("pos")).as("p"))
+      .withColumn("s", col("p") - col("slot") + 1)
+    val occ = starts.groupBy("query_id", "doc_id", "s")
+      .agg(count(lit(1)).as("hit"))
+      .join(broadcast(qlen), Seq("query_id"))
+      .filter(col("hit") === col("plen"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("phrase_count").desc, col("doc_id").asc)
+    occ.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("phrase_count"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "phrase_count")
+  }
+
   /** STORE-SERVED hybrid retrieval — the production RAG serving shape as
     * ONE operator (what qx107 gates): lexical candidates from the BM25
     * store's bucket-pruned postings + df sidecar, vector candidates from
@@ -780,14 +938,57 @@ object Retrieval {
                            k: Int, depth: Int, nProbe: Int, rerankDepth: Int,
                            rescoreCorpus: DataFrame, rescoreVecCol: String,
                            k0: Int = RRF_K0,
-                           maxQueryTerms: Int = Int.MaxValue): DataFrame = {
-    val lex = bm25TopKFromStore(spark, lexPath,
-      queries.select(col(idCol), col(textCol)), textCol, idCol,
-      depth, maxQueryTerms = maxQueryTerms)
-    val vec = Quantize.searchSelfContainedRefined(spark, vecPath,
-        queries.select(col(idCol), col(vecCol)), idCol, vecCol,
-        rescoreCorpus, rescoreVecCol, depth, nProbe, rerankDepth)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+                           maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    hybridFromStores(spark, lexPath, vecPath, queries, textCol, vecCol,
+      idCol, k, depth, nProbe, rerankDepth, rescoreCorpus, rescoreVecCol,
+      k0, maxQueryTerms, allowed = None)
+
+  /** [[hybridTopKFromStores]] under an id allow-list — the production
+    * "ACL-scoped RAG" composition (qx114): BOTH retrievers fence their
+    * candidates before ranking ([[bm25TopKFromStoreFiltered]] on the
+    * lexical side, [[Quantize.searchSelfContainedRefinedFiltered]] on the
+    * vector side), so each contributes depth-deep lists of ALLOWED
+    * survivors and the fusion ranks only docs the caller may see.
+    * Scoring statistics stay corpus-global on both sides (standard
+    * filtered-retrieval semantics), the stores still serve
+    * partition-pruned, and the allow-list broadcasts twice as predicate
+    * metadata. */
+  def hybridTopKFromStoresFiltered(spark: SparkSession, lexPath: String,
+                                   vecPath: String, queries: DataFrame,
+                                   allowedDocs: DataFrame,
+                                   textCol: String, vecCol: String, idCol: String,
+                                   k: Int, depth: Int, nProbe: Int, rerankDepth: Int,
+                                   rescoreCorpus: DataFrame, rescoreVecCol: String,
+                                   k0: Int = RRF_K0,
+                                   maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    hybridFromStores(spark, lexPath, vecPath, queries, textCol, vecCol,
+      idCol, k, depth, nProbe, rerankDepth, rescoreCorpus, rescoreVecCol,
+      k0, maxQueryTerms, allowed = Some(allowedDocs))
+
+  /** The one hybrid-serving core (filtered and unfiltered cannot drift). */
+  private def hybridFromStores(spark: SparkSession, lexPath: String,
+                               vecPath: String, queries: DataFrame,
+                               textCol: String, vecCol: String, idCol: String,
+                               k: Int, depth: Int, nProbe: Int, rerankDepth: Int,
+                               rescoreCorpus: DataFrame, rescoreVecCol: String,
+                               k0: Int, maxQueryTerms: Int,
+                               allowed: Option[DataFrame]): DataFrame = {
+    val lexQ = queries.select(col(idCol), col(textCol))
+    val lex = allowed match {
+      case Some(a) => bm25TopKFromStoreFiltered(spark, lexPath, lexQ, a,
+        textCol, idCol, depth, maxQueryTerms = maxQueryTerms)
+      case None => bm25TopKFromStore(spark, lexPath, lexQ, textCol, idCol,
+        depth, maxQueryTerms = maxQueryTerms)
+    }
+    val vecQ = queries.select(col(idCol), col(vecCol))
+    val vec = (allowed match {
+      case Some(a) => Quantize.searchSelfContainedRefinedFiltered(spark,
+        vecPath, vecQ, idCol, vecCol, a, rescoreCorpus, rescoreVecCol,
+        depth, nProbe, rerankDepth)
+      case None => Quantize.searchSelfContainedRefined(spark, vecPath,
+        vecQ, idCol, vecCol, rescoreCorpus, rescoreVecCol,
+        depth, nProbe, rerankDepth)
+    }).select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(lex, vec, k0, k)
   }
 

@@ -66,6 +66,12 @@ object RetrievalQueries {
     * qx89's regime (4-gram shingles, ≥1 shared with the held-out
     * benchmark slice — non-empty at every SF); the quality gate is the
     * qx57 Gopher rule pack at its committed thresholds. */
+  /** qx115 phrase length: the query's first 2 tokens as an ordered
+    * bigram. On the 31-word synthetic vocabulary a bigram hits ~10% of
+    * docs (guaranteed non-empty at every SF) while a trigram would hit
+    * ~1-2 docs total at sf0.001 — too sparse to gate. */
+  private val PHRASE_TERMS = 2
+
   private val V5_BENCH_MOD = 29
   private val V5_BENCH_REM = 3
   private val V5_SHINGLE_N = 4
@@ -255,6 +261,74 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- PHRASE query over the positional store -------------------------
+    // (round 10: the postings persist per-term position arrays, so the
+    //  store can answer the first query class tf-only postings cannot —
+    //  exact consecutive-sequence match, ranked by occurrence count. The
+    //  query runs the FULL maintenance lifecycle first (build → append →
+    //  delete → compact), so a hash match also proves positions survive
+    //  every lifecycle op: a compaction that lost or reordered an array
+    //  would change phrase counts. Scoring reads never touch the arrays
+    //  (column pruning); only this operator pays for them.)
+    "qx115_bm25_phrase" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
+      val isDel = col("doc_id") % STORE_DEL_MOD === STORE_DEL_REM
+      val work = java.nio.file.Files.createTempDirectory("qx115-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
+        "text", "doc_id", work, STORE_BUCKETS)
+      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
+        "text", "doc_id", work, epoch = 1L)
+      Retrieval.deleteFromBm25Store(s, work,
+        docs.filter(notQuery && isDel).select("doc_id"), epoch = 2L)
+      Retrieval.compactBm25Store(s, work)
+      Retrieval.phraseTopKFromStore(s, work,
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, maxPhraseTerms = PHRASE_TERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- FILTERED hybrid from stores: ACL-scoped RAG --------------------
+    // (qx107's deployment composition under an id allow-list — the
+    //  production "only what this caller may see" serving shape. BOTH
+    //  retrievers fence their candidates BEFORE ranking: the lexical side
+    //  via the store's filtered serving (qx111's semantics), the vector
+    //  side via the new filtered stored search — so each contributes
+    //  depth-deep lists of ALLOWED survivors and a disallowed doc can
+    //  neither make either list nor re-enter through the exact rescore.
+    //  Scoring statistics stay corpus-global on both sides; both stores
+    //  still serve partition-pruned (PlanAuditSpec pins it WITH the
+    //  filter applied). The oracle is qx107's derivation with the same
+    //  candidate fence on both sides — df/stats/avgdl CTEs untouched.)
+    "qx114_hybrid_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      val isQuery = col("doc_id") % RRF_QMOD === RRF_QREM
+      val corpusDocs = hybrid.filter(!isQuery).select("doc_id", "text")
+      val corpusVecs = hybrid.filter(!isQuery).select("doc_id", "embedding")
+      val cents = emb.filter(col("vec_id") < HY_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < HY_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val work = java.nio.file.Files.createTempDirectory("qx114-").toString
+      Retrieval.writeBm25Store(corpusDocs, "text", "doc_id",
+        s"$work/lex", STORE_BUCKETS)
+      graft.operators.Quantize.buildSelfContained(s, corpusVecs,
+        "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+        codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
+        residual = false, s"$work/vec")
+      val allowed = hybrid.filter(!isQuery && col("doc_id") % 3 === 1)
+        .select("doc_id")
+      Retrieval.hybridTopKFromStoresFiltered(s, s"$work/lex", s"$work/vec",
+          hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
+          allowed, "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
+          HY_NPROBE, HY_RERANK, corpusVecs, "embedding",
+          maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- STREAMING BM25 ingest: the lexical ingest twin -----------------
     // (documents arrive as a FILE stream; each micro-batch appends at
     //  epoch batchId+1 — exactly-once lands for free on the store's
@@ -424,7 +498,66 @@ object RetrievalQueries {
     // qx112's contract IS qx107's result: both stores fed by streams
     // (plus the flatten hand-off) must serve exactly what the
     // batch-built deployment serves — same oracle, verbatim.
-    "qx112_hybrid_stream" -> oracleSqlBase("qx107_hybrid_store"))
+    "qx112_hybrid_stream" -> oracleSqlBase("qx107_hybrid_store"),
+    // qx114: the SAME hybrid derivation with the allow-list fencing
+    // CANDIDATES on both sides — the lexical cand CTE (qx111's shape)
+    // and the vector rescore set — while df/stats/avgdl and the probe
+    // selection stay corpus-global. A hash match proves the fence bit on
+    // both retrievers and nowhere else.
+    "qx114_hybrid_filtered" -> hybridStoreOracle(
+      " WHERE p.doc_id % 3 = 1", " WHERE a.doc_id % 3 = 1"))
+
+  /** The store-served hybrid derivation (qx107/qx112/qx114), with
+    * optional candidate fences: `lexCandWhere` lands in the BM25 cand
+    * CTE (" WHERE p.doc_id % 3 = 1"-shaped), `vecCandWhere` in the
+    * vector rescore CTE (" WHERE a.doc_id % 3 = 1"-shaped). Statistics
+    * CTEs are shared and unfenced in every variant — filtered retrieval
+    * fences candidates, never idf/avgdl. */
+  private def hybridStoreOracle(lexCandWhere: String,
+                                vecCandWhere: String): String = {
+    val d = duck
+    def cosSim(v: String, n: String) =
+      s"COALESCE(CASE WHEN $n > 0 AND c_norm2 > 0 THEN " +
+        s"${TX.dot(v, "c_vec")(d)} / (sqrt($n) * sqrt(c_norm2)) END, -2.0)"
+    s"""WITH hybrid AS (SELECT doc_id, text, embedding
+       |  FROM documents JOIN embeddings ON doc_id = vec_id),
+       |corpus AS (SELECT doc_id, text FROM hybrid WHERE doc_id % $RRF_QMOD <> $RRF_QREM),
+       |q AS (SELECT doc_id, text FROM hybrid WHERE doc_id % $RRF_QMOD = $RRF_QREM),
+       |${bm25CtesWhere(lexCandWhere)},
+       |lex AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank
+       |        FROM ranked WHERE rn <= $RRF_DEPTH),
+       |hn AS (SELECT doc_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM hybrid),
+       |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec,
+       |          ${TX.norm2("embedding")(d)} AS c_norm2
+       |        FROM embeddings WHERE vec_id < $HY_CENTROIDS),
+       |assigned AS (
+       |  SELECT doc_id, centroid_id FROM (
+       |    SELECT hn.doc_id, cen.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY hn.doc_id ORDER BY
+       |        ${cosSim("hn.embedding", "hn.norm2")} DESC, centroid_id ASC) AS rn
+       |    FROM hn CROSS JOIN cen WHERE hn.doc_id % $RRF_QMOD <> $RRF_QREM)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT hn.doc_id AS query_id, cen.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY hn.doc_id ORDER BY
+       |        ${cosSim("hn.embedding", "hn.norm2")} DESC, centroid_id ASC) AS rn
+       |    FROM hn CROSS JOIN cen WHERE hn.doc_id % $RRF_QMOD = $RRF_QREM)
+       |  WHERE rn <= $HY_NPROBE),
+       |vresc AS (
+       |  SELECT p.query_id, a.doc_id,
+       |    ${TX.dot("qe.embedding", "qe.embedding")(d)}
+       |      - 2.0 * ${TX.dot("qe.embedding", "ce.embedding")(d)}
+       |      + ${TX.dot("ce.embedding", "ce.embedding")(d)} AS d2x
+       |  FROM assigned a JOIN probes p USING (centroid_id)
+       |  JOIN hybrid qe ON qe.doc_id = p.query_id
+       |  JOIN hybrid ce ON ce.doc_id = a.doc_id$vecCandWhere),
+       |vec AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS vec_rank
+       |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY d2x ASC, doc_id ASC) AS rn FROM vresc)
+       |        WHERE rn <= $RRF_DEPTH),
+       |$rrfTailSql""".stripMargin
+  }
 
   private def oracleSqlBase: Map[String, String] = Map(
 
@@ -434,49 +567,37 @@ object RetrievalQueries {
     // cosine-argmax with nulls→-2.0 and centroid-asc ties; the refine
     // depth exceeds every probed candidate set, so the exact rescore IS
     // the ranking); the fusion is the shared nano-unit RRF tail.
-    "qx107_hybrid_store" -> {
+    "qx107_hybrid_store" -> hybridStoreOracle("", ""),
+
+    // Phrase match in pure list arithmetic: both sides index tokens
+    // 1-based, normalize each matched (slot, position) pair to the
+    // implied start s = pos - slot + 1, and count the starts holding all
+    // plen slots. The corpus is the post-lifecycle live set (built ∪
+    // appended, minus deleted) — compaction must be invisible.
+    "qx115_bm25_phrase" -> {
       val d = duck
-      def cosSim(v: String, n: String) =
-        s"COALESCE(CASE WHEN $n > 0 AND c_norm2 > 0 THEN " +
-          s"${TX.dot(v, "c_vec")(d)} / (sqrt($n) * sqrt(c_norm2)) END, -2.0)"
-      s"""WITH hybrid AS (SELECT doc_id, text, embedding
-         |  FROM documents JOIN embeddings ON doc_id = vec_id),
-         |corpus AS (SELECT doc_id, text FROM hybrid WHERE doc_id % $RRF_QMOD <> $RRF_QREM),
-         |q AS (SELECT doc_id, text FROM hybrid WHERE doc_id % $RRF_QMOD = $RRF_QREM),
-         |$bm25Ctes,
-         |lex AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank
-         |        FROM ranked WHERE rn <= $RRF_DEPTH),
-         |hn AS (SELECT doc_id, embedding, ${TX.norm2("embedding")(d)} AS norm2 FROM hybrid),
-         |cen AS (SELECT vec_id AS centroid_id, embedding AS c_vec,
-         |          ${TX.norm2("embedding")(d)} AS c_norm2
-         |        FROM embeddings WHERE vec_id < $HY_CENTROIDS),
-         |assigned AS (
-         |  SELECT doc_id, centroid_id FROM (
-         |    SELECT hn.doc_id, cen.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY hn.doc_id ORDER BY
-         |        ${cosSim("hn.embedding", "hn.norm2")} DESC, centroid_id ASC) AS rn
-         |    FROM hn CROSS JOIN cen WHERE hn.doc_id % $RRF_QMOD <> $RRF_QREM)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, centroid_id FROM (
-         |    SELECT hn.doc_id AS query_id, cen.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY hn.doc_id ORDER BY
-         |        ${cosSim("hn.embedding", "hn.norm2")} DESC, centroid_id ASC) AS rn
-         |    FROM hn CROSS JOIN cen WHERE hn.doc_id % $RRF_QMOD = $RRF_QREM)
-         |  WHERE rn <= $HY_NPROBE),
-         |vresc AS (
-         |  SELECT p.query_id, a.doc_id,
-         |    ${TX.dot("qe.embedding", "qe.embedding")(d)}
-         |      - 2.0 * ${TX.dot("qe.embedding", "ce.embedding")(d)}
-         |      + ${TX.dot("ce.embedding", "ce.embedding")(d)} AS d2x
-         |  FROM assigned a JOIN probes p USING (centroid_id)
-         |  JOIN hybrid qe ON qe.doc_id = p.query_id
-         |  JOIN hybrid ce ON ce.doc_id = a.doc_id),
-         |vec AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS vec_rank
-         |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |                ORDER BY d2x ASC, doc_id ASC) AS rn FROM vresc)
-         |        WHERE rn <= $RRF_DEPTH),
-         |$rrfTailSql""".stripMargin
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % $BM25_QMOD <> $BM25_QREM
+         |    AND doc_id % $STORE_DEL_MOD <> $STORE_DEL_REM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |td AS (SELECT doc_id, ${TX.tokens("text")(d)} AS toks FROM corpus),
+         |dtok AS (SELECT doc_id, unnest(toks) AS term,
+         |           unnest(generate_series(1, len(toks))) AS pos FROM td),
+         |tq AS (SELECT doc_id AS query_id, ${TX.tokens("text")(d)} AS toks FROM q),
+         |qtok AS (SELECT query_id, unnest(toks) AS term,
+         |           unnest(generate_series(1, len(toks))) AS slot FROM tq),
+         |qcap AS (SELECT query_id, term, slot FROM qtok WHERE slot <= $PHRASE_TERMS),
+         |qlen AS (SELECT query_id, COUNT(*) AS plen FROM qcap GROUP BY query_id),
+         |starts AS (SELECT qc.query_id, d.doc_id, qc.slot, d.pos - qc.slot + 1 AS s
+         |           FROM qcap qc JOIN dtok d USING (term)),
+         |occ AS (SELECT query_id, doc_id, s FROM starts JOIN qlen USING (query_id)
+         |        GROUP BY query_id, doc_id, s, plen HAVING COUNT(*) = plen),
+         |counts AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_count
+         |           FROM occ GROUP BY query_id, doc_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, phrase_count
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY phrase_count DESC, doc_id ASC) AS rn FROM counts)
+         |WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
     },
 
     "qx100_bm25_topk" ->

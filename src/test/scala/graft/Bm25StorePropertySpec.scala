@@ -48,16 +48,25 @@ class Bm25StorePropertySpec extends SparkSpec {
             val op = () => Retrieval.appendBm25Store(
               batch.toSeq.toDF("doc_id", "text"), "text", "doc_id", work, e)
             op(); lastOp = Some(op)
-          case 2 => // delete a random mix of live + absent ids
+          case 2 => // delete — scan path or the O(batch) TEXT path
             epoch += 1
             val e = epoch
             val live = model.keys.toSeq.sorted
             val dead = (0 until (1 + rnd.next(4)))
               .map(_ => live(rnd.next(live.size))).distinct
-            val ids = dead :+ 999999L // absent id must be a no-op
+            val deadDocs = dead.map(i => i -> model(i)) // texts BEFORE removal
             model --= dead
-            val op = () => Retrieval.deleteFromBm25Store(spark, work,
-              ids.toDF("doc_id"), e): Unit
+            val op =
+              if (rnd.next(2) == 0) { () =>
+                // scan path tolerates absent ids (no-op)
+                Retrieval.deleteFromBm25Store(spark, work,
+                  (dead :+ 999999L).toDF("doc_id"), e): Unit
+              } else { () =>
+                // text path: deltas re-derived from the docs' own text —
+                // contract says every supplied doc IS in the store
+                Retrieval.deleteFromBm25Store(spark, work,
+                  deadDocs.toDF("doc_id", "text"), "text", "doc_id", e): Unit
+              }
             op(); lastOp = Some(op)
           case 3 =>
             Retrieval.compactBm25Store(spark, work); lastOp = None

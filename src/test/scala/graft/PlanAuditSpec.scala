@@ -124,6 +124,23 @@ class PlanAuditSpec extends SparkSpec {
     // both are planning-scale or legitimately exchanged)
   }
 
+  test("qx114 filtered hybrid: both serving scans stay partition-pruned WITH the allow-list applied, and the fences broadcast") {
+    // the round-10 ACL-serving pin: adding the allow-list must not cost
+    // either store its partition pruning (the fence is a semi-join AFTER
+    // the pruned scan, so the scan nodes keep their literal filters),
+    // and the fence itself must be a BroadcastHashJoin LeftSemi —
+    // predicate metadata, never a shuffled corpus-scale join
+    val p = SparkEntry.queries("qx114_hybrid_filtered")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(p).toSeq
+    assert(pf.exists(_.contains("bucket")),
+      s"no bucket partition filter on the BM25 store scans:\n${p.take(2000)}")
+    assert(pf.exists(_.contains("centroid_id")),
+      s"no probed-cell partition filter on the vector store scan:\n${p.take(2000)}")
+    assert("BroadcastHashJoin [^\n]*LeftSemi".r.findAllIn(p).nonEmpty,
+      s"the allow-list fence must be a broadcast semi-join:\n${p.take(2000)}")
+  }
+
   test("BM25 store serving plan: the only term-keyed aggregate reads the df sidecar, never the postings") {
     // round 9 persisted per-term df DELTAS in the store; serving sums
     // them from the pruned df scan (vocabulary-scale) — a term-keyed
@@ -160,6 +177,14 @@ class PlanAuditSpec extends SparkSpec {
     val pf = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r.findAllIn(p).toSeq
     assert(pf.size >= 2,
       s"expected bucket-pruned postings AND df scans, got ${pf.size}:\n${p.take(2000)}")
+    // round 10: postings persist per-term POSITION arrays for phrase
+    // queries — a write-side cost only. BM25 scoring must never
+    // materialize them: every scan's ReadSchema has to exclude `pos`
+    // (parquet column pruning is what makes the positional schema free
+    // for the scoring path)
+    val schemas = "ReadSchema: [^\n]+".r.findAllIn(p).toSeq
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("pos")),
+      s"a BM25 scoring scan reads the position arrays:\n${schemas.mkString("\n")}")
   }
 
   test("no oracle query plans a CartesianProduct; all keep codegen") {

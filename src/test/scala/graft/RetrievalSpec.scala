@@ -449,6 +449,99 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30)) == want)
   }
 
+  test("phraseTopKFromStore: exact adjacency semantics on a hand-checked fixture; positions survive the whole lifecycle") {
+    import spark.implicits._
+    val all = docs(
+      1L -> "red fox red fox den",   // "red fox" at 1 and 3 → count 2
+      2L -> "fox red fox",           // "red fox" at 2 → count 1
+      3L -> "red den fox",           // both terms, never adjacent → no match
+      4L -> "fox red",               // reversed order → no match
+      5L -> "red red red")           // "red red" overlaps at 1,2 → count 2
+    val work = java.nio.file.Files.createTempDirectory("bm25ph-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 4)
+    def phrase(q: String, k: Int = 10) =
+      Retrieval.phraseTopKFromStore(spark, work,
+        docs(900L -> q), "text", "doc_id", k)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(phrase("red fox") == Seq(1L -> 2L, 2L -> 1L),
+      "ordered adjacency: count per doc, rank by count desc")
+    assert(phrase("fox red") == Seq(1L -> 1L, 2L -> 1L, 4L -> 1L),
+      "phrase order matters: the reversed bigram matches a different doc set " +
+        "(doc 1 contains 'fox red' once inside 'red fox red fox den')")
+    assert(phrase("red red") == Seq(5L -> 2L),
+      "repeated-term phrase counts overlapping occurrences")
+    assert(phrase("den red") == Seq.empty,
+      "terms never adjacent in that order match nothing")
+    // maxPhraseTerms caps the phrase: 'red fox den' capped at 2 == 'red fox'
+    assert(Retrieval.phraseTopKFromStore(spark, work,
+        docs(900L -> "red fox den"), "text", "doc_id", 10, maxPhraseTerms = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+      == Seq(1L -> 2L, 2L -> 1L))
+    // positions survive append + delete + compact + rebucket: the phrase
+    // answer over the maintained store equals a fresh build's
+    Retrieval.appendBm25Store(docs(6L -> "red fox tail"), "text", "doc_id",
+      work, epoch = 1L)
+    Retrieval.deleteFromBm25Store(spark, work, Seq(2L).toDF("doc_id"), epoch = 2L)
+    Retrieval.compactBm25Store(spark, work)
+    Retrieval.rebucketBm25Store(spark, work, newBuckets = 8)
+    val fresh = java.nio.file.Files.createTempDirectory("bm25ph2-").toString
+    Retrieval.writeBm25Store(
+      all.filter(col("doc_id") =!= 2L).unionByName(docs(6L -> "red fox tail")),
+      "text", "doc_id", fresh, nBuckets = 8)
+    val after = phrase("red fox")
+    assert(after == Seq(1L -> 2L, 6L -> 1L))
+    assert(after == Retrieval.phraseTopKFromStore(spark, fresh,
+        docs(900L -> "red fox"), "text", "doc_id", 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(3))).toSeq,
+      "maintained store's phrase answers must equal a fresh rebuild's")
+  }
+
+  test("O(batch) text delete: identical store state to the scan-path delete; tombstoned ids skipped; retry converges") {
+    import spark.implicits._
+    val all = docs((1L to 40L).map(i => i -> s"t${i % 7} t${i % 5} doc$i common"): _*)
+    val q = docs(900L -> "t1 t3 common", 901L -> "t6 common")
+    val dead = Seq(5L, 10L, 15L, 20L)
+    def buildStore(): String = {
+      val w = java.nio.file.Files.createTempDirectory("bm25td-").toString
+      Retrieval.writeBm25Store(all, "text", "doc_id", w, nBuckets = 8)
+      w
+    }
+    def state(w: String) = (
+      rows(Retrieval.bm25TopKFromStore(spark, w, q, "text", "doc_id", 40)),
+      spark.read.parquet(s"$w/df")
+        .groupBy("term").agg(sum("cnt").as("df")).filter(col("df") > 0)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      Retrieval.liveStats(spark, w).collect().head.toSeq,
+      Retrieval.readBm25Tombstones(spark, w)
+        .collect().map(_.getLong(0)).toSet)
+    // scan path on one store copy, text path on another — the stores
+    // must end bit-equivalent in every observable: served ranking, live
+    // df census, scalars, tombstone set
+    val wScan = buildStore()
+    assert(Retrieval.deleteFromBm25Store(spark, wScan,
+      dead.toDF("doc_id"), epoch = 1L) == dead.size)
+    val wText = buildStore()
+    assert(Retrieval.deleteFromBm25Store(spark, wText,
+      all.filter(col("doc_id").isin(dead: _*)), "text", "doc_id",
+      epoch = 1L) == dead.size)
+    assert(state(wScan) == state(wText),
+      "text-path delete diverged from the scan-path delete")
+    // retry with the same epoch converges (deterministic deltas replace)
+    assert(Retrieval.deleteFromBm25Store(spark, wText,
+      all.filter(col("doc_id").isin(dead: _*)), "text", "doc_id",
+      epoch = 1L) == dead.size)
+    assert(state(wScan) == state(wText), "text-path retry double-counted")
+    // an id already tombstoned by an EARLIER epoch is skipped even when
+    // its text is supplied again (no double decrement)
+    assert(Retrieval.deleteFromBm25Store(spark, wText,
+      all.filter(col("doc_id").isin(5L, 25L)), "text", "doc_id",
+      epoch = 2L) == 1L)
+    assert(Retrieval.deleteFromBm25Store(spark, wScan,
+      Seq(5L, 25L).toDF("doc_id"), epoch = 2L) == 1L)
+    assert(state(wScan) == state(wText))
+  }
+
   test("store rebuild truncates stale epochs under a dynamic-overwrite session (GraftSession's default)") {
     import spark.implicits._
     // GraftSession.create sets partitionOverwriteMode=dynamic session-wide
