@@ -79,6 +79,45 @@ object ServeDemo {
         """{"ticker":"DEMO","metrics":["revenue"]}""")
       println(s"[serve-demo] analyze_financial_trends -> ${trend.take(160)}...")
     } finally server.stop()
+
+    // retrieval layer (round 10): persisted BM25 + IVF-PQ stores served
+    // over /search and the search_corpus MCP tool
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    graft.operators.Retrieval.writeBm25Store(corpus.select("doc_id", "text"),
+      "text", "doc_id", s"$out/lex", 8)
+    graft.operators.Quantize.buildSelfContained(spark,
+      corpus.select("doc_id", "embedding"), "doc_id", "embedding",
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb")),
+      "centroid_id", "cen_emb",
+      emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb")),
+      "code_id", "cb_emb", 64, 4, residual = false, s"$out/vec")
+    corpus.write.parquet(s"$out/corpus")
+    val sCfg = GraftConfig.fromString(
+      s"""retrieval:
+         |  lex_store: "$out/lex"
+         |  vec_store: "$out/vec"
+         |  corpus_path: "$out/corpus"
+         |""".stripMargin)
+    val searchApi = graft.serve.SearchApi.fromConfig(spark, sCfg)
+    val sServer = new ApiServer(api, 0, sCfg, searchApi).start()
+    try {
+      val q = corpus.select("text", "embedding").limit(1).collect().head
+      val body = s"""{"text":"${q.getString(0).split(' ').take(4).mkString(" ")}",""" +
+        s""""vector":${q.getSeq[Float](1).mkString("[", ",", "]")},"k":5,"mode":"hybrid"}"""
+      val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${sServer.boundPort}/search"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      println(s"[serve-demo] POST /search (hybrid) -> ${r.statusCode()} ${r.body().take(160)}...")
+      val sTools = new McpTools(spark, () => facts(), Some(sCfg), searchApi)
+      println(s"[serve-demo] MCP tools with retrieval: ${sTools.toolNames.mkString(", ")}")
+    } finally sServer.stop()
     spark.stop()
   }
 }

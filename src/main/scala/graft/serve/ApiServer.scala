@@ -268,7 +268,8 @@ object FinancialApi {
 final class ApiServer(api: FinancialApi, port: Int = 8000,
                       enableCompression: Boolean = true,
                       maxResponseBytes: Long = 100L * 1024 * 1024,
-                      gzipMinBytes: Int = ApiServer.GzipMinBytes) {
+                      gzipMinBytes: Int = ApiServer.GzipMinBytes,
+                      search: Option[SearchApi] = None) {
 
   import FinancialApi.Response
 
@@ -276,6 +277,14 @@ final class ApiServer(api: FinancialApi, port: Int = 8000,
   def this(api: FinancialApi, port: Int, cfg: GraftConfig) =
     this(api, port, cfg.enableCompression,
       cfg.maxResponseSizeMb.toLong * 1024 * 1024)
+
+  /** Shell with the retrieval layer mounted (round 10): `/search` routes
+    * appear when the config declares the store paths. */
+  def this(api: FinancialApi, port: Int, cfg: GraftConfig,
+           search: Option[SearchApi]) =
+    this(api, port, cfg.enableCompression,
+      cfg.maxResponseSizeMb.toLong * 1024 * 1024,
+      ApiServer.GzipMinBytes, search)
 
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress(port), 0)
@@ -309,6 +318,15 @@ final class ApiServer(api: FinancialApi, port: Int = 8000,
       case ("GET", Seq("cache", "stats"))            => api.cacheStats()
       case ("POST", Seq("cache", "clear"))           => api.cacheClear()
       case ("GET", Seq("storage", "stats"))          => api.storageStats()
+      // retrieval layer (round 10) — mounted only when configured
+      case ("GET", Seq("search")) if search.nonEmpty =>
+        search.get.searchGet(params)
+      case ("POST", Seq("search")) if search.nonEmpty =>
+        search.get.searchPost(body)
+      case (_, Seq("search")) if search.isEmpty =>
+        Response(503, "application/json",
+          """{"success":false,"detail":"retrieval stores not configured """ +
+            """(set retrieval.lex_store / retrieval.vec_store / retrieval.corpus_path)"}""")
       case _ => Response(404, "application/json",
         s"""{"success":false,"detail":"Not found: $method $path"}""")
     }

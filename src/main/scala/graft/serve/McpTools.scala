@@ -23,17 +23,25 @@ import graft.sources.Serve
   * thousand short strings).
   */
 final class McpTools(spark: SparkSession, facts: () => DataFrame,
-                     config: Option[GraftConfig] = None) {
+                     config: Option[GraftConfig] = None,
+                     search: Option[SearchApi] = None) {
 
   import McpTools._
 
+  /** The registry this instance actually serves: the reference's six
+    * financial tools, plus `search_corpus` when the retrieval stores are
+    * configured (round 10 — the flagship capability gets the same MCP
+    * surface as everything else). */
+  private def tools: Seq[ToolDef] =
+    if (search.nonEmpty) Tools :+ SearchTool else Tools
+
   /** tools/list payload: JSON array of {name, description, inputSchema}. */
   def listTools: String =
-    Tools.map { t =>
+    tools.map { t =>
       s"""{"name":"${t.name}","description":"${Serve.jsonEscape(t.description)}","inputSchema":${t.inputSchema}}"""
     }.mkString("[", ",", "]")
 
-  def toolNames: Seq[String] = Tools.map(_.name)
+  def toolNames: Seq[String] = tools.map(_.name)
 
   /** resources/list payload: JSON array of {uri, name, description,
     * mimeType} (ref: server.py:183-200). */
@@ -125,6 +133,18 @@ final class McpTools(spark: SparkSession, facts: () => DataFrame,
         .toSeq.sorted
       names.map(n => s""""$n"""").mkString("""{"success":true,"metrics":[""", ",", "]}")
 
+    case "search_corpus" if search.nonEmpty =>
+      // the SearchApi is the single serving semantics for HTTP and MCP —
+      // the tool returns its JSON body (errors stay error-shaped text,
+      // matching the reference's wrap-never-throw contract)
+      val resp = search.get.search(
+        a.optStr("text").getOrElse(""),
+        a.strSeq("vector").map(_.toFloat),
+        a.intOr("k", 10),
+        a.optStr("mode").getOrElse("hybrid"),
+        a.strSeq("allowed_ids"))
+      if (resp.status == 200) resp.body else s"Error: ${resp.body}"
+
     case other => s"Unknown tool: $other"
   }
 }
@@ -164,12 +184,29 @@ object McpTools {
       "Get list of available financial metrics",
       """{"type":"object","properties":{"ticker":{"type":"string"}},"required":[]}"""))
 
+  /** The retrieval layer's tool (round 10) — registered only when the
+    * serving config declares the store paths. The query vector is
+    * caller-supplied (this service does not embed). */
+  val SearchTool: ToolDef = ToolDef("search_corpus",
+    "Search the document corpus from the persisted retrieval stores " +
+      "(hybrid BM25+vector with reciprocal-rank fusion, or " +
+      "lexical/vector/phrase single-mode); optional allowed_ids fences " +
+      "results to an access-scoped id set",
+    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","phrase"]},"allowed_ids":{"type":"array","items":{"type":"string"}}},"required":[]}""")
+
   /** Typed access over the loosely-typed argument map. */
   private final class Args(m: Map[String, Any]) {
     def str(k: String): String = m.get(k) match {
       case Some(s: String) => s
       case Some(other) => other.toString
       case None => throw new IllegalArgumentException(s"missing required argument: $k")
+    }
+    def optStr(k: String): Option[String] = m.get(k).map(String.valueOf)
+    def intOr(k: String, default: Int): Int = m.get(k) match {
+      case Some(i: Int) => i
+      case Some(l: Long) => l.toInt
+      case Some(s: String) => s.toIntOption.getOrElse(default)
+      case _ => default
     }
     def strSeq(k: String): Seq[String] = m.get(k) match {
       case Some(xs: Seq[_]) => xs.map(String.valueOf)

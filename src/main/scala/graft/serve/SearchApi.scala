@@ -1,0 +1,191 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Quantize, Retrieval}
+import graft.sources.Serve
+
+/** Serving surface for the retrieval layer — the round-10 closure of the
+  * reference's defining property that EVERY capability is served
+  * (src/api/main.py:163-210, src/sec_mcp/server.py:147-181): the hybrid
+  * store-served search (qx107/qx114), the lexical store (qx100 family),
+  * and the positional phrase search (qx115) get an HTTP route
+  * (`/search`, [[ApiServer]]) and an MCP tool (`search_corpus`,
+  * [[McpTools]]) over [[GraftConfig]]-declared store paths.
+  *
+  * Same split as [[FinancialApi]]: this class is route semantics as pure
+  * (status, contentType, body) functions — unit-testable without
+  * sockets; the shells bind them. Every mode serves from the PERSISTED
+  * stores at pruned-scan cost (bucket IN / probed cells); the only
+  * driver-side data are the k-bounded result lists the render edge
+  * collects.
+  *
+  * Query vectors are CALLER-SUPPLIED (the standard vector-store wire
+  * contract — Qdrant/Weaviate/pgvector all take the embedding in the
+  * request): this container embeds nothing, so `hybrid`/`vector` modes
+  * need the POST body's `vector` array. `lexical`/`phrase` work from
+  * text alone and are GET-able.
+  */
+final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
+
+  import FinancialApi.Response
+
+  private def now(): String = java.time.Instant.now().toString
+
+  private def envelope(df: DataFrame): String = Serve.toJsonEnvelope(df, now())
+
+  private def error(status: Int, message: String): Response =
+    Response(status, "application/json",
+      s"""{"success":false,"timestamp":"${Serve.jsonEscape(now())}","detail":"${Serve.jsonEscape(message)}"}""")
+
+  // the rescore corpus (exact vectors; also fixes the store id type) —
+  // read lazily once per API instance, metadata only (no materialization)
+  private lazy val corpus = spark.read.parquet(conf.corpusPath)
+  private lazy val idType = corpus.schema.apply(conf.idCol).dataType
+
+  private def queryFrame(text: String): DataFrame = {
+    import spark.implicits._
+    Seq(("0", text)).toDF("__qid", conf.textCol)
+      .select(col("__qid").cast(idType).as(conf.idCol), col(conf.textCol))
+  }
+
+  private def queryFrameVec(text: String, vec: Seq[Float]): DataFrame = {
+    import spark.implicits._
+    Seq(("0", text, vec)).toDF("__qid", conf.textCol, conf.vecCol)
+      .select(col("__qid").cast(idType).as(conf.idCol),
+        col(conf.textCol), col(conf.vecCol))
+  }
+
+  private def allowFrame(ids: Seq[String]): DataFrame = {
+    import spark.implicits._
+    ids.toDF("__aid").select(col("__aid").cast(idType).as(conf.idCol))
+  }
+
+  /** One search call. `mode`: `hybrid` (default; needs `vector`),
+    * `vector` (needs `vector`), `lexical`, `phrase`. `allowedIds`
+    * non-empty ⇒ the filtered serving paths (qx111/qx114 semantics:
+    * candidates fenced before ranking, statistics corpus-global). */
+  def search(text: String, vector: Seq[Float], k: Int, mode: String,
+             allowedIds: Seq[String]): Response = {
+    if (k < 1 || k > conf.maxK)
+      return error(400, s"k must be in [1, ${conf.maxK}]: $k")
+    val needsVector = mode == "hybrid" || mode == "vector"
+    if (needsVector && vector.isEmpty)
+      return error(400, s"mode '$mode' requires a query 'vector' " +
+        "(this service does not embed; pass the embedding in the request)")
+    if (mode != "vector" && text.trim.isEmpty)
+      return error(400, s"mode '$mode' requires non-empty query text")
+    val allowed = Option(allowedIds).filter(_.nonEmpty).map(allowFrame)
+    try {
+      val result = mode match {
+        case "hybrid" =>
+          val q = queryFrameVec(text, vector)
+          allowed match {
+            case Some(a) => Retrieval.hybridTopKFromStoresFiltered(spark,
+              conf.lexStore, conf.vecStore, q, a, conf.textCol, conf.vecCol,
+              conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
+              corpus, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
+            case None => Retrieval.hybridTopKFromStores(spark,
+              conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
+              conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
+              corpus, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
+          }
+        case "vector" =>
+          val q = queryFrameVec(text, vector).select(col(conf.idCol), col(conf.vecCol))
+          (allowed match {
+            case Some(a) => Quantize.searchSelfContainedRefinedFiltered(spark,
+              conf.vecStore, q, conf.idCol, conf.vecCol, a,
+              corpus, conf.vecCol, k, conf.nProbe, conf.rerankDepth)
+            case None => Quantize.searchSelfContainedRefined(spark,
+              conf.vecStore, q, conf.idCol, conf.vecCol,
+              corpus, conf.vecCol, k, conf.nProbe, conf.rerankDepth)
+          }).withColumnRenamed("neighbor_id", "doc_id")
+        case "lexical" =>
+          val q = queryFrame(text)
+          allowed match {
+            case Some(a) => Retrieval.bm25TopKFromStoreFiltered(spark,
+              conf.lexStore, q, a, conf.textCol, conf.idCol, k,
+              maxQueryTerms = conf.maxQueryTerms)
+            case None => Retrieval.bm25TopKFromStore(spark, conf.lexStore,
+              q, conf.textCol, conf.idCol, k,
+              maxQueryTerms = conf.maxQueryTerms)
+          }
+        case "phrase" =>
+          if (allowed.nonEmpty)
+            return error(400, "phrase mode does not support allowed_ids yet")
+          Retrieval.phraseTopKFromStore(spark, conf.lexStore,
+            queryFrame(text), conf.textCol, conf.idCol, k,
+            maxPhraseTerms = conf.maxQueryTerms)
+        case other =>
+          return error(400,
+            s"unknown mode '$other' (expected hybrid|vector|lexical|phrase)")
+      }
+      Response(200, "application/json",
+        envelope(result.drop("query_id").orderBy("rank")))
+    } catch {
+      case e: IllegalStateException => error(503,
+        s"retrieval store unavailable: ${e.getMessage}")
+    }
+  }
+
+  /** GET-shaped entry (text modes only). */
+  def searchGet(params: Map[String, String]): Response = {
+    val mode = params.getOrElse("mode", "lexical")
+    if (mode == "hybrid" || mode == "vector")
+      return error(400, s"mode '$mode' needs a query vector — POST /search " +
+        """with {"text":...,"vector":[...]} instead""")
+    search(params.getOrElse("q", ""), Seq.empty,
+      params.get("k").flatMap(_.toIntOption).getOrElse(10), mode, Seq.empty)
+  }
+
+  /** POST-shaped entry: {"text":..., "vector":[...], "k":10,
+    * "mode":"hybrid", "allowed_ids":[...]}. */
+  def searchPost(body: String): Response = {
+    val node =
+      try FinancialApi.mapper.readTree(if (body.isEmpty) "{}" else body)
+      catch { case e: Exception =>
+        return error(400, s"invalid JSON body: ${e.getMessage}") }
+    val vec: Seq[Float] =
+      Option(node.get("vector")).filter(_.isArray).map { arr =>
+        (0 until arr.size).map(i => arr.get(i).floatValue)
+      }.getOrElse(Seq.empty)
+    search(
+      Option(node.get("text")).map(_.asText).getOrElse(""),
+      vec,
+      Option(node.get("k")).map(_.asInt).getOrElse(10),
+      Option(node.get("mode")).map(_.asText).getOrElse("hybrid"),
+      Option(node.get("allowed_ids")).filter(_.isArray)
+        .map(FinancialApi.asStringSeq).getOrElse(Seq.empty))
+  }
+}
+
+object SearchApi {
+
+  /** The GraftConfig-declared retrieval deployment: where the two stores
+    * live, where the exact-vector lake table is (the refine rescores
+    * from it — the store persists only codes), the column names the
+    * stores were built with, and the serving budgets. */
+  final case class RetrievalConf(lexStore: String, vecStore: String,
+                                 corpusPath: String, idCol: String,
+                                 textCol: String, vecCol: String,
+                                 depth: Int, nProbe: Int, rerankDepth: Int,
+                                 maxQueryTerms: Int, maxK: Int)
+
+  /** Build from config when the store paths are declared; None otherwise
+    * (the serving shells then simply don't expose the routes/tool). */
+  def fromConfig(spark: SparkSession, cfg: GraftConfig): Option[SearchApi] =
+    for {
+      lex <- cfg.getString("retrieval.lex_store")
+      vec <- cfg.getString("retrieval.vec_store")
+      corpus <- cfg.getString("retrieval.corpus_path")
+    } yield new SearchApi(spark, RetrievalConf(
+      lexStore = lex, vecStore = vec, corpusPath = corpus,
+      idCol = cfg.getStringOr("retrieval.id_col", "doc_id"),
+      textCol = cfg.getStringOr("retrieval.text_col", "text"),
+      vecCol = cfg.getStringOr("retrieval.vec_col", "embedding"),
+      depth = cfg.getIntOr("retrieval.depth", 20),
+      nProbe = cfg.getIntOr("retrieval.n_probe", 8),
+      rerankDepth = cfg.getIntOr("retrieval.rerank_depth", 100),
+      maxQueryTerms = cfg.getIntOr("retrieval.max_query_terms", 16),
+      maxK = cfg.getIntOr("retrieval.max_k", 100)))
+}

@@ -312,6 +312,128 @@ class ServeLayerSpec extends SparkSpec {
     assert(tools.readResource("sec://nope").startsWith("Unknown resource"))
   }
 
+  // ------------------------------------------- round 10: /search layer --
+
+  test("search serving: HTTP + MCP round-trips against real stores match the operator results") {
+    import graft.operators.{Quantize, Retrieval}
+    import graft.serve.SearchApi
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding")).localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("srv-search-").toString
+    val corpus = hybrid.filter(col("doc_id") >= 10) // ids < 10 stay query-side
+    Retrieval.writeBm25Store(corpus.select("doc_id", "text"),
+      "text", "doc_id", s"$work/lex", 8)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+    Quantize.buildSelfContained(spark, corpus.select("doc_id", "embedding"),
+      "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+      cb, "code_id", "cb_emb", 64, 4, residual = false, s"$work/vec")
+    corpus.write.parquet(s"$work/corpus")
+    val yaml =
+      s"""retrieval:
+         |  lex_store: "$work/lex"
+         |  vec_store: "$work/vec"
+         |  corpus_path: "$work/corpus"
+         |  depth: 15
+         |  n_probe: 3
+         |  rerank_depth: 40
+         |  max_query_terms: 6
+         |""".stripMargin
+    val cfg = GraftConfig.fromString(yaml, env = Map.empty)
+    val search = SearchApi.fromConfig(spark, cfg)
+    assert(search.nonEmpty, "config with store paths must mount the search api")
+    val qRow = hybrid.filter(col("doc_id") === 3L)
+      .select("text", "embedding").collect().head
+    val qText = qRow.getString(0)
+    val qVec = qRow.getSeq[Float](1)
+    // ground truth straight from the operators (same budgets as the config)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("doc_id").collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    val qDf = Seq((3L, qText, qVec)).toDF("doc_id", "text", "embedding")
+    val wantHybrid = ids(Retrieval.hybridTopKFromStores(spark,
+      s"$work/lex", s"$work/vec", qDf, "text", "embedding", "doc_id",
+      5, 15, 3, 40, corpus.select("doc_id", "embedding"), "embedding",
+      maxQueryTerms = 6))
+    val allowedIds = corpus.filter(col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val wantFiltered = ids(Retrieval.hybridTopKFromStoresFiltered(spark,
+      s"$work/lex", s"$work/vec", qDf, allowedIds.toDF("doc_id"),
+      "text", "embedding", "doc_id", 5, 15, 3, 40,
+      corpus.select("doc_id", "embedding"), "embedding", maxQueryTerms = 6))
+    val wantLex = ids(Retrieval.bm25TopKFromStore(spark, s"$work/lex",
+      Seq((3L, qText)).toDF("doc_id", "text"), "text", "doc_id", 5,
+      maxQueryTerms = 6))
+    def docIdsOf(body: String): Seq[Long] = {
+      val data = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("data")
+      (0 until data.size).map(i => data.get(i).get("doc_id").asLong)
+    }
+    // ---- real HTTP round-trips -----------------------------------------
+    val server = new ApiServer(newApi(), 0, cfg, search).start()
+    val client = HttpClient.newHttpClient()
+    def get(path: String) = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${server.boundPort}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    def post(path: String, body: String) = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      val vecJson = qVec.mkString("[", ",", "]")
+      val hy = post("/search",
+        s"""{"text":${jstr(qText)},"vector":$vecJson,"k":5,"mode":"hybrid"}""")
+      assert(hy.statusCode == 200, hy.body)
+      assert(docIdsOf(hy.body) == wantHybrid,
+        "HTTP hybrid must serve exactly the operator result")
+      val fl = post("/search",
+        s"""{"text":${jstr(qText)},"vector":$vecJson,"k":5,"mode":"hybrid",
+           |"allowed_ids":[${allowedIds.mkString(",")}]}""".stripMargin)
+      assert(fl.statusCode == 200 && docIdsOf(fl.body) == wantFiltered)
+      assert(docIdsOf(fl.body).forall(_ % 2 == 0),
+        "filtered serving leaked a disallowed doc")
+      val lex = get(s"/search?mode=lexical&k=5&q=" +
+        java.net.URLEncoder.encode(qText, "UTF-8"))
+      assert(lex.statusCode == 200 && docIdsOf(lex.body) == wantLex)
+      // a 6-term phrase ~never recurs on the synthetic corpus; a bigram does
+      val bigram = qText.split("\\s+").take(2).mkString(" ")
+      val ph = get(s"/search?mode=phrase&k=5&q=" +
+        java.net.URLEncoder.encode(bigram, "UTF-8"))
+      assert(ph.statusCode == 200 && docIdsOf(ph.body).nonEmpty,
+        "phrase mode over the positional store must answer")
+      // hybrid over GET is a 400 (no way to pass the vector), bad mode 400
+      assert(get("/search?mode=hybrid&q=x").statusCode == 400)
+      assert(post("/search", """{"text":"x","mode":"nope"}""").statusCode == 400)
+      assert(post("/search", """{"mode":"hybrid","text":"x"}""").statusCode == 400,
+        "hybrid without a vector must 400, not NPE")
+    } finally server.stop()
+    // unconfigured server: the route answers 503, not 404
+    val bare = new ApiServer(newApi(), port = 0).start()
+    try assert(client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${bare.boundPort}/search?q=x")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode == 503)
+    finally bare.stop()
+    // ---- MCP surface ----------------------------------------------------
+    val tools = new McpTools(spark, () => facts, Some(cfg), search)
+    assert(tools.toolNames.contains("search_corpus"))
+    assert(tools.listTools.contains("\"name\":\"search_corpus\""))
+    val mcpBody = tools.callJson("search_corpus",
+      s"""{"text":${jstr(qText)},"vector":${qVec.mkString("[", ",", "]")},"k":5,"mode":"hybrid"}""")
+    assert(docIdsOf(mcpBody) == wantHybrid,
+      "MCP search_corpus must serve exactly the operator result")
+    val noSearch = new McpTools(spark, () => facts)
+    assert(!noSearch.toolNames.contains("search_corpus"))
+    assert(noSearch.callJson("search_corpus", "{}").startsWith("Unknown tool"))
+  }
+
+  private def jstr(s: String): String =
+    "\"" + graft.sources.Serve.jsonEscape(s) + "\""
+
   // ------------------------------------------------------- S13 config --
 
   test("config: YAML parse, dotted paths, env override, spark binding") {
