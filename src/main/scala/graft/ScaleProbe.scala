@@ -77,11 +77,21 @@ object ScaleProbe {
         // rewrites) — wall should grow sub-linearly with the store;
         // compact rewrites only the affected buckets' bytes, reported as
         // the rewritten fraction
+        // O(batch) TEXT delete first (round 10): deltas from re-tokenizing
+        // a fixed 100-doc set — the wall must be flat in the STORE size
+        // because the standing postings are never opened
+        val dead2 = (1L to 100L).map(_ * 7L + 1L)
+        val dead2Docs = base.filter(col("doc_id").isin(dead2: _*))
+        dead2Docs.count() // materialize off the cached base; exclude from wall
+        val tT = System.nanoTime()
+        val nDelT = graft.operators.Retrieval.deleteFromBm25Store(spark, path,
+          dead2Docs, "text", "doc_id", epoch = 2L)
+        val delTextSecs = (System.nanoTime() - tT) / 1e9
         val dead = (1L to 100L).map(_ * 7L) // fixed set, present in every copy-0 slice
         val t2 = System.nanoTime()
         val nDel = graft.operators.Retrieval.deleteFromBm25Store(spark, path,
           spark.createDataset(dead)(org.apache.spark.sql.Encoders.scalaLong)
-            .toDF("doc_id"), epoch = 2L)
+            .toDF("doc_id"), epoch = 3L)
         val delSecs = (System.nanoTime() - t2) / 1e9
         val preBytes = dirBytes(new java.io.File(s"$path/postings"), _ => true)
         val t3 = System.nanoTime()
@@ -89,7 +99,8 @@ object ScaleProbe {
         val compSecs = (System.nanoTime() - t3) / 1e9
         val postBytes = dirBytes(new java.io.File(s"$path/postings"), _ => true)
         println(f"[scale] bm25_docs=${n0 * mult}%8d  delete_docs=$nDel%4d  " +
-          f"delete=${delSecs}%6.2fs  |  compact_rows=$removed%6d  " +
+          f"delete_scan=${delSecs}%6.2fs  delete_text($nDelT%4d)=${delTextSecs}%6.2fs  |  " +
+          f"compact_rows=$removed%6d  " +
           f"compact=${compSecs}%6.2fs  store ${preBytes}%9dB -> ${postBytes}%9dB")
       }
     }
