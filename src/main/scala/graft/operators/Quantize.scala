@@ -105,47 +105,33 @@ object Quantize {
   /** The IVF-PQ INDEX: every corpus vector routed to its nearest coarse
     * centroid (cell) AND compressed to `nBlocks` PQ codes — the
     * production-shaped ANN artifact (FAISS's IndexIVFPQ layout: an
-    * inverted list per cell holding code tuples, no floats). Built in one
-    * logical pass over the corpus: the coarse assignment's grouped argmax
-    * carries the vector through ([[Similarity.ivfAssign]] keeps `vecCol`),
-    * and the encode step groups by (id, cell, block) — cell is
-    * functionally dependent on id, so adding it to the key is free and
-    * AVOIDS an id-keyed join of two corpus-sized derivatives. Shuffled
-    * widths: (id, vec) for the assignment, (id, cell, block, code, d2)
-    * for the encode — the second is constant-width; only the first
-    * carries the vectors, once.
+    * inverted list per cell holding code tuples, no floats). Built fully
+    * MAP-SIDE ([[ivfPqIndexCodes]] + a posexplode to the row shape):
+    * assignment and per-block argmin are expressions against the
+    * broadcast one-row centroid/codebook tables, so the build is a
+    * single exchange-free corpus scan — the earlier two grouped-argmin
+    * exchanges (assignment + encode) bought nothing the expressions
+    * don't (BatchingOpsSpec keeps a frozen reference of that row
+    * algorithm and gates bit-equality).
     *
     * Output: (idCol, centroid_id, block, code) — write it partitioned by
     * centroid_id and searches prune to probed cells at the FILE level. */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                  codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                 dims: Int, nBlocks: Int): DataFrame = {
-    require(nBlocks >= 1 && dims % nBlocks == 0,
-      s"nBlocks=$nBlocks must divide dims=$dims")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val w = dims / nBlocks
-    val assigned = Similarity.ivfAssign(
-      corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol)
-    val e = assigned
-      .select(col(idCol), col("centroid_id"), col(vecCol),
-        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
-      .withColumn("__sub", expr(d.slice(vecCol, s"block * $w + 1", w)))
-      .select(col(idCol), col("centroid_id"), col("block"), col("__sub"),
-        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
-    val c = codebook
-      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
-        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
-      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
-      .select(col("code"), col("block"), col("__csub"),
-        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
-    e.join(broadcast(c), "block")
-      .withColumn("__d2",
-        col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
-      .groupBy(col(idCol), col("centroid_id"), col("block"))
-      .agg(min_by(col("code"),
-        struct(col("__d2").as("d"), col("code").as("tb"))).as("code"))
-  }
+                 dims: Int, nBlocks: Int): DataFrame =
+    explodeCodes(ivfPqIndexCodes(corpus, idCol, vecCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks), idCol)
+
+  /** Codes-array → the (id, cell, block, code) persistence row shape —
+    * a map-side posexplode, no exchange. */
+  private def explodeCodes(indexCodes: DataFrame, idCol: String): DataFrame =
+    indexCodes
+      .select(col(idCol), col("centroid_id"),
+        posexplode(col("codes")).as(Seq("block", "code")))
+      .select(col(idCol), col("centroid_id"),
+        col("block").cast("long").as("block"), col("code"))
 
   /** IVF-PQ SEARCH — the composition of the two proven halves (qx22's
     * cell probing, qx64's ADC scoring) into the index real deployments
@@ -287,42 +273,11 @@ object Quantize {
                      index: DataFrame, idCol: String,
                      centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                      codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                     dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
-    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
-    require(k >= 1, s"k=$k must be >= 1")
-    require(nBlocks >= 1 && dims % nBlocks == 0,
-      s"nBlocks=$nBlocks must divide dims=$dims")
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val wSub = dims / nBlocks
-    val probes = Similarity.probeAssignLarge(queries, qIdCol, qVecCol,
-      centroids, cenIdCol, cenVecCol, nProbe)
-    val cb = codebook
-      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
-        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
-      .withColumn("__csub", expr(d.slice("__cv", s"block * $wSub + 1", wSub)))
-      .select(col("code"), col("block"), col("__csub"),
-        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("__d2").asc, col("vec_id").asc)
-    index.join(probes, Seq("centroid_id")) // the shuffle the algorithm budgets for
-      .filter(col("query_id") =!= col(idCol))
-      .join(broadcast(cb), Seq("block", "code"))
-      .withColumn("__qsub", expr(d.slice("q_vec", s"block * $wSub + 1", wSub)))
-      .withColumn("__pd2",
-        (expr(TX.dotAuto("__qsub", "__qsub"))
-          - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
-          + col("__cc")).cast("decimal(30,12)"))
-      .groupBy(col("query_id"), col(idCol).as("vec_id"))
-      .agg(sum(col("__pd2")).as("__d2"),
-        first(col("centroid_id")).as("centroid_id"),
-        first(col("probe_rank")).as("probe_rank"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("__d2").cast("double"), 6).as("dist2"),
-        col("centroid_id"), col("probe_rank"))
-  }
+                     dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame =
+    ivfPqSearchAllCodes(queries, qIdCol, qVecCol,
+      regroupCodes(index, idCol, nBlocks), idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
 
   /** [[ivfPqSearchAll]] for a RESIDUAL-coded index — the batch search for
     * the SHIPPED configuration (the high-recall default is a residual
@@ -339,46 +294,230 @@ object Quantize {
                              index: DataFrame, idCol: String,
                              centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                              codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                             dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+                             dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame =
+    ivfPqSearchAllResidualCodes(queries, qIdCol, qVecCol,
+      regroupCodes(index, idCol, nBlocks), idCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks, k, nProbe)
+
+  // ---- codes-array batch path -------------------------------------------
+  // The (id, cell, block, code) ROW shape is the persistence contract
+  // (partition-pruned stores, per-block epoch overwrites); the BATCH hot
+  // path wants one row per VECTOR. The *Codes operators carry the whole
+  // code tuple as a positional array so the cell equi-join moves nBlocks×
+  // fewer rows and the cross-block ADC distance is ONE codegen'd
+  // expression per candidate — no broadcast (block, code) LUT join and no
+  // (query, vec) re-aggregation exchange. The row-shaped APIs above
+  // delegate here through [[regroupCodes]]; BatchingOpsSpec pins both
+  // shapes byte-identical to the broadcast-query searches.
+
+  /** (id, cell, block, code) rows → (id, cell, codes positional array):
+    * one narrow index-scale exchange (cheaper than the candidate-scale
+    * exchange it replaces downstream). Block-keyed map lookup makes the
+    * array positional regardless of row order. */
+  private def regroupCodes(index: DataFrame, idCol: String, nBlocks: Int): DataFrame =
+    index.groupBy(col(idCol), col("centroid_id"))
+      .agg(map_from_entries(collect_list(struct(col("block"), col("code")))).as("__bm"))
+      .withColumn("codes", expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> element_at(__bm, CAST(b AS BIGINT)))"))
+      .select(col(idCol), col("centroid_id"), col("codes"))
+
+  /** One-row broadcastable codebook, ENCODE shape: per code, the
+    * per-block sub-vectors and their self-dots, as an array the argmin
+    * expression iterates. */
+  private def codebookArrOneRow(codebook: DataFrame, cbIdCol: String,
+                                cbVecCol: String, wSub: Int, nBlocks: Int): DataFrame =
+    codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"))
+      .withColumn("csubs", expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> ${d.slice("__cv", s"b * $wSub + 1", wSub)})"))
+      .withColumn("ccs", expr(s"transform(csubs, s -> ${TX.dotAuto("s", "s")})"))
+      .agg(collect_list(struct(col("code"), col("csubs"), col("ccs"))).as("__cb"))
+
+  /** One-row broadcastable codebook, SEARCH shape: code-keyed map for the
+    * per-candidate lookup expression. */
+  private def codebookMapOneRow(codebook: DataFrame, cbIdCol: String,
+                                cbVecCol: String, wSub: Int, nBlocks: Int): DataFrame =
+    codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"))
+      .withColumn("csubs", expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> ${d.slice("__cv", s"b * $wSub + 1", wSub)})"))
+      .withColumn("ccs", expr(s"transform(csubs, s -> ${TX.dotAuto("s", "s")})"))
+      .agg(map_from_entries(collect_list(struct(col("code"),
+        struct(col("csubs"), col("ccs"))))).as("__cbm"))
+
+  /** Adds `__subs` (per-block sub-vectors of `vCol`, positional) and
+    * `__xxs` (their self-dots). */
+  private def withSubs(dfv: DataFrame, vCol: String, w: Int, nBlocks: Int): DataFrame =
+    dfv
+      .withColumn("__subs", expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> ${d.slice(vCol, s"b * $w + 1", w)})"))
+      .withColumn("__xxs", expr(s"transform(__subs, s -> ${TX.dotAuto("s", "s")})"))
+
+  /** Per-vector PQ codes in one map-side expression: for each block the
+    * argmin over the broadcast codebook of ||sub − csub||², picked with
+    * array_min over (distance, code) structs — the exact (d asc, code
+    * asc) tie-break the row path's min_by uses (same type ordering,
+    * nulls included). Needs `__subs`/`__xxs` ([[withSubs]]) and the
+    * crossed-in `__cb`. */
+  private def codesExpr(nBlocks: Int): String =
+    s"""transform(sequence(1, $nBlocks), b ->
+       |  array_min(transform(__cb, c -> struct(
+       |    element_at(__xxs, b)
+       |      - CAST(2.0 AS DOUBLE) * ${TX.dotAuto("element_at(__subs, b)", "element_at(c.csubs, b)")}
+       |      + element_at(c.ccs, b) AS d,
+       |    c.code AS code))).code)""".stripMargin
+
+  /** Exact SQL sum of DECIMAL(30,12) terms: ≤8 additions grow precision
+    * by 1 each (caps at 38) with scale 12 preserved — value-identical to
+    * sum(DECIMAL(30,12)); >8 terms re-normalize per 8-group (exact while
+    * group sums fit 18 integer digits, the headroom the aggregate sum
+    * itself needs). */
+  private def decimalSumChain(parts: Seq[String]): String =
+    if (parts.lengthCompare(8) <= 0) parts.mkString("(", " + ", ")")
+    else decimalSumChain(parts.grouped(8).map(g =>
+      s"CAST(${g.mkString("(", " + ", ")")} AS DECIMAL(30,12))").toSeq)
+
+  /** Shared candidate-scoring tail: cell equi-join (THE shuffle the
+    * algorithm budgets for) → per-candidate cross-block ADC distance
+    * against the broadcast code map → rank window. `probes` must carry
+    * (query_id, centroid_id, probe_rank, __qsubs, __qxxs). */
+  private def searchCodesTail(indexCodes: DataFrame, probes: DataFrame,
+                              cbMap: DataFrame, idCol: String,
+                              nBlocks: Int, k: Int): DataFrame = {
+    val parts = (1 to nBlocks).map { b =>
+      s"""CAST((element_at(__qxxs, $b)
+         |  - CAST(2.0 AS DOUBLE) * ${TX.dotAuto(s"element_at(__qsubs, $b)", s"element_at(__ce, $b).cs")}
+         |  + element_at(__ce, $b).cc) AS DECIMAL(30,12))""".stripMargin
+    }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__d2").asc, col("vec_id").asc)
+    indexCodes.join(probes, Seq("centroid_id")) // the budgeted shuffle
+      .filter(col("query_id") =!= col(idCol))
+      .crossJoin(broadcast(cbMap))
+      // hoist the two map lookups per block out of the distance chain
+      .withColumn("__ce", expr(
+        s"""transform(sequence(1, $nBlocks), b -> struct(
+           |  element_at(element_at(__cbm, element_at(codes, b)).csubs, b) AS cs,
+           |  element_at(element_at(__cbm, element_at(codes, b)).ccs, b) AS cc))""".stripMargin))
+      .withColumn("__d2", expr(decimalSumChain(parts)))
+      .select(col("query_id"), col(idCol).as("vec_id"), col("__d2"),
+        col("centroid_id"), col("probe_rank"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("__d2").cast("double"), 6).as("dist2"),
+        col("centroid_id"), col("probe_rank"))
+  }
+
+  /** [[ivfPqIndex]] in BATCH shape — one row per vector, `codes`
+    * positional — and fully MAP-SIDE: coarse assignment via
+    * [[Similarity.probeAssignLarge]] (nProbe=1 picks ivfAssign's cell —
+    * same cosine-desc, id-asc tie-break) and the per-block argmin as one
+    * expression against the broadcast one-row codebook. ZERO exchanges
+    * where the row path paid two corpus-scale groupBys (assignment
+    * argmax + encode argmin) for the same values — BatchingOpsSpec gates
+    * bit-equality against a frozen reference of the row algorithm. */
+  def ivfPqIndexCodes(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                      codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                      dims: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val w = dims / nBlocks
+    val assigned = Similarity.probeAssignLarge(corpus, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol, nProbe = 1)
+      .select(col("query_id").as(idCol), col("centroid_id"), col("q_vec").as("__v"))
+    encodeCodes(assigned, idCol, codebook, cbIdCol, cbVecCol, w, nBlocks)
+  }
+
+  /** [[ivfPqIndexResidual]] in BATCH shape — map-side like
+    * [[ivfPqIndexCodes]]; the assigned row picks up its cell centroid
+    * from the broadcast table and encodes the residual. */
+  def ivfPqIndexResidualCodes(corpus: DataFrame, idCol: String, vecCol: String,
+                              centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                              codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                              dims: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val w = dims / nBlocks
+    val cen = centroids.select(col(cenIdCol).as("centroid_id"),
+      col(cenVecCol).as("__cenv"))
+    val assigned = Similarity.probeAssignLarge(corpus, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol, nProbe = 1)
+      .select(col("query_id").as(idCol), col("centroid_id"), col("q_vec").as("__v0"))
+      .join(broadcast(cen), "centroid_id")
+      .withColumn("__v", expr(
+        "zip_with(__v0, __cenv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col(idCol), col("centroid_id"), col("__v"))
+    encodeCodes(assigned, idCol, codebook, cbIdCol, cbVecCol, w, nBlocks)
+  }
+
+  private def encodeCodes(assigned: DataFrame, idCol: String,
+                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                          w: Int, nBlocks: Int): DataFrame =
+    withSubs(assigned.crossJoin(broadcast(
+        codebookArrOneRow(codebook, cbIdCol, cbVecCol, w, nBlocks))), "__v", w, nBlocks)
+      .withColumn("codes", expr(codesExpr(nBlocks)))
+      .select(col(idCol), col("centroid_id"), col("codes"))
+
+  /** [[ivfPqSearchAll]] over a codes-array index — the batch hot path.
+    * Map-side probes → one cell equi-join (rows = candidates, not
+    * candidates×nBlocks) → per-candidate cross-block distance in a single
+    * codegen'd expression → rank window. The decimal chain reproduces
+    * sum(DECIMAL(30,12)) exactly, so output stays byte-identical to the
+    * broadcast-query search. */
+  def ivfPqSearchAllCodes(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          indexCodes: DataFrame, idCol: String,
+                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                          dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
     require(nBlocks >= 1 && dims % nBlocks == 0,
       s"nBlocks=$nBlocks must divide dims=$dims")
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val wSub = dims / nBlocks
-    val probes = Similarity.probeAssignLarge(queries, qIdCol, qVecCol,
-        centroids, cenIdCol, cenVecCol, nProbe)
-      .join(broadcast(centroids.select(col(cenIdCol).as("centroid_id"),
-        col(cenVecCol).as("__cvec"))), Seq("centroid_id"))
-      .withColumn("__qres", expr(
-        "zip_with(q_vec, __cvec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
-      .select(col("query_id"), col("centroid_id"), col("probe_rank"), col("__qres"))
-    val cb = codebook
-      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
-        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
-      .withColumn("__csub", expr(d.slice("__cv", s"block * $wSub + 1", wSub)))
-      .select(col("code"), col("block"), col("__csub"),
-        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("__d2").asc, col("vec_id").asc)
-    index.join(probes, Seq("centroid_id"))
-      .filter(col("query_id") =!= col(idCol))
-      .join(broadcast(cb), Seq("block", "code"))
-      .withColumn("__qsub", expr(d.slice("__qres", s"block * $wSub + 1", wSub)))
-      .withColumn("__pd2",
-        (expr(TX.dotAuto("__qsub", "__qsub"))
-          - lit(2.0) * expr(TX.dotAuto("__qsub", "__csub"))
-          + col("__cc")).cast("decimal(30,12)"))
-      .groupBy(col("query_id"), col(idCol).as("vec_id"))
-      .agg(sum(col("__pd2")).as("__d2"),
-        first(col("centroid_id")).as("centroid_id"),
-        first(col("probe_rank")).as("probe_rank"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("__d2").cast("double"), 6).as("dist2"),
-        col("centroid_id"), col("probe_rank"))
+    val probes = withSubs(
+        Similarity.probeAssignLarge(queries, qIdCol, qVecCol,
+          centroids, cenIdCol, cenVecCol, nProbe), "q_vec", wSub, nBlocks)
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"),
+        col("__subs").as("__qsubs"), col("__xxs").as("__qxxs"))
+    searchCodesTail(indexCodes, probes,
+      codebookMapOneRow(codebook, cbIdCol, cbVecCol, wSub, nBlocks),
+      idCol, nBlocks, k)
+  }
+
+  /** [[ivfPqSearchAllResidual]] over a codes-array index: each probe row
+    * carries the per-cell query residual's sub-vectors into the same
+    * candidate tail. */
+  def ivfPqSearchAllResidualCodes(queries: DataFrame, qIdCol: String, qVecCol: String,
+                                  indexCodes: DataFrame, idCol: String,
+                                  centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                                  codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                                  dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val wSub = dims / nBlocks
+    val probes = withSubs(
+        Similarity.probeAssignLarge(queries, qIdCol, qVecCol,
+            centroids, cenIdCol, cenVecCol, nProbe)
+          .join(broadcast(centroids.select(col(cenIdCol).as("centroid_id"),
+            col(cenVecCol).as("__cvec"))), Seq("centroid_id"))
+          .withColumn("__qres", expr(
+            "zip_with(q_vec, __cvec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))")),
+        "__qres", wSub, nBlocks)
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"),
+        col("__subs").as("__qsubs"), col("__xxs").as("__qxxs"))
+    searchCodesTail(indexCodes, probes,
+      codebookMapOneRow(codebook, cbIdCol, cbVecCol, wSub, nBlocks),
+      idCol, nBlocks, k)
   }
 
   /** Persist an IVF-PQ index partitioned by cell — the durable form of
@@ -1529,36 +1668,10 @@ object Quantize {
   def ivfPqIndexResidual(corpus: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                         dims: Int, nBlocks: Int): DataFrame = {
-    require(nBlocks >= 1 && dims % nBlocks == 0,
-      s"nBlocks=$nBlocks must divide dims=$dims")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val w = dims / nBlocks
-    val cen = centroids.select(col(cenIdCol).as("centroid_id"),
-      col(cenVecCol).as("__cenv"))
-    val e = Similarity.ivfAssign(corpus, idCol, vecCol,
-        centroids, cenIdCol, cenVecCol)
-      .join(broadcast(cen), "centroid_id")
-      .withColumn("__res", expr(
-        s"zip_with($vecCol, __cenv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
-      .select(col(idCol), col("centroid_id"), col("__res"),
-        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
-      .withColumn("__sub", expr(d.slice("__res", s"block * $w + 1", w)))
-      .select(col(idCol), col("centroid_id"), col("block"), col("__sub"),
-        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
-    val c = codebook
-      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
-        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
-      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
-      .select(col("code"), col("block"), col("__csub"),
-        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
-    e.join(broadcast(c), "block")
-      .withColumn("__d2",
-        col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
-      .groupBy(col(idCol), col("centroid_id"), col("block"))
-      .agg(min_by(col("code"),
-        struct(col("__d2").as("d"), col("code").as("tb"))).as("code"))
-  }
+                         dims: Int, nBlocks: Int): DataFrame =
+    explodeCodes(ivfPqIndexResidualCodes(corpus, idCol, vecCol,
+      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
+      dims, nBlocks), idCol)
 
   /** Residual IVF-PQ search: the ADC table is per (query, PROBED CELL,
     * block, code) — ||(q − c_cell)_b − codebook_b(code)||² — because the

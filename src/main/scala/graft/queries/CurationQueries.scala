@@ -260,10 +260,12 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val index = graft.operators.Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      // codes-array composition end to end: map-side index build feeds the
+      // cell join directly — no row-shape explode/regroup in between
+      val index = graft.operators.Quantize.ivfPqIndexCodes(emb, "vec_id", "embedding",
         cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
         PQ_DIMS, PQ_BLOCKS)
-      graft.operators.Quantize.ivfPqSearchAll(emb, "vec_id", "embedding",
+      graft.operators.Quantize.ivfPqSearchAllCodes(emb, "vec_id", "embedding",
           index, "vec_id", cents, "centroid_id", "cen_emb",
           codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -289,10 +291,10 @@ object CurationQueries {
         .withColumn("c_emb", expr(
           "zip_with(embedding, cen_emb, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
         .select(col("vec_id").as("code_id"), col("c_emb"))
-      val index = graft.operators.Quantize.ivfPqIndexResidual(emb, "vec_id", "embedding",
+      val index = graft.operators.Quantize.ivfPqIndexResidualCodes(emb, "vec_id", "embedding",
         cents, "centroid_id", "cen_emb", resCodebook, "code_id", "c_emb",
         PQ_DIMS, PQ_BLOCKS)
-      graft.operators.Quantize.ivfPqSearchAllResidual(emb, "vec_id", "embedding",
+      graft.operators.Quantize.ivfPqSearchAllResidualCodes(emb, "vec_id", "embedding",
           index, "vec_id", cents, "centroid_id", "cen_emb",
           resCodebook, "code_id", "c_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)

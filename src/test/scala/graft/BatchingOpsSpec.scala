@@ -1591,4 +1591,82 @@ class BatchingOpsSpec extends SparkSpec {
         cents, "cid", "cv", 3, 0)
     }
   }
+
+  /** FROZEN REFERENCE of the original row-shaped IVF-PQ index build
+    * (grouped-argmin assignment via ivfAssign + grouped-argmin encode
+    * against the exploded broadcast codebook). The shipped build is
+    * map-side expressions; this copy keeps the two implementations
+    * provably bit-identical forever. */
+  private def rowPathIndexReference(corpus: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      codebook: org.apache.spark.sql.DataFrame,
+      residual: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{Dialect, TextExprs => TX}
+    implicit val d: Dialect = Dialect(spark = true)
+    graft.functions.GraftFunctions.register(spark)
+    val (dims, nBlocks) = (64, 4)
+    val w = dims / nBlocks
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+      cents, "cid", "cv")
+    val base =
+      if (!residual) assigned.withColumn("__res", col("embedding"))
+      else assigned
+        .join(broadcast(cents.select(col("cid").as("centroid_id"),
+          col("cv").as("__cenv"))), "centroid_id")
+        .withColumn("__res", expr(
+          "zip_with(embedding, __cenv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+    val e = base
+      .select(col("vec_id"), col("centroid_id"), col("__res"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__sub", expr(d.slice("__res", s"block * $w + 1", w)))
+      .select(col("vec_id"), col("centroid_id"), col("block"), col("__sub"),
+        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
+    val c = codebook
+      .select(col("code_id").as("code"), col("c_emb").as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
+      .select(col("code"), col("block"), col("__csub"),
+        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
+    e.join(broadcast(c), "block")
+      .withColumn("__d2",
+        col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
+      .groupBy(col("vec_id"), col("centroid_id"), col("block"))
+      .agg(min_by(col("code"),
+        struct(col("__d2").as("d"), col("code").as("tb"))).as("code"))
+  }
+
+  test("map-side index build: bit-identical to the frozen row-path reference, raw and residual") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4))
+      === rows(rowPathIndexReference(emb, cents, codebook, residual = false)),
+      "raw map-side encode diverged from the row-path reference")
+    // residual codebook in residual space (the qx69 seeding recipe)
+    val seeds = emb.filter(col("vec_id") >= 200 && col("vec_id") < 216)
+    val resCb = Similarity.ivfAssign(seeds, "vec_id", "embedding", cents, "cid", "cv")
+      .join(broadcast(cents.withColumnRenamed("cid", "centroid_id")), "centroid_id")
+      .withColumn("c_emb", expr(
+        "zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("vec_id").as("code_id"), col("c_emb"))
+    assert(rows(Quantize.ivfPqIndexResidual(emb, "vec_id", "embedding",
+        cents, "cid", "cv", resCb, "code_id", "c_emb", 64, 4))
+      === rows(rowPathIndexReference(emb, cents, resCb, residual = true)),
+      "residual map-side encode diverged from the row-path reference")
+    // the plan the map-side build exists for: the CORPUS never shuffles —
+    // assignment and encode are expressions over the scan (the only
+    // exchanges left are the one-row centroid/codebook collapses and
+    // their broadcasts, all metadata-sized)
+    val plan = Quantize.ivfPqIndexCodes(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus-keyed shuffle crept back into the index build:\n${plan.take(2000)}")
+  }
 }
