@@ -105,7 +105,9 @@ object ScaleProbe {
       }
     }
     if (bm25Only) { spark.stop(); return }
+    val vecOnly = args.contains("veconly")
 
+    if (!vecOnly) {
     // untimed warmup: compile the pipeline's codegen units once so the 1×
     // measurement reflects steady-state throughput, not Janino compiles
     graft.operators.Dedup.minhashBands(
@@ -163,11 +165,13 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scale] pack_docs=$n%9d  pack=${secs}%6.2fs  packs: ${packs + 1}")
     }
+    } // !vecOnly
 
     // IVF-PQ: index build + probed search, corpus inflated 1×/4×/16× —
-    // build is one assignment pass + one constant-width encode shuffle,
-    // search touches only probed cells' codes, so both should scale
-    // ~linearly with corpus size (an all-pairs or unpruned plan would not)
+    // build is a single exchange-free scan (map-side assignment + encode
+    // expressions, round 10), search touches only probed cells' codes, so
+    // both should scale ~linearly with corpus size (an all-pairs or
+    // unpruned plan would not)
     {
       val emb0 = Tables.t(spark, dir, "embeddings")
         .select("vec_id", "embedding").cache()
@@ -191,6 +195,34 @@ object ScaleProbe {
           cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2).count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[scale] ivfpq_vecs=${e0 * mult}%8d  build+search=${secs}%6.2fs  hits: $rows")
+      }
+
+      // batch ADC (qx87's operator): the WHOLE corpus queries the PQ index
+      // at 1×/4×/16×, centroid count scaled with the corpus (constant
+      // expected cell size) — candidate work is N × nProbe × cellSize, so
+      // walls should grow ~LINEARLY in N. The codes-array path (round 10)
+      // reduced the plan to map-side build (zero corpus shuffles) + one
+      // cell equi-join + a per-candidate distance expression + the rank
+      // window; this column is the measured evidence the batch tail's
+      // growth is the algorithm's own output scale, not a stage-constant
+      // blowup.
+      for (mult <- Seq(1, 4, 16)) {
+        val inflated = (0 until mult).map(i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+        val centsM = inflated.filter(col("vec_id") < 8L * mult)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val t0 = System.nanoTime()
+        val idx = graft.operators.Quantize.ivfPqIndexCodes(
+          inflated, "vec_id", "embedding",
+          centsM, "cid", "cv", codebook, "code_id", "c_emb", 64, 4)
+        val rows = graft.operators.Quantize.ivfPqSearchAllCodes(
+          inflated, "vec_id", "embedding", idx, "vec_id",
+          centsM, "cid", "cv", codebook, "code_id", "c_emb", 64, 4, 3, 2).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] batchadc_vecs=${e0 * mult}%8d  cells=${8 * mult}%4d  " +
+          f"build+search=${secs}%6.2fs  rows: $rows")
       }
 
       // large-to-large kNN JOIN (qx84's operator): full corpus self-join at
