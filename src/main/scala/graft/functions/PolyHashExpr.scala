@@ -122,6 +122,8 @@ object GraftFunctions {
       "graft_token_count", exprs => TokenCount(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_tokens", exprs => Tokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopKMin(exprs(0), lshPlanes(exprs(1))), "built-in")
     // self-dot → single-pass norm rewrite for sessions built without
     // GraftExtensions (idempotent: overwrite, don't append)
     if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))

@@ -318,8 +318,9 @@ object Quantize {
   private def regroupCodes(index: DataFrame, idCol: String, nBlocks: Int): DataFrame =
     index.groupBy(col(idCol), col("centroid_id"))
       .agg(map_from_entries(collect_list(struct(col("block"), col("code")))).as("__bm"))
-      .withColumn("codes", expr(
-        s"transform(sequence(0, ${nBlocks - 1}), b -> element_at(__bm, CAST(b AS BIGINT)))"))
+      .withColumn("codes", expr((0 until nBlocks)
+        .map(b => s"element_at(__bm, CAST($b AS BIGINT))")
+        .mkString("array(", ", ", ")")))
       .select(col(idCol), col("centroid_id"), col("codes"))
 
   /** One-row broadcastable codebook, ENCODE shape: per code, the
@@ -347,26 +348,56 @@ object Quantize {
         struct(col("csubs"), col("ccs"))))).as("__cbm"))
 
   /** Adds `__subs` (per-block sub-vectors of `vCol`, positional) and
-    * `__xxs` (their self-dots). */
+    * `__xxs` (their self-dots). LITERAL-unrolled (array(slice...,
+    * slice...)) rather than a `transform` lambda: higher-order functions
+    * are CodegenFallback in Spark — interpreted per row — and these
+    * columns sit on per-candidate/per-vector hot paths where that
+    * interpretation costs more than every exchange this path removed. */
   private def withSubs(dfv: DataFrame, vCol: String, w: Int, nBlocks: Int): DataFrame =
     dfv
-      .withColumn("__subs", expr(
-        s"transform(sequence(0, ${nBlocks - 1}), b -> ${d.slice(vCol, s"b * $w + 1", w)})"))
-      .withColumn("__xxs", expr(s"transform(__subs, s -> ${TX.dotAuto("s", "s")})"))
+      .withColumn("__subs", expr((0 until nBlocks)
+        .map(b => d.slice(vCol, s"${b * w + 1}", w))
+        .mkString("array(", ", ", ")")))
+      .withColumn("__xxs", expr((1 to nBlocks)
+        .map(b => TX.dotAuto(s"element_at(__subs, $b)", s"element_at(__subs, $b)"))
+        .mkString("array(", ", ", ")")))
 
   /** Per-vector PQ codes in one map-side expression: for each block the
     * argmin over the broadcast codebook of ||sub − csub||², picked with
-    * array_min over (distance, code) structs — the exact (d asc, code
-    * asc) tie-break the row path's min_by uses (same type ordering,
-    * nulls included). Needs `__subs`/`__xxs` ([[withSubs]]) and the
-    * crossed-in `__cb`. */
-  private def codesExpr(nBlocks: Int): String =
-    s"""transform(sequence(1, $nBlocks), b ->
-       |  array_min(transform(__cb, c -> struct(
-       |    element_at(__xxs, b)
-       |      - CAST(2.0 AS DOUBLE) * ${TX.dotAuto("element_at(__subs, b)", "element_at(c.csubs, b)")}
-       |      + element_at(c.ccs, b) AS d,
-       |    c.code AS code))).code)""".stripMargin
+    * `least` over (distance, code) structs — the exact (d asc, code asc)
+    * tie-break the row path's min_by uses (same struct type ordering).
+    * Fully unrolled over literal (block, code) ordinals so every node is
+    * codegen'd (element_at / slice / least / struct — no higher-order
+    * lambda anywhere); the codebook cardinality is therefore needed at
+    * PLAN time, which is fine: a PQ codebook is metadata-small by the
+    * operator's own broadcast contract. Needs `__subs`/`__xxs`
+    * ([[withSubs]]) and the crossed-in `__cb`. */
+  private def codesExpr(nBlocks: Int, kCodes: Int): String = {
+    val blocks = (1 to nBlocks).map { b =>
+      val cands = (1 to kCodes).map { k =>
+        val csub = s"element_at(element_at(__cb, $k).csubs, $b)"
+        s"""struct(element_at(__xxs, $b)
+           |  - CAST(2.0 AS DOUBLE) * ${TX.dotAuto(s"element_at(__subs, $b)", csub)}
+           |  + element_at(element_at(__cb, $k).ccs, $b) AS d,
+           |  element_at(__cb, $k).code AS code)""".stripMargin
+      }
+      if (cands.size == 1) s"${cands.head}.code"
+      else s"least(${cands.mkString(",\n")}).code"
+    }
+    blocks.mkString("array(", ", ", ")")
+  }
+
+  /** Element-wise a − b over two `dims`-wide vectors, LITERAL-unrolled
+    * (array of per-index casts/subtractions) instead of `zip_with`:
+    * zip_with is a CodegenFallback higher-order function, and on the
+    * residual paths this column sits under projections that Catalyst may
+    * collapse into the per-CANDIDATE evaluation — an interpreted lambda
+    * re-run a million times is exactly the cliff the codes path exists
+    * to avoid. Values are identical (same per-element double casts). */
+  private def residualExpr(aCol: String, bCol: String, dims: Int): String =
+    (1 to dims).map(i =>
+      s"(CAST(element_at($aCol, $i) AS DOUBLE) - CAST(element_at($bCol, $i) AS DOUBLE))")
+      .mkString("array(", ", ", ")")
 
   /** Exact SQL sum of DECIMAL(30,12) terms: ≤8 additions grow precision
     * by 1 each (caps at 38) with scale 12 preserved — value-identical to
@@ -385,30 +416,45 @@ object Quantize {
   private def searchCodesTail(indexCodes: DataFrame, probes: DataFrame,
                               cbMap: DataFrame, idCol: String,
                               nBlocks: Int, k: Int): DataFrame = {
+    // literal-unrolled per-block partials: element_at / map lookup /
+    // struct access / graft_dot are all codegen'd — no higher-order
+    // lambda on the candidate path (HOFs are CodegenFallback: per-row
+    // interpretation would dominate everything this plan saves)
     val parts = (1 to nBlocks).map { b =>
+      val entry = s"element_at(__cbm, element_at(codes, $b))"
       s"""CAST((element_at(__qxxs, $b)
-         |  - CAST(2.0 AS DOUBLE) * ${TX.dotAuto(s"element_at(__qsubs, $b)", s"element_at(__ce, $b).cs")}
-         |  + element_at(__ce, $b).cc) AS DECIMAL(30,12))""".stripMargin
+         |  - CAST(2.0 AS DOUBLE) * ${TX.dotAuto(s"element_at(__qsubs, $b)", s"element_at($entry.csubs, $b)")}
+         |  + element_at($entry.ccs, $b)) AS DECIMAL(30,12))""".stripMargin
     }
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("__d2").asc, col("vec_id").asc)
+    // ranking via the bounded top-k AGGREGATE, not a window: a window
+    // shuffles and sorts EVERY candidate on a decimal key; graft_topk's
+    // partial aggregation collapses each partition's candidates to <=k
+    // per query map-side, so the query-keyed exchange moves k rows per
+    // query — the answer, not the candidate set. Ordering (struct field
+    // order: __d2, vec_id, then carried payload) is bit-identical to the
+    // (d2 asc, id asc) window this replaces; (d2, vec_id) is unique per
+    // candidate so the payload fields never participate in a compare.
     indexCodes.join(probes, Seq("centroid_id")) // the budgeted shuffle
       .filter(col("query_id") =!= col(idCol))
       .crossJoin(broadcast(cbMap))
-      // hoist the two map lookups per block out of the distance chain
-      .withColumn("__ce", expr(
-        s"""transform(sequence(1, $nBlocks), b -> struct(
-           |  element_at(element_at(__cbm, element_at(codes, b)).csubs, b) AS cs,
-           |  element_at(element_at(__cbm, element_at(codes, b)).ccs, b) AS cc))""".stripMargin))
       .withColumn("__d2", expr(decimalSumChain(parts)))
       .select(col("query_id"), col(idCol).as("vec_id"), col("__d2"),
+        // field 0 = the DOUBLE cast of the exact decimal: a monotone
+        // proxy that lets graft_topk's fast-reject skip the decimal
+        // compare (and the struct allocation) for the common worse-than-
+        // worst candidate; the exact decimal right behind it settles
+        // double-collisions, so the order is still the exact one
+        col("__d2").cast("double").as("__d2d"),
         col("centroid_id"), col("probe_rank"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("__d2").cast("double"), 6).as("dist2"),
-        col("centroid_id"), col("probe_rank"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(struct(__d2d, __d2, vec_id, centroid_id, probe_rank), $k)")
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), col("__t.vec_id").as("neighbor_id"),
+        (col("__p") + 1).cast("long").as("rank"),
+        round(col("__t.__d2").cast("double"), 6).as("dist2"),
+        col("__t.centroid_id").as("centroid_id"),
+        col("__t.probe_rank").as("probe_rank"))
   }
 
   /** [[ivfPqIndex]] in BATCH shape — one row per vector, `codes`
@@ -450,19 +496,26 @@ object Quantize {
         centroids, cenIdCol, cenVecCol, nProbe = 1)
       .select(col("query_id").as(idCol), col("centroid_id"), col("q_vec").as("__v0"))
       .join(broadcast(cen), "centroid_id")
-      .withColumn("__v", expr(
-        "zip_with(__v0, __cenv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .withColumn("__v", expr(residualExpr("__v0", "__cenv", dims)))
       .select(col(idCol), col("centroid_id"), col("__v"))
     encodeCodes(assigned, idCol, codebook, cbIdCol, cbVecCol, w, nBlocks)
   }
 
   private def encodeCodes(assigned: DataFrame, idCol: String,
                           codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                          w: Int, nBlocks: Int): DataFrame =
+                          w: Int, nBlocks: Int): DataFrame = {
+    // plan-time cardinality for the unrolled argmin — one metadata-scale
+    // count of a table the operator broadcasts anyway (the 1024 cap
+    // bounds the generated expression tree; real PQ codebooks are <=256)
+    val kCodes = codebook.count().toInt
+    require(kCodes >= 1 && kCodes <= 1024,
+      s"codebook has $kCodes entries — PQ codebooks are metadata-small " +
+        "(<=1024) by this operator's broadcast contract")
     withSubs(assigned.crossJoin(broadcast(
         codebookArrOneRow(codebook, cbIdCol, cbVecCol, w, nBlocks))), "__v", w, nBlocks)
-      .withColumn("codes", expr(codesExpr(nBlocks)))
+      .withColumn("codes", expr(codesExpr(nBlocks, kCodes)))
       .select(col(idCol), col("centroid_id"), col("codes"))
+  }
 
   /** [[ivfPqSearchAll]] over a codes-array index — the batch hot path.
     * Map-side probes → one cell equi-join (rows = candidates, not
@@ -510,8 +563,7 @@ object Quantize {
             centroids, cenIdCol, cenVecCol, nProbe)
           .join(broadcast(centroids.select(col(cenIdCol).as("centroid_id"),
             col(cenVecCol).as("__cvec"))), Seq("centroid_id"))
-          .withColumn("__qres", expr(
-            "zip_with(q_vec, __cvec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))")),
+          .withColumn("__qres", expr(residualExpr("q_vec", "__cvec", dims))),
         "__qres", wSub, nBlocks)
       .select(col("query_id"), col("centroid_id"), col("probe_rank"),
         col("__subs").as("__qsubs"), col("__xxs").as("__qxxs"))
