@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Quantize, Retrieval}
+
+/** ONE maintenance scheduler for BOTH store families — the deployment
+  * runs a single sidecar instead of a lexical daemon
+  * ([[Bm25StoreCtl]]) and a vector daemon ([[VectorStoreCtl]]). Each
+  * cycle visits every registered store and runs that family's
+  * maintenance policy; per-store outcomes are reported, and a store
+  * that refuses (its `StoreLock` is held — a concurrent append window,
+  * another maintainer, or the debris of a crashed operation whose lock
+  * file deliberately survives) is a SKIP, not a crash: dead rows are
+  * still dead next interval, and crash debris keeps the daemon out
+  * until an operator inspects (the lock error message says who to look
+  * for). Reference analog: the serving stack's single background
+  * refresher (`src/jobs/scheduler.py:1-60`) — generalized to
+  * heterogeneous stores.
+  *
+  * Policies:
+  *  - LEXICAL ([[LexStore]]): tombstones standing → [[Retrieval
+  *    .compactBm25Store]] (affected buckets only). Epoch-partition
+  *    fragmentation above `maxEpochsPerBucket` → the same-geometry
+  *    [[Retrieval.rebucketBm25Store]] fold, but ONLY when
+  *    `foldEpochs = true` AND the store carries no stream marker:
+  *    folding voids per-epoch replay idempotency, so it must never run
+  *    under a live (or crash-retrying) ingest — quiescence is the
+  *    operator's call, not the scheduler's.
+  *  - VECTOR ([[VecStore]]): [[VectorStoreCtl.maintain]] — threshold
+  *    retention sweep, then compaction when cells fragment.
+  *
+  * The scheduler holds NO lock itself: every mutating operator takes
+  * the store lock internally, so the daemon can never widen a race —
+  * it only sequences calls that are individually safe.
+  */
+object StoreCtl {
+
+  sealed trait StoreSpec { def path: String }
+
+  /** `foldEpochs` is the explicit quiescence opt-in (see object doc). */
+  final case class LexStore(path: String,
+                            foldEpochs: Boolean = false,
+                            maxEpochsPerBucket: Double = 8.0) extends StoreSpec
+
+  final case class VecStore(path: String,
+                            maxDeadFraction: Double = 0.3,
+                            maxFilesPerCell: Double = 4.0) extends StoreSpec
+
+  /** One store's outcome in one cycle. `action` ∈ {"compact", "fold",
+    * "sweep", "skip-locked", "noop", "skip-stream"} (vector sweeps fold
+    * compaction into their detail). */
+  final case class CycleReport(path: String, family: String,
+                               action: String, detail: String)
+
+  private def fsFor(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Average epoch-partition count per bucket — the lex store's
+    * fragmentation measure (a long-lived batch-appended store grows one
+    * (bucket, epoch) directory per append). Pure listing, no data read. */
+  private[graft] def lexEpochFragmentation(spark: SparkSession,
+                                           path: String): Double = {
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/postings")
+    if (!fs.exists(root)) return 0.0
+    val buckets = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    if (buckets.isEmpty) return 0.0
+    val epochs = buckets.map(b => fs.listStatus(b.getPath).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("epoch=")).toLong).sum
+    epochs.toDouble / buckets.length
+  }
+
+  private def hasStreamMarker(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "/_graft_stream_id"))
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "/tombstones"))
+
+  /** One lexical maintenance pass (see object doc for the policy). */
+  def maintainLex(spark: SparkSession, s: LexStore): CycleReport = {
+    if (hasTombstones(spark, s.path)) {
+      val removed = Retrieval.compactBm25Store(spark, s.path)
+      CycleReport(s.path, "lex", "compact", s"removed $removed posting rows")
+    } else {
+      val frag = lexEpochFragmentation(spark, s.path)
+      if (s.foldEpochs && frag > s.maxEpochsPerBucket) {
+        if (hasStreamMarker(spark, s.path))
+          CycleReport(s.path, "lex", "skip-stream",
+            f"fragmented ($frag%.1f epochs/bucket) but stream-adopted; " +
+              "folding needs a quiesced ingest — operator action")
+        else {
+          val n = spark.read.parquet(s.path.stripSuffix("/") + "/epochs")
+            .select("n_buckets").head().getInt(0)
+          Retrieval.rebucketBm25Store(spark, s.path, n)
+          CycleReport(s.path, "lex", "fold",
+            f"epoch fold at $n buckets (was $frag%.1f epochs/bucket)")
+        }
+      } else CycleReport(s.path, "lex", "noop",
+        f"no tombstones, $frag%.1f epochs/bucket")
+    }
+  }
+
+  /** One vector maintenance pass — [[VectorStoreCtl.maintain]]. */
+  def maintainVec(spark: SparkSession, s: VecStore): CycleReport = {
+    val r = VectorStoreCtl.maintain(spark, s.path, s.maxDeadFraction,
+      s.maxFilesPerCell)
+    CycleReport(s.path, "vec", "sweep",
+      s"${r.sweep.cellsSwept} cells swept, ${r.sweep.rowsRemoved} rows removed, " +
+        s"${r.sweep.tombstonesRemaining} tombstones pending" +
+        r.compact.map(c => s"; compacted ${c.filesBefore} -> ${c.filesAfter} files")
+          .getOrElse(""))
+  }
+
+  /** One cycle over all stores. Lock refusals become skip reports. */
+  def cycle(spark: SparkSession, stores: Seq[StoreSpec]): Seq[CycleReport] =
+    stores.map { s =>
+      try s match {
+        case l: LexStore => maintainLex(spark, l)
+        case v: VecStore => maintainVec(spark, v)
+      } catch {
+        case e: graft.sources.StoreLock.StoreLockedException =>
+          CycleReport(s.path,
+            s match { case _: LexStore => "lex"; case _: VecStore => "vec" },
+            "skip-locked", e.getMessage)
+      }
+    }
+
+  /** The unified daemon loop: [[cycle]] with jittered sleep — the
+    * single-sidecar deployment shape. Injectable sleep/log keep the
+    * policy spec-testable without real time (the
+    * [[VectorStoreCtl.runMaintenanceDaemon]] convention). */
+  def runDaemon(spark: SparkSession, stores: Seq[StoreSpec],
+                intervalMs: Long, maxCycles: Long = Long.MaxValue,
+                sleep: Long => Unit = ms => Thread.sleep(ms),
+                log: String => Unit = println): Long = {
+    require(intervalMs > 0, "intervalMs must be positive")
+    require(stores.nonEmpty, "no stores registered")
+    var cycles = 0L
+    while (cycles < maxCycles) {
+      cycle(spark, stores).foreach(r =>
+        log(s"[storectl] cycle ${cycles + 1} ${r.family} ${r.path}: " +
+          s"${r.action} — ${r.detail}"))
+      cycles += 1
+      if (cycles < maxCycles) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"graft-storectl-$cycles")
+        val frac = (h.toLong & 0xffffL).toDouble / 0xffffL * 2.0 - 1.0
+        sleep(math.max(0L, intervalMs + (intervalMs * 0.1 * frac).toLong))
+      }
+    }
+    cycles
+  }
+
+  /** CLI: `cycle <spec>...` (one pass) or `daemon <intervalMs>
+    * <maxCycles> <spec>...` where spec is
+    * `lex:<path>[:fold[:maxEpochsPerBucket]]` or
+    * `vec:<path>[:maxDeadFraction[:maxFilesPerCell]]`. */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try args(0) match {
+      case "cycle" =>
+        cycle(spark, args.drop(1).map(parseSpec).toSeq).foreach(r =>
+          println(s"[storectl] ${r.family} ${r.path}: ${r.action} — ${r.detail}"))
+      case "daemon" =>
+        runDaemon(spark, args.drop(3).map(parseSpec).toSeq,
+          args(1).toLong, args(2).toLong)
+      case other => throw new IllegalArgumentException(s"$other?\n$usage")
+    } finally spark.stop()
+  }
+
+  private val usage =
+    "usage: cycle lex:<path>[:fold[:maxEpochs]] vec:<path>[:deadFrac[:maxFiles]] ...\n" +
+      "   or: daemon <intervalMs> <maxCycles> <spec>..."
+
+  private[graft] def parseSpec(s: String): StoreSpec = s.split(':') match {
+    case Array("lex", p)              => LexStore(p)
+    case Array("lex", p, "fold")      => LexStore(p, foldEpochs = true)
+    case Array("lex", p, "fold", m)   => LexStore(p, foldEpochs = true, m.toDouble)
+    case Array("vec", p)              => VecStore(p)
+    case Array("vec", p, f)           => VecStore(p, f.toDouble)
+    case Array("vec", p, f, mf)       => VecStore(p, f.toDouble, mf.toDouble)
+    case _ => throw new IllegalArgumentException(s"bad store spec: $s\n$usage")
+  }
+}

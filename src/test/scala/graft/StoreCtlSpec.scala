@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.{Quantize, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Multi-cycle simulation of the UNIFIED maintenance scheduler
+  * ([[StoreCtl]]) over a lex + vec store pair — one sidecar maintains
+  * both families. Gates: the same cycle compacts the tombstoned BM25
+  * store and sweeps the tombstoned IVF-PQ store; a locked store is a
+  * SKIP report while its sibling is still maintained, and the next
+  * cycle after release heals it; serving answers are unchanged by
+  * maintenance on both sides; the epoch-fold policy is opt-in and
+  * refuses under a stream marker; the daemon loop honors maxCycles and
+  * bounded jitter without real sleeping. */
+class StoreCtlSpec extends SparkSpec {
+
+  private def lexRows(df: org.apache.spark.sql.DataFrame) = df
+    .select("query_id", "doc_id", "rank")
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("one cycle maintains both families; a locked store skips and heals next cycle; serving unchanged") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("storectl-").toString
+    val (lex, vec) = (s"$work/lex", s"$work/vec")
+
+    Retrieval.writeBm25Store(docs, "text", "doc_id", lex, nBuckets = 8)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+      residual = false, vec)
+
+    // retractions on BOTH stores: lex tombstones standing, vec dead
+    // fraction above the sweep threshold in every cell
+    val deadLex = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    assert(Retrieval.deleteFromBm25Store(spark, lex, deadLex, epoch = 1L) > 0)
+    val deadVec = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    assert(Quantize.addTombstones(spark, vec, deadVec, "vec_id") > 0)
+
+    val q = docs.filter(col("doc_id") % 97 === 5).limit(4)
+      .select("doc_id", "text")
+    val expectLex = lexRows(
+      Retrieval.bm25TopKFromStore(spark, lex, q, "text", "doc_id", 10))
+
+    val stores = Seq(StoreCtl.LexStore(lex), StoreCtl.VecStore(vec, 0.01))
+
+    // cycle 1 with the lex store LOCKED: skip + sibling still maintained
+    graft.sources.StoreLock.acquire(spark, lex, "spec-hold")
+    val r1 = StoreCtl.cycle(spark, stores)
+    assert(r1.map(_.action) === Seq("skip-locked", "sweep"), r1.toString)
+    assert(r1(1).detail.contains("rows removed"))
+    assert(!r1(1).detail.startsWith("0 cells"),
+      s"vec sweep should have rewritten cells: ${r1(1).detail}")
+    graft.sources.StoreLock.release(spark, lex)
+
+    // cycle 2: the lex compact heals; vec has nothing left to sweep
+    val r2 = StoreCtl.cycle(spark, stores)
+    assert(r2.map(_.action) === Seq("compact", "sweep"), r2.toString)
+    assert(!new java.io.File(s"$lex/tombstones").exists(),
+      "compact must retire the lex tombstones")
+    assert(r2(1).detail.startsWith("0 cells"),
+      s"second sweep must find nothing: ${r2(1).detail}")
+
+    // serving unchanged by maintenance on both sides
+    assert(lexRows(Retrieval.bm25TopKFromStore(spark, lex, q, "text",
+      "doc_id", 10)) === expectLex, "lex serving changed across the compact")
+    val vq = emb.filter(col("vec_id") < 3)
+    val served = Quantize.searchSelfContained(spark, vec, vq,
+      "vec_id", "embedding", 5, 3).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(served.forall(_ % 7 != 3), "swept ids resurfaced in vec serving")
+
+    // cycle 3: both stores quiescent — pure noop reporting
+    val r3 = StoreCtl.cycle(spark, stores)
+    assert(r3.head.action === "noop", r3.toString)
+  }
+
+  test("epoch-fold policy: opt-in only, refuses under a stream marker, folds after quiescence") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val lex = java.nio.file.Files.createTempDirectory("storectl-fold-")
+      .toString + "/lex"
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    Retrieval.writeBm25Store(base, "text", "doc_id", lex, nBuckets = 4)
+    // two appends → 3 epoch partitions per populated bucket
+    Retrieval.appendBm25Store(docs.filter(col("doc_id") % 3 === 1),
+      "text", "doc_id", lex, epoch = 1L)
+    Retrieval.appendBm25Store(docs.filter(col("doc_id") % 3 === 2),
+      "text", "doc_id", lex, epoch = 2L)
+    assert(StoreCtl.lexEpochFragmentation(spark, lex) > 2.0)
+
+    val q = docs.filter(col("doc_id") % 101 === 7).limit(3)
+      .select("doc_id", "text")
+    val expect = lexRows(
+      Retrieval.bm25TopKFromStore(spark, lex, q, "text", "doc_id", 10))
+
+    // no opt-in → fragmentation alone never folds
+    val noOptIn = StoreCtl.cycle(spark, Seq(StoreCtl.LexStore(lex)))
+    assert(noOptIn.head.action === "noop", noOptIn.toString)
+
+    // opted in but stream-adopted → refuse (quiescence is operator's call)
+    val marker = new java.io.File(s"$lex/_graft_stream_id")
+    java.nio.file.Files.writeString(marker.toPath, "some-stream")
+    val folding = StoreCtl.LexStore(lex, foldEpochs = true,
+      maxEpochsPerBucket = 1.5)
+    val underStream = StoreCtl.cycle(spark, Seq(folding))
+    assert(underStream.head.action === "skip-stream", underStream.toString)
+
+    // quiesced (marker gone) → fold to epoch 0, serving unchanged
+    assert(marker.delete())
+    val folded = StoreCtl.cycle(spark, Seq(folding))
+    assert(folded.head.action === "fold", folded.toString)
+    assert(StoreCtl.lexEpochFragmentation(spark, lex) <= 1.0,
+      "fold must collapse the epoch partitions")
+    assert(lexRows(Retrieval.bm25TopKFromStore(spark, lex, q, "text",
+      "doc_id", 10)) === expect, "serving changed across the epoch fold")
+  }
+
+  test("daemon loop: maxCycles honored, injected sleeps jittered within 10%") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(50).localCheckpoint()
+    val lex = java.nio.file.Files.createTempDirectory("storectl-d-")
+      .toString + "/lex"
+    Retrieval.writeBm25Store(docs, "text", "doc_id", lex, nBuckets = 4)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = StoreCtl.runDaemon(spark, Seq(StoreCtl.LexStore(lex)),
+      intervalMs = 60000L, maxCycles = 3,
+      sleep = sleeps += _, log = logs += _)
+    assert(n === 3L)
+    assert(sleeps.size === 2, "no sleep after the final cycle")
+    assert(sleeps.forall(s => s >= 54000L && s <= 66000L), sleeps.toString)
+    assert(logs.size === 3 && logs.forall(_.contains("noop")), logs.toString)
+    intercept[IllegalArgumentException] {
+      StoreCtl.runDaemon(spark, Seq.empty, 1000L, 1)
+    }
+    // CLI spec grammar round-trips
+    assert(StoreCtl.parseSpec("lex:/p:fold:3.5") ===
+      StoreCtl.LexStore("/p", foldEpochs = true, 3.5))
+    assert(StoreCtl.parseSpec("vec:/p:0.2:6") ===
+      StoreCtl.VecStore("/p", 0.2, 6.0))
+    intercept[IllegalArgumentException] { StoreCtl.parseSpec("zzz:/p") }
+  }
+}
