@@ -18,7 +18,10 @@ import graft.operators.Quantize
   *
   * Subcommands (first arg; parquet paths for data args):
   *  - `build <corpus> <idCol> <vecCol> <centroids> <cenId> <cenVec>
-  *           <codebook> <cbId> <cbVec> <dims> <nBlocks> <residual> <store>`
+  *           <codebook> <cbId> <cbVec> <dims> <nBlocks> <residual> <store>
+  *           [vectors]` — trailing `vectors` also persists the raw-vector
+  *    sidecar, making `searchref`/`recell` runnable with `sidecar` in
+  *    place of a corpus path (no lake pointer rides the invocation)
   *  - `append <batch> <vecCol> <store>`        — frozen stored quantizers
   *  - `tombstone <ids> <store>`                — O(1) deferred retraction
   *  - `sweep <store> <maxDeadFraction>`        — threshold retention sweep
@@ -30,16 +33,20 @@ import graft.operators.Quantize
   *  - `recell <store> <corpus> <vecCol> [nCells|auto] [nCodes|keep]
   *            [retrainCodebook]`               — retrain the quantizer
   *    geometry from the live corpus (the lake table holding the exact
-  *    vectors); `auto` = HighRecall √N cells, `keep` = current codebook
-  *    size. Crash-safe rename-swap install; tombstones cleared.
+  *    vectors, or the literal `sidecar` to retrain from the store's own
+  *    `.vectors` — vecCol is then ignored, pass `-`); `auto` = HighRecall
+  *    √N cells, `keep` = current codebook size. Crash-safe rename-swap
+  *    install; tombstones cleared.
   *  - `recover <store>`                        — restore interrupted delete
   *  - `recover-recell <store>`                 — resolve interrupted recell
   *  - `search <queries> <qIdCol> <qVecCol> <k> <nProbe|auto> <store> [out]`
   *  - `searchref <queries> <qIdCol> <qVecCol> <k> <nProbe|auto>
   *               <depth|auto> <corpus> <vecCol> <store> [out]`
   *    — the HIGH-RECALL configuration (RECALL.md): stored ADC search at
-  *    `depth`, then one exact-rescore pass over `corpus`. `auto` resolves
-  *    both budgets via `Quantize.HighRecall` (nProbe = ceil(cells/3),
+  *    `depth`, then one exact-rescore pass over `corpus` (or the literal
+  *    `sidecar` to rescore from the store's own `.vectors`; vecCol is
+  *    then ignored, pass `-`). `auto` resolves both budgets via
+  *    `Quantize.HighRecall` (nProbe = ceil(cells/3),
   *    depth = max(100, 10k)) — the measured recall@10 >= 0.9 default.
   *  - `maintain <store> <maxDeadFraction>`     — sweep, then compact if
   *                                               cells fragmented
@@ -137,13 +144,16 @@ object VectorStoreCtl {
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "build" =>
       val Array(_, corpus, idCol, vecCol, cents, cenId, cenVec,
-        cb, cbId, cbVec, dims, nBlocks, residual, store) = args
+        cb, cbId, cbVec, dims, nBlocks, residual, store) = args.take(14)
+      val withVecs = args.lift(14).contains("vectors")
       Quantize.buildSelfContained(spark,
         spark.read.parquet(corpus), idCol, vecCol,
         spark.read.parquet(cents), cenId, cenVec,
         spark.read.parquet(cb), cbId, cbVec,
-        dims.toInt, nBlocks.toInt, residual.toBoolean, store)
-      println(s"built $store (residual=$residual) with persisted quantizers")
+        dims.toInt, nBlocks.toInt, residual.toBoolean, store,
+        storeVectors = withVecs)
+      println(s"built $store (residual=$residual) with persisted quantizers" +
+        (if (withVecs) " and the raw-vector sidecar" else ""))
     case "append" =>
       val Array(_, batch, vecCol, store) = args
       Quantize.appendSelfContained(spark, store,
@@ -186,8 +196,12 @@ object VectorStoreCtl {
       val nCodes = args.lift(5).filterNot(_ == "keep")
         .flatMap(_.toIntOption).getOrElse(-1)
       val retrainCb = args.lift(6).forall(_.toBoolean)
-      val (nLive, cells) = Quantize.recellIvfPqStore(spark, store,
-        spark.read.parquet(corpus), vecCol, nCells, nCodes, retrainCb)
+      val (nLive, cells) =
+        if (corpus == "sidecar")
+          Quantize.recellIvfPqStoreFromSidecar(spark, store,
+            nCells, nCodes, retrainCb)
+        else Quantize.recellIvfPqStore(spark, store,
+          spark.read.parquet(corpus), vecCol, nCells, nCodes, retrainCb)
       println(s"recelled $store: $nLive live vectors re-encoded into " +
         s"$cells cells (codebook ${if (retrainCb) "retrained" else "kept"})")
     case "recover" =>
@@ -218,10 +232,14 @@ object VectorStoreCtl {
       val kk = k.toInt
       val dep = if (depth == "auto") Quantize.HighRecall.rerankDepth(kk)
                 else depth.toInt
-      val res = Quantize.searchSelfContainedRefined(spark, store,
-        spark.read.parquet(queries), qIdCol, qVecCol,
-        spark.read.parquet(corpus), vecCol, kk,
-        resolveNProbe(spark, store, nProbe), dep)
+      val res = (if (corpus == "sidecar")
+          Quantize.searchSelfContainedRefinedStored(spark, store,
+            spark.read.parquet(queries), qIdCol, qVecCol, kk,
+            resolveNProbe(spark, store, nProbe), dep)
+        else Quantize.searchSelfContainedRefined(spark, store,
+          spark.read.parquet(queries), qIdCol, qVecCol,
+          spark.read.parquet(corpus), vecCol, kk,
+          resolveNProbe(spark, store, nProbe), dep))
         .orderBy("query_id", "rank")
       args.lift(10) match {
         case Some(out) =>

@@ -105,33 +105,52 @@ object Quantize {
   /** The IVF-PQ INDEX: every corpus vector routed to its nearest coarse
     * centroid (cell) AND compressed to `nBlocks` PQ codes — the
     * production-shaped ANN artifact (FAISS's IndexIVFPQ layout: an
-    * inverted list per cell holding code tuples, no floats). Built fully
-    * MAP-SIDE ([[ivfPqIndexCodes]] + a posexplode to the row shape):
-    * assignment and per-block argmin are expressions against the
-    * broadcast one-row centroid/codebook tables, so the build is a
-    * single exchange-free corpus scan — the earlier two grouped-argmin
-    * exchanges (assignment + encode) bought nothing the expressions
-    * don't (BatchingOpsSpec keeps a frozen reference of that row
-    * algorithm and gates bit-equality).
+    * inverted list per cell holding code tuples, no floats). Built in one
+    * logical pass over the corpus: the coarse assignment's grouped argmax
+    * carries the vector through ([[Similarity.ivfAssign]] keeps `vecCol`),
+    * and the encode step groups by (id, cell, block) — cell is
+    * functionally dependent on id, so adding it to the key is free and
+    * AVOIDS an id-keyed join of two corpus-sized derivatives. Shuffled
+    * widths: (id, vec) for the assignment, (id, cell, block, code, d2)
+    * for the encode — the second is constant-width; only the first
+    * carries the vectors, once. ([[ivfPqIndexCodes]] is the gated
+    * exchange-free alternative; measured at sf0.1 its fixed plan-time
+    * costs — codebook count, one-row collapses, wider codegen units —
+    * outweigh the two exchanges below ~100k rows, so the row build stays
+    * the default and the codes build is the opt-in for corpus scales
+    * where a vector-wide shuffle dominates.)
     *
     * Output: (idCol, centroid_id, block, code) — write it partitioned by
     * centroid_id and searches prune to probed cells at the FILE level. */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                  codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                 dims: Int, nBlocks: Int): DataFrame =
-    explodeCodes(ivfPqIndexCodes(corpus, idCol, vecCol,
-      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
-      dims, nBlocks), idCol)
-
-  /** Codes-array → the (id, cell, block, code) persistence row shape —
-    * a map-side posexplode, no exchange. */
-  private def explodeCodes(indexCodes: DataFrame, idCol: String): DataFrame =
-    indexCodes
-      .select(col(idCol), col("centroid_id"),
-        posexplode(col("codes")).as(Seq("block", "code")))
-      .select(col(idCol), col("centroid_id"),
-        col("block").cast("long").as("block"), col("code"))
+                 dims: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val w = dims / nBlocks
+    val assigned = Similarity.ivfAssign(
+      corpus, idCol, vecCol, centroids, cenIdCol, cenVecCol)
+    val e = assigned
+      .select(col(idCol), col("centroid_id"), col(vecCol),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__sub", expr(d.slice(vecCol, s"block * $w + 1", w)))
+      .select(col(idCol), col("centroid_id"), col("block"), col("__sub"),
+        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
+    val c = codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
+      .select(col("code"), col("block"), col("__csub"),
+        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
+    e.join(broadcast(c), "block")
+      .withColumn("__d2",
+        col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
+      .groupBy(col(idCol), col("centroid_id"), col("block"))
+      .agg(min_by(col("code"),
+        struct(col("__d2").as("d"), col("code").as("tb"))).as("code"))
+  }
 
   /** IVF-PQ SEARCH — the composition of the two proven halves (qx22's
     * cell probing, qx64's ADC scoring) into the index real deployments
@@ -462,9 +481,14 @@ object Quantize {
     * [[Similarity.probeAssignLarge]] (nProbe=1 picks ivfAssign's cell —
     * same cosine-desc, id-asc tie-break) and the per-block argmin as one
     * expression against the broadcast one-row codebook. ZERO exchanges
-    * where the row path paid two corpus-scale groupBys (assignment
-    * argmax + encode argmin) for the same values — BatchingOpsSpec gates
-    * bit-equality against a frozen reference of the row algorithm. */
+    * where the row path pays two corpus-scale groupBys (one of them
+    * carrying the vectors) — BatchingOpsSpec gates bit-equality against
+    * the row algorithm. OPT-IN, not the default build: measured at
+    * sf0.1 the fixed costs (plan-time codebook count, one-row
+    * collapses, K×nBlocks-unrolled codegen units) outweigh the saved
+    * exchanges below ~100k vectors; the crossover is where the
+    * vector-wide assignment shuffle dominates — exactly the 100 TB
+    * regime this variant exists for. */
   def ivfPqIndexCodes(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                       codebook: DataFrame, cbIdCol: String, cbVecCol: String,
@@ -615,12 +639,27 @@ object Quantize {
                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                          dims: Int, nBlocks: Int, path: String): Unit = {
+    requireNoVectorSidecar(batch.sparkSession, path, "appendToIvfPqIndex")
+    appendCodes(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
+      codebook, cbIdCol, cbVecCol, dims, nBlocks, path, residual = false)
+  }
+
+  /** The unguarded code-append both public appends and the
+    * sidecar-maintaining [[appendSelfContained]] share. */
+  private def appendCodes(batch: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                          dims: Int, nBlocks: Int, path: String,
+                          residual: Boolean): Unit = {
     val spark = batch.sparkSession
     requireSingleLevel(org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration), path, "appendToIvfPqIndex")
-    ivfPqIndex(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
+    val coded =
+      if (residual) ivfPqIndexResidual(batch, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
+      else ivfPqIndex(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
         codebook, cbIdCol, cbVecCol, dims, nBlocks)
-      .write.partitionBy("centroid_id").mode("append").parquet(path)
+    coded.write.partitionBy("centroid_id").mode("append").parquet(path)
   }
 
   /** [[appendToIvfPqIndex]] for a RESIDUAL store: the batch's codes must
@@ -633,12 +672,9 @@ object Quantize {
                                  centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                                  codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                                  dims: Int, nBlocks: Int, path: String): Unit = {
-    val spark = batch.sparkSession
-    requireSingleLevel(org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      spark.sparkContext.hadoopConfiguration), path, "appendToIvfPqIndexResidual")
-    ivfPqIndexResidual(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
-        codebook, cbIdCol, cbVecCol, dims, nBlocks)
-      .write.partitionBy("centroid_id").mode("append").parquet(path)
+    requireNoVectorSidecar(batch.sparkSession, path, "appendToIvfPqIndexResidual")
+    appendCodes(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol,
+      codebook, cbIdCol, cbVecCol, dims, nBlocks, path, residual = true)
   }
 
   /** Compact a persisted IVF-PQ index's cell partitions — the maintenance
@@ -892,13 +928,21 @@ object Quantize {
   /** Build + persist a SELF-CONTAINED store: index cells AND the
     * quantizers that produced them, in one call. `residual` picks the
     * encode ([[ivfPqIndexResidual]] vs [[ivfPqIndex]]); the flag is
-    * stored and honored by every later lifecycle call. */
+    * stored and honored by every later lifecycle call.
+    *
+    * `storeVectors = true` ALSO persists the raw vectors as the
+    * `<indexPath>.vectors` sidecar (cell-partitioned, canonical columns
+    * (idCol, vec, centroid_id)) — one extra corpus assignment pass at
+    * build time that makes [[searchSelfContainedRefinedStored]] (exact
+    * rescore with NO caller-supplied corpus) and
+    * [[recellIvfPqStoreFromSidecar]] (retrain with no lake pointer)
+    * servable from the store alone. */
   def buildSelfContained(spark: org.apache.spark.sql.SparkSession,
                          corpus: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                          dims: Int, nBlocks: Int, residual: Boolean,
-                         indexPath: String): Unit = {
+                         indexPath: String, storeVectors: Boolean = false): Unit = {
     val index =
       if (residual) ivfPqIndexResidual(corpus, idCol, vecCol,
         centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
@@ -907,6 +951,9 @@ object Quantize {
     writeIvfPqIndex(index, indexPath)
     saveQuantizers(spark, indexPath, centroids, cenIdCol, cenVecCol,
       codebook, cbIdCol, cbVecCol, StoreParams(dims, nBlocks, residual, idCol))
+    if (storeVectors)
+      writeVectorSidecar(corpus, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol, vectorsPath(indexPath), overwrite = true)
   }
 
   /** Append a batch against the STORED quantizers — the frozen-quantizer
@@ -917,13 +964,23 @@ object Quantize {
                           vecCol: String): Unit = {
     val (cents, cb, p) = loadQuantizers(spark, indexPath)
     if (p.residual)
-      appendToIvfPqIndexResidual(batch, p.idCol, vecCol,
+      appendCodes(batch, p.idCol, vecCol,
         cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
-        p.dims, p.nBlocks, indexPath)
+        p.dims, p.nBlocks, indexPath, residual = true)
     else
-      appendToIvfPqIndex(batch, p.idCol, vecCol,
+      appendCodes(batch, p.idCol, vecCol,
         cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
-        p.dims, p.nBlocks, indexPath)
+        p.dims, p.nBlocks, indexPath, residual = false)
+    // a store built with vectors keeps them: the sidecar follows every
+    // append (same frozen-centroid assignment, mode append — cells gain
+    // files, nothing rewrites). A retried append may double-land rows
+    // here exactly as codes double-land; the codes side heals via
+    // delete-then-reappend, the sidecar by being a documented multiset
+    // whose readers dedup candidates (exactRescore's dedup flag).
+    if (hasVectorSidecar(spark, indexPath))
+      writeVectorSidecar(batch, p.idCol, vecCol,
+        cents, "centroid_id", "cen_emb", vectorsPath(indexPath),
+        overwrite = false)
   }
 
   /** Tombstone-aware probed search against the STORED quantizers; the
@@ -1046,6 +1103,125 @@ object Quantize {
       qIdCol, qVecCol, allowedDocs, rerankDepth, nProbe)
     exactRescore(shortlist, queries, qIdCol, qVecCol,
       corpus, p.idCol, corpusVecCol, k)
+  }
+
+  // --------------------------------------------------------------------
+  // Raw-vector SIDECAR: `<indexPath>.vectors`, cell-partitioned parquet
+  // with canonical columns (idCol, vec, centroid_id). Closes the one
+  // self-containment gap the quantizer sidecar left open: the exact-
+  // rescore refine and the recell retrain both need raw floats the PQ
+  // cells don't hold, so without it "self-contained" was self-contained
+  // for ADC only and every refined/retrain call carried a lake pointer
+  // the store knows nothing about.
+  //
+  // Consistency contract (deliberately minimal — the sidecar is keyed by
+  // the INDEX, never consulted for membership):
+  //  - invariant: sidecar ⊇ live ids. Build initializes it, the
+  //    self-contained append maintains it, recell rewrites it to the
+  //    survivors. Bare-index appends on a sidecar store REFUSE loudly
+  //    (the one mutation that could silently break the invariant).
+  //  - deletes never touch it: a tombstoned/swept/physically-deleted id's
+  //    codes leave the index, so its sidecar row is unreachable (the
+  //    rescore joins shortlist candidates only) — dead rows are storage,
+  //    not correctness. Recell is the vacuum that drops them.
+  //  - it is an append-only MULTISET: a retried append double-lands
+  //    identical rows (same deterministic assignment), and readers dedup
+  //    candidates post-join (k-bounded rows, never the corpus).
+  // Reads go through the same literal `centroid_id IN (probed cells)`
+  // partition filter as the code cells — a candidate's vector lives in
+  // the cell its codes live in, so the refine's vector lookups are
+  // pruned to the exact partitions the ADC scan already opened.
+  // --------------------------------------------------------------------
+
+  private def vectorsPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + ".vectors"
+
+  /** True iff the store persists its raw vectors ([[buildSelfContained]]
+    * with `storeVectors = true`). */
+  def hasVectorSidecar(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Boolean =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+        spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(vectorsPath(indexPath)))
+
+  /** One frozen-centroid assignment pass → cell-partitioned (id, vec)
+    * rows. Shared by build (overwrite), append (append), and recell
+    * (fresh sidecar under the retrained geometry). */
+  private def writeVectorSidecar(batch: DataFrame, idCol: String, vecCol: String,
+                                 centroids: DataFrame, cenIdCol: String,
+                                 cenVecCol: String, sidecarPath: String,
+                                 overwrite: Boolean): Unit =
+    Similarity.ivfAssign(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol)
+      .select(col(idCol), col(vecCol).as("vec"), col("centroid_id"))
+      .write.partitionBy("centroid_id")
+      .mode(if (overwrite) "overwrite" else "append")
+      .parquet(sidecarPath)
+
+  private def requireNoVectorSidecar(spark: org.apache.spark.sql.SparkSession,
+                                     indexPath: String, op: String): Unit =
+    if (hasVectorSidecar(spark, indexPath))
+      throw new IllegalStateException(
+        s"$op: store $indexPath carries a raw-vector sidecar " +
+          s"(${vectorsPath(indexPath)}) this bare-index append would not " +
+          "maintain — appended ids would silently vanish from refined " +
+          "searches. Append through appendSelfContained instead.")
+
+  /** [[searchSelfContainedRefined]] with NO corpus argument — the exact
+    * vectors come from the store's own `.vectors` sidecar, read behind
+    * the SAME literal probed-cell partition filter as the ADC scan (a
+    * shortlist candidate's vector lives in the cell its codes live in).
+    * This is the deployable form of the refined search: quantizers,
+    * cells, tombstones AND rescore floats all travel with the store.
+    * Fails loudly when the store was built without `storeVectors`. */
+  def searchSelfContainedRefinedStored(spark: org.apache.spark.sql.SparkSession,
+                                       indexPath: String, queries: DataFrame,
+                                       qIdCol: String, qVecCol: String,
+                                       k: Int, nProbe: Int,
+                                       rerankDepth: Int): DataFrame =
+    refinedStoredImpl(spark, indexPath, queries, qIdCol, qVecCol,
+      allowed = None, k, nProbe, rerankDepth)
+
+  /** [[searchSelfContainedRefinedStored]] under an id allow-list — the
+    * fence applies to the ADC shortlist exactly as
+    * [[searchSelfContainedRefinedFiltered]] documents (two-door
+    * guarantee: a disallowed id can neither make the shortlist nor
+    * re-enter through the refine). */
+  def searchSelfContainedRefinedStoredFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, allowedDocs: DataFrame,
+      k: Int, nProbe: Int, rerankDepth: Int): DataFrame =
+    refinedStoredImpl(spark, indexPath, queries, qIdCol, qVecCol,
+      allowed = Some(allowedDocs), k, nProbe, rerankDepth)
+
+  /** The one sidecar-refined core (filtered and unfiltered cannot
+    * drift): stored ADC shortlist at `rerankDepth` → pruned sidecar scan
+    * → candidate-dedup'd exact rescore to k. */
+  private def refinedStoredImpl(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, queries: DataFrame,
+                                qIdCol: String, qVecCol: String,
+                                allowed: Option[DataFrame],
+                                k: Int, nProbe: Int,
+                                rerankDepth: Int): DataFrame = {
+    require(rerankDepth >= k,
+      s"rerankDepth=$rerankDepth must be >= k=$k (the shortlist feeds the final rank)")
+    if (!hasVectorSidecar(spark, indexPath))
+      throw new IllegalStateException(
+        s"store $indexPath has no raw-vector sidecar " +
+          s"(${vectorsPath(indexPath)} missing) — build it with " +
+          "buildSelfContained(..., storeVectors = true), or use " +
+          "searchSelfContainedRefined with an explicit corpus")
+    val (cents, _, p) = loadQuantizers(spark, indexPath)
+    val shortlist = allowed match {
+      case Some(a) => searchSelfContainedFiltered(spark, indexPath, queries,
+        qIdCol, qVecCol, a, rerankDepth, nProbe)
+      case None => searchSelfContained(spark, indexPath, queries,
+        qIdCol, qVecCol, rerankDepth, nProbe)
+    }
+    val vecs = prunedScanAt(spark, vectorsPath(indexPath), queries,
+      qIdCol, qVecCol, cents, "centroid_id", "cen_emb", nProbe)
+    exactRescore(shortlist, queries, qIdCol, qVecCol,
+      vecs, p.idCol, "vec", k, dedupCandidates = true)
   }
 
   /** True iff the store carries [[graft.streaming.StreamingVectorIngest]]'s
@@ -1182,7 +1358,11 @@ object Quantize {
     * the "follow the corpus" default; `nCodes <= 0` keeps the current
     * codebook's size. Returns (liveVectors, nCells) actually built.
     * Requires the canonical single-level layout
-    * ([[flattenIngestedStore]] first for stream-fed stores). */
+    * ([[flattenIngestedStore]] first for stream-fed stores). A store
+    * with a raw-vector sidecar gets it rewritten to the survivors under
+    * the retrained cells inside the same install (the sidecar's vacuum);
+    * [[recellIvfPqStoreFromSidecar]] sources `corpus` from the sidecar
+    * itself, making the retrain lake-free. */
   def recellIvfPqStore(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, corpus: DataFrame, vecCol: String,
                        nCells: Int = -1, nCodes: Int = -1,
@@ -1196,7 +1376,8 @@ object Quantize {
       val base = indexPath.stripSuffix("/")
       val bak = new org.apache.hadoop.fs.Path(base + ".recell-bak")
       if (fs.exists(bak) ||
-          fs.exists(new org.apache.hadoop.fs.Path(base + ".recell-bak.quantizers")))
+          fs.exists(new org.apache.hadoop.fs.Path(base + ".recell-bak.quantizers")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(base + ".recell-bak.vectors")))
         throw new java.io.IOException(
           s"refusing to recell $indexPath: $bak exists from an interrupted " +
             "recell — run Quantize.recoverIvfPqRecell first")
@@ -1260,9 +1441,15 @@ object Quantize {
       val tmp = base + ".recell-new"
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       fs.delete(new org.apache.hadoop.fs.Path(tmp + ".quantizers"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp + ".vectors"), true)
+      // a sidecar store keeps its sidecar: the survivors are re-assigned
+      // under the RETRAINED centroids and written fresh — which also
+      // vacuums dead rows and retry duplicates (the sidecar's one
+      // compaction point)
+      val hadSidecar = hasVectorSidecar(spark, indexPath)
       buildSelfContained(spark, survivors, p.idCol, vecCol,
         newCents, "centroid_id", "cen_emb", newCodebook, "code", "c_emb",
-        p.dims, p.nBlocks, p.residual, tmp)
+        p.dims, p.nBlocks, p.residual, tmp, storeVectors = hadSidecar)
       // stream marker travels (rebucket's quiescence contract applies)
       val marker = new org.apache.hadoop.fs.Path(base, "_graft_stream_id")
       if (fs.exists(marker))
@@ -1276,17 +1463,26 @@ object Quantize {
       val main = new org.apache.hadoop.fs.Path(base)
       val qMain = new org.apache.hadoop.fs.Path(base + ".quantizers")
       val qBak = new org.apache.hadoop.fs.Path(base + ".recell-bak.quantizers")
+      val vMain = new org.apache.hadoop.fs.Path(base + ".vectors")
+      val vBak = new org.apache.hadoop.fs.Path(base + ".recell-bak.vectors")
       if (!fs.rename(main, bak))
         throw new java.io.IOException(s"recell: failed to move $main aside")
       if (!fs.rename(qMain, qBak))
         throw new java.io.IOException(
           s"recell: failed to move $qMain aside — run recoverIvfPqRecell")
+      if (hadSidecar && !fs.rename(vMain, vBak))
+        throw new java.io.IOException(
+          s"recell: failed to move $vMain aside — run recoverIvfPqRecell")
       if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
         throw new java.io.IOException(
           s"recell: failed to install $tmp — run recoverIvfPqRecell")
       if (!fs.rename(new org.apache.hadoop.fs.Path(tmp + ".quantizers"), qMain))
         throw new java.io.IOException(
           s"recell: failed to install $tmp.quantizers — run recoverIvfPqRecell")
+      if (hadSidecar &&
+          !fs.rename(new org.apache.hadoop.fs.Path(tmp + ".vectors"), vMain))
+        throw new java.io.IOException(
+          s"recell: failed to install $tmp.vectors — run recoverIvfPqRecell")
       // the new store holds only survivors: the tombstones' work is done
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath)), true)
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old"), true)
@@ -1294,8 +1490,38 @@ object Quantize {
         throw new java.io.IOException(s"recell: failed to remove $bak")
       if (!fs.delete(qBak, true))
         throw new java.io.IOException(s"recell: failed to remove $qBak")
+      if (hadSidecar && !fs.delete(vBak, true))
+        throw new java.io.IOException(s"recell: failed to remove $vBak")
       (nLive, cells)
     }
+
+  /** [[recellIvfPqStore]] with NO corpus argument — the exact vectors
+    * come from the store's own `.vectors` sidecar, so a sidecar store's
+    * geometry can follow its corpus without the operator holding a lake
+    * pointer (the retrain twin of [[searchSelfContainedRefinedStored]]).
+    * The sidecar is a multiset (retried appends double-land identical
+    * rows); it is dedup'd by id before the semi-join, which then yields
+    * exactly one row per live id — the corpus-shape recell requires.
+    * Fails loudly when the store was built without `storeVectors`. */
+  def recellIvfPqStoreFromSidecar(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  nCells: Int = -1, nCodes: Int = -1,
+                                  retrainCodebook: Boolean = true,
+                                  coarseMaxIter: Int = 20, pqMaxIter: Int = 10)
+      : (Long, Int) = {
+    if (!hasVectorSidecar(spark, indexPath))
+      throw new IllegalStateException(
+        s"store $indexPath has no raw-vector sidecar " +
+          s"(${vectorsPath(indexPath)} missing) — build it with " +
+          "buildSelfContained(..., storeVectors = true), or use " +
+          "recellIvfPqStore with an explicit corpus")
+    val p = loadQuantizers(spark, indexPath)._3
+    val corpus = spark.read.parquet(vectorsPath(indexPath))
+      .select(col(p.idCol), col("vec"))
+      .dropDuplicates(p.idCol)
+    recellIvfPqStore(spark, indexPath, corpus, "vec",
+      nCells, nCodes, retrainCodebook, coarseMaxIter, pqMaxIter)
+  }
 
   /** Resolve an interrupted [[recellIvfPqStore]] to a complete pre- or
     * post-recell image. The decision key is which pieces exist:
@@ -1321,15 +1547,34 @@ object Quantize {
     val qBak = new org.apache.hadoop.fs.Path(base + ".recell-bak.quantizers")
     val tmp = new org.apache.hadoop.fs.Path(base + ".recell-new")
     val qTmp = new org.apache.hadoop.fs.Path(base + ".recell-new.quantizers")
-    if (!fs.exists(bak) && !fs.exists(qBak)) return false
+    val vMain = new org.apache.hadoop.fs.Path(base + ".vectors")
+    val vBak = new org.apache.hadoop.fs.Path(base + ".recell-bak.vectors")
+    val vTmp = new org.apache.hadoop.fs.Path(base + ".recell-new.vectors")
+    if (!fs.exists(bak) && !fs.exists(qBak) && !fs.exists(vBak)) return false
+    // sidecar stores add one rename on each side of the quantizer
+    // install; the roll-forward half (crash after the sidecar moved
+    // aside, before the new one landed) must install the NEW sidecar —
+    // restoring the backup would pair pre-recell vectors with
+    // post-recell cell ids and silently break the pruned rescore lookups
+    def rollForwardSidecar(): Unit =
+      if (fs.exists(vBak) && !fs.exists(vMain)) {
+        if (!fs.exists(vTmp))
+          throw new java.io.IOException(
+            s"recover: store $main has no vector sidecar and no $vTmp to " +
+              "install — manual inspection required")
+        if (!fs.rename(vTmp, vMain))
+          throw new java.io.IOException(s"recover: failed to install $vMain")
+      }
     if (!fs.exists(main)) {
-      // roll back: reinstate the backed-up cells (and quantizers if they
-      // had been moved; otherwise the originals never left)
+      // roll back: reinstate the backed-up cells (and quantizers/sidecar
+      // if they had been moved; otherwise the originals never left)
       if (fs.exists(bak) && !fs.rename(bak, main))
         throw new java.io.IOException(s"recover: failed to restore $main")
       if (!fs.exists(qMain) && fs.exists(qBak) && !fs.rename(qBak, qMain))
         throw new java.io.IOException(s"recover: failed to restore $qMain")
-      fs.delete(tmp, true); fs.delete(qTmp, true)
+      if (!fs.exists(vMain) && fs.exists(vBak) && !fs.rename(vBak, vMain))
+        throw new java.io.IOException(s"recover: failed to restore $vMain")
+      fs.delete(tmp, true); fs.delete(qTmp, true); fs.delete(vTmp, true)
     } else if (!fs.exists(qMain)) {
       // new cells installed, quantizers pending → roll forward
       if (!fs.exists(qTmp))
@@ -1338,15 +1583,20 @@ object Quantize {
             "install — manual inspection required")
       if (!fs.rename(qTmp, qMain))
         throw new java.io.IOException(s"recover: failed to install $qMain")
+      rollForwardSidecar()
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath)), true)
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old"), true)
-      fs.delete(bak, true); fs.delete(qBak, true); fs.delete(tmp, true)
+      fs.delete(bak, true); fs.delete(qBak, true); fs.delete(vBak, true)
+      fs.delete(tmp, true)
     } else {
-      // install completed; finish cleanup (tombstone drop may be pending)
+      // cells + quantizers in place; the sidecar install may still be
+      // pending (the one crash window after the quantizer install), then
+      // finish cleanup (tombstone drop may be pending)
+      rollForwardSidecar()
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath)), true)
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old"), true)
-      fs.delete(bak, true); fs.delete(qBak, true)
-      fs.delete(tmp, true); fs.delete(qTmp, true)
+      fs.delete(bak, true); fs.delete(qBak, true); fs.delete(vBak, true)
+      fs.delete(tmp, true); fs.delete(qTmp, true); fs.delete(vTmp, true)
     }
     true
   }
@@ -1603,16 +1853,28 @@ object Quantize {
                               indexPath: String,
                               queries: DataFrame, qIdCol: String, qVecCol: String,
                               centroids: DataFrame, cenIdCol: String, cenVecCol: String,
-                              nProbe: Int): DataFrame = {
+                              nProbe: Int): DataFrame =
+    prunedScanAt(spark, indexPath, queries, qIdCol, qVecCol,
+      centroids, cenIdCol, cenVecCol, nProbe)
+
+  /** [[prunedStoreScan]] generalized to ANY cell-partitioned sibling of
+    * the store (the `.vectors` sidecar reads through the same literal
+    * `centroid_id IN` partition filter and the same explicit-schema
+    * discipline as the cells themselves). */
+  private def prunedScanAt(spark: org.apache.spark.sql.SparkSession,
+                           dataPath: String,
+                           queries: DataFrame, qIdCol: String, qVecCol: String,
+                           centroids: DataFrame, cenIdCol: String, cenVecCol: String,
+                           nProbe: Int): DataFrame = {
     val cells = probeCells(queries, qIdCol, qVecCol,
         centroids, cenIdCol, cenVecCol, nProbe)
       .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
     val cenType = centroids.schema.apply(cenIdCol).dataType
-    val dataFields = spark.read.parquet(indexPath).schema.fields
+    val dataFields = spark.read.parquet(dataPath).schema.fields
       .filterNot(_.name == "centroid_id")
     val storeSchema = org.apache.spark.sql.types.StructType(
       dataFields :+ org.apache.spark.sql.types.StructField("centroid_id", cenType))
-    spark.read.schema(storeSchema).parquet(indexPath)
+    spark.read.schema(storeSchema).parquet(dataPath)
       .filter(col("centroid_id").isInCollection(cells))
   }
 
@@ -1676,15 +1938,22 @@ object Quantize {
   private def exactRescore(shortlist: DataFrame,
                            queries: DataFrame, qIdCol: String, qVecCol: String,
                            corpus: DataFrame, idCol: String, vecCol: String,
-                           k: Int): DataFrame = {
+                           k: Int, dedupCandidates: Boolean = false): DataFrame = {
     val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val sl = shortlist.select(col("query_id"), col("neighbor_id"))
       .join(broadcast(qv), "query_id")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("__d2x").asc, col("neighbor_id").asc)
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val joined0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .join(broadcast(sl), "neighbor_id")
+    // the `.vectors` sidecar is an append-only multiset (a retried append
+    // may double-land identical rows); dedup AFTER the candidate join —
+    // |Q|×rerankDepth rows, never the corpus — so duplicates collapse to
+    // the one identical row before ranking
+    val joined = if (dedupCandidates)
+      joined0.dropDuplicates("query_id", "neighbor_id") else joined0
+    joined
       .withColumn("__d2x",
         expr(TX.dotAuto("__qv", "__qv"))
           - lit(2.0) * expr(TX.dotAuto("__qv", "__cv"))
@@ -1720,10 +1989,36 @@ object Quantize {
   def ivfPqIndexResidual(corpus: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                          codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                         dims: Int, nBlocks: Int): DataFrame =
-    explodeCodes(ivfPqIndexResidualCodes(corpus, idCol, vecCol,
-      centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
-      dims, nBlocks), idCol)
+                         dims: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && dims % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dims=$dims")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val w = dims / nBlocks
+    val cen = centroids.select(col(cenIdCol).as("centroid_id"),
+      col(cenVecCol).as("__cenv"))
+    val e = Similarity.ivfAssign(corpus, idCol, vecCol,
+        centroids, cenIdCol, cenVecCol)
+      .join(broadcast(cen), "centroid_id")
+      .withColumn("__res", expr(
+        s"zip_with($vecCol, __cenv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col(idCol), col("centroid_id"), col("__res"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__sub", expr(d.slice("__res", s"block * $w + 1", w)))
+      .select(col(idCol), col("centroid_id"), col("block"), col("__sub"),
+        expr(TX.dotAuto("__sub", "__sub")).as("__xx"))
+    val c = codebook
+      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"),
+        explode(expr(s"sequence(0L, ${nBlocks - 1}L)")).as("block"))
+      .withColumn("__csub", expr(d.slice("__cv", s"block * $w + 1", w)))
+      .select(col("code"), col("block"), col("__csub"),
+        expr(TX.dotAuto("__csub", "__csub")).as("__cc"))
+    e.join(broadcast(c), "block")
+      .withColumn("__d2",
+        col("__xx") - lit(2.0) * expr(TX.dotAuto("__sub", "__csub")) + col("__cc"))
+      .groupBy(col(idCol), col("centroid_id"), col("block"))
+      .agg(min_by(col("code"),
+        struct(col("__d2").as("d"), col("code").as("tb"))).as("code"))
+  }
 
   /** Residual IVF-PQ search: the ADC table is per (query, PROBED CELL,
     * block, code) — ||(q − c_cell)_b − codebook_b(code)||² — because the

@@ -940,8 +940,40 @@ object Retrieval {
                            k0: Int = RRF_K0,
                            maxQueryTerms: Int = Int.MaxValue): DataFrame =
     hybridFromStores(spark, lexPath, vecPath, queries, textCol, vecCol,
-      idCol, k, depth, nProbe, rerankDepth, rescoreCorpus, rescoreVecCol,
+      idCol, k, depth, nProbe, rerankDepth,
+      Some((rescoreCorpus, rescoreVecCol)), k0, maxQueryTerms, allowed = None)
+
+  /** [[hybridTopKFromStores]] with NO rescore corpus — the exact vectors
+    * come from the IVF-PQ store's own `.vectors` sidecar
+    * ([[Quantize.searchSelfContainedRefinedStored]]), so the whole RAG
+    * serving composition is deployable from the two store paths alone —
+    * no lake pointer rides the serving call. Requires the vector store
+    * built with `storeVectors = true` (fails loudly otherwise). */
+  def hybridTopKFromStoresStored(spark: SparkSession, lexPath: String,
+                                 vecPath: String, queries: DataFrame,
+                                 textCol: String, vecCol: String, idCol: String,
+                                 k: Int, depth: Int, nProbe: Int, rerankDepth: Int,
+                                 k0: Int = RRF_K0,
+                                 maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    hybridFromStores(spark, lexPath, vecPath, queries, textCol, vecCol,
+      idCol, k, depth, nProbe, rerankDepth, rescore = None,
       k0, maxQueryTerms, allowed = None)
+
+  /** [[hybridTopKFromStoresStored]] under an id allow-list —
+    * [[hybridTopKFromStoresFiltered]]'s two-sided candidate fence with
+    * the sidecar rescore. */
+  def hybridTopKFromStoresStoredFiltered(spark: SparkSession, lexPath: String,
+                                         vecPath: String, queries: DataFrame,
+                                         allowedDocs: DataFrame,
+                                         textCol: String, vecCol: String,
+                                         idCol: String,
+                                         k: Int, depth: Int, nProbe: Int,
+                                         rerankDepth: Int,
+                                         k0: Int = RRF_K0,
+                                         maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    hybridFromStores(spark, lexPath, vecPath, queries, textCol, vecCol,
+      idCol, k, depth, nProbe, rerankDepth, rescore = None,
+      k0, maxQueryTerms, allowed = Some(allowedDocs))
 
   /** [[hybridTopKFromStores]] under an id allow-list — the production
     * "ACL-scoped RAG" composition (qx114): BOTH retrievers fence their
@@ -962,15 +994,19 @@ object Retrieval {
                                    k0: Int = RRF_K0,
                                    maxQueryTerms: Int = Int.MaxValue): DataFrame =
     hybridFromStores(spark, lexPath, vecPath, queries, textCol, vecCol,
-      idCol, k, depth, nProbe, rerankDepth, rescoreCorpus, rescoreVecCol,
-      k0, maxQueryTerms, allowed = Some(allowedDocs))
+      idCol, k, depth, nProbe, rerankDepth,
+      Some((rescoreCorpus, rescoreVecCol)), k0, maxQueryTerms,
+      allowed = Some(allowedDocs))
 
-  /** The one hybrid-serving core (filtered and unfiltered cannot drift). */
+  /** The one hybrid-serving core (filtered/unfiltered and corpus/sidecar
+    * rescore cannot drift): `rescore = Some((corpus, vecCol))` refines
+    * from the caller's lake table, `None` from the store's `.vectors`
+    * sidecar. */
   private def hybridFromStores(spark: SparkSession, lexPath: String,
                                vecPath: String, queries: DataFrame,
                                textCol: String, vecCol: String, idCol: String,
                                k: Int, depth: Int, nProbe: Int, rerankDepth: Int,
-                               rescoreCorpus: DataFrame, rescoreVecCol: String,
+                               rescore: Option[(DataFrame, String)],
                                k0: Int, maxQueryTerms: Int,
                                allowed: Option[DataFrame]): DataFrame = {
     val lexQ = queries.select(col(idCol), col(textCol))
@@ -981,13 +1017,20 @@ object Retrieval {
         depth, maxQueryTerms = maxQueryTerms)
     }
     val vecQ = queries.select(col(idCol), col(vecCol))
-    val vec = (allowed match {
-      case Some(a) => Quantize.searchSelfContainedRefinedFiltered(spark,
-        vecPath, vecQ, idCol, vecCol, a, rescoreCorpus, rescoreVecCol,
-        depth, nProbe, rerankDepth)
-      case None => Quantize.searchSelfContainedRefined(spark, vecPath,
-        vecQ, idCol, vecCol, rescoreCorpus, rescoreVecCol,
-        depth, nProbe, rerankDepth)
+    val vec = ((rescore, allowed) match {
+      case (Some((corpus, cv)), Some(a)) =>
+        Quantize.searchSelfContainedRefinedFiltered(spark,
+          vecPath, vecQ, idCol, vecCol, a, corpus, cv,
+          depth, nProbe, rerankDepth)
+      case (Some((corpus, cv)), None) =>
+        Quantize.searchSelfContainedRefined(spark, vecPath,
+          vecQ, idCol, vecCol, corpus, cv, depth, nProbe, rerankDepth)
+      case (None, Some(a)) =>
+        Quantize.searchSelfContainedRefinedStoredFiltered(spark, vecPath,
+          vecQ, idCol, vecCol, a, depth, nProbe, rerankDepth)
+      case (None, None) =>
+        Quantize.searchSelfContainedRefinedStored(spark, vecPath,
+          vecQ, idCol, vecCol, depth, nProbe, rerankDepth)
     }).select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(lex, vec, k0, k)
   }

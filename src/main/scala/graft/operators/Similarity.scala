@@ -351,11 +351,27 @@ object Similarity {
       .withColumn("cosine",
         when(col("q_norm2") > 0 && col("n_norm2") > 0,
           expr(TX.dotAuto("q_vec", "n_vec")) / (sqrt(col("q_norm2")) * sqrt(col("n_norm2")))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine", "centroid_id", "probe_rank")
+    // per-query ranking via the bounded top-k AGGREGATE, not a window: the
+    // map-side partials collapse every partition's candidates to <=k per
+    // query BEFORE the query-keyed exchange, so the shuffle moves the
+    // answer, not the candidate set (graft_topk's doc has the contract).
+    // Field 0 is the family's negated-cosine sentinel: -cos with null ->
+    // 2.0 sorts exactly like the (cosine DESC NULLS LAST, id ASC) window
+    // this replaces (2.0 > any -cos >= -1; -0.0/0.0 negate into the same
+    // relative order).
+    GraftFunctions.register(left.sparkSession)
+    scored
+      .withColumn("__negcos", coalesce(-col("cosine"), lit(2.0)))
+      .groupBy(col("query_id"))
+      .agg(expr(
+        s"graft_topk(struct(__negcos, neighbor_id, cosine, centroid_id, probe_rank), $k)")
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        (col("__p") + 1).cast("long").as("rank"),
+        col("__t.cosine").as("cosine"),
+        col("__t.centroid_id").as("centroid_id"),
+        col("__t.probe_rank").as("probe_rank"))
   }
 
   /** Bucket re-splitting for skewed LSH buckets — the bound that keeps

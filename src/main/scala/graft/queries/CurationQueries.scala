@@ -260,12 +260,10 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      // codes-array composition end to end: map-side index build feeds the
-      // cell join directly — no row-shape explode/regroup in between
-      val index = graft.operators.Quantize.ivfPqIndexCodes(emb, "vec_id", "embedding",
+      val index = graft.operators.Quantize.ivfPqIndex(emb, "vec_id", "embedding",
         cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
         PQ_DIMS, PQ_BLOCKS)
-      graft.operators.Quantize.ivfPqSearchAllCodes(emb, "vec_id", "embedding",
+      graft.operators.Quantize.ivfPqSearchAll(emb, "vec_id", "embedding",
           index, "vec_id", cents, "centroid_id", "cen_emb",
           codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -291,10 +289,10 @@ object CurationQueries {
         .withColumn("c_emb", expr(
           "zip_with(embedding, cen_emb, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
         .select(col("vec_id").as("code_id"), col("c_emb"))
-      val index = graft.operators.Quantize.ivfPqIndexResidualCodes(emb, "vec_id", "embedding",
+      val index = graft.operators.Quantize.ivfPqIndexResidual(emb, "vec_id", "embedding",
         cents, "centroid_id", "cen_emb", resCodebook, "code_id", "c_emb",
         PQ_DIMS, PQ_BLOCKS)
-      graft.operators.Quantize.ivfPqSearchAllResidualCodes(emb, "vec_id", "embedding",
+      graft.operators.Quantize.ivfPqSearchAllResidual(emb, "vec_id", "embedding",
           index, "vec_id", cents, "centroid_id", "cen_emb",
           resCodebook, "code_id", "c_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -469,6 +467,47 @@ object CurationQueries {
       graft.operators.Quantize.searchSelfContainedRefined(s, path,
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
           emb, "embedding", PQ_K, RECELL_CELLS, 1000000)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
+    // ---- Fully self-contained store lifecycle under the oracle -----------
+    // (qx113 with the lake pointer REMOVED: the store is built with the
+    //  raw-vector SIDECAR, so the recell retrains from the store's own
+    //  `.vectors` (recellIvfPqStoreFromSidecar) and the final serving is
+    //  the sidecar-rescored searchSelfContainedRefinedStored — no corpus
+    //  frame appears after the build. The sidecar must survive the append
+    //  (it follows), the delete (dead rows unreachable), the recell (it is
+    //  rewritten to survivors under the retrained cells) and the
+    //  re-append after it — a hash match against qx113's closed-form
+    //  exact-kNN oracle proves the store is autonomous end-to-end.)
+    "qx116_sidecar_lifecycle" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val path = java.nio.file.Files.createTempDirectory("qx116-sidecar")
+        .toString + "/store"
+      val isAppend = col("vec_id") % 4 === 1
+      val isDel = col("vec_id") % 9 === 4
+      val isReadd = col("vec_id") % 2 === 0
+      graft.operators.Quantize.buildSelfContained(s, emb.filter(!isAppend),
+        "vec_id", "embedding", cents, "centroid_id", "cen_emb",
+        codebook, "code_id", "cb_emb", PQ_DIMS, PQ_BLOCKS,
+        residual = false, path, storeVectors = true)
+      graft.operators.Quantize.appendSelfContained(s, path,
+        emb.filter(isAppend), "embedding")
+      graft.operators.Quantize.addTombstones(s, path,
+        emb.filter(isDel).select("vec_id"), "vec_id")
+      graft.operators.Quantize.recellIvfPqStoreFromSidecar(s, path,
+        RECELL_CELLS, RECELL_CODES, retrainCodebook = true,
+        coarseMaxIter = RECELL_COARSE_ITER, pqMaxIter = RECELL_PQ_ITER)
+      graft.operators.Quantize.appendSelfContained(s, path,
+        emb.filter(isDel && isReadd), "embedding")
+      graft.operators.Quantize.searchSelfContainedRefinedStored(s, path,
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+          PQ_K, RECELL_CELLS, 1000000)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
     }),
@@ -1055,7 +1094,13 @@ object CurationQueries {
       // formula BY CONSTRUCTION (every cell probed, every candidate
       // rescored exactly), which is precisely what makes a kmeans-trained
       // store oracle-able at all.
-      "qx113_ivfpq_recell" -> exactKnnRecellOracle)
+      "qx113_ivfpq_recell" -> exactKnnRecellOracle,
+      // qx116 re-runs qx113's lifecycle with ZERO lake access after the
+      // build — sidecar-sourced recell, sidecar-rescored serving — and
+      // must land on the SAME closed form: the live set is identical and
+      // full probe + full refine makes the retrained geometry (and the
+      // sidecar plumbing) cancel out of the formula entirely.
+      "qx116_sidecar_lifecycle" -> exactKnnRecellOracle)
   }
 
   /** qx113: exact kNN over the post-recell live set — see the entry above. */

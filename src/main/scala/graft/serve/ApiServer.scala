@@ -326,7 +326,8 @@ final class ApiServer(api: FinancialApi, port: Int = 8000,
       case (_, Seq("search")) if search.isEmpty =>
         Response(503, "application/json",
           """{"success":false,"detail":"retrieval stores not configured """ +
-            """(set retrieval.lex_store / retrieval.vec_store / retrieval.corpus_path)"}""")
+            """(set retrieval.lex_store / retrieval.vec_store; """ +
+            """retrieval.corpus_path optional for sidecar stores)"}""")
       case _ => Response(404, "application/json",
         s"""{"success":false,"detail":"Not found: $method $path"}""")
     }

@@ -38,10 +38,14 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
     Response(status, "application/json",
       s"""{"success":false,"timestamp":"${Serve.jsonEscape(now())}","detail":"${Serve.jsonEscape(message)}"}""")
 
-  // the rescore corpus (exact vectors; also fixes the store id type) —
-  // read lazily once per API instance, metadata only (no materialization)
-  private lazy val corpus = spark.read.parquet(conf.corpusPath)
-  private lazy val idType = corpus.schema.apply(conf.idCol).dataType
+  // the rescore corpus (exact vectors) — lazily once per API instance,
+  // metadata only (no materialization). None ⇒ the vector store's own
+  // `.vectors` sidecar rescores — the lake-free deployment shape.
+  private lazy val corpusOpt = conf.corpusPath.map(spark.read.parquet)
+  // the query-id cast target: the corpus when declared, else the store's
+  // own cell schema (both carry the id column the store was built with)
+  private lazy val idType = corpusOpt.getOrElse(spark.read.parquet(conf.vecStore))
+    .schema.apply(conf.idCol).dataType
 
   private def queryFrame(text: String): DataFrame = {
     import spark.implicits._
@@ -80,25 +84,39 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       val result = mode match {
         case "hybrid" =>
           val q = queryFrameVec(text, vector)
-          allowed match {
-            case Some(a) => Retrieval.hybridTopKFromStoresFiltered(spark,
+          (corpusOpt, allowed) match {
+            case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(spark,
               conf.lexStore, conf.vecStore, q, a, conf.textCol, conf.vecCol,
               conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-              corpus, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
-            case None => Retrieval.hybridTopKFromStores(spark,
+              c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
+            case (Some(c), None) => Retrieval.hybridTopKFromStores(spark,
               conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
               conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-              corpus, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
+              c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
+            case (None, Some(a)) => Retrieval.hybridTopKFromStoresStoredFiltered(
+              spark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
+              conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
+              conf.rerankDepth, maxQueryTerms = conf.maxQueryTerms)
+            case (None, None) => Retrieval.hybridTopKFromStoresStored(spark,
+              conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
+              conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
+              maxQueryTerms = conf.maxQueryTerms)
           }
         case "vector" =>
           val q = queryFrameVec(text, vector).select(col(conf.idCol), col(conf.vecCol))
-          (allowed match {
-            case Some(a) => Quantize.searchSelfContainedRefinedFiltered(spark,
-              conf.vecStore, q, conf.idCol, conf.vecCol, a,
-              corpus, conf.vecCol, k, conf.nProbe, conf.rerankDepth)
-            case None => Quantize.searchSelfContainedRefined(spark,
+          ((corpusOpt, allowed) match {
+            case (Some(c), Some(a)) => Quantize.searchSelfContainedRefinedFiltered(
+              spark, conf.vecStore, q, conf.idCol, conf.vecCol, a,
+              c, conf.vecCol, k, conf.nProbe, conf.rerankDepth)
+            case (Some(c), None) => Quantize.searchSelfContainedRefined(spark,
               conf.vecStore, q, conf.idCol, conf.vecCol,
-              corpus, conf.vecCol, k, conf.nProbe, conf.rerankDepth)
+              c, conf.vecCol, k, conf.nProbe, conf.rerankDepth)
+            case (None, Some(a)) => Quantize.searchSelfContainedRefinedStoredFiltered(
+              spark, conf.vecStore, q, conf.idCol, conf.vecCol, a,
+              k, conf.nProbe, conf.rerankDepth)
+            case (None, None) => Quantize.searchSelfContainedRefinedStored(spark,
+              conf.vecStore, q, conf.idCol, conf.vecCol,
+              k, conf.nProbe, conf.rerankDepth)
           }).withColumnRenamed("neighbor_id", "doc_id")
         case "lexical" =>
           val q = queryFrame(text)
@@ -162,24 +180,27 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
 object SearchApi {
 
   /** The GraftConfig-declared retrieval deployment: where the two stores
-    * live, where the exact-vector lake table is (the refine rescores
-    * from it — the store persists only codes), the column names the
+    * live, optionally where the exact-vector lake table is (the refine
+    * rescores from it; `None` serves from the vector store's own
+    * `.vectors` sidecar — a store built with `storeVectors = true` needs
+    * no lake pointer in its serving config), the column names the
     * stores were built with, and the serving budgets. */
   final case class RetrievalConf(lexStore: String, vecStore: String,
-                                 corpusPath: String, idCol: String,
+                                 corpusPath: Option[String], idCol: String,
                                  textCol: String, vecCol: String,
                                  depth: Int, nProbe: Int, rerankDepth: Int,
                                  maxQueryTerms: Int, maxK: Int)
 
   /** Build from config when the store paths are declared; None otherwise
-    * (the serving shells then simply don't expose the routes/tool). */
+    * (the serving shells then simply don't expose the routes/tool).
+    * `retrieval.corpus_path` is optional — omit it for sidecar stores. */
   def fromConfig(spark: SparkSession, cfg: GraftConfig): Option[SearchApi] =
     for {
       lex <- cfg.getString("retrieval.lex_store")
       vec <- cfg.getString("retrieval.vec_store")
-      corpus <- cfg.getString("retrieval.corpus_path")
     } yield new SearchApi(spark, RetrievalConf(
-      lexStore = lex, vecStore = vec, corpusPath = corpus,
+      lexStore = lex, vecStore = vec,
+      corpusPath = cfg.getString("retrieval.corpus_path"),
       idCol = cfg.getStringOr("retrieval.id_col", "doc_id"),
       textCol = cfg.getStringOr("retrieval.text_col", "text"),
       vecCol = cfg.getStringOr("retrieval.vec_col", "embedding"),

@@ -91,6 +91,17 @@ object StreamingVectorIngest {
                    dims: Int, nBlocks: Int,
                    indexPath: String, streamTag: String,
                    residual: Boolean = false): Unit = {
+    // stream batches land CODES only — a raw-vector sidecar would not be
+    // maintained, and streamed ids would silently vanish from
+    // searchSelfContainedRefinedStored's rescore. Same invariant guard as
+    // the bare-index appends: refuse loudly, direct to batch appends.
+    // Checked BEFORE the identity guard, which ADOPTS an unclaimed store
+    // (writes its marker) as a side effect.
+    if (Quantize.hasVectorSidecar(batch.sparkSession, indexPath))
+      throw new IllegalStateException(
+        s"stream ingest does not maintain the raw-vector sidecar of " +
+          s"$indexPath — ingest through appendSelfContained batches, or " +
+          "build the store without storeVectors")
     StreamingNearDup.guardStreamIdentity(batch.sparkSession, indexPath, streamTag)
     val encoded =
       if (residual)

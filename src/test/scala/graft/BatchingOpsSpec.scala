@@ -1644,8 +1644,13 @@ class BatchingOpsSpec extends SparkSpec {
       .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(rows(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
-        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4))
+    def explodeCodes(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("centroid_id"),
+        posexplode(col("codes")).as(Seq("block", "code")))
+      .select(col("vec_id"), col("centroid_id"),
+        col("block").cast("long").as("block"), col("code"))
+    assert(rows(explodeCodes(Quantize.ivfPqIndexCodes(emb, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4)))
       === rows(rowPathIndexReference(emb, cents, codebook, residual = false)),
       "raw map-side encode diverged from the row-path reference")
     // residual codebook in residual space (the qx69 seeding recipe)
@@ -1655,8 +1660,8 @@ class BatchingOpsSpec extends SparkSpec {
       .withColumn("c_emb", expr(
         "zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
       .select(col("vec_id").as("code_id"), col("c_emb"))
-    assert(rows(Quantize.ivfPqIndexResidual(emb, "vec_id", "embedding",
-        cents, "cid", "cv", resCb, "code_id", "c_emb", 64, 4))
+    assert(rows(explodeCodes(Quantize.ivfPqIndexResidualCodes(emb, "vec_id", "embedding",
+        cents, "cid", "cv", resCb, "code_id", "c_emb", 64, 4)))
       === rows(rowPathIndexReference(emb, cents, resCb, residual = true)),
       "residual map-side encode diverged from the row-path reference")
     // the plan the map-side build exists for: the CORPUS never shuffles —

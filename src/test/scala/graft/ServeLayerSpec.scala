@@ -431,6 +431,86 @@ class ServeLayerSpec extends SparkSpec {
     assert(noSearch.callJson("search_corpus", "{}").startsWith("Unknown tool"))
   }
 
+  test("search serving: a sidecar store serves lake-free (no corpus_path in the config)") {
+    import graft.operators.{Quantize, Retrieval}
+    import graft.serve.SearchApi
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding")).localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("srv-sidecar-").toString
+    val corpus = hybrid.filter(col("doc_id") >= 10)
+    Retrieval.writeBm25Store(corpus.select("doc_id", "text"),
+      "text", "doc_id", s"$work/lex", 8)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+    Quantize.buildSelfContained(spark, corpus.select("doc_id", "embedding"),
+      "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+      cb, "code_id", "cb_emb", 64, 4, residual = false, s"$work/vec",
+      storeVectors = true)
+    // NO corpus_path — the deployment ships two store paths and nothing else
+    val cfg = GraftConfig.fromString(
+      s"""retrieval:
+         |  lex_store: "$work/lex"
+         |  vec_store: "$work/vec"
+         |  depth: 15
+         |  n_probe: 3
+         |  rerank_depth: 40
+         |  max_query_terms: 6
+         |""".stripMargin, env = Map.empty)
+    val search = SearchApi.fromConfig(spark, cfg)
+    assert(search.nonEmpty,
+      "store paths without a corpus_path must still mount the search api")
+    val qRow = hybrid.filter(col("doc_id") === 3L)
+      .select("text", "embedding").collect().head
+    val (qText, qVec) = (qRow.getString(0), qRow.getSeq[Float](1))
+    import spark.implicits._
+    val qDf = Seq((3L, qText, qVec)).toDF("doc_id", "text", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val wantHybrid = ids(Retrieval.hybridTopKFromStoresStored(spark,
+      s"$work/lex", s"$work/vec", qDf, "text", "embedding", "doc_id",
+      5, 15, 3, 40, maxQueryTerms = 6))
+    // the sidecar rescore must agree with an explicit-corpus rescore
+    val viaCorpus = ids(Retrieval.hybridTopKFromStores(spark,
+      s"$work/lex", s"$work/vec", qDf, "text", "embedding", "doc_id",
+      5, 15, 3, 40, corpus.select("doc_id", "embedding"), "embedding",
+      maxQueryTerms = 6))
+    assert(wantHybrid === viaCorpus,
+      "sidecar-served hybrid diverged from the corpus-rescored hybrid")
+    def docIdsOf(body: String): Seq[Long] = {
+      val data = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("data")
+      (0 until data.size).map(i => data.get(i).get("doc_id").asLong)
+    }
+    val server = new ApiServer(newApi(), 0, cfg, search).start()
+    val client = HttpClient.newHttpClient()
+    try {
+      val hy = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${server.boundPort}/search"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"text":${jstr(qText)},"vector":${qVec.mkString("[", ",", "]")},"k":5,"mode":"hybrid"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(hy.statusCode == 200, hy.body)
+      assert(docIdsOf(hy.body) == wantHybrid,
+        "lake-free HTTP hybrid must serve exactly the stored-operator result")
+      val vec = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${server.boundPort}/search"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"vector":${qVec.mkString("[", ",", "]")},"k":5,"mode":"vector"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(vec.statusCode == 200, vec.body)
+      assert(docIdsOf(vec.body) == ids(
+        Quantize.searchSelfContainedRefinedStored(spark, s"$work/vec",
+          qDf.select(col("doc_id"), col("embedding")), "doc_id", "embedding",
+          5, 3, 40).withColumnRenamed("neighbor_id", "doc_id")),
+        "lake-free vector mode must serve the sidecar-rescored result")
+    } finally server.stop()
+  }
+
   private def jstr(s: String): String =
     "\"" + graft.sources.Serve.jsonEscape(s) + "\""
 
