@@ -168,10 +168,10 @@ object ScaleProbe {
     } // !vecOnly
 
     // IVF-PQ: index build + probed search, corpus inflated 1×/4×/16× —
-    // build is a single exchange-free scan (map-side assignment + encode
-    // expressions, round 10), search touches only probed cells' codes, so
-    // both should scale ~linearly with corpus size (an all-pairs or
-    // unpruned plan would not)
+    // build is the default two-exchange row algorithm (the exchange-free
+    // codes build is the measured opt-in for >~100k vectors, SCALE.md),
+    // search touches only probed cells' codes, so both should scale
+    // ~linearly with corpus size (an all-pairs or unpruned plan would not)
     {
       val emb0 = Tables.t(spark, dir, "embeddings")
         .select("vec_id", "embedding").cache()
@@ -223,6 +223,53 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[scale] batchadc_vecs=${e0 * mult}%8d  cells=${8 * mult}%4d  " +
           f"build+search=${secs}%6.2fs  rows: $rows")
+      }
+
+      // sidecar refine vs corpus-table refine (round 10): the exact
+      // rescore's big scan is the probed cells of `.vectors` instead of
+      // the whole lake table. Cells scale with the corpus (constant cell
+      // size) while the probe budget stays fixed, so the sidecar refine
+      // scans ~CONSTANT rows as N grows where the corpus-table refine
+      // reads all N — these walls are the measured form of that claim.
+      for (mult <- Seq(1, 4, 16)) {
+        val inflated = (0 until mult).map(i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val centsM = inflated.filter(col("vec_id") < 8L * mult)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val work = java.nio.file.Files
+          .createTempDirectory(s"scale-sidecar-$mult-").toString
+        val store = s"$work/store"
+        graft.operators.Quantize.buildSelfContained(spark, inflated,
+          "vec_id", "embedding", centsM, "cid", "cv",
+          codebook, "code_id", "c_emb", 64, 4, residual = false, store,
+          storeVectors = true)
+        // the lake table the corpus-refine reads is PARQUET, like the
+        // sidecar — comparing a disk scan against a cached frame would
+        // flatter whichever side held the cache
+        inflated.write.parquet(s"$work/lake")
+        val lake = spark.read.parquet(s"$work/lake")
+        val t0 = System.nanoTime()
+        val r1 = graft.operators.Quantize.searchSelfContainedRefinedStored(
+          spark, store, queries, "vec_id", "embedding", 3, 2, 12).count()
+        val s1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val r2 = graft.operators.Quantize.searchSelfContainedRefined(
+          spark, store, queries, "vec_id", "embedding",
+          lake, "embedding", 3, 2, 12).count()
+        val s2 = (System.nanoTime() - t1) / 1e9
+        // the claim's units: rows the rescore's big scan reads — probed
+        // sidecar cells vs the whole lake (untimed bookkeeping)
+        val probed = graft.operators.Similarity.probeAssignLarge(
+            queries, "vec_id", "embedding", centsM, "cid", "cv", 2)
+          .select("centroid_id").distinct()
+          .collect().map(_.get(0)).toSet
+        val scanRows = spark.read.parquet(s"$store.vectors")
+          .filter(col("centroid_id").isInCollection(probed.toSeq)).count()
+        println(f"[scale] sidecar_vecs=${e0 * mult}%8d  cells=${8 * mult}%4d  " +
+          f"refine_sidecar=${s1}%6.2fs  refine_corpus=${s2}%6.2fs  " +
+          f"scan_rows ${scanRows}%6d vs ${e0 * mult}%6d  rows: $r1/$r2")
       }
 
       // large-to-large kNN JOIN (qx84's operator): full corpus self-join at

@@ -1012,17 +1012,21 @@ object Quantize {
 
   /** The one stored-serving core (filtered and unfiltered cannot drift):
     * pruned scan → tombstone anti-join → optional allow-list semi-join →
-    * the residual-or-raw ADC tail. */
+    * the residual-or-raw ADC tail. `preloaded`/`cellsPre` let the
+    * sidecar-refined path reuse its quantizer load and probed-cell
+    * collect instead of paying those driver jobs twice per serve. */
   private def searchSelfContainedImpl(spark: org.apache.spark.sql.SparkSession,
                                       indexPath: String, queries: DataFrame,
                                       qIdCol: String, qVecCol: String,
                                       k: Int, nProbe: Int,
-                                      allowed: Option[DataFrame]): DataFrame = {
-    val (cents, cb, p) = loadQuantizers(spark, indexPath)
+                                      allowed: Option[DataFrame],
+                                      preloaded: Option[(DataFrame, DataFrame, StoreParams)] = None,
+                                      cellsPre: Option[Seq[Any]] = None): DataFrame = {
+    val (cents, cb, p) = preloaded.getOrElse(loadQuantizers(spark, indexPath))
     Similarity.requireSmallQuerySide(queries, "searchSelfContained")
     val tomb = readTombstones(spark, indexPath, p.idCol)
-    val pruned = prunedStoreScan(spark, indexPath, queries, qIdCol, qVecCol,
-      cents, "centroid_id", "cen_emb", nProbe)
+    val pruned = prunedScanAt(spark, indexPath, queries, qIdCol, qVecCol,
+      cents, "centroid_id", "cen_emb", nProbe, cellsPre)
     val live0 = pruned.join(broadcast(tomb), pruned(p.idCol) === tomb(p.idCol),
       "leftanti")
     val live = allowed.fold(live0) { a =>
@@ -1211,15 +1215,21 @@ object Quantize {
           s"(${vectorsPath(indexPath)} missing) — build it with " +
           "buildSelfContained(..., storeVectors = true), or use " +
           "searchSelfContainedRefined with an explicit corpus")
-    val (cents, _, p) = loadQuantizers(spark, indexPath)
-    val shortlist = allowed match {
-      case Some(a) => searchSelfContainedFiltered(spark, indexPath, queries,
-        qIdCol, qVecCol, a, rerankDepth, nProbe)
-      case None => searchSelfContained(spark, indexPath, queries,
-        qIdCol, qVecCol, rerankDepth, nProbe)
-    }
+    // quantizers and the probed-cell list are computed ONCE and shared by
+    // the ADC shortlist and the sidecar scan — the cells are identical by
+    // construction (same queries, same centroids, same budget), so the
+    // reuse saves two driver jobs per serve without changing any answer
+    val loaded = loadQuantizers(spark, indexPath)
+    val (cents, _, p) = loaded
+    val cells = probeCells(queries, qIdCol, qVecCol,
+        cents, "centroid_id", "cen_emb", nProbe)
+      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
+    val shortlist = searchSelfContainedImpl(spark, indexPath, queries,
+      qIdCol, qVecCol, rerankDepth, nProbe, allowed,
+      preloaded = Some(loaded), cellsPre = Some(cells))
     val vecs = prunedScanAt(spark, vectorsPath(indexPath), queries,
-      qIdCol, qVecCol, cents, "centroid_id", "cen_emb", nProbe)
+      qIdCol, qVecCol, cents, "centroid_id", "cen_emb", nProbe,
+      cellsPre = Some(cells))
     exactRescore(shortlist, queries, qIdCol, qVecCol,
       vecs, p.idCol, "vec", k, dedupCandidates = true)
   }
@@ -1865,10 +1875,11 @@ object Quantize {
                            dataPath: String,
                            queries: DataFrame, qIdCol: String, qVecCol: String,
                            centroids: DataFrame, cenIdCol: String, cenVecCol: String,
-                           nProbe: Int): DataFrame = {
-    val cells = probeCells(queries, qIdCol, qVecCol,
+                           nProbe: Int,
+                           cellsPre: Option[Seq[Any]] = None): DataFrame = {
+    val cells = cellsPre.getOrElse(probeCells(queries, qIdCol, qVecCol,
         centroids, cenIdCol, cenVecCol, nProbe)
-      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
+      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq)
     val cenType = centroids.schema.apply(cenIdCol).dataType
     val dataFields = spark.read.parquet(dataPath).schema.fields
       .filterNot(_.name == "centroid_id")

@@ -111,4 +111,92 @@ class IvfPqStorePropertySpec extends SparkSpec {
       assert(served.nonEmpty, s"seed=$seed: vacuous sequence")
     }
   }
+
+  test("sidecar stores under random lifecycles: sidecar >= live ids, and the sidecar rescore equals the corpus rescore") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val queries = emb.filter(col("vec_id") < 5)
+
+    for (seed <- Seq(7L, 41L)) {
+      val rnd = new Lcg(seed)
+      var live = allIds.filter(_ % 5 != 3).toSet
+      var pending = allIds.filterNot(live).sorted.toSeq
+      val store = java.nio.file.Files
+        .createTempDirectory(s"ivfpqprop-sc-$seed-").toString + "/index"
+      def frame(ids: Set[Long]) =
+        emb.filter(col("vec_id").isInCollection(ids.toSeq))
+      Quantize.buildSelfContained(spark, frame(live), "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+        residual = false, store, storeVectors = true)
+      for (step <- 1 to 7) {
+        rnd.next(6) match {
+          case 0 if pending.nonEmpty =>
+            val batch = pending.take(1 + rnd.next(30)).toSet
+            pending = pending.drop(batch.size)
+            live ++= batch
+            Quantize.appendSelfContained(spark, store, frame(batch), "embedding")
+            if (rnd.next(2) == 0) {
+              // retry heal: codes delete-then-reappend; the sidecar keeps
+              // both copies (documented multiset — readers dedup)
+              import spark.implicits._
+              Quantize.deleteFromIvfPqIndex(spark, store,
+                batch.toSeq.toDF("vec_id"), "vec_id")
+              Quantize.appendSelfContained(spark, store, frame(batch), "embedding")
+            }
+          case 1 =>
+            import spark.implicits._
+            val pick = live.toSeq.sorted
+            val dead = (0 until (1 + rnd.next(5)))
+              .map(_ => pick(rnd.next(pick.size))).toSet
+            live --= dead
+            Quantize.addTombstones(spark, store,
+              (dead.toSeq :+ 999999L).toDF("vec_id"), "vec_id")
+          case 2 =>
+            Quantize.retentionSweep(spark, store, "vec_id",
+              maxTombstoneFraction = 0.1 + 0.2 * rnd.next(4))
+          case 3 =>
+            import spark.implicits._
+            val pick = live.toSeq.sorted
+            val dead = (0 until (1 + rnd.next(3)))
+              .map(_ => pick(rnd.next(pick.size))).toSet
+            live --= dead
+            Quantize.deleteFromIvfPqIndex(spark, store,
+              dead.toSeq.toDF("vec_id"), "vec_id")
+          case 4 => // retrain — alternating the corpus source proves the
+            // sidecar-sourced recell composes with everything else
+            if (rnd.next(2) == 0)
+              Quantize.recellIvfPqStoreFromSidecar(spark, store,
+                nCells = 4 + rnd.next(5), nCodes = 8 + rnd.next(8),
+                coarseMaxIter = 2, pqMaxIter = 1)
+            else
+              Quantize.recellIvfPqStore(spark, store, emb, "embedding",
+                nCells = 4 + rnd.next(5), nCodes = 8 + rnd.next(8),
+                coarseMaxIter = 2, pqMaxIter = 1)
+          case _ =>
+            Quantize.compactIvfPqIndex(spark, store, maxRecordsPerFile = 1000000L)
+        }
+        // the standing invariant every op must preserve
+        val sidecarIds = spark.read.parquet(s"$store.vectors")
+          .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+        assert(live.subsetOf(sidecarIds),
+          s"seed=$seed step=$step: live ids missing from the sidecar: " +
+            (live -- sidecarIds).take(5))
+      }
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "neighbor_id", "rank", "dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val stored = canon(Quantize.searchSelfContainedRefinedStored(spark, store,
+        queries, "vec_id", "embedding", 3, 2, 9))
+      val viaCorpus = canon(Quantize.searchSelfContainedRefined(spark, store,
+        queries, "vec_id", "embedding", emb, "embedding", 3, 2, 9))
+      assert(stored == viaCorpus,
+        s"seed=$seed: sidecar rescore diverged from the corpus rescore")
+      assert(stored.nonEmpty, s"seed=$seed: vacuous sequence")
+    }
+  }
 }
