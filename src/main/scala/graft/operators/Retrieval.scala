@@ -921,6 +921,79 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "phrase_count")
   }
 
+  /** PROXIMITY query over the positional store — [[phraseTopKFromStore]]'s
+    * unordered sibling, completing the phrase/proximity pair a positional
+    * index exists for. The query's first `maxQueryTerms` tokens yield its
+    * DISTINCT term set; a document scores one occurrence per anchor
+    * position `a` (any position of any query term in the doc) whose
+    * window `[a, a + window − 1]` contains ALL the query's terms, in any
+    * order (the windowed-proximity count of MinDist-style proximity
+    * models — order-free where the phrase operator is order-exact).
+    * Ranks by occurrence count (desc, doc_id asc ties), capped at `k`.
+    *
+    * Plan shape: candidates come from the SAME literal `bucket IN`
+    * pruned scan as BM25/phrase serving, tombstones anti-join off, and
+    * the window test is a SELF-join of the per-candidate hit rows keyed
+    * by (query, doc) — per-pair cost is quadratic in the query-terms'
+    * occurrence count within one document (the standard positional-
+    * scoring bound), never corpus-global; all aggregation keys carry
+    * (query, doc[, anchor]). Integer-exact, so the oracle reproduces it
+    * bit-for-bit. */
+  def proximityTopKFromStore(spark: SparkSession, path: String,
+                             queries: DataFrame, textCol: String, idCol: String,
+                             k: Int, window: Int,
+                             maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    GraftFunctions.register(spark)
+    val sparkD = Dialect(spark = true)
+    val (_, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val qtok0 = queries.select(col(idCol).as("query_id"),
+      posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("qp0", "term")))
+    val qterms = (if (maxQueryTerms == Int.MaxValue) qtok0
+                  else qtok0.filter(col("qp0") < maxQueryTerms))
+      .select("query_id", "term").distinct()
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("nterms"))
+    val buckets = qterms
+      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val post = spark.read.parquet(postingsPath(path))
+    require(post.columns.contains("pos"),
+      s"store $path has no positional postings — it predates the " +
+        "positional schema; rebuild (or rebucket) it to enable proximity queries")
+    val fs = fsFor(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
+    val tomb =
+      if (fs.exists(tp))
+        spark.read.parquet(tp.toString).select("doc_id").distinct()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
+    val hits = post
+      .filter(col("bucket").isInCollection(buckets))
+      .select("doc_id", "term", "pos")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        explode(col("pos")).as("p"))
+    // every query-term occurrence anchors one window; a term occurring
+    // twice inside a window still counts once (countDistinct)
+    val anchors = hits.select(col("query_id"), col("doc_id"), col("p").as("a"))
+      .distinct()
+    val occ = anchors.join(hits, Seq("query_id", "doc_id"))
+      .filter(col("p") >= col("a") && col("p") <= col("a") + lit(window - 1))
+      .groupBy("query_id", "doc_id", "a")
+      .agg(countDistinct("term").as("got"))
+      .join(broadcast(qlen), Seq("query_id"))
+      .filter(col("got") === col("nterms"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("prox_count").desc, col("doc_id").asc)
+    occ.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("prox_count"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "prox_count")
+  }
+
   /** STORE-SERVED hybrid retrieval — the production RAG serving shape as
     * ONE operator (what qx107 gates): lexical candidates from the BM25
     * store's bucket-pruned postings + df sidecar, vector candidates from

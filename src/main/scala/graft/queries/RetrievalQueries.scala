@@ -71,6 +71,13 @@ object RetrievalQueries {
     * docs (guaranteed non-empty at every SF) while a trigram would hit
     * ~1-2 docs total at sf0.001 — too sparse to gate. */
   private val PHRASE_TERMS = 2
+  /** qx117 proximity dials: the query's first 3 distinct terms must all
+    * land inside a 12-position window (any order). On the 31-word
+    * synthetic vocabulary three common terms co-occur within 12 tokens
+    * often enough to gate at every SF while staying far from "matches
+    * everything". */
+  private val PROX_TERMS = 3
+  private val PROX_WINDOW = 12
 
   private val V5_BENCH_MOD = 29
   private val V5_BENCH_REM = 3
@@ -286,6 +293,24 @@ object RetrievalQueries {
       Retrieval.phraseTopKFromStore(s, work,
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxPhraseTerms = PHRASE_TERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- PROXIMITY query over the positional store ----------------------
+    // (qx115's unordered sibling: the query's first PROX_TERMS distinct
+    //  terms must all co-occur inside a PROX_WINDOW-position window, any
+    //  order; one occurrence per qualifying anchor position. Served from
+    //  the same bucket-pruned positional postings; the oracle is the same
+    //  windowed count in DuckDB join arithmetic.)
+    "qx117_bm25_proximity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val work = java.nio.file.Files.createTempDirectory("qx117-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery),
+        "text", "doc_id", work, STORE_BUCKETS)
+      Retrieval.proximityTopKFromStore(s, work,
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, PROX_WINDOW, maxQueryTerms = PROX_TERMS)
         .orderBy("query_id", "rank")
     }),
 
@@ -597,6 +622,40 @@ object RetrievalQueries {
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, phrase_count
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY phrase_count DESC, doc_id ASC) AS rn FROM counts)
+         |WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Windowed proximity in join arithmetic: anchors are every position
+    // of any query term in a candidate doc; an anchor scores when its
+    // [a, a+W-1] window holds ALL the query's distinct terms (COUNT
+    // DISTINCT — a term twice inside one window still counts once).
+    "qx117_bm25_proximity" -> {
+      val d = duck
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |td AS (SELECT doc_id, ${TX.tokens("text")(d)} AS toks FROM corpus),
+         |dtok AS (SELECT doc_id, unnest(toks) AS term,
+         |           unnest(generate_series(1, len(toks))) AS pos FROM td),
+         |tq AS (SELECT doc_id AS query_id, ${TX.tokens("text")(d)} AS toks FROM q),
+         |qtok AS (SELECT query_id, unnest(toks) AS term,
+         |           unnest(generate_series(1, len(toks))) AS slot FROM tq),
+         |qterms AS (SELECT DISTINCT query_id, term FROM qtok WHERE slot <= $PROX_TERMS),
+         |qlen AS (SELECT query_id, COUNT(*) AS nterms FROM qterms GROUP BY query_id),
+         |hits AS (SELECT qt.query_id, d.doc_id, d.term, d.pos
+         |         FROM qterms qt JOIN dtok d USING (term)),
+         |occ AS (SELECT a.query_id, a.doc_id, a.pos
+         |        FROM (SELECT DISTINCT query_id, doc_id, pos FROM hits) a
+         |        JOIN hits h ON h.query_id = a.query_id AND h.doc_id = a.doc_id
+         |          AND h.pos BETWEEN a.pos AND a.pos + ${PROX_WINDOW - 1}
+         |        JOIN qlen l ON l.query_id = a.query_id
+         |        GROUP BY a.query_id, a.doc_id, a.pos, l.nterms
+         |        HAVING COUNT(DISTINCT h.term) = l.nterms),
+         |counts AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS prox_count
+         |           FROM occ GROUP BY query_id, doc_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, prox_count
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY prox_count DESC, doc_id ASC) AS rn FROM counts)
          |WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
     },
 

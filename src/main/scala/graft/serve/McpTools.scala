@@ -142,7 +142,8 @@ final class McpTools(spark: SparkSession, facts: () => DataFrame,
         a.strSeq("vector").map(_.toFloat),
         a.intOr("k", 10),
         a.optStr("mode").getOrElse("hybrid"),
-        a.strSeq("allowed_ids"))
+        a.strSeq("allowed_ids"),
+        a.intOr("window", 12))
       if (resp.status == 200) resp.body else s"Error: ${resp.body}"
 
     case other => s"Unknown tool: $other"
@@ -190,9 +191,9 @@ object McpTools {
   val SearchTool: ToolDef = ToolDef("search_corpus",
     "Search the document corpus from the persisted retrieval stores " +
       "(hybrid BM25+vector with reciprocal-rank fusion, or " +
-      "lexical/vector/phrase single-mode); optional allowed_ids fences " +
+      "lexical/vector/phrase/proximity single-mode); optional allowed_ids fences " +
       "results to an access-scoped id set",
-    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","phrase"]},"allowed_ids":{"type":"array","items":{"type":"string"}}},"required":[]}""")
+    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","phrase","proximity"]},"allowed_ids":{"type":"array","items":{"type":"string"}},"window":{"type":"integer","default":12}},"required":[]}""")
 
   /** Typed access over the loosely-typed argument map. */
   private final class Args(m: Map[String, Any]) {

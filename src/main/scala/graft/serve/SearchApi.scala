@@ -66,11 +66,12 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
   }
 
   /** One search call. `mode`: `hybrid` (default; needs `vector`),
-    * `vector` (needs `vector`), `lexical`, `phrase`. `allowedIds`
-    * non-empty ⇒ the filtered serving paths (qx111/qx114 semantics:
-    * candidates fenced before ranking, statistics corpus-global). */
+    * `vector` (needs `vector`), `lexical`, `phrase`, `proximity`
+    * (`window` positions, any order). `allowedIds` non-empty ⇒ the
+    * filtered serving paths (qx111/qx114 semantics: candidates fenced
+    * before ranking, statistics corpus-global). */
   def search(text: String, vector: Seq[Float], k: Int, mode: String,
-             allowedIds: Seq[String]): Response = {
+             allowedIds: Seq[String], window: Int = 12): Response = {
     if (k < 1 || k > conf.maxK)
       return error(400, s"k must be in [1, ${conf.maxK}]: $k")
     val needsVector = mode == "hybrid" || mode == "vector"
@@ -134,9 +135,17 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
           Retrieval.phraseTopKFromStore(spark, conf.lexStore,
             queryFrame(text), conf.textCol, conf.idCol, k,
             maxPhraseTerms = conf.maxQueryTerms)
+        case "proximity" =>
+          if (allowed.nonEmpty)
+            return error(400, "proximity mode does not support allowed_ids yet")
+          if (window < 1 || window > 1000)
+            return error(400, s"window must be in [1, 1000]: $window")
+          Retrieval.proximityTopKFromStore(spark, conf.lexStore,
+            queryFrame(text), conf.textCol, conf.idCol, k, window,
+            maxQueryTerms = conf.maxQueryTerms)
         case other =>
           return error(400,
-            s"unknown mode '$other' (expected hybrid|vector|lexical|phrase)")
+            s"unknown mode '$other' (expected hybrid|vector|lexical|phrase|proximity)")
       }
       Response(200, "application/json",
         envelope(result.drop("query_id").orderBy("rank")))
@@ -153,7 +162,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       return error(400, s"mode '$mode' needs a query vector — POST /search " +
         """with {"text":...,"vector":[...]} instead""")
     search(params.getOrElse("q", ""), Seq.empty,
-      params.get("k").flatMap(_.toIntOption).getOrElse(10), mode, Seq.empty)
+      params.get("k").flatMap(_.toIntOption).getOrElse(10), mode, Seq.empty,
+      params.get("window").flatMap(_.toIntOption).getOrElse(12))
   }
 
   /** POST-shaped entry: {"text":..., "vector":[...], "k":10,
@@ -173,7 +183,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       Option(node.get("k")).map(_.asInt).getOrElse(10),
       Option(node.get("mode")).map(_.asText).getOrElse("hybrid"),
       Option(node.get("allowed_ids")).filter(_.isArray)
-        .map(FinancialApi.asStringSeq).getOrElse(Seq.empty))
+        .map(FinancialApi.asStringSeq).getOrElse(Seq.empty),
+      Option(node.get("window")).map(_.asInt).getOrElse(12))
   }
 }
 

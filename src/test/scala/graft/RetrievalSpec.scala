@@ -497,6 +497,33 @@ class RetrievalSpec extends SparkSpec {
       "maintained store's phrase answers must equal a fresh rebuild's")
   }
 
+  test("proximityTopKFromStore: windowed any-order semantics on a hand-checked fixture") {
+    val all = docs(
+      1L -> "red fox den",          // red@1, den@3 — inside window 3
+      2L -> "red red den",          // anchors red@1 AND red@2 both qualify
+      3L -> "red fox fox fox den",  // red@1, den@5 — needs window 5
+      4L -> "den box red")          // den@1, red@3 — order-free match
+    val work = java.nio.file.Files.createTempDirectory("bm25px-").toString
+    Retrieval.writeBm25Store(all, "text", "doc_id", work, nBuckets = 4)
+    def prox(q: String, w: Int) =
+      Retrieval.proximityTopKFromStore(spark, work,
+        docs(900L -> q), "text", "doc_id", 10, w)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(prox("red den", 3) == Seq(2L -> 2L, 1L -> 1L, 4L -> 1L),
+      "window 3: doc 2 scores one occurrence per qualifying anchor " +
+        "(a term twice inside one window still counts once); doc 3's " +
+        "span is 5 and must not match")
+    assert(prox("red den", 5) == Seq(2L -> 2L, 1L -> 1L, 3L -> 1L, 4L -> 1L),
+      "widening the window admits the span-5 doc")
+    assert(prox("den red", 3) == prox("red den", 3),
+      "proximity is order-free — reversed query terms give identical answers")
+    assert(prox("red", 1) == Seq(2L -> 2L, 1L -> 1L, 3L -> 1L, 4L -> 1L),
+      "a single-term query's proximity count is its term frequency")
+    assert(prox("den wolf", 3) == Seq.empty,
+      "a term absent from the corpus can never complete a window")
+  }
+
   test("O(batch) text delete: identical store state to the scan-path delete; tombstoned ids skipped; retry converges") {
     import spark.implicits._
     val all = docs((1L to 40L).map(i => i -> s"t${i % 7} t${i % 5} doc$i common"): _*)

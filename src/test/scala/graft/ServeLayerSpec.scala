@@ -406,6 +406,15 @@ class ServeLayerSpec extends SparkSpec {
         java.net.URLEncoder.encode(bigram, "UTF-8"))
       assert(ph.statusCode == 200 && docIdsOf(ph.body).nonEmpty,
         "phrase mode over the positional store must answer")
+      val px = get(s"/search?mode=proximity&k=5&window=12&q=" +
+        java.net.URLEncoder.encode(qText, "UTF-8"))
+      assert(px.statusCode == 200, px.body)
+      assert(docIdsOf(px.body) == ids(Retrieval.proximityTopKFromStore(spark,
+        s"$work/lex", Seq((3L, qText)).toDF("doc_id", "text"),
+        "text", "doc_id", 5, 12, maxQueryTerms = 6)
+        ), "proximity mode must serve exactly the operator result")
+      assert(get("/search?mode=proximity&window=0&q=x").statusCode == 400,
+        "window below 1 must 400")
       // hybrid over GET is a 400 (no way to pass the vector), bad mode 400
       assert(get("/search?mode=hybrid&q=x").statusCode == 400)
       assert(post("/search", """{"text":"x","mode":"nope"}""").statusCode == 400)
