@@ -28,7 +28,9 @@ import graft.operators.{Quantize, Retrieval}
   *    under a live (or crash-retrying) ingest — quiescence is the
   *    operator's call, not the scheduler's.
   *  - VECTOR ([[VecStore]]): [[VectorStoreCtl.maintain]] — threshold
-  *    retention sweep, then compaction when cells fragment.
+  *    retention sweep, then compaction when cells fragment; plus the
+  *    opt-in `recellWhenCellsOff` geometry policy (sidecar-sourced
+  *    retrain when the cell count drifts from √N — see [[VecStore]]).
   *
   * The scheduler holds NO lock itself: every mutating operator takes
   * the store lock internally, so the daemon can never widen a race —
@@ -43,9 +45,20 @@ object StoreCtl {
                             foldEpochs: Boolean = false,
                             maxEpochsPerBucket: Double = 8.0) extends StoreSpec
 
+  /** `recellWhenCellsOff` is the vector family's opt-in GEOMETRY policy
+    * (the twin of the lexical `foldEpochs`): when > 0, a maintenance
+    * cycle retrains the store's quantizer geometry
+    * ([[Quantize.recellIvfPqStoreFromSidecar]]) once its cell count
+    * drifts more than that factor from `HighRecall`'s √N prescription
+    * for the LIVE corpus — the autonomous form of "the geometry follows
+    * the corpus". Preconditions, both reported as skips rather than
+    * crashes: the store must carry its raw-vector sidecar (the scheduler
+    * holds no lake pointer), and must not be stream-adopted (recell's
+    * quiescence contract, same reason the epoch fold refuses). */
   final case class VecStore(path: String,
                             maxDeadFraction: Double = 0.3,
-                            maxFilesPerCell: Double = 4.0) extends StoreSpec
+                            maxFilesPerCell: Double = 4.0,
+                            recellWhenCellsOff: Double = 0.0) extends StoreSpec
 
   /** One store's outcome in one cycle. `action` ∈ {"compact", "fold",
     * "sweep", "skip-locked", "noop", "skip-stream"} (vector sweeps fold
@@ -105,15 +118,44 @@ object StoreCtl {
     }
   }
 
-  /** One vector maintenance pass — [[VectorStoreCtl.maintain]]. */
+  /** One vector maintenance pass — [[VectorStoreCtl.maintain]], then the
+    * opt-in geometry policy (see [[VecStore]]). */
   def maintainVec(spark: SparkSession, s: VecStore): CycleReport = {
     val r = VectorStoreCtl.maintain(spark, s.path, s.maxDeadFraction,
       s.maxFilesPerCell)
-    CycleReport(s.path, "vec", "sweep",
+    val swept =
       s"${r.sweep.cellsSwept} cells swept, ${r.sweep.rowsRemoved} rows removed, " +
         s"${r.sweep.tombstonesRemaining} tombstones pending" +
         r.compact.map(c => s"; compacted ${c.filesBefore} -> ${c.filesAfter} files")
-          .getOrElse(""))
+          .getOrElse("")
+    if (s.recellWhenCellsOff <= 0)
+      return CycleReport(s.path, "vec", "sweep", swept)
+    if (!Quantize.hasVectorSidecar(spark, s.path))
+      return CycleReport(s.path, "vec", "sweep",
+        swept + "; recell policy skipped: store has no raw-vector sidecar")
+    if (hasStreamMarker(spark, s.path))
+      return CycleReport(s.path, "vec", "skip-stream",
+        swept + "; recell policy skipped: stream-adopted — retraining " +
+          "re-encodes rows wholesale, quiescence is the operator's call")
+    // geometry check: current cells from the tiny persisted centroid
+    // frame, the prescription from the LIVE id count (one column-pruned
+    // scan — a maintenance-cycle cost, not a serving cost)
+    val (cents, _, p) = Quantize.loadQuantizers(spark, s.path)
+    val current = cents.count()
+    val tomb = Quantize.readTombstones(spark, s.path, p.idCol)
+    val live = spark.read.parquet(s.path)
+      .select(p.idCol).distinct()
+      .join(org.apache.spark.sql.functions.broadcast(tomb),
+        Seq(p.idCol), "left_anti").count()
+    val want = Quantize.HighRecall.nCells(live).toLong
+    val off = math.max(want.toDouble / current, current.toDouble / want)
+    if (off <= s.recellWhenCellsOff)
+      return CycleReport(s.path, "vec", "sweep",
+        swept + f"; geometry ok ($current cells, √N wants $want, ${off}%.1fx)")
+    val (nLive, cells) = Quantize.recellIvfPqStoreFromSidecar(spark, s.path)
+    CycleReport(s.path, "vec", "recell",
+      swept + s"; geometry retrained: $current -> $cells cells " +
+        s"for $nLive live vectors (√N wanted $want)")
   }
 
   /** One cycle over all stores. Lock refusals become skip reports. */
@@ -158,7 +200,7 @@ object StoreCtl {
   /** CLI: `cycle <spec>...` (one pass) or `daemon <intervalMs>
     * <maxCycles> <spec>...` where spec is
     * `lex:<path>[:fold[:maxEpochsPerBucket]]` or
-    * `vec:<path>[:maxDeadFraction[:maxFilesPerCell]]`. */
+    * `vec:<path>[:maxDeadFraction[:maxFilesPerCell[:recellWhenCellsOff]]]`. */
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -181,7 +223,8 @@ object StoreCtl {
   }
 
   private val usage =
-    "usage: cycle lex:<path>[:fold[:maxEpochs]] vec:<path>[:deadFrac[:maxFiles]] ...\n" +
+    "usage: cycle lex:<path>[:fold[:maxEpochs]] " +
+      "vec:<path>[:deadFrac[:maxFiles[:recellOff]]] ...\n" +
       "   or: daemon <intervalMs> <maxCycles> <spec>..."
 
   private[graft] def parseSpec(s: String): StoreSpec = s.split(':') match {
@@ -191,6 +234,8 @@ object StoreCtl {
     case Array("vec", p)              => VecStore(p)
     case Array("vec", p, f)           => VecStore(p, f.toDouble)
     case Array("vec", p, f, mf)       => VecStore(p, f.toDouble, mf.toDouble)
+    case Array("vec", p, f, mf, ro)   => VecStore(p, f.toDouble, mf.toDouble,
+                                                  ro.toDouble)
     case _ => throw new IllegalArgumentException(s"bad store spec: $s\n$usage")
   }
 }

@@ -872,7 +872,26 @@ object Retrieval {
     * qx115 oracle reproduces it bit-for-bit. */
   def phraseTopKFromStore(spark: SparkSession, path: String,
                           queries: DataFrame, textCol: String, idCol: String,
-                          k: Int, maxPhraseTerms: Int = Int.MaxValue): DataFrame = {
+                          k: Int, maxPhraseTerms: Int = Int.MaxValue): DataFrame =
+    phraseImpl(spark, path, queries, textCol, idCol, k, maxPhraseTerms,
+      allowed = None)
+
+  /** [[phraseTopKFromStore]] under an id allow-list — same candidate
+    * fence as [[bm25TopKFromStoreFiltered]]: only allowed docs may
+    * appear, enforced BEFORE ranking so the k results are k survivors.
+    * (Phrase counts are per-document — there are no corpus-global
+    * statistics to preserve — so the fence is pure candidate pruning.) */
+  def phraseTopKFromStoreFiltered(spark: SparkSession, path: String,
+                                  queries: DataFrame, allowedDocs: DataFrame,
+                                  textCol: String, idCol: String,
+                                  k: Int, maxPhraseTerms: Int = Int.MaxValue): DataFrame =
+    phraseImpl(spark, path, queries, textCol, idCol, k, maxPhraseTerms,
+      allowed = Some(allowedDocs))
+
+  private def phraseImpl(spark: SparkSession, path: String,
+                         queries: DataFrame, textCol: String, idCol: String,
+                         k: Int, maxPhraseTerms: Int,
+                         allowed: Option[DataFrame]): DataFrame = {
     GraftFunctions.register(spark)
     val sparkD = Dialect(spark = true)
     val (_, _, nBuckets) = liveStatsAndBuckets(spark, path)
@@ -897,10 +916,14 @@ object Retrieval {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
-    val cand = post
+    val cand0 = post
       .filter(col("bucket").isInCollection(buckets))
       .select("doc_id", "term", "pos")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val cand = allowed.fold(cand0) { a =>
+      val ids = a.select(col(a.columns.head).as("doc_id")).distinct()
+      cand0.join(broadcast(ids), Seq("doc_id"), "leftsemi")
+    }
     // (query, doc, slot, p) rows are unique by construction (a term's
     // positions are distinct), so the per-start slot count is a plain
     // count — a start s holding all plen slots is one phrase occurrence
@@ -942,7 +965,24 @@ object Retrieval {
   def proximityTopKFromStore(spark: SparkSession, path: String,
                              queries: DataFrame, textCol: String, idCol: String,
                              k: Int, window: Int,
-                             maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+                             maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    proximityImpl(spark, path, queries, textCol, idCol, k, window,
+      maxQueryTerms, allowed = None)
+
+  /** [[proximityTopKFromStore]] under an id allow-list — the same pure
+    * candidate fence as [[phraseTopKFromStoreFiltered]]. */
+  def proximityTopKFromStoreFiltered(spark: SparkSession, path: String,
+                                     queries: DataFrame, allowedDocs: DataFrame,
+                                     textCol: String, idCol: String,
+                                     k: Int, window: Int,
+                                     maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    proximityImpl(spark, path, queries, textCol, idCol, k, window,
+      maxQueryTerms, allowed = Some(allowedDocs))
+
+  private def proximityImpl(spark: SparkSession, path: String,
+                            queries: DataFrame, textCol: String, idCol: String,
+                            k: Int, window: Int, maxQueryTerms: Int,
+                            allowed: Option[DataFrame]): DataFrame = {
     require(window >= 1, s"window=$window must be >= 1")
     GraftFunctions.register(spark)
     val sparkD = Dialect(spark = true)
@@ -968,10 +1008,15 @@ object Retrieval {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
-    val hits = post
+    val cand0 = post
       .filter(col("bucket").isInCollection(buckets))
       .select("doc_id", "term", "pos")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val cand = allowed.fold(cand0) { a =>
+      val ids = a.select(col(a.columns.head).as("doc_id")).distinct()
+      cand0.join(broadcast(ids), Seq("doc_id"), "leftsemi")
+    }
+    val hits = cand
       .join(broadcast(qterms), Seq("term"))
       .select(col("query_id"), col("doc_id"), col("term"),
         explode(col("pos")).as("p"))

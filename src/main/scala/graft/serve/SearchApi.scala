@@ -130,19 +130,25 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
               maxQueryTerms = conf.maxQueryTerms)
           }
         case "phrase" =>
-          if (allowed.nonEmpty)
-            return error(400, "phrase mode does not support allowed_ids yet")
-          Retrieval.phraseTopKFromStore(spark, conf.lexStore,
-            queryFrame(text), conf.textCol, conf.idCol, k,
-            maxPhraseTerms = conf.maxQueryTerms)
+          allowed match {
+            case Some(a) => Retrieval.phraseTopKFromStoreFiltered(spark,
+              conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
+              k, maxPhraseTerms = conf.maxQueryTerms)
+            case None => Retrieval.phraseTopKFromStore(spark, conf.lexStore,
+              queryFrame(text), conf.textCol, conf.idCol, k,
+              maxPhraseTerms = conf.maxQueryTerms)
+          }
         case "proximity" =>
-          if (allowed.nonEmpty)
-            return error(400, "proximity mode does not support allowed_ids yet")
           if (window < 1 || window > 1000)
             return error(400, s"window must be in [1, 1000]: $window")
-          Retrieval.proximityTopKFromStore(spark, conf.lexStore,
-            queryFrame(text), conf.textCol, conf.idCol, k, window,
-            maxQueryTerms = conf.maxQueryTerms)
+          allowed match {
+            case Some(a) => Retrieval.proximityTopKFromStoreFiltered(spark,
+              conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
+              k, window, maxQueryTerms = conf.maxQueryTerms)
+            case None => Retrieval.proximityTopKFromStore(spark, conf.lexStore,
+              queryFrame(text), conf.textCol, conf.idCol, k, window,
+              maxQueryTerms = conf.maxQueryTerms)
+          }
         case other =>
           return error(400,
             s"unknown mode '$other' (expected hybrid|vector|lexical|phrase|proximity)")

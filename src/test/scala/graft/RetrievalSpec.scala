@@ -522,6 +522,28 @@ class RetrievalSpec extends SparkSpec {
       "a single-term query's proximity count is its term frequency")
     assert(prox("den wolf", 3) == Seq.empty,
       "a term absent from the corpus can never complete a window")
+    // the allow-list fence is pure candidate pruning (no corpus-global
+    // statistics in a count), so filtered serving must equal a store
+    // holding only the allowed docs — for proximity AND phrase
+    import spark.implicits._
+    val fenced = java.nio.file.Files.createTempDirectory("bm25pxf-").toString
+    Retrieval.writeBm25Store(all.filter(col("doc_id").isin(2L, 3L, 4L)),
+      "text", "doc_id", fenced, nBuckets = 4)
+    val allow = Seq(2L, 3L, 4L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(Retrieval.proximityTopKFromStoreFiltered(spark, work,
+        docs(900L -> "red den"), allow, "text", "doc_id", 10, 5)) ===
+      rows(Retrieval.proximityTopKFromStore(spark, fenced,
+        docs(900L -> "red den"), "text", "doc_id", 10, 5)),
+      "filtered proximity diverged from an allowed-only store")
+    val phF = rows(Retrieval.phraseTopKFromStoreFiltered(spark, work,
+      docs(900L -> "red fox"), allow, "text", "doc_id", 10,
+      maxPhraseTerms = 2))
+    assert(phF === rows(Retrieval.phraseTopKFromStore(spark, fenced,
+        docs(900L -> "red fox"), "text", "doc_id", 10, maxPhraseTerms = 2))
+      && phF.nonEmpty,
+      "filtered phrase diverged from an allowed-only store")
   }
 
   test("O(batch) text delete: identical store state to the scan-path delete; tombstoned ids skipped; retry converges") {

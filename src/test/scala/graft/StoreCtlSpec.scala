@@ -121,6 +121,57 @@ class StoreCtlSpec extends SparkSpec {
       "doc_id", 10)) === expect, "serving changed across the epoch fold")
   }
 
+  test("vector geometry policy: opt-in, needs the sidecar, refuses under a stream marker, retrains to √N and settles") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val work = java.nio.file.Files.createTempDirectory("storectl-rc-").toString
+
+    // a bare store (no sidecar): the policy reports the skip, never crashes
+    val bare = s"$work/bare"
+    Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+      residual = false, bare)
+    val noSidecar = StoreCtl.cycle(spark,
+      Seq(StoreCtl.VecStore(bare, recellWhenCellsOff = 2.0)))
+    assert(noSidecar.head.action === "sweep" &&
+      noSidecar.head.detail.contains("no raw-vector sidecar"), noSidecar.toString)
+
+    // a sidecar store at 4 cells for 500 live vectors (√N wants 22):
+    // stream-adopted → refuse; quiesced → retrain; second cycle settles
+    val vec = s"$work/vec"
+    Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+      residual = false, vec, storeVectors = true)
+    val marker = new java.io.File(s"$vec/_graft_stream_id")
+    java.nio.file.Files.writeString(marker.toPath, "some-stream")
+    val spec = StoreCtl.VecStore(vec, recellWhenCellsOff = 2.0)
+    val underStream = StoreCtl.cycle(spark, Seq(spec))
+    assert(underStream.head.action === "skip-stream", underStream.toString)
+    assert(marker.delete())
+    // no opt-in → geometry drift alone never retrains
+    val noOptIn = StoreCtl.cycle(spark, Seq(StoreCtl.VecStore(vec)))
+    assert(noOptIn.head.action === "sweep" &&
+      !noOptIn.head.detail.contains("geometry"), noOptIn.toString)
+    val retrained = StoreCtl.cycle(spark, Seq(spec))
+    assert(retrained.head.action === "recell", retrained.toString)
+    val newCells = Quantize.loadQuantizers(spark, vec)._1.count()
+    assert(newCells === Quantize.HighRecall.nCells(emb.count()).toLong,
+      s"retrain must land on the √N prescription, got $newCells")
+    // the retrained store serves (sidecar survived with the new geometry)
+    val served = Quantize.searchSelfContainedRefinedStored(spark, vec,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5,
+      newCells.toInt, 50)
+    assert(served.count() === 15)
+    // geometry now matches √N — the next cycle is a plain sweep again
+    val settled = StoreCtl.cycle(spark, Seq(spec))
+    assert(settled.head.action === "sweep" &&
+      settled.head.detail.contains("geometry ok"), settled.toString)
+  }
+
   test("daemon loop: maxCycles honored, injected sleeps jittered within 10%") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text").limit(50).localCheckpoint()
