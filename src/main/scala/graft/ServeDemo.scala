@@ -108,7 +108,9 @@ object ServeDemo {
     val sServer = new ApiServer(api, 0, sCfg, searchApi).start()
     try {
       val q = corpus.select("text", "embedding").limit(1).collect().head
-      val body = s"""{"text":"${q.getString(0).split(' ').take(4).mkString(" ")}",""" +
+      val qText = graft.sources.Serve.jsonEscape(
+        q.getString(0).split(' ').take(4).mkString(" "))
+      val body = s"""{"text":"$qText",""" +
         s""""vector":${q.getSeq[Float](1).mkString("[", ",", "]")},"k":5,"mode":"hybrid"}"""
       val req = java.net.http.HttpRequest.newBuilder(
           java.net.URI.create(s"http://127.0.0.1:${sServer.boundPort}/search"))

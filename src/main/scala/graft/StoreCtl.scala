@@ -227,15 +227,38 @@ object StoreCtl {
       "vec:<path>[:deadFrac[:maxFiles[:recellOff]]] ...\n" +
       "   or: daemon <intervalMs> <maxCycles> <spec>..."
 
-  private[graft] def parseSpec(s: String): StoreSpec = s.split(':') match {
-    case Array("lex", p)              => LexStore(p)
-    case Array("lex", p, "fold")      => LexStore(p, foldEpochs = true)
-    case Array("lex", p, "fold", m)   => LexStore(p, foldEpochs = true, m.toDouble)
-    case Array("vec", p)              => VecStore(p)
-    case Array("vec", p, f)           => VecStore(p, f.toDouble)
-    case Array("vec", p, f, mf)       => VecStore(p, f.toDouble, mf.toDouble)
-    case Array("vec", p, f, mf, ro)   => VecStore(p, f.toDouble, mf.toDouble,
-                                                  ro.toDouble)
-    case _ => throw new IllegalArgumentException(s"bad store spec: $s\n$usage")
+  /** Specs are parsed family-prefix, OPTIONS-SUFFIX: the option tokens
+    * (numbers, `fold`) are peeled off the RIGHT and whatever remains —
+    * colons and all — is the path, so URI-schemed stores
+    * (`hdfs://nn:8020/store`, `s3a://bucket/store`) parse correctly.
+    * The one ambiguity is a path whose final `:`-separated segment is
+    * itself a bare number — quoteable by appending the option
+    * explicitly. */
+  private[graft] def parseSpec(s: String): StoreSpec = {
+    val (family, rest) = s.span(_ != ':') match {
+      case (f @ ("lex" | "vec"), r) if r.nonEmpty => (f, r.drop(1))
+      case _ => throw new IllegalArgumentException(s"bad store spec: $s\n$usage")
+    }
+    def isNum(t: String) = t.toDoubleOption.isDefined
+    var toks = rest.split(':').toList
+    val maxOpts = if (family == "lex") 2 else 3
+    var opts = List.empty[String]
+    while (toks.length > 1 && opts.length < maxOpts &&
+        (isNum(toks.last) || (family == "lex" && toks.last == "fold"))) {
+      opts = toks.last :: opts
+      toks = toks.init
+    }
+    val p = toks.mkString(":")
+    (family, opts) match {
+      case ("lex", Nil)              => LexStore(p)
+      case ("lex", List("fold"))     => LexStore(p, foldEpochs = true)
+      case ("lex", List("fold", m))  => LexStore(p, foldEpochs = true, m.toDouble)
+      case ("vec", Nil)              => VecStore(p)
+      case ("vec", List(f))          => VecStore(p, f.toDouble)
+      case ("vec", List(f, mf))      => VecStore(p, f.toDouble, mf.toDouble)
+      case ("vec", List(f, mf, ro))  => VecStore(p, f.toDouble, mf.toDouble,
+                                                 ro.toDouble)
+      case _ => throw new IllegalArgumentException(s"bad store spec: $s\n$usage")
+    }
   }
 }

@@ -82,14 +82,21 @@ object PolyHash {
   * `graft_dot(...)` / `graft_lsh_bucket(...)` in SQL text. */
 object GraftFunctions {
 
-  /** graft_lsh_bucket's plane count must be a compile-time literal (it
-    * shapes the generated loop). */
-  private[functions] def lshPlanes(e: Expression): Int = e match {
+  /** Several graft functions take an integer parameter that must be a
+    * compile-time literal (it shapes the generated loop / the heap
+    * bound): lsh plane counts, z-order bits, graft_topk's k. One shared
+    * extractor; the caller names itself so the error blames the right
+    * function. */
+  private[functions] def intLiteral(e: Expression, fn: String,
+                                    what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(
-      s"graft_lsh_bucket plane count must be an integer literal, got $other")
+      s"$fn $what must be an integer literal, got $other")
   }
+
+  private[functions] def lshPlanes(e: Expression): Int =
+    intLiteral(e, "graft_lsh_bucket", "plane count")
 
   // One registration per session: re-registering is harmless semantically
   // but each createOrReplaceTempFunction on an existing name logs a
@@ -123,7 +130,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_tokens", exprs => Tokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "graft_topk", exprs => TopKMin(exprs(0), lshPlanes(exprs(1))), "built-in")
+      "graft_topk", exprs => TopKMin(exprs(0),
+        intLiteral(exprs(1), "graft_topk", "k")), "built-in")
     // self-dot → single-pass norm rewrite for sessions built without
     // GraftExtensions (idempotent: overwrite, don't append)
     if (!spark.experimental.extraOptimizations.contains(RewriteSelfDot))

@@ -79,7 +79,11 @@ case class TopKMin(child: Expression, k: Int,
     if (buf.size >= k && field0.isDefined) {
       val k0 = field0.get.eval(input)
       val w0 = buf.peek().get(0, structType.fields(0).dataType)
-      if (ord0.compare(k0.asInstanceOf[AnyRef], w0.asInstanceOf[AnyRef]) > 0)
+      // the per-field interpreted ordering does not accept null operands,
+      // and a null field 0 sorts FIRST (it can never be strictly worse) —
+      // fall through to the full struct compare when either side is null
+      if (k0 != null && w0 != null &&
+          ord0.compare(k0.asInstanceOf[AnyRef], w0.asInstanceOf[AnyRef]) > 0)
         return buf // strictly worse on field 0 ⇒ worse lexicographically
     }
     val v = child.eval(input).asInstanceOf[InternalRow]

@@ -336,7 +336,12 @@ object Quantize {
     * array positional regardless of row order. */
   private def regroupCodes(index: DataFrame, idCol: String, nBlocks: Int): DataFrame =
     index.groupBy(col(idCol), col("centroid_id"))
-      .agg(map_from_entries(collect_list(struct(col("block"), col("code")))).as("__bm"))
+      // array_distinct first: an unhealed retried append double-lands
+      // identical (id, cell, block, code) rows, and map_from_entries
+      // hard-fails on duplicate keys (mapKeyDedupPolicy=EXCEPTION) — the
+      // row-path search tolerated that store state, so this one must too
+      .agg(map_from_entries(array_distinct(
+        collect_list(struct(col("block"), col("code"))))).as("__bm"))
       .withColumn("codes", expr((0 until nBlocks)
         .map(b => s"element_at(__bm, CAST($b AS BIGINT))")
         .mkString("array(", ", ", ")")))
@@ -653,7 +658,8 @@ object Quantize {
                           residual: Boolean): Unit = {
     val spark = batch.sparkSession
     requireSingleLevel(org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      spark.sparkContext.hadoopConfiguration), path, "appendToIvfPqIndex")
+      spark.sparkContext.hadoopConfiguration), path,
+      if (residual) "appendToIvfPqIndexResidual" else "appendToIvfPqIndex")
     val coded =
       if (residual) ivfPqIndexResidual(batch, idCol, vecCol,
         centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol, dims, nBlocks)
@@ -963,24 +969,24 @@ object Quantize {
                           indexPath: String, batch: DataFrame,
                           vecCol: String): Unit = {
     val (cents, cb, p) = loadQuantizers(spark, indexPath)
-    if (p.residual)
-      appendCodes(batch, p.idCol, vecCol,
-        cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
-        p.dims, p.nBlocks, indexPath, residual = true)
-    else
-      appendCodes(batch, p.idCol, vecCol,
-        cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
-        p.dims, p.nBlocks, indexPath, residual = false)
     // a store built with vectors keeps them: the sidecar follows every
     // append (same frozen-centroid assignment, mode append — cells gain
-    // files, nothing rewrites). A retried append may double-land rows
-    // here exactly as codes double-land; the codes side heals via
-    // delete-then-reappend, the sidecar by being a documented multiset
-    // whose readers dedup candidates (exactRescore's dedup flag).
+    // files, nothing rewrites). The sidecar lands FIRST: a crash between
+    // the two writes then leaves extra sidecar rows (harmless under the
+    // multiset/dead-row contract) — the reverse order would leave LIVE
+    // code rows with no sidecar vector, the one state that silently
+    // drops candidates from the refined-stored rescore. A retried append
+    // may double-land rows here exactly as codes double-land; the codes
+    // side heals via delete-then-reappend, the sidecar by being a
+    // documented multiset whose readers dedup candidates (exactRescore's
+    // dedup flag).
     if (hasVectorSidecar(spark, indexPath))
       writeVectorSidecar(batch, p.idCol, vecCol,
         cents, "centroid_id", "cen_emb", vectorsPath(indexPath),
         overwrite = false)
+    appendCodes(batch, p.idCol, vecCol,
+      cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+      p.dims, p.nBlocks, indexPath, residual = p.residual)
   }
 
   /** Tombstone-aware probed search against the STORED quantizers; the

@@ -206,7 +206,12 @@ object McpTools {
     def intOr(k: String, default: Int): Int = m.get(k) match {
       case Some(i: Int) => i
       case Some(l: Long) => l.toInt
-      case Some(s: String) => s.toIntOption.getOrElse(default)
+      case Some(d: Double) if d.isWhole => d.toInt
+      // JSON encoders routinely emit integral values as "5.0" — accept
+      // any whole number rather than silently substituting the default
+      case Some(s: String) => s.toIntOption
+        .orElse(s.toDoubleOption.filter(_.isWhole).map(_.toInt))
+        .getOrElse(default)
       case _ => default
     }
     def strSeq(k: String): Seq[String] = m.get(k) match {

@@ -47,16 +47,33 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
   private lazy val idType = corpusOpt.getOrElse(spark.read.parquet(conf.vecStore))
     .schema.apply(conf.idCol).dataType
 
+  // The synthetic query id must not collide with a REAL corpus id: the
+  // ANN search tails exclude self-matches (neighbor_id == query_id), so
+  // a colliding id would silently ban that document from every vector/
+  // hybrid answer. Numeric id types get their MinValue (never a real
+  // doc id in practice); string ids get a NUL-framed sentinel no
+  // tokenizer-built corpus carries.
+  private lazy val queryIdLit: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    idType match {
+      case LongType    => lit(Long.MinValue)
+      case IntegerType => lit(Int.MinValue)
+      case ShortType   => lit(Short.MinValue.toInt).cast(idType)
+      case StringType  => lit("\u0000graft-query\u0000")
+      case other       => lit("0").cast(other) // documented residual risk
+    }
+  }
+
   private def queryFrame(text: String): DataFrame = {
     import spark.implicits._
-    Seq(("0", text)).toDF("__qid", conf.textCol)
-      .select(col("__qid").cast(idType).as(conf.idCol), col(conf.textCol))
+    Seq(text).toDF(conf.textCol)
+      .select(queryIdLit.cast(idType).as(conf.idCol), col(conf.textCol))
   }
 
   private def queryFrameVec(text: String, vec: Seq[Float]): DataFrame = {
     import spark.implicits._
-    Seq(("0", text, vec)).toDF("__qid", conf.textCol, conf.vecCol)
-      .select(col("__qid").cast(idType).as(conf.idCol),
+    Seq((text, vec)).toDF(conf.textCol, conf.vecCol)
+      .select(queryIdLit.cast(idType).as(conf.idCol),
         col(conf.textCol), col(conf.vecCol))
   }
 
@@ -75,6 +92,10 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
     if (k < 1 || k > conf.maxK)
       return error(400, s"k must be in [1, ${conf.maxK}]: $k")
     val needsVector = mode == "hybrid" || mode == "vector"
+    if (needsVector && k > conf.rerankDepth)
+      return error(400, s"k=$k exceeds the configured rerank depth " +
+        s"${conf.rerankDepth} (the exact-rescore shortlist feeds the " +
+        "final ranking; raise retrieval.rerank_depth or lower k)")
     if (needsVector && vector.isEmpty)
       return error(400, s"mode '$mode' requires a query 'vector' " +
         "(this service does not embed; pass the embedding in the request)")

@@ -190,11 +190,20 @@ class StoreCtlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StoreCtl.runDaemon(spark, Seq.empty, 1000L, 1)
     }
-    // CLI spec grammar round-trips
+    // CLI spec grammar round-trips — options peel off the RIGHT so
+    // URI-schemed paths (colons and all) stay intact
     assert(StoreCtl.parseSpec("lex:/p:fold:3.5") ===
       StoreCtl.LexStore("/p", foldEpochs = true, 3.5))
     assert(StoreCtl.parseSpec("vec:/p:0.2:6") ===
       StoreCtl.VecStore("/p", 0.2, 6.0))
+    assert(StoreCtl.parseSpec("vec:/p:0.2:6:2.5") ===
+      StoreCtl.VecStore("/p", 0.2, 6.0, 2.5))
+    assert(StoreCtl.parseSpec("vec:s3a://bucket/store") ===
+      StoreCtl.VecStore("s3a://bucket/store"))
+    assert(StoreCtl.parseSpec("vec:hdfs://nn:8020/store:0.2") ===
+      StoreCtl.VecStore("hdfs://nn:8020/store", 0.2))
+    assert(StoreCtl.parseSpec("lex:hdfs://nn:8020/lex:fold") ===
+      StoreCtl.LexStore("hdfs://nn:8020/lex", foldEpochs = true))
     intercept[IllegalArgumentException] { StoreCtl.parseSpec("zzz:/p") }
   }
 }

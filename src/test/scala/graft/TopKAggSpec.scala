@@ -67,6 +67,24 @@ class TopKAggSpec extends SparkSpec {
     assert(got === Seq(2L, 3L), s"null key must rank first: $got")
   }
 
+  test("a null key arriving AFTER the heap is full takes the fast-reject path safely and still ranks first") {
+    register()
+    import spark.implicits._
+    // single partition forces arrival order: two non-null rows fill k=2,
+    // then the null-keyed row hits the warmed-heap fast-reject compare —
+    // the regression this pins was an NPE in the field-0 short-circuit
+    val df = Seq(("g", java.lang.Double.valueOf(1.0), 1L),
+      ("g", java.lang.Double.valueOf(2.0), 2L),
+      ("g", null.asInstanceOf[java.lang.Double], 3L))
+      .toDF("g", "s", "id").coalesce(1)
+    val got = df.groupBy("g")
+      .agg(expr("graft_topk(struct(s, id), 2)").as("t"))
+      .select(posexplode(col("t")).as(Seq("p", "v")))
+      .select(col("v.id")).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 1L),
+      s"late null key must displace the kept worst and rank first: $got")
+  }
+
   test("rejects non-struct input and k < 1") {
     register()
     import spark.implicits._
