@@ -130,6 +130,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_tokens", exprs => Tokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_term_stats", exprs => TermStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_term_freqs", exprs => TermFreqs(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKMin(exprs(0),
         intLiteral(exprs(1), "graft_topk", "k")), "built-in")
     // self-dot → single-pass norm rewrite for sessions built without
@@ -199,6 +203,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Tokens].getName, "graft_tokens"),
       (exprs: Seq[Expression]) => Tokens(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_term_stats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TermStats].getName, "graft_term_stats"),
+      (exprs: Seq[Expression]) => TermStats(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_term_freqs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TermFreqs].getName, "graft_term_freqs"),
+      (exprs: Seq[Expression]) => TermFreqs(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -47,12 +47,21 @@ object Retrieval {
   /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009). */
   val RRF_K0 = 60
 
-  /** Inverted-index build: postings (term, doc_id, tf, dl) from ONE
-    * corpus shuffle. The doc length dl is the scan-side token count
-    * (`graft_token_count`), carried through the census as max(dl) — it
-    * never needs the doc-keyed aggregation+join a naive Lucene-norms
-    * translation would pay. Persisting this table IS the index artifact
-    * (Lucene postings + norms in one).
+  /** Inverted-index build: postings (doc_id, term, tf, dl) with ZERO
+    * exchanges — the census is a scan-side projection. (doc, term)
+    * statistics are doc-local, so `graft_term_freqs(text)`
+    * ([[graft.functions.TermFreqs]]) computes each document's whole
+    * census inside the scan in one tokenizer pass, returning
+    * `struct(dl, terms)` — dl rides along in the same walk, so there is
+    * no second tokenize and no doc-keyed aggregation+join a naive
+    * Lucene-norms translation would pay. The earlier formulation
+    * (explode → groupBy(doc_id, term)) shuffled one row per TOKEN
+    * OCCURRENCE — the largest write-side exchange of the store
+    * lifecycle at 100 TB; this one ships nothing before the consumer's
+    * own keying (bucket placement for stores, candidate join for the
+    * one-shot scorer). Precondition (unchanged in spirit, now explicit):
+    * `idCol` is unique per document — the old groupBy silently merged
+    * duplicate ids, which was accidental, not semantics.
     *
     * The census is returned LAZY, not checkpointed: bm25TopK's two
     * consumers (candidate postings, df census) plan as structurally
@@ -68,12 +77,13 @@ object Retrieval {
   def bm25Index(corpus: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val sparkD = Dialect(spark = true)
-    val tok = corpus.select(col(idCol).as("doc_id"),
-      expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"),
-      explode(expr(TX.tokensAuto(textCol)(sparkD))).as("term"))
-    tok.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_term_freqs($textCol)").as("__s"))
+      .select(col("doc_id"), col("__s.dl").as("dl"),
+        explode(col("__s.terms")).as("ts"))
+      .select(col("doc_id"), col("ts.term").as("term"),
+        col("ts.tf").as("tf"), col("dl"))
   }
 
   /** [[bm25Index]] with POSITIONS: each (doc, term) row additionally
@@ -83,18 +93,22 @@ object Retrieval {
     * persists (round 10): positions are a WRITE-side cost only — every
     * scoring read selects (doc_id, term, tf, dl) and parquet column
     * pruning never materializes the arrays (PlanAuditSpec pins the
-    * serving ReadSchema). Same one-shuffle shape as [[bm25Index]];
+    * serving ReadSchema). Same zero-exchange scan-projection shape as
+    * [[bm25Index]] (`graft_term_stats` emits positions already sorted
+    * ascending — they are appended in tokenizer order — so the old
+    * collect_list + sort_array aggregation, which fell back to
+    * sort-based aggregation on real key counts, disappears entirely);
     * tf = size(pos) by construction. */
   def bm25IndexPositional(corpus: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val sparkD = Dialect(spark = true)
-    val tok = corpus.select(col(idCol).as("doc_id"),
-      expr(TX.tokenCountAuto(textCol)(sparkD)).as("dl"),
-      posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("p0", "term")))
-    tok.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"),
-        sort_array(collect_list(col("p0") + 1)).as("pos"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_term_stats($textCol)").as("__s"))
+      .select(col("doc_id"), col("__s.dl").as("dl"),
+        explode(col("__s.terms")).as("ts"))
+      .select(col("doc_id"), col("ts.term").as("term"),
+        col("ts.tf").as("tf"), col("dl"), col("ts.pos").as("pos"))
   }
 
   /** BM25 top-k: score every query (set-of-terms semantics, distinct

@@ -72,11 +72,15 @@ object TextAnalysis {
                  buckets: Int, topK: Int): DataFrame = {
     require(buckets > 0 && topK > 0, "buckets and topK must be positive")
     graft.functions.GraftFunctions.register(docsA.sparkSession)
+    // census rows = one per DISTINCT term per doc (tf-weighted), not one
+    // per occurrence: graft_term_freqs pre-folds repeats inside the scan,
+    // so the bucket aggregation's partial pass reads vocabulary-sized
+    // input. Integer-exact vs the occurrence-stream formulation.
     def census(docs: DataFrame, cnt: String) = docs
-      .withColumn("__toks", expr(TX.tokensAuto(textCol)(d)))
-      .select(explode(col("__toks")).as("__t"))
+      .select(explode(expr(s"graft_term_freqs($textCol).terms")).as("__ts"))
+      .select(col("__ts.term").as("__t"), col("__ts.tf").as("__tf"))
       .withColumn("f", expr(s"${TX.polyHashAuto("__t")(d)} % $buckets"))
-      .groupBy("f").agg(count(lit(1)).as(cnt))
+      .groupBy("f").agg(sum("__tf").as(cnt))
     val j = census(docsA, "c_a")
       .join(census(docsB, "c_b"), Seq("f"), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
@@ -92,17 +96,36 @@ object TextAnalysis {
 
   /** Language-ID heuristic: ratio of English stopword hits; `en` when the
     * ratio clears the threshold. (The corpus vocabulary is synthetic —
-    * what matters is that the heuristic is deterministic and cheap: a
-    * single explode + partial-aggregable count.) */
+    * what matters is that the heuristic is deterministic and cheap.)
+    *
+    * ZERO exchanges (round 10): the signals are doc-local, so the whole
+    * operator is a scan projection over `graft_term_freqs` — n_tokens is
+    * the census struct's dl, en_hits a fold of tf over the stopword
+    * terms of the (vocabulary-sized, not occurrence-sized) terms array.
+    * The earlier explode → groupBy(id) formulation shuffled one row per
+    * token occurrence — at 100 TB that exchange WAS the operator. Docs
+    * with no tokens are absent from the output (as before, where explode
+    * emitted nothing for them). */
   def langId(docs: DataFrame, textCol: String, idCol: String,
              threshold: Double = 0.05,
              carryCols: Seq[String] = Seq.empty): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val keep = (idCol +: carryCols).map(col)
-    val tok = docs.select(keep :+ explode(expr(TX.tokensAuto(textCol))).as("w"): _*)
-    tok.groupBy(idCol, carryCols: _*)
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("w").isInCollection(StopEn), 1L).otherwise(0L)).as("en_hits"))
+    // The zero-token drop rides the explode (empty array → no row) instead
+    // of a where(dl > 0): Catalyst pushes a filter below the projection by
+    // SUBSTITUTING the alias, which would re-run the tokenizer once more
+    // per row inside the Filter — Generate blocks that substitution, so
+    // graft_term_freqs evaluates exactly once (TermStatsSpec pins it).
+    docs
+      .select(keep :+ explode(
+        filter(array(expr(s"graft_term_freqs($textCol)")),
+          s => s.getField("dl") > 0)).as("__s"): _*)
+      .select(keep ++ Seq(
+        col("__s.dl").as("n_tokens"),
+        aggregate(
+          filter(col("__s.terms"),
+            x => x.getField("term").isInCollection(StopEn)),
+          lit(0L), (a, x) => a + x.getField("tf")).as("en_hits")): _*)
       .withColumn("en_ratio", col("en_hits").cast("double") / col("n_tokens").cast("double"))
       .withColumn("pred_lang", when(col("en_ratio") >= threshold, "en").otherwise("other"))
   }
@@ -268,8 +291,15 @@ object TextAnalysis {
     * pass. Rounded to 6dp for cross-engine gating. */
   def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val tok = docs.select(col(idCol), explode(expr(TX.tokensAuto(textCol))).as("w"))
-    val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    // tf-weighted distinct-terms census (graft_term_freqs): the frequency
+    // aggregation, the broadcast-join probe AND the per-doc mean all read
+    // one row per (doc, distinct term) instead of one per occurrence —
+    // the occurrence count only ever mattered as a weight. The per-doc
+    // mean over occurrences is exactly Σ tf·logp / Σ tf.
+    val tok = docs
+      .select(col(idCol), explode(expr(s"graft_term_freqs($textCol).terms")).as("__ts"))
+      .select(col(idCol), col("__ts.term").as("w"), col("__ts.tf").as("tf"))
+    val freq = tok.groupBy("w").agg(sum("tf").as("cnt"))
     val totals = freq.agg(sum("cnt").as("n_tokens_corpus"),
       count(lit(1)).as("vocab_size"))
     val scored = tok.join(broadcast(freq), "w")
@@ -278,8 +308,9 @@ object TextAnalysis {
         log((col("cnt") + 1).cast("double")
           / (col("n_tokens_corpus") + col("vocab_size")).cast("double")))
     scored.groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("logp")), 6).as("mean_logp"))
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("logp") * col("tf").cast("double"))
+          / sum(col("tf").cast("double")), 6).as("mean_logp"))
   }
 
   /** Domain-mixture planning: per-domain sampling rates that hit target
@@ -989,12 +1020,17 @@ object TextAnalysis {
   def countMinSketch(docs: DataFrame, textCol: String,
                      depth: Int, width: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val tok = docs.select(explode(expr(TX.tokensAuto(textCol))).as("term"))
+    // tf-weighted distinct-terms census (graft_term_freqs) instead of the
+    // occurrence stream: the depth-way posexplode blowup and the partial
+    // aggregation both read vocabulary-sized input. Integer-exact.
+    val tok = docs
+      .select(explode(expr(s"graft_term_freqs($textCol).terms")).as("__ts"))
+      .select(col("__ts.term").as("term"), col("__ts.tf").as("tf"))
     val buckets = array((0 until depth).map(i =>
       expr(TX.cmBucket("term", i, width)).cast("long")): _*)
-    tok.select(posexplode(buckets).as(Seq("row", "bucket")))
-      .select(col("row").cast("long").as("row"), col("bucket"))
-      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    tok.select(col("tf"), posexplode(buckets).as(Seq("row", "bucket")))
+      .select(col("tf"), col("row").cast("long").as("row"), col("bucket"))
+      .groupBy("row", "bucket").agg(sum("tf").as("cnt"))
   }
 
   /** Per-term count-min estimates next to the exact census: est(t) =
@@ -1016,9 +1052,11 @@ object TextAnalysis {
   def countMinEstimatesWith(sketch: DataFrame, docs: DataFrame, textCol: String,
                             depth: Int, width: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val tok = docs.select(explode(expr(TX.tokensAuto(textCol))).as("term"))
-    val truth = tok.groupBy("term").agg(count(lit(1)).as("true_cnt"))
-    val total = tok.agg(count(lit(1)).as("n_tokens"))
+    val tok = docs
+      .select(explode(expr(s"graft_term_freqs($textCol).terms")).as("__ts"))
+      .select(col("__ts.term").as("term"), col("__ts.tf").as("tf"))
+    val truth = tok.groupBy("term").agg(sum("tf").as("true_cnt"))
+    val total = tok.agg(sum("tf").as("n_tokens"))
     val buckets = array((0 until depth).map(i =>
       expr(TX.cmBucket("term", i, width)).cast("long")): _*)
     val probes = truth.select(col("term"), col("true_cnt"),
