@@ -756,13 +756,74 @@ object Quantize {
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                            indexPath: String,
                            deleteIds: DataFrame, idCol: String): Long = {
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val ids = deleteIds.select(col(idCol)).distinct()
+    val (fs, store) = openStoreForDelete(spark, indexPath, idCol,
+      "deleteFromIvfPqIndex")
+    // Affected cells + doomed row count in one small aggregate: the scan
+    // reads only (id, partition) columns, and the delete set broadcasts.
+    val hits = store.join(broadcast(ids), store(idCol) === ids(idCol), "leftsemi")
+      .groupBy("centroid_id").agg(count(lit(1)).as("doomed"))
+      .collect()
+    deleteCellsImpl(spark, indexPath, fs, store, ids, idCol, hits)
+  }
+
+  /** O(batch) bulk delete for a SELF-CONTAINED store: the caller supplies
+    * the retracted VECTORS (a curation pipeline always has them — it just
+    * decided to drop them), and the affected cells come from re-running
+    * the store's own assignment ([[Similarity.ivfAssign]] against the
+    * PERSISTED centroids, the exact deterministic argmax every build /
+    * append / recell used) instead of the whole-store (id, cell)
+    * discovery scan [[deleteFromIvfPqIndex]] pays. Cost is then bounded
+    * by the batch and the affected cells alone — independent of store
+    * size. The text-store twin is `deleteFromBm25StoreWithText`
+    * (re-tokenize the retracted docs for df deltas); this is the vector
+    * analog (re-encode the retracted vectors for cell placement).
+    *
+    * Contract: `deletedVecs` must carry the STORED vectors for each id —
+    * a vector that differs from what was indexed can assign to a
+    * different cell and its rows would survive silently (same trust the
+    * text twin places in the supplied text). Ids absent from the store
+    * are no-ops, exactly like the scan path (their claimed cells simply
+    * yield no doomed rows and are left untouched). Requires persisted
+    * quantizers; id column comes from the stored params. Same
+    * rename-swap crash discipline and `.delete-bak` refusal as the scan
+    * path ([[recoverDeleteBackup]] applies). */
+  def deleteFromIvfPqIndexWithVectors(spark: org.apache.spark.sql.SparkSession,
+                                      indexPath: String,
+                                      deletedVecs: DataFrame,
+                                      vecCol: String): Long = {
+    val (cents, _, p) = loadQuantizers(spark, indexPath)
+    val idCol = p.idCol
+    val (fs, store) = openStoreForDelete(spark, indexPath, idCol,
+      "deleteFromIvfPqIndexWithVectors")
+    val assigned = Similarity.ivfAssign(
+      deletedVecs.select(col(idCol), col(vecCol)).dropDuplicates(idCol),
+      idCol, vecCol, cents, "centroid_id", "cen_emb")
+      .select(col("centroid_id").cast("string").as("__cell"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (assigned.isEmpty) return 0L
+    val ids = deletedVecs.select(col(idCol)).distinct()
+    // cell-pruned presence check: only the claimed cells' files open
+    val pruned = store.filter(col("centroid_id").isInCollection(assigned))
+    val hits = pruned.join(broadcast(ids), pruned(idCol) === ids(idCol), "leftsemi")
+      .groupBy("centroid_id").agg(count(lit(1)).as("doomed"))
+      .collect()
+    deleteCellsImpl(spark, indexPath, fs, store, ids, idCol, hits)
+  }
+
+  /** Shared open/validate for the delete family: schema check, the
+    * string-typed partition column read (directory names must round-trip
+    * losslessly), single-level layout guard, and the leftover-backup
+    * refusal. */
+  private def openStoreForDelete(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, idCol: String, op: String)
+      : (org.apache.hadoop.fs.FileSystem, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val dataFields = spark.read.parquet(indexPath).schema.fields
       .filterNot(_.name == "centroid_id")
     if (!dataFields.exists(_.name == idCol))
       throw new IllegalArgumentException(
-        s"deleteFromIvfPqIndex: store $indexPath has no column '$idCol' " +
+        s"$op: store $indexPath has no column '$idCol' " +
           s"(data columns: ${dataFields.map(_.name).mkString(", ")}) — " +
           "pass the id column the index was written with")
     val storeSchema = StructType(
@@ -770,19 +831,30 @@ object Quantize {
     val store = spark.read.schema(storeSchema).parquet(indexPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
-    requireSingleLevel(fs, indexPath, "deleteFromIvfPqIndex")
+    requireSingleLevel(fs, indexPath, op)
     val bak = new org.apache.hadoop.fs.Path(
       indexPath.stripSuffix("/") + ".delete-bak")
     if (fs.exists(bak))
       throw new java.io.IOException(
         s"refusing to delete from $indexPath: backup $bak exists from an " +
           "interrupted delete — run Quantize.recoverDeleteBackup first")
-    // Affected cells + doomed row count in one small aggregate: the scan
-    // reads only (id, partition) columns, and the delete set broadcasts.
-    val hits = store.join(broadcast(ids), store(idCol) === ids(idCol), "leftsemi")
-      .groupBy("centroid_id").agg(count(lit(1)).as("doomed"))
-      .collect()
+    (fs, store)
+  }
+
+  /** The delete's physical tail, shared by the scan-discovery and
+    * assign-discovery entry points (and the retention sweep, which
+    * already knows the affected cells from its own fraction scan):
+    * survivors of the hit cells are eagerly materialized, the cells
+    * rename-swap through `.delete-bak`, survivors append back. `hits`
+    * rows are (cell: string, doomed: long) with doomed > 0. */
+  private def deleteCellsImpl(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              store: DataFrame, ids: DataFrame, idCol: String,
+                              hits: Array[org.apache.spark.sql.Row]): Long = {
     if (hits.isEmpty) return 0L
+    val bak = new org.apache.hadoop.fs.Path(
+      indexPath.stripSuffix("/") + ".delete-bak")
     val affected = hits.map(_.getString(0)).toSeq
     val removed = hits.map(_.getLong(1)).sum
     // Eagerly materialize the survivors BEFORE touching the store: the
@@ -1788,7 +1860,16 @@ object Quantize {
         } else {
           val purgeIds = present.filter(col("centroid_id").isInCollection(sweepCells))
             .select(col(idCol)).localCheckpoint()
-          val removed = deleteFromIvfPqIndex(spark, indexPath, purgeIds, idCol)
+          // the fraction scan above already knows each crossing cell and
+          // its doomed count — hand them straight to the physical tail
+          // instead of paying deleteFromIvfPqIndex's rediscovery scan
+          val (dfs, dstore) = openStoreForDelete(spark, indexPath, idCol,
+            "retentionSweep")
+          val sweepHits = perCell
+            .filter(r => sweepCells.contains(r.getString(0)))
+            .map(r => org.apache.spark.sql.Row(r.getString(0), r.getLong(2)))
+          val removed = deleteCellsImpl(spark, indexPath, dfs, dstore,
+            purgeIds, idCol, sweepHits)
           val remaining = tomb
             .join(present.filter(!col("centroid_id").isInCollection(sweepCells))
               .select(col(idCol)), Seq(idCol), "leftsemi")

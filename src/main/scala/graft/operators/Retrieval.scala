@@ -55,11 +55,16 @@ object Retrieval {
     * `struct(dl, terms)` — dl rides along in the same walk, so there is
     * no second tokenize and no doc-keyed aggregation+join a naive
     * Lucene-norms translation would pay. The earlier formulation
-    * (explode → groupBy(doc_id, term)) shuffled one row per TOKEN
-    * OCCURRENCE — the largest write-side exchange of the store
-    * lifecycle at 100 TB; this one ships nothing before the consumer's
-    * own keying (bucket placement for stores, candidate join for the
-    * one-shot scorer). Precondition (unchanged in spirit, now explicit):
+    * (explode → groupBy(doc_id, term)) exploded one row per token
+    * occurrence into a hash aggregate and paid a full census-sized
+    * exchange (map-side partial aggregation combined same-(doc, term)
+    * occurrences before the wire — for the POSITIONAL variant the
+    * partial collect_list buffers still carried every position, i.e.
+    * occurrence-sized bytes) — the largest write-side exchange of the
+    * store lifecycle at 100 TB; this one ships nothing before the
+    * consumer's own keying (bucket placement for stores, candidate join
+    * for the one-shot scorer). Precondition (unchanged in spirit, now
+    * explicit):
     * `idCol` is unique per document — the old groupBy silently merged
     * duplicate ids, which was accidental, not semantics.
     *

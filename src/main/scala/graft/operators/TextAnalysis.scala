@@ -102,9 +102,10 @@ object TextAnalysis {
     * operator is a scan projection over `graft_term_freqs` — n_tokens is
     * the census struct's dl, en_hits a fold of tf over the stopword
     * terms of the (vocabulary-sized, not occurrence-sized) terms array.
-    * The earlier explode → groupBy(id) formulation shuffled one row per
-    * token occurrence — at 100 TB that exchange WAS the operator. Docs
-    * with no tokens are absent from the output (as before, where explode
+    * The earlier explode → groupBy(id) formulation paid an exchange of
+    * per-doc partials plus the occurrence-stream explode feeding its
+    * hash aggregate — at 100 TB this is a pure scan instead. Docs with
+    * no tokens are absent from the output (as before, where explode
     * emitted nothing for them). */
   def langId(docs: DataFrame, textCol: String, idCol: String,
              threshold: Double = 0.05,

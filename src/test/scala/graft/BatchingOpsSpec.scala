@@ -445,6 +445,75 @@ class BatchingOpsSpec extends SparkSpec {
     assert(removed > 0L)
   }
 
+  test("deleteFromIvfPqIndexWithVectors: assign-discovery delete equals the scan-path delete; no-ops, guards") {
+    import graft.operators.Quantize
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-delvecs").toString
+    val byScan = dir + "/scan"
+    val byVecs = dir + "/vecs"
+    for (p <- Seq(byScan, byVecs))
+      Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+        residual = false, p)
+    def rows(p: String): Set[String] = spark.read.parquet(p)
+      .select("vec_id", "block", "code", "centroid_id")
+      .collect().map(_.toString).toSet
+    def parquetFiles(p: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val doomed = emb.filter(col("vec_id") % 7 === 0)
+    val doomedCells = spark.read.parquet(byVecs)
+      .join(doomed.select("vec_id"), "vec_id")
+      .select(col("centroid_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val untouchedBefore = parquetFiles(byVecs)
+      .filterNot(f => doomedCells.exists(c => f.contains(s"centroid_id=$c/")))
+    // THE gate: both discovery paths produce the identical store
+    val r1 = Quantize.deleteFromIvfPqIndex(spark, byScan,
+      doomed.select("vec_id"), "vec_id")
+    val r2 = Quantize.deleteFromIvfPqIndexWithVectors(spark, byVecs,
+      doomed.select("vec_id", "embedding"), "embedding")
+    assert(r1 == r2 && r2 > 0L, s"scan path removed $r1, vector path $r2")
+    assert(rows(byScan) == rows(byVecs),
+      "assign-discovery delete must equal the scan-discovery delete row for row")
+    // unaffected cells keep their files byte-for-byte on the vector path too
+    assert(untouchedBefore.subsetOf(parquetFiles(byVecs)),
+      "WithVectors must not rewrite cells without doomed rows")
+    // absent ids are a no-op — including a GHOST id whose vector assigns
+    // to a populated cell (presence is checked, never assumed)
+    val filesAfter = parquetFiles(byVecs)
+    val ghost = emb.filter(col("vec_id") === 2)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    assert(Quantize.deleteFromIvfPqIndexWithVectors(spark, byVecs,
+      ghost, "embedding") == 0L)
+    assert(parquetFiles(byVecs) == filesAfter,
+      "ghost-id delete must leave every file untouched")
+    // a bare store (no persisted quantizers) fails loudly
+    val bare = dir + "/bare"
+    Quantize.writeIvfPqIndex(Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4), bare)
+    val err = intercept[IllegalStateException] {
+      Quantize.deleteFromIvfPqIndexWithVectors(spark, bare,
+        doomed.select("vec_id", "embedding"), "embedding")
+    }
+    assert(err.getMessage.contains("quantizers"))
+    // leftover backup refuses, same discipline as the scan path
+    val bak = new java.io.File(byVecs + ".delete-bak")
+    assert(bak.mkdirs())
+    val refusal = intercept[java.io.IOException] {
+      Quantize.deleteFromIvfPqIndexWithVectors(spark, byVecs,
+        doomed.select("vec_id", "embedding"), "embedding")
+    }
+    assert(refusal.getMessage.contains("delete-bak"))
+    assert(bak.delete())
+  }
+
   test("appendToIvfPqIndexResidual: residual store-after-append equals residual rebuild") {
     import graft.operators.Quantize
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

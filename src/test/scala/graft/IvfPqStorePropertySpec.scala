@@ -78,14 +78,21 @@ class IvfPqStorePropertySpec extends SparkSpec {
           case 2 => // threshold sweep at a random fraction
             Quantize.retentionSweep(spark, store, "vec_id",
               maxTombstoneFraction = 0.1 + 0.2 * rnd.next(4))
-          case 3 => // immediate cell surgery on a fresh slice
+          case 3 => // immediate cell surgery on a fresh slice — alternating
+            // the discovery path (scan vs assign-from-supplied-vectors) on
+            // step parity, NOT on an rnd draw, so the documented seed
+            // sequences keep their op mix
             import spark.implicits._
             val pick = live.toSeq.sorted
             val dead = (0 until (1 + rnd.next(3)))
               .map(_ => pick(rnd.next(pick.size))).toSet
             live --= dead
-            Quantize.deleteFromIvfPqIndex(spark, store,
-              dead.toSeq.toDF("vec_id"), "vec_id")
+            if (step % 2 == 0)
+              Quantize.deleteFromIvfPqIndexWithVectors(spark, store,
+                frame(dead), "embedding")
+            else
+              Quantize.deleteFromIvfPqIndex(spark, store,
+                dead.toSeq.toDF("vec_id"), "vec_id")
           case 4 => // RETRAIN the geometry mid-sequence from the lake table
             Quantize.recellIvfPqStore(spark, store, emb, "embedding",
               nCells = 4 + rnd.next(5), nCodes = 8 + rnd.next(8),
@@ -165,8 +172,12 @@ class IvfPqStorePropertySpec extends SparkSpec {
             val dead = (0 until (1 + rnd.next(3)))
               .map(_ => pick(rnd.next(pick.size))).toSet
             live --= dead
-            Quantize.deleteFromIvfPqIndex(spark, store,
-              dead.toSeq.toDF("vec_id"), "vec_id")
+            if (step % 2 == 0)
+              Quantize.deleteFromIvfPqIndexWithVectors(spark, store,
+                frame(dead), "embedding")
+            else
+              Quantize.deleteFromIvfPqIndex(spark, store,
+                dead.toSeq.toDF("vec_id"), "vec_id")
           case 4 => // retrain — alternating the corpus source proves the
             // sidecar-sourced recell composes with everything else
             if (rnd.next(2) == 0)
