@@ -47,6 +47,9 @@ final case class Dialect(spark: Boolean) {
   def slice(arr: String, start1: String, len: Int): String =
     if (spark) s"slice($arr, $start1, $len)"
     else s"list_slice($arr, $start1, ($start1) + ${len - 1})"
+  /** Join a string array with the SQL-literal separator `sepSql`. */
+  def ajoin(arr: String, sepSql: String): String =
+    if (spark) s"array_join($arr, $sepSql)" else s"array_to_string($arr, $sepSql)"
 }
 
 object TextExprs {

@@ -144,6 +144,100 @@ object Retrieval {
       queryTerms(queries, textCol, idCol, maxQueryTerms), stats, dfreq, k, k1, b)
   }
 
+  /** One scored field of a BM25F corpus: the text column, its weight, and
+    * its length-normalization slope (per-field b is the point of BM25F —
+    * titles usually want weaker normalization than bodies). */
+  final case class Bm25Field(textCol: String, weight: Double, b: Double = B)
+
+  /** BM25F top-k (Robertson & Zaragoza 2009 §3.5 "simple BM25F";
+    * Zaragoza et al., TREC-13 2004): fielded documents score with
+    * per-field soft length normalization FIRST, then one saturation —
+    * NOT a weighted sum of per-field BM25 scores (that would saturate tf
+    * per field and over-reward a term spread thinly across fields).
+    *
+    *   wtf(t, d) = Σ_f  w_f · tf_f(t,d) / (1 − b_f + b_f · dl_f(d)/avgdl_f)
+    *   score(q, d) = Σ_t idf(t) · wtf / (k1 + wtf)
+    *
+    * Conventions (mirrored verbatim by the DuckDB oracle):
+    * n_docs = docs with ≥ 1 token in ANY field; avgdl_f = Σ dl_f /
+    * n_docs; df(t) = docs where wtf > 0 (any field); idf is [[idfSql]]'s
+    * Robertson form; term scores land in integer micro-units (floor(x·1e6
+    * + 0.5)) before the per-doc sum, like every retrieval gate here.
+    * Double determinism: wtf sums one double per field carrying the term
+    * — with ≤ 2 fields the sum is order-exact (IEEE addition is
+    * commutative); beyond that the micro-unit floor absorbs ordering ulps
+    * exactly as the idf 1-ulp note in the object doc.
+    *
+    * Plan shape: one zero-exchange [[bm25Index]]-style census per field
+    * (union'd), ONE (doc, term)-keyed exchange to merge fields, a
+    * census-sized df aggregate, broadcast stats/query joins, one
+    * (query, doc) aggregation — the bm25TopK shape plus the single merge
+    * exchange fielded scoring fundamentally needs. */
+  def bm25fTopK(corpus: DataFrame, fields: Seq[Bm25Field], idCol: String,
+                queries: DataFrame, queryTextCol: String, k: Int,
+                k1: Double = K1,
+                maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    require(fields.nonEmpty, "bm25fTopK needs at least one field")
+    GraftFunctions.register(corpus.sparkSession)
+    val sparkD = Dialect(spark = true)
+    // corpus scalars: per-field token mass + the any-field doc count,
+    // branching off the scan like bm25TopK's stats
+    val lens = corpus.select(fields.zipWithIndex.map { case (f, i) =>
+      coalesce(expr(TX.tokenCountAuto(f.textCol)(sparkD)), lit(0L)).as(s"l_$i")
+    }: _*)
+    val stats = lens
+      .filter(fields.indices.map(i => col(s"l_$i")).reduce(_ + _) > 0)
+      .agg(count(lit(1)).as("n_docs"),
+        fields.indices.map(i => sum(col(s"l_$i")).as(s"len_$i")): _*)
+    // per-field zero-exchange census → weighted, field-normalized
+    // contribution per (doc, term, field) row; avgdl_f comes from the
+    // broadcast stats so the whole DAG stays lazy
+    val contribs = fields.zipWithIndex.map { case (f, i) =>
+      corpus
+        .select(col(idCol).as("doc_id"),
+          expr(s"graft_term_freqs(${f.textCol})").as("__s"))
+        .select(col("doc_id"), col("__s.dl").as("dl"),
+          explode(col("__s.terms")).as("ts"))
+        .select(col("doc_id"), col("ts.term").as("term"),
+          col("ts.tf").as("tf"), col("dl"))
+        .crossJoin(broadcast(stats.select(col("n_docs"), col(s"len_$i"))))
+        .select(col("doc_id"), col("term"),
+          expr(bm25fContribSql(f.weight, f.b, s"len_$i")).as("contrib"))
+    }.reduce(_ unionByName _)
+    // THE field-merge exchange: wtf per (doc, term)
+    val merged = contribs.groupBy("doc_id", "term")
+      .agg(sum("contrib").as("wtf"))
+    val dfreq = merged.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queryTerms(queries, queryTextCol, idCol, maxQueryTerms)
+    val qstat = dfreq.join(broadcast(qterms), "term")
+    val scored = merged.join(broadcast(qstat), "term")
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .withColumn("term_score",
+        expr(s"CAST(floor($idfSql * (${bm25fSatSql(k1)})" +
+          " * 1000000.0 + 0.5) AS BIGINT)"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum("term_score").as("score_u"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score_u").cast("double") / lit(1000000.0), 6).as("score"))
+  }
+
+  /** BM25F per-field contribution over integer columns tf/dl and the
+    * stats columns n_docs/`lenCol` (SQL text, both dialects):
+    * w · tf / (1 − b + b · dl/avgdl_f), avgdl_f = lenCol/n_docs. */
+  def bm25fContribSql(weight: Double, b: Double, lenCol: String): String =
+    s"(CAST($weight AS DOUBLE) * CAST(tf AS DOUBLE))" +
+      s" / (1.0 - CAST($b AS DOUBLE) + CAST($b AS DOUBLE)" +
+      s" * (CAST(dl AS DOUBLE) / (CAST($lenCol AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+
+  /** BM25F saturation over the double column wtf (SQL text, both
+    * dialects): wtf / (k1 + wtf). */
+  def bm25fSatSql(k1: Double): String =
+    s"(wtf / (CAST($k1 AS DOUBLE) + wtf))"
+
   /** Distinct (query_id, term) rows, capped at the first `maxQueryTerms`
     * tokens of each query text. */
   def queryTerms(queries: DataFrame, textCol: String, idCol: String,

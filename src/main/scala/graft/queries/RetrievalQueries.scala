@@ -78,6 +78,16 @@ object RetrievalQueries {
     * everything". */
   private val PROX_TERMS = 3
   private val PROX_WINDOW = 12
+  /** qx118 BM25F: fielded scoring over a derived title (the doc's first
+    * BM25F_TITLE_TOKENS tokens) and body (the rest) — title weighted
+    * 2.5× with a flatter length slope, the classic fielded setup. The
+    * split is token-deterministic so both engines derive identical
+    * fields from the shared parquet. */
+  private val BM25F_TITLE_TOKENS = 5
+  private val BM25F_TITLE_W = 2.5
+  private val BM25F_TITLE_B = 0.5
+  private val BM25F_BODY_W = 1.0
+  private val BM25F_BODY_B = 0.75
 
   private val V5_BENCH_MOD = 29
   private val V5_BENCH_REM = 3
@@ -99,6 +109,30 @@ object RetrievalQueries {
           docs.filter(col("doc_id") % BM25_QMOD =!= BM25_QREM),
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- BM25F fielded retrieval ----------------------------------------
+    // (per-field soft length normalization BEFORE one shared saturation —
+    //  NOT a weighted sum of per-field BM25 scores. One zero-exchange
+    //  census per field, one (doc, term) merge exchange, broadcast
+    //  stats/query joins.)
+    "qx118_bm25f" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Dialect(spark = true)
+      val docs = t(s, dir, "documents")
+      val toks = TX.tokensAuto("text")(d)
+      val fielded = docs.select(col("doc_id"),
+        expr(d.ajoin(d.slice(toks, "1", BM25F_TITLE_TOKENS), "' '")).as("title"),
+        expr(d.ajoin(d.slice(toks, (BM25F_TITLE_TOKENS + 1).toString, 1000000),
+          "' '")).as("body"))
+      Retrieval.bm25fTopK(
+          fielded.filter(col("doc_id") % BM25_QMOD =!= BM25_QREM),
+          Seq(Retrieval.Bm25Field("title", BM25F_TITLE_W, BM25F_TITLE_B),
+            Retrieval.Bm25Field("body", BM25F_BODY_W, BM25F_BODY_B)),
+          "doc_id",
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), "text",
+          BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
 
@@ -666,6 +700,60 @@ object RetrievalQueries {
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
          |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
          |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin,
+
+    // BM25F: the fields, censuses, per-field contributions, merge,
+    // saturation and micro-unit floor mirror Retrieval.bm25fTopK term
+    // for term — the contribution and saturation SQL snippets are the
+    // SAME strings both engines evaluate.
+    "qx118_bm25f" -> {
+      val d = duck
+      val toks = TX.tokens("text")(d)
+      s"""WITH fielded AS (SELECT doc_id,
+         |    ${d.ajoin(d.slice(toks, "1", BM25F_TITLE_TOKENS), "' '")} AS title,
+         |    ${d.ajoin(d.slice(toks, (BM25F_TITLE_TOKENS + 1).toString, 1000000), "' '")} AS body
+         |  FROM documents),
+         |corpus AS (SELECT * FROM fielded WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |tok0 AS (SELECT doc_id, unnest(${TX.tokens("title")(d)}) AS term FROM corpus),
+         |p0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok0 GROUP BY doc_id, term),
+         |d0 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM p0 GROUP BY doc_id),
+         |tok1 AS (SELECT doc_id, unnest(${TX.tokens("body")(d)}) AS term FROM corpus),
+         |p1 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok1 GROUP BY doc_id, term),
+         |d1 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM p1 GROUP BY doc_id),
+         |lens AS (SELECT f.doc_id, COALESCE(a.dl, 0) AS l0, COALESCE(b.dl, 0) AS l1
+         |         FROM corpus f LEFT JOIN d0 a USING (doc_id) LEFT JOIN d1 b USING (doc_id)),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |            CAST(SUM(l0) AS BIGINT) AS len_0, CAST(SUM(l1) AS BIGINT) AS len_1
+         |          FROM lens WHERE l0 + l1 > 0),
+         |c0 AS (SELECT doc_id, term,
+         |         ${Retrieval.bm25fContribSql(BM25F_TITLE_W, BM25F_TITLE_B, "len_0")} AS contrib
+         |       FROM p0 JOIN d0 USING (doc_id) CROSS JOIN stats),
+         |c1 AS (SELECT doc_id, term,
+         |         ${Retrieval.bm25fContribSql(BM25F_BODY_W, BM25F_BODY_B, "len_1")} AS contrib
+         |       FROM p1 JOIN d1 USING (doc_id) CROSS JOIN stats),
+         |merged AS (SELECT doc_id, term, SUM(contrib) AS wtf
+         |           FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
+         |           GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM merged GROUP BY term),
+         |qterms AS (SELECT DISTINCT doc_id AS query_id,
+         |             unnest(${d.slice(TX.tokens("text")(d), "1", MAX_QTERMS)}) AS term
+         |           FROM q),
+         |cand AS (SELECT query_id, m.term AS term, m.doc_id AS doc_id, wtf, df
+         |         FROM merged m JOIN qterms USING (term) JOIN dfreq USING (term)),
+         |scored AS (SELECT query_id, doc_id,
+         |    CAST(floor(${Retrieval.idfSql} * ${Retrieval.bm25fSatSql(Retrieval.K1)}
+         |         * 1000000.0 + 0.5) AS BIGINT) AS term_score
+         |  FROM cand CROSS JOIN stats),
+         |perdoc AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_u
+         |           FROM scored GROUP BY query_id, doc_id),
+         |ranked AS (SELECT query_id, doc_id, score_u,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |               ORDER BY score_u DESC, doc_id ASC) AS rn
+         |           FROM perdoc)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
+    },
 
     // One chained derivation: contamination pairs (the Bloom is invisible
     // — it only prefilters, the confirm join is exact), the Gopher keep

@@ -34,6 +34,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1).getDouble(3) == bm25(1, 4))
   }
 
+  test("bm25fTopK matches the hand-computed simple-BM25F formula; per-field normalization precedes ONE saturation") {
+    import spark.implicits._
+    // title avgdl = 3/3 = 1; body avgdl = (2+3+1)/3 = 2; df(cat) = 2, N = 3
+    val corpus = Seq(
+      (1L, "cat", "dog bird"),
+      (2L, "dog", "cat cat cat"),
+      (3L, "fish", "fish")).toDF("doc_id", "title", "body")
+    val q = docs(100L -> "cat")
+    val got = Retrieval.bm25fTopK(corpus,
+      Seq(Retrieval.Bm25Field("title", 2.0, 0.5),
+        Retrieval.Bm25Field("body", 1.0, 0.75)),
+      "doc_id", q, "text", 10).orderBy("rank").collect()
+    def sc(wtf: Double): Double = {
+      val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+      val u = math.floor(idf * (wtf / (1.2 + wtf)) * 1000000.0 + 0.5).toLong
+      BigDecimal(u.toDouble / 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc1: cat in TITLE, tf=1, dl=1 → wtf = 2·1/(0.5 + 0.5·(1/1)) = 2.0
+    // doc2: cat in BODY, tf=3, dl=3 → wtf = 3/(0.25 + 0.75·(3/2)) = 2.1818…
+    val wtf1 = 2.0 * 1.0 / ((1.0 - 0.5) + 0.5 * (1.0 / 1.0))
+    val wtf2 = 1.0 * 3.0 / ((1.0 - 0.75) + 0.75 * (3.0 / 2.0))
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 1L)) // saturated wtf orders
+    assert(got(0).getDouble(3) == sc(wtf2))
+    assert(got(1).getDouble(3) == sc(wtf1))
+    // fielded ≠ weighted sum of per-field BM25: a weighted-sum scorer
+    // saturates tf per field, and with the title's 2× weight doc1 would
+    // win — the ordering above is the BM25F semantics showing
+    def bm25Term(tf: Double, dl: Double, avgdl: Double, b: Double): Double =
+      (tf * 2.2) / (tf + 1.2 * (1.0 - b + b * dl / avgdl))
+    val sumScorer1 = 2.0 * bm25Term(1, 1, 1, 0.5)
+    val sumScorer2 = 1.0 * bm25Term(3, 3, 2, 0.75)
+    assert(sumScorer1 > sumScorer2,
+      "fixture must separate BM25F from the weighted-sum-of-BM25 scorer")
+  }
+
   test("bm25TopK: multi-term scores are summed per doc; ties break on doc_id") {
     val corpus = docs(
       1L -> "alpha beta",
