@@ -207,11 +207,28 @@ object Retrieval {
     // THE field-merge exchange: wtf per (doc, term)
     val merged = contribs.groupBy("doc_id", "term")
       .agg(sum("contrib").as("wtf"))
+    scoreBm25f(merged, queryTerms(queries, queryTextCol, idCol, maxQueryTerms),
+      stats.select(col("n_docs")), k, k1)
+  }
+
+  /** The BM25F scoring tail over a merged fielded census (doc_id, term,
+    * wtf) — shared by the one-shot and the store-served paths so the
+    * two cannot drift. df counts docs per term in `merged` itself: the
+    * one-shot passes the full census; the served path passes the pruned
+    * live union, which is term-complete for every scored term, so the
+    * values agree. */
+  private def scoreBm25f(merged: DataFrame, qterms: DataFrame,
+                         ndocs: DataFrame, k: Int, k1: Double,
+                         allowed: Option[DataFrame] = None): DataFrame = {
+    // df BEFORE the allow-list: corpus-global statistics, fenced candidates
     val dfreq = merged.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = queryTerms(queries, queryTextCol, idCol, maxQueryTerms)
+    val cand = allowed.fold(merged) { a =>
+      val ids = a.select(col(a.columns.head).as("doc_id")).distinct()
+      merged.join(broadcast(ids), Seq("doc_id"), "leftsemi")
+    }
     val qstat = dfreq.join(broadcast(qterms), "term")
-    val scored = merged.join(broadcast(qstat), "term")
-      .crossJoin(broadcast(stats.select(col("n_docs"))))
+    val scored = cand.join(broadcast(qstat), "term")
+      .crossJoin(broadcast(ndocs))
       .withColumn("term_score",
         expr(s"CAST(floor($idfSql * (${bm25fSatSql(k1)})" +
           " * 1000000.0 + 0.5) AS BIGINT)"))
@@ -931,6 +948,25 @@ object Retrieval {
     import spark.implicits._
     val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val (postings, buckets) =
+      servedLivePostings(spark, path, qterms, nBuckets, allowed)
+    // live df = summed deltas of the pruned buckets; a term whose count
+    // summed to 0 has no live postings either, so it never scores
+    val dfreq = spark.read.parquet(dfPath(path))
+      .filter(col("bucket").isInCollection(buckets))
+      .groupBy("term").agg(sum("cnt").as("df"))
+    scoreBm25(postings, qterms, stats, dfreq, k, k1, b)
+  }
+
+  /** The serving scan every lexical store query class starts from:
+    * postings behind the literal `bucket IN` filter of the query terms,
+    * tombstones anti-joined, the optional allow-list semi-joined.
+    * Returns the pruned live postings AND the bucket list (the caller's
+    * df sidecar read prunes on the same literals). */
+  private def servedLivePostings(spark: SparkSession, path: String,
+                                 qterms: DataFrame, nBuckets: Long,
+                                 allowed: Option[DataFrame])
+      : (DataFrame, Seq[Long]) = {
     val buckets = qterms
       .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
@@ -949,16 +985,93 @@ object Retrieval {
       .filter(col("bucket").isInCollection(buckets))
       .select("doc_id", "term", "tf", "dl")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-    val postings = allowed.fold(live) { a =>
+    val out = allowed.fold(live) { a =>
       val ids = a.select(col(a.columns.head).as("doc_id")).distinct()
       live.join(broadcast(ids), Seq("doc_id"), "leftsemi")
     }
-    // live df = summed deltas of the pruned buckets; a term whose count
-    // summed to 0 has no live postings either, so it never scores
-    val dfreq = spark.read.parquet(dfPath(path))
-      .filter(col("bucket").isInCollection(buckets))
-      .groupBy("term").agg(sum("cnt").as("df"))
-    scoreBm25(postings, qterms, stats, dfreq, k, k1, b)
+    (out, buckets)
+  }
+
+  /** One scored field of a STORE-SERVED BM25F corpus: the field's own
+    * durable BM25 store (each field indexes, appends, deletes, compacts
+    * and rebuckets independently through the ordinary store lifecycle),
+    * its weight, and its length-normalization slope. */
+  final case class Bm25StoreField(path: String, weight: Double, b: Double = B)
+
+  /** [[bm25fTopK]] served from durable stores — one store per field, so
+    * fielded retrieval composes with the whole store lifecycle instead
+    * of being a one-shot-only scorer. Serving reads each store behind
+    * its own literal `bucket IN` filter (query terms are planning
+    * metadata), anti-joins its tombstones, semi-joins the candidates to
+    * the query terms, merges the per-field contributions with one
+    * (doc, term) exchange, and scores with [[bm25fTopK]]'s exact tail —
+    * so a store-served result equals the one-shot over the same fielded
+    * corpus, which is what the qx119 oracle (qx118's formula verbatim)
+    * gates.
+    *
+    * df comes from the pruned LIVE postings union (count of docs whose
+    * merged wtf > 0), not the per-store df sidecars: fielded df is a
+    * cross-field union the sidecars cannot express, and for the scored
+    * terms the pruned scan already holds every live posting, so the
+    * count is exact and candidate-bounded.
+    *
+    * Precondition (checked loudly): the stores are FIELD-COMPLETE — the
+    * same live document set in every field store (equal live doc
+    * counts), because BM25F's n_docs and avgdl_f share one document
+    * universe. A doc retracted from one field must be retracted from
+    * all; a partial retraction fails this gate instead of silently
+    * reweighting. */
+  def bm25fTopKFromStores(spark: SparkSession, fields: Seq[Bm25StoreField],
+                          queries: DataFrame, textCol: String, idCol: String,
+                          k: Int, k1: Double = K1,
+                          maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    servedBm25f(spark, fields, queries, textCol, idCol, k, k1,
+      maxQueryTerms, allowed = None)
+
+  /** [[bm25fTopKFromStores]] with an id allow-list fencing candidates
+    * only (corpus-global statistics, the qx111/qx114 filtered-serving
+    * semantics). */
+  def bm25fTopKFromStoresFiltered(spark: SparkSession,
+                                  fields: Seq[Bm25StoreField],
+                                  queries: DataFrame, allowedDocs: DataFrame,
+                                  textCol: String, idCol: String,
+                                  k: Int, k1: Double = K1,
+                                  maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    servedBm25f(spark, fields, queries, textCol, idCol, k, k1,
+      maxQueryTerms, allowed = Some(allowedDocs))
+
+  private def servedBm25f(spark: SparkSession, fields: Seq[Bm25StoreField],
+                          queries: DataFrame, textCol: String, idCol: String,
+                          k: Int, k1: Double, maxQueryTerms: Int,
+                          allowed: Option[DataFrame]): DataFrame = {
+    require(fields.nonEmpty, "bm25fTopKFromStores needs at least one field")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val scalars = fields.map(f => liveStatsAndBuckets(spark, f.path))
+    val nds = scalars.map(_._1).distinct
+    require(nds.size == 1,
+      s"bm25fTopKFromStores requires field-complete stores (one shared " +
+        s"document universe); live doc counts differ: " +
+        fields.map(_.path).zip(scalars.map(_._1)).mkString(", "))
+    val qtermsOnly = qterms.select("term").distinct()
+    // the allow-list is NOT applied to the scan: df must stay
+    // corpus-global (the qx111/qx114 filtered-serving semantics — a
+    // filter fences candidates, it never reweights idf), so it fences
+    // inside the scoring tail instead
+    val contribs = fields.zip(scalars).zipWithIndex.map {
+      case ((f, (nd, tl, nBuckets)), i) =>
+        val (live, _) =
+          servedLivePostings(spark, f.path, qterms, nBuckets, allowed = None)
+        live
+          .join(broadcast(qtermsOnly), Seq("term"), "leftsemi")
+          .crossJoin(broadcast(Seq((nd, tl)).toDF("n_docs", s"len_$i")))
+          .select(col("doc_id"), col("term"),
+            expr(bm25fContribSql(f.weight, f.b, s"len_$i")).as("contrib"))
+    }.reduce(_ unionByName _)
+    val merged = contribs.groupBy("doc_id", "term")
+      .agg(sum("contrib").as("wtf"))
+    scoreBm25f(merged, qterms, Seq(nds.head).toDF("n_docs"), k, k1, allowed)
   }
 
   /** PHRASE query over the positional store — the first query class a

@@ -136,6 +136,38 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Fielded retrieval SERVED from durable stores: one store per field
+    // (built on the base slice, appended with the qx105 slice — the
+    // ordinary lifecycle, exercised per field), merged and scored at
+    // serve time. The stores are invisible to correctness by
+    // construction — the oracle is qx118's one-shot formula over the
+    // union corpus, verbatim.
+    "qx119_bm25f_store" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Dialect(spark = true)
+      val docs = t(s, dir, "documents")
+      val toks = TX.tokensAuto("text")(d)
+      val fielded = docs.select(col("doc_id"),
+        expr(d.ajoin(d.slice(toks, "1", BM25F_TITLE_TOKENS), "' '")).as("title"),
+        expr(d.ajoin(d.slice(toks, (BM25F_TITLE_TOKENS + 1).toString, 1000000),
+          "' '")).as("body"))
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
+      val work = java.nio.file.Files.createTempDirectory("qx119-").toString
+      for ((f, p) <- Seq("title" -> s"$work/title", "body" -> s"$work/body")) {
+        Retrieval.writeBm25Store(fielded.filter(notQuery && !isAppend),
+          f, "doc_id", p, STORE_BUCKETS)
+        Retrieval.appendBm25Store(fielded.filter(notQuery && isAppend),
+          f, "doc_id", p, epoch = 1L)
+      }
+      Retrieval.bm25fTopKFromStores(s,
+          Seq(Retrieval.Bm25StoreField(s"$work/title", BM25F_TITLE_W, BM25F_TITLE_B),
+            Retrieval.Bm25StoreField(s"$work/body", BM25F_BODY_W, BM25F_BODY_B)),
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), "text",
+          "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Durable BM25 store: build → append → pruned serve --------------
     // (the lexical twin of the ANN store lifecycle: postings persisted in
     //  term-hash bucket partitions, a new doc batch appended at batch
@@ -502,6 +534,62 @@ object RetrievalQueries {
     * retrieval, qx111) — df/stats stay corpus-global, matching
     * [[Retrieval.bm25TopKFromStoreFiltered]]'s semantics. */
   private def bm25Ctes: String = bm25CtesWhere("")
+  /** The BM25F oracle: fields, censuses, per-field contributions,
+    * merge, saturation and micro-unit floor mirror Retrieval.bm25fTopK
+    * term for term — the contribution and saturation SQL snippets are
+    * the SAME strings both engines evaluate. Shared verbatim by qx118
+    * (one-shot) and qx119 (store-served): the per-field store
+    * lifecycle is invisible to correctness by construction. */
+  private def bm25fOracle: String = {
+    val d = duck
+    val toks = TX.tokens("text")(d)
+    s"""WITH fielded AS (SELECT doc_id,
+         |    ${d.ajoin(d.slice(toks, "1", BM25F_TITLE_TOKENS), "' '")} AS title,
+         |    ${d.ajoin(d.slice(toks, (BM25F_TITLE_TOKENS + 1).toString, 1000000), "' '")} AS body
+         |  FROM documents),
+         |corpus AS (SELECT * FROM fielded WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |tok0 AS (SELECT doc_id, unnest(${TX.tokens("title")(d)}) AS term FROM corpus),
+         |p0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok0 GROUP BY doc_id, term),
+         |d0 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM p0 GROUP BY doc_id),
+         |tok1 AS (SELECT doc_id, unnest(${TX.tokens("body")(d)}) AS term FROM corpus),
+         |p1 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok1 GROUP BY doc_id, term),
+         |d1 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM p1 GROUP BY doc_id),
+         |lens AS (SELECT f.doc_id, COALESCE(a.dl, 0) AS l0, COALESCE(b.dl, 0) AS l1
+         |         FROM corpus f LEFT JOIN d0 a USING (doc_id) LEFT JOIN d1 b USING (doc_id)),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |            CAST(SUM(l0) AS BIGINT) AS len_0, CAST(SUM(l1) AS BIGINT) AS len_1
+         |          FROM lens WHERE l0 + l1 > 0),
+         |c0 AS (SELECT doc_id, term,
+         |         ${Retrieval.bm25fContribSql(BM25F_TITLE_W, BM25F_TITLE_B, "len_0")} AS contrib
+         |       FROM p0 JOIN d0 USING (doc_id) CROSS JOIN stats),
+         |c1 AS (SELECT doc_id, term,
+         |         ${Retrieval.bm25fContribSql(BM25F_BODY_W, BM25F_BODY_B, "len_1")} AS contrib
+         |       FROM p1 JOIN d1 USING (doc_id) CROSS JOIN stats),
+         |merged AS (SELECT doc_id, term, SUM(contrib) AS wtf
+         |           FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
+         |           GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM merged GROUP BY term),
+         |qterms AS (SELECT DISTINCT doc_id AS query_id,
+         |             unnest(${d.slice(TX.tokens("text")(d), "1", MAX_QTERMS)}) AS term
+         |           FROM q),
+         |cand AS (SELECT query_id, m.term AS term, m.doc_id AS doc_id, wtf, df
+         |         FROM merged m JOIN qterms USING (term) JOIN dfreq USING (term)),
+         |scored AS (SELECT query_id, doc_id,
+         |    CAST(floor(${Retrieval.idfSql} * ${Retrieval.bm25fSatSql(Retrieval.K1)}
+         |         * 1000000.0 + 0.5) AS BIGINT) AS term_score
+         |  FROM cand CROSS JOIN stats),
+         |perdoc AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_u
+         |           FROM scored GROUP BY query_id, doc_id),
+         |ranked AS (SELECT query_id, doc_id, score_u,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |               ORDER BY score_u DESC, doc_id ASC) AS rn
+         |           FROM perdoc)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
+  }
+
   private def bm25CtesWhere(candWhere: String): String = {
     val d = duck
     s"""tok AS (SELECT doc_id, unnest(${TX.tokens("text")(d)}) AS term FROM corpus),
@@ -705,55 +793,11 @@ object RetrievalQueries {
     // saturation and micro-unit floor mirror Retrieval.bm25fTopK term
     // for term — the contribution and saturation SQL snippets are the
     // SAME strings both engines evaluate.
-    "qx118_bm25f" -> {
-      val d = duck
-      val toks = TX.tokens("text")(d)
-      s"""WITH fielded AS (SELECT doc_id,
-         |    ${d.ajoin(d.slice(toks, "1", BM25F_TITLE_TOKENS), "' '")} AS title,
-         |    ${d.ajoin(d.slice(toks, (BM25F_TITLE_TOKENS + 1).toString, 1000000), "' '")} AS body
-         |  FROM documents),
-         |corpus AS (SELECT * FROM fielded WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
-         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
-         |tok0 AS (SELECT doc_id, unnest(${TX.tokens("title")(d)}) AS term FROM corpus),
-         |p0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok0 GROUP BY doc_id, term),
-         |d0 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM p0 GROUP BY doc_id),
-         |tok1 AS (SELECT doc_id, unnest(${TX.tokens("body")(d)}) AS term FROM corpus),
-         |p1 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok1 GROUP BY doc_id, term),
-         |d1 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM p1 GROUP BY doc_id),
-         |lens AS (SELECT f.doc_id, COALESCE(a.dl, 0) AS l0, COALESCE(b.dl, 0) AS l1
-         |         FROM corpus f LEFT JOIN d0 a USING (doc_id) LEFT JOIN d1 b USING (doc_id)),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |            CAST(SUM(l0) AS BIGINT) AS len_0, CAST(SUM(l1) AS BIGINT) AS len_1
-         |          FROM lens WHERE l0 + l1 > 0),
-         |c0 AS (SELECT doc_id, term,
-         |         ${Retrieval.bm25fContribSql(BM25F_TITLE_W, BM25F_TITLE_B, "len_0")} AS contrib
-         |       FROM p0 JOIN d0 USING (doc_id) CROSS JOIN stats),
-         |c1 AS (SELECT doc_id, term,
-         |         ${Retrieval.bm25fContribSql(BM25F_BODY_W, BM25F_BODY_B, "len_1")} AS contrib
-         |       FROM p1 JOIN d1 USING (doc_id) CROSS JOIN stats),
-         |merged AS (SELECT doc_id, term, SUM(contrib) AS wtf
-         |           FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
-         |           GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM merged GROUP BY term),
-         |qterms AS (SELECT DISTINCT doc_id AS query_id,
-         |             unnest(${d.slice(TX.tokens("text")(d), "1", MAX_QTERMS)}) AS term
-         |           FROM q),
-         |cand AS (SELECT query_id, m.term AS term, m.doc_id AS doc_id, wtf, df
-         |         FROM merged m JOIN qterms USING (term) JOIN dfreq USING (term)),
-         |scored AS (SELECT query_id, doc_id,
-         |    CAST(floor(${Retrieval.idfSql} * ${Retrieval.bm25fSatSql(Retrieval.K1)}
-         |         * 1000000.0 + 0.5) AS BIGINT) AS term_score
-         |  FROM cand CROSS JOIN stats),
-         |perdoc AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_u
-         |           FROM scored GROUP BY query_id, doc_id),
-         |ranked AS (SELECT query_id, doc_id, score_u,
-         |             ROW_NUMBER() OVER (PARTITION BY query_id
-         |               ORDER BY score_u DESC, doc_id ASC) AS rn
-         |           FROM perdoc)
-         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
-         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
-         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
-    },
+    "qx118_bm25f" -> bm25fOracle,
+
+    // Store-served fielded retrieval: the per-field store lifecycle is
+    // invisible to correctness — qx118's one-shot formula, verbatim.
+    "qx119_bm25f_store" -> bm25fOracle,
 
     // One chained derivation: contamination pairs (the Bloom is invisible
     // — it only prefilters, the confirm join is exact), the Gopher keep

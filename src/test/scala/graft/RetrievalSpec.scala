@@ -70,6 +70,59 @@ class RetrievalSpec extends SparkSpec {
       "fixture must separate BM25F from the weighted-sum-of-BM25 scorer")
   }
 
+  test("bm25fTopKFromStores: lifecycle composes per field; partial retraction fails the field-complete gate; filter keeps df corpus-global") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "cat dog", "dog bird dog"),
+      (2L, "dog fish", "cat cat cat fish"),
+      (3L, "fish cat", "fish bird"),
+      (4L, "bird bird", "cat dog fish")).toDF("doc_id", "title", "body")
+    val q = docs(100L -> "cat fish")
+    val flds = Seq(2.0 -> 0.5, 1.0 -> 0.75)
+    val work = java.nio.file.Files.createTempDirectory("bm25f-store").toString
+    for ((f, p) <- Seq("title" -> s"$work/title", "body" -> s"$work/body")) {
+      Retrieval.writeBm25Store(corpus.filter(col("doc_id") =!= 4L), f, "doc_id", p, 4)
+      Retrieval.appendBm25Store(corpus.filter(col("doc_id") === 4L), f, "doc_id", p, epoch = 1L)
+    }
+    val storeFields = Seq(
+      Retrieval.Bm25StoreField(s"$work/title", 2.0, 0.5),
+      Retrieval.Bm25StoreField(s"$work/body", 1.0, 0.75))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // build+append served == one-shot over the union corpus
+    val oneShot = Retrieval.bm25fTopK(corpus,
+      Seq(Retrieval.Bm25Field("title", 2.0, 0.5), Retrieval.Bm25Field("body", 1.0, 0.75)),
+      "doc_id", q, "text", 10)
+    assert(canon(Retrieval.bm25fTopKFromStores(spark, storeFields, q, "text", "doc_id", 10))
+      == canon(oneShot))
+    // symmetric retraction: delete doc 2 from BOTH stores → equals the
+    // one-shot over the reduced corpus (df/avgdl followed the retraction)
+    for (p <- Seq(s"$work/title", s"$work/body"))
+      Retrieval.deleteFromBm25Store(spark, p, Seq(2L).toDF("doc_id"), epoch = 2L)
+    val reduced = Retrieval.bm25fTopK(corpus.filter(col("doc_id") =!= 2L),
+      Seq(Retrieval.Bm25Field("title", 2.0, 0.5), Retrieval.Bm25Field("body", 1.0, 0.75)),
+      "doc_id", q, "text", 10)
+    assert(canon(Retrieval.bm25fTopKFromStores(spark, storeFields, q, "text", "doc_id", 10))
+      == canon(reduced))
+    // filtered serving: the allow-list fences candidates but df/n_docs
+    // stay corpus-global — scores of surviving docs are UNCHANGED
+    val unfiltered = Retrieval.bm25fTopKFromStores(spark, storeFields, q, "text", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val filtered = Retrieval.bm25fTopKFromStoresFiltered(spark, storeFields, q,
+      Seq(1L).toDF("doc_id"), "text", "doc_id", 10).collect()
+    assert(filtered.map(_.getLong(2)).toSet == Set(1L))
+    filtered.foreach(r =>
+      assert(r.getDouble(3) == unfiltered((r.getLong(0), r.getLong(2))),
+        "the filter must not reweight surviving docs' scores"))
+    // PARTIAL retraction (one store only) breaks the shared document
+    // universe — the gate must refuse loudly, not silently reweight
+    Retrieval.deleteFromBm25Store(spark, s"$work/title", Seq(3L).toDF("doc_id"), epoch = 3L)
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.bm25fTopKFromStores(spark, storeFields, q, "text", "doc_id", 10)
+    }
+    assert(err.getMessage.contains("field-complete"))
+  }
+
   test("bm25TopK: multi-term scores are summed per doc; ties break on doc_id") {
     val corpus = docs(
       1L -> "alpha beta",
