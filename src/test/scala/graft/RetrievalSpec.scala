@@ -123,6 +123,44 @@ class RetrievalSpec extends SparkSpec {
     assert(err.getMessage.contains("field-complete"))
   }
 
+  test("bm25fTopKFromStores: per-field streamed ingest with UNALIGNED batch boundaries serves the one-shot result") {
+    import spark.implicits._
+    import graft.streaming.StreamingBm25Ingest
+    // fielded serving composes with streamed ingest: each field store is
+    // fed by its own stream, and the batch boundaries need not line up
+    // across fields — only the final live document set must (the
+    // field-complete gate). Title arrives as {2,3} then {4}; body as {2}
+    // then {3,4}: same end state, different histories.
+    val corpus = Seq(
+      (1L, "cat dog", "dog bird dog"),
+      (2L, "dog fish", "cat cat cat fish"),
+      (3L, "fish cat", "fish bird"),
+      (4L, "bird bird", "cat dog fish")).toDF("doc_id", "title", "body")
+    val q = docs(100L -> "cat fish", 101L -> "bird")
+    val work = java.nio.file.Files.createTempDirectory("bm25f-stream").toString
+    def part(ids: Long*) = corpus.filter(col("doc_id").isInCollection(ids))
+    for ((f, p, batches) <- Seq(
+        ("title", s"$work/title", Seq(Seq(2L, 3L), Seq(4L))),
+        ("body", s"$work/body", Seq(Seq(2L), Seq(3L, 4L)))) ) {
+      Retrieval.writeBm25Store(part(1L), f, "doc_id", p, nBuckets = 4)
+      StreamingBm25Ingest.adopt(spark, p, s"ck-$f")
+      for ((ids, bid) <- batches.zipWithIndex)
+        StreamingBm25Ingest.processBatch(part(ids: _*), bid.toLong, f,
+          "doc_id", p, s"ck-$f")
+    }
+    val served = Retrieval.bm25fTopKFromStores(spark,
+      Seq(Retrieval.Bm25StoreField(s"$work/title", 2.0, 0.5),
+        Retrieval.Bm25StoreField(s"$work/body", 1.0, 0.75)),
+      q, "text", "doc_id", 10)
+    val oneShot = Retrieval.bm25fTopK(corpus,
+      Seq(Retrieval.Bm25Field("title", 2.0, 0.5),
+        Retrieval.Bm25Field("body", 1.0, 0.75)),
+      "doc_id", q, "text", 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(canon(served) == canon(oneShot))
+  }
+
   test("bm25TopK: multi-term scores are summed per doc; ties break on doc_id") {
     val corpus = docs(
       1L -> "alpha beta",
