@@ -193,13 +193,7 @@ object Retrieval {
     // contribution per (doc, term, field) row; avgdl_f comes from the
     // broadcast stats so the whole DAG stays lazy
     val contribs = fields.zipWithIndex.map { case (f, i) =>
-      corpus
-        .select(col(idCol).as("doc_id"),
-          expr(s"graft_term_freqs(${f.textCol})").as("__s"))
-        .select(col("doc_id"), col("__s.dl").as("dl"),
-          explode(col("__s.terms")).as("ts"))
-        .select(col("doc_id"), col("ts.term").as("term"),
-          col("ts.tf").as("tf"), col("dl"))
+      bm25Index(corpus, f.textCol, idCol) // the store-write census, per field
         .crossJoin(broadcast(stats.select(col("n_docs"), col(s"len_$i"))))
         .select(col("doc_id"), col("term"),
           expr(bm25fContribSql(f.weight, f.b, s"len_$i")).as("contrib"))
@@ -378,16 +372,22 @@ object Retrieval {
           "compaction — run Retrieval.recoverBm25Compaction first")
   }
 
-  /** Live corpus scalars + bucket geometry in ONE tiny read: the exact
-    * integer sum of the per-epoch deltas, and the constant n_buckets. */
+  /** Live corpus scalars + doc-set signature + bucket geometry in ONE
+    * tiny read: the exact integer sum of the per-epoch deltas, the XOR
+    * fold of the per-epoch id-hash deltas (= XOR of xxhash64 over the
+    * LIVE doc ids — appends XOR ids in, deletes XOR the same hashes
+    * back out), and the constant n_buckets. The signature identifies
+    * the live document SET, not just its size: two stores agree on it
+    * iff they hold the same ids (up to a 2⁻⁶⁴ hash collision). */
   private def liveStatsAndBuckets(spark: SparkSession, path: String)
-      : (Long, Long, Int) = {
+      : (Long, Long, Long, Int) = {
     val r = spark.read.parquet(epochsPath(path))
       .agg(coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
         coalesce(sum("total_len_delta"), lit(0L)).as("total_len"),
+        coalesce(expr("bit_xor(id_hash_delta)"), lit(0L)).as("id_hash"),
         max("n_buckets").as("n_buckets"))
       .collect().head
-    (r.getLong(0), r.getLong(1), r.getInt(2))
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
   }
 
   /** Live corpus scalars, derived on read: the exact integer sum of the
@@ -447,14 +447,20 @@ object Retrieval {
   }
 
   /** One scalar-delta epoch row (n_buckets rides along — constant per
-    * store). Static `overwrite=false` callers use dynamic overwrite
-    * (replace this epoch only); the build replaces the whole table. */
+    * store). `idHashDelta` is the XOR of xxhash64 over the epoch's doc
+    * ids — the SAME value whether the epoch adds or retracts them (XOR
+    * is self-inverse), so the fold-by-XOR of all epochs is always the
+    * live doc-set signature. Static `overwrite=false` callers use
+    * dynamic overwrite (replace this epoch only); the build replaces
+    * the whole table. */
   private def writeEpochDelta(spark: SparkSession, path: String, epoch: Long,
                               nDocsDelta: Long, totalLenDelta: Long,
+                              idHashDelta: Long,
                               nBuckets: Int, replaceAll: Boolean): Unit = {
     import spark.implicits._
-    val w = Seq((epoch, nDocsDelta, totalLenDelta, nBuckets))
-      .toDF("epoch", "n_docs_delta", "total_len_delta", "n_buckets")
+    val w = Seq((epoch, nDocsDelta, totalLenDelta, idHashDelta, nBuckets))
+      .toDF("epoch", "n_docs_delta", "total_len_delta", "id_hash_delta",
+        "n_buckets")
       .coalesce(1).write.mode("overwrite").partitionBy("epoch")
     // pinned per-write in both branches — see writeDfDelta
     w.option("partitionOverwriteMode", if (replaceAll) "static" else "dynamic")
@@ -467,14 +473,15 @@ object Retrieval {
     * Σ per-doc dl (dl repeats on every posting row of a doc). Docs whose
     * text tokenized empty have no postings and correctly don't count. */
   private def epochScalars(spark: SparkSession, path: String,
-                           epoch: Long): (Long, Long) = {
+                           epoch: Long): (Long, Long, Long) = {
     val r = spark.read.parquet(postingsPath(path))
       .filter(col("epoch") === epoch)
       .groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("total_len"))
+        coalesce(sum("dl"), lit(0L)).as("total_len"),
+        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("id_hash"))
       .collect().head
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Build + persist the inverted index as epoch 0. Postings land in
@@ -513,8 +520,8 @@ object Retrieval {
           .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
           .agg(count(lit(1)).as("cnt")),
         path, 0L, replaceAll = true)
-      val (nd, tl) = epochScalars(spark, path, 0L)
-      writeEpochDelta(spark, path, 0L, nd, tl, nBuckets, replaceAll = true)
+      val (nd, tl, ih) = epochScalars(spark, path, 0L)
+      writeEpochDelta(spark, path, 0L, nd, tl, ih, nBuckets, replaceAll = true)
       // A rebuild is a NEW store at an old address: clear every piece of
       // prior-life state, not just tombstones. A stale _graft_stream_id
       // would pin the fresh store to a dead stream's checkpoint (a new
@@ -561,8 +568,9 @@ object Retrieval {
           .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
           .agg(count(lit(1)).as("cnt")),
         path, epoch, replaceAll = false)
-      val (nd, tl) = epochScalars(spark, path, epoch)
-      writeEpochDelta(spark, path, epoch, nd, tl, nBuckets, replaceAll = false)
+      val (nd, tl, ih) = epochScalars(spark, path, epoch)
+      writeEpochDelta(spark, path, epoch, nd, tl, ih, nBuckets,
+        replaceAll = false)
     }
   }
 
@@ -670,9 +678,14 @@ object Retrieval {
                                hits: DataFrame, storedEpoch: Long): Long = {
     val perDoc = hits.groupBy("doc_id").agg(max("dl").as("dl"))
     val stats = perDoc
-      .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tl"))
+      .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tl"),
+        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("ih"))
       .collect().head
     val (nd, tl) = (stats.getLong(0), stats.getLong(1))
+    // XOR is self-inverse: the delete's id-hash delta is the XOR of the
+    // retracted ids' hashes UN-negated — folding it with the epochs that
+    // added those docs cancels them out of the live signature
+    val ih = stats.getLong(2)
     if (nd == 0L) 0L
     else {
       // Write order is the crash contract: df/scalar deltas FIRST,
@@ -692,7 +705,7 @@ object Retrieval {
       writeDfDelta(hits.groupBy("bucket", "term")
           .agg((-count(lit(1))).as("cnt")),
         path, storedEpoch, replaceAll = false)
-      writeEpochDelta(spark, path, storedEpoch, -nd, -tl,
+      writeEpochDelta(spark, path, storedEpoch, -nd, -tl, ih,
         readMeta(spark, path), replaceAll = false)
       perDoc.select("doc_id").withColumn("epoch", lit(storedEpoch))
         .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
@@ -849,8 +862,8 @@ object Retrieval {
           .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
           .agg(count(lit(1)).as("cnt")),
         tmp, 0L, replaceAll = true)
-      val st = liveStats(spark, path).collect().head
-      writeEpochDelta(spark, tmp, 0L, st.getLong(0), st.getLong(1),
+      val (lnd, ltl, lih, _) = liveStatsAndBuckets(spark, path)
+      writeEpochDelta(spark, tmp, 0L, lnd, ltl, lih,
         newBuckets, replaceAll = true)
       // a stream-pinned store keeps its checkpoint identity across the
       // rebucket: the marker travels to the new image, otherwise the
@@ -944,7 +957,7 @@ object Retrieval {
                          queries: DataFrame, textCol: String, idCol: String,
                          k: Int, k1: Double, b: Double, maxQueryTerms: Int,
                          allowed: Option[DataFrame]): DataFrame = {
-    val (nd, tl, nBuckets) = liveStatsAndBuckets(spark, path)
+    val (nd, tl, _, nBuckets) = liveStatsAndBuckets(spark, path)
     import spark.implicits._
     val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
@@ -1016,11 +1029,18 @@ object Retrieval {
     * count is exact and candidate-bounded.
     *
     * Precondition (checked loudly): the stores are FIELD-COMPLETE — the
-    * same live document set in every field store (equal live doc
-    * counts), because BM25F's n_docs and avgdl_f share one document
-    * universe. A doc retracted from one field must be retracted from
-    * all; a partial retraction fails this gate instead of silently
-    * reweighting. */
+    * same live document SET in every field store, because BM25F's
+    * n_docs and avgdl_f share one document universe. The gate compares
+    * each store's live doc-set signature (XOR of xxhash64 over live
+    * ids, folded from the epoch scalars — an O(1) read, never a
+    * postings scan), so BOTH failure shapes are caught: a partial
+    * retraction (even one where counts coincide — doc 3 dropped from
+    * titles, doc 4 from bodies) and a doc whose text tokenized EMPTY in
+    * one field (it has no postings there, so that store's universe
+    * excludes it — BM25F fields must be total: give empty fields a
+    * placeholder token or exclude the doc from all fields). Up to a
+    * 2⁻⁶⁴ hash collision, a passing gate means one shared universe;
+    * failures raise instead of silently reweighting. */
   def bm25fTopKFromStores(spark: SparkSession, fields: Seq[Bm25StoreField],
                           queries: DataFrame, textCol: String, idCol: String,
                           k: Int, k1: Double = K1,
@@ -1049,18 +1069,24 @@ object Retrieval {
     import spark.implicits._
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val scalars = fields.map(f => liveStatsAndBuckets(spark, f.path))
-    val nds = scalars.map(_._1).distinct
-    require(nds.size == 1,
+    // (count, set-signature) pairs: counts alone would wave through a
+    // SYMMETRIC partial retraction (equal sizes, different members) and
+    // the coinciding-counts empty-field case — the signature catches both
+    val universes = scalars.map(s => (s._1, s._3)).distinct
+    require(universes.size == 1,
       s"bm25fTopKFromStores requires field-complete stores (one shared " +
-        s"document universe); live doc counts differ: " +
-        fields.map(_.path).zip(scalars.map(_._1)).mkString(", "))
+        s"document universe); live (doc count, set signature) differ: " +
+        fields.map(_.path).zip(scalars.map(s => (s._1, s._3)))
+          .mkString(", ") +
+        " — retract docs from ALL fields or none, and ensure no doc " +
+        "tokenizes empty in any field")
     val qtermsOnly = qterms.select("term").distinct()
     // the allow-list is NOT applied to the scan: df must stay
     // corpus-global (the qx111/qx114 filtered-serving semantics — a
     // filter fences candidates, it never reweights idf), so it fences
     // inside the scoring tail instead
     val contribs = fields.zip(scalars).zipWithIndex.map {
-      case ((f, (nd, tl, nBuckets)), i) =>
+      case ((f, (nd, tl, _, nBuckets)), i) =>
         val (live, _) =
           servedLivePostings(spark, f.path, qterms, nBuckets, allowed = None)
         live
@@ -1071,7 +1097,8 @@ object Retrieval {
     }.reduce(_ unionByName _)
     val merged = contribs.groupBy("doc_id", "term")
       .agg(sum("contrib").as("wtf"))
-    scoreBm25f(merged, qterms, Seq(nds.head).toDF("n_docs"), k, k1, allowed)
+    scoreBm25f(merged, qterms, Seq(universes.head._1).toDF("n_docs"), k, k1,
+      allowed)
   }
 
   /** PHRASE query over the positional store — the first query class a
@@ -1120,7 +1147,7 @@ object Retrieval {
                          allowed: Option[DataFrame]): DataFrame = {
     GraftFunctions.register(spark)
     val sparkD = Dialect(spark = true)
-    val (_, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
     val qtok0 = queries.select(col(idCol).as("query_id"),
       posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("qp0", "term")))
     val qtok = (if (maxPhraseTerms == Int.MaxValue) qtok0
@@ -1212,7 +1239,7 @@ object Retrieval {
     require(window >= 1, s"window=$window must be >= 1")
     GraftFunctions.register(spark)
     val sparkD = Dialect(spark = true)
-    val (_, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
     val qtok0 = queries.select(col(idCol).as("query_id"),
       posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("qp0", "term")))
     val qterms = (if (maxQueryTerms == Int.MaxValue) qtok0

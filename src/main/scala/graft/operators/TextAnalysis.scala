@@ -106,7 +106,13 @@ object TextAnalysis {
     * per-doc partials plus the occurrence-stream explode feeding its
     * hash aggregate — at 100 TB this is a pure scan instead. Docs with
     * no tokens are absent from the output (as before, where explode
-    * emitted nothing for them). */
+    * emitted nothing for them).
+    *
+    * PRECONDITION (changed by the scan rewrite): `idCol` is unique —
+    * one output row per input row. The old groupBy(id) formulation
+    * MERGED rows sharing an id into one summed row; like [[Retrieval
+    * .bm25Index]]'s identical rewrite, duplicate ids are the caller's
+    * bug (dedup upstream), not a semantics this operator preserves. */
   def langId(docs: DataFrame, textCol: String, idCol: String,
              threshold: Double = 0.05,
              carryCols: Seq[String] = Seq.empty): DataFrame = {

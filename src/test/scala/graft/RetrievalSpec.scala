@@ -121,6 +121,38 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25fTopKFromStores(spark, storeFields, q, "text", "doc_id", 10)
     }
     assert(err.getMessage.contains("field-complete"))
+    // SYMMETRIC partial retraction: drop doc 4 from the body store too —
+    // both stores now hold exactly 2 live docs ({1,4} vs {1,3}) so a
+    // count-only gate would wave it through; the doc-SET signature must
+    // still refuse
+    Retrieval.deleteFromBm25Store(spark, s"$work/body", Seq(4L).toDF("doc_id"), epoch = 3L)
+    val errSym = intercept[IllegalArgumentException] {
+      Retrieval.bm25fTopKFromStores(spark, storeFields, q, "text", "doc_id", 10)
+    }
+    assert(errSym.getMessage.contains("field-complete"))
+  }
+
+  test("bm25fTopKFromStores: a doc that tokenizes empty in one field is caught by the set-signature gate") {
+    import spark.implicits._
+    // doc 3's body is whitespace-only: it has postings in the title
+    // store but none in the body store — the two universes differ even
+    // though a user wrote the same 3 docs to both. BM25F fields must be
+    // total; the gate must refuse rather than silently serve divergent
+    // n_docs/avgdl.
+    val corpus = Seq(
+      (1L, "cat dog", "dog bird"),
+      (2L, "dog fish", "cat fish"),
+      (3L, "fish cat", "   ")).toDF("doc_id", "title", "body")
+    val work = java.nio.file.Files.createTempDirectory("bm25f-empty").toString
+    for ((f, p) <- Seq("title" -> s"$work/title", "body" -> s"$work/body"))
+      Retrieval.writeBm25Store(corpus, f, "doc_id", p, nBuckets = 4)
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.bm25fTopKFromStores(spark,
+        Seq(Retrieval.Bm25StoreField(s"$work/title", 2.0, 0.5),
+          Retrieval.Bm25StoreField(s"$work/body", 1.0, 0.75)),
+        docs(100L -> "cat"), "text", "doc_id", 10)
+    }
+    assert(err.getMessage.contains("tokenizes empty"))
   }
 
   test("bm25fTopKFromStores: per-field streamed ingest with UNALIGNED batch boundaries serves the one-shot result") {
