@@ -168,6 +168,35 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Filtered FIELDED serving: the ACL fence composed with per-field
+    // stores — candidates fenced BEFORE ranking (top-k = k survivors),
+    // df/n_docs/avgdl corpus-global (the qx111/qx114 semantics, now on
+    // the fielded path). Build-only stores: qx119 already exercises the
+    // per-field lifecycle; this query isolates the filter composition.
+    "qx120_bm25f_filtered" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Dialect(spark = true)
+      val docs = t(s, dir, "documents")
+      val toks = TX.tokensAuto("text")(d)
+      val fielded = docs.select(col("doc_id"),
+        expr(d.ajoin(d.slice(toks, "1", BM25F_TITLE_TOKENS), "' '")).as("title"),
+        expr(d.ajoin(d.slice(toks, (BM25F_TITLE_TOKENS + 1).toString, 1000000),
+          "' '")).as("body"))
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val work = java.nio.file.Files.createTempDirectory("qx120-").toString
+      for ((f, p) <- Seq("title" -> s"$work/title", "body" -> s"$work/body"))
+        Retrieval.writeBm25Store(fielded.filter(notQuery), f, "doc_id", p,
+          STORE_BUCKETS)
+      val allowed = docs.filter(notQuery && col("doc_id") % 3 === 1)
+        .select("doc_id")
+      Retrieval.bm25fTopKFromStoresFiltered(s,
+          Seq(Retrieval.Bm25StoreField(s"$work/title", BM25F_TITLE_W, BM25F_TITLE_B),
+            Retrieval.Bm25StoreField(s"$work/body", BM25F_BODY_W, BM25F_BODY_B)),
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
+          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Durable BM25 store: build → append → pruned serve --------------
     // (the lexical twin of the ANN store lifecycle: postings persisted in
     //  term-hash bucket partitions, a new doc batch appended at batch
@@ -539,8 +568,13 @@ object RetrievalQueries {
     * term for term — the contribution and saturation SQL snippets are
     * the SAME strings both engines evaluate. Shared verbatim by qx118
     * (one-shot) and qx119 (store-served): the per-field store
-    * lifecycle is invisible to correctness by construction. */
-  private def bm25fOracle: String = {
+    * lifecycle is invisible to correctness by construction. qx120
+    * passes a candidate fence — applied on the cand CTE only, AFTER
+    * dfreq, mirroring scoreBm25f's filtered semantics (df and n_docs
+    * stay corpus-global; the allow-list never reweights idf). */
+  private def bm25fOracle: String = bm25fOracleWhere("")
+
+  private def bm25fOracleWhere(candWhere: String): String = {
     val d = duck
     val toks = TX.tokens("text")(d)
     s"""WITH fielded AS (SELECT doc_id,
@@ -574,7 +608,7 @@ object RetrievalQueries {
          |             unnest(${d.slice(TX.tokens("text")(d), "1", MAX_QTERMS)}) AS term
          |           FROM q),
          |cand AS (SELECT query_id, m.term AS term, m.doc_id AS doc_id, wtf, df
-         |         FROM merged m JOIN qterms USING (term) JOIN dfreq USING (term)),
+         |         FROM merged m JOIN qterms USING (term) JOIN dfreq USING (term)$candWhere),
          |scored AS (SELECT query_id, doc_id,
          |    CAST(floor(${Retrieval.idfSql} * ${Retrieval.bm25fSatSql(Retrieval.K1)}
          |         * 1000000.0 + 0.5) AS BIGINT) AS term_score
@@ -798,6 +832,11 @@ object RetrievalQueries {
     // Store-served fielded retrieval: the per-field store lifecycle is
     // invisible to correctness — qx118's one-shot formula, verbatim.
     "qx119_bm25f_store" -> bm25fOracle,
+
+    // Fenced candidates, corpus-global statistics: the WHERE rides the
+    // cand CTE only — dfreq/stats CTEs untouched, proving the fielded
+    // filter never reweights idf/avgdl.
+    "qx120_bm25f_filtered" -> bm25fOracleWhere(" WHERE m.doc_id % 3 = 1"),
 
     // One chained derivation: contamination pairs (the Bloom is invisible
     // — it only prefilters, the confirm join is exact), the Gopher keep
