@@ -193,6 +193,56 @@ class RetrievalSpec extends SparkSpec {
     assert(canon(served) == canon(oneShot))
   }
 
+  test("fielded RAG from stores: BM25F field stores + sidecar vector store fuse through rrfFuse, equal to fusing the one-shot fielded ranking") {
+    import spark.implicits._
+    // the production composition one step past qx107: the LEXICAL side
+    // of the hybrid is FIELDED (title/body stores), the vector side is
+    // the sidecar-rescored store, and the whole fused serving runs from
+    // three store paths alone. The gate: swapping the served fielded
+    // ranking for the one-shot bm25fTopK under the same fusion yields
+    // the identical fused list — store mechanics invisible through RRF.
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 400)
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+    val isQuery = col("doc_id") % 20 === 3
+    graft.functions.GraftFunctions.register(spark)
+    val fielded = hybrid.select(col("doc_id"), col("embedding"),
+      expr("array_join(slice(graft_tokens(text), 1, 5), ' ')").as("title"),
+      expr("array_join(slice(graft_tokens(text), 6, 1000000), ' ')").as("body"))
+    val corpus = fielded.filter(!isQuery)
+    val queries = hybrid.filter(isQuery).select("doc_id", "text", "embedding")
+    val work = java.nio.file.Files.createTempDirectory("fielded-rag").toString
+    for (f <- Seq("title", "body"))
+      Retrieval.writeBm25Store(corpus, f, "doc_id", s"$work/$f", 8)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+    val codebook = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+    graft.operators.Quantize.buildSelfContained(spark,
+      corpus.select("doc_id", "embedding"), "doc_id", "embedding",
+      cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+      64, 4, residual = false, s"$work/vec", storeVectors = true)
+    val storeFields = Seq(
+      Retrieval.Bm25StoreField(s"$work/title", 2.0, 0.5),
+      Retrieval.Bm25StoreField(s"$work/body", 1.0, 0.75))
+    val vec = graft.operators.Quantize.searchSelfContainedRefinedStored(
+        spark, s"$work/vec", queries, "doc_id", "embedding",
+        k = 20, nProbe = 2, rerankDepth = 1000000)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val lexServed = Retrieval.bm25fTopKFromStores(spark, storeFields,
+      queries, "text", "doc_id", 20)
+    val lexOneShot = Retrieval.bm25fTopK(corpus,
+      Seq(Retrieval.Bm25Field("title", 2.0, 0.5),
+        Retrieval.Bm25Field("body", 1.0, 0.75)),
+      "doc_id", queries, "text", 20)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val fusedServed = canon(Retrieval.rrfFuse(lexServed, vec, 60, 10))
+    assert(fusedServed == canon(Retrieval.rrfFuse(lexOneShot, vec, 60, 10)))
+    assert(fusedServed.nonEmpty)
+  }
+
   test("bm25TopK: multi-term scores are summed per doc; ties break on doc_id") {
     val corpus = docs(
       1L -> "alpha beta",
