@@ -20,6 +20,52 @@ object ScaleProbe {
     val base = Tables.t(spark, dir, "documents").select("doc_id", "text").cache()
     val n0 = base.count() // materialize cache so inflation cost is excluded
 
+    // BM25F store-served probe: TWO field stores (title/body), corpus
+    // inflated 1×/4×/16× with a FIXED query set. The fielded serve adds
+    // exactly one (doc, term) merge exchange over candidate-bounded
+    // rows on top of two pruned per-store scans, and the field-complete
+    // gate is an O(1) epochs read per store — so the serve wall should
+    // track the bucket bytes like single-field serving, with NO
+    // corpus-scale term anywhere.
+    if (args.contains("bm25f")) {
+      graft.functions.GraftFunctions.register(spark)
+      def fieldize(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        expr("array_join(slice(graft_tokens(text), 1, 5), ' ')").as("title"),
+        expr("array_join(slice(graft_tokens(text), 6, 1000000), ' ')").as("body"))
+      val queries = base.filter(col("doc_id") % 503 === 7)
+      val warm = java.nio.file.Files.createTempDirectory("scale-bm25fw").toString
+      for (f <- Seq("title", "body"))
+        graft.operators.Retrieval.writeBm25Store(fieldize(base), f, "doc_id",
+          s"$warm/$f", 64)
+      val warmFields = Seq(
+        graft.operators.Retrieval.Bm25StoreField(s"$warm/title", 2.0, 0.5),
+        graft.operators.Retrieval.Bm25StoreField(s"$warm/body", 1.0, 0.75))
+      graft.operators.Retrieval.bm25fTopKFromStores(spark, warmFields,
+        queries, "text", "doc_id", 10, maxQueryTerms = 2).count() // warmup
+      for (mult <- Seq(1, 4, 16)) {
+        val inflated = (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            col("text")))
+          .reduce(_ unionByName _)
+        val path = java.nio.file.Files.createTempDirectory("scale-bm25f").toString
+        val fielded = fieldize(inflated)
+        for (f <- Seq("title", "body"))
+          graft.operators.Retrieval.writeBm25Store(fielded, f, "doc_id",
+            s"$path/$f", 64)
+        val fields = Seq(
+          graft.operators.Retrieval.Bm25StoreField(s"$path/title", 2.0, 0.5),
+          graft.operators.Retrieval.Bm25StoreField(s"$path/body", 1.0, 0.75))
+        val t0 = System.nanoTime()
+        val hits = graft.operators.Retrieval.bm25fTopKFromStores(spark, fields,
+          queries, "text", "doc_id", 10, maxQueryTerms = 2).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] bm25f_docs=${n0 * mult}%8d  serve=${secs}%6.2fs  hits: $hits")
+      }
+      spark.stop()
+      return
+    }
+
     // BM25 store: SERVING cost must track the query terms' bucket bytes
     // (a literal partition filter on postings AND df), never the corpus;
     // and APPEND cost must track the batch, never the standing store.
