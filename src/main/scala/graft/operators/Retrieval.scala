@@ -342,6 +342,7 @@ object Retrieval {
   private def storeTombstonesPath(path: String) = s"$path/tombstones"
   private def compactBakPath(path: String) = s"$path/compact-bak"
   private def compactNewPath(path: String) = s"$path/compact-new"
+  private def docsPath(path: String) = s"$path/docs"
 
   private def bucketCol(nBuckets: Int): Column =
     expr(s"graft_polyhash(term) % $nBuckets")
@@ -353,6 +354,83 @@ object Retrieval {
   private def readMeta(spark: SparkSession, path: String): Int =
     spark.read.parquet(epochsPath(path)).select("n_buckets")
       .collect().head.getInt(0)
+
+  // --------------------------------------------------------------------
+  // Raw-TEXT sidecar (`<store>/docs`) — the lexical twin of the IVF-PQ
+  // store's `.vectors` sidecar (round 10). Retrieval returns ids; a RAG
+  // pipeline needs the passage back, and a retraction pipeline needs the
+  // text to pay batch cost — the sidecar closes both without a lake
+  // pointer riding the serving call. Contract, mirroring the vector one:
+  //  - sidecar = live ids' texts (build initializes with storeDocs=true,
+  //    append ALWAYS maintains it when present — the batch has the text
+  //    by definition, so there is no bare-append hazard to refuse).
+  //  - deletes never touch it: a tombstoned id is unreachable (every
+  //    reader inner-joins live candidates); rebucket is the vacuum that
+  //    rewrites it to the folded postings' survivors.
+  //  - layout (doc_id, text) partitioned by (dbucket, epoch) with
+  //    dbucket = pmod(xxhash64(doc_id), nBuckets): reads prune to the
+  //    requested ids' literal dbucket list (batch cost), and writes are
+  //    per-epoch dynamic overwrites — the SAME idempotent-retry
+  //    discipline as the postings (append retries replace, never dup).
+  //    A doc re-ingested after a delete has rows at two epochs; readers
+  //    take max_by(text, epoch) — the latest ingest wins.
+  //  - it lives INSIDE the store directory, so compact/rebucket's
+  //    rename-swap installs and recovery carry it with zero extra moves.
+  // --------------------------------------------------------------------
+
+  /** True iff the store persists its raw document texts
+    * ([[writeBm25Store]] with `storeDocs = true`). */
+  def hasDocsSidecar(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(docsPath(path)))
+
+  private def docsBucketCol(nBuckets: Int): Column =
+    pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong))
+
+  private def writeDocsSidecar(batch: DataFrame, textCol: String,
+                               idCol: String, path: String, epoch: Long,
+                               nBuckets: Int, replaceAll: Boolean): Unit = {
+    val w = batch
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .dropDuplicates("doc_id")
+      .withColumn("dbucket", docsBucketCol(nBuckets))
+      .withColumn("epoch", lit(epoch))
+      .repartition(col("dbucket")) // co-locate: one file per dbucket
+      .write.mode("overwrite").partitionBy("dbucket", "epoch")
+    // mode pinned per-write in both branches — see writeDfDelta
+    w.option("partitionOverwriteMode", if (replaceAll) "static" else "dynamic")
+      .parquet(docsPath(path))
+  }
+
+  /** Texts of the requested LIVE ids from the store's own sidecar, at
+    * batch cost: the ids' dbucket hashes become a literal partition
+    * filter (planning metadata — ≤ min(|ids|, nBuckets) longs on the
+    * driver), the id set broadcasts, and a doc re-ingested after a
+    * delete resolves to its LATEST epoch's text. Caller passes live ids
+    * (serving shortlists are live by construction; the delete path
+    * anti-joins tombstones before calling). Fails loudly without a
+    * sidecar. */
+  def readStoreDocs(spark: SparkSession, path: String,
+                    ids: DataFrame): DataFrame = {
+    require(hasDocsSidecar(spark, path),
+      s"store $path has no raw-text sidecar (${docsPath(path)} missing) — " +
+        "build it with writeBm25Store(..., storeDocs = true)")
+    val nBuckets = readMeta(spark, path)
+    val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    val buckets = want.select(docsBucketCol(nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(docsPath(path))
+      .filter(col("dbucket").isInCollection(buckets))
+      .join(broadcast(want), Seq("doc_id"), "leftsemi")
+      .groupBy("doc_id").agg(expr("max_by(text, epoch)").as("text"))
+  }
+
+  /** The snippet window fragment, dialect-parametric so the qx121 oracle
+    * evaluates the SAME string: a fixed-width (2·window+1)-token slice of
+    * `toks` starting at max(1, anchor − window), joined with spaces. */
+  def snippetSql(toks: String, anchor: String, window: Int)
+                (implicit d: graft.functions.Dialect): String =
+    d.ajoin(d.slice(toks, s"greatest(1, ($anchor) - $window)",
+      2 * window + 1), "' '")
 
   /** Refuse to mutate a store carrying a leftover `compact-bak` from an
     * interrupted compaction. In that state some bucket directories have
@@ -493,10 +571,21 @@ object Retrieval {
     * column-pruned read-back of the written postings — never a second
     * tokenize), so serving never re-aggregates postings. */
   def writeBm25Store(corpus: DataFrame, textCol: String, idCol: String,
-                     path: String, nBuckets: Int = 64): Unit = {
+                     path: String, nBuckets: Int = 64,
+                     storeDocs: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     val spark = corpus.sparkSession
     graft.sources.StoreLock.withLock(spark, path, "bm25-build") {
+      // raw-text sidecar FIRST (postings-visible ⇒ text present — the
+      // same append ordering discipline the vector sidecar uses), or
+      // cleared: a rebuild without storeDocs must not leave a prior
+      // life's sidecar serving stale passages
+      if (storeDocs)
+        writeDocsSidecar(corpus, textCol, idCol, path, 0L, nBuckets,
+          replaceAll = true)
+      else
+        fsFor(spark, path).delete(
+          new org.apache.hadoop.fs.Path(docsPath(path)), true)
       // repartition by bucket before the partitionBy write: without it
       // every census task drops a file into every bucket dir (tasks ×
       // buckets tiny files — listing/footer cost on every later read);
@@ -556,6 +645,12 @@ object Retrieval {
     graft.sources.StoreLock.withLock(spark, path, "bm25-append") {
       requireNoCompactBak(fsFor(spark, path), path, "append to")
       val nBuckets = readMeta(spark, path)
+      // sidecar BEFORE postings (postings-visible ⇒ text present; a
+      // crash in between leaves unreachable rows the same-epoch retry
+      // replaces)
+      if (hasDocsSidecar(spark, path))
+        writeDocsSidecar(batch, textCol, idCol, path, epoch, nBuckets,
+          replaceAll = false)
       bm25IndexPositional(batch, textCol, idCol)
         .withColumn("bucket", bucketCol(nBuckets))
         .withColumn("epoch", lit(epoch))
@@ -616,11 +711,26 @@ object Retrieval {
       val newIds = want.join(
         broadcast(priorTombstones(spark, path, storedEpoch)),
         Seq("doc_id"), "left_anti")
-      val hits = spark.read.parquet(postingsPath(path))
-        .select(col("bucket").cast("long").as("bucket"),
-          col("doc_id"), col("term"), col("dl"))
-        .join(broadcast(newIds), Seq("doc_id"))
-        .localCheckpoint() // eager: bounded by the deleted docs' postings
+      // AUTO-ROUTE (round 10): a store carrying the raw-text sidecar
+      // serves its own O(batch) delete — texts of the retracted ids read
+      // behind their literal dbucket filter, deltas from re-tokenization,
+      // standing postings never opened. Ids without a sidecar row were
+      // never ingested and stay no-ops (sidecar ⊇ live ids by the append
+      // ordering; an abandoned half-appended epoch must be retried first,
+      // per the append's own retry contract). RetrievalSpec cross-gates
+      // this route against the scan path, store state for store state.
+      val hits = (if (hasDocsSidecar(spark, path)) {
+        val texts = readStoreDocs(spark, path, newIds)
+        val nBuckets = readMeta(spark, path)
+        bm25Index(texts, "text", "doc_id")
+          .withColumn("bucket", bucketCol(nBuckets))
+          .select(col("bucket"), col("doc_id"), col("term"), col("dl"))
+      } else {
+        spark.read.parquet(postingsPath(path))
+          .select(col("bucket").cast("long").as("bucket"),
+            col("doc_id"), col("term"), col("dl"))
+          .join(broadcast(newIds), Seq("doc_id"))
+      }).localCheckpoint() // eager: bounded by the deleted docs' postings
       commitBm25Delete(spark, path, hits, storedEpoch)
     }
   }
@@ -865,6 +975,21 @@ object Retrieval {
       val (lnd, ltl, lih, _) = liveStatsAndBuckets(spark, path)
       writeEpochDelta(spark, tmp, 0L, lnd, ltl, lih,
         newBuckets, replaceAll = true)
+      // raw-text sidecar: rebucket is its VACUUM — rewrite it to exactly
+      // the folded postings' survivors (tombstoned docs and any
+      // abandoned-epoch orphans drop out), one row per doc at epoch 0,
+      // re-hashed to the new dbucket geometry. Deriving the survivor set
+      // from the written postings (not the sidecar) keeps the invariant
+      // sidecar = live ids exact.
+      if (hasDocsSidecar(spark, path)) {
+        val survivors = spark.read.parquet(postingsPath(tmp))
+          .select("doc_id").distinct()
+        val live = spark.read.parquet(docsPath(path))
+          .groupBy("doc_id").agg(expr("max_by(text, epoch)").as("text"))
+          .join(survivors, Seq("doc_id"), "leftsemi")
+        writeDocsSidecar(live, "text", "doc_id", tmp, 0L, newBuckets,
+          replaceAll = true)
+      }
       // a stream-pinned store keeps its checkpoint identity across the
       // rebucket: the marker travels to the new image, otherwise the
       // next micro-batch would refuse the store. QUIESCENCE CONTRACT
@@ -946,6 +1071,56 @@ object Retrieval {
                                 maxQueryTerms: Int = Int.MaxValue): DataFrame =
     servedBm25(spark, path, queries, textCol, idCol, k, k1, b,
       maxQueryTerms, allowed = Some(allowedDocs))
+
+  /** [[bm25TopKFromStore]] returning the PASSAGE, not just the id — the
+    * serving shape a RAG pipeline actually consumes, deployable from the
+    * store path alone (requires the raw-text sidecar,
+    * `writeBm25Store(..., storeDocs = true)`). Each hit carries a
+    * deterministic snippet: the fixed-width (2·window+1)-token slice of
+    * the doc's tokens starting at max(1, anchor − window), where anchor
+    * is the FIRST position of any matched query term (min over matched
+    * terms of the term's first occurrence — the positional store already
+    * persists first positions, so no text re-scan computes anchors).
+    *
+    * Plan shape: the ranking is [[bm25TopKFromStore]] verbatim (both
+    * serving scans behind the literal bucket filter). Anchors read the
+    * SAME pruned postings buckets once more selecting (doc_id, term,
+    * pos[1]) — k-bounded after the semi-join with the ranked list — and
+    * the texts read the sidecar behind the ranked ids' literal dbucket
+    * filter. Everything that joins is top-k metadata; no corpus-sized
+    * frame moves. */
+  def snippetTopKFromStore(spark: SparkSession, path: String,
+                           queries: DataFrame, textCol: String, idCol: String,
+                           k: Int, window: Int, k1: Double = K1,
+                           b: Double = B,
+                           maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    require(window >= 0, s"window must be >= 0: $window")
+    GraftFunctions.register(spark)
+    val ranked = bm25TopKFromStore(spark, path, queries, textCol, idCol,
+      k, k1, b, maxQueryTerms).localCheckpoint() // k-bounded; reused thrice
+    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val buckets = qterms
+      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val anchors = spark.read.parquet(postingsPath(path))
+      .filter(col("bucket").isInCollection(buckets))
+      .select(col("doc_id"), col("term"),
+        element_at(col("pos"), 1).as("first_pos"))
+      .join(broadcast(qterms.select("query_id", "term")), Seq("term"))
+      .join(broadcast(ranked.select("query_id", "doc_id")),
+        Seq("query_id", "doc_id"), "leftsemi")
+      .groupBy("query_id", "doc_id").agg(min("first_pos").as("anchor"))
+    val texts = readStoreDocs(spark, path, ranked.select("doc_id"))
+    implicit val d: graft.functions.Dialect =
+      graft.functions.Dialect(spark = true)
+    ranked
+      .join(broadcast(anchors), Seq("query_id", "doc_id"))
+      .join(broadcast(texts), Seq("doc_id"))
+      .withColumn("snippet",
+        expr(snippetSql("graft_tokens(text)", "anchor", window)))
+      .select("query_id", "rank", "doc_id", "score", "snippet")
+  }
 
   /** The one serving core (filtered and unfiltered cannot drift): one
     * tiny epochs read yields scalars AND bucket geometry (the scalars

@@ -89,6 +89,11 @@ object RetrievalQueries {
   private val BM25F_BODY_W = 1.0
   private val BM25F_BODY_B = 0.75
 
+  /** qx121 snippet half-width: each hit returns the (2w+1)-token window
+    * starting at max(1, anchor − w), anchor = first matched-term
+    * position. */
+  private val SNIPPET_WINDOW = 4
+
   private val V5_BENCH_MOD = 29
   private val V5_BENCH_REM = 3
   private val V5_SHINGLE_N = 4
@@ -194,6 +199,29 @@ object RetrievalQueries {
             Retrieval.Bm25StoreField(s"$work/body", BM25F_BODY_W, BM25F_BODY_B)),
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
+    // RAG serving returns the PASSAGE, not just the id: snippet mode
+    // over the raw-text sidecar (the lexical twin of the vector store's
+    // .vectors — round 10). The store runs build(storeDocs) → append
+    // (sidecar maintained at batch epoch) first; anchors come from the
+    // positional postings' first positions, texts from the sidecar
+    // behind the ranked ids' literal dbucket filter — no lake pointer
+    // anywhere in the serving call.
+    "qx121_bm25_snippets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
+      val work = java.nio.file.Files.createTempDirectory("qx121-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
+        "text", "doc_id", work, STORE_BUCKETS, storeDocs = true)
+      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
+        "text", "doc_id", work, epoch = 1L)
+      Retrieval.snippetTopKFromStore(s, work,
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, window = SNIPPET_WINDOW,
+          maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
 
@@ -837,6 +865,34 @@ object RetrievalQueries {
     // cand CTE only — dfreq/stats CTEs untouched, proving the fielded
     // filter never reweights idf/avgdl.
     "qx120_bm25f_filtered" -> bm25fOracleWhere(" WHERE m.doc_id % 3 = 1"),
+
+    // Ranking = qx100's CTEs verbatim; anchor = MIN over matched query
+    // terms of the term's first token position (list_position on the
+    // SAME normalized tokens the census walked — Spark reads it from the
+    // positional postings instead, the intended cross-derivation check);
+    // snippet = the shared Retrieval.snippetSql fragment, evaluated by
+    // DuckDB. The store (and its sidecar) is invisible by construction.
+    "qx121_bm25_snippets" -> {
+      val toks = TX.tokens("text")(duck)
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |$bm25Ctes,
+         |topk AS (SELECT query_id, doc_id, score_u, rn FROM ranked WHERE rn <= $BM25_K),
+         |anchors AS (SELECT c.query_id AS query_id, c.doc_id AS doc_id,
+         |              MIN(list_position($toks, c.term)) AS anchor
+         |            FROM cand c
+         |            JOIN topk t ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+         |            JOIN corpus ON corpus.doc_id = c.doc_id
+         |            GROUP BY c.query_id, c.doc_id)
+         |SELECT t.query_id AS query_id, CAST(rn AS BIGINT) AS rank,
+         |  t.doc_id AS doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score,
+         |  ${Retrieval.snippetSql(toks, "anchor", SNIPPET_WINDOW)(duck)} AS snippet
+         |FROM topk t
+         |JOIN anchors a ON a.query_id = t.query_id AND a.doc_id = t.doc_id
+         |JOIN corpus ON corpus.doc_id = t.doc_id
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // One chained derivation: contamination pairs (the Bloom is invisible
     // — it only prefilters, the confirm join is exact), the Gopher keep

@@ -243,6 +243,91 @@ class RetrievalSpec extends SparkSpec {
     assert(fusedServed.nonEmpty)
   }
 
+  test("raw-text sidecar: auto-routed delete equals the scan-path delete, store state for store state") {
+    import spark.implicits._
+    val base = docs((1L to 20L).map(i => i -> s"alpha doc$i common word$i"): _*)
+    val batch = docs((21L to 25L).map(i => i -> s"beta doc$i alpha"): _*)
+    val doomed = Seq(3L, 7L, 21L, 999L).toDF("doc_id") // 999 absent → no-op
+    val q = docs(900L -> "alpha common beta")
+    val root = java.nio.file.Files.createTempDirectory("bm25-docs-del").toString
+    val withSc = s"$root/with"; val without = s"$root/without"
+    Retrieval.writeBm25Store(base, "text", "doc_id", withSc, 8, storeDocs = true)
+    Retrieval.writeBm25Store(base, "text", "doc_id", without, 8)
+    for (p <- Seq(withSc, without))
+      Retrieval.appendBm25Store(batch, "text", "doc_id", p, epoch = 1L)
+    // the sidecar followed the append: all 25 live texts readable, pruned
+    val got = Retrieval.readStoreDocs(spark, withSc,
+      Seq(5L, 23L).toDF("doc_id")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(5L -> "alpha doc5 common word5", 23L -> "beta doc23 alpha"))
+    assert(Retrieval.deleteFromBm25Store(spark, withSc, doomed, epoch = 2L) == 3L)
+    assert(Retrieval.deleteFromBm25Store(spark, without, doomed, epoch = 2L) == 3L)
+    def dfTable(p: String) = spark.read.parquet(s"$p/df")
+      .groupBy("term").agg(sum("cnt").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.filter(_._2 != 0L)
+    def stats(p: String) = Retrieval.liveStats(spark, p).collect().head.toSeq
+    assert(dfTable(withSc) == dfTable(without))
+    assert(stats(withSc) == stats(without))
+    def rows(p: String) = Retrieval.bm25TopKFromStore(spark, p, q,
+      "text", "doc_id", 30).collect().map(_.toString).toSeq
+    assert(rows(withSc) == rows(without))
+    // readStoreDocs refuses a store without the sidecar
+    val err = intercept[IllegalArgumentException](
+      Retrieval.readStoreDocs(spark, without, Seq(1L).toDF("doc_id")))
+    assert(err.getMessage.contains("sidecar"))
+  }
+
+  test("raw-text sidecar: re-ingest after delete+compact serves the LATEST text; rebucket vacuums to exactly the live ids; rebuild without storeDocs clears it") {
+    import spark.implicits._
+    val base = docs((1L to 12L).map(i => i -> s"alpha doc$i common"): _*)
+    val work = java.nio.file.Files.createTempDirectory("bm25-docs-lc").toString
+    Retrieval.writeBm25Store(base, "text", "doc_id", work, 8, storeDocs = true)
+    Retrieval.deleteFromBm25Store(spark, work, Seq(4L).toDF("doc_id"), epoch = 1L)
+    Retrieval.compactBm25Store(spark, work) // clears tombstones
+    val reborn = docs(4L -> "gamma rewritten text")
+    Retrieval.appendBm25Store(reborn, "text", "doc_id", work, epoch = 2L)
+    // the reader resolves doc 4 to its LATEST epoch's text
+    val txt = Retrieval.readStoreDocs(spark, work, Seq(4L).toDF("doc_id"))
+      .collect().head.getString(1)
+    assert(txt == "gamma rewritten text")
+    // rebucket = the vacuum: one sidecar row per live doc, stale texts gone
+    Retrieval.deleteFromBm25Store(spark, work, Seq(9L).toDF("doc_id"), epoch = 3L)
+    Retrieval.rebucketBm25Store(spark, work, newBuckets = 4)
+    val sc = spark.read.parquet(s"$work/docs")
+    assert(sc.count() == 11L) // 12 − deleted 9, doc 4 exactly once
+    assert(sc.groupBy("doc_id").count().filter(col("count") > 1).count() == 0L)
+    assert(Retrieval.readStoreDocs(spark, work, Seq(4L).toDF("doc_id"))
+      .collect().head.getString(1) == "gamma rewritten text")
+    assert(spark.read.parquet(s"$work/docs").filter(col("doc_id") === 9L).count() == 0L)
+    // serving still equals the one-shot over the live corpus
+    val q = docs(900L -> "alpha gamma")
+    val live = base.filter(!col("doc_id").isin(4L, 9L)).unionByName(reborn)
+    assert(Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 30)
+      .collect().map(_.toString).toSeq
+      == Retrieval.bm25TopK(live, q, "text", "doc_id", 30)
+      .collect().map(_.toString).toSeq)
+    // a rebuild WITHOUT storeDocs clears the prior life's sidecar
+    Retrieval.writeBm25Store(base, "text", "doc_id", work, 8)
+    assert(!Retrieval.hasDocsSidecar(spark, work))
+  }
+
+  test("snippetTopKFromStore: anchor is the first matched-term position; window clips at doc start; fixed width") {
+    import spark.implicits._
+    val corpus = docs(
+      1L -> "one two three cat five six seven eight nine ten",
+      2L -> "cat at the very start of this document here now",
+      3L -> "no match words only filler tokens in this doc")
+    val work = java.nio.file.Files.createTempDirectory("bm25-snip").toString
+    Retrieval.writeBm25Store(corpus, "text", "doc_id", work, 4, storeDocs = true)
+    val got = Retrieval.snippetTopKFromStore(spark, work,
+        docs(100L -> "cat"), "text", "doc_id", 10, window = 2)
+      .collect().map(r => r.getLong(2) -> r.getString(4)).toMap
+    // doc 1: anchor 4 → tokens 2..6 (width 5); doc 2: anchor 1 → clip to
+    // start, still width 5 (tokens 1..5); doc 3 unmatched → absent
+    assert(got == Map(
+      1L -> "two three cat five six",
+      2L -> "cat at the very start"))
+  }
+
   test("bm25TopK: multi-term scores are summed per doc; ties break on doc_id") {
     val corpus = docs(
       1L -> "alpha beta",
