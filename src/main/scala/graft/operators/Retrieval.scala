@@ -1093,11 +1093,32 @@ object Retrieval {
                            queries: DataFrame, textCol: String, idCol: String,
                            k: Int, window: Int, k1: Double = K1,
                            b: Double = B,
-                           maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+                           maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    snippetImpl(spark, path, queries, textCol, idCol, k, window, k1, b,
+      maxQueryTerms, allowed = None)
+
+  /** [[snippetTopKFromStore]] under an id allow-list — the ranking is
+    * [[bm25TopKFromStoreFiltered]] (candidates fenced before ranking,
+    * statistics corpus-global); the snippet assembly is unchanged. */
+  def snippetTopKFromStoreFiltered(spark: SparkSession, path: String,
+                                   queries: DataFrame, allowedDocs: DataFrame,
+                                   textCol: String, idCol: String,
+                                   k: Int, window: Int, k1: Double = K1,
+                                   b: Double = B,
+                                   maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    snippetImpl(spark, path, queries, textCol, idCol, k, window, k1, b,
+      maxQueryTerms, allowed = Some(allowedDocs))
+
+  private def snippetImpl(spark: SparkSession, path: String,
+                          queries: DataFrame, textCol: String, idCol: String,
+                          k: Int, window: Int, k1: Double, b: Double,
+                          maxQueryTerms: Int,
+                          allowed: Option[DataFrame]): DataFrame = {
     require(window >= 0, s"window must be >= 0: $window")
     GraftFunctions.register(spark)
-    val ranked = bm25TopKFromStore(spark, path, queries, textCol, idCol,
-      k, k1, b, maxQueryTerms).localCheckpoint() // k-bounded; reused thrice
+    val ranked = servedBm25(spark, path, queries, textCol, idCol,
+      k, k1, b, maxQueryTerms, allowed)
+      .localCheckpoint() // k-bounded; reused thrice
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
     val buckets = qterms

@@ -170,15 +170,37 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
               queryFrame(text), conf.textCol, conf.idCol, k, window,
               maxQueryTerms = conf.maxQueryTerms)
           }
+        case "snippet" =>
+          // RAG passage serving (qx121): each hit carries the token
+          // window around the first matched query term — texts from the
+          // store's raw-text sidecar, anchors from the positional
+          // postings. `window` here is the snippet HALF-WIDTH in tokens
+          // (per-mode meaning, like proximity's position span).
+          if (window < 0 || window > 100)
+            return error(400, s"window must be in [0, 100] tokens: $window")
+          allowed match {
+            case Some(a) => Retrieval.snippetTopKFromStoreFiltered(spark,
+              conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
+              k, window, maxQueryTerms = conf.maxQueryTerms)
+            case None => Retrieval.snippetTopKFromStore(spark, conf.lexStore,
+              queryFrame(text), conf.textCol, conf.idCol, k, window,
+              maxQueryTerms = conf.maxQueryTerms)
+          }
         case other =>
           return error(400,
-            s"unknown mode '$other' (expected hybrid|vector|lexical|phrase|proximity)")
+            s"unknown mode '$other' (expected hybrid|vector|lexical|phrase|proximity|snippet)")
       }
       Response(200, "application/json",
         envelope(result.drop("query_id").orderBy("rank")))
     } catch {
       case e: IllegalStateException => error(503,
         s"retrieval store unavailable: ${e.getMessage}")
+      // a store missing the raw-text sidecar (snippet mode on a store
+      // built without storeDocs) is a deployment-shape problem, not a
+      // malformed request
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("sidecar") =>
+        error(503, s"retrieval store unavailable: ${e.getMessage}")
     }
   }
 

@@ -325,7 +325,7 @@ class ServeLayerSpec extends SparkSpec {
     val work = java.nio.file.Files.createTempDirectory("srv-search-").toString
     val corpus = hybrid.filter(col("doc_id") >= 10) // ids < 10 stay query-side
     Retrieval.writeBm25Store(corpus.select("doc_id", "text"),
-      "text", "doc_id", s"$work/lex", 8)
+      "text", "doc_id", s"$work/lex", 8, storeDocs = true)
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
     val cb = emb.filter(col("vec_id") < 4)
@@ -415,6 +415,25 @@ class ServeLayerSpec extends SparkSpec {
         ), "proximity mode must serve exactly the operator result")
       assert(get("/search?mode=proximity&window=0&q=x").statusCode == 400,
         "window below 1 must 400")
+      // snippet mode: the passage around the first matched term, served
+      // from the raw-text sidecar — exactly the operator result
+      val wantSnip = Retrieval.snippetTopKFromStore(spark, s"$work/lex",
+          Seq((3L, qText)).toDF("doc_id", "text"), "text", "doc_id", 5,
+          window = 4, maxQueryTerms = 6).orderBy("rank")
+        .select("doc_id", "snippet").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      val sn = get(s"/search?mode=snippet&k=5&window=4&q=" +
+        java.net.URLEncoder.encode(qText, "UTF-8"))
+      assert(sn.statusCode == 200, sn.body)
+      val snData = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(sn.body).get("data")
+      val gotSnip = (0 until snData.size).map(i =>
+        snData.get(i).get("doc_id").asLong -> snData.get(i).get("snippet").asText)
+      assert(gotSnip == wantSnip.toSeq,
+        "snippet mode must serve exactly the operator result")
+      assert(gotSnip.nonEmpty && gotSnip.forall(_._2.nonEmpty))
+      assert(get("/search?mode=snippet&window=500&q=x").statusCode == 400,
+        "snippet half-width above 100 must 400")
       // hybrid over GET is a 400 (no way to pass the vector), bad mode 400
       assert(get("/search?mode=hybrid&q=x").statusCode == 400)
       assert(post("/search", """{"text":"x","mode":"nope"}""").statusCode == 400)
@@ -517,6 +536,14 @@ class ServeLayerSpec extends SparkSpec {
           qDf.select(col("doc_id"), col("embedding")), "doc_id", "embedding",
           5, 3, 40).withColumnRenamed("neighbor_id", "doc_id")),
         "lake-free vector mode must serve the sidecar-rescored result")
+      // this lex store has NO raw-text sidecar: snippet mode is a
+      // deployment-shape 503 (store unavailable), not a 400 or an NPE
+      val sn = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${server.boundPort}/search?mode=snippet&k=5&q=" +
+            java.net.URLEncoder.encode(qText, "UTF-8"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(sn.statusCode == 503, s"${sn.statusCode}: ${sn.body}")
+      assert(sn.body.contains("sidecar"))
     } finally server.stop()
   }
 
