@@ -29,10 +29,14 @@ object ScaleProbe {
     // corpus-scale term anywhere.
     if (args.contains("bm25f")) {
       graft.functions.GraftFunctions.register(spark)
+      // a ≤5-token doc would leave an empty body — the field stores'
+      // universes would diverge and the field-complete gate would refuse
+      // (by design); BM25F fields must be total, so pad with the
+      // placeholder token the operator's scaladoc prescribes
       def fieldize(df: org.apache.spark.sql.DataFrame) = df.select(
         col("doc_id"),
         expr("array_join(slice(graft_tokens(text), 1, 5), ' ')").as("title"),
-        expr("array_join(slice(graft_tokens(text), 6, 1000000), ' ')").as("body"))
+        expr("coalesce(nullif(array_join(slice(graft_tokens(text), 6, 1000000), ' '), ''), 'emptybody')").as("body"))
       val queries = base.filter(col("doc_id") % 503 === 7)
       val warm = java.nio.file.Files.createTempDirectory("scale-bm25fw").toString
       for (f <- Seq("title", "body"))

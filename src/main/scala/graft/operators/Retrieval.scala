@@ -347,6 +347,15 @@ object Retrieval {
   private def bucketCol(nBuckets: Int): Column =
     expr(s"graft_polyhash(term) % $nBuckets")
 
+  /** The serving plan's partition literals: the DISTINCT term-hash
+    * buckets of a (…, term) frame — ≤ min(|terms|, nBuckets) longs
+    * collected to the driver (planning metadata). The ONE idiom every
+    * pruned lexical read starts from; shared so the serving, phrase,
+    * proximity and snippet paths cannot drift. */
+  private def termBuckets(terms: DataFrame, nBuckets: Long): Seq[Long] =
+    terms.select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
@@ -414,7 +423,13 @@ object Retrieval {
     require(hasDocsSidecar(spark, path),
       s"store $path has no raw-text sidecar (${docsPath(path)} missing) — " +
         "build it with writeBm25Store(..., storeDocs = true)")
-    val nBuckets = readMeta(spark, path)
+    readStoreDocsAt(spark, path, ids, readMeta(spark, path))
+  }
+
+  /** [[readStoreDocs]] with the bucket geometry already in hand (the
+    * delete path read the epochs table for it anyway). */
+  private def readStoreDocsAt(spark: SparkSession, path: String,
+                              ids: DataFrame, nBuckets: Int): DataFrame = {
     val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
     val buckets = want.select(docsBucketCol(nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
@@ -714,16 +729,37 @@ object Retrieval {
       // AUTO-ROUTE (round 10): a store carrying the raw-text sidecar
       // serves its own O(batch) delete — texts of the retracted ids read
       // behind their literal dbucket filter, deltas from re-tokenization,
-      // standing postings never opened. Ids without a sidecar row were
-      // never ingested and stay no-ops (sidecar ⊇ live ids by the append
-      // ordering; an abandoned half-appended epoch must be retried first,
-      // per the append's own retry contract). RetrievalSpec cross-gates
-      // this route against the scan path, store state for store state.
+      // the standing postings touched only by the pruned LIVENESS PROBE
+      // below. RetrievalSpec cross-gates this route against the scan
+      // path, store state for store state, including the
+      // delete→compact→re-delete sequence.
       val hits = (if (hasDocsSidecar(spark, path)) {
-        val texts = readStoreDocs(spark, path, newIds)
         val nBuckets = readMeta(spark, path)
-        bm25Index(texts, "text", "doc_id")
+        val texts = readStoreDocsAt(spark, path, newIds, nBuckets)
+        val census = bm25Index(texts, "text", "doc_id")
           .withColumn("bucket", bucketCol(nBuckets))
+          .localCheckpoint() // batch-sized; reused by the probe + deltas
+        // LIVENESS PROBE — the sidecar keeps a retracted-then-compacted
+        // doc's text forever (deletes and compact never touch it;
+        // rebucket is the vacuum), so re-deleting such an id must still
+        // be a no-op, exactly like the scan path: without this check the
+        // stale text would re-derive deltas and double-decrement
+        // df/n_docs/total_len (and corrupt the id_hash signature). A
+        // doc's postings land and vanish ATOMICALLY across its terms
+        // (append writes them in one epoch, delete tombstones the doc,
+        // compact purges the doc), so ONE deterministic bucket per doc
+        // decides liveness: probe each candidate's MIN term bucket —
+        // ≤|batch| literal partitions, a (bucket, doc_id) column-pruned
+        // read, never the store.
+        val probeBuckets = census.groupBy("doc_id")
+          .agg(min(col("bucket")).as("b"))
+          .select("b").distinct().collect().map(_.getLong(0)).toSeq
+        val liveIds = spark.read.parquet(postingsPath(path))
+          .filter(col("bucket").isInCollection(probeBuckets))
+          .select("doc_id")
+          .join(broadcast(newIds), Seq("doc_id"), "leftsemi")
+          .distinct()
+        census.join(broadcast(liveIds), Seq("doc_id"), "leftsemi")
           .select(col("bucket"), col("doc_id"), col("term"), col("dl"))
       } else {
         spark.read.parquet(postingsPath(path))
@@ -1121,10 +1157,12 @@ object Retrieval {
       .localCheckpoint() // k-bounded; reused thrice
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
-    val buckets = qterms
-      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val anchors = spark.read.parquet(postingsPath(path))
+    val buckets = termBuckets(qterms, nBuckets)
+    val post = spark.read.parquet(postingsPath(path))
+    require(post.columns.contains("pos"),
+      s"store $path has no positional postings — it predates the " +
+        "positional schema; rebuild (or rebucket) it to enable snippet serving")
+    val anchors = post
       .filter(col("bucket").isInCollection(buckets))
       .select(col("doc_id"), col("term"),
         element_at(col("pos"), 1).as("first_pos"))
@@ -1176,9 +1214,7 @@ object Retrieval {
                                  qterms: DataFrame, nBuckets: Long,
                                  allowed: Option[DataFrame])
       : (DataFrame, Seq[Long]) = {
-    val buckets = qterms
-      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val buckets = termBuckets(qterms, nBuckets)
     val post = spark.read.parquet(postingsPath(path))
     // absent-tombstone case reuses post's already-resolved schema — no
     // second listing of the postings directory
@@ -1350,9 +1386,7 @@ object Retrieval {
                 else qtok0.filter(col("qp0") < maxPhraseTerms))
       .select(col("query_id"), (col("qp0") + 1).as("slot"), col("term"))
     val qlen = qtok.groupBy("query_id").agg(count(lit(1)).as("plen"))
-    val buckets = qtok
-      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val buckets = termBuckets(qtok, nBuckets)
     val post = spark.read.parquet(postingsPath(path))
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
@@ -1442,9 +1476,7 @@ object Retrieval {
                   else qtok0.filter(col("qp0") < maxQueryTerms))
       .select("query_id", "term").distinct()
     val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("nterms"))
-    val buckets = qterms
-      .select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val buckets = termBuckets(qterms, nBuckets)
     val post = spark.read.parquet(postingsPath(path))
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +

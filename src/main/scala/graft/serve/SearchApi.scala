@@ -196,10 +196,12 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       case e: IllegalStateException => error(503,
         s"retrieval store unavailable: ${e.getMessage}")
       // a store missing the raw-text sidecar (snippet mode on a store
-      // built without storeDocs) is a deployment-shape problem, not a
-      // malformed request
+      // built without storeDocs) or positional postings (phrase/
+      // proximity/snippet on a pre-positional store) is a
+      // deployment-shape problem, not a malformed request
       case e: IllegalArgumentException if e.getMessage != null &&
-          e.getMessage.contains("sidecar") =>
+          (e.getMessage.contains("sidecar") ||
+            e.getMessage.contains("positional")) =>
         error(503, s"retrieval store unavailable: ${e.getMessage}")
     }
   }

@@ -209,7 +209,9 @@ class RetrievalSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val fielded = hybrid.select(col("doc_id"), col("embedding"),
       expr("array_join(slice(graft_tokens(text), 1, 5), ' ')").as("title"),
-      expr("array_join(slice(graft_tokens(text), 6, 1000000), ' ')").as("body"))
+      // pad short docs' bodies: BM25F fields must be total (see the
+      // field-complete gate's scaladoc)
+      expr("coalesce(nullif(array_join(slice(graft_tokens(text), 6, 1000000), ' '), ''), 'emptybody')").as("body"))
     val corpus = fielded.filter(!isQuery)
     val queries = hybrid.filter(isQuery).select("doc_id", "text", "embedding")
     val work = java.nio.file.Files.createTempDirectory("fielded-rag").toString
@@ -274,6 +276,17 @@ class RetrievalSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       Retrieval.readStoreDocs(spark, without, Seq(1L).toDF("doc_id")))
     assert(err.getMessage.contains("sidecar"))
+    // delete → compact → RE-DELETE the same ids: compact clears the
+    // tombstones but the sidecar keeps the dead docs' texts — the
+    // liveness probe must make the re-delete a no-op on BOTH paths
+    // (without it the sidecar route would re-derive deltas from the
+    // stale text and double-decrement df/scalars/signature forever)
+    for (p <- Seq(withSc, without)) Retrieval.compactBm25Store(spark, p)
+    assert(Retrieval.deleteFromBm25Store(spark, withSc, doomed, epoch = 3L) == 0L)
+    assert(Retrieval.deleteFromBm25Store(spark, without, doomed, epoch = 3L) == 0L)
+    assert(dfTable(withSc) == dfTable(without))
+    assert(stats(withSc) == stats(without))
+    assert(rows(withSc) == rows(without))
   }
 
   test("raw-text sidecar: re-ingest after delete+compact serves the LATEST text; rebucket vacuums to exactly the live ids; rebuild without storeDocs clears it") {
