@@ -143,7 +143,8 @@ final class McpTools(spark: SparkSession, facts: () => DataFrame,
         a.intOr("k", 10),
         a.optStr("mode").getOrElse("hybrid"),
         a.strSeq("allowed_ids"),
-        a.intOr("window", 12))
+        a.intOr("window", 12),
+        includeText = a.boolOr("include_text", default = false))
       if (resp.status == 200) resp.body else s"Error: ${resp.body}"
 
     case other => s"Unknown tool: $other"
@@ -195,7 +196,7 @@ object McpTools {
       "the passage around the first matched term from the store's raw-text "+
       "sidecar); optional allowed_ids fences " +
       "results to an access-scoped id set",
-    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","phrase","proximity","snippet"]},"allowed_ids":{"type":"array","items":{"type":"string"}},"window":{"type":"integer","default":12}},"required":[]}""")
+    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","phrase","proximity","snippet"]},"allowed_ids":{"type":"array","items":{"type":"string"}},"window":{"type":"integer","default":12},"include_text":{"type":"boolean","default":false}},"required":[]}""")
 
   /** Typed access over the loosely-typed argument map. */
   private final class Args(m: Map[String, Any]) {
@@ -214,6 +215,11 @@ object McpTools {
       case Some(s: String) => s.toIntOption
         .orElse(s.toDoubleOption.filter(_.isWhole).map(_.toInt))
         .getOrElse(default)
+      case _ => default
+    }
+    def boolOr(k: String, default: Boolean): Boolean = m.get(k) match {
+      case Some(b: Boolean) => b
+      case Some(s: String) => s.equalsIgnoreCase("true")
       case _ => default
     }
     def strSeq(k: String): Seq[String] = m.get(k) match {

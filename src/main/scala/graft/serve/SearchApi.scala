@@ -88,7 +88,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
     * filtered serving paths (qx111/qx114 semantics: candidates fenced
     * before ranking, statistics corpus-global). */
   def search(text: String, vector: Seq[Float], k: Int, mode: String,
-             allowedIds: Seq[String], window: Int = 12): Response = {
+             allowedIds: Seq[String], window: Int = 12,
+             includeText: Boolean = false): Response = {
     if (k < 1 || k > conf.maxK)
       return error(400, s"k must be in [1, ${conf.maxK}]: $k")
     val needsVector = mode == "hybrid" || mode == "vector"
@@ -190,8 +191,20 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
           return error(400,
             s"unknown mode '$other' (expected hybrid|vector|lexical|phrase|proximity|snippet)")
       }
+      // RAG context fetch on ANY mode: attach each hit's full document
+      // text from the raw-text sidecar (k-bounded join behind the hits'
+      // literal dbucket filter — no lake pointer, no corpus scan).
+      // Snippet mode already carries its windowed passage.
+      val withText =
+        if (includeText && mode != "snippet")
+          result.join(
+            org.apache.spark.sql.functions.broadcast(
+              Retrieval.readStoreDocs(spark, conf.lexStore,
+                result.select("doc_id"))),
+            Seq("doc_id"), "left")
+        else result
       Response(200, "application/json",
-        envelope(result.drop("query_id").orderBy("rank")))
+        envelope(withText.drop("query_id").orderBy("rank")))
     } catch {
       case e: IllegalStateException => error(503,
         s"retrieval store unavailable: ${e.getMessage}")
@@ -214,7 +227,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
         """with {"text":...,"vector":[...]} instead""")
     search(params.getOrElse("q", ""), Seq.empty,
       params.get("k").flatMap(_.toIntOption).getOrElse(10), mode, Seq.empty,
-      params.get("window").flatMap(_.toIntOption).getOrElse(12))
+      params.get("window").flatMap(_.toIntOption).getOrElse(12),
+      includeText = params.get("include_text").contains("true"))
   }
 
   /** POST-shaped entry: {"text":..., "vector":[...], "k":10,
@@ -235,7 +249,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       Option(node.get("mode")).map(_.asText).getOrElse("hybrid"),
       Option(node.get("allowed_ids")).filter(_.isArray)
         .map(FinancialApi.asStringSeq).getOrElse(Seq.empty),
-      Option(node.get("window")).map(_.asInt).getOrElse(12))
+      Option(node.get("window")).map(_.asInt).getOrElse(12),
+      includeText = Option(node.get("include_text")).exists(_.asBoolean))
   }
 }
 

@@ -434,6 +434,20 @@ class ServeLayerSpec extends SparkSpec {
       assert(gotSnip.nonEmpty && gotSnip.forall(_._2.nonEmpty))
       assert(get("/search?mode=snippet&window=500&q=x").statusCode == 400,
         "snippet half-width above 100 must 400")
+      // include_text: the RAG context fetch — every hybrid hit carries
+      // its full document text from the raw-text sidecar
+      val ht = post("/search",
+        s"""{"text":${jstr(qText)},"vector":$vecJson,"k":5,"mode":"hybrid","include_text":true}""")
+      assert(ht.statusCode == 200, ht.body)
+      val htData = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(ht.body).get("data")
+      val wantTexts = corpus.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert((0 until htData.size).forall { i =>
+        htData.get(i).get("text").asText == wantTexts(htData.get(i).get("doc_id").asLong)
+      }, "include_text must attach each hit's exact sidecar text")
+      assert((0 until htData.size).map(i => htData.get(i).get("doc_id").asLong)
+        == wantHybrid, "include_text must not change the ranking")
       // hybrid over GET is a 400 (no way to pass the vector), bad mode 400
       assert(get("/search?mode=hybrid&q=x").statusCode == 400)
       assert(post("/search", """{"text":"x","mode":"nope"}""").statusCode == 400)
@@ -544,6 +558,12 @@ class ServeLayerSpec extends SparkSpec {
         HttpResponse.BodyHandlers.ofString())
       assert(sn.statusCode == 503, s"${sn.statusCode}: ${sn.body}")
       assert(sn.body.contains("sidecar"))
+      // include_text on the same sidecar-less store: 503 too, not a 500
+      val it = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${server.boundPort}/search?mode=lexical&include_text=true&k=5&q=" +
+            java.net.URLEncoder.encode(qText, "UTF-8"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(it.statusCode == 503 && it.body.contains("sidecar"))
     } finally server.stop()
   }
 
