@@ -40,10 +40,27 @@ object StoreCtl {
 
   sealed trait StoreSpec { def path: String }
 
-  /** `foldEpochs` is the explicit quiescence opt-in (see object doc). */
+  /** `foldEpochs` is the explicit quiescence opt-in (see object doc).
+    *
+    * `targetDocsPerBucket` + `rebucketWhenBucketsOff` (both > 0) enable
+    * the lexical GEOMETRY policy — the exact twin of the vector family's
+    * `recellWhenCellsOff`: serving reads the query terms' buckets, so
+    * per-query bytes track corpus/nBuckets, and a store that grew 16×
+    * past its build geometry serves 16× the bytes per term. When the
+    * live doc count (an O(1) epochs read) drifts more than the declared
+    * factor from `ceil(live / targetDocsPerBucket)` buckets, a cycle
+    * rebuckets to that prescription ([[Retrieval.rebucketBm25Store]],
+    * which also folds epochs and vacuums the raw-text sidecar).
+    * Stream-adopted stores are skip-reported, not rebucketted —
+    * rebucket's quiescence contract (folding voids per-epoch replay
+    * idempotency) makes that the operator's call, exactly like the
+    * epoch fold and the vector recell. */
   final case class LexStore(path: String,
                             foldEpochs: Boolean = false,
-                            maxEpochsPerBucket: Double = 8.0) extends StoreSpec
+                            maxEpochsPerBucket: Double = 8.0,
+                            targetDocsPerBucket: Double = 0.0,
+                            rebucketWhenBucketsOff: Double = 0.0)
+      extends StoreSpec
 
   /** `recellWhenCellsOff` is the vector family's opt-in GEOMETRY policy
     * (the twin of the lexical `foldEpochs`): when > 0, a maintenance
@@ -94,12 +111,38 @@ object StoreCtl {
     fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "/tombstones"))
 
-  /** One lexical maintenance pass (see object doc for the policy). */
+  /** One lexical maintenance pass (see object doc for the policy).
+    * Priority: tombstones → compact; geometry off → rebucket (which
+    * subsumes an epoch fold); fragmentation → fold; else noop. */
   def maintainLex(spark: SparkSession, s: LexStore): CycleReport = {
     if (hasTombstones(spark, s.path)) {
       val removed = Retrieval.compactBm25Store(spark, s.path)
       CycleReport(s.path, "lex", "compact", s"removed $removed posting rows")
     } else {
+      val geom = if (s.targetDocsPerBucket > 0 && s.rebucketWhenBucketsOff > 0) {
+        val live = Retrieval.liveStats(spark, s.path)
+          .head().getLong(0) // O(1): the summed epoch deltas
+        val current = spark.read.parquet(s.path.stripSuffix("/") + "/epochs")
+          .select("n_buckets").head().getInt(0).toLong
+        val want = math.max(1L, math.ceil(live / s.targetDocsPerBucket).toLong)
+        val off = math.max(want.toDouble / current, current.toDouble / want)
+        if (off <= s.rebucketWhenBucketsOff)
+          Some(CycleReport(s.path, "lex", "noop",
+            f"geometry ok ($current buckets, target wants $want, ${off}%.1fx)"))
+        else if (hasStreamMarker(spark, s.path))
+          Some(CycleReport(s.path, "lex", "skip-stream",
+            s"geometry off ($current buckets, target wants $want) but " +
+              "stream-adopted; rebucket folds epochs — operator action"))
+        else {
+          Retrieval.rebucketBm25Store(spark, s.path, want.toInt)
+          Some(CycleReport(s.path, "lex", "rebucket",
+            s"geometry retrained: $current -> $want buckets for $live live docs"))
+        }
+      } else None
+      geom match {
+        case Some(r) if r.action != "noop" => return r
+        case _ => ()
+      }
       val frag = lexEpochFragmentation(spark, s.path)
       if (s.foldEpochs && frag > s.maxEpochsPerBucket) {
         if (hasStreamMarker(spark, s.path))
@@ -114,7 +157,8 @@ object StoreCtl {
             f"epoch fold at $n buckets (was $frag%.1f epochs/bucket)")
         }
       } else CycleReport(s.path, "lex", "noop",
-        f"no tombstones, $frag%.1f epochs/bucket")
+        f"no tombstones, $frag%.1f epochs/bucket" +
+          geom.map("; " + _.detail).getOrElse(""))
     }
   }
 
@@ -199,7 +243,7 @@ object StoreCtl {
 
   /** CLI: `cycle <spec>...` (one pass) or `daemon <intervalMs>
     * <maxCycles> <spec>...` where spec is
-    * `lex:<path>[:fold[:maxEpochsPerBucket]]` or
+    * `lex:<path>[:fold[:maxEpochsPerBucket[:targetDocsPerBucket[:rebucketWhenBucketsOff]]]]` or
     * `vec:<path>[:maxDeadFraction[:maxFilesPerCell[:recellWhenCellsOff]]]`. */
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
@@ -223,7 +267,7 @@ object StoreCtl {
   }
 
   private val usage =
-    "usage: cycle lex:<path>[:fold[:maxEpochs]] " +
+    "usage: cycle lex:<path>[:fold[:maxEpochs[:targetDocs[:rebucketOff]]]] " +
       "vec:<path>[:deadFrac[:maxFiles[:recellOff]]] ...\n" +
       "   or: daemon <intervalMs> <maxCycles> <spec>..."
 
@@ -241,7 +285,7 @@ object StoreCtl {
     }
     def isNum(t: String) = t.toDoubleOption.isDefined
     var toks = rest.split(':').toList
-    val maxOpts = if (family == "lex") 2 else 3
+    val maxOpts = if (family == "lex") 4 else 3
     var opts = List.empty[String]
     while (toks.length > 1 && opts.length < maxOpts &&
         (isNum(toks.last) || (family == "lex" && toks.last == "fold"))) {
@@ -253,6 +297,8 @@ object StoreCtl {
       case ("lex", Nil)              => LexStore(p)
       case ("lex", List("fold"))     => LexStore(p, foldEpochs = true)
       case ("lex", List("fold", m))  => LexStore(p, foldEpochs = true, m.toDouble)
+      case ("lex", List("fold", m, t, ro)) =>
+        LexStore(p, foldEpochs = true, m.toDouble, t.toDouble, ro.toDouble)
       case ("vec", Nil)              => VecStore(p)
       case ("vec", List(f))          => VecStore(p, f.toDouble)
       case ("vec", List(f, mf))      => VecStore(p, f.toDouble, mf.toDouble)

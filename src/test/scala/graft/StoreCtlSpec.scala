@@ -121,6 +121,52 @@ class StoreCtlSpec extends SparkSpec {
       "doc_id", 10)) === expect, "serving changed across the epoch fold")
   }
 
+  test("lexical geometry policy: opt-in, refuses under a stream marker, rebuckets to the docs-per-bucket prescription and settles") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val lex = java.nio.file.Files.createTempDirectory("storectl-geom-")
+      .toString + "/lex"
+    // build tiny (2 buckets), then append the rest: the live doc count
+    // now wants far more buckets at target 25 docs/bucket
+    Retrieval.writeBm25Store(docs.filter(col("doc_id") % 5 === 0),
+      "text", "doc_id", lex, nBuckets = 2, storeDocs = true)
+    Retrieval.appendBm25Store(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", lex, epoch = 1L)
+    val live = Retrieval.liveStats(spark, lex).head().getLong(0)
+    val want = math.ceil(live / 25.0).toLong
+    assert(want > 2L, s"fixture must want more than the built 2 buckets: $want")
+    val q = docs.filter(col("doc_id") % 101 === 7).limit(3)
+      .select("doc_id", "text")
+    val expect = lexRows(
+      Retrieval.bm25TopKFromStore(spark, lex, q, "text", "doc_id", 10))
+    // no opt-in → geometry drift alone never rebuckets
+    val noOptIn = StoreCtl.cycle(spark, Seq(StoreCtl.LexStore(lex)))
+    assert(noOptIn.head.action === "noop", noOptIn.toString)
+    // opted in but stream-adopted → refuse (rebucket folds epochs)
+    val marker = new java.io.File(s"$lex/_graft_stream_id")
+    java.nio.file.Files.writeString(marker.toPath, "some-stream")
+    val pol = StoreCtl.LexStore(lex, foldEpochs = false,
+      targetDocsPerBucket = 25.0, rebucketWhenBucketsOff = 1.5)
+    val underStream = StoreCtl.cycle(spark, Seq(pol))
+    assert(underStream.head.action === "skip-stream", underStream.toString)
+    // quiesced → rebucket to the prescription; serving unchanged; the
+    // raw-text sidecar traveled (vacuum) and still serves
+    assert(marker.delete())
+    val done = StoreCtl.cycle(spark, Seq(pol))
+    assert(done.head.action === "rebucket", done.toString)
+    assert(spark.read.parquet(s"$lex/epochs").select("n_buckets")
+      .head().getInt(0).toLong === want)
+    assert(lexRows(Retrieval.bm25TopKFromStore(spark, lex, q, "text",
+      "doc_id", 10)) === expect, "serving changed across the rebucket")
+    assert(Retrieval.hasDocsSidecar(spark, lex) &&
+      Retrieval.readStoreDocs(spark, lex,
+        docs.select("doc_id").limit(2)).count() == 2L)
+    // settled: next cycle reports geometry ok
+    val settled = StoreCtl.cycle(spark, Seq(pol))
+    assert(settled.head.action === "noop" &&
+      settled.head.detail.contains("geometry ok"), settled.toString)
+  }
+
   test("vector geometry policy: opt-in, needs the sidecar, refuses under a stream marker, retrains to √N and settles") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding").localCheckpoint()
@@ -204,6 +250,8 @@ class StoreCtlSpec extends SparkSpec {
       StoreCtl.VecStore("hdfs://nn:8020/store", 0.2))
     assert(StoreCtl.parseSpec("lex:hdfs://nn:8020/lex:fold") ===
       StoreCtl.LexStore("hdfs://nn:8020/lex", foldEpochs = true))
+    assert(StoreCtl.parseSpec("lex:/p:fold:8:1024:2") ===
+      StoreCtl.LexStore("/p", foldEpochs = true, 8.0, 1024.0, 2.0))
     intercept[IllegalArgumentException] { StoreCtl.parseSpec("zzz:/p") }
   }
 }
