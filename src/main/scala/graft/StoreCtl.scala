@@ -60,7 +60,13 @@ object StoreCtl {
                             maxEpochsPerBucket: Double = 8.0,
                             targetDocsPerBucket: Double = 0.0,
                             rebucketWhenBucketsOff: Double = 0.0)
-      extends StoreSpec
+      extends StoreSpec {
+    // off = max(want/current, current/want) is always >= 1, so a sub-1
+    // threshold would rebucket the whole store EVERY cycle forever
+    require(rebucketWhenBucketsOff == 0.0 || rebucketWhenBucketsOff >= 1.0,
+      s"rebucketWhenBucketsOff is a drift FACTOR (>= 1), not a fraction: " +
+        s"$rebucketWhenBucketsOff")
+  }
 
   /** `recellWhenCellsOff` is the vector family's opt-in GEOMETRY policy
     * (the twin of the lexical `foldEpochs`): when > 0, a maintenance
@@ -75,7 +81,13 @@ object StoreCtl {
   final case class VecStore(path: String,
                             maxDeadFraction: Double = 0.3,
                             maxFilesPerCell: Double = 4.0,
-                            recellWhenCellsOff: Double = 0.0) extends StoreSpec
+                            recellWhenCellsOff: Double = 0.0)
+      extends StoreSpec {
+    // same drift-factor shape as the lexical policy: off >= 1 always
+    require(recellWhenCellsOff == 0.0 || recellWhenCellsOff >= 1.0,
+      s"recellWhenCellsOff is a drift FACTOR (>= 1), not a fraction: " +
+        s"$recellWhenCellsOff")
+  }
 
   /** One store's outcome in one cycle. `action` ∈ {"compact", "fold",
     * "sweep", "skip-locked", "noop", "skip-stream"} (vector sweeps fold
@@ -120,10 +132,10 @@ object StoreCtl {
       CycleReport(s.path, "lex", "compact", s"removed $removed posting rows")
     } else {
       val geom = if (s.targetDocsPerBucket > 0 && s.rebucketWhenBucketsOff > 0) {
-        val live = Retrieval.liveStats(spark, s.path)
-          .head().getLong(0) // O(1): the summed epoch deltas
-        val current = spark.read.parquet(s.path.stripSuffix("/") + "/epochs")
-          .select("n_buckets").head().getInt(0).toLong
+        // ONE tiny epochs read yields the live doc count AND the bucket
+        // geometry (the same read serving starts from)
+        val (live, _, _, nb) = Retrieval.liveStatsAndBuckets(spark, s.path)
+        val current = nb.toLong
         val want = math.max(1L, math.ceil(live / s.targetDocsPerBucket).toLong)
         val off = math.max(want.toDouble / current, current.toDouble / want)
         if (off <= s.rebucketWhenBucketsOff)
@@ -243,8 +255,10 @@ object StoreCtl {
 
   /** CLI: `cycle <spec>...` (one pass) or `daemon <intervalMs>
     * <maxCycles> <spec>...` where spec is
-    * `lex:<path>[:fold[:maxEpochsPerBucket[:targetDocsPerBucket[:rebucketWhenBucketsOff]]]]` or
-    * `vec:<path>[:maxDeadFraction[:maxFilesPerCell[:recellWhenCellsOff]]]`. */
+    * `lex:<path>[:fold[:maxEpochsPerBucket[:targetDocsPerBucket[:rebucketWhenBucketsOff]]]]`
+    * (geometry without epoch folding: `lex:<path>:geom:<targetDocsPerBucket>[:rebucketWhenBucketsOff]`)
+    * or `vec:<path>[:maxDeadFraction[:maxFilesPerCell[:recellWhenCellsOff]]]`.
+    * Omitted drift factors default to 2.0. */
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -268,7 +282,8 @@ object StoreCtl {
 
   private val usage =
     "usage: cycle lex:<path>[:fold[:maxEpochs[:targetDocs[:rebucketOff]]]] " +
-      "vec:<path>[:deadFrac[:maxFiles[:recellOff]]] ...\n" +
+      "| lex:<path>:geom:<targetDocs>[:rebucketOff] " +
+      "| vec:<path>[:deadFrac[:maxFiles[:recellOff]]] ...\n" +
       "   or: daemon <intervalMs> <maxCycles> <spec>..."
 
   /** Specs are parsed family-prefix, OPTIONS-SUFFIX: the option tokens
@@ -288,7 +303,8 @@ object StoreCtl {
     val maxOpts = if (family == "lex") 4 else 3
     var opts = List.empty[String]
     while (toks.length > 1 && opts.length < maxOpts &&
-        (isNum(toks.last) || (family == "lex" && toks.last == "fold"))) {
+        (isNum(toks.last) ||
+          (family == "lex" && (toks.last == "fold" || toks.last == "geom")))) {
       opts = toks.last :: opts
       toks = toks.init
     }
@@ -297,8 +313,16 @@ object StoreCtl {
       case ("lex", Nil)              => LexStore(p)
       case ("lex", List("fold"))     => LexStore(p, foldEpochs = true)
       case ("lex", List("fold", m))  => LexStore(p, foldEpochs = true, m.toDouble)
+      case ("lex", List("fold", m, t)) => // drift factor defaults to 2.0
+        LexStore(p, foldEpochs = true, m.toDouble, t.toDouble, 2.0)
       case ("lex", List("fold", m, t, ro)) =>
         LexStore(p, foldEpochs = true, m.toDouble, t.toDouble, ro.toDouble)
+      case ("lex", List("geom", t)) => // geometry policy WITHOUT epoch folding
+        LexStore(p, targetDocsPerBucket = t.toDouble,
+          rebucketWhenBucketsOff = 2.0)
+      case ("lex", List("geom", t, ro)) =>
+        LexStore(p, targetDocsPerBucket = t.toDouble,
+          rebucketWhenBucketsOff = ro.toDouble)
       case ("vec", Nil)              => VecStore(p)
       case ("vec", List(f))          => VecStore(p, f.toDouble)
       case ("vec", List(f, mf))      => VecStore(p, f.toDouble, mf.toDouble)

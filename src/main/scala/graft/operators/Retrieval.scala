@@ -472,7 +472,7 @@ object Retrieval {
     * back out), and the constant n_buckets. The signature identifies
     * the live document SET, not just its size: two stores agree on it
     * iff they hold the same ids (up to a 2⁻⁶⁴ hash collision). */
-  private def liveStatsAndBuckets(spark: SparkSession, path: String)
+  private[graft] def liveStatsAndBuckets(spark: SparkSession, path: String)
       : (Long, Long, Long, Int) = {
     val r = spark.read.parquet(epochsPath(path))
       .agg(coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),

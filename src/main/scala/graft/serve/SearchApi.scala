@@ -194,15 +194,24 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       // RAG context fetch on ANY mode: attach each hit's full document
       // text from the raw-text sidecar (k-bounded join behind the hits'
       // literal dbucket filter — no lake pointer, no corpus scan).
-      // Snippet mode already carries its windowed passage.
+      // Snippet mode already carries its windowed passage. The hits are
+      // localCheckpoint'd first (k-bounded) — they feed the dbucket
+      // planning read, the join's build side, and the join itself. The
+      // sidecar keeps retracted docs' texts (deletes never touch it), so
+      // the lex tombstones are anti-joined: a doc deleted from the lex
+      // store but still served by the vector leg gets text=null (like an
+      // id that was never lexically indexed), never its retracted text.
       val withText =
-        if (includeText && mode != "snippet")
-          result.join(
-            org.apache.spark.sql.functions.broadcast(
-              Retrieval.readStoreDocs(spark, conf.lexStore,
-                result.select("doc_id"))),
+        if (includeText && mode != "snippet") {
+          val hits = result.localCheckpoint()
+          val live = Retrieval.readStoreDocs(spark, conf.lexStore,
+              hits.select("doc_id"))
+            .join(org.apache.spark.sql.functions.broadcast(
+                Retrieval.readBm25Tombstones(spark, conf.lexStore)),
+              Seq("doc_id"), "left_anti")
+          hits.join(org.apache.spark.sql.functions.broadcast(live),
             Seq("doc_id"), "left")
-        else result
+        } else result
       Response(200, "application/json",
         envelope(withText.drop("query_id").orderBy("rank")))
     } catch {
@@ -228,7 +237,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
     search(params.getOrElse("q", ""), Seq.empty,
       params.get("k").flatMap(_.toIntOption).getOrElse(10), mode, Seq.empty,
       params.get("window").flatMap(_.toIntOption).getOrElse(12),
-      includeText = params.get("include_text").contains("true"))
+      includeText = params.get("include_text")
+        .exists(v => v.equalsIgnoreCase("true") || v == "1"))
   }
 
   /** POST-shaped entry: {"text":..., "vector":[...], "k":10,

@@ -448,6 +448,32 @@ class ServeLayerSpec extends SparkSpec {
       }, "include_text must attach each hit's exact sidecar text")
       assert((0 until htData.size).map(i => htData.get(i).get("doc_id").asLong)
         == wantHybrid, "include_text must not change the ranking")
+      // include_text NEVER serves a retracted doc's text: the sidecar
+      // keeps it (deletes never touch the sidecar), but a doc deleted
+      // from the lex store while still live on the vector leg must come
+      // back with text=null — not the stale passage
+      val vt0 = post("/search",
+        s"""{"vector":$vecJson,"k":5,"mode":"vector","include_text":true}""")
+      assert(vt0.statusCode == 200, vt0.body)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // Spark's toJSON omits null fields: absent "text" key == null text
+      def textOpt(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+        Option(n.get("text")).filterNot(_.isNull).map(_.asText)
+      val vd0 = mapper.readTree(vt0.body).get("data")
+      val victim = vd0.get(0).get("doc_id").asLong
+      assert(textOpt(vd0.get(0)).nonEmpty,
+        "fixture: top vector hit must be lexically indexed")
+      import spark.implicits._
+      Retrieval.deleteFromBm25Store(spark, s"$work/lex",
+        Seq(victim).toDF("doc_id"), epoch = 9L)
+      val vt1 = post("/search",
+        s"""{"vector":$vecJson,"k":5,"mode":"vector","include_text":true}""")
+      val vd1 = mapper.readTree(vt1.body).get("data")
+      val victimRow = (0 until vd1.size)
+        .find(i => vd1.get(i).get("doc_id").asLong == victim)
+      assert(victimRow.nonEmpty, "vector leg must still serve the doc")
+      assert(textOpt(vd1.get(victimRow.get)).isEmpty,
+        "a lexically-retracted doc's text must be null, never the stale passage")
       // hybrid over GET is a 400 (no way to pass the vector), bad mode 400
       assert(get("/search?mode=hybrid&q=x").statusCode == 400)
       assert(post("/search", """{"text":"x","mode":"nope"}""").statusCode == 400)

@@ -252,6 +252,23 @@ class StoreCtlSpec extends SparkSpec {
       StoreCtl.LexStore("hdfs://nn:8020/lex", foldEpochs = true))
     assert(StoreCtl.parseSpec("lex:/p:fold:8:1024:2") ===
       StoreCtl.LexStore("/p", foldEpochs = true, 8.0, 1024.0, 2.0))
+    assert(StoreCtl.parseSpec("lex:/p:fold:8:1024") === // drift defaults to 2
+      StoreCtl.LexStore("/p", foldEpochs = true, 8.0, 1024.0, 2.0))
+    assert(StoreCtl.parseSpec("lex:/p:geom:1024") === // geometry sans folding
+      StoreCtl.LexStore("/p", targetDocsPerBucket = 1024.0,
+        rebucketWhenBucketsOff = 2.0))
+    assert(StoreCtl.parseSpec("lex:/p:geom:1024:3") ===
+      StoreCtl.LexStore("/p", targetDocsPerBucket = 1024.0,
+        rebucketWhenBucketsOff = 3.0))
+    // drift thresholds are FACTORS: off >= 1 always, so a sub-1 value
+    // would rebucket/recell every cycle forever — refused at construction
+    intercept[IllegalArgumentException] {
+      StoreCtl.LexStore("/p", targetDocsPerBucket = 10.0,
+        rebucketWhenBucketsOff = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      StoreCtl.VecStore("/p", recellWhenCellsOff = 0.5)
+    }
     intercept[IllegalArgumentException] { StoreCtl.parseSpec("zzz:/p") }
   }
 }
