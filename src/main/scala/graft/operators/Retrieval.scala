@@ -270,7 +270,8 @@ object Retrieval {
     * census one-shot, read back pruned from the store. */
   private def scoreBm25(postings: DataFrame, qterms: DataFrame,
                         stats: DataFrame, dfreq: DataFrame,
-                        k: Int, k1: Double, b: Double): DataFrame = {
+                        k: Int, k1: Double, b: Double,
+                        requireAll: Boolean = false): DataFrame = {
     // per-(query, term) planning row: df for the query's terms only — tiny
     val qstat = dfreq.join(broadcast(qterms), "term")
     val scored = postings.join(broadcast(qstat), "term")
@@ -283,10 +284,24 @@ object Retrieval {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
     val termScore = floor(idf * tfNorm * lit(1000000.0) + lit(0.5)).cast("long")
-    val perDoc = scored
+    // one scored row per (query, doc, term) by construction (postings
+    // are (doc, term)-unique, qterms (query, term)-distinct), so the
+    // group count IS the number of distinct matched terms
+    val perDoc0 = scored
       .withColumn("term_score", termScore)
       .groupBy("query_id", "doc_id")
-      .agg(sum("term_score").as("score_u"))
+      .agg(sum("term_score").as("score_u"), count(lit(1)).as("matched"))
+    val perDoc =
+      if (!requireAll) perDoc0.drop("matched")
+      else {
+        // CONJUNCTIVE (boolean-AND) semantics: only docs matching EVERY
+        // query term rank; survivors keep their ordinary BM25 scores (a
+        // conjunctive result is a subset of the OR result, same values)
+        val qlens = qterms.groupBy("query_id").agg(count(lit(1)).as("nterms"))
+        perDoc0.join(broadcast(qlens), "query_id")
+          .filter(col("matched") === col("nterms"))
+          .drop("matched", "nterms")
+      }
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_u").desc, col("doc_id").asc)
     perDoc.withColumn("rank", row_number().over(w).cast("long"))
@@ -1108,6 +1123,34 @@ object Retrieval {
     servedBm25(spark, path, queries, textCol, idCol, k, k1, b,
       maxQueryTerms, allowed = Some(allowedDocs))
 
+  /** CONJUNCTIVE (boolean-AND) store serving: only documents matching
+    * EVERY query term may rank — the other standard lexical query mode
+    * beside [[bm25TopKFromStore]]'s OR semantics. Survivors keep their
+    * ordinary BM25 scores (the conjunctive top-k is a subset of the OR
+    * ranking with identical values), and the matched-term count falls
+    * out of the scoring aggregate the OR path already runs — same
+    * pruned scans, ONE extra broadcast of the per-query term counts,
+    * zero additional corpus work. */
+  def bm25TopKFromStoreConjunctive(spark: SparkSession, path: String,
+                                   queries: DataFrame, textCol: String,
+                                   idCol: String, k: Int, k1: Double = K1,
+                                   b: Double = B,
+                                   maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    servedBm25(spark, path, queries, textCol, idCol, k, k1, b,
+      maxQueryTerms, allowed = None, requireAll = true)
+
+  /** [[bm25TopKFromStoreConjunctive]] under an id allow-list (the
+    * qx111 fence semantics: candidates only, statistics corpus-global). */
+  def bm25TopKFromStoreConjunctiveFiltered(spark: SparkSession, path: String,
+                                           queries: DataFrame,
+                                           allowedDocs: DataFrame,
+                                           textCol: String, idCol: String,
+                                           k: Int, k1: Double = K1,
+                                           b: Double = B,
+                                           maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    servedBm25(spark, path, queries, textCol, idCol, k, k1, b,
+      maxQueryTerms, allowed = Some(allowedDocs), requireAll = true)
+
   /** [[bm25TopKFromStore]] returning the PASSAGE, not just the id — the
     * serving shape a RAG pipeline actually consumes, deployable from the
     * store path alone (requires the raw-text sidecar,
@@ -1190,7 +1233,8 @@ object Retrieval {
   private def servedBm25(spark: SparkSession, path: String,
                          queries: DataFrame, textCol: String, idCol: String,
                          k: Int, k1: Double, b: Double, maxQueryTerms: Int,
-                         allowed: Option[DataFrame]): DataFrame = {
+                         allowed: Option[DataFrame],
+                         requireAll: Boolean = false): DataFrame = {
     val (nd, tl, _, nBuckets) = liveStatsAndBuckets(spark, path)
     import spark.implicits._
     val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
@@ -1202,7 +1246,7 @@ object Retrieval {
     val dfreq = spark.read.parquet(dfPath(path))
       .filter(col("bucket").isInCollection(buckets))
       .groupBy("term").agg(sum("cnt").as("df"))
-    scoreBm25(postings, qterms, stats, dfreq, k, k1, b)
+    scoreBm25(postings, qterms, stats, dfreq, k, k1, b, requireAll)
   }
 
   /** The serving scan every lexical store query class starts from:

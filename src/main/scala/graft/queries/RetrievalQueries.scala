@@ -202,6 +202,27 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // CONJUNCTIVE (boolean-AND) serving: only docs matching EVERY query
+    // term rank — the other standard lexical query mode. First
+    // CONJ_TERMS distinct query tokens (3, like proximity: all three
+    // co-occur often enough on the synthetic vocabulary to gate at
+    // every SF while staying a strict subset of the OR results).
+    // Ordinary store lifecycle first; survivors keep their OR scores.
+    "qx122_bm25_conjunctive" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
+      val work = java.nio.file.Files.createTempDirectory("qx122-").toString
+      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
+        "text", "doc_id", work, STORE_BUCKETS)
+      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
+        "text", "doc_id", work, epoch = 1L)
+      Retrieval.bm25TopKFromStoreConjunctive(s, work,
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+          "text", "doc_id", BM25_K, maxQueryTerms = PROX_TERMS)
+        .orderBy("query_id", "rank")
+    }),
+
     // RAG serving returns the PASSAGE, not just the id: snippet mode
     // over the raw-text sidecar (the lexical twin of the vector store's
     // .vectors — round 10). The store runs build(storeDocs) → append
@@ -652,7 +673,11 @@ object RetrievalQueries {
          |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
   }
 
-  private def bm25CtesWhere(candWhere: String): String = {
+  private def bm25CtesWhere(candWhere: String): String =
+    bm25CtesFull(candWhere, conjunctive = false)
+
+  private def bm25CtesFull(candWhere: String, conjunctive: Boolean,
+                           maxTerms: Int = MAX_QTERMS): String = {
     val d = duck
     s"""tok AS (SELECT doc_id, unnest(${TX.tokens("text")(d)}) AS term FROM corpus),
        |postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -662,7 +687,7 @@ object RetrievalQueries {
        |          FROM dlens),
        |dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
        |qterms AS (SELECT DISTINCT doc_id AS query_id,
-       |             unnest(${d.slice(TX.tokens("text")(d), "1", MAX_QTERMS)}) AS term
+       |             unnest(${d.slice(TX.tokens("text")(d), "1", maxTerms)}) AS term
        |           FROM q),
        |cand AS (SELECT query_id, p.term AS term, p.doc_id AS doc_id, tf, df
        |         FROM postings p JOIN qterms USING (term) JOIN dfreq USING (term)$candWhere),
@@ -671,8 +696,20 @@ object RetrievalQueries {
        |    CAST(floor(${Retrieval.idfSql} * ${Retrieval.tfNormSql(Retrieval.K1, Retrieval.B)}
        |         * 1000000.0 + 0.5) AS BIGINT) AS term_score
        |  FROM cand JOIN dlens ON cand.doc_id = dlens.doc_id CROSS JOIN stats),
-       |perdoc AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_u
-       |           FROM scored GROUP BY query_id, doc_id),
+       |${if (!conjunctive)
+          """perdoc AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_u
+            |           FROM scored GROUP BY query_id, doc_id),""".stripMargin
+        else
+          // conjunctive: one scored row per (query, doc, term), so the
+          // group count is the matched-term count — keep only docs
+          // matching EVERY query term (scores unchanged for survivors)
+          """qlens AS (SELECT query_id, COUNT(*) AS nterms FROM qterms GROUP BY query_id),
+            |perdoc0 AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_u,
+            |              COUNT(*) AS matched
+            |            FROM scored GROUP BY query_id, doc_id),
+            |perdoc AS (SELECT query_id, doc_id, score_u
+            |           FROM perdoc0 JOIN qlens USING (query_id)
+            |           WHERE matched = nterms),""".stripMargin}
        |ranked AS (SELECT query_id, doc_id, score_u,
        |             ROW_NUMBER() OVER (PARTITION BY query_id
        |               ORDER BY score_u DESC, doc_id ASC) AS rn
@@ -865,6 +902,20 @@ object RetrievalQueries {
     // cand CTE only — dfreq/stats CTEs untouched, proving the fielded
     // filter never reweights idf/avgdl.
     "qx120_bm25f_filtered" -> bm25fOracleWhere(" WHERE m.doc_id % 3 = 1"),
+
+    // Conjunctive serving: the HAVING rides the per-doc aggregate only
+    // (matched-term count = query-term count); dfreq/stats CTEs are
+    // qx100's, so survivors' scores are provably the OR ranking's.
+    "qx122_bm25_conjunctive" -> {
+      val ctes = bm25CtesFull("", conjunctive = true,
+        maxTerms = PROX_TERMS)
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD <> $BM25_QREM),
+         |q AS (SELECT doc_id, text FROM documents WHERE doc_id % $BM25_QMOD = $BM25_QREM),
+         |$ctes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM ranked WHERE rn <= $BM25_K ORDER BY query_id, rank""".stripMargin
+    },
 
     // Ranking = qx100's CTEs verbatim; anchor = MIN over matched query
     // terms of the term's first token position (list_position on the

@@ -144,7 +144,8 @@ final class McpTools(spark: SparkSession, facts: () => DataFrame,
         a.optStr("mode").getOrElse("hybrid"),
         a.strSeq("allowed_ids"),
         a.intOr("window", 12),
-        includeText = a.boolOr("include_text", default = false))
+        includeText = a.boolOr("include_text", default = false),
+        requireAll = a.boolOr("require_all", default = false))
       if (resp.status == 200) resp.body else s"Error: ${resp.body}"
 
     case other => s"Unknown tool: $other"
@@ -196,7 +197,7 @@ object McpTools {
       "the passage around the first matched term from the store's raw-text "+
       "sidecar); optional allowed_ids fences " +
       "results to an access-scoped id set",
-    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","phrase","proximity","snippet"]},"allowed_ids":{"type":"array","items":{"type":"string"}},"window":{"type":"integer","default":12},"include_text":{"type":"boolean","default":false}},"required":[]}""")
+    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","phrase","proximity","snippet"]},"allowed_ids":{"type":"array","items":{"type":"string"}},"window":{"type":"integer","default":12},"include_text":{"type":"boolean","default":false},"require_all":{"type":"boolean","default":false}},"required":[]}""")
 
   /** Typed access over the loosely-typed argument map. */
   private final class Args(m: Map[String, Any]) {

@@ -89,7 +89,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
     * before ranking, statistics corpus-global). */
   def search(text: String, vector: Seq[Float], k: Int, mode: String,
              allowedIds: Seq[String], window: Int = 12,
-             includeText: Boolean = false): Response = {
+             includeText: Boolean = false,
+             requireAll: Boolean = false): Response = {
     if (k < 1 || k > conf.maxK)
       return error(400, s"k must be in [1, ${conf.maxK}]: $k")
     val needsVector = mode == "hybrid" || mode == "vector"
@@ -142,13 +143,22 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
               k, conf.nProbe, conf.rerankDepth)
           }).withColumnRenamed("neighbor_id", "doc_id")
         case "lexical" =>
+          // require_all flips OR scoring to CONJUNCTIVE (boolean-AND):
+          // only docs matching every query term rank, scores unchanged
           val q = queryFrame(text)
-          allowed match {
-            case Some(a) => Retrieval.bm25TopKFromStoreFiltered(spark,
+          (allowed, requireAll) match {
+            case (Some(a), false) => Retrieval.bm25TopKFromStoreFiltered(spark,
               conf.lexStore, q, a, conf.textCol, conf.idCol, k,
               maxQueryTerms = conf.maxQueryTerms)
-            case None => Retrieval.bm25TopKFromStore(spark, conf.lexStore,
-              q, conf.textCol, conf.idCol, k,
+            case (None, false) => Retrieval.bm25TopKFromStore(spark,
+              conf.lexStore, q, conf.textCol, conf.idCol, k,
+              maxQueryTerms = conf.maxQueryTerms)
+            case (Some(a), true) =>
+              Retrieval.bm25TopKFromStoreConjunctiveFiltered(spark,
+                conf.lexStore, q, a, conf.textCol, conf.idCol, k,
+                maxQueryTerms = conf.maxQueryTerms)
+            case (None, true) => Retrieval.bm25TopKFromStoreConjunctive(spark,
+              conf.lexStore, q, conf.textCol, conf.idCol, k,
               maxQueryTerms = conf.maxQueryTerms)
           }
         case "phrase" =>
@@ -238,6 +248,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       params.get("k").flatMap(_.toIntOption).getOrElse(10), mode, Seq.empty,
       params.get("window").flatMap(_.toIntOption).getOrElse(12),
       includeText = params.get("include_text")
+        .exists(v => v.equalsIgnoreCase("true") || v == "1"),
+      requireAll = params.get("require_all")
         .exists(v => v.equalsIgnoreCase("true") || v == "1"))
   }
 
@@ -260,7 +272,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       Option(node.get("allowed_ids")).filter(_.isArray)
         .map(FinancialApi.asStringSeq).getOrElse(Seq.empty),
       Option(node.get("window")).map(_.asInt).getOrElse(12),
-      includeText = Option(node.get("include_text")).exists(_.asBoolean))
+      includeText = Option(node.get("include_text")).exists(_.asBoolean),
+      requireAll = Option(node.get("require_all")).exists(_.asBoolean))
   }
 }
 

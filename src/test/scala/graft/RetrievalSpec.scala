@@ -341,6 +341,34 @@ class RetrievalSpec extends SparkSpec {
       2L -> "cat at the very start"))
   }
 
+  test("bm25TopKFromStoreConjunctive: only all-term matches rank; survivors keep their OR scores; composes with the allow-list") {
+    import spark.implicits._
+    val corpus = docs(
+      1L -> "cat dog fish bird",    // matches all of "cat dog fish"
+      2L -> "cat dog dog dog",      // missing fish → excluded
+      3L -> "fish cat dog extra",   // matches all
+      4L -> "cat cat cat")          // missing two → excluded
+    val q = docs(100L -> "cat dog fish")
+    val work = java.nio.file.Files.createTempDirectory("bm25-conj").toString
+    Retrieval.writeBm25Store(corpus, "text", "doc_id", work, 4)
+    val conj = Retrieval.bm25TopKFromStoreConjunctive(spark, work, q,
+      "text", "doc_id", 10).collect()
+    assert(conj.map(_.getLong(2)).toSet == Set(1L, 3L),
+      "only docs matching EVERY query term may rank")
+    // survivors keep their ordinary BM25 scores — the conjunctive list
+    // is a strict subset of the OR ranking with identical values
+    val or = Retrieval.bm25TopKFromStore(spark, work, q, "text", "doc_id", 10)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    conj.foreach(r => assert(r.getDouble(3) == or(r.getLong(2)),
+      "conjunctive must not reweight survivors"))
+    // allow-list composes: fence doc 1 away, doc 3 remains the only hit
+    val filtered = Retrieval.bm25TopKFromStoreConjunctiveFiltered(spark, work,
+      q, Seq(3L, 2L, 4L).toDF("doc_id"), "text", "doc_id", 10).collect()
+    assert(filtered.map(_.getLong(2)).toSeq == Seq(3L))
+    assert(filtered.head.getDouble(3) == or(3L),
+      "the fence must not change corpus-global statistics")
+  }
+
   test("bm25TopK: multi-term scores are summed per doc; ties break on doc_id") {
     val corpus = docs(
       1L -> "alpha beta",

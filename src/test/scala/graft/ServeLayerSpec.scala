@@ -400,6 +400,14 @@ class ServeLayerSpec extends SparkSpec {
       val lex = get(s"/search?mode=lexical&k=5&q=" +
         java.net.URLEncoder.encode(qText, "UTF-8"))
       assert(lex.statusCode == 200 && docIdsOf(lex.body) == wantLex)
+      // require_all flips lexical to conjunctive — exactly the operator
+      val conj = get(s"/search?mode=lexical&k=5&require_all=true&q=" +
+        java.net.URLEncoder.encode(qText, "UTF-8"))
+      assert(conj.statusCode == 200, conj.body)
+      assert(docIdsOf(conj.body) == ids(Retrieval.bm25TopKFromStoreConjunctive(
+        spark, s"$work/lex", Seq((3L, qText)).toDF("doc_id", "text"),
+        "text", "doc_id", 5, maxQueryTerms = 6)),
+        "require_all must serve exactly the conjunctive operator result")
       // a 6-term phrase ~never recurs on the synthetic corpus; a bigram does
       val bigram = qText.split("\\s+").take(2).mkString(" ")
       val ph = get(s"/search?mode=phrase&k=5&q=" +
