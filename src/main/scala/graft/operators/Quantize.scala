@@ -1031,7 +1031,8 @@ object Quantize {
       codebook, cbIdCol, cbVecCol, StoreParams(dims, nBlocks, residual, idCol))
     if (storeVectors)
       writeVectorSidecar(corpus, idCol, vecCol,
-        centroids, cenIdCol, cenVecCol, vectorsPath(indexPath), overwrite = true)
+        centroids, cenIdCol, cenVecCol, vectorsPath(indexPath),
+        overwrite = true, vepoch = 0L)
   }
 
   /** Append a batch against the STORED quantizers — the frozen-quantizer
@@ -1049,13 +1050,17 @@ object Quantize {
     // code rows with no sidecar vector, the one state that silently
     // drops candidates from the refined-stored rescore. A retried append
     // may double-land rows here exactly as codes double-land; the codes
-    // side heals via delete-then-reappend, the sidecar by being a
-    // documented multiset whose readers dedup candidates (exactRescore's
-    // dedup flag).
+    // side heals via delete-then-reappend, the sidecar by carrying a
+    // fresh vepoch per append: readers resolve max_by(vec, vepoch), so
+    // retry duplicates (identical vec, any vepoch) and genuine
+    // re-appends after delete+sweep (UPDATED vec, higher vepoch) both
+    // land on the right vector.
     if (hasVectorSidecar(spark, indexPath))
       writeVectorSidecar(batch, p.idCol, vecCol,
         cents, "centroid_id", "cen_emb", vectorsPath(indexPath),
-        overwrite = false)
+        overwrite = false,
+        vepoch = sidecarNextVepoch(spark, vectorsPath(indexPath),
+          "appendSelfContained"))
     appendCodes(batch, p.idCol, vecCol,
       cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
       p.dims, p.nBlocks, indexPath, residual = p.residual)
@@ -1206,9 +1211,19 @@ object Quantize {
   //    codes leave the index, so its sidecar row is unreachable (the
   //    rescore joins shortlist candidates only) — dead rows are storage,
   //    not correctness. Recell is the vacuum that drops them.
-  //  - it is an append-only MULTISET: a retried append double-lands
-  //    identical rows (same deterministic assignment), and readers dedup
-  //    candidates post-join (k-bounded rows, never the corpus).
+  //  - it is an append-only MULTISET with a VERSION ORDER: every write
+  //    lands under a `vepoch=` partition (build/recell at 0, each append
+  //    at max+1 — one directory listing, no clock, no store read), and
+  //    readers resolve an id's rows with max_by(vec, vepoch). Identical
+  //    retry duplicates collapse to the same vector either way; a
+  //    delete→sweep→re-append-with-UPDATED-vector sequence (the standard
+  //    vector update) resolves to the LATEST vector — without the order,
+  //    an arbitrary-pick dedup could rescore/retrain/re-encode the stale
+  //    one (the lexical docs sidecar resolves the same case with
+  //    max_by(text, epoch)). Pre-vepoch sidecars stay READABLE (readers
+  //    fall back to the old arbitrary dedup, correct while no id was
+  //    ever re-appended) but appends onto them REFUSE: recell (or a
+  //    rebuild) rewrites the sidecar into the versioned layout.
   // Reads go through the same literal `centroid_id IN (probed cells)`
   // partition filter as the code cells — a candidate's vector lives in
   // the cell its codes live in, so the refine's vector lookups are
@@ -1226,18 +1241,54 @@ object Quantize {
         spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(vectorsPath(indexPath)))
 
-  /** One frozen-centroid assignment pass → cell-partitioned (id, vec)
-    * rows. Shared by build (overwrite), append (append), and recell
-    * (fresh sidecar under the retrained geometry). */
+  /** One frozen-centroid assignment pass → (vepoch, cell)-partitioned
+    * (id, vec) rows. Shared by build (overwrite, vepoch 0), append
+    * (append, next vepoch), and recell (fresh sidecar under the
+    * retrained geometry, folded back to vepoch 0). */
   private def writeVectorSidecar(batch: DataFrame, idCol: String, vecCol: String,
                                  centroids: DataFrame, cenIdCol: String,
                                  cenVecCol: String, sidecarPath: String,
-                                 overwrite: Boolean): Unit =
+                                 overwrite: Boolean, vepoch: Long): Unit =
     Similarity.ivfAssign(batch, idCol, vecCol, centroids, cenIdCol, cenVecCol)
       .select(col(idCol), col(vecCol).as("vec"), col("centroid_id"))
-      .write.partitionBy("centroid_id")
+      .withColumn("vepoch", lit(vepoch))
+      .write.partitionBy("vepoch", "centroid_id")
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(sidecarPath)
+
+  /** The sidecar's version frontier from ONE directory listing: -1 = no
+    * sidecar (or empty), max vepoch otherwise. Throws on the legacy
+    * (pre-vepoch, `centroid_id=` top-level) layout when `op` is an
+    * append — the versioned resolution below cannot order rows the old
+    * layout never stamped, and mixing the two directory shapes under one
+    * root would break every partitioned read of the store. */
+  private def sidecarNextVepoch(spark: org.apache.spark.sql.SparkSession,
+                                sidecarPath: String, op: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(sidecarPath),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(sidecarPath)
+    if (!fs.exists(root)) return 0L
+    val kids = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+    if (kids.exists(_.startsWith("centroid_id=")))
+      throw new IllegalStateException(
+        s"$op: sidecar $sidecarPath predates the versioned (vepoch) " +
+          "layout — an append onto it could leave one id with two " +
+          "unordered vectors (stale-rescore hazard). Migrate first: " +
+          "recellIvfPqStoreFromSidecar rewrites the sidecar into the " +
+          "versioned layout (or rebuild with buildSelfContained).")
+    val eps = kids.filter(_.startsWith("vepoch=")).map(_.stripPrefix("vepoch=").toLong)
+    if (eps.isEmpty) 0L else eps.max + 1L
+  }
+
+  /** Latest-version resolution for sidecar reads: one row per id, the
+    * max-vepoch vector. Pre-vepoch sidecars (no column) keep the old
+    * arbitrary-pick dedup — correct while no id was ever re-appended,
+    * which the append refusal above enforces going forward. */
+  private def resolveSidecarLatest(rows: DataFrame, idCol: String): DataFrame =
+    if (rows.columns.contains("vepoch"))
+      rows.groupBy(col(idCol))
+        .agg(expr("max_by(vec, vepoch)").as("vec"))
+    else rows.select(col(idCol), col("vec")).dropDuplicates(idCol)
 
   private def requireNoVectorSidecar(spark: org.apache.spark.sql.SparkSession,
                                      indexPath: String, op: String): Unit =
@@ -1309,7 +1360,8 @@ object Quantize {
       qIdCol, qVecCol, cents, "centroid_id", "cen_emb", nProbe,
       cellsPre = Some(cells))
     exactRescore(shortlist, queries, qIdCol, qVecCol,
-      vecs, p.idCol, "vec", k, dedupCandidates = true)
+      vecs, p.idCol, "vec", k, dedupCandidates = true,
+      verCol = if (vecs.columns.contains("vepoch")) Some("vepoch") else None)
   }
 
   /** True iff the store carries [[graft.streaming.StreamingVectorIngest]]'s
@@ -1587,10 +1639,12 @@ object Quantize {
     * come from the store's own `.vectors` sidecar, so a sidecar store's
     * geometry can follow its corpus without the operator holding a lake
     * pointer (the retrain twin of [[searchSelfContainedRefinedStored]]).
-    * The sidecar is a multiset (retried appends double-land identical
-    * rows); it is dedup'd by id before the semi-join, which then yields
-    * exactly one row per live id — the corpus-shape recell requires.
-    * Fails loudly when the store was built without `storeVectors`. */
+    * The sidecar is a versioned multiset; each id resolves to its
+    * max-vepoch (latest) vector before the semi-join, which then yields
+    * exactly one row per live id — the corpus-shape recell requires —
+    * and a re-appended id retrains on its UPDATED vector, never the
+    * stale one. Fails loudly when the store was built without
+    * `storeVectors`. */
   def recellIvfPqStoreFromSidecar(spark: org.apache.spark.sql.SparkSession,
                                   indexPath: String,
                                   nCells: Int = -1, nCodes: Int = -1,
@@ -1604,9 +1658,8 @@ object Quantize {
           "buildSelfContained(..., storeVectors = true), or use " +
           "recellIvfPqStore with an explicit corpus")
     val p = loadQuantizers(spark, indexPath)._3
-    val corpus = spark.read.parquet(vectorsPath(indexPath))
-      .select(col(p.idCol), col("vec"))
-      .dropDuplicates(p.idCol)
+    val corpus = resolveSidecarLatest(
+      spark.read.parquet(vectorsPath(indexPath)), p.idCol)
     recellIvfPqStore(spark, indexPath, corpus, "vec",
       nCells, nCodes, retrainCodebook, coarseMaxIter, pqMaxIter)
   }
@@ -2036,21 +2089,36 @@ object Quantize {
   private def exactRescore(shortlist: DataFrame,
                            queries: DataFrame, qIdCol: String, qVecCol: String,
                            corpus: DataFrame, idCol: String, vecCol: String,
-                           k: Int, dedupCandidates: Boolean = false): DataFrame = {
+                           k: Int, dedupCandidates: Boolean = false,
+                           verCol: Option[String] = None): DataFrame = {
     val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val sl = shortlist.select(col("query_id"), col("neighbor_id"))
       .join(broadcast(qv), "query_id")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("__d2x").asc, col("neighbor_id").asc)
-    val joined0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .join(broadcast(sl), "neighbor_id")
-    // the `.vectors` sidecar is an append-only multiset (a retried append
-    // may double-land identical rows); dedup AFTER the candidate join —
-    // |Q|×rerankDepth rows, never the corpus — so duplicates collapse to
-    // the one identical row before ranking
-    val joined = if (dedupCandidates)
-      joined0.dropDuplicates("query_id", "neighbor_id") else joined0
+    val corpusSel = verCol match {
+      case Some(v) => corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), col(v).cast("long").as("__ver"))
+      case None => corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"))
+    }
+    val joined0 = corpusSel.join(broadcast(sl), "neighbor_id")
+    // the `.vectors` sidecar is an append-only multiset; collapse
+    // duplicates AFTER the candidate join — |Q|×rerankDepth rows, never
+    // the corpus. With a version column the LATEST row wins (a re-append
+    // after delete+sweep carries the id's updated vector); without one
+    // (legacy sidecar / explicit corpus) duplicates are identical retry
+    // rows and an arbitrary pick is exact.
+    val joined = (dedupCandidates, verCol) match {
+      case (true, Some(_)) =>
+        val wVer = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id", "neighbor_id").orderBy(col("__ver").desc)
+        joined0.withColumn("__vrn", row_number().over(wVer))
+          .filter(col("__vrn") === 1).drop("__vrn", "__ver")
+      case (true, None) => joined0.dropDuplicates("query_id", "neighbor_id")
+      case _ => joined0
+    }
     joined
       .withColumn("__d2x",
         expr(TX.dotAuto("__qv", "__qv"))

@@ -754,10 +754,12 @@ object Retrieval {
         val census = bm25Index(texts, "text", "doc_id")
           .withColumn("bucket", bucketCol(nBuckets))
           .localCheckpoint() // batch-sized; reused by the probe + deltas
-        // LIVENESS PROBE — the sidecar keeps a retracted-then-compacted
-        // doc's text forever (deletes and compact never touch it;
-        // rebucket is the vacuum), so re-deleting such an id must still
-        // be a no-op, exactly like the scan path: without this check the
+        // LIVENESS PROBE — deletes never touch the sidecar, and though
+        // compact and rebucket both vacuum retracted texts out of it,
+        // the sidecar-⊇-live invariant is only eventually maintained
+        // (a compact that crashed mid-vacuum leaves stale texts behind
+        // standing tombstones). Re-deleting a retracted id must be a
+        // no-op, exactly like the scan path: without this check a
         // stale text would re-derive deltas and double-decrement
         // df/n_docs/total_len (and corrupt the id_hash signature). A
         // doc's postings land and vanish ATOMICALLY across its terms
@@ -891,6 +893,20 @@ object Retrieval {
     * touched: both already sum to the live corpus (the delete wrote
     * their negative rows) — compaction only moves the filtering cost,
     * never the answer.
+    *
+    * The raw-text sidecar is VACUUMED in the same window (strictly
+    * BEFORE the tombstones clear): serving's include_text guard
+    * anti-joins exactly these tombstones, so the purged ids' texts must
+    * leave the sidecar when the tombstones do — otherwise a doc
+    * retracted from the lex store but still answered by the vector leg
+    * would be served its retracted full text the moment compaction
+    * empties the guard. Batch-cost: the tombstoned ids' dbuckets prune
+    * the sidecar read, only (dbucket, epoch) partitions holding a
+    * doomed row are rewritten (dynamic overwrite), and a partition left
+    * EMPTY by the purge is deleted explicitly (dynamic overwrite never
+    * touches a partition absent from its output). Crash anywhere leaves
+    * the tombstones standing — the guard holds and the retry re-vacuums
+    * to a no-op.
     * Returns the number of posting rows removed. */
   def compactBm25Store(spark: SparkSession, path: String): Long =
     graft.sources.StoreLock.withLock(spark, path, "bm25-compact") {
@@ -941,6 +957,46 @@ object Retrieval {
         if (!fs.delete(bak, true))
           throw new java.io.IOException(s"failed to remove compact backup $bak")
         fs.delete(tmp, true)
+      }
+      // Sidecar vacuum — see the scaladoc. Unconditional on `affected`
+      // (a retry after a crash that already swapped the postings finds
+      // no doomed postings but may still find doomed texts), and
+      // strictly before the tombstone clear below.
+      if (hasDocsSidecar(spark, path)) {
+        val nBuckets = readMeta(spark, path)
+        val tombBuckets = tomb.select(docsBucketCol(nBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        if (tombBuckets.nonEmpty) {
+          val pruned = spark.read.parquet(docsPath(path))
+            .filter(col("dbucket").isInCollection(tombBuckets))
+          val doomedParts = pruned
+            .join(broadcast(tomb), Seq("doc_id"), "leftsemi")
+            .select(col("dbucket").cast("long"), col("epoch").cast("long"))
+            .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+          if (doomedParts.nonEmpty) {
+            // survivors of the doomed partitions, lineage cut before the
+            // overwrite reads-from-writes-to the same path
+            val survivors = pruned.filter(doomedParts.map { case (b, e) =>
+                col("dbucket") === b && col("epoch") === e }.reduce(_ || _))
+              .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+              .select("doc_id", "text", "dbucket", "epoch")
+              .localCheckpoint()
+            val kept = survivors
+              .select(col("dbucket").cast("long"), col("epoch").cast("long"))
+              .distinct().collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            if (kept.nonEmpty)
+              survivors.repartition(col("dbucket"))
+                .write.mode("overwrite").partitionBy("dbucket", "epoch")
+                // mode pinned per-write in both branches — see writeDfDelta
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(docsPath(path))
+            doomedParts.filterNot(kept).foreach { case (b, e) =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                docsPath(path) + s"/dbucket=$b/epoch=$e"), true)
+            }
+          }
+        }
       }
       // Last: retire the tombstones their postings no longer exist for.
       // A crash before this line leaves them as harmless no-op filters.

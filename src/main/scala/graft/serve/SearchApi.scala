@@ -206,11 +206,13 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
       // literal dbucket filter — no lake pointer, no corpus scan).
       // Snippet mode already carries its windowed passage. The hits are
       // localCheckpoint'd first (k-bounded) — they feed the dbucket
-      // planning read, the join's build side, and the join itself. The
-      // sidecar keeps retracted docs' texts (deletes never touch it), so
-      // the lex tombstones are anti-joined: a doc deleted from the lex
-      // store but still served by the vector leg gets text=null (like an
-      // id that was never lexically indexed), never its retracted text.
+      // planning read, the join's build side, and the join itself.
+      // Deletes never touch the sidecar, so the lex tombstones are
+      // anti-joined: a doc deleted from the lex store but still served
+      // by the vector leg gets text=null (like an id that was never
+      // lexically indexed), never its retracted text. Compaction keeps
+      // this guard sound by vacuuming the purged ids' sidecar rows
+      // BEFORE it clears the tombstones the anti-join relies on.
       val withText =
         if (includeText && mode != "snippet") {
           val hits = result.localCheckpoint()

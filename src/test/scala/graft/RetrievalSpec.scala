@@ -277,11 +277,17 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.readStoreDocs(spark, without, Seq(1L).toDF("doc_id")))
     assert(err.getMessage.contains("sidecar"))
     // delete → compact → RE-DELETE the same ids: compact clears the
-    // tombstones but the sidecar keeps the dead docs' texts — the
-    // liveness probe must make the re-delete a no-op on BOTH paths
-    // (without it the sidecar route would re-derive deltas from the
-    // stale text and double-decrement df/scalars/signature forever)
+    // tombstones AND vacuums the dead docs' sidecar texts in the same
+    // window (serving's include_text guard anti-joins those tombstones,
+    // so the texts must leave when the guard does) — the re-delete is a
+    // no-op on BOTH paths, doubly guarded on the sidecar route by the
+    // liveness probe for the crashed-mid-vacuum transient
     for (p <- Seq(withSc, without)) Retrieval.compactBm25Store(spark, p)
+    val afterVacuum = spark.read.parquet(s"$withSc/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!afterVacuum.exists(Set(3L, 7L, 21L)),
+      "compaction must vacuum the purged ids' sidecar texts")
+    assert(afterVacuum.size == 22, "vacuum must keep every live doc's text")
     assert(Retrieval.deleteFromBm25Store(spark, withSc, doomed, epoch = 3L) == 0L)
     assert(Retrieval.deleteFromBm25Store(spark, without, doomed, epoch = 3L) == 0L)
     assert(dfTable(withSc) == dfTable(without))

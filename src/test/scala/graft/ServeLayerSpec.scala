@@ -482,6 +482,25 @@ class ServeLayerSpec extends SparkSpec {
       assert(victimRow.nonEmpty, "vector leg must still serve the doc")
       assert(textOpt(vd1.get(victimRow.get)).isEmpty,
         "a lexically-retracted doc's text must be null, never the stale passage")
+      // ...and the guard survives COMPACTION: compact clears the very
+      // tombstones the anti-join reads, so it must vacuum the retracted
+      // ids' sidecar rows in the same window — a daemon-maintained store
+      // (StoreCtl compacts whenever tombstones exist) would otherwise
+      // serve the retracted text on the next vector/hybrid hit
+      Retrieval.compactBm25Store(spark, s"$work/lex")
+      val vt2 = post("/search",
+        s"""{"vector":$vecJson,"k":5,"mode":"vector","include_text":true}""")
+      val vd2 = mapper.readTree(vt2.body).get("data")
+      val victimRow2 = (0 until vd2.size)
+        .find(i => vd2.get(i).get("doc_id").asLong == victim)
+      assert(victimRow2.nonEmpty, "vector leg must still serve the doc")
+      assert(textOpt(vd2.get(victimRow2.get)).isEmpty,
+        "compaction must not resurrect a retracted doc's text " +
+          "(sidecar vacuum runs before the tombstones clear)")
+      // live docs' texts still served after the vacuum rewrite
+      assert((0 until vd2.size).filter(_ != victimRow2.get).forall { i =>
+        textOpt(vd2.get(i)).contains(wantTexts(vd2.get(i).get("doc_id").asLong))
+      }, "vacuum must only remove the retracted ids' texts")
       // hybrid over GET is a 400 (no way to pass the vector), bad mode 400
       assert(get("/search?mode=hybrid&q=x").statusCode == 400)
       assert(post("/search", """{"text":"x","mode":"nope"}""").statusCode == 400)

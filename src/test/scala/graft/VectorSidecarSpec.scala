@@ -202,4 +202,76 @@ class VectorSidecarSpec extends SparkSpec {
       spark, store, q, "vec_id", "embedding", 4, newCells, 12)) === after,
       "roll-forward must install the retrained sidecar, not the backup")
   }
+
+  test("versioned sidecar: a vector UPDATE (delete -> sweep -> re-append) resolves to the latest vector everywhere; legacy-layout appends refuse and recell migrates") {
+    val e = emb.localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("sidecar-ver-").toString
+    val store = s"$work/store"
+    Quantize.buildSelfContained(spark, e, "vec_id", "embedding",
+      cents(e), "centroid_id", "cen_emb", codebook(e), "code_id", "cb_emb",
+      dims, nBlocks, residual = false, store, storeVectors = true)
+    // the standard vector UPDATE: retract id 42, sweep (clears the
+    // tombstone AND the codes; the sidecar keeps the stale row), then
+    // re-append 42 with a DIFFERENT vector (id 77's embedding)
+    val victim = 42L
+    Quantize.addTombstones(spark, store,
+      e.filter(col("vec_id") === victim).select("vec_id"), "vec_id")
+    Quantize.retentionSweep(spark, store, "vec_id", maxTombstoneFraction = 0.0001)
+    val updated = e.filter(col("vec_id") === 77L)
+      .select(lit(victim).as("vec_id"), col("embedding"))
+    Quantize.appendSelfContained(spark, store, updated, "embedding")
+    // both versions physically present, distinguished by vepoch
+    val sc = spark.read.parquet(s"$store.vectors")
+    assert(sc.columns.contains("vepoch"), "sidecar rows must carry vepoch")
+    assert(sc.filter(col("vec_id") === victim).count() === 2,
+      "fixture: the stale and updated rows must coexist in the sidecar")
+    // the refined-stored rescore must score 42 with the UPDATED vector:
+    // bit-equal to the corpus rescore over the post-update corpus
+    val postCorpus = e.filter(col("vec_id") =!= victim).unionByName(updated)
+      .localCheckpoint()
+    val q = e.filter(col("vec_id") < 6)
+    assert(rows(Quantize.searchSelfContainedRefinedStored(
+        spark, store, q, "vec_id", "embedding", 4, 3, 16)) ===
+      rows(Quantize.searchSelfContainedRefined(
+        spark, store, q, "vec_id", "embedding", postCorpus, "embedding", 4, 3, 16)),
+      "stored rescore must resolve the re-appended id to its latest vector")
+    // sidecar-sourced recell retrains/re-encodes the UPDATED vector (the
+    // stale row is dropped by max_by, not by an arbitrary pick) and
+    // vacuums to one row per id
+    Quantize.recellIvfPqStoreFromSidecar(spark, store,
+      nCells = 10, nCodes = 12, retrainCodebook = true,
+      coarseMaxIter = 3, pqMaxIter = 2)
+    val sc2 = spark.read.parquet(s"$store.vectors")
+    assert(sc2.filter(col("vec_id") === victim).count() === 1)
+    val qNew = updated.select(lit(999L).as("vec_id"), col("embedding"))
+    val hit = Quantize.searchSelfContainedRefinedStored(
+        spark, store, qNew, "vec_id", "embedding", 1, 10, 8)
+      .collect().head
+    assert(hit.getLong(1) === victim && hit.getDouble(3) === 0.0,
+      "post-recell store must hold the updated vector exactly")
+
+    // LEGACY (pre-vepoch) sidecar: reads keep working, appends refuse
+    // with the migration message, and recell migrates the layout
+    val legacyRows = spark.read.parquet(s"$store.vectors")
+      .select("vec_id", "vec", "centroid_id").localCheckpoint()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store.vectors"), true)
+    legacyRows.write.partitionBy("centroid_id").parquet(s"$store.vectors")
+    assert(rows(Quantize.searchSelfContainedRefinedStored(
+      spark, store, q, "vec_id", "embedding", 4, 3, 16)).nonEmpty,
+      "a legacy sidecar must stay servable")
+    val ex = intercept[IllegalStateException] {
+      Quantize.appendSelfContained(spark, store, updated, "embedding")
+    }
+    assert(ex.getMessage.contains("vepoch") &&
+      ex.getMessage.contains("recellIvfPqStoreFromSidecar"))
+    Quantize.recellIvfPqStoreFromSidecar(spark, store,
+      nCells = 10, nCodes = 12, retrainCodebook = true,
+      coarseMaxIter = 3, pqMaxIter = 2)
+    assert(spark.read.parquet(s"$store.vectors").columns.contains("vepoch"),
+      "recell must migrate a legacy sidecar to the versioned layout")
+    Quantize.appendSelfContained(spark, store,
+      updated.select(lit(7777L).as("vec_id"), col("embedding")), "embedding")
+  }
 }
