@@ -379,6 +379,36 @@ object Retrieval {
     spark.read.parquet(epochsPath(path)).select("n_buckets")
       .collect().head.getInt(0)
 
+  /** Migration guard for MUTATIONS onto stores written before the
+    * doc-set-signature epochs schema (id_hash_delta) and, for appends,
+    * before positional postings (pos). Landing new-schema rows beside
+    * old ones would not fail — it would be silently wrong: the epochs
+    * fold reads old rows' hashes as null, so the live-set signature the
+    * BM25F field-complete gate compares can false-pass AND false-fail;
+    * mixed postings read old rows' pos as null, so pre-positional docs
+    * vanish from phrase/proximity/snippet instead of erroring. Rebuild
+    * (writeBm25Store) is the migration — rebucket cannot migrate past
+    * the signature (it reads the fold itself via
+    * [[liveStatsAndBuckets]], which carries the same check). Schema-only
+    * reads (parquet footers), no data jobs. */
+  private def requireCurrentSchema(spark: SparkSession, path: String,
+                                   op: String, checkPos: Boolean): Unit = {
+    if (!spark.read.parquet(epochsPath(path)).columns.contains("id_hash_delta"))
+      throw new IllegalArgumentException(
+        s"$op: store $path predates the doc-set-signature schema (epochs " +
+          "table has no id_hash_delta column) — new epochs would mix " +
+          "signed and unsigned rows and the live doc-set signature would " +
+          "be silently wrong. Rebuild the store with writeBm25Store.")
+    if (checkPos &&
+        !spark.read.parquet(postingsPath(path)).columns.contains("pos"))
+      throw new IllegalArgumentException(
+        s"$op: store $path predates positional postings (postings have " +
+          "no 'pos' column) — appending positional rows would leave a " +
+          "mixed store whose pre-positional docs silently vanish from " +
+          "phrase/proximity/snippet results instead of erroring. Rebuild " +
+          "the store with writeBm25Store.")
+  }
+
   // --------------------------------------------------------------------
   // Raw-TEXT sidecar (`<store>/docs`) — the lexical twin of the IVF-PQ
   // store's `.vectors` sidecar (round 10). Retrieval returns ids; a RAG
@@ -489,7 +519,14 @@ object Retrieval {
     * iff they hold the same ids (up to a 2⁻⁶⁴ hash collision). */
   private[graft] def liveStatsAndBuckets(spark: SparkSession, path: String)
       : (Long, Long, Long, Int) = {
-    val r = spark.read.parquet(epochsPath(path))
+    val ep = spark.read.parquet(epochsPath(path))
+    if (!ep.columns.contains("id_hash_delta"))
+      throw new IllegalArgumentException(
+        s"store $path predates the doc-set-signature schema (epochs table " +
+          "has no id_hash_delta column) — rebuild the store with " +
+          "writeBm25Store (rebucket reads the signature fold itself and " +
+          "cannot migrate past this)")
+    val r = ep
       .agg(coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
         coalesce(sum("total_len_delta"), lit(0L)).as("total_len"),
         coalesce(expr("bit_xor(id_hash_delta)"), lit(0L)).as("id_hash"),
@@ -674,6 +711,7 @@ object Retrieval {
     val spark = batch.sparkSession
     graft.sources.StoreLock.withLock(spark, path, "bm25-append") {
       requireNoCompactBak(fsFor(spark, path), path, "append to")
+      requireCurrentSchema(spark, path, "appendBm25Store", checkPos = true)
       val nBuckets = readMeta(spark, path)
       // sidecar BEFORE postings (postings-visible ⇒ text present; a
       // crash in between leaves unreachable rows the same-epoch retry
@@ -737,6 +775,7 @@ object Retrieval {
     val storedEpoch = -epoch
     graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
       requireNoCompactBak(fsFor(spark, path), path, "delete from")
+      requireCurrentSchema(spark, path, "deleteFromBm25Store", checkPos = false)
       val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
       val newIds = want.join(
         broadcast(priorTombstones(spark, path, storedEpoch)),
@@ -816,6 +855,7 @@ object Retrieval {
     val storedEpoch = -epoch
     graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
       requireNoCompactBak(fsFor(spark, path), path, "delete from")
+      requireCurrentSchema(spark, path, "deleteFromBm25Store", checkPos = false)
       val nBuckets = readMeta(spark, path)
       val newDocs = deletedDocs
         .select(col(idCol).as("doc_id"), col(textCol).as("__text"))

@@ -358,10 +358,17 @@ object Similarity {
     // Field 0 is the family's negated-cosine sentinel: -cos with null ->
     // 2.0 sorts exactly like the (cosine DESC NULLS LAST, id ASC) window
     // this replaces (2.0 > any -cos >= -1; -0.0/0.0 negate into the same
-    // relative order).
+    // relative order). NaN cosines (a NaN vector COMPONENT — zero-norm
+    // vectors are already null via the guard above) are mapped to the
+    // same 2.0 sentinel explicitly: garbage input ranks last with the
+    // nulls. This is a deliberate divergence from the window form, which
+    // inherited Spark's NaN-sorts-greatest and ranked NaN FIRST under
+    // cosine DESC — an ordering nobody wants and the implicit kind of
+    // behavior this rewrite must not depend on.
     GraftFunctions.register(left.sparkSession)
     scored
-      .withColumn("__negcos", coalesce(-col("cosine"), lit(2.0)))
+      .withColumn("__negcos",
+        coalesce(nanvl(-col("cosine"), lit(2.0)), lit(2.0)))
       .groupBy(col("query_id"))
       .agg(expr(
         s"graft_topk(struct(__negcos, neighbor_id, cosine, centroid_id, probe_rank), $k)")

@@ -1031,4 +1031,66 @@ class RetrievalSpec extends SparkSpec {
     // both docs have rrf = 1/61 → tie → doc 20 first
     assert(got.map(_.getLong(2)).toSeq == Seq(20L, 21L))
   }
+
+  test("schema migration guards: pre-signature and pre-positional stores refuse mutations and fail serving actionably, never silently") {
+    import spark.implicits._
+    val corpus = docs((1L to 10L).map(i => i -> s"alpha doc$i common"): _*)
+    val work = java.nio.file.Files.createTempDirectory("bm25-migr").toString
+    val q = docs(900L -> "alpha")
+    val batch = docs(11L -> "alpha fresh")
+
+    // Forge a PRE-SIGNATURE store: current build, epochs table rewritten
+    // without id_hash_delta (what a round-9 store looks like on disk)
+    val preSig = s"$work/presig"
+    Retrieval.writeBm25Store(corpus, "text", "doc_id", preSig, 4)
+    val ep = spark.read.parquet(s"$preSig/epochs")
+      .drop("id_hash_delta").localCheckpoint()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(preSig),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$preSig/epochs"), true)
+    ep.coalesce(1).write.partitionBy("epoch").parquet(s"$preSig/epochs")
+    // mutations refuse: an append would land signed epochs beside
+    // unsigned ones and the bit_xor fold would silently skip the old
+    // rows' null hashes (false doc-set signature either direction)
+    val exA = intercept[IllegalArgumentException](
+      Retrieval.appendBm25Store(batch, "text", "doc_id", preSig, epoch = 1L))
+    assert(exA.getMessage.contains("id_hash_delta") &&
+      exA.getMessage.contains("writeBm25Store"))
+    val exD = intercept[IllegalArgumentException](
+      Retrieval.deleteFromBm25Store(spark, preSig,
+        Seq(3L).toDF("doc_id"), epoch = 1L))
+    assert(exD.getMessage.contains("id_hash_delta"))
+    // serving (and rebucket, which reads the fold itself) fails with the
+    // same actionable message, not a raw AnalysisException
+    val exS = intercept[IllegalArgumentException](
+      Retrieval.bm25TopKFromStore(spark, preSig, q, "text", "doc_id", 5))
+    assert(exS.getMessage.contains("id_hash_delta"))
+    val exR = intercept[IllegalArgumentException](
+      Retrieval.rebucketBm25Store(spark, preSig, 8))
+    assert(exR.getMessage.contains("id_hash_delta"))
+    // the migration: rebuild in place, everything works again
+    Retrieval.writeBm25Store(corpus, "text", "doc_id", preSig, 4)
+    Retrieval.appendBm25Store(batch, "text", "doc_id", preSig, epoch = 1L)
+    assert(Retrieval.bm25TopKFromStore(spark, preSig, q, "text", "doc_id", 20)
+      .count() == 11L)
+
+    // Forge a PRE-POSITIONAL store: postings rewritten without pos.
+    // An append of positional rows would pass phraseImpl's schema check
+    // (one footer wins) while old rows read pos=null — explode(null)
+    // emits nothing and pre-positional docs silently vanish from
+    // phrase/proximity/snippet. The append must refuse instead.
+    val prePos = s"$work/prepos"
+    Retrieval.writeBm25Store(corpus, "text", "doc_id", prePos, 4)
+    val post = spark.read.parquet(s"$prePos/postings")
+      .drop("pos").localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$prePos/postings"), true)
+    post.write.partitionBy("bucket", "epoch").parquet(s"$prePos/postings")
+    val exP = intercept[IllegalArgumentException](
+      Retrieval.appendBm25Store(batch, "text", "doc_id", prePos, epoch = 1L))
+    assert(exP.getMessage.contains("pos") &&
+      exP.getMessage.contains("writeBm25Store"))
+    // non-positional serving still works on the old store
+    assert(Retrieval.bm25TopKFromStore(spark, prePos, q, "text", "doc_id", 20)
+      .count() == 10L)
+  }
 }
