@@ -74,7 +74,12 @@ object ServeConcurrency {
          |  n_probe: 2
          |  rerank_depth: 100
          |  max_query_terms: 6
+         |  cache_size: 0
          |""".stripMargin, env = Map.empty)
+    // cache_size 0: THIS probe measures the ENGINE's concurrent serving —
+    // with the default result cache on, every repeat of the 8 payloads
+    // would be a sub-ms map lookup. The cached path gets its own
+    // section below (the reference's "<500 ms cached" claim).
     val search = graft.serve.SearchApi.fromConfig(spark, cfg).get
     import spark.implicits._
     val cache = new graft.serve.ResultCache(10, 60)
@@ -138,6 +143,60 @@ object ServeConcurrency {
     }
     server.stop()
 
+    // ---- cached-hit pass: the deployment-default SearchApi (result
+    // cache ON, mutation-exact version-token keys) serving REPEATED
+    // queries — the reference's "<500 ms (cached)" headline measured on
+    // ours. First hit per payload pays the engine; every repeat pays a
+    // key build (a few listStatus calls for the version tokens) + a map
+    // lookup + the HTTP hop.
+    val cachedCfg = graft.serve.GraftConfig.fromString(
+      s"""retrieval:
+         |  lex_store: "$work/lex"
+         |  vec_store: "$work/vec"
+         |  corpus_path: "$work/corpus"
+         |  depth: 20
+         |  n_probe: 2
+         |  rerank_depth: 100
+         |  max_query_terms: 6
+         |""".stripMargin, env = Map.empty)
+    val cachedSearch = graft.serve.SearchApi.fromConfig(spark, cachedCfg).get
+    val cachedServer = new graft.serve.ApiServer(api, 0, cachedCfg,
+      Some(cachedSearch)).start()
+    val cachedPort = cachedServer.boundPort
+    def fireCached(i: Int): Long = {
+      val t0 = System.nanoTime()
+      val r = client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$cachedPort/search"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          payloads(i % payloads.length))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(r.statusCode == 200, s"cached search failed: ${r.body.take(200)}")
+      (System.nanoTime() - t0) / 1000000L
+    }
+    payloads.indices.foreach(fireCached) // populate: one engine pass each
+    val cachedRows = Seq(1, 32).map { n =>
+      val reqs = RequestsPerLevel
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lat = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[java.lang.Long]())
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { _ =>
+        new Thread(() => {
+          var i = counter.getAndIncrement()
+          while (i < reqs) { lat.add(fireCached(i)); i = counter.getAndIncrement() }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val sorted = lat.asScala.map(_.toLong).toSeq.sorted
+      val row = (n, pct(sorted, 0.50), pct(sorted, 0.95), sorted.last, reqs / wall)
+      println(f"[serve-conc] CACHED n=$n%3d  p50=${row._2}%5d ms  " +
+        f"p95=${row._3}%5d ms  max=${row._4}%5d ms  throughput=${row._5}%7.2f req/s")
+      row
+    }
+    cachedServer.stop()
+
     // marker-delimited section appended to (or replaced in) STREAMLAT.md
     val marker = "## Concurrent serving latency"
     val path = java.nio.file.Paths.get(s"$outDir/STREAMLAT.md")
@@ -164,6 +223,18 @@ samples — read max as the tail indicator.
 """)
     for ((n, p50, p95, mx, thr) <- rows)
       md.append(f"| $n | $p50 ms | $p95 ms | $mx ms | $thr%.2f req/s |\n")
+    md.append("""
+Cached-hit path — the deployment default (`retrieval.cache_size` > 0):
+REPEATED queries served from the mutation-exact result cache (version
+tokens in the key: a store mutation changes the key, so staleness is
+impossible on mtime-bearing filesystems; the rows above are the
+cache-OFF engine numbers).
+
+| concurrent clients | p50 | p95 | max | throughput |
+|---|---|---|---|---|
+""")
+    for ((n, p50, p95, mx, thr) <- cachedRows)
+      md.append(f"| $n (cached) | $p50 ms | $p95 ms | $mx ms | $thr%.2f req/s |\n")
     val thr1 = rows.head._5
     val best = rows.maxBy(_._5)
     md.append(f"""

@@ -962,6 +962,23 @@ object Quantize {
   private def quantizersPath(indexPath: String): String =
     indexPath.stripSuffix("/") + ".quantizers"
 
+  /** FileSystem-metadata version token of everything a stored-serving
+    * answer depends on — cells, tombstones (and the sweep's transient
+    * `.old` fallback), the raw-vector sidecar, the quantizers: a few
+    * listStatus calls, no Spark job. Any landed mutation (append,
+    * tombstone, sweep, compact, recell) changes it, so it is the vector
+    * store's result-cache invalidation key (the lexical twin keys on
+    * its epochs-table fingerprint). Vector compaction does change the
+    * token — unlike the lexical store it rewrites the answer-bearing
+    * cells in place, so there is no cheaper compaction-invariant
+    * signature to key on. */
+  private[graft] def storeVersion(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String): String =
+    Retrieval.fsFingerprint(spark, Seq(
+      indexPath.stripSuffix("/"), tombstonesPath(indexPath),
+      tombstonesPath(indexPath) + ".old", vectorsPath(indexPath),
+      quantizersPath(indexPath)))
+
   final case class StoreParams(dims: Int, nBlocks: Int, residual: Boolean,
                                idCol: String)
 

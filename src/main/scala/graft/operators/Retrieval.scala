@@ -375,9 +375,116 @@ object Retrieval {
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
 
+  /** FileSystem-metadata fingerprint of `paths`: md5 over each path's
+    * DIRECT children's (name, mtime, length) triples — one listStatus
+    * per path, no Spark job. Every store write creates or replaces
+    * children under one of these roots (parquet part files carry fresh
+    * random names, and a partition directory's mtime updates when files
+    * land inside it), so any LANDED mutation changes the fingerprint.
+    * Versions the driver-side scalar memo below and the serve layer's
+    * result-cache keys. NOTE: object stores without real directory
+    * mtimes (S3) weaken the signal to "top-level children changed";
+    * cache TTLs bound the staleness window there — local/HDFS
+    * deployments get exact invalidation. */
+  private[graft] def fsFingerprint(spark: SparkSession,
+                                   paths: Seq[String]): String = {
+    val parts = paths.flatMap { p =>
+      val fs = fsFor(spark, p)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(hp)) Seq(s"$p#absent")
+      else s"$p#dir" +: fs.listStatus(hp).map(st =>
+        s"${st.getPath.getName}#${st.getModificationTime}#${st.getLen}")
+        .sorted.toSeq
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private final case class EpochsInfo(nDocs: Long, totalLen: Long,
+                                      idHash: Option[Long], nBuckets: Int,
+                                      fieldNames: Option[Seq[String]],
+                                      lenSums: Option[Seq[Long]])
+
+  // Driver-side memo of the summed epoch scalars, keyed by the epochs
+  // directory's fingerprint: a serving request pays ONE listStatus
+  // instead of a Spark aggregate job for the corpus scalars + bucket
+  // count it needs before planning the pruned scan. Any epoch write
+  // (append/delete/build/rebucket) changes the child set — new part
+  // names at minimum — so the next request recomputes; compaction
+  // never touches the epochs table and correctly keeps the memo.
+  // Bounded LRU (access-order), shared across stores.
+  private val epochsMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, EpochsInfo](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, EpochsInfo]): Boolean = size() > 256
+      })
+
+  private def epochsInfo(spark: SparkSession, path: String): EpochsInfo = {
+    val key = fsFingerprint(spark, Seq(epochsPath(path)))
+    val hit = epochsMemo.get(key)
+    if (hit != null) hit
+    else {
+      val ep = spark.read.parquet(epochsPath(path))
+      val hasSig = ep.columns.contains("id_hash_delta")
+      val fielded = ep.columns.contains("field_names")
+      val r = ep.agg(
+          coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
+          coalesce(sum("total_len_delta"), lit(0L)).as("total_len"),
+          (if (hasSig) coalesce(expr("bit_xor(id_hash_delta)"), lit(0L))
+           else lit(0L)).as("id_hash"),
+          max("n_buckets").as("n_buckets"))
+        .collect().head
+      // fielded stores (writeBm25fStore) additionally carry the field
+      // list and per-field length deltas — two more planning-scale jobs,
+      // paid once per on-disk state thanks to the memo
+      val (fNames, fLens) =
+        if (!fielded) (None, None)
+        else {
+          val names = ep.select(max("field_names")).collect()
+            .head.getSeq[String](0).toSeq
+          val lens = ep.select(posexplode(col("len_deltas")).as(Seq("i", "d")))
+            .groupBy("i").agg(sum("d").as("s")).orderBy("i")
+            .collect().map(_.getLong(1)).toSeq
+          (Some(names), Some(lens))
+        }
+      val info = EpochsInfo(r.getLong(0), r.getLong(1),
+        if (hasSig) Some(r.getLong(2)) else None, r.getInt(3), fNames, fLens)
+      epochsMemo.put(key, info)
+      info
+    }
+  }
+
+  /** Guard: `op` is a single-text-column operation and must not touch a
+    * FIELDED store ([[writeBm25fStore]] layout) — its postings carry a
+    * field column and its epochs carry per-field length deltas that the
+    * unfielded writers would not maintain (and the unfielded servers
+    * would mis-score: a (doc, term) pair has one row PER FIELD). */
+  private def requireUnfielded(spark: SparkSession, path: String,
+                               op: String): Unit =
+    if (epochsInfo(spark, path).fieldNames.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op: store $path is a FIELDED store (fields: " +
+          s"${epochsInfo(spark, path).fieldNames.get.mkString(", ")}) — " +
+          "use the bm25f* store entry points (appendBm25fStore/" +
+          "deleteFromBm25fStore/bm25fTopKFromStore/rebucketBm25fStore)")
+
   private def readMeta(spark: SparkSession, path: String): Int =
-    spark.read.parquet(epochsPath(path)).select("n_buckets")
-      .collect().head.getInt(0)
+    epochsInfo(spark, path).nBuckets
+
+  /** The lexical store's result-cache version token: the epochs-table
+    * fingerprint. Every answer-changing mutation writes an epoch row
+    * (append/delete/build/rebucket), so the token changes with the
+    * answers; COMPACTION never touches the epochs table, so cached
+    * results deliberately survive it (compaction moves filtering cost,
+    * never the answer — including include_text, whose tombstone guard
+    * and sidecar vacuum cancel out visibly). Strictly stronger than the
+    * doc-set signature alone: a rebuild with the same ids but EDITED
+    * texts changes the fingerprint (fresh part files) where the id-XOR
+    * signature would collide. One listStatus. */
+  private[graft] def storeVersion(spark: SparkSession, path: String): String =
+    fsFingerprint(spark, Seq(epochsPath(path)))
 
   /** Migration guard for MUTATIONS onto stores written before the
     * doc-set-signature epochs schema (id_hash_delta) and, for appends,
@@ -519,20 +626,15 @@ object Retrieval {
     * iff they hold the same ids (up to a 2⁻⁶⁴ hash collision). */
   private[graft] def liveStatsAndBuckets(spark: SparkSession, path: String)
       : (Long, Long, Long, Int) = {
-    val ep = spark.read.parquet(epochsPath(path))
-    if (!ep.columns.contains("id_hash_delta"))
-      throw new IllegalArgumentException(
+    val i = epochsInfo(spark, path)
+    i.idHash match {
+      case Some(h) => (i.nDocs, i.totalLen, h, i.nBuckets)
+      case None => throw new IllegalArgumentException(
         s"store $path predates the doc-set-signature schema (epochs table " +
           "has no id_hash_delta column) — rebuild the store with " +
           "writeBm25Store (rebucket reads the signature fold itself and " +
           "cannot migrate past this)")
-    val r = ep
-      .agg(coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
-        coalesce(sum("total_len_delta"), lit(0L)).as("total_len"),
-        coalesce(expr("bit_xor(id_hash_delta)"), lit(0L)).as("id_hash"),
-        max("n_buckets").as("n_buckets"))
-      .collect().head
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+    }
   }
 
   /** Live corpus scalars, derived on read: the exact integer sum of the
@@ -712,6 +814,7 @@ object Retrieval {
     graft.sources.StoreLock.withLock(spark, path, "bm25-append") {
       requireNoCompactBak(fsFor(spark, path), path, "append to")
       requireCurrentSchema(spark, path, "appendBm25Store", checkPos = true)
+      requireUnfielded(spark, path, "appendBm25Store")
       val nBuckets = readMeta(spark, path)
       // sidecar BEFORE postings (postings-visible ⇒ text present; a
       // crash in between leaves unreachable rows the same-epoch retry
@@ -776,6 +879,7 @@ object Retrieval {
     graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
       requireNoCompactBak(fsFor(spark, path), path, "delete from")
       requireCurrentSchema(spark, path, "deleteFromBm25Store", checkPos = false)
+      requireUnfielded(spark, path, "deleteFromBm25Store")
       val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
       val newIds = want.join(
         broadcast(priorTombstones(spark, path, storedEpoch)),
@@ -856,6 +960,7 @@ object Retrieval {
     graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
       requireNoCompactBak(fsFor(spark, path), path, "delete from")
       requireCurrentSchema(spark, path, "deleteFromBm25Store", checkPos = false)
+      requireUnfielded(spark, path, "deleteFromBm25Store")
       val nBuckets = readMeta(spark, path)
       val newDocs = deletedDocs
         .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
@@ -1092,6 +1197,7 @@ object Retrieval {
   def rebucketBm25Store(spark: SparkSession, path: String,
                         newBuckets: Int): Unit = {
     require(newBuckets >= 1, s"newBuckets must be >= 1: $newBuckets")
+    requireUnfielded(spark, path, "rebucketBm25Store")
     graft.sources.StoreLock.withLock(spark, path, "bm25-rebucket") {
       GraftFunctions.register(spark)
       val fs = fsFor(spark, path)
@@ -1331,6 +1437,7 @@ object Retrieval {
                          k: Int, k1: Double, b: Double, maxQueryTerms: Int,
                          allowed: Option[DataFrame],
                          requireAll: Boolean = false): DataFrame = {
+    requireUnfielded(spark, path, "bm25TopKFromStore")
     val (nd, tl, _, nBuckets) = liveStatsAndBuckets(spark, path)
     import spark.implicits._
     val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
@@ -1352,7 +1459,9 @@ object Retrieval {
     * df sidecar read prunes on the same literals). */
   private def servedLivePostings(spark: SparkSession, path: String,
                                  qterms: DataFrame, nBuckets: Long,
-                                 allowed: Option[DataFrame])
+                                 allowed: Option[DataFrame],
+                                 cols: Seq[String] =
+                                   Seq("doc_id", "term", "tf", "dl"))
       : (DataFrame, Seq[Long]) = {
     val buckets = termBuckets(qterms, nBuckets)
     val post = spark.read.parquet(postingsPath(path))
@@ -1368,7 +1477,7 @@ object Retrieval {
         org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
     val live = post
       .filter(col("bucket").isInCollection(buckets))
-      .select("doc_id", "term", "tf", "dl")
+      .select(cols.head, cols.tail: _*)
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     val out = allowed.fold(live) { a =>
       val ids = a.select(col(a.columns.head).as("doc_id")).distinct()
@@ -1473,6 +1582,315 @@ object Retrieval {
       allowed)
   }
 
+  // --------------------------------------------------------------------
+  // FIELDED BM25F store (round 11) — ONE store for all fields, the
+  // deployment shape that retires the multi-store form's two structural
+  // costs: the field-complete gate (N stores can drift into different
+  // doc universes; one store has one universe BY CONSTRUCTION) and the
+  // N× serving jobs (one pruned scan answers every field — qx119's
+  // serving tail was the suite's largest measured constant precisely
+  // because it scaled with the schema's field count).
+  //
+  // Layout — the standard store with two deltas:
+  //  - postings rows carry a `field` index column (bucket hash is still
+  //    the TERM only, so all of a term's candidates across fields live
+  //    in the same pruned partitions) and `dl` is the doc's FIELD length;
+  //  - the epochs table carries `len_deltas` (per-field total-length
+  //    deltas, array-typed) and `field_names` beside the standard
+  //    columns, so readMeta/the signature fold/the migration guards all
+  //    work unchanged;
+  //  - NO df sidecar: BM25F's df is a cross-field doc count the served
+  //    path derives from the pruned live candidates (term-complete by
+  //    bucketing — the same derivation the multi-store path documents).
+  // Lifecycle: build/append/delete/rebucket below; compactBm25Store and
+  // recoverBm25Compaction/recoverBm25Rebucket are layout-agnostic and
+  // shared; the unfielded writers/servers refuse fielded stores loudly
+  // (requireUnfielded) and vice versa. The multi-store form stays as the
+  // composition proof (independent per-field stores remain a legitimate
+  // deployment when fields genuinely live in different pipelines).
+  // --------------------------------------------------------------------
+
+  /** Serve-time parameters for one stored field: its build-time name
+    * (a text column of [[writeBm25fStore]]'s corpus), the query-time
+    * weight, and the per-field length-normalization slope. Weights/b are
+    * deliberately NOT store state: ranking can be re-tuned per query
+    * without touching the index, exactly like the one-shot
+    * [[bm25fTopK]]. */
+  final case class Bm25fField(name: String, weight: Double, b: Double = B)
+
+  /** Build the FIELDED store as epoch 0: one positional census per field
+    * column (tagged with the field index), unioned into one postings
+    * table. Same bucket geometry, debris clearing, and static-overwrite
+    * rebuild discipline as [[writeBm25Store]]. */
+  def writeBm25fStore(corpus: DataFrame, fieldCols: Seq[String],
+                      idCol: String, path: String,
+                      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(fieldCols.nonEmpty, "writeBm25fStore needs at least one field")
+    require(fieldCols.distinct == fieldCols,
+      s"duplicate field columns: ${fieldCols.mkString(", ")}")
+    val spark = corpus.sparkSession
+    graft.sources.StoreLock.withLock(spark, path, "bm25-build") {
+      fieldedCensus(corpus, fieldCols, idCol, nBuckets)
+        .withColumn("epoch", lit(0L))
+        .repartition(col("bucket")) // co-locate (see writeBm25Store)
+        .write.mode("overwrite").partitionBy("bucket", "epoch")
+        .option("partitionOverwriteMode", "static")
+        .parquet(postingsPath(path))
+      writeFieldedEpoch(spark, path, 0L, fieldCols, nBuckets,
+        replaceAll = true)
+      val fs = fsFor(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(storeTombstonesPath(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(docsPath(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        path.stripSuffix("/") + "/_graft_stream_id"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(compactBakPath(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(compactNewPath(path)), true)
+    }
+  }
+
+  /** Grow the fielded store at batch cost — [[appendBm25Store]]'s
+    * discipline (per-epoch dynamic overwrite, idempotent retries,
+    * nothing re-reads the standing corpus), for all fields in ONE
+    * write. The batch must carry the store's exact field columns. */
+  def appendBm25fStore(batch: DataFrame, idCol: String, path: String,
+                       epoch: Long): Unit = {
+    require(epoch >= 1, s"append epochs start at 1 (0 is the build): $epoch")
+    val spark = batch.sparkSession
+    graft.sources.StoreLock.withLock(spark, path, "bm25-append") {
+      requireNoCompactBak(fsFor(spark, path), path, "append to")
+      val info = epochsInfo(spark, path)
+      val fieldCols = info.fieldNames.getOrElse(throw new IllegalArgumentException(
+        s"appendBm25fStore: store $path is not a fielded store — " +
+          "build it with writeBm25fStore (or append with appendBm25Store)"))
+      fieldCols.foreach(c => require(batch.columns.contains(c),
+        s"appendBm25fStore: batch lacks stored field column '$c' " +
+          s"(stored fields: ${fieldCols.mkString(", ")})"))
+      fieldedCensus(batch, fieldCols, idCol, info.nBuckets)
+        .withColumn("epoch", lit(epoch))
+        .repartition(col("bucket"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("bucket", "epoch")
+        .parquet(postingsPath(path))
+      writeFieldedEpoch(spark, path, epoch, fieldCols, info.nBuckets,
+        replaceAll = false)
+    }
+  }
+
+  /** Retract documents from the fielded store — [[deleteFromBm25Store]]'s
+    * tombstone semantics with the per-field length roll-back the fielded
+    * epochs need (one negative `len_deltas` array instead of one scalar).
+    * Same negated-epoch space, prior-tombstone skip, tombstones-last
+    * crash contract. The derivation scan is column-pruned but
+    * store-sized, like the unfielded id-only path. */
+  def deleteFromBm25fStore(spark: SparkSession, path: String,
+                           ids: DataFrame, epoch: Long): Long = {
+    require(epoch >= 1, s"delete epochs start at 1 (0 is the build): $epoch")
+    val storedEpoch = -epoch
+    graft.sources.StoreLock.withLock(spark, path, "bm25-delete") {
+      requireNoCompactBak(fsFor(spark, path), path, "delete from")
+      val info = epochsInfo(spark, path)
+      val fieldCols = info.fieldNames.getOrElse(throw new IllegalArgumentException(
+        s"deleteFromBm25fStore: store $path is not a fielded store"))
+      val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      val newIds = want.join(
+        broadcast(priorTombstones(spark, path, storedEpoch)),
+        Seq("doc_id"), "left_anti")
+      val hits = spark.read.parquet(postingsPath(path))
+        .select("doc_id", "field", "dl")
+        .join(broadcast(newIds), Seq("doc_id"))
+        .groupBy("field", "doc_id").agg(max("dl").as("dl"))
+        .localCheckpoint() // bounded by deleted docs × fields
+      val docs = hits.select("doc_id").distinct()
+        .agg(count(lit(1)).as("nd"),
+          coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("ih"))
+        .collect().head
+      val nd = docs.getLong(0)
+      if (nd == 0L) 0L
+      else {
+        val perField = hits.groupBy("field").agg(sum("dl").as("l"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val negLens = fieldCols.indices.map(i => -perField.getOrElse(i, 0L))
+        // deltas FIRST, tombstones LAST — the commitBm25Delete contract
+        writeFieldedEpochRow(spark, path, storedEpoch, -nd, negLens,
+          docs.getLong(1), info.nBuckets, fieldCols, replaceAll = false)
+        hits.select("doc_id").distinct()
+          .withColumn("epoch", lit(storedEpoch))
+          .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("epoch")
+          .parquet(storeTombstonesPath(path))
+        nd
+      }
+    }
+  }
+
+  /** Rewrite the fielded store at a new bucket count / fold its epochs —
+    * [[rebucketBm25Store]]'s role and rename-swap discipline (crashes
+    * resolve through the same [[recoverBm25Rebucket]]); the epochs table
+    * is rebuilt with the per-field length arrays the fielded serving
+    * needs. No stream-marker carry: fielded stores are not
+    * stream-adoptable (no fielded streaming ingest exists). */
+  def rebucketBm25fStore(spark: SparkSession, path: String,
+                         newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1: $newBuckets")
+    graft.sources.StoreLock.withLock(spark, path, "bm25-rebucket") {
+      GraftFunctions.register(spark)
+      val fs = fsFor(spark, path)
+      requireNoCompactBak(fs, path, "rebucket")
+      val info = epochsInfo(spark, path)
+      val fieldCols = info.fieldNames.getOrElse(throw new IllegalArgumentException(
+        s"rebucketBm25fStore: store $path is not a fielded store — " +
+          "use rebucketBm25Store"))
+      val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".rebucket-bak")
+      if (fs.exists(bak))
+        throw new java.io.IOException(
+          s"refusing to rebucket $path: backup $bak exists from an " +
+            "interrupted rebucket — run Retrieval.recoverBm25Rebucket first")
+      val tmp = path.stripSuffix("/") + ".rebucket-new"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val tomb = readBm25Tombstones(spark, path)
+      val post = spark.read.parquet(postingsPath(path))
+      val dataCols = post.columns.filterNot(c => c == "bucket" || c == "epoch")
+      post.select(dataCols.map(col).toIndexedSeq: _*)
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .withColumn("bucket", bucketCol(newBuckets))
+        .withColumn("epoch", lit(0L))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket", "epoch")
+        .parquet(postingsPath(tmp))
+      writeFieldedEpoch(spark, tmp, 0L, fieldCols, newBuckets,
+        replaceAll = true)
+      val main = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+      if (!fs.rename(main, bak))
+        throw new java.io.IOException(s"rebucket: failed to move $main aside")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
+        throw new java.io.IOException(
+          s"rebucket: failed to install $tmp — run recoverBm25Rebucket")
+      if (!fs.delete(bak, true))
+        throw new java.io.IOException(s"rebucket: failed to remove $bak")
+    }
+  }
+
+  /** [[bm25fTopK]] served from ONE fielded store: one `bucket IN` pruned
+    * scan yields every requested field's live candidates, a broadcast
+    * field-stats join attaches (weight, b, avgdl_f), one (doc, term)
+    * exchange merges the contributions, and [[bm25fTopK]]'s exact tail
+    * scores — so the result equals the one-shot over the same fielded
+    * corpus (the qx123 gate is qx118's oracle verbatim), at the
+    * SINGLE-store serving constant regardless of field count. Fields
+    * absent from `fields` are excluded from scoring (weight 0 by
+    * omission); every requested name must exist in the store. */
+  def bm25fTopKFromStore(spark: SparkSession, path: String,
+                         fields: Seq[Bm25fField], queries: DataFrame,
+                         textCol: String, idCol: String, k: Int,
+                         k1: Double = K1,
+                         maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    servedBm25fStore(spark, path, fields, queries, textCol, idCol, k, k1,
+      maxQueryTerms, allowed = None)
+
+  /** [[bm25fTopKFromStore]] with an id allow-list fencing candidates
+    * only (corpus-global statistics, the qx111/qx114 semantics). */
+  def bm25fTopKFromStoreFiltered(spark: SparkSession, path: String,
+                                 fields: Seq[Bm25fField], queries: DataFrame,
+                                 allowedDocs: DataFrame,
+                                 textCol: String, idCol: String, k: Int,
+                                 k1: Double = K1,
+                                 maxQueryTerms: Int = Int.MaxValue): DataFrame =
+    servedBm25fStore(spark, path, fields, queries, textCol, idCol, k, k1,
+      maxQueryTerms, allowed = Some(allowedDocs))
+
+  private def servedBm25fStore(spark: SparkSession, path: String,
+                               fields: Seq[Bm25fField], queries: DataFrame,
+                               textCol: String, idCol: String, k: Int,
+                               k1: Double, maxQueryTerms: Int,
+                               allowed: Option[DataFrame]): DataFrame = {
+    require(fields.nonEmpty, "bm25fTopKFromStore needs at least one field")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val info = epochsInfo(spark, path)
+    val names = info.fieldNames.getOrElse(throw new IllegalArgumentException(
+      s"bm25fTopKFromStore: store $path is not a FIELDED store — build it " +
+        "with writeBm25fStore, or serve unfielded with bm25TopKFromStore"))
+    val lens = info.lenSums.get
+    val idx = names.zipWithIndex.toMap
+    fields.foreach(f => require(idx.contains(f.name),
+      s"field '${f.name}' is not in store $path " +
+        s"(stored fields: ${names.mkString(", ")})"))
+    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    // the allow-list is NOT applied to the scan: df/avgdl corpus-global
+    // (qx111/qx114 semantics) — it fences inside the scoring tail
+    val (live, _) = servedLivePostings(spark, path, qterms,
+      info.nBuckets.toLong, allowed = None,
+      cols = Seq("doc_id", "term", "tf", "dl", "field"))
+    val fstats = fields
+      .map(f => (idx(f.name), f.weight, f.b, lens(idx(f.name))))
+      .toDF("field", "w", "b", "len_f")
+    val contribs = live
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
+      .join(broadcast(fstats), Seq("field")) // drops unrequested fields
+      .select(col("doc_id"), col("term"),
+        (col("w") * col("tf").cast("double") /
+          (lit(1.0) - col("b") + col("b") *
+            (col("dl").cast("double") /
+              (col("len_f").cast("double") / lit(info.nDocs).cast("double")))))
+          .as("contrib"))
+    val merged = contribs.groupBy("doc_id", "term")
+      .agg(sum("contrib").as("wtf"))
+    scoreBm25f(merged, qterms, Seq(info.nDocs).toDF("n_docs"), k, k1, allowed)
+  }
+
+  /** One positional census per field, tagged and unioned — the fielded
+    * build/append's shared write shape. */
+  private def fieldedCensus(corpus: DataFrame, fieldCols: Seq[String],
+                            idCol: String, nBuckets: Int): DataFrame =
+    fieldCols.zipWithIndex.map { case (c, i) =>
+      bm25IndexPositional(corpus, c, idCol).withColumn("field", lit(i))
+    }.reduce(_ unionByName _)
+      .withColumn("bucket", bucketCol(nBuckets))
+
+  /** Derive one written epoch's fielded scalars from an epoch-pruned
+    * read-back of the postings (never a second tokenize) and land the
+    * epochs row: n_docs = docs with ≥1 posting in ANY field, len_deltas
+    * = per-field Σ of per-doc field lengths, id_hash = XOR over the
+    * epoch's doc ids. */
+  private def writeFieldedEpoch(spark: SparkSession, path: String,
+                                epoch: Long, fieldCols: Seq[String],
+                                nBuckets: Int,
+                                replaceAll: Boolean): Unit = {
+    val perFd = spark.read.parquet(postingsPath(path))
+      .filter(col("epoch") === epoch)
+      .groupBy("field", "doc_id").agg(max("dl").as("dl"))
+      .localCheckpoint() // two planning-scale aggregates read it
+    val docs = perFd.select("doc_id").distinct()
+      .agg(count(lit(1)).as("nd"),
+        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("ih"))
+      .collect().head
+    val perField = perFd.groupBy("field").agg(sum("dl").as("l"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    writeFieldedEpochRow(spark, path, epoch, docs.getLong(0),
+      fieldCols.indices.map(i => perField.getOrElse(i, 0L)),
+      docs.getLong(1), nBuckets, fieldCols, replaceAll)
+  }
+
+  /** One fielded scalar-delta epoch row — the standard columns (so
+    * readMeta / the signature fold / migration guards work unchanged)
+    * plus `len_deltas` and `field_names`. */
+  private def writeFieldedEpochRow(spark: SparkSession, path: String,
+                                   epoch: Long, nDocsDelta: Long,
+                                   lenDeltas: Seq[Long], idHashDelta: Long,
+                                   nBuckets: Int, fieldNames: Seq[String],
+                                   replaceAll: Boolean): Unit = {
+    import spark.implicits._
+    val w = Seq((epoch, nDocsDelta, lenDeltas.sum, lenDeltas, idHashDelta,
+        nBuckets, fieldNames))
+      .toDF("epoch", "n_docs_delta", "total_len_delta", "len_deltas",
+        "id_hash_delta", "n_buckets", "field_names")
+      .coalesce(1).write.mode("overwrite").partitionBy("epoch")
+    // pinned per-write in both branches — see writeDfDelta
+    w.option("partitionOverwriteMode", if (replaceAll) "static" else "dynamic")
+      .parquet(epochsPath(path))
+  }
+
   /** PHRASE query over the positional store — the first query class a
     * Lucene-shaped user asks of a lexical index that tf-only postings
     * cannot answer (round 10; the store has persisted positions since
@@ -1517,6 +1935,7 @@ object Retrieval {
                          queries: DataFrame, textCol: String, idCol: String,
                          k: Int, maxPhraseTerms: Int,
                          allowed: Option[DataFrame]): DataFrame = {
+    requireUnfielded(spark, path, "phraseTopKFromStore")
     GraftFunctions.register(spark)
     val sparkD = Dialect(spark = true)
     val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
@@ -1607,6 +2026,7 @@ object Retrieval {
                             k: Int, window: Int, maxQueryTerms: Int,
                             allowed: Option[DataFrame]): DataFrame = {
     require(window >= 1, s"window=$window must be >= 1")
+    requireUnfielded(spark, path, "proximityTopKFromStore")
     GraftFunctions.register(spark)
     val sparkD = Dialect(spark = true)
     val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)

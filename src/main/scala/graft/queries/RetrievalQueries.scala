@@ -173,6 +173,37 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Fielded retrieval from ONE fielded store (round 11): the same
+    // build+append lifecycle and the same oracle as qx119, but the
+    // postings carry a field column instead of living in N stores — one
+    // pruned scan serves every field, one universe by construction (no
+    // field-complete gate to trip), and the serving tail is the
+    // single-store constant instead of N× (qx119 was the suite's
+    // largest measured serving tail for exactly that reason).
+    "qx123_bm25f_one_store" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Dialect(spark = true)
+      val docs = t(s, dir, "documents")
+      val toks = TX.tokensAuto("text")(d)
+      val fielded = docs.select(col("doc_id"),
+        expr(d.ajoin(d.slice(toks, "1", BM25F_TITLE_TOKENS), "' '")).as("title"),
+        expr(d.ajoin(d.slice(toks, (BM25F_TITLE_TOKENS + 1).toString, 1000000),
+          "' '")).as("body"))
+      val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
+      val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
+      val work = java.nio.file.Files.createTempDirectory("qx123-").toString
+      Retrieval.writeBm25fStore(fielded.filter(notQuery && !isAppend),
+        Seq("title", "body"), "doc_id", s"$work/store", STORE_BUCKETS)
+      Retrieval.appendBm25fStore(fielded.filter(notQuery && isAppend),
+        "doc_id", s"$work/store", epoch = 1L)
+      Retrieval.bm25fTopKFromStore(s, s"$work/store",
+          Seq(Retrieval.Bm25fField("title", BM25F_TITLE_W, BM25F_TITLE_B),
+            Retrieval.Bm25fField("body", BM25F_BODY_W, BM25F_BODY_B)),
+          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), "text",
+          "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+        .orderBy("query_id", "rank")
+    }),
+
     // Filtered FIELDED serving: the ACL fence composed with per-field
     // stores — candidates fenced BEFORE ranking (top-k = k survivors),
     // df/n_docs/avgdl corpus-global (the qx111/qx114 semantics, now on
@@ -897,6 +928,11 @@ object RetrievalQueries {
     // Store-served fielded retrieval: the per-field store lifecycle is
     // invisible to correctness — qx118's one-shot formula, verbatim.
     "qx119_bm25f_store" -> bm25fOracle,
+
+    // ONE-fielded-store serving: the store layout (field column in the
+    // postings, per-field length deltas in the epochs) is invisible to
+    // correctness — qx118's one-shot formula, verbatim again.
+    "qx123_bm25f_one_store" -> bm25fOracle,
 
     // Fenced candidates, corpus-global statistics: the WHERE rides the
     // cand CTE only — dfreq/stats CTEs untouched, proving the fielded

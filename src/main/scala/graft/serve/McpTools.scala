@@ -193,11 +193,11 @@ object McpTools {
   val SearchTool: ToolDef = ToolDef("search_corpus",
     "Search the document corpus from the persisted retrieval stores " +
       "(hybrid BM25+vector with reciprocal-rank fusion, or " +
-      "lexical/vector/phrase/proximity/snippet single-mode; snippet returns "+
+      "lexical/vector/fielded/phrase/proximity/snippet single-mode; snippet returns "+
       "the passage around the first matched term from the store's raw-text "+
       "sidecar); optional allowed_ids fences " +
       "results to an access-scoped id set",
-    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","phrase","proximity","snippet"]},"allowed_ids":{"type":"array","items":{"type":"string"}},"window":{"type":"integer","default":12},"include_text":{"type":"boolean","default":false},"require_all":{"type":"boolean","default":false}},"required":[]}""")
+    """{"type":"object","properties":{"text":{"type":"string"},"vector":{"type":"array","items":{"type":"number"}},"k":{"type":"integer","default":10},"mode":{"type":"string","default":"hybrid","enum":["hybrid","vector","lexical","fielded","phrase","proximity","snippet"]},"allowed_ids":{"type":"array","items":{"type":"string"}},"window":{"type":"integer","default":12},"include_text":{"type":"boolean","default":false},"require_all":{"type":"boolean","default":false}},"required":[]}""")
 
   /** Typed access over the loosely-typed argument map. */
   private final class Args(m: Map[String, Any]) {

@@ -26,7 +26,8 @@ import graft.sources.Serve
   * need the POST body's `vector` array. `lexical`/`phrase` work from
   * text alone and are GET-able.
   */
-final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
+final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
+                      cache: Option[ResultCache] = None) {
 
   import FinancialApi.Response
 
@@ -90,7 +91,55 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
   def search(text: String, vector: Seq[Float], k: Int, mode: String,
              allowedIds: Seq[String], window: Int = 12,
              includeText: Boolean = false,
-             requireAll: Boolean = false): Response = {
+             requireAll: Boolean = false): Response = cache match {
+    case None => searchCompute(text, vector, k, mode, allowedIds, window,
+      includeText, requireAll)
+    case Some(c) =>
+      // Mutation-exact caching: the key CARRIES each depended-on store's
+      // version token (a FileSystem-metadata fingerprint — a few
+      // listStatus calls, no Spark job), so a landed mutation changes
+      // the key and the stale entry is simply never addressed again
+      // (TTL+LRU retire it). Only the stores a mode actually reads are
+      // in its key: a vector-store append must not evict lexical
+      // answers, and vice versa. Lexical answers deliberately SURVIVE
+      // compaction (the token is the epochs-table fingerprint, which
+      // compaction never touches — it moves filtering cost, never the
+      // answer). Only 200s are cached; the rendered envelope keeps its
+      // compute-time timestamp, exactly like the financial routes.
+      val needsVec = mode == "hybrid" || mode == "vector"
+      val needsLex = (mode != "vector" && mode != "fielded") || includeText
+      val ver = (if (needsLex) Retrieval.storeVersion(spark, conf.lexStore)
+                 else "-") + "/" +
+        (if (needsVec) Quantize.storeVersion(spark, conf.vecStore)
+         else "-") + "/" +
+        conf.corpusPath.filter(_ => needsVec)
+          .map(p => Retrieval.fsFingerprint(spark, Seq(p))).getOrElse("-") + "/" +
+        (if (mode == "fielded")
+           conf.fieldedStore.map(Retrieval.storeVersion(spark, _)).getOrElse("-")
+         else "-")
+      val key = c.key("search",
+        "ver" -> ver, "mode" -> mode,
+        "q" -> ResultCache.md5hex(text),
+        "vec" -> (if (vector.isEmpty) "-"
+                  else ResultCache.md5hex(vector.mkString(","))),
+        "k" -> k, "window" -> window,
+        "allow" -> (if (allowedIds.isEmpty) "-"
+                    else ResultCache.md5hex(allowedIds.sorted.mkString(","))),
+        "text" -> includeText, "all" -> requireAll)
+      c.get(key) match {
+        case Some(body) => Response(200, "application/json", body)
+        case None =>
+          val r = searchCompute(text, vector, k, mode, allowedIds, window,
+            includeText, requireAll)
+          if (r.status == 200) c.put(key, r.body)
+          r
+      }
+  }
+
+  private def searchCompute(text: String, vector: Seq[Float], k: Int,
+                            mode: String, allowedIds: Seq[String],
+                            window: Int, includeText: Boolean,
+                            requireAll: Boolean): Response = {
     if (k < 1 || k > conf.maxK)
       return error(400, s"k must be in [1, ${conf.maxK}]: $k")
     val needsVector = mode == "hybrid" || mode == "vector"
@@ -161,6 +210,23 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
               conf.lexStore, q, conf.textCol, conf.idCol, k,
               maxQueryTerms = conf.maxQueryTerms)
           }
+        case "fielded" =>
+          // BM25F over the ONE fielded store (round 11): text-only like
+          // lexical; the field weights/slopes come from the deployment
+          // config (query-time parameters, not store state)
+          conf.fieldedStore match {
+            case None => return error(503,
+              "no fielded store configured (retrieval.fielded_store)")
+            case Some(fs) =>
+              allowed match {
+                case Some(a) => Retrieval.bm25fTopKFromStoreFiltered(spark,
+                  fs, conf.fieldedFields, queryFrame(text), a, conf.textCol,
+                  conf.idCol, k, maxQueryTerms = conf.maxQueryTerms)
+                case None => Retrieval.bm25fTopKFromStore(spark, fs,
+                  conf.fieldedFields, queryFrame(text), conf.textCol,
+                  conf.idCol, k, maxQueryTerms = conf.maxQueryTerms)
+              }
+          }
         case "phrase" =>
           allowed match {
             case Some(a) => Retrieval.phraseTopKFromStoreFiltered(spark,
@@ -199,7 +265,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf) {
           }
         case other =>
           return error(400,
-            s"unknown mode '$other' (expected hybrid|vector|lexical|phrase|proximity|snippet)")
+            s"unknown mode '$other' (expected hybrid|vector|lexical|" +
+              "fielded|phrase|proximity|snippet)")
       }
       // RAG context fetch on ANY mode: attach each hit's full document
       // text from the raw-text sidecar (k-bounded join behind the hits'
@@ -291,11 +358,31 @@ object SearchApi {
                                  corpusPath: Option[String], idCol: String,
                                  textCol: String, vecCol: String,
                                  depth: Int, nProbe: Int, rerankDepth: Int,
-                                 maxQueryTerms: Int, maxK: Int)
+                                 maxQueryTerms: Int, maxK: Int,
+                                 fieldedStore: Option[String] = None,
+                                 fieldedFields: Seq[Retrieval.Bm25fField] = Seq.empty)
+
+  /** Parse "name:weight:b,name:weight:b,..." (weight defaults 1.0, b
+    * defaults [[Retrieval.B]]) — the config wire format for the fielded
+    * store's serve-time field parameters. */
+  private[graft] def parseFields(s: String): Seq[Retrieval.Bm25fField] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      part.split(':') match {
+        case Array(n) => Retrieval.Bm25fField(n, 1.0)
+        case Array(n, w) => Retrieval.Bm25fField(n, w.toDouble)
+        case Array(n, w, b) => Retrieval.Bm25fField(n, w.toDouble, b.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"bad retrieval.fielded_fields entry '$part' (want name[:weight[:b]])")
+      }
+    }
 
   /** Build from config when the store paths are declared; None otherwise
     * (the serving shells then simply don't expose the routes/tool).
-    * `retrieval.corpus_path` is optional — omit it for sidecar stores. */
+    * `retrieval.corpus_path` is optional — omit it for sidecar stores.
+    * The result cache is ON by default (`retrieval.cache_size` entries,
+    * `retrieval.cache_ttl_seconds` TTL; size 0 disables) — invalidation
+    * is mutation-exact via store version tokens in the key, so the TTL
+    * only bounds staleness on object stores without directory mtimes. */
   def fromConfig(spark: SparkSession, cfg: GraftConfig): Option[SearchApi] =
     for {
       lex <- cfg.getString("retrieval.lex_store")
@@ -310,5 +397,11 @@ object SearchApi {
       nProbe = cfg.getIntOr("retrieval.n_probe", 8),
       rerankDepth = cfg.getIntOr("retrieval.rerank_depth", 100),
       maxQueryTerms = cfg.getIntOr("retrieval.max_query_terms", 16),
-      maxK = cfg.getIntOr("retrieval.max_k", 100)))
+      maxK = cfg.getIntOr("retrieval.max_k", 100),
+      fieldedStore = cfg.getString("retrieval.fielded_store"),
+      fieldedFields = parseFields(
+        cfg.getStringOr("retrieval.fielded_fields", ""))),
+      cache = Option(cfg.getIntOr("retrieval.cache_size", 512))
+        .filter(_ > 0)
+        .map(new ResultCache(_, cfg.getIntOr("retrieval.cache_ttl_seconds", 300).toLong)))
 }

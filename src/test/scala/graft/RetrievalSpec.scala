@@ -1032,6 +1032,98 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq == Seq(20L, 21L))
   }
 
+  test("FIELDED BM25F store: one store == one-shot bm25fTopK and == the multi-store form, through build/append/delete/compact/rebucket; cross-guards fence both store families") {
+    import spark.implicits._
+    import graft.operators.Retrieval.{Bm25Field, Bm25fField, Bm25StoreField}
+    // hand-made fielded corpus: short titles, longer bodies, some overlap
+    def fdocs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "title", "body")
+    val base = fdocs((1L to 16L).map(i =>
+      (i, s"alpha title$i", s"body$i common words alpha beta gamma doc$i")): _*)
+    val batch = fdocs((17L to 20L).map(i =>
+      (i, s"beta title$i", s"fresh body$i alpha")): _*)
+    val q = docs(900L -> "alpha beta common", 901L -> "gamma title3")
+    val fields = Seq(Bm25fField("title", 2.5, 0.5), Bm25fField("body", 1.0, 0.75))
+    val oneShotFields = Seq(Bm25Field("title", 2.5, 0.5), Bm25Field("body", 1.0, 0.75))
+    def oneShot(corpus: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25fTopK(corpus, oneShotFields, "doc_id", q, "text", 30)
+        .collect().map(_.toString).toSeq
+    def served(path: String) =
+      Retrieval.bm25fTopKFromStore(spark, path, fields, q, "text", "doc_id", 30)
+        .collect().map(_.toString).toSeq
+    val work = java.nio.file.Files.createTempDirectory("bm25f-one").toString
+    val store = s"$work/store"
+    Retrieval.writeBm25fStore(base, Seq("title", "body"), "doc_id", store, 4)
+    assert(served(store) == oneShot(base), "build: served != one-shot")
+    // append at batch cost; retry replaces
+    Retrieval.appendBm25fStore(batch, "doc_id", store, epoch = 1L)
+    Retrieval.appendBm25fStore(batch, "doc_id", store, epoch = 1L) // retry
+    val union = base.unionByName(batch)
+    assert(served(store) == oneShot(union), "append: served != one-shot")
+    // == the multi-store composition (the same corpus via two stores)
+    for ((f, p) <- Seq("title" -> s"$work/t", "body" -> s"$work/b"))
+      Retrieval.writeBm25Store(union, f, "doc_id", p, 4)
+    assert(Retrieval.bm25fTopKFromStores(spark,
+        Seq(Bm25StoreField(s"$work/t", 2.5, 0.5), Bm25StoreField(s"$work/b", 1.0, 0.75)),
+        q, "text", "doc_id", 30).collect().map(_.toString).toSeq
+      == served(store), "one fielded store != N field stores")
+    // delete: tombstones + per-field length roll-back; absent id no-op
+    assert(Retrieval.deleteFromBm25fStore(spark, store,
+      Seq(3L, 17L, 999L).toDF("doc_id"), epoch = 2L) == 2L)
+    val live = union.filter(!col("doc_id").isin(3L, 17L))
+    assert(served(store) == oneShot(live), "delete: served != one-shot")
+    // re-delete is a no-op (prior-tombstone skip)
+    assert(Retrieval.deleteFromBm25fStore(spark, store,
+      Seq(3L).toDF("doc_id"), epoch = 3L) == 0L)
+    // compaction is SHARED with the unfielded store and answer-invariant
+    assert(Retrieval.compactBm25Store(spark, store) > 0L)
+    assert(served(store) == oneShot(live), "compact: served changed")
+    // rebucket at a new geometry, answers invariant
+    Retrieval.rebucketBm25fStore(spark, store, newBuckets = 7)
+    assert(served(store) == oneShot(live), "rebucket: served changed")
+    // filtered serving == the multi-store filtered form (fence candidates,
+    // stats corpus-global)
+    val allow = live.filter(col("doc_id") % 2 === 0).select("doc_id")
+    for ((f, p) <- Seq("title" -> s"$work/t2", "body" -> s"$work/b2"))
+      Retrieval.writeBm25Store(live, f, "doc_id", p, 4)
+    assert(Retrieval.bm25fTopKFromStoreFiltered(spark, store, fields, q, allow,
+        "text", "doc_id", 30).collect().map(_.toString).toSeq
+      == Retrieval.bm25fTopKFromStoresFiltered(spark,
+        Seq(Bm25StoreField(s"$work/t2", 2.5, 0.5), Bm25StoreField(s"$work/b2", 1.0, 0.75)),
+        q, allow, "text", "doc_id", 30).collect().map(_.toString).toSeq,
+      "filtered fielded serving diverged between the two store forms")
+
+    // cross-guards: the two store families refuse each other's writers
+    // and servers loudly
+    val exA = intercept[IllegalArgumentException](
+      Retrieval.appendBm25Store(docs(50L -> "x"), "text", "doc_id", store, 9L))
+    assert(exA.getMessage.contains("FIELDED"))
+    val exD = intercept[IllegalArgumentException](
+      Retrieval.deleteFromBm25Store(spark, store, Seq(1L).toDF("doc_id"), 9L))
+    assert(exD.getMessage.contains("FIELDED"))
+    val exS = intercept[IllegalArgumentException](
+      Retrieval.bm25TopKFromStore(spark, store, q, "text", "doc_id", 5))
+    assert(exS.getMessage.contains("FIELDED"))
+    val exP = intercept[IllegalArgumentException](
+      Retrieval.phraseTopKFromStore(spark, store, q, "text", "doc_id", 5))
+    assert(exP.getMessage.contains("FIELDED"))
+    val exR = intercept[IllegalArgumentException](
+      Retrieval.rebucketBm25Store(spark, store, 8))
+    assert(exR.getMessage.contains("FIELDED"))
+    val plain = s"$work/plain"
+    Retrieval.writeBm25Store(docs(1L -> "alpha"), "text", "doc_id", plain, 2)
+    val exFA = intercept[IllegalArgumentException](
+      Retrieval.appendBm25fStore(batch, "doc_id", plain, 1L))
+    assert(exFA.getMessage.contains("writeBm25fStore"))
+    val exFS = intercept[IllegalArgumentException](
+      Retrieval.bm25fTopKFromStore(spark, plain, fields, q, "text", "doc_id", 5))
+    assert(exFS.getMessage.contains("writeBm25fStore"))
+    val exFF = intercept[IllegalArgumentException](
+      Retrieval.bm25fTopKFromStore(spark, store,
+        Seq(Bm25fField("nope", 1.0)), q, "text", "doc_id", 5))
+    assert(exFF.getMessage.contains("stored fields"))
+  }
+
   test("schema migration guards: pre-signature and pre-positional stores refuse mutations and fail serving actionably, never silently") {
     import spark.implicits._
     val corpus = docs((1L to 10L).map(i => i -> s"alpha doc$i common"): _*)

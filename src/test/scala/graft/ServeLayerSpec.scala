@@ -620,6 +620,162 @@ class ServeLayerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("search serving: fielded mode serves the ONE-store BM25F result; unconfigured fielded store is a 503") {
+    import graft.operators.{Quantize, Retrieval}
+    import graft.serve.SearchApi
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val toks = "graft_tokens(text)"
+    graft.functions.GraftFunctions.register(spark)
+    val fielded = docs.select(col("doc_id"),
+      expr(s"array_join(slice($toks, 1, 5), ' ')").as("title"),
+      expr(s"array_join(slice($toks, 6, 1000000), ' ')").as("body"))
+      .localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("srv-fielded-").toString
+    val corpus = fielded.filter(col("doc_id") >= 10)
+    Retrieval.writeBm25fStore(corpus, Seq("title", "body"), "doc_id",
+      s"$work/fstore", 8)
+    // lex/vec stores exist but are irrelevant to the fielded mode
+    Retrieval.writeBm25Store(docs.filter(col("doc_id") >= 10)
+      .select("doc_id", "text"), "text", "doc_id", s"$work/lex", 8)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+    Quantize.buildSelfContained(spark,
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .filter(col("doc_id") >= 10).select("doc_id", "embedding"),
+      "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+      cb, "code_id", "cb_emb", 64, 4, residual = false, s"$work/vec",
+      storeVectors = true)
+    val conf = SearchApi.RetrievalConf(s"$work/lex", s"$work/vec",
+      corpusPath = None, idCol = "doc_id", textCol = "text",
+      vecCol = "embedding", depth = 15, nProbe = 3, rerankDepth = 40,
+      maxQueryTerms = 6, maxK = 100,
+      fieldedStore = Some(s"$work/fstore"),
+      fieldedFields = SearchApi.parseFields("title:2.5:0.5,body:1.0:0.75"))
+    val api = new SearchApi(spark, conf)
+    val qText = docs.filter(col("doc_id") === 3L)
+      .select("text").collect().head.getString(0)
+    val want = Retrieval.bm25fTopKFromStore(spark, s"$work/fstore",
+        Seq(Retrieval.Bm25fField("title", 2.5, 0.5),
+          Retrieval.Bm25fField("body", 1.0, 0.75)),
+        Seq((3L, qText)).toDF("doc_id", "text"), "text", "doc_id", 5,
+        maxQueryTerms = 6)
+      .orderBy("rank").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val r = api.search(qText, Seq.empty, 5, "fielded", Seq.empty)
+    assert(r.status == 200, r.body)
+    val data = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body).get("data")
+    assert((0 until data.size).map(i => data.get(i).get("doc_id").asLong)
+      == want, "fielded mode must serve exactly the operator result")
+    // unconfigured fielded store → 503, not a 500
+    val bare = new SearchApi(spark, conf.copy(fieldedStore = None))
+    assert(bare.search(qText, Seq.empty, 5, "fielded", Seq.empty).status == 503)
+    // parseFields rejects malformed entries
+    intercept[IllegalArgumentException](SearchApi.parseFields("a:1:2:3"))
+  }
+
+  test("search result cache: repeats hit; a mutation invalidates exactly the affected store's entries; lexical entries survive compaction") {
+    import graft.operators.{Quantize, Retrieval}
+    import graft.serve.SearchApi
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding")).localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("srv-cache-").toString
+    val corpus = hybrid.filter(col("doc_id") >= 10 && col("doc_id") < 200)
+    Retrieval.writeBm25Store(corpus.select("doc_id", "text"),
+      "text", "doc_id", s"$work/lex", 8, storeDocs = true)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+    Quantize.buildSelfContained(spark, corpus.select("doc_id", "embedding"),
+      "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+      cb, "code_id", "cb_emb", 64, 4, residual = false, s"$work/vec",
+      storeVectors = true) // sidecar store: lake-free, no corpus_path
+    val conf = SearchApi.RetrievalConf(s"$work/lex", s"$work/vec",
+      corpusPath = None, idCol = "doc_id", textCol = "text",
+      vecCol = "embedding", depth = 15, nProbe = 3, rerankDepth = 40,
+      maxQueryTerms = 6, maxK = 100)
+    val cache = new ResultCache(100, 3600)
+    val api = new SearchApi(spark, conf, Some(cache))
+    def hits = cache.stats("hits").asInstanceOf[Long]
+    val qRow = hybrid.filter(col("doc_id") === 3L)
+      .select("text", "embedding").collect().head
+    val (qText, qVec) = (qRow.getString(0), qRow.getSeq[Float](1))
+    def docIdsOf(body: String): Seq[Long] = {
+      val data = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("data")
+      (0 until data.size).map(i => data.get(i).get("doc_id").asLong)
+    }
+
+    // repeat = hit with the identical rendered body
+    val lex1 = api.search(qText, Seq.empty, 5, "lexical", Seq.empty)
+    assert(lex1.status == 200, lex1.body)
+    assert(hits == 0L)
+    val lex2 = api.search(qText, Seq.empty, 5, "lexical", Seq.empty)
+    assert(hits == 1L && lex2.body == lex1.body,
+      "identical repeated query must be a cache hit")
+    val vec1 = api.search("", qVec, 5, "vector", Seq.empty)
+    assert(vec1.status == 200, vec1.body)
+    val vec2 = api.search("", qVec, 5, "vector", Seq.empty)
+    assert(hits == 2L && vec2.body == vec1.body)
+
+    // LEX mutation: append a doc stuffed with the query's terms — the
+    // lexical answer must change (no stale body), while the vector-mode
+    // entry (other store, include_text off) keeps hitting
+    val spiked = (qText + " ") * 3
+    Retrieval.appendBm25Store(Seq((9999L, spiked)).toDF("doc_id", "text"),
+      "text", "doc_id", s"$work/lex", epoch = 1L)
+    val lex3 = api.search(qText, Seq.empty, 5, "lexical", Seq.empty)
+    val wantNow = Retrieval.bm25TopKFromStore(spark, s"$work/lex",
+        Seq((3L, qText)).toDF("doc_id", "text"), "text", "doc_id", 5,
+        maxQueryTerms = 6)
+      .orderBy("rank").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(docIdsOf(lex3.body) == wantNow && lex3.body != lex1.body,
+      "a lex append must invalidate the lexical entry, not serve stale " +
+        "(the append changes df stats, so the rendered scores must change)")
+    val vec3 = api.search("", qVec, 5, "vector", Seq.empty)
+    assert(hits == 3L && vec3.body == vec1.body,
+      "a lex append must NOT invalidate vector-mode entries")
+
+    // VEC mutation: tombstone the vector top hit — the vector answer
+    // must change, while the (post-append) lexical entry keeps hitting
+    val victim = docIdsOf(vec1.body).head
+    Quantize.addTombstones(spark, s"$work/vec",
+      Seq(victim).toDF("doc_id"), "doc_id")
+    val vec4 = api.search("", qVec, 5, "vector", Seq.empty)
+    assert(!docIdsOf(vec4.body).contains(victim),
+      "a vec tombstone must invalidate vector entries, not serve stale")
+    val lex4 = api.search(qText, Seq.empty, 5, "lexical", Seq.empty)
+    assert(hits == 4L && lex4.body == lex3.body,
+      "a vec mutation must NOT invalidate lexical entries")
+
+    // COMPACTION (lex): moves filtering cost, never the answer — cached
+    // lexical entries deliberately survive it (the version token is the
+    // epochs-table fingerprint, which compaction does not touch)
+    Retrieval.deleteFromBm25Store(spark, s"$work/lex",
+      Seq(9999L).toDF("doc_id"), epoch = 2L)
+    val lex5 = api.search(qText, Seq.empty, 5, "lexical", Seq.empty)
+    assert(!docIdsOf(lex5.body).contains(9999L))
+    val h5 = hits
+    Retrieval.compactBm25Store(spark, s"$work/lex")
+    val lex6 = api.search(qText, Seq.empty, 5, "lexical", Seq.empty)
+    assert(hits == h5 + 1 && lex6.body == lex5.body,
+      "compaction must keep lexical cache entries valid (hit, same body)")
+
+    // error responses are never cached
+    val bad = api.search("", Seq.empty, 5, "lexical", Seq.empty)
+    assert(bad.status == 400)
+    assert(cache.stats("total_entries").asInstanceOf[Int] <= 5)
+  }
+
   private def jstr(s: String): String =
     "\"" + graft.sources.Serve.jsonEscape(s) + "\""
 
