@@ -1426,6 +1426,57 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "score", "snippet")
   }
 
+  /** Attach snippets to an EXTERNAL k-bounded hit list — the RAG passage
+    * fetch for HYBRID/VECTOR rankings (round 11; [[snippetImpl]] covers
+    * the lexical ranking, which re-ranks as it snips). The ranking is
+    * untouched: every input row comes back with one added `snippet`
+    * column. Anchor policy: a hit that also matched lexically anchors at
+    * its first matched query-term position (the [[snippetTopKFromStore]]
+    * anchor, from the positional postings behind the query terms'
+    * literal bucket filter); a hit the lexical leg never matched (pure
+    * vector recall) gets the LEADING window (anchor 1) — there is no
+    * term to center on, and the document head is the best passage prior.
+    * A lexically-RETRACTED doc gets snippet = null, mirroring the
+    * include_text tombstone guard: never the stale passage. All joins
+    * are k-bounded broadcasts; the only scans are the pruned postings
+    * anchors and the hits' literal-dbucket sidecar texts. */
+  def attachSnippets(spark: SparkSession, path: String, hits: DataFrame,
+                     queries: DataFrame, textCol: String, idCol: String,
+                     window: Int,
+                     maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    require(window >= 0, s"window must be >= 0: $window")
+    requireUnfielded(spark, path, "attachSnippets")
+    GraftFunctions.register(spark)
+    val h = hits.localCheckpoint() // k-bounded; feeds three joins
+    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val buckets = termBuckets(qterms, nBuckets)
+    val post = spark.read.parquet(postingsPath(path))
+    require(post.columns.contains("pos"),
+      s"store $path has no positional postings — it predates the " +
+        "positional schema; rebuild (or rebucket) it to enable snippet serving")
+    val anchors = post
+      .filter(col("bucket").isInCollection(buckets))
+      .select(col("doc_id"), col("term"),
+        element_at(col("pos"), 1).as("first_pos"))
+      .join(broadcast(qterms.select("query_id", "term")), Seq("term"))
+      .join(broadcast(h.select("query_id", "doc_id")),
+        Seq("query_id", "doc_id"), "leftsemi")
+      .groupBy("query_id", "doc_id").agg(min("first_pos").as("anchor"))
+    val texts = readStoreDocs(spark, path, h.select("doc_id"))
+      .join(broadcast(readBm25Tombstones(spark, path)),
+        Seq("doc_id"), "left_anti")
+    implicit val d: graft.functions.Dialect =
+      graft.functions.Dialect(spark = true)
+    h.join(broadcast(anchors), Seq("query_id", "doc_id"), "left")
+      .join(broadcast(texts), Seq("doc_id"), "left")
+      .withColumn("__anchor", coalesce(col("anchor"), lit(1)))
+      .withColumn("snippet",
+        when(col("text").isNotNull,
+          expr(snippetSql("graft_tokens(text)", "__anchor", window))))
+      .drop("text", "anchor", "__anchor")
+  }
+
   /** The one serving core (filtered and unfiltered cannot drift): one
     * tiny epochs read yields scalars AND bucket geometry (the scalars
     * become a driver-LOCAL 1-row frame), postings and the df sidecar

@@ -106,7 +106,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
       // compaction never touches — it moves filtering cost, never the
       // answer). Only 200s are cached; the rendered envelope keeps its
       // compute-time timestamp, exactly like the financial routes.
-      val needsVec = mode == "hybrid" || mode == "vector"
+      val needsVec = mode == "hybrid" || mode == "vector" ||
+        (mode == "snippet" && vector.nonEmpty)
       val needsLex = (mode != "vector" && mode != "fielded") || includeText
       val ver = (if (needsLex) Retrieval.storeVersion(spark, conf.lexStore)
                  else "-") + "/" +
@@ -253,9 +254,41 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           // store's raw-text sidecar, anchors from the positional
           // postings. `window` here is the snippet HALF-WIDTH in tokens
           // (per-mode meaning, like proximity's position span).
+          // WITH a vector (round 11): the ranking is the HYBRID fusion
+          // (identical to mode=hybrid), each fused hit snippeted —
+          // lexically-matched hits anchor at their first matched term,
+          // pure-vector hits get the leading window, lexically-retracted
+          // hits get snippet=null (the include_text guard's semantics).
           if (window < 0 || window > 100)
             return error(400, s"window must be in [0, 100] tokens: $window")
-          allowed match {
+          if (vector.nonEmpty) {
+            if (k > conf.rerankDepth)
+              return error(400, s"k=$k exceeds the configured rerank depth " +
+                s"${conf.rerankDepth}")
+            val q = queryFrameVec(text, vector)
+            val fused = (corpusOpt, allowed) match {
+              case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(
+                spark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
+                conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
+                conf.rerankDepth, c, conf.vecCol,
+                maxQueryTerms = conf.maxQueryTerms)
+              case (Some(c), None) => Retrieval.hybridTopKFromStores(spark,
+                conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
+                conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
+                c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
+              case (None, Some(a)) => Retrieval.hybridTopKFromStoresStoredFiltered(
+                spark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
+                conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
+                conf.rerankDepth, maxQueryTerms = conf.maxQueryTerms)
+              case (None, None) => Retrieval.hybridTopKFromStoresStored(spark,
+                conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
+                conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
+                maxQueryTerms = conf.maxQueryTerms)
+            }
+            Retrieval.attachSnippets(spark, conf.lexStore, fused,
+              queryFrame(text), conf.textCol, conf.idCol, window,
+              maxQueryTerms = conf.maxQueryTerms)
+          } else allowed match {
             case Some(a) => Retrieval.snippetTopKFromStoreFiltered(spark,
               conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
               k, window, maxQueryTerms = conf.maxQueryTerms)

@@ -1032,6 +1032,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq == Seq(20L, 21L))
   }
 
+  test("attachSnippets: lexically-matched hits anchor at the first matched term, pure-vector hits get the leading window, retracted hits get null; ranking untouched") {
+    import spark.implicits._
+    val corpus = docs(
+      1L -> "one two three cat five six seven",
+      2L -> "zebra yak xylophone walrus vulture",
+      3L -> "cat starts this doc right here")
+    val work = java.nio.file.Files.createTempDirectory("bm25-attach").toString
+    Retrieval.writeBm25Store(corpus, "text", "doc_id", work, 4,
+      storeDocs = true)
+    Retrieval.deleteFromBm25Store(spark, work, Seq(3L).toDF("doc_id"), 1L)
+    // an external (e.g. hybrid-fused) ranking: doc 2 never matched "cat",
+    // doc 3 is lexically retracted but still ranked by the vector leg
+    val hits = Seq((100L, 1L, 1L), (100L, 2L, 2L), (100L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val q = docs(100L -> "cat")
+    val got = Retrieval.attachSnippets(spark, work, hits, q,
+        "text", "doc_id", window = 1)
+      .orderBy("rank")
+      .select("query_id", "doc_id", "rank", "snippet").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((100L, 1L, 1L), (100L, 2L, 2L), (100L, 3L, 3L)),
+      "snippet attachment must not change the ranking")
+    assert(got(0).getString(3) == "three cat five",
+      "matched hit must anchor at its first matched term")
+    assert(got(1).getString(3) == "zebra yak xylophone",
+      "unmatched (pure-vector) hit must get the leading window")
+    assert(got(2).isNullAt(3),
+      "a lexically-retracted hit must get snippet=null, never stale text")
+    // ...and the null survives compaction (the sidecar vacuum)
+    Retrieval.compactBm25Store(spark, work)
+    val got2 = Retrieval.attachSnippets(spark, work, hits, q,
+      "text", "doc_id", window = 1).orderBy("rank").collect()
+    assert(got2(2).isNullAt(got2(2).fieldIndex("snippet")),
+      "compaction must not resurrect a retracted doc's snippet")
+  }
+
   test("FIELDED BM25F store: one store == one-shot bm25fTopK and == the multi-store form, through build/append/delete/compact/rebucket; cross-guards fence both store families") {
     import spark.implicits._
     import graft.operators.Retrieval.{Bm25Field, Bm25fField, Bm25StoreField}

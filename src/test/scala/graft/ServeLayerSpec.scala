@@ -442,6 +442,30 @@ class ServeLayerSpec extends SparkSpec {
       assert(gotSnip.nonEmpty && gotSnip.forall(_._2.nonEmpty))
       assert(get("/search?mode=snippet&window=500&q=x").statusCode == 400,
         "snippet half-width above 100 must 400")
+      // snippet mode WITH a vector: the HYBRID ranking, snippets attached
+      // (round 11) — identical ids to mode=hybrid, and the body equals
+      // the attachSnippets operator over the fused hits
+      val hs = post("/search",
+        s"""{"text":${jstr(qText)},"vector":$vecJson,"k":5,"mode":"snippet","window":4}""")
+      assert(hs.statusCode == 200, hs.body)
+      val hsData = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(hs.body).get("data")
+      assert((0 until hsData.size).map(i => hsData.get(i).get("doc_id").asLong)
+        == wantHybrid, "hybrid-snippet mode must keep the fused ranking")
+      val wantSnips = graft.operators.Retrieval.attachSnippets(spark,
+          s"$work/lex",
+          graft.operators.Retrieval.hybridTopKFromStores(spark,
+            s"$work/lex", s"$work/vec", qDf, "text", "embedding", "doc_id",
+            5, 15, 3, 40, corpus.select("doc_id", "embedding"), "embedding",
+            maxQueryTerms = 6),
+          qDf, "text", "doc_id", window = 4, maxQueryTerms = 6)
+        .orderBy("rank").select("doc_id", "snippet").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toSeq
+      assert((0 until hsData.size).map(i => hsData.get(i).get("doc_id").asLong ->
+          Option(hsData.get(i).get("snippet")).filterNot(_.isNull).map(_.asText))
+        == wantSnips, "hybrid-snippet bodies must equal the operator result")
+      assert(wantSnips.forall(_._2.nonEmpty),
+        "fixture: every live hybrid hit should carry a snippet")
       // include_text: the RAG context fetch — every hybrid hit carries
       // its full document text from the raw-text sidecar
       val ht = post("/search",
