@@ -322,6 +322,59 @@ object ScaleProbe {
           f"scan_rows ${scanRows}%6d vs ${e0 * mult}%6d  rows: $r1/$r2")
       }
 
+      // INCREMENTAL recell vs full recell (round 11): rewrite volume must
+      // track the DRIFTED-CELL MASS, not the store size. Fixture = the
+      // measured drift shape (RECALL.md): a uniform base over 8 seeded
+      // cells plus a concentrated slab (N/4 vectors pulled toward ONE
+      // centroid — (N/8 + N/4)/(1.25N/8) = 2.4x the mean, clearly past
+      // the 2x threshold) appended against the frozen quantizers — that
+      // cell bloats, the rest are untouched. Twin stores remediate with (a)
+      // splitDriftedCells and (b) recellIvfPqStoreFromSidecar; the probe
+      // prints rows-rewritten and walls at 1× and 4×: the split's
+      // rewrite stays ∝ the fat cell while the recell's tracks N.
+      for (mult <- Seq(1, 4)) {
+        val base = (0 until mult).map(i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+        val cen7 = emb0.filter(col("vec_id") === 7)
+          .select(col("embedding").as("c7"))
+        val slab = base.limit((e0.toInt * mult) / 4)
+          .crossJoin(broadcast(cen7))
+          .select((col("vec_id") + 50000000L).as("vec_id"),
+            expr("zip_with(embedding, c7, (x, c) -> " +
+              "CAST(CAST(0.05 AS DOUBLE) * x + CAST(0.95 AS DOUBLE) * c AS FLOAT))")
+              .as("embedding"))
+          .localCheckpoint()
+        val centsM = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val work = java.nio.file.Files
+          .createTempDirectory(s"scale-split-$mult-").toString
+        val (a, b) = (s"$work/a", s"$work/b")
+        for (p <- Seq(a, b)) {
+          graft.operators.Quantize.buildSelfContained(spark, base,
+            "vec_id", "embedding", centsM, "cid", "cv",
+            codebook, "code_id", "c_emb", 64, 4, residual = false, p,
+            storeVectors = true)
+          graft.operators.Quantize.appendSelfContained(spark, p, slab,
+            "embedding")
+        }
+        val n = e0 * mult + slab.count()
+        val t0 = System.nanoTime()
+        val (cellsSplit, rewritten) =
+          graft.operators.Quantize.splitDriftedCells(spark, a,
+            overshoot = 2.0, splitWays = 4)
+        val sSplit = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (nLive, _) = graft.operators.Quantize.recellIvfPqStoreFromSidecar(
+          spark, b, nCells = 8 + 3, nCodes = 16,
+          retrainCodebook = false, coarseMaxIter = 5)
+        val sRecell = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] cellsplit_vecs=$n%8d  split: $cellsSplit cells / " +
+          f"$rewritten%6d rows rewritten in ${sSplit}%6.2fs  vs  full recell: " +
+          f"$nLive%6d rows rewritten in ${sRecell}%6.2fs")
+      }
+
       // large-to-large kNN JOIN (qx84's operator): full corpus self-join at
       // 1×/4×/16× with the CENTROID COUNT scaled with the corpus, holding
       // expected cell size constant — candidate-pair work is

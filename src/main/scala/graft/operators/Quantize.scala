@@ -832,6 +832,7 @@ object Quantize {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
     requireSingleLevel(fs, indexPath, op)
+    requireNoSplitManifest(fs, indexPath, op)
     val bak = new org.apache.hadoop.fs.Path(
       indexPath.stripSuffix("/") + ".delete-bak")
     if (fs.exists(bak))
@@ -1058,6 +1059,9 @@ object Quantize {
   def appendSelfContained(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, batch: DataFrame,
                           vecCol: String): Unit = {
+    requireNoSplitManifest(org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration),
+      indexPath, "append to")
     val (cents, cb, p) = loadQuantizers(spark, indexPath)
     // a store built with vectors keeps them: the sidecar follows every
     // append (same frozen-centroid assignment, mode append — cells gain
@@ -1381,6 +1385,63 @@ object Quantize {
       verCol = if (vecs.columns.contains("vepoch")) Some("vepoch") else None)
   }
 
+  /** [[searchSelfContainedRefinedStoredFiltered]] with ADAPTIVE probe
+    * deepening — the classic filtered-ANN failure mode's fix. A
+    * selective allow-list thins every probed cell: at 1% selectivity a
+    * fixed-nProbe search sees ~1% of its usual candidate pool, the
+    * fenced shortlist can fall under k, and recall collapses (RECALL.md's
+    * selectivity table measures it). This variant PRE-COUNTS each
+    * query's live fenced candidates in its probed cells — one
+    * column-pruned (`block = 0` ⇒ one row per vector), partition-pruned
+    * count job per attempt — and DOUBLES nProbe until every query sees
+    * at least `c·k` of them (or the whole store is probed), then runs
+    * the standard filtered refined search once at the settled budget.
+    * The deepening reads counts, never vectors: the expensive rescore
+    * runs exactly once. Returns (result, nProbeUsed) so callers and
+    * probes can see the settled budget; the result is BY CONSTRUCTION
+    * [[searchSelfContainedRefinedStoredFiltered]] at that budget. */
+  def searchSelfContainedRefinedStoredFilteredAdaptive(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, allowedDocs: DataFrame,
+      k: Int, nProbe0: Int, rerankDepth: Int,
+      c: Int = 3): (DataFrame, Int) = {
+    require(c >= 1, s"candidate multiplier c=$c must be >= 1")
+    require(nProbe0 >= 1, s"nProbe0=$nProbe0 must be >= 1")
+    val (cents, _, p) = loadQuantizers(spark, indexPath)
+    val nCells = cents.count().toInt
+    val tomb = readTombstones(spark, indexPath, p.idCol)
+    val allowedIds = allowedDocs
+      .select(col(allowedDocs.columns.head).as(p.idCol)).distinct()
+      .localCheckpoint() // reused per attempt + by the final search
+    val nQueries = queries.count()
+    var np = math.min(nProbe0, nCells)
+    var settled = false
+    while (!settled) {
+      val qcells = probeCells(queries, qIdCol, qVecCol,
+          cents, "centroid_id", "cen_emb", np)
+        .select("query_id", "centroid_id").localCheckpoint()
+      val cellList = qcells.select("centroid_id").distinct()
+        .collect().map(_.get(0)).toSeq
+      val counts = spark.read.parquet(indexPath)
+        .filter(col("centroid_id").isInCollection(cellList))
+        .filter(col("block") === 0) // one row per vector
+        .select(col(p.idCol), col("centroid_id").cast("string").as("__cell"))
+        .join(broadcast(allowedIds), Seq(p.idCol), "leftsemi")
+        .join(broadcast(tomb), Seq(p.idCol), "left_anti")
+        .join(broadcast(qcells.select(col("query_id"),
+          col("centroid_id").cast("string").as("__cell"))), Seq("__cell"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+        .collect()
+      val enough = counts.length == nQueries &&
+        counts.forall(_.getLong(1) >= c.toLong * k)
+      if (enough || np >= nCells) settled = true
+      else np = math.min(nCells, np * 2)
+    }
+    (refinedStoredImpl(spark, indexPath, queries, qIdCol, qVecCol,
+      allowed = Some(allowedIds), k, np, rerankDepth), np)
+  }
+
   /** True iff the store carries [[graft.streaming.StreamingVectorIngest]]'s
     * two-level (cell, batch) layout — any cell directory containing
     * `batch_id=` children. The single-level lifecycle operators (append/
@@ -1530,6 +1591,7 @@ object Quantize {
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
         spark.sparkContext.hadoopConfiguration)
       requireSingleLevel(fs, indexPath, "recellIvfPqStore")
+      requireNoSplitManifest(fs, indexPath, "recell")
       val base = indexPath.stripSuffix("/")
       val bak = new org.apache.hadoop.fs.Path(base + ".recell-bak")
       if (fs.exists(bak) ||
@@ -1679,6 +1741,265 @@ object Quantize {
       spark.read.parquet(vectorsPath(indexPath)), p.idCol)
     recellIvfPqStore(spark, indexPath, corpus, "vec",
       nCells, nCodes, retrainCodebook, coarseMaxIter, pqMaxIter)
+  }
+
+  // --------------------------------------------------------------------
+  // INCREMENTAL recell (round 11): split only the DRIFTED cells.
+  // recellIvfPqStore remediates drift by rewriting the ENTIRE store —
+  // correct, but at 100 TB a full-corpus re-encode is the wrong price
+  // when drift is localized (the measured drift fixture crams appended
+  // vectors into a few nearest stale cells: THOSE cells bloat, the rest
+  // are untouched). splitDriftedCells retrains and rewrites ONLY the
+  // overfull cells — rewrite bytes ∝ drifted-cell mass, not store size
+  // (ScaleProbe commits the measured ratio) — under a staged, crash-
+  // recoverable install:
+  //   1. manifest (.split-manifest: old cell ids, new cell ids, vepoch)
+  //   2. per drifted cell: retrain `splitWays` sub-centroids on its own
+  //      live sidecar vectors (deterministic kmeans), re-encode the
+  //      members against their new sub-centroid with the FROZEN
+  //      codebook, append the new cells' code rows + sidecar rows —
+  //      all UNREACHABLE: no probe selects a centroid id the quantizer
+  //      table does not hold
+  //   3. swap the centroids table (write sibling, rename behind a bak
+  //      marker): the instant it lands, probes see the sub-cells and
+  //      never the old cell
+  //   4. GC the old cell directories (index + every vepoch's sidecar
+  //      dir) — unreachable garbage either way — and drop the manifest.
+  //  A crash at any point resolves through recoverCellSplit: before the
+  //  centroid swap the store serves EXACTLY as before (roll back = drop
+  //  the new dirs); after it, roll forward = finish the GC. Search
+  //  semantics are assignment-agnostic (each vector lives in exactly one
+  //  cell and its codes reconstruct with that cell's centroid), so
+  //  search-after-partial-recell at full probe + full refine is the
+  //  closed-form exact kNN — the qx124 gate.
+  // --------------------------------------------------------------------
+
+  private def splitManifestPath(indexPath: String) =
+    indexPath.stripSuffix("/") + ".split-manifest"
+
+  private def requireNoSplitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                     indexPath: String, op: String): Unit =
+    if (fs.exists(new org.apache.hadoop.fs.Path(splitManifestPath(indexPath))))
+      throw new java.io.IOException(
+        s"refusing to $op $indexPath: ${splitManifestPath(indexPath)} " +
+          "exists from an interrupted cell split — run " +
+          "Quantize.recoverCellSplit first")
+
+  /** Split the overfull cells of a self-contained sidecar store —
+    * incremental drift remediation. A cell is DRIFTED when its live
+    * occupancy exceeds `overshoot` × the mean (drift concentrates new
+    * mass into few stale cells; fat cells are both the recall loss —
+    * coarse pruning — and the scan-cost loss). Each one is split
+    * `splitWays` ways. Cold cells are never read, re-encoded, or
+    * rewritten. Returns (cellsSplit, vectorsRewritten). */
+  def splitDriftedCells(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, overshoot: Double = 2.0,
+                        splitWays: Int = 2,
+                        coarseMaxIter: Int = 10): (Int, Long) =
+    graft.sources.StoreLock.withLock(spark, indexPath, "cell-split") {
+      require(overshoot > 1.0, s"overshoot=$overshoot must be > 1")
+      require(splitWays >= 2, s"splitWays=$splitWays must be >= 2")
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+        spark.sparkContext.hadoopConfiguration)
+      requireSingleLevel(fs, indexPath, "splitDriftedCells")
+      requireNoSplitManifest(fs, indexPath, "split cells of")
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+          indexPath.stripSuffix("/") + ".delete-bak")))
+        throw new java.io.IOException(
+          s"refusing to split $indexPath: delete backup exists — run " +
+            "Quantize.recoverDeleteBackup first")
+      if (!hasVectorSidecar(spark, indexPath))
+        throw new IllegalStateException(
+          s"splitDriftedCells: store $indexPath has no raw-vector sidecar " +
+            s"(${vectorsPath(indexPath)} missing) — the split retrains " +
+            "sub-centroids from the cell's own vectors; build with " +
+            "storeVectors = true or use the full recellIvfPqStore")
+      val (cents, cb, p) = loadQuantizers(spark, indexPath)
+      val centIdType = cents.schema.apply("centroid_id").dataType
+      val centVecType = cents.schema.apply("cen_emb").dataType
+      val numeric = centIdType match {
+        case _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      }
+      if (!numeric)
+        throw new IllegalArgumentException(
+          "splitDriftedCells: fresh sub-cell ids are allocated past the " +
+            s"current maximum, which needs NUMERIC centroid ids (store " +
+            s"$indexPath has ${centIdType.simpleString}) — use the full " +
+            "recellIvfPqStore")
+      val tomb = readTombstones(spark, indexPath, p.idCol)
+      // live occupancy per cell: one column-pruned scan (block=0 ⇒ one
+      // row per vector); collect is bounded by the cell count
+      val occ = spark.read.parquet(indexPath)
+        .filter(col("block") === 0)
+        .select(col(p.idCol), col("centroid_id").cast("long").as("__cell"))
+        .join(broadcast(tomb), Seq(p.idCol), "left_anti")
+        .groupBy("__cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val nLive = occ.map(_._2).sum
+      if (nLive == 0) return (0, 0L)
+      val mean = nLive.toDouble / occ.length
+      val drifted = occ.filter(_._2 > overshoot * mean)
+        // a cell needs at least one member per sub-centroid to retrain
+        .filter(_._2 >= 2L * splitWays).map(_._1).sorted
+      if (drifted.isEmpty) return (0, 0L)
+      var nextId = cents.agg(max(col("centroid_id").cast("long")))
+        .collect().head.getLong(0) + 1L
+      val vepoch = sidecarNextVepoch(spark, vectorsPath(indexPath),
+        "splitDriftedCells")
+      // 1. manifest FIRST — recovery's decision record
+      writeTextFile(fs, splitManifestPath(indexPath),
+        s"""{"old":[${drifted.mkString(",")}],""" +
+          s""""newFrom":$nextId,"newWays":$splitWays,"vepoch":$vepoch}""")
+      import spark.implicits._
+      var rewritten = 0L
+      val subFrames = drifted.map { cell =>
+        // the cell's live latest vectors, from its own sidecar partitions
+        val members = resolveSidecarLatest(
+            spark.read.parquet(vectorsPath(indexPath))
+              .filter(col("centroid_id").cast("long") === cell), p.idCol)
+          .join(broadcast(tomb), Seq(p.idCol), "left_anti")
+          .localCheckpoint() // retrain + encode + sidecar all read it
+        val sub = graft.operators.Clustering.kmeansFit(
+          members, p.idCol, "vec", splitWays, coarseMaxIter)
+        val labels = sub.select("cluster").orderBy("cluster")
+          .collect().map(_.getLong(0))
+        val remap = labels.zipWithIndex
+          .map { case (l, i) => (l, nextId + i) }.toSeq
+        nextId += labels.length
+        val subCents = sub
+          .join(broadcast(remap.toDF("cluster", "__fresh")), Seq("cluster"))
+          .select(col("__fresh").cast(centIdType).as("centroid_id"),
+            col("centroid").cast(centVecType).as("cen_emb"))
+          .localCheckpoint() // tiny; joins the encode AND the final swap
+        // 2. re-encode the members against their nearest sub-centroid
+        //    (frozen codebook) and land the new cells — UNREACHABLE until
+        //    the quantizer swap below
+        val newRows =
+          if (p.residual) ivfPqIndexResidual(members, p.idCol, "vec",
+            subCents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+            p.dims, p.nBlocks)
+          else ivfPqIndex(members, p.idCol, "vec",
+            subCents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+            p.dims, p.nBlocks)
+        newRows.write.mode("append").partitionBy("centroid_id")
+          .parquet(indexPath)
+        writeVectorSidecar(members, p.idCol, "vec",
+          subCents, "centroid_id", "cen_emb", vectorsPath(indexPath),
+          overwrite = false, vepoch = vepoch)
+        rewritten += members.count()
+        subCents
+      }
+      // 3. centroid-table swap: old − drifted + every sub-centroid
+      val qbase = quantizersPath(indexPath)
+      val newCents = subFrames.foldLeft(
+        cents.filter(!col("centroid_id").cast("long").isInCollection(drifted)))(
+        _ unionByName _)
+      newCents.coalesce(1).write.mode("overwrite")
+        .parquet(s"$qbase/centroids-new")
+      val cMain = new org.apache.hadoop.fs.Path(s"$qbase/centroids")
+      val cBak = new org.apache.hadoop.fs.Path(s"$qbase/centroids-bak")
+      val cNew = new org.apache.hadoop.fs.Path(s"$qbase/centroids-new")
+      if (!fs.rename(cMain, cBak))
+        throw new java.io.IOException(
+          s"split: failed to retire $cMain — run recoverCellSplit")
+      if (!fs.rename(cNew, cMain))
+        throw new java.io.IOException(
+          s"split: failed to install $cNew — run recoverCellSplit")
+      if (!fs.delete(cBak, true))
+        throw new java.io.IOException(s"split: failed to drop $cBak")
+      // 4. GC the old (now unreachable) cell dirs, then retire the manifest
+      gcSplitCells(spark, fs, indexPath, drifted)
+      fs.delete(new org.apache.hadoop.fs.Path(splitManifestPath(indexPath)), false)
+      (drifted.length, rewritten)
+    }
+
+  private def writeTextFile(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, body: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Drop the retired cells' directories: the index cell dir plus that
+    * cell's dir under EVERY sidecar vepoch partition. */
+  private def gcSplitCells(spark: org.apache.spark.sql.SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           indexPath: String, cells: Seq[Long]): Unit = {
+    for (c <- cells)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        indexPath.stripSuffix("/") + s"/centroid_id=$c"), true)
+    val vroot = new org.apache.hadoop.fs.Path(vectorsPath(indexPath))
+    if (fs.exists(vroot))
+      for (vep <- fs.listStatus(vroot)
+             if vep.isDirectory && vep.getPath.getName.startsWith("vepoch=");
+           c <- cells)
+        fs.delete(new org.apache.hadoop.fs.Path(vep.getPath, s"centroid_id=$c"), true)
+  }
+
+  /** Resolve an interrupted [[splitDriftedCells]]. Decision record = the
+    * manifest; decision key = whether the installed centroid table still
+    * holds the manifest's OLD ids (the swap is one rename — atomic):
+    *  - centroids dir MISSING (crash mid-swap) → install `centroids-new`
+    *    (it was fully written before the swap began), then forward;
+    *  - centroids present WITH the new ids → the swap landed: finish the
+    *    GC of the old cell dirs and drop the manifest;
+    *  - centroids present WITHOUT them → the swap never started: drop
+    *    the (unreachable) new cell/sidecar dirs and the sibling, store
+    *    back to its exact pre-split state.
+    * Returns true when there was a manifest to resolve. */
+  def recoverCellSplit(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(splitManifestPath(indexPath))
+    if (!fs.exists(mp)) return false
+    val body = {
+      val in = fs.open(mp)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    def longs(key: String): Seq[Long] =
+      s""""$key":\\[([0-9,]*)\\]""".r.findFirstMatchIn(body)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
+    def long(key: String): Long =
+      s""""$key":(-?[0-9]+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    val old = longs("old")
+    val newIds = (0 until old.length * long("newWays").toInt)
+      .map(long("newFrom") + _)
+    val vepoch = long("vepoch")
+    val qbase = quantizersPath(indexPath)
+    val cMain = new org.apache.hadoop.fs.Path(s"$qbase/centroids")
+    val cBak = new org.apache.hadoop.fs.Path(s"$qbase/centroids-bak")
+    val cNew = new org.apache.hadoop.fs.Path(s"$qbase/centroids-new")
+    if (!fs.exists(cMain) && fs.exists(cNew) && !fs.rename(cNew, cMain))
+      throw new java.io.IOException(s"recover: failed to install $cNew")
+    if (!fs.exists(cMain) && fs.exists(cBak) && !fs.rename(cBak, cMain))
+      throw new java.io.IOException(s"recover: failed to restore $cBak")
+    val installedIds = spark.read.parquet(cMain.toString)
+      .select(col("centroid_id").cast("long")).collect().map(_.getLong(0)).toSet
+    // the swap is ONE rename, so it is all-or-nothing; the OLD ids are
+    // the reliable key (a cell may have allocated fewer than `newWays`
+    // fresh ids, so probing for new ids could misread a landed swap)
+    if (old.forall(o => !installedIds.contains(o))) {
+      // forward: the swap landed — finish cleanup
+      fs.delete(cBak, true)
+      fs.delete(cNew, true)
+      gcSplitCells(spark, fs, indexPath, old)
+    } else {
+      // back: drop the unreachable new dirs, store is pre-split
+      for (n <- newIds)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          indexPath.stripSuffix("/") + s"/centroid_id=$n"), true)
+      val vdir = new org.apache.hadoop.fs.Path(
+        vectorsPath(indexPath) + s"/vepoch=$vepoch")
+      fs.delete(vdir, true)
+      fs.delete(cNew, true)
+      fs.delete(cBak, true)
+    }
+    fs.delete(mp, false)
+    true
   }
 
   /** Resolve an interrupted [[recellIvfPqStore]] to a complete pre- or
@@ -1889,9 +2210,10 @@ object Quantize {
     require(maxTombstoneFraction > 0 && maxTombstoneFraction <= 1,
       s"maxTombstoneFraction=$maxTombstoneFraction must be in (0, 1]")
     graft.sources.StoreLock.withLock(spark, indexPath, "retention-sweep") {
-      requireSingleLevel(org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration),
-        indexPath, "retentionSweep")
+      val sweepFs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+      requireSingleLevel(sweepFs, indexPath, "retentionSweep")
+      requireNoSplitManifest(sweepFs, indexPath, "sweep")
       val tomb = readTombstones(spark, indexPath, idCol).localCheckpoint()
       val nTomb = tomb.count()
       if (nTomb == 0) SweepStats(0, 0, 0, 0)

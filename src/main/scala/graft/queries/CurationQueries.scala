@@ -512,6 +512,52 @@ object CurationQueries {
         .orderBy("query_id", "knn_rank")
     }),
 
+    // ---- INCREMENTAL recell (cell split) under the oracle ----------------
+    // (round 11: qx116's lifecycle with the full-store recell replaced by
+    //  splitDriftedCells — only the overfull cells retrain sub-centroids
+    //  from their own sidecar vectors and rewrite; cold cells keep their
+    //  build-time files. The threshold is set low so the natural
+    //  occupancy skew of the 8 seeded cells genuinely exercises the
+    //  split at every SF. Serving at FULL probe + FULL refine makes the
+    //  changed geometry cancel out of the formula — the same closed-form
+    //  exact-kNN oracle as qx113/qx116, which is exactly the point:
+    //  partial recell must be invisible to answers.)
+    "qx124_ivfpq_cell_split" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < IVFPQ_CENTROIDS)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+      val codebook = emb.filter(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+      val path = java.nio.file.Files.createTempDirectory("qx124-split")
+        .toString + "/store"
+      val isAppend = col("vec_id") % 4 === 1
+      val isDel = col("vec_id") % 9 === 4
+      val isReadd = col("vec_id") % 2 === 0
+      graft.operators.Quantize.buildSelfContained(s, emb.filter(!isAppend),
+        "vec_id", "embedding", cents, "centroid_id", "cen_emb",
+        codebook, "code_id", "cb_emb", PQ_DIMS, PQ_BLOCKS,
+        residual = false, path, storeVectors = true)
+      graft.operators.Quantize.appendSelfContained(s, path,
+        emb.filter(isAppend), "embedding")
+      graft.operators.Quantize.addTombstones(s, path,
+        emb.filter(isDel).select("vec_id"), "vec_id")
+      graft.operators.Quantize.splitDriftedCells(s, path,
+        overshoot = 1.05, splitWays = 2)
+      // the split vacuums tombstoned rows only inside the cells it
+      // rewrites; the sweep purges the rest and clears the tombstone set
+      // (orphans included), which is what makes the re-append legal —
+      // the same contract qx113 exercises through the full recell
+      graft.operators.Quantize.retentionSweep(s, path, "vec_id",
+        maxTombstoneFraction = 1e-9)
+      graft.operators.Quantize.appendSelfContained(s, path,
+        emb.filter(isDel && isReadd), "embedding")
+      graft.operators.Quantize.searchSelfContainedRefinedStored(s, path,
+          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+          PQ_K, 1000000, 1000000)
+        .withColumnRenamed("rank", "knn_rank")
+        .orderBy("query_id", "knn_rank")
+    }),
+
     // ---- Streaming vector ingest under the oracle ------------------------
     // (the qx68 precedent for the ANN store: embeddings arrive as a FILE
     //  stream, one landing file per micro-batch, each batch encoded
@@ -1100,7 +1146,13 @@ object CurationQueries {
       // must land on the SAME closed form: the live set is identical and
       // full probe + full refine makes the retrained geometry (and the
       // sidecar plumbing) cancel out of the formula entirely.
-      "qx116_sidecar_lifecycle" -> exactKnnRecellOracle)
+      "qx116_sidecar_lifecycle" -> exactKnnRecellOracle,
+      // qx124 is qx113's lifecycle with the full recell replaced by the
+      // INCREMENTAL one (splitDriftedCells + sweep): the live set is
+      // identical and full probe + full refine makes the partially-
+      // changed geometry cancel out — same closed form, proving partial
+      // recell invisible to answers.
+      "qx124_ivfpq_cell_split" -> exactKnnRecellOracle)
   }
 
   /** qx113: exact kNN over the post-recell live set — see the entry above. */

@@ -33,6 +33,24 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
 
   private def now(): String = java.time.Instant.now().toString
 
+  // Serving-tuned child session (round 11): the shared session's shuffle
+  // width is sized for BUILD work (corpus shuffles want all the cores);
+  // a serving request's exchanges move k-bounded / planning-scale rows,
+  // where a 32-wide shuffle is pure task-scheduling overhead AND hogs
+  // the cores concurrent requests need. The child shares the
+  // SparkContext (same executors, caches, registered functions get
+  // re-registered per session by the operators) but narrows this API's
+  // exchanges to `retrieval.serving_shuffle_partitions`. Each request
+  // also tags the `graft-serve` FAIR pool: under a FAIR-scheduled
+  // context, short serving jobs from concurrent requests share cores
+  // instead of queueing whole-job FIFO (a no-op under FIFO).
+  private val serveSpark: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      conf.servingShufflePartitions.toString)
+    s
+  }
+
   private def envelope(df: DataFrame): String = Serve.toJsonEnvelope(df, now())
 
   private def error(status: Int, message: String): Response =
@@ -42,10 +60,10 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
   // the rescore corpus (exact vectors) — lazily once per API instance,
   // metadata only (no materialization). None ⇒ the vector store's own
   // `.vectors` sidecar rescores — the lake-free deployment shape.
-  private lazy val corpusOpt = conf.corpusPath.map(spark.read.parquet)
+  private lazy val corpusOpt = conf.corpusPath.map(serveSpark.read.parquet)
   // the query-id cast target: the corpus when declared, else the store's
   // own cell schema (both carry the id column the store was built with)
-  private lazy val idType = corpusOpt.getOrElse(spark.read.parquet(conf.vecStore))
+  private lazy val idType = corpusOpt.getOrElse(serveSpark.read.parquet(conf.vecStore))
     .schema.apply(conf.idCol).dataType
 
   // The synthetic query id must not collide with a REAL corpus id: the
@@ -66,20 +84,20 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
   }
 
   private def queryFrame(text: String): DataFrame = {
-    import spark.implicits._
+    import serveSpark.implicits._
     Seq(text).toDF(conf.textCol)
       .select(queryIdLit.cast(idType).as(conf.idCol), col(conf.textCol))
   }
 
   private def queryFrameVec(text: String, vec: Seq[Float]): DataFrame = {
-    import spark.implicits._
+    import serveSpark.implicits._
     Seq((text, vec)).toDF(conf.textCol, conf.vecCol)
       .select(queryIdLit.cast(idType).as(conf.idCol),
         col(conf.textCol), col(conf.vecCol))
   }
 
   private def allowFrame(ids: Seq[String]): DataFrame = {
-    import spark.implicits._
+    import serveSpark.implicits._
     ids.toDF("__aid").select(col("__aid").cast(idType).as(conf.idCol))
   }
 
@@ -141,6 +159,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
                             mode: String, allowedIds: Seq[String],
                             window: Int, includeText: Boolean,
                             requireAll: Boolean): Response = {
+    // per-request FAIR pool tag (thread-local): a no-op under FIFO
+    serveSpark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-serve")
     if (k < 1 || k > conf.maxK)
       return error(400, s"k must be in [1, ${conf.maxK}]: $k")
     val needsVector = mode == "hybrid" || mode == "vector"
@@ -159,19 +179,19 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
         case "hybrid" =>
           val q = queryFrameVec(text, vector)
           (corpusOpt, allowed) match {
-            case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(spark,
+            case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(serveSpark,
               conf.lexStore, conf.vecStore, q, a, conf.textCol, conf.vecCol,
               conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
               c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
-            case (Some(c), None) => Retrieval.hybridTopKFromStores(spark,
+            case (Some(c), None) => Retrieval.hybridTopKFromStores(serveSpark,
               conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
               conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
               c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
             case (None, Some(a)) => Retrieval.hybridTopKFromStoresStoredFiltered(
-              spark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
+              serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
               conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
               conf.rerankDepth, maxQueryTerms = conf.maxQueryTerms)
-            case (None, None) => Retrieval.hybridTopKFromStoresStored(spark,
+            case (None, None) => Retrieval.hybridTopKFromStoresStored(serveSpark,
               conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
               conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
               maxQueryTerms = conf.maxQueryTerms)
@@ -180,15 +200,15 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           val q = queryFrameVec(text, vector).select(col(conf.idCol), col(conf.vecCol))
           ((corpusOpt, allowed) match {
             case (Some(c), Some(a)) => Quantize.searchSelfContainedRefinedFiltered(
-              spark, conf.vecStore, q, conf.idCol, conf.vecCol, a,
+              serveSpark, conf.vecStore, q, conf.idCol, conf.vecCol, a,
               c, conf.vecCol, k, conf.nProbe, conf.rerankDepth)
-            case (Some(c), None) => Quantize.searchSelfContainedRefined(spark,
+            case (Some(c), None) => Quantize.searchSelfContainedRefined(serveSpark,
               conf.vecStore, q, conf.idCol, conf.vecCol,
               c, conf.vecCol, k, conf.nProbe, conf.rerankDepth)
             case (None, Some(a)) => Quantize.searchSelfContainedRefinedStoredFiltered(
-              spark, conf.vecStore, q, conf.idCol, conf.vecCol, a,
+              serveSpark, conf.vecStore, q, conf.idCol, conf.vecCol, a,
               k, conf.nProbe, conf.rerankDepth)
-            case (None, None) => Quantize.searchSelfContainedRefinedStored(spark,
+            case (None, None) => Quantize.searchSelfContainedRefinedStored(serveSpark,
               conf.vecStore, q, conf.idCol, conf.vecCol,
               k, conf.nProbe, conf.rerankDepth)
           }).withColumnRenamed("neighbor_id", "doc_id")
@@ -197,17 +217,17 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           // only docs matching every query term rank, scores unchanged
           val q = queryFrame(text)
           (allowed, requireAll) match {
-            case (Some(a), false) => Retrieval.bm25TopKFromStoreFiltered(spark,
+            case (Some(a), false) => Retrieval.bm25TopKFromStoreFiltered(serveSpark,
               conf.lexStore, q, a, conf.textCol, conf.idCol, k,
               maxQueryTerms = conf.maxQueryTerms)
-            case (None, false) => Retrieval.bm25TopKFromStore(spark,
+            case (None, false) => Retrieval.bm25TopKFromStore(serveSpark,
               conf.lexStore, q, conf.textCol, conf.idCol, k,
               maxQueryTerms = conf.maxQueryTerms)
             case (Some(a), true) =>
-              Retrieval.bm25TopKFromStoreConjunctiveFiltered(spark,
+              Retrieval.bm25TopKFromStoreConjunctiveFiltered(serveSpark,
                 conf.lexStore, q, a, conf.textCol, conf.idCol, k,
                 maxQueryTerms = conf.maxQueryTerms)
-            case (None, true) => Retrieval.bm25TopKFromStoreConjunctive(spark,
+            case (None, true) => Retrieval.bm25TopKFromStoreConjunctive(serveSpark,
               conf.lexStore, q, conf.textCol, conf.idCol, k,
               maxQueryTerms = conf.maxQueryTerms)
           }
@@ -220,20 +240,20 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
               "no fielded store configured (retrieval.fielded_store)")
             case Some(fs) =>
               allowed match {
-                case Some(a) => Retrieval.bm25fTopKFromStoreFiltered(spark,
+                case Some(a) => Retrieval.bm25fTopKFromStoreFiltered(serveSpark,
                   fs, conf.fieldedFields, queryFrame(text), a, conf.textCol,
                   conf.idCol, k, maxQueryTerms = conf.maxQueryTerms)
-                case None => Retrieval.bm25fTopKFromStore(spark, fs,
+                case None => Retrieval.bm25fTopKFromStore(serveSpark, fs,
                   conf.fieldedFields, queryFrame(text), conf.textCol,
                   conf.idCol, k, maxQueryTerms = conf.maxQueryTerms)
               }
           }
         case "phrase" =>
           allowed match {
-            case Some(a) => Retrieval.phraseTopKFromStoreFiltered(spark,
+            case Some(a) => Retrieval.phraseTopKFromStoreFiltered(serveSpark,
               conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
               k, maxPhraseTerms = conf.maxQueryTerms)
-            case None => Retrieval.phraseTopKFromStore(spark, conf.lexStore,
+            case None => Retrieval.phraseTopKFromStore(serveSpark, conf.lexStore,
               queryFrame(text), conf.textCol, conf.idCol, k,
               maxPhraseTerms = conf.maxQueryTerms)
           }
@@ -241,10 +261,10 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           if (window < 1 || window > 1000)
             return error(400, s"window must be in [1, 1000]: $window")
           allowed match {
-            case Some(a) => Retrieval.proximityTopKFromStoreFiltered(spark,
+            case Some(a) => Retrieval.proximityTopKFromStoreFiltered(serveSpark,
               conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
               k, window, maxQueryTerms = conf.maxQueryTerms)
-            case None => Retrieval.proximityTopKFromStore(spark, conf.lexStore,
+            case None => Retrieval.proximityTopKFromStore(serveSpark, conf.lexStore,
               queryFrame(text), conf.textCol, conf.idCol, k, window,
               maxQueryTerms = conf.maxQueryTerms)
           }
@@ -268,31 +288,31 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
             val q = queryFrameVec(text, vector)
             val fused = (corpusOpt, allowed) match {
               case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(
-                spark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
+                serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
                 conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
                 conf.rerankDepth, c, conf.vecCol,
                 maxQueryTerms = conf.maxQueryTerms)
-              case (Some(c), None) => Retrieval.hybridTopKFromStores(spark,
+              case (Some(c), None) => Retrieval.hybridTopKFromStores(serveSpark,
                 conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
                 conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
                 c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
               case (None, Some(a)) => Retrieval.hybridTopKFromStoresStoredFiltered(
-                spark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
+                serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
                 conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
                 conf.rerankDepth, maxQueryTerms = conf.maxQueryTerms)
-              case (None, None) => Retrieval.hybridTopKFromStoresStored(spark,
+              case (None, None) => Retrieval.hybridTopKFromStoresStored(serveSpark,
                 conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
                 conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
                 maxQueryTerms = conf.maxQueryTerms)
             }
-            Retrieval.attachSnippets(spark, conf.lexStore, fused,
+            Retrieval.attachSnippets(serveSpark, conf.lexStore, fused,
               queryFrame(text), conf.textCol, conf.idCol, window,
               maxQueryTerms = conf.maxQueryTerms)
           } else allowed match {
-            case Some(a) => Retrieval.snippetTopKFromStoreFiltered(spark,
+            case Some(a) => Retrieval.snippetTopKFromStoreFiltered(serveSpark,
               conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
               k, window, maxQueryTerms = conf.maxQueryTerms)
-            case None => Retrieval.snippetTopKFromStore(spark, conf.lexStore,
+            case None => Retrieval.snippetTopKFromStore(serveSpark, conf.lexStore,
               queryFrame(text), conf.textCol, conf.idCol, k, window,
               maxQueryTerms = conf.maxQueryTerms)
           }
@@ -316,10 +336,10 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
       val withText =
         if (includeText && mode != "snippet") {
           val hits = result.localCheckpoint()
-          val live = Retrieval.readStoreDocs(spark, conf.lexStore,
+          val live = Retrieval.readStoreDocs(serveSpark, conf.lexStore,
               hits.select("doc_id"))
             .join(org.apache.spark.sql.functions.broadcast(
-                Retrieval.readBm25Tombstones(spark, conf.lexStore)),
+                Retrieval.readBm25Tombstones(serveSpark, conf.lexStore)),
               Seq("doc_id"), "left_anti")
           hits.join(org.apache.spark.sql.functions.broadcast(live),
             Seq("doc_id"), "left")
@@ -393,7 +413,8 @@ object SearchApi {
                                  depth: Int, nProbe: Int, rerankDepth: Int,
                                  maxQueryTerms: Int, maxK: Int,
                                  fieldedStore: Option[String] = None,
-                                 fieldedFields: Seq[Retrieval.Bm25fField] = Seq.empty)
+                                 fieldedFields: Seq[Retrieval.Bm25fField] = Seq.empty,
+                                 servingShufflePartitions: Int = 8)
 
   /** Parse "name:weight:b,name:weight:b,..." (weight defaults 1.0, b
     * defaults [[Retrieval.B]]) — the config wire format for the fielded
@@ -433,7 +454,9 @@ object SearchApi {
       maxK = cfg.getIntOr("retrieval.max_k", 100),
       fieldedStore = cfg.getString("retrieval.fielded_store"),
       fieldedFields = parseFields(
-        cfg.getStringOr("retrieval.fielded_fields", ""))),
+        cfg.getStringOr("retrieval.fielded_fields", "")),
+      servingShufflePartitions =
+        cfg.getIntOr("retrieval.serving_shuffle_partitions", 8)),
       cache = Option(cfg.getIntOr("retrieval.cache_size", 512))
         .filter(_ > 0)
         .map(new ResultCache(_, cfg.getIntOr("retrieval.cache_ttl_seconds", 300).toLong)))

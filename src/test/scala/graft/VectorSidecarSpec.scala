@@ -274,4 +274,46 @@ class VectorSidecarSpec extends SparkSpec {
     Quantize.appendSelfContained(spark, store,
       updated.select(lit(7777L).as("vec_id"), col("embedding")), "embedding")
   }
+
+  test("adaptive filtered stored search: probe deepening recovers the candidates a fixed budget loses under a selective allow-list") {
+    import spark.implicits._
+    val e = emb.localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("sidecar-adapt-").toString
+    val store = s"$work/store"
+    Quantize.buildSelfContained(spark, e, "vec_id", "embedding",
+      cents(e), "centroid_id", "cen_emb", codebook(e), "code_id", "cb_emb",
+      dims, nBlocks, residual = false, store, storeVectors = true)
+    // ~3% allow-list spread over the 8 cells: at nProbe=1 each query sees
+    // only its top cell's few allowed members — under k, so the FIXED
+    // budget returns short result lists (the filtered-ANN collapse)
+    val allow = e.filter(col("vec_id") % 31 === 5).select("vec_id")
+      .localCheckpoint()
+    val q = e.filter(col("vec_id") < 4)
+    def perQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy("query_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = Quantize.searchSelfContainedRefinedStoredFiltered(
+      spark, store, q, "vec_id", "embedding", allow, 8, 1, 32)
+      .localCheckpoint()
+    val (adapt, usedNp) =
+      Quantize.searchSelfContainedRefinedStoredFilteredAdaptive(
+        spark, store, q, "vec_id", "embedding", allow, 8, 1, 32)
+    val a = adapt.localCheckpoint()
+    assert(usedNp > 1, "deepening must have engaged on a 3% fence")
+    val (fc, ac) = (perQuery(fixed), perQuery(a))
+    assert(fc.values.exists(_ < 8L),
+      s"fixture: the fixed budget should starve under the fence ($fc)")
+    assert(ac.keySet.forall(k => ac(k) >= fc.getOrElse(k, 0L)) &&
+      ac.values.sum > fc.values.sum,
+      s"adaptive must recover candidates the fixed budget lost ($fc vs $ac)")
+    // the adaptive answer IS the standard filtered search at the settled
+    // budget — the mechanism changes the budget, never the semantics
+    assert(rows(a) === rows(Quantize.searchSelfContainedRefinedStoredFiltered(
+      spark, store, q, "vec_id", "embedding", allow, 8, usedNp, 32)),
+      "adaptive result must equal the fixed search at the settled nProbe")
+    // the fence still holds
+    val allowedSet = allow.collect().map(_.getLong(0)).toSet
+    assert(a.select("neighbor_id").collect().map(_.getLong(0))
+      .forall(allowedSet), "adaptive search leaked a disallowed id")
+  }
 }
