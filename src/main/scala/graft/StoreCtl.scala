@@ -81,7 +81,11 @@ object StoreCtl {
   final case class VecStore(path: String,
                             maxDeadFraction: Double = 0.3,
                             maxFilesPerCell: Double = 4.0,
-                            recellWhenCellsOff: Double = 0.0)
+                            recellWhenCellsOff: Double = 0.0,
+                            adaptQueries: Option[String] = None,
+                            adaptVecCol: String = "embedding",
+                            maxDisplacement: Double = 0.5,
+                            adaptK: Int = 10)
       extends StoreSpec {
     // same drift-factor shape as the lexical policy: off >= 1 always
     require(recellWhenCellsOff == 0.0 || recellWhenCellsOff >= 1.0,
@@ -175,7 +179,8 @@ object StoreCtl {
   }
 
   /** One vector maintenance pass — [[VectorStoreCtl.maintain]], then the
-    * opt-in geometry policy (see [[VecStore]]). */
+    * opt-in geometry policy, then the opt-in QUERY-DRIFT policy (see
+    * [[VecStore]]). */
   def maintainVec(spark: SparkSession, s: VecStore): CycleReport = {
     val r = VectorStoreCtl.maintain(spark, s.path, s.maxDeadFraction,
       s.maxFilesPerCell)
@@ -184,34 +189,80 @@ object StoreCtl {
         s"${r.sweep.tombstonesRemaining} tombstones pending" +
         r.compact.map(c => s"; compacted ${c.filesBefore} -> ${c.filesAfter} files")
           .getOrElse("")
-    if (s.recellWhenCellsOff <= 0)
-      return CycleReport(s.path, "vec", "sweep", swept)
-    if (!Quantize.hasVectorSidecar(spark, s.path))
-      return CycleReport(s.path, "vec", "sweep",
-        swept + "; recell policy skipped: store has no raw-vector sidecar")
-    if (hasStreamMarker(spark, s.path))
-      return CycleReport(s.path, "vec", "skip-stream",
-        swept + "; recell policy skipped: stream-adopted — retraining " +
-          "re-encodes rows wholesale, quiescence is the operator's call")
-    // geometry check: current cells from the tiny persisted centroid
-    // frame, the prescription from the LIVE id count (one column-pruned
-    // scan — a maintenance-cycle cost, not a serving cost)
-    val (cents, _, p) = Quantize.loadQuantizers(spark, s.path)
-    val current = cents.count()
-    val tomb = Quantize.readTombstones(spark, s.path, p.idCol)
-    val live = spark.read.parquet(s.path)
-      .select(p.idCol).distinct()
-      .join(org.apache.spark.sql.functions.broadcast(tomb),
-        Seq(p.idCol), "left_anti").count()
-    val want = Quantize.HighRecall.nCells(live).toLong
-    val off = math.max(want.toDouble / current, current.toDouble / want)
-    if (off <= s.recellWhenCellsOff)
-      return CycleReport(s.path, "vec", "sweep",
-        swept + f"; geometry ok ($current cells, √N wants $want, ${off}%.1fx)")
-    val (nLive, cells) = Quantize.recellIvfPqStoreFromSidecar(spark, s.path)
-    CycleReport(s.path, "vec", "recell",
-      swept + s"; geometry retrained: $current -> $cells cells " +
-        s"for $nLive live vectors (√N wanted $want)")
+    val geomReport: CycleReport =
+      if (s.recellWhenCellsOff <= 0)
+        CycleReport(s.path, "vec", "sweep", swept)
+      else if (!Quantize.hasVectorSidecar(spark, s.path))
+        CycleReport(s.path, "vec", "sweep",
+          swept + "; recell policy skipped: store has no raw-vector sidecar")
+      else if (hasStreamMarker(spark, s.path))
+        CycleReport(s.path, "vec", "skip-stream",
+          swept + "; recell policy skipped: stream-adopted — retraining " +
+            "re-encodes rows wholesale, quiescence is the operator's call")
+      else {
+        // geometry check: current cells from the tiny persisted centroid
+        // frame, the prescription from the LIVE id count (one column-pruned
+        // scan — a maintenance-cycle cost, not a serving cost)
+        val (cents, _, p) = Quantize.loadQuantizers(spark, s.path)
+        val current = cents.count()
+        val tomb = Quantize.readTombstones(spark, s.path, p.idCol)
+        val live = spark.read.parquet(s.path)
+          .select(p.idCol).distinct()
+          .join(org.apache.spark.sql.functions.broadcast(tomb),
+            Seq(p.idCol), "left_anti").count()
+        val want = Quantize.HighRecall.nCells(live).toLong
+        val off = math.max(want.toDouble / current, current.toDouble / want)
+        if (off <= s.recellWhenCellsOff)
+          CycleReport(s.path, "vec", "sweep",
+            swept + f"; geometry ok ($current cells, √N wants $want, ${off}%.1fx)")
+        else {
+          val (nLive, cells) = Quantize.recellIvfPqStoreFromSidecar(spark, s.path)
+          CycleReport(s.path, "vec", "recell",
+            swept + s"; geometry retrained: $current -> $cells cells " +
+              s"for $nLive live vectors (√N wanted $want)")
+        }
+      }
+    // QUERY-drift policy: geometry reacts to the corpus, this reacts to
+    // the query mix. Measure the ADC-vs-exact rank displacement
+    // ([[Quantize.rankDisplacement]] — a recall proxy needing no ground
+    // truth) over the configured live-query sample at the CURRENT auto
+    // budgets; past the threshold, raise the persisted serving hints
+    // (nProbe ×1.5 capped at the cell count, depth ×1.5) that the `auto`
+    // budget resolution reads. Skipped on a recell cycle (the retrain
+    // replaced `.quantizers` and with it any hints — the fresh geometry
+    // is measured next cycle) and without a sidecar (the exact side
+    // rescores from it).
+    s.adaptQueries match {
+      case Some(qPath) if geomReport.action != "recell" &&
+          Quantize.hasVectorSidecar(spark, s.path) =>
+        val (cents, _, p) = Quantize.loadQuantizers(spark, s.path)
+        val nCells = cents.count().toInt
+        val (np0, dep0) = Quantize.servingHints(spark, s.path).getOrElse(
+          (Quantize.HighRecall.nProbe(nCells.toLong),
+            Quantize.HighRecall.rerankDepth(s.adaptK)))
+        val disp = Quantize.rankDisplacement(spark, s.path,
+          spark.read.parquet(qPath), p.idCol, s.adaptVecCol,
+          s.adaptK, np0, dep0)
+        if (disp <= s.maxDisplacement)
+          geomReport.copy(detail = geomReport.detail +
+            f"; query-drift ok (displacement $disp%.2f <= " +
+            f"${s.maxDisplacement}%.2f at nProbe=$np0, depth=$dep0)")
+        else if (np0 >= nCells)
+          geomReport.copy(detail = geomReport.detail +
+            f"; query drift measured (displacement $disp%.2f) but nProbe " +
+            f"already spans all $nCells cells — the budget cannot deepen " +
+            "further; schedule a recell")
+        else {
+          val np1 = math.min(nCells, math.max(np0 + 1, math.ceil(np0 * 1.5).toInt))
+          val dep1 = math.ceil(dep0 * 1.5).toInt
+          Quantize.writeServingHints(spark, s.path, np1, dep1)
+          geomReport.copy(action = "adapt", detail = geomReport.detail +
+            f"; query drift: displacement $disp%.2f > " +
+            f"${s.maxDisplacement}%.2f — serving hints raised to " +
+            s"nProbe=$np1, depth=$dep1")
+        }
+      case _ => geomReport
+    }
   }
 
   /** One cycle over all stores. Lock refusals become skip reports. */

@@ -73,11 +73,15 @@ object VectorStoreCtl {
     "usage: build|append|tombstone|sweep|delete|compact|flatten|recell|" +
       "recover|recover-recell|search|searchref|maintain|daemon|status ..."
 
-  /** `auto` probe budget: [[Quantize.HighRecall.nProbe]] over the store's
-    * actual cell count (its persisted centroid frame). */
+  /** `auto` probe budget: the store's persisted serving hints when a
+    * drift policy has written any (StoreCtl's query-drift adaptivity),
+    * else [[Quantize.HighRecall.nProbe]] over the store's actual cell
+    * count (its persisted centroid frame). */
   private def resolveNProbe(spark: SparkSession, store: String, arg: String): Int =
     if (arg == "auto")
-      Quantize.HighRecall.nProbe(Quantize.loadQuantizers(spark, store)._1.count())
+      Quantize.servingHints(spark, store).map(_._1).getOrElse(
+        Quantize.HighRecall.nProbe(
+          Quantize.loadQuantizers(spark, store)._1.count()))
     else arg.toInt
 
   final case class MaintainReport(sweep: Quantize.SweepStats,
@@ -230,8 +234,11 @@ object VectorStoreCtl {
       val Array(_, queries, qIdCol, qVecCol, k, nProbe, depth, corpus,
         vecCol, store) = args.take(10)
       val kk = k.toInt
-      val dep = if (depth == "auto") Quantize.HighRecall.rerankDepth(kk)
-                else depth.toInt
+      // `auto` depth: hints first (drift policy), else the HighRecall floor
+      val dep = if (depth == "auto")
+        Quantize.servingHints(spark, store).map(_._2)
+          .getOrElse(Quantize.HighRecall.rerankDepth(kk))
+        else depth.toInt
       val res = (if (corpus == "sidecar")
           Quantize.searchSelfContainedRefinedStored(spark, store,
             spark.read.parquet(queries), qIdCol, qVecCol, kk,

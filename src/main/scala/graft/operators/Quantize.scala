@@ -1158,6 +1158,75 @@ object Quantize {
     * (10·k)-deep-per-query shortlist exactly costs one broadcast-joined
     * corpus pass ([[ivfPqSearchRefined]]) and removes ADC's quantization
     * error from the final ranking entirely. */
+  // --------------------------------------------------------------------
+  // Query-drift adaptivity (round 11 stretch). Geometry policies react
+  // to CORPUS drift; nothing reacted to QUERY drift — a query mix
+  // wandering out of the quantizers' trained space degrades ADC
+  // ordering silently (recall falls at fixed budgets while nothing in
+  // the store changed). The observable is rank DISPLACEMENT: how much
+  // of the exact-rescored top-k the raw ADC top-k missed — a recall
+  // proxy the refined serving path already pays for, requiring no
+  // ground truth. The maintenance policy (StoreCtl.maintainVec with
+  // adaptQueries) measures it per cycle over a sample of the live query
+  // mix and, past a threshold, RAISES the store's persisted serving
+  // hints (nProbe / rerankDepth) — the deployment's `auto` budgets read
+  // the hints, so serving deepens without a config push. A recell
+  // replaces the whole `.quantizers` dir and so clears the hints
+  // (retrained geometry resets the budget question).
+  // --------------------------------------------------------------------
+
+  /** Persisted serving hints (`<store>.quantizers/serving`, one row):
+    * the drift policy's output channel, consumed by the `auto` budget
+    * resolution. */
+  def writeServingHints(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, nProbe: Int,
+                        rerankDepth: Int): Unit = {
+    import spark.implicits._
+    Seq((nProbe, rerankDepth)).toDF("n_probe", "rerank_depth")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(quantizersPath(indexPath) + "/serving")
+  }
+
+  /** The persisted hints, when a drift policy has written any. */
+  def servingHints(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(quantizersPath(indexPath) + "/serving")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).collect().head
+      Some((r.getInt(0), r.getInt(1)))
+    }
+  }
+
+  /** ADC-vs-exact rank displacement at the given budgets: the fraction
+    * of the REFINED (exact-rescored) top-k that the raw ADC top-k
+    * missed, averaged over all queries' result rows. 0 = the codes
+    * already rank like exact distances (refine is a formality);
+    * rising values mean the quantizers no longer represent the query
+    * mix's neighborhoods and the shortlist is carrying the recall.
+    * Needs the raw-vector sidecar (the exact side rescores from it). */
+  def rankDisplacement(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, queries: DataFrame,
+                       qIdCol: String, qVecCol: String,
+                       k: Int, nProbe: Int, rerankDepth: Int): Double = {
+    val adc = searchSelfContained(spark, indexPath, queries, qIdCol, qVecCol,
+        k, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val refined = searchSelfContainedRefinedStored(spark, indexPath, queries,
+        qIdCol, qVecCol, k, nProbe, rerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // two counts
+    val total = refined.count()
+    if (total == 0) 0.0
+    else {
+      val kept = refined.join(adc, Seq("query_id", "neighbor_id"), "leftsemi")
+        .count()
+      1.0 - kept.toDouble / total
+    }
+  }
+
   object HighRecall {
     /** √N coarse cells (min 16), the build-time half of the config. */
     def nCells(nCorpus: Long): Int =

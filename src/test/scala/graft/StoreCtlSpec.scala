@@ -271,4 +271,102 @@ class StoreCtlSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { StoreCtl.parseSpec("zzz:/p") }
   }
+
+  test("query-drift policy: displacement over the live query mix raises the persisted serving hints; in-distribution mixes are a no-op; the deepening caps at the cell count") {
+    import spark.implicits._
+    val dims = 16
+    // 24 deterministic cluster centers in R16, 15 members each — enough
+    // cells that the auto probe budget (floor 8) starts PARTIAL
+    def center(i: Int): Seq[Float] =
+      (0 until dims).map(d => math.sin(i * 37.0 + d * 13.0).toFloat)
+    val corpus = (0 until 24).flatMap { i =>
+      (0 until 15).map { j =>
+        (i * 1000L + j,
+          center(i).zipWithIndex.map { case (x, d) =>
+            x + 0.05f * (((i * 131 + j * 17 + d * 7) % 11) - 5) / 5f })
+      }
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("storectl-adapt-").toString
+    val store = s"$work/store"
+    val (tc, tcb) = Quantize.trainIvfPq(corpus, "vec_id", "embedding",
+      dims, 24, 4, 8, coarseMaxIter = 5, pqMaxIter = 3)
+    Quantize.buildSelfContained(spark, corpus, "vec_id", "embedding",
+      tc, "centroid_id", "cen_emb", tcb, "code", "c_emb",
+      dims, 4, residual = true, store, storeVectors = true)
+    // IN-distribution queries: perturbed members. DRIFTED queries: the
+    // same members plus a large component the quantizers never trained
+    // on (constant offset across dims) — residuals leave the codebook's
+    // space, so ADC ordering degrades while exact ordering is fine.
+    val qIn = corpus.filter(col("vec_id") % 1000 === 3)
+      .limit(6).select((col("vec_id") + 500000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + CAST(0.01 AS FLOAT) AS FLOAT))").as("embedding"))
+      .localCheckpoint()
+    val qOut = qIn.select(col("vec_id"),
+        expr("transform(embedding, (x, d) -> CAST(x + CAST(1.5 AS FLOAT) * CAST(CASE WHEN d % 2 = 0 THEN 1.0 ELSE -1.0 END AS FLOAT) AS FLOAT))").as("embedding"))
+      .localCheckpoint()
+    qIn.write.parquet(s"$work/qin"); qOut.write.parquet(s"$work/qout")
+    val np0 = Quantize.HighRecall.nProbe(24)
+    val dep0 = Quantize.HighRecall.rerankDepth(5)
+    val dispIn = Quantize.rankDisplacement(spark, store, qIn,
+      "vec_id", "embedding", 5, np0, dep0)
+    val dispOut = Quantize.rankDisplacement(spark, store, qOut,
+      "vec_id", "embedding", 5, np0, dep0)
+    assert(dispOut > dispIn,
+      f"fixture: drifted queries must displace more ($dispIn%.3f vs $dispOut%.3f)")
+    val mid = (dispIn + dispOut) / 2
+    // in-distribution mix: measured, no action, no hints written
+    val ok = StoreCtl.cycle(spark, Seq(StoreCtl.VecStore(store,
+      adaptQueries = Some(s"$work/qin"), maxDisplacement = mid, adaptK = 5)))
+    assert(ok.head.detail.contains("query-drift ok"), ok.toString)
+    assert(Quantize.servingHints(spark, store).isEmpty)
+    // drifted mix: the cycle raises the hints; `auto` budgets see them
+    val spec = StoreCtl.VecStore(store,
+      adaptQueries = Some(s"$work/qout"), maxDisplacement = mid, adaptK = 5)
+    val adapted = StoreCtl.cycle(spark, Seq(spec))
+    assert(adapted.head.action === "adapt" &&
+      adapted.head.detail.contains("serving hints raised"), adapted.toString)
+    val hints = Quantize.servingHints(spark, store)
+    assert(hints.exists(h => h._1 > np0 && h._2 > dep0), hints.toString)
+    // deepening raises recall for the drifted mix (monotone in budget):
+    // exact truth = brute-force L2 top-5 over the corpus
+    def recallAt(np: Int, dep: Int): Double = {
+      val got = Quantize.searchSelfContainedRefinedStored(spark, store,
+          qOut, "vec_id", "embedding", 5, np, dep)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+      val truth = corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"))
+        .crossJoin(broadcast(qOut.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)),
+            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val (np1, dep1) = hints.get
+    assert(recallAt(np1, dep1) >= recallAt(np0, dep0),
+      "a deeper budget must not lose recall on the drifted mix")
+    // repeated cycles keep deepening until nProbe spans every cell, then
+    // report the cap honestly instead of writing useless hints
+    var last = adapted.head
+    var guard = 0
+    while (!last.detail.contains("cannot deepen") && guard < 6) {
+      last = StoreCtl.cycle(spark, Seq(spec)).head
+      guard += 1
+    }
+    assert(last.detail.contains("cannot deepen") &&
+      last.detail.contains("recell"), last.toString)
+    assert(Quantize.servingHints(spark, store).exists(_._1 == 24))
+    // a recell clears the hints with the rest of the quantizer state
+    Quantize.recellIvfPqStoreFromSidecar(spark, store, nCells = 24,
+      nCodes = 8, retrainCodebook = true, coarseMaxIter = 3, pqMaxIter = 2)
+    assert(Quantize.servingHints(spark, store).isEmpty,
+      "a recell must reset the serving hints (fresh geometry, fresh question)")
+  }
 }
