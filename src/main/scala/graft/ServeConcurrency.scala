@@ -204,10 +204,17 @@ object ServeConcurrency {
       if (java.nio.file.Files.exists(path))
         new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       else ""
-    val kept = existing.indexOf(marker) match {
-      case -1 => existing
-      case i => existing.substring(0, i)
+    // replace ONLY this main's section: keep everything before the
+    // marker AND every section after it (ServeFloor appends its own
+    // "## ..." section to this file — a re-bench must not delete it)
+    val (keptBefore, keptAfter) = existing.indexOf(marker) match {
+      case -1 => (existing, "")
+      case i =>
+        val rest = existing.substring(i + marker.length)
+        val next = rest.indexOf("\n## ")
+        (existing.substring(0, i), if (next == -1) "" else rest.substring(next + 1))
     }
+    val kept = keptBefore
     val md = new StringBuilder(kept)
     md.append(s"""$marker (round 10)
 
@@ -253,6 +260,7 @@ needing more QPS adds executors (each request's jobs parallelize over
 the cluster) or fronts the store with the T6 result cache for repeated
 queries.
 """)
+    md.append(keptAfter)
     java.nio.file.Files.writeString(path, md.toString)
     println(s"[serve-conc] appended section to $outDir/STREAMLAT.md")
     spark.stop()

@@ -189,6 +189,10 @@ object StoreCtl {
         s"${r.sweep.tombstonesRemaining} tombstones pending" +
         r.compact.map(c => s"; compacted ${c.filesBefore} -> ${c.filesAfter} files")
           .getOrElse("")
+    // both opt-in policies need the quantizers; load at most once per
+    // cycle (the adapt branch never runs after a recell, so it cannot
+    // observe a stale load)
+    lazy val loadedQ = Quantize.loadQuantizers(spark, s.path)
     val geomReport: CycleReport =
       if (s.recellWhenCellsOff <= 0)
         CycleReport(s.path, "vec", "sweep", swept)
@@ -203,7 +207,7 @@ object StoreCtl {
         // geometry check: current cells from the tiny persisted centroid
         // frame, the prescription from the LIVE id count (one column-pruned
         // scan — a maintenance-cycle cost, not a serving cost)
-        val (cents, _, p) = Quantize.loadQuantizers(spark, s.path)
+        val (cents, _, p) = loadedQ
         val current = cents.count()
         val tomb = Quantize.readTombstones(spark, s.path, p.idCol)
         val live = spark.read.parquet(s.path)
@@ -233,9 +237,18 @@ object StoreCtl {
     // is measured next cycle) and without a sidecar (the exact side
     // rescores from it).
     s.adaptQueries match {
-      case Some(qPath) if geomReport.action != "recell" &&
-          Quantize.hasVectorSidecar(spark, s.path) =>
-        val (cents, _, p) = Quantize.loadQuantizers(spark, s.path)
+      case Some(_) if geomReport.action == "recell" =>
+        geomReport.copy(detail = geomReport.detail +
+          "; query-drift policy skipped this cycle: the recell just " +
+          "replaced the quantizers (fresh geometry is measured next cycle)")
+      case Some(_) if !Quantize.hasVectorSidecar(spark, s.path) =>
+        // report the skip — a silently-unmonitored drift policy is the
+        // worst state (the operator believes drift is watched)
+        geomReport.copy(detail = geomReport.detail +
+          "; query-drift policy skipped: store has no raw-vector sidecar " +
+          "(rankDisplacement rescores from it — rebuild with storeVectors)")
+      case Some(qPath) =>
+        val (cents, _, p) = loadedQ
         val nCells = cents.count().toInt
         val (np0, dep0) = Quantize.servingHints(spark, s.path).getOrElse(
           (Quantize.HighRecall.nProbe(nCells.toLong),
@@ -268,14 +281,22 @@ object StoreCtl {
   /** One cycle over all stores. Lock refusals become skip reports. */
   def cycle(spark: SparkSession, stores: Seq[StoreSpec]): Seq[CycleReport] =
     stores.map { s =>
+      val family = s match { case _: LexStore => "lex"; case _: VecStore => "vec" }
       try s match {
         case l: LexStore => maintainLex(spark, l)
         case v: VecStore => maintainVec(spark, v)
       } catch {
         case e: graft.sources.StoreLock.StoreLockedException =>
-          CycleReport(s.path,
-            s match { case _: LexStore => "lex"; case _: VecStore => "vec" },
-            "skip-locked", e.getMessage)
+          CycleReport(s.path, family, "skip-locked", e.getMessage)
+        // a store needing manual intervention (crashed-split manifest →
+        // "run recoverCellSplit", leftover compact/delete backups, a
+        // fielded store registered on the unfielded lex policy, ...)
+        // must become an ERROR REPORT, not a dead daemon: its siblings
+        // keep being maintained and the operator sees the actionable
+        // message every cycle until they resolve it
+        case scala.util.control.NonFatal(e) =>
+          CycleReport(s.path, family, "error",
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
 

@@ -1182,9 +1182,22 @@ object Quantize {
                         indexPath: String, nProbe: Int,
                         rerankDepth: Int): Unit = {
     import spark.implicits._
+    // write-sibling-then-rename like every other install in this store:
+    // a plain overwrite has a window where the dir exists but holds no
+    // committed files, and every `auto` budget resolution would throw
+    // until hand-repair. A crash between the delete and the rename just
+    // loses the hints — servingHints returns None and `auto` falls back
+    // to the HighRecall defaults, which is the correct degraded state.
+    val base = quantizersPath(indexPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
     Seq((nProbe, rerankDepth)).toDF("n_probe", "rerank_depth")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(quantizersPath(indexPath) + "/serving")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/serving-new")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/serving"), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$base/serving-new"),
+        new org.apache.hadoop.fs.Path(s"$base/serving")))
+      throw new java.io.IOException(
+        s"failed to install serving hints at $base/serving")
   }
 
   /** The persisted hints, when a drift policy has written any. */
@@ -1483,7 +1496,10 @@ object Quantize {
     val allowedIds = allowedDocs
       .select(col(allowedDocs.columns.head).as(p.idCol)).distinct()
       .localCheckpoint() // reused per attempt + by the final search
-    val nQueries = queries.count()
+    // DISTINCT query ids: the per-attempt counts group by query_id, so a
+    // duplicated query row must not make the settle check unreachable
+    // (it would silently escalate every request to a full-store probe)
+    val nQueries = queries.select(col(qIdCol)).distinct().count()
     var np = math.min(nProbe0, nCells)
     var settled = false
     while (!settled) {
@@ -1925,11 +1941,25 @@ object Quantize {
       import spark.implicits._
       var rewritten = 0L
       val subFrames = drifted.map { cell =>
-        // the cell's live latest vectors, from its own sidecar partitions
+        // The cell's LIVE members: ids present in the cell's own CODE
+        // rows (minus tombstones) — the same live-ids guard the full
+        // recell uses, and the load-bearing one here: the sidecar keeps
+        // dead rows (deletes/sweeps never touch it; a swept-then-
+        // re-appended id's STALE row also lingers in its old cell), so
+        // a sidecar-only anti-join would re-encode deleted vectors into
+        // live sub-cells (resurrection) and re-stamp stale vectors at
+        // the newest vepoch (inverting the versioned resolution).
+        // Membership truth is the index; the sidecar only supplies the
+        // floats for ids the index says are here.
+        val liveIds = spark.read.parquet(indexPath)
+          .filter(col("centroid_id").cast("long") === cell)
+          .filter(col("block") === 0)
+          .select(col(p.idCol)).distinct()
+          .join(broadcast(tomb), Seq(p.idCol), "left_anti")
         val members = resolveSidecarLatest(
             spark.read.parquet(vectorsPath(indexPath))
               .filter(col("centroid_id").cast("long") === cell), p.idCol)
-          .join(broadcast(tomb), Seq(p.idCol), "left_anti")
+          .join(broadcast(liveIds), Seq(p.idCol), "leftsemi")
           .localCheckpoint() // retrain + encode + sidecar all read it
         val sub = graft.operators.Clustering.kmeansFit(
           members, p.idCol, "vec", splitWays, coarseMaxIter)

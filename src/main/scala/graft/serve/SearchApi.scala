@@ -155,6 +155,32 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
       }
   }
 
+  /** The fused hybrid ranking — ONE dispatch over (rescore source,
+    * allow-list) shared by mode=hybrid and mode=snippet-with-vector, so
+    * the two cannot diverge. */
+  private def fusedHybrid(text: String, vector: Seq[Float], k: Int,
+                          allowed: Option[DataFrame]): DataFrame = {
+    val q = queryFrameVec(text, vector)
+    (corpusOpt, allowed) match {
+      case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(
+        serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
+        conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
+        conf.rerankDepth, c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
+      case (Some(c), None) => Retrieval.hybridTopKFromStores(serveSpark,
+        conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
+        conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
+        c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
+      case (None, Some(a)) => Retrieval.hybridTopKFromStoresStoredFiltered(
+        serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
+        conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
+        conf.rerankDepth, maxQueryTerms = conf.maxQueryTerms)
+      case (None, None) => Retrieval.hybridTopKFromStoresStored(serveSpark,
+        conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
+        conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
+        maxQueryTerms = conf.maxQueryTerms)
+    }
+  }
+
   private def searchCompute(text: String, vector: Seq[Float], k: Int,
                             mode: String, allowedIds: Seq[String],
                             window: Int, includeText: Boolean,
@@ -176,26 +202,7 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     val allowed = Option(allowedIds).filter(_.nonEmpty).map(allowFrame)
     try {
       val result = mode match {
-        case "hybrid" =>
-          val q = queryFrameVec(text, vector)
-          (corpusOpt, allowed) match {
-            case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(serveSpark,
-              conf.lexStore, conf.vecStore, q, a, conf.textCol, conf.vecCol,
-              conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-              c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
-            case (Some(c), None) => Retrieval.hybridTopKFromStores(serveSpark,
-              conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
-              conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-              c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
-            case (None, Some(a)) => Retrieval.hybridTopKFromStoresStoredFiltered(
-              serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
-              conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
-              conf.rerankDepth, maxQueryTerms = conf.maxQueryTerms)
-            case (None, None) => Retrieval.hybridTopKFromStoresStored(serveSpark,
-              conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
-              conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-              maxQueryTerms = conf.maxQueryTerms)
-          }
+        case "hybrid" => fusedHybrid(text, vector, k, allowed)
         case "vector" =>
           val q = queryFrameVec(text, vector).select(col(conf.idCol), col(conf.vecCol))
           ((corpusOpt, allowed) match {
@@ -285,27 +292,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
             if (k > conf.rerankDepth)
               return error(400, s"k=$k exceeds the configured rerank depth " +
                 s"${conf.rerankDepth}")
-            val q = queryFrameVec(text, vector)
-            val fused = (corpusOpt, allowed) match {
-              case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(
-                serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
-                conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
-                conf.rerankDepth, c, conf.vecCol,
-                maxQueryTerms = conf.maxQueryTerms)
-              case (Some(c), None) => Retrieval.hybridTopKFromStores(serveSpark,
-                conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
-                conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-                c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
-              case (None, Some(a)) => Retrieval.hybridTopKFromStoresStoredFiltered(
-                serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
-                conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
-                conf.rerankDepth, maxQueryTerms = conf.maxQueryTerms)
-              case (None, None) => Retrieval.hybridTopKFromStoresStored(serveSpark,
-                conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
-                conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-                maxQueryTerms = conf.maxQueryTerms)
-            }
-            Retrieval.attachSnippets(serveSpark, conf.lexStore, fused,
+            Retrieval.attachSnippets(serveSpark, conf.lexStore,
+              fusedHybrid(text, vector, k, allowed),
               queryFrame(text), conf.textCol, conf.idCol, window,
               maxQueryTerms = conf.maxQueryTerms)
           } else allowed match {

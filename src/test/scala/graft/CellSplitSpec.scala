@@ -59,7 +59,17 @@ class CellSplitSpec extends SparkSpec {
     Quantize.buildSelfContained(spark, c, "vec_id", "embedding",
       cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
       dims, 4, residual = true, store, storeVectors = true)
-    // a few retractions inside the fat cell: the split must vacuum them
+    // the RESURRECTION trap: delete doc 102 and SWEEP — its codes leave
+    // the index and its tombstone is cleared, but its sidecar row
+    // deliberately survives (sweeps never touch the sidecar). The split
+    // must derive membership from the INDEX, not the sidecar, or it
+    // would re-encode the dead vector into a live sub-cell.
+    Quantize.addTombstones(spark, store, Seq(102L).toDF("vec_id"), "vec_id")
+    Quantize.retentionSweep(spark, store, "vec_id", maxTombstoneFraction = 1e-9)
+    assert(spark.read.parquet(s"$store.vectors")
+      .filter(col("vec_id") === 102L).count() > 0,
+      "fixture: the swept id's sidecar row must still be present")
+    // plus standing retractions inside the fat cell: the split vacuums them
     Quantize.addTombstones(spark, store,
       Seq(100L, 101L).toDF("vec_id"), "vec_id")
     val q = c.filter(col("vec_id").isin(105L, 1100L, 2105L))
@@ -75,8 +85,17 @@ class CellSplitSpec extends SparkSpec {
     val (split, rewritten) = Quantize.splitDriftedCells(spark, store,
       overshoot = 2.0, splitWays = 2)
     assert(split == 1, s"exactly the fat cell must split (got $split)")
-    assert(rewritten == 58L,
-      s"rewrite volume must be the fat cell's LIVE mass (got $rewritten)")
+    assert(rewritten == 57L,
+      s"rewrite volume must be the fat cell's LIVE mass — 60 minus the " +
+        s"swept id and the two tombstoned ids (got $rewritten)")
+    // the swept id was NOT resurrected: no code rows, and its dead
+    // sidecar row left with the GC'd old cell dirs instead of being
+    // re-encoded at a fresh vepoch
+    assert(spark.read.parquet(store).filter(col("vec_id") === 102L).count() == 0,
+      "split must not re-encode a swept id's dead sidecar row")
+    assert(spark.read.parquet(s"$store.vectors")
+      .filter(col("vec_id") === 102L).count() == 0,
+      "the dead sidecar row must not be re-stamped into the new cells")
     // centroid table: 0 retired, two fresh sub-cells appended past max
     val centIds = Quantize.loadQuantizers(spark, store)._1
       .select("centroid_id").collect().map(_.getLong(0)).toSet

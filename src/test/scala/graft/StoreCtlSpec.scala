@@ -272,6 +272,40 @@ class StoreCtlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { StoreCtl.parseSpec("zzz:/p") }
   }
 
+  test("cycle survives a store needing manual recovery: an ERROR report with the actionable message, siblings still maintained") {
+    import spark.implicits._
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
+    val work = java.nio.file.Files.createTempDirectory("storectl-err-").toString
+    val (bad, good) = (s"$work/bad", s"$work/good")
+    for (p <- Seq(bad, good))
+      Quantize.buildSelfContained(spark, emb, "vec_id", "embedding",
+        cents, "cid", "cv", codebook, "code_id", "c_emb", 64, 4,
+        residual = false, p, storeVectors = true)
+    // a crashed split's manifest: every mutating maintenance op refuses
+    // with "run recoverCellSplit" — the daemon must turn that into a
+    // per-store ERROR report, not die and stop maintaining `good`
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bad.split-manifest"),
+      """{"old":[0],"newFrom":4,"newWays":2,"vepoch":7}""")
+    Quantize.addTombstones(spark, bad, Seq(5L).toDF("vec_id"), "vec_id")
+    Quantize.addTombstones(spark, good, Seq(5L).toDF("vec_id"), "vec_id")
+    val reports = StoreCtl.cycle(spark,
+      Seq(StoreCtl.VecStore(bad, 0.0001), StoreCtl.VecStore(good, 0.0001)))
+    assert(reports.head.action === "error" &&
+      reports.head.detail.contains("recoverCellSplit"), reports.toString)
+    assert(reports(1).action === "sweep" &&
+      reports(1).detail.contains("1 cells swept"), reports.toString)
+    // recovery unblocks the next cycle
+    assert(Quantize.recoverCellSplit(spark, bad))
+    val healed = StoreCtl.cycle(spark, Seq(StoreCtl.VecStore(bad, 0.0001)))
+    assert(healed.head.action === "sweep", healed.toString)
+  }
+
   test("query-drift policy: displacement over the live query mix raises the persisted serving hints; in-distribution mixes are a no-op; the deepening caps at the cell count") {
     import spark.implicits._
     val dims = 16
