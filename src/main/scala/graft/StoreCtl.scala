@@ -94,8 +94,11 @@ object StoreCtl {
   }
 
   /** One store's outcome in one cycle. `action` ∈ {"compact", "fold",
-    * "sweep", "skip-locked", "noop", "skip-stream"} (vector sweeps fold
-    * compaction into their detail). */
+    * "sweep", "skip-locked", "noop", "skip-stream", "recell",
+    * "rebucket", "adapt", "error"} (vector sweeps fold compaction into
+    * their detail; "error" carries a store's actionable refusal —
+    * crashed-operation debris and the like — without killing the
+    * daemon). */
   final case class CycleReport(path: String, family: String,
                                action: String, detail: String)
 
