@@ -216,7 +216,7 @@ object ServeConcurrency {
     }
     val kept = keptBefore
     val md = new StringBuilder(kept)
-    md.append(s"""$marker (round 10)
+    md.append(s"""$marker (round 11)
 
 `runMain graft.ServeConcurrency $sfDir` — real HTTP POST `/search`
 (hybrid mode: BM25 store + IVF-PQ store + RRF fusion, k=$K) against a
