@@ -205,16 +205,17 @@ object ServeConcurrency {
         new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       else ""
     // replace ONLY this main's section: keep everything before the
-    // marker AND every section after it (ServeFloor appends its own
-    // "## ..." section to this file — a re-bench must not delete it)
-    val (keptBefore, keptAfter) = existing.indexOf(marker) match {
+    // marker AND every sibling section after it (this file is shared by
+    // StreamLatency, ServeConcurrency and ServeFloor — a re-run of one
+    // must not delete the others'). keptAfter keeps its leading newline
+    // so the blank line before the next heading survives the splice.
+    val (kept, keptAfter) = existing.indexOf(marker) match {
       case -1 => (existing, "")
       case i =>
         val rest = existing.substring(i + marker.length)
         val next = rest.indexOf("\n## ")
-        (existing.substring(0, i), if (next == -1) "" else rest.substring(next + 1))
+        (existing.substring(0, i), if (next == -1) "" else rest.substring(next))
     }
-    val kept = keptBefore
     val md = new StringBuilder(kept)
     md.append(s"""$marker (round 11)
 

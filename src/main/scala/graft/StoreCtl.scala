@@ -298,8 +298,10 @@ object StoreCtl {
         // keep being maintained and the operator sees the actionable
         // message every cycle until they resolve it
         case scala.util.control.NonFatal(e) =>
-          CycleReport(s.path, family, "error",
-            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          // keep the report diagnosable: class, message (may be null for
+          // code bugs), and the first own-code frame
+          val at = e.getStackTrace.headOption.map(f => s" at $f").getOrElse("")
+          CycleReport(s.path, family, "error", s"$e$at")
       }
     }
 

@@ -1207,10 +1207,14 @@ object Quantize {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else {
-      val r = spark.read.parquet(p.toString).collect().head
-      Some((r.getInt(0), r.getInt(1)))
-    }
+    else
+      // tolerate the writer's delete→rename window (and any torn dir):
+      // the claimed degraded state is "no hints ⇒ HighRecall defaults",
+      // so a read that loses the race must return None, never throw
+      try {
+        val r = spark.read.parquet(p.toString).collect().head
+        Some((r.getInt(0), r.getInt(1)))
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** ADC-vs-exact rank displacement at the given budgets: the fraction
@@ -1496,10 +1500,16 @@ object Quantize {
     val allowedIds = allowedDocs
       .select(col(allowedDocs.columns.head).as(p.idCol)).distinct()
       .localCheckpoint() // reused per attempt + by the final search
-    // DISTINCT query ids: the per-attempt counts group by query_id, so a
-    // duplicated query row must not make the settle check unreachable
-    // (it would silently escalate every request to a full-store probe)
+    // One row per query id, REQUIRED: the per-attempt counts group by
+    // query_id, so duplicate ids would (a) make a row-count settle check
+    // unreachable or (b) merge two different vectors' candidate pools
+    // and settle a budget one of them never validated — refuse loudly
+    // instead of picking either failure
     val nQueries = queries.select(col(qIdCol)).distinct().count()
+    require(nQueries == queries.count(),
+      s"adaptive filtered search requires one row per query id " +
+        s"('$qIdCol' has duplicates) — the per-query candidate counts " +
+        "cannot validate a budget for two different vectors under one id")
     var np = math.min(nProbe0, nCells)
     var settled = false
     while (!settled) {
@@ -1956,10 +1966,14 @@ object Quantize {
           .filter(col("block") === 0)
           .select(col(p.idCol)).distinct()
           .join(broadcast(tomb), Seq(p.idCol), "left_anti")
+        // UN-hinted semi-join: a drifted cell is by definition the
+        // store's largest, so its live-id set is the one thing NOT to
+        // collect-and-broadcast through the driver; both sides are
+        // cell-scale and the optimizer can pick the exchange
         val members = resolveSidecarLatest(
             spark.read.parquet(vectorsPath(indexPath))
               .filter(col("centroid_id").cast("long") === cell), p.idCol)
-          .join(broadcast(liveIds), Seq(p.idCol), "leftsemi")
+          .join(liveIds, Seq(p.idCol), "leftsemi")
           .localCheckpoint() // retrain + encode + sidecar all read it
         val sub = graft.operators.Clustering.kmeansFit(
           members, p.idCol, "vec", splitWays, coarseMaxIter)

@@ -315,5 +315,11 @@ class VectorSidecarSpec extends SparkSpec {
     val allowedSet = allow.collect().map(_.getLong(0)).toSet
     assert(a.select("neighbor_id").collect().map(_.getLong(0))
       .forall(allowedSet), "adaptive search leaked a disallowed id")
+    // duplicate query ids refuse loudly: the per-query candidate counts
+    // cannot validate one budget for two different vectors under one id
+    val dup = intercept[IllegalArgumentException](
+      Quantize.searchSelfContainedRefinedStoredFilteredAdaptive(
+        spark, store, q.unionByName(q), "vec_id", "embedding", allow, 8, 1, 32))
+    assert(dup.getMessage.contains("one row per query id"))
   }
 }
