@@ -234,10 +234,15 @@ object VectorStoreCtl {
       val Array(_, queries, qIdCol, qVecCol, k, nProbe, depth, corpus,
         vecCol, store) = args.take(10)
       val kk = k.toInt
-      // `auto` depth: hints first (drift policy), else the HighRecall floor
+      // `auto` depth: the drift policy's hints only ever RAISE the budget
+      // above the HighRecall floor — hints are written from adaptK (default
+      // 10, so ~100-150); taking them verbatim would silently LOWER depth
+      // for k above the hint's calibration (k=50 -> depth 150 instead of
+      // 500, and for k > hint the shortlist could not even fill k rows).
       val dep = if (depth == "auto")
-        Quantize.servingHints(spark, store).map(_._2)
-          .getOrElse(Quantize.HighRecall.rerankDepth(kk))
+        math.max(
+          Quantize.servingHints(spark, store).map(_._2).getOrElse(0),
+          Quantize.HighRecall.rerankDepth(kk))
         else depth.toInt
       val res = (if (corpus == "sidecar")
           Quantize.searchSelfContainedRefinedStored(spark, store,

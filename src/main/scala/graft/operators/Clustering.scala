@@ -104,6 +104,90 @@ object Clustering {
     * once the next materializes. Empty clusters keep their previous
     * centroid (refit emits no rows for them — the standard Lloyd choice
     * that avoids k shrinking mid-run). */
+  /** [[kmeansFit]] over MANY independent groups in ONE driver loop —
+    * each group (`groupCol`) gets its own k clusters, fitted only on its
+    * own members, but every round is a single distributed pass over all
+    * groups together. This is the orchestration shape a drifted-cell
+    * split needs at scale: D cells × (assign + refit) per round as ONE
+    * job each, instead of D serial Lloyd lifecycles (D × rounds × 2
+    * driver barriers). Semantics per group are EXACTLY [[kmeansFit]]'s
+    * (same seed rule — the k smallest ids within the group; same
+    * cosine assignment, decimal-exact refit, empty-cluster carry-
+    * forward), except the stop rule: all groups iterate until the MAX
+    * movement over every (group, cluster) drops under `tol` — a group
+    * that settles early just stops moving (its refit is a fixed point),
+    * so extra rounds cannot change its result.
+    * Returns (`groupCol`, `cluster` ∈ 1..k, `centroid`). */
+  def kmeansFitGrouped(vectors: DataFrame, groupCol: String, idCol: String,
+                       vecCol: String, k: Int, maxIter: Int = 20,
+                       tol: Double = 1e-4): DataFrame = {
+    require(k > 0 && maxIter > 0, "k and maxIter must be positive")
+    GraftFunctions.register(vectors.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(idCol))
+    // deterministic per-group seed: the k smallest ids of the group
+    var ck = vectors
+      .withColumn("__slot", row_number().over(w).cast("long"))
+      .filter(col("__slot") <= k)
+      .select(col(groupCol), col("__slot").as("cluster"),
+        col(vecCol).as("centroid"))
+      .localCheckpoint()
+    var cents = ck
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      // assign: centroids are (groups × k) rows — broadcast-sized by the
+      // same argument as kmeansAssign's (a cell split is bounded by the
+      // store's cell count); the equi-join on groupCol keeps each member
+      // scoring only ITS group's k candidates
+      val v = vectors
+        .withColumn("__n2", expr(TX.norm2Auto(vecCol)))
+        .filter(col("__n2") > 0)
+        .select(col(groupCol), col(idCol), col(vecCol).as("__vec"), col("__n2"))
+      val c = cents
+        .withColumn("__cn2", expr(TX.norm2Auto("centroid")))
+        .filter(col("__cn2") > 0)
+        .select(col(groupCol), col("cluster").as("__cid"),
+          col("centroid").as("__cvec"), col("__cn2"))
+      val assign = v.join(broadcast(c), Seq(groupCol))
+        .withColumn("__cos",
+          expr(TX.dotAuto("__vec", "__cvec"))
+            / (sqrt(col("__n2")) * sqrt(col("__cn2"))))
+        .groupBy(col(groupCol), col(idCol))
+        .agg(min_by(col("__cid"),
+          struct((-col("__cos")).as("c"), col("__cid").as("tb"))).as("cluster"))
+      // refit: decimal-exact per-(group, cluster, dim) means, reassembled
+      val refit = vectors.select(col(groupCol), col(idCol), col(vecCol).as("__vec"))
+        .join(assign, Seq(groupCol, idCol))
+        .select(col(groupCol), col("cluster"),
+          posexplode(col("__vec")).as(Seq("__pos", "__v")))
+        .groupBy(col(groupCol), col("cluster"), col("__pos"))
+        .agg((sum(col("__v").cast("double").cast("decimal(30,10)")).cast("double")
+          / count(lit(1))).as("__m"))
+        .groupBy(col(groupCol), col("cluster"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__dm"))
+        .withColumn("__new",
+          expr("transform(__dm, x -> CAST(round(x.__m, 6) AS FLOAT))"))
+        .select(col(groupCol), col("cluster"), col("__new"))
+      val nextCk = cents.select(col(groupCol), col("cluster"),
+          col("centroid").as("__old"))
+        .join(refit, Seq(groupCol, "cluster"), "left")
+        .select(col(groupCol), col("cluster"),
+          coalesce(col("__new"), col("__old")).as("centroid"), col("__old"))
+        .localCheckpoint()
+      moved = nextCk
+        .select(max(expr(
+          "aggregate(zip_with(centroid, __old, (a, b) -> abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))")).as("m"))
+        .collect()(0).getDouble(0)
+      Checkpoints.release(ck)
+      ck = nextCk
+      cents = nextCk.drop("__old")
+      iter += 1
+    }
+    cents
+  }
+
   def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
                 k: Int, maxIter: Int = 20, tol: Double = 1e-4): DataFrame = {
     require(k > 0 && maxIter > 0, "k and maxIter must be positive")

@@ -1526,7 +1526,10 @@ object Quantize {
         .join(broadcast(tomb), Seq(p.idCol), "left_anti")
         .join(broadcast(qcells.select(col("query_id"),
           col("centroid_id").cast("string").as("__cell"))), Seq("__cell"))
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
+        // DISTINCT ids: a retry-double-landed append leaves two block=0
+        // rows for one vector — counting rows would let duplicates fill
+        // the c·k quota with candidates the rescore dedups away
+        .groupBy("query_id").agg(countDistinct(col(p.idCol)).as("n"))
         .collect()
       val enough = counts.length == nQueries &&
         counts.forall(_.getLong(1) >= c.toLong * k)
@@ -1849,11 +1852,14 @@ object Quantize {
   // (ScaleProbe commits the measured ratio) — under a staged, crash-
   // recoverable install:
   //   1. manifest (.split-manifest: old cell ids, new cell ids, vepoch)
-  //   2. per drifted cell: retrain `splitWays` sub-centroids on its own
-  //      live sidecar vectors (deterministic kmeans), re-encode the
-  //      members against their new sub-centroid with the FROZEN
-  //      codebook, append the new cells' code rows + sidecar rows —
-  //      all UNREACHABLE: no probe selects a centroid id the quantizer
+  //   2. ONE grouped Lloyd loop retrains `splitWays` sub-centroids for
+  //      EVERY drifted cell together, each on its own live sidecar
+  //      vectors (deterministic kmeans; Clustering.kmeansFitGrouped) —
+  //      the wall is ~flat in the number of drifted cells instead of a
+  //      serial per-cell lifecycle; then ONE re-encode of all members
+  //      against their nearest new sub-centroid with the FROZEN
+  //      codebook, ONE index append + ONE sidecar write — all
+  //      UNREACHABLE: no probe selects a centroid id the quantizer
   //      table does not hold
   //   3. swap the centroids table (write sibling, rename behind a bak
   //      marker): the instant it lands, probes see the sub-cells and
@@ -1926,12 +1932,15 @@ object Quantize {
             "recellIvfPqStore")
       val tomb = readTombstones(spark, indexPath, p.idCol)
       // live occupancy per cell: one column-pruned scan (block=0 ⇒ one
-      // row per vector); collect is bounded by the cell count
+      // row per vector); collect is bounded by the cell count. DISTINCT
+      // ids — a retry-double-landed append leaves two block=0 rows for
+      // one vector, and raw row counts would flag/skip cells on
+      // duplicate-inflated occupancy
       val occ = spark.read.parquet(indexPath)
         .filter(col("block") === 0)
         .select(col(p.idCol), col("centroid_id").cast("long").as("__cell"))
         .join(broadcast(tomb), Seq(p.idCol), "left_anti")
-        .groupBy("__cell").agg(count(lit(1)).as("n"))
+        .groupBy("__cell").agg(countDistinct(col(p.idCol)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
       val nLive = occ.map(_._2).sum
       if (nLive == 0) return (0, 0L)
@@ -1940,76 +1949,90 @@ object Quantize {
         // a cell needs at least one member per sub-centroid to retrain
         .filter(_._2 >= 2L * splitWays).map(_._1).sorted
       if (drifted.isEmpty) return (0, 0L)
-      var nextId = cents.agg(max(col("centroid_id").cast("long")))
+      val newFrom = cents.agg(max(col("centroid_id").cast("long")))
         .collect().head.getLong(0) + 1L
       val vepoch = sidecarNextVepoch(spark, vectorsPath(indexPath),
         "splitDriftedCells")
       // 1. manifest FIRST — recovery's decision record
       writeTextFile(fs, splitManifestPath(indexPath),
         s"""{"old":[${drifted.mkString(",")}],""" +
-          s""""newFrom":$nextId,"newWays":$splitWays,"vepoch":$vepoch}""")
+          s""""newFrom":$newFrom,"newWays":$splitWays,"vepoch":$vepoch}""")
       import spark.implicits._
-      var rewritten = 0L
-      val subFrames = drifted.map { cell =>
-        // The cell's LIVE members: ids present in the cell's own CODE
-        // rows (minus tombstones) — the same live-ids guard the full
-        // recell uses, and the load-bearing one here: the sidecar keeps
-        // dead rows (deletes/sweeps never touch it; a swept-then-
-        // re-appended id's STALE row also lingers in its old cell), so
-        // a sidecar-only anti-join would re-encode deleted vectors into
-        // live sub-cells (resurrection) and re-stamp stale vectors at
-        // the newest vepoch (inverting the versioned resolution).
-        // Membership truth is the index; the sidecar only supplies the
-        // floats for ids the index says are here.
-        val liveIds = spark.read.parquet(indexPath)
-          .filter(col("centroid_id").cast("long") === cell)
-          .filter(col("block") === 0)
-          .select(col(p.idCol)).distinct()
-          .join(broadcast(tomb), Seq(p.idCol), "left_anti")
-        // UN-hinted semi-join: a drifted cell is by definition the
-        // store's largest, so its live-id set is the one thing NOT to
-        // collect-and-broadcast through the driver; both sides are
-        // cell-scale and the optimizer can pick the exchange
-        val members = resolveSidecarLatest(
-            spark.read.parquet(vectorsPath(indexPath))
-              .filter(col("centroid_id").cast("long") === cell), p.idCol)
-          .join(liveIds, Seq(p.idCol), "leftsemi")
-          .localCheckpoint() // retrain + encode + sidecar all read it
-        val sub = graft.operators.Clustering.kmeansFit(
-          members, p.idCol, "vec", splitWays, coarseMaxIter)
-        val labels = sub.select("cluster").orderBy("cluster")
-          .collect().map(_.getLong(0))
-        val remap = labels.zipWithIndex
-          .map { case (l, i) => (l, nextId + i) }.toSeq
-        nextId += labels.length
-        val subCents = sub
-          .join(broadcast(remap.toDF("cluster", "__fresh")), Seq("cluster"))
-          .select(col("__fresh").cast(centIdType).as("centroid_id"),
-            col("centroid").cast(centVecType).as("cen_emb"))
-          .localCheckpoint() // tiny; joins the encode AND the final swap
-        // 2. re-encode the members against their nearest sub-centroid
-        //    (frozen codebook) and land the new cells — UNREACHABLE until
-        //    the quantizer swap below
-        val newRows =
-          if (p.residual) ivfPqIndexResidual(members, p.idCol, "vec",
-            subCents, "centroid_id", "cen_emb", cb, "code", "c_emb",
-            p.dims, p.nBlocks)
-          else ivfPqIndex(members, p.idCol, "vec",
-            subCents, "centroid_id", "cen_emb", cb, "code", "c_emb",
-            p.dims, p.nBlocks)
-        newRows.write.mode("append").partitionBy("centroid_id")
-          .parquet(indexPath)
-        writeVectorSidecar(members, p.idCol, "vec",
-          subCents, "centroid_id", "cen_emb", vectorsPath(indexPath),
-          overwrite = false, vepoch = vepoch)
-        rewritten += members.count()
-        subCents
-      }
+      // The drifted cells' LIVE members — ONE scan for all of them. Ids
+      // present in the cells' own CODE rows (minus tombstones) — the
+      // same live-ids guard the full recell uses, and the load-bearing
+      // one here: the sidecar keeps dead rows (deletes/sweeps never
+      // touch it; a swept-then-re-appended id's STALE row also lingers
+      // in its old cell), so a sidecar-only anti-join would re-encode
+      // deleted vectors into live sub-cells (resurrection) and re-stamp
+      // stale vectors at the newest vepoch (inverting the versioned
+      // resolution). Membership truth is the index; the sidecar only
+      // supplies the floats for ids the index says are here.
+      val liveIds = spark.read.parquet(indexPath)
+        .filter(col("centroid_id").cast("long").isInCollection(drifted))
+        .filter(col("block") === 0)
+        .select(col(p.idCol), col("centroid_id").cast("long").as("__cell"))
+        .distinct()
+        .join(broadcast(tomb), Seq(p.idCol), "left_anti")
+      // UN-hinted join: drifted cells are by definition the store's
+      // largest, so their live-id set is the one thing NOT to
+      // collect-and-broadcast through the driver; both sides are
+      // drifted-mass-scale and the optimizer can pick the exchange.
+      // resolveSidecarLatest across ALL drifted cells at once: versioned
+      // resolution picks each id's newest row among them.
+      val members = resolveSidecarLatest(
+          spark.read.parquet(vectorsPath(indexPath))
+            .filter(col("centroid_id").cast("long").isInCollection(drifted))
+            .drop("centroid_id"), p.idCol)
+        .join(liveIds, Seq(p.idCol))
+        .localCheckpoint() // retrain + encode + sidecar all read it
+      // 2. ONE grouped Lloyd loop fits every drifted cell's sub-centroids
+      //    together (round 11 ran a serial per-cell lifecycle — D ×
+      //    (kmeans rounds + 2 writes) of driver barriers; a drift episode
+      //    touching dozens of cells paid dozens of them). Fresh ids are
+      //    allocated deterministically — sorted drifted cell j, sub-slot
+      //    s ∈ 1..splitWays → newFrom + j·splitWays + (s−1) — exactly the
+      //    id range the manifest records for recovery.
+      val fitted = graft.operators.Clustering.kmeansFitGrouped(
+        members, "__cell", p.idCol, "vec", splitWays, coarseMaxIter)
+      val cellIdx = drifted.zipWithIndex
+        .map { case (c, j) => (c, j.toLong) }.toSeq.toDF("__cell", "__cidx")
+      val subCents = fitted
+        .join(broadcast(cellIdx), Seq("__cell"))
+        .select((lit(newFrom) + col("__cidx") * splitWays + col("cluster") - 1L)
+            .cast(centIdType).as("centroid_id"),
+          col("centroid").cast(centVecType).as("cen_emb"))
+        .localCheckpoint() // tiny; joins the encode AND the final swap
+      //    …then re-encode ALL members against their nearest new sub-centroid
+      //    (frozen codebook) in one pass and land the new cells with ONE
+      //    index append + ONE sidecar write — UNREACHABLE until the
+      //    quantizer swap below. Nearest-among-all-new-sub-cells is
+      //    assignment-agnostic for search (each vector lives in exactly
+      //    one cell and reconstructs with that cell's centroid), and
+      //    letting a member cross to a neighboring split's closer
+      //    sub-centroid only tightens its reconstruction. Encode each id
+      //    once even if duplicate appends left it live in two drifted
+      //    cells.
+      val encodeIn = members.dropDuplicates(p.idCol)
+        .select(col(p.idCol), col("vec"))
+      val newRows =
+        if (p.residual) ivfPqIndexResidual(encodeIn, p.idCol, "vec",
+          subCents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+          p.dims, p.nBlocks)
+        else ivfPqIndex(encodeIn, p.idCol, "vec",
+          subCents, "centroid_id", "cen_emb", cb, "code", "c_emb",
+          p.dims, p.nBlocks)
+      newRows.write.mode("append").partitionBy("centroid_id")
+        .parquet(indexPath)
+      writeVectorSidecar(encodeIn, p.idCol, "vec",
+        subCents, "centroid_id", "cen_emb", vectorsPath(indexPath),
+        overwrite = false, vepoch = vepoch)
+      val rewritten = encodeIn.count()
       // 3. centroid-table swap: old − drifted + every sub-centroid
       val qbase = quantizersPath(indexPath)
-      val newCents = subFrames.foldLeft(
-        cents.filter(!col("centroid_id").cast("long").isInCollection(drifted)))(
-        _ unionByName _)
+      val newCents = cents
+        .filter(!col("centroid_id").cast("long").isInCollection(drifted))
+        .unionByName(subCents)
       newCents.coalesce(1).write.mode("overwrite")
         .parquet(s"$qbase/centroids-new")
       val cMain = new org.apache.hadoop.fs.Path(s"$qbase/centroids")
@@ -2063,7 +2086,16 @@ object Quantize {
     *    back to its exact pre-split state.
     * Returns true when there was a manifest to resolve. */
   def recoverCellSplit(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String): Boolean = {
+                       indexPath: String): Boolean =
+    // Same lock as splitDriftedCells and every other mutation: the
+    // rollback/roll-forward renames and deletes must not interleave with
+    // a concurrent sweep/append/compact cycle touching the same dirs.
+    graft.sources.StoreLock.withLock(spark, indexPath, "cell-split-recover") {
+      recoverCellSplitLocked(spark, indexPath)
+    }
+
+  private def recoverCellSplitLocked(spark: org.apache.spark.sql.SparkSession,
+                                     indexPath: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
     val mp = new org.apache.hadoop.fs.Path(splitManifestPath(indexPath))

@@ -127,6 +127,49 @@ class CellSplitSpec extends SparkSpec {
     assert(Quantize.splitDriftedCells(spark, store, 2.0, 2) == ((0, 0L)))
   }
 
+  test("splitDriftedCells: SEVERAL drifted cells split in one batched pass — deterministic id allocation, answers identical, cold cell untouched") {
+    import spark.implicits._
+    // cells 0 and 2 are both fat; 1 and 3 are cold — one call must split
+    // both in one grouped lifecycle (one fit loop, one index append, one
+    // sidecar write, one swap), not a serial per-cell loop
+    val c = corpus(Seq(50, 10, 44, 10)).localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("cellsplit-multi-").toString
+    val store = s"$work/store"
+    Quantize.buildSelfContained(spark, c, "vec_id", "embedding",
+      cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+      dims, 4, residual = true, store, storeVectors = true)
+    val q = c.filter(col("vec_id").isin(105L, 1100L, 2105L, 3104L))
+    def serveFull() = rows(Quantize.searchSelfContainedRefinedStored(
+      spark, store, q, "vec_id", "embedding", 5, 1000000, 1000000))
+    val before = serveFull()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store),
+      spark.sparkContext.hadoopConfiguration)
+    def dirSig(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    val coldSigs = Seq(1, 3).map(i => dirSig(s"$store/centroid_id=$i"))
+
+    val (split, rewritten) = Quantize.splitDriftedCells(spark, store,
+      overshoot = 1.5, splitWays = 2)
+    assert(split == 2, s"both fat cells must split (got $split)")
+    assert(rewritten == 94L,
+      s"rewrite volume must be the two fat cells' live mass (got $rewritten)")
+    // deterministic fresh-id allocation: sorted drifted cell j, slot s →
+    // newFrom + j*splitWays + (s-1) — cells 0,2 with newFrom=4 → {4,5,6,7}
+    val centIds = Quantize.loadQuantizers(spark, store)._1
+      .select("centroid_id").collect().map(_.getLong(0)).toSet
+    assert(centIds == Set(1L, 3L, 4L, 5L, 6L, 7L),
+      s"unexpected centroid set $centIds")
+    assert(Seq(1, 3).map(i => dirSig(s"$store/centroid_id=$i")) == coldSigs,
+      "cold cells must not be rewritten")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/centroid_id=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/centroid_id=2")))
+    // answers identical at full probe + refine
+    assert(serveFull() == before, "split must not change the served answers")
+    // every member landed in SOME new cell and the store serves them
+    assert(spark.read.parquet(store).filter(col("block") === 0)
+      .select("vec_id").distinct().count() == 114L)
+  }
+
   test("splitDriftedCells crash recovery: a pre-swap crash rolls back to the exact pre-split image; mutations refuse while the manifest stands") {
     import spark.implicits._
     val c = corpus(Seq(40, 10, 10, 10)).localCheckpoint()

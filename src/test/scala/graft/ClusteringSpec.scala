@@ -67,6 +67,40 @@ class ClusteringSpec extends SparkSpec {
     assert(Set(labeled(1L), labeled(2L), labeled(3L)).size == 3)
   }
 
+  test("kmeansFitGrouped: per-group results equal an isolated kmeansFit per group") {
+    import spark.implicits._
+    // two groups with different separable geometries; grouped fit in ONE
+    // driver loop must land on exactly the centroids each group's own
+    // isolated kmeansFit produces (same seed rule, same refit arithmetic;
+    // extra rounds past a group's own settle point are fixed points)
+    val gA = Seq(
+      (1L, Seq(10f, 0f)), (4L, Seq(10.5f, 0.2f)), (5L, Seq(9.7f, -0.1f)),
+      (2L, Seq(0f, 10f)), (6L, Seq(0.2f, 10.4f)), (7L, Seq(-0.3f, 9.8f)))
+    val gB = Seq(
+      (1L, Seq(-5f, -5f)), (3L, Seq(-5.5f, -4.8f)), (9L, Seq(-4.9f, -5.2f)),
+      (2L, Seq(7f, 7f)), (8L, Seq(6.5f, 7.2f)))
+    val both = (gA.map { case (i, v) => ("a", i, v) } ++
+        gB.map { case (i, v) => ("b", i, v) })
+      .toDF("grp", "vec_id", "embedding").repartition(4)
+    val grouped = Clustering.kmeansFitGrouped(both, "grp", "vec_id",
+        "embedding", k = 2, maxIter = 12, tol = 1e-6)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Float](2).toList)
+      .toMap
+    assert(grouped.size == 4, s"2 groups x k=2 expected: ${grouped.keySet}")
+    for ((g, rows) <- Seq("a" -> gA, "b" -> gB)) {
+      val solo = Clustering.kmeansFit(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 2, maxIter = 12, tol = 1e-6)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+      // kmeansFit's clusters are keyed by seed id; grouped slots are
+      // 1..k in the same (smallest-ids-first) order
+      val soloBySlot = solo.toSeq.sortBy(_._1).map(_._2)
+      val groupedBySlot = (1L to 2L).map(s => grouped((g, s)))
+      assert(groupedBySlot == soloBySlot,
+        s"group $g: grouped $groupedBySlot vs solo $soloBySlot")
+    }
+  }
+
   test("assign plan: broadcast centroids, partial-aggregated argmax, no window/sort-merge") {
     val vs = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = vs.filter(col("vec_id") < 8)
