@@ -358,9 +358,17 @@ object Bench {
           duck(k) >= 0.05 && execByName(k) >= 0.5 && execByName(k) > 2.0 * duck(k) }
         val over2xMaterialFull = duckCovered.count { case (k, v) =>
           duck(k) >= 0.05 && v >= 0.5 && v > 2.0 * duck(k) }
+        // the measured-basis headline (round 12): Spark's EXECUTE time on
+        // the shared set over the same-run DuckDB total — the construct
+        // phase is store-build/lifecycle harness the closed-form oracles
+        // never pay, and SCALE.md's narrative cites this committed number
+        // instead of hand-summing construct_sec
+        val sparkExecOnDuckSet = duckCovered.map { case (k, _) => execByName(k) }.sum
         s""""duckdb":{"source":"$duckSource","total":${fmt(duckTotal)},""" +
           s""""spark_total_on_shared":${fmt(sparkOnDuckSet)},""" +
+          s""""spark_measured_on_shared":${fmt(sparkExecOnDuckSet)},""" +
           s""""ratio_total":${fmt(if (duckTotal > 0) sparkOnDuckSet / duckTotal else -1.0)},""" +
+          s""""ratio_total_measured":${fmt(if (duckTotal > 0) sparkExecOnDuckSet / duckTotal else -1.0)},""" +
           s""""n_shared":${duckCovered.size},"n_over_2x":$over2x,""" +
           s""""n_over_2x_material":$over2xMaterial,""" +
           s""""n_over_2x_material_full":$over2xMaterialFull,"ratios":{$ratios}}"""
@@ -380,7 +388,14 @@ object Bench {
         s"\"" + t.name + "\":" + fmt(t.cons)).mkString(",")
       val execJson = harness.map(t =>
         s"\"" + t.name + "\":" + fmt(t.exec)).mkString(",")
+      // committed totals for the harness/measured split over ALL queries
+      // (the per-query maps below stay filtered to material construct):
+      // full wall = construct_total + measured_total up to per-component
+      // min skew
+      val constructTotal = finalTimings.map(_.cons).sum
+      val measuredTotal = finalTimings.map(_.exec).sum
       s"""{"total":${fmt(total)},"queries":{$mins},"spread_max_over_min":{$spreads},""" +
+        s""""construct_total":${fmt(constructTotal)},"measured_total":${fmt(measuredTotal)},""" +
         s""""construct_sec":{$consJson},"measured_sec":{$execJson},""" +
         s""""reps":$reps,"regressions_vs_prev":${regressions.size},"sf":"$sfDir",""" +
         s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +

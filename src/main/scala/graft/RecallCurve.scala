@@ -523,7 +523,7 @@ cluster into cells; real embedding corpora concentrate variance and cross
 0.9 at smaller probe fractions, so the default's cost is an upper bound.
 The next section MEASURES that claim instead of asserting it.
 
-## Filtered retrieval — recall vs allow-list selectivity (round 11)
+## Filtered retrieval — recall vs allow-list selectivity (round 12)
 
 The same persisted store served through
 `searchSelfContainedRefinedStoredFiltered` (qx114's path) under
@@ -535,7 +535,9 @@ fence tightens — the classic filtered-ANN failure mode, measured. The
 adaptive variant (`searchSelfContainedRefinedStoredFilteredAdaptive`)
 pre-counts each query's live fenced candidates per attempt (one pruned
 count job — counts, never vectors) and doubles nProbe until every query
-sees >= 3k of them, then runs the ONE expensive search at the settled
+sees a FULL SHORTLIST'S WORTH — max(3k, rerankDepth) — of them (round
+12; the round-11 gate stopped at 3k and missed the mid-selectivity
+failure below), then runs the ONE expensive search at the settled
 budget:
 
 | selectivity | allowed | fixed recall@$K | adaptive recall@$K | settled nProbe |
@@ -544,17 +546,18 @@ budget:
     for ((sel, nAllowed, rF, rA, usedNp) <- filteredRows)
       md.append(f"| ${sel * 100}%.0f%% | $nAllowed | $rF%.4f | **$rA%.4f** | $usedNp |\n")
     md.append(s"""
-Reading it: at 50% the fixed budget barely notices; at 1% the fenced
-pool in $shipProbe probed cells drops near (or under) k and fixed
-recall collapses, while the adaptive search settles at a deeper probe
-and recovers — paying deeper scans ONLY for queries-under-fences that
-need them, which is the right 100 TB trade (the count probes are
-planning-scale; the rescore still runs once). The 10% row marks the
-heuristic's honest limit: the count gate sees STARVATION (too few fenced
-candidates to even fill k), not rank loss — at mid selectivity the pool
-clears 3k so no deepening triggers, and the 0.74 is ordinary
-ADC-ordering recall under a thinner pool (raising nProbe/depth floors,
-not the adaptive gate, is the knob there).
+Reading it: at 50% the fenced pool in $shipProbe probed cells already
+clears a full shortlist depth, so the budget is UNCHANGED — the gate
+deepens only fences that need it, no blanket inflation. At 1% the
+fenced pool can never reach the quota and the loop runs to all-cells:
+exact-over-the-fence, recall 1.0 by construction. The 10% row is the
+round-12 fix: the round-11 c·k gate saw ~$shipProbe-cell pools clear 3k
+and never deepened, while the true fenced neighbors sat in UNPROBED
+cells (0.738) — a failure rank-displacement cannot see either, because
+ADC and refined agree on the candidates they share; the loss is
+candidates neither saw. Gating on candidate mass at rerankDepth — the
+depth the unfiltered budget's quality actually rests on — deepens the
+probe until the fenced shortlist is as deep as the unfenced one.
 
 ## Clustered corpus — the isotropic caveat, measured
 

@@ -208,6 +208,115 @@ object Quantize {
       .select(col("query_id"), col("centroid_id"), col("probe_rank"))
   }
 
+  // ------------------------------------------------------------------
+  // Driver-evaluated probe planning (round 12). The stored searches
+  // collect the distinct probed-cell list to build the partition-pruning
+  // literal — one Spark job per request. When BOTH inputs are
+  // driver-local (the serving shape: a one-row query frame and the
+  // memoized quantizers), the same top-nProbe-by-cosine ranking is
+  // computed here with arithmetic IEEE-identical to the plan's:
+  // sequential float→double product fold (= graft_dot / DotProduct.dot),
+  // cos = dot/(sqrt(qn)·sqrt(cn)) only when both norms > 0 else the
+  // window's coalesce(-2.0), ordering cos desc with NaN largest (Spark's
+  // NaN semantics) and centroid_id asc ties (binary UTF8 order for
+  // string ids). Exactness matters: the ADC plan ranks cells with the
+  // Spark-side expression, and the pruning literal must name the same
+  // cells — a near-miss would silently drop candidates. The oracle gates
+  // (qx113/qx116/qx124 run this path) re-verify the equivalence on real
+  // data every round.
+  // ------------------------------------------------------------------
+
+  private def localElemsOk(df: DataFrame, vecCol: String): Boolean =
+    df.schema.apply(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+
+  private def localToD(v: Any): Double = v match {
+    case f: java.lang.Float => f.toDouble
+    case d: java.lang.Double => d.doubleValue()
+    case other => other.toString.toDouble // unreachable under localElemsOk
+  }
+
+  /** DotProduct.dot's exact null/short-array semantics over external rows. */
+  private def localDot(a: scala.collection.Seq[Any],
+                       b: scala.collection.Seq[Any]): java.lang.Double = {
+    val n = a.length
+    if (b.length < n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      if (x == null || y == null) return null
+      acc += localToD(x) * localToD(y)
+      i += 1
+    }
+    acc
+  }
+
+  /** The driver-evaluated twin of probeCells' distinct cell list — Some
+    * only when both frames are LocalRelations, the vec columns are
+    * array<float|double>, and the centroid id type has a replicable
+    * ordering; None falls back to the distributed collect. */
+  private def probeCellsLocal(queries: DataFrame, qIdCol: String, qVecCol: String,
+                              centroids: DataFrame, cenIdCol: String,
+                              cenVecCol: String, nProbe: Int): Option[Seq[Any]] = {
+    if (!localElemsOk(queries, qVecCol) || !localElemsOk(centroids, cenVecCol))
+      return None
+    for {
+      ord <- DriverPlan.idOrdering(centroids.schema.apply(cenIdCol).dataType)
+      qRows <- DriverPlan.localRows(queries.select(col(qIdCol), col(qVecCol)))
+      cRows <- DriverPlan.localRows(
+        centroids.select(col(cenIdCol), col(cenVecCol)))
+      if cRows.forall(_.get(0) != null) // null ids: let Spark order them
+    } yield {
+      val cens = cRows.map { r =>
+        val v = r.get(1).asInstanceOf[scala.collection.Seq[Any]]
+        val n2 = if (v == null) null else localDot(v, v)
+        (r.get(0), v, n2)
+      }
+      val out = new scala.collection.mutable.LinkedHashSet[Any]
+      qRows.foreach { qr =>
+        val qv = qr.get(1).asInstanceOf[scala.collection.Seq[Any]]
+        val qn2 = if (qv == null) null else localDot(qv, qv)
+        val scored = cens.map { case (cid, cv, cn2) =>
+          // when(q_norm2 > 0 && c_norm2 > 0, dot/(√q·√c)) else null,
+          // then coalesce(cos, -2.0); NaN sorts LARGEST under desc
+          val cos: Double =
+            if (qn2 == null || cn2 == null || !(qn2 > 0.0) || !(cn2 > 0.0)) -2.0
+            else {
+              val d = localDot(qv, cv)
+              if (d == null) -2.0
+              else d / (math.sqrt(qn2) * math.sqrt(cn2))
+            }
+          (cid, cos)
+        }
+        val ranked = scored.sortWith { case ((ida, ca), (idb, cb)) =>
+          val na = java.lang.Double.isNaN(ca); val nb = java.lang.Double.isNaN(cb)
+          if (na != nb) na // NaN first under desc
+          else if (!na && ca != cb) ca > cb
+          else ord.lt(ida, idb)
+        }
+        ranked.take(nProbe).foreach { case (cid, _) => out.add(cid) }
+      }
+      out.toSeq
+    }
+  }
+
+  /** The distinct probed-cell list every stored search prunes on —
+    * driver-evaluated when the serving shape allows (no job), the
+    * probeCells collect otherwise. */
+  private def probedCellIds(queries: DataFrame, qIdCol: String, qVecCol: String,
+                            centroids: DataFrame, cenIdCol: String,
+                            cenVecCol: String, nProbe: Int): Seq[Any] =
+    probeCellsLocal(queries, qIdCol, qVecCol, centroids, cenIdCol, cenVecCol,
+      nProbe).getOrElse(
+      probeCells(queries, qIdCol, qVecCol, centroids, cenIdCol, cenVecCol,
+          nProbe)
+        .select("centroid_id").distinct().collect().map(_.get(0)).toSeq)
+
   /** The search tail over an ALREADY-BUILT index (in-memory from
     * [[ivfPqIndex]] or a pruned read of a persisted one) — probes +
     * ADC tables + cell equi-join + decimal sums. */
@@ -1002,9 +1111,36 @@ object Quantize {
       .coalesce(1).write.mode("overwrite").parquet(s"$base/params")
   }
 
+  // Driver-side memo of the persisted quantizers, keyed by the
+  // centroid/codebook/params directories' fingerprint (a few listStatus
+  // calls — no job). The quantizers are broadcast into every probe and
+  // ADC table anyway, so memoizing the same rows costs no extra driver
+  // memory — and serving them as LocalRelations makes (a) the params
+  // collect, (b) every centroid/codebook broadcast build, and (c) the
+  // probed-cell planning joblessly driver-evaluable. A recell/cell-split
+  // swaps the quantizer directories (fresh fingerprints), so entries are
+  // superseded, never stale. Oversized quantizers (> 256k centroid rows)
+  // stay distributed — a deployment that big shouldn't hold them on the
+  // driver twice.
+  private final case class QuantizerRows(
+      cenRows: Seq[org.apache.spark.sql.Row],
+      cenSchema: org.apache.spark.sql.types.StructType,
+      cbRows: Seq[org.apache.spark.sql.Row],
+      cbSchema: org.apache.spark.sql.types.StructType,
+      params: StoreParams)
+  private val quantizerMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[QuantizerRows]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[QuantizerRows]]): Boolean =
+        size() > 32
+    })
+  private val QuantizerMemoMaxRows = 262144
+
   /** Load the persisted quantizers — fails loudly when the store was
     * written without [[saveQuantizers]] (bare index dirs stay supported
-    * through the explicit-frame entry points). */
+    * through the explicit-frame entry points). Bounded quantizers come
+    * back as fingerprint-memoized LocalRelations (see [[quantizerMemo]]);
+    * answers are identical either way. */
   def loadQuantizers(spark: org.apache.spark.sql.SparkSession, indexPath: String)
       : (DataFrame, DataFrame, StoreParams) = {
     val base = quantizersPath(indexPath)
@@ -1014,6 +1150,31 @@ object Quantize {
       throw new IllegalStateException(
         s"store $indexPath has no persisted quantizers ($base missing) — " +
           "build it with buildSelfContained, or use the explicit-frame APIs")
+    val key = Retrieval.fsFingerprint(spark,
+      Seq(s"$base/centroids", s"$base/codebook", s"$base/params"))
+    val hit = quantizerMemo.get(key)
+    if (hit != null) hit match {
+      case Some(q) => (DriverPlan.localFrame(spark, q.cenRows, q.cenSchema),
+        DriverPlan.localFrame(spark, q.cbRows, q.cbSchema), q.params)
+      case None => loadQuantizersDistributed(spark, base)
+    } else {
+      val (cen, cb, p) = loadQuantizersDistributed(spark, base)
+      val cenRows = cen.limit(QuantizerMemoMaxRows + 1).collect()
+      if (cenRows.length > QuantizerMemoMaxRows) {
+        quantizerMemo.put(key, None); (cen, cb, p)
+      } else {
+        val cbRows = cb.collect() // ≤ codebook size (256-ish) by design
+        quantizerMemo.put(key, Some(QuantizerRows(
+          cenRows.toSeq, cen.schema, cbRows.toSeq, cb.schema, p)))
+        (DriverPlan.localFrame(spark, cenRows.toSeq, cen.schema),
+          DriverPlan.localFrame(spark, cbRows.toSeq, cb.schema), p)
+      }
+    }
+  }
+
+  private def loadQuantizersDistributed(
+      spark: org.apache.spark.sql.SparkSession, base: String)
+      : (DataFrame, DataFrame, StoreParams) = {
     val p = spark.read.parquet(s"$base/params").collect().head
     (spark.read.parquet(s"$base/centroids"),
       spark.read.parquet(s"$base/codebook"),
@@ -1457,9 +1618,8 @@ object Quantize {
     // reuse saves two driver jobs per serve without changing any answer
     val loaded = loadQuantizers(spark, indexPath)
     val (cents, _, p) = loaded
-    val cells = probeCells(queries, qIdCol, qVecCol,
-        cents, "centroid_id", "cen_emb", nProbe)
-      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq
+    val cells = probedCellIds(queries, qIdCol, qVecCol,
+      cents, "centroid_id", "cen_emb", nProbe)
     val shortlist = searchSelfContainedImpl(spark, indexPath, queries,
       qIdCol, qVecCol, rerankDepth, nProbe, allowed,
       preloaded = Some(loaded), cellsPre = Some(cells))
@@ -1480,8 +1640,25 @@ object Quantize {
     * query's live fenced candidates in its probed cells — one
     * column-pruned (`block = 0` ⇒ one row per vector), partition-pruned
     * count job per attempt — and DOUBLES nProbe until every query sees
-    * at least `c·k` of them (or the whole store is probed), then runs
-    * the standard filtered refined search once at the settled budget.
+    * a FULL SHORTLIST'S WORTH of them — max(c·k, rerankDepth) — or the
+    * whole store is probed, then runs the standard filtered refined
+    * search once at the settled budget.
+    *
+    * Why rerankDepth and not just c·k (round 12): the unfiltered
+    * HighRecall budget's quality rests on filling a rerankDepth-deep
+    * shortlist from the probed cells; a fence that thins the probed
+    * pool below that depth silently degrades the filtered search to
+    * "exact over whatever happened to be in view" — the RECALL.md
+    * mid-selectivity row measured exactly that (0.738 at 10% with the
+    * c·k gate: the pool cleared 3k so nothing deepened, while the true
+    * fenced neighbors sat in unprobed cells). Rank displacement cannot
+    * see this failure — the ADC and refined rankings agree on the
+    * candidates they share; the loss is candidates neither saw — so the
+    * gate is candidate MASS at shortlist depth, the quantity the budget
+    * actually promises. Queries whose ENTIRE fenced pool is smaller
+    * than the quota settle at all-cells (the existing stop), which is
+    * exact-over-the-fence and cannot be beaten.
+    *
     * The deepening reads counts, never vectors: the expensive rescore
     * runs exactly once. Returns (result, nProbeUsed) so callers and
     * probes can see the settled budget; the result is BY CONSTRUCTION
@@ -1531,8 +1708,9 @@ object Quantize {
         // the c·k quota with candidates the rescore dedups away
         .groupBy("query_id").agg(countDistinct(col(p.idCol)).as("n"))
         .collect()
+      val quota = math.max(c.toLong * k, rerankDepth.toLong)
       val enough = counts.length == nQueries &&
-        counts.forall(_.getLong(1) >= c.toLong * k)
+        counts.forall(_.getLong(1) >= quota)
       if (enough || np >= nCells) settled = true
       else np = math.min(nCells, np * 2)
     }
@@ -2285,19 +2463,37 @@ object Quantize {
     * the store's id column name and type) when none have been added.
     * Falls back to `<path>.tombstones.old` if a [[retentionSweep]] crashed
     * mid-swap, so retracted ids never transiently reappear in searches. */
+  // Bounded tombstone sets memoized by directory fingerprint and served
+  // as LocalRelations — the vector twin of the lexical store's memo: the
+  // serving anti-join broadcasts these rows anyway, and a LocalRelation
+  // broadcast build is jobless. Any landed tombstone write or sweep
+  // changes the fingerprint.
+  private val tombMemo = new DriverPlan.TableMemo(maxEntries = 64, maxRows = 65536)
+
   def readTombstones(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                      idCol: String): DataFrame = {
     val main = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath))
     val old = new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old")
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(main)) spark.read.parquet(main.toString).select(idCol).distinct()
-    else if (fs.exists(old)) spark.read.parquet(old.toString).select(idCol).distinct()
-    else {
-      val idType = spark.read.parquet(indexPath).schema.apply(idCol).dataType
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol, idType))))
+    val src =
+      if (fs.exists(main)) Some(main)
+      else if (fs.exists(old)) Some(old)
+      else None
+    src match {
+      case Some(p) => tombMemo.localized(spark,
+        Retrieval.fsFingerprint(spark, Seq(p.toString)) + "#" + idCol)(
+        spark.read.parquet(p.toString).select(idCol).distinct())
+      case None =>
+        // the empty-tombstone id type comes from the index schema —
+        // memoize that resolution too (it is a schema-inference job)
+        val idType = DriverPlan.memoRelation(spark, s"cellsraw#$indexPath#" +
+            Retrieval.fsFingerprint(spark, Seq(indexPath)))(
+            spark.read.parquet(indexPath))
+          .schema.apply(idCol).dataType
+        DriverPlan.localFrame(spark, Seq.empty,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol, idType))))
     }
   }
 
@@ -2501,16 +2697,23 @@ object Quantize {
                            centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                            nProbe: Int,
                            cellsPre: Option[Seq[Any]] = None): DataFrame = {
-    val cells = cellsPre.getOrElse(probeCells(queries, qIdCol, qVecCol,
-        centroids, cenIdCol, cenVecCol, nProbe)
-      .select("centroid_id").distinct().collect().map(_.get(0)).toSeq)
+    val cells = cellsPre.getOrElse(probedCellIds(queries, qIdCol, qVecCol,
+      centroids, cenIdCol, cenVecCol, nProbe))
     val cenType = centroids.schema.apply(cenIdCol).dataType
-    val dataFields = spark.read.parquet(dataPath).schema.fields
-      .filterNot(_.name == "centroid_id")
-    val storeSchema = org.apache.spark.sql.types.StructType(
-      dataFields :+ org.apache.spark.sql.types.StructField("centroid_id", cenType))
-    spark.read.schema(storeSchema).parquet(dataPath)
-      .filter(col("centroid_id").isInCollection(cells))
+    // resolution (schema + leaf listing) memoized by the store's
+    // fingerprint: a serving request re-resolves only after a landed
+    // mutation (appends/sweeps touch cell-dir mtimes, compaction/recell
+    // swap the dirs — all visible to one listStatus of the root)
+    val raw = DriverPlan.memoRelation(spark,
+      s"cells#$dataPath#${cenType.catalogString}#" +
+        Retrieval.fsFingerprint(spark, Seq(dataPath))) {
+      val dataFields = spark.read.parquet(dataPath).schema.fields
+        .filterNot(_.name == "centroid_id")
+      val storeSchema = org.apache.spark.sql.types.StructType(
+        dataFields :+ org.apache.spark.sql.types.StructField("centroid_id", cenType))
+      spark.read.schema(storeSchema).parquet(dataPath)
+    }
+    raw.filter(col("centroid_id").isInCollection(cells))
   }
 
   /** Exact-rescore refinement — the FAISS IndexRefineFlat pattern that

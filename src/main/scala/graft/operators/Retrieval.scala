@@ -250,17 +250,112 @@ object Retrieval {
     s"(wtf / (CAST($k1 AS DOUBLE) + wtf))"
 
   /** Distinct (query_id, term) rows, capped at the first `maxQueryTerms`
-    * tokens of each query text. */
+    * tokens of each query text.
+    *
+    * Driver-local query frames (the serving shape: one request row built
+    * from the call's arguments) are tokenized ON THE DRIVER with the
+    * SAME JVM function the codegen'd `graft_tokens` calls
+    * ([[graft.functions.MinHashDoc.tokens]]), capped and de-duplicated
+    * identically, and returned as a LocalRelation — so every downstream
+    * broadcast/collect of the terms (the bucket-literal planning, the
+    * scoring joins) is jobless instead of a scheduling barrier per use.
+    * Corpus-backed query frames keep the distributed explode/distinct
+    * plan verbatim. */
   def queryTerms(queries: DataFrame, textCol: String, idCol: String,
                  maxQueryTerms: Int): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
-    val sparkD = Dialect(spark = true)
-    val qtok = expr(TX.tokensAuto(textCol)(sparkD))
-    val qtokCapped =
-      if (maxQueryTerms == Int.MaxValue) qtok else slice(qtok, 1, maxQueryTerms)
-    queries.select(col(idCol).as("query_id"), explode(qtokCapped).as("term"))
-      .distinct()
+    DriverPlan.localRows(queries.select(col(idCol), col(textCol))) match {
+      case Some(rows) =>
+        val idField = queries.select(col(idCol)).schema.head
+        val seen = new scala.collection.mutable.LinkedHashSet[(Any, String)]
+        rows.foreach { r =>
+          val txt = r.get(1)
+          if (txt != null) {
+            val arr = graft.functions.MinHashDoc.tokens(
+              org.apache.spark.unsafe.types.UTF8String.fromString(txt.toString))
+            val n =
+              if (maxQueryTerms == Int.MaxValue) arr.numElements()
+              else math.min(maxQueryTerms, arr.numElements())
+            var i = 0
+            while (i < n) {
+              seen.add((r.get(0), arr.getUTF8String(i).toString)); i += 1
+            }
+          }
+        }
+        DriverPlan.localFrame(queries.sparkSession,
+          seen.toSeq.map { case (id, t) => org.apache.spark.sql.Row(id, t) },
+          org.apache.spark.sql.types.StructType(Seq(
+            idField.copy(name = "query_id"),
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+      case None =>
+        val sparkD = Dialect(spark = true)
+        val qtok = expr(TX.tokensAuto(textCol)(sparkD))
+        val qtokCapped =
+          if (maxQueryTerms == Int.MaxValue) qtok else slice(qtok, 1, maxQueryTerms)
+        queries.select(col(idCol).as("query_id"), explode(qtokCapped).as("term"))
+          .distinct()
+    }
   }
+
+  /** Per-slot query tokens (query_id, slot, term), slot 1-based,
+    * duplicates kept, capped at the first `maxTerms` tokens — the phrase
+    * query shape. Driver-local query frames evaluate on the driver into
+    * a LocalRelation (same tokenizer as [[queryTerms]]'s driver twin, so
+    * every downstream broadcast/bucket-collect is jobless); distributed
+    * frames keep the posexplode plan verbatim. */
+  private def querySlotTokens(queries: DataFrame, textCol: String,
+                              idCol: String, maxTerms: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    DriverPlan.localRows(queries.select(col(idCol), col(textCol))) match {
+      case Some(rows) =>
+        val idField = queries.select(col(idCol)).schema.head
+        val out = rows.toSeq.flatMap { r =>
+          val txt = r.get(1)
+          if (txt == null) Seq.empty
+          else {
+            val arr = graft.functions.MinHashDoc.tokens(
+              org.apache.spark.unsafe.types.UTF8String.fromString(txt.toString))
+            val n = if (maxTerms == Int.MaxValue) arr.numElements()
+                    else math.min(maxTerms, arr.numElements())
+            (0 until n).map(i => org.apache.spark.sql.Row(
+              r.get(0), i + 1, arr.getUTF8String(i).toString))
+          }
+        }
+        DriverPlan.localFrame(queries.sparkSession, out,
+          org.apache.spark.sql.types.StructType(Seq(
+            idField.copy(name = "query_id"),
+            org.apache.spark.sql.types.StructField("slot",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+      case None =>
+        val sparkD = Dialect(spark = true)
+        val qtok0 = queries.select(col(idCol).as("query_id"),
+          posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("qp0", "term")))
+        (if (maxTerms == Int.MaxValue) qtok0
+         else qtok0.filter(col("qp0") < maxTerms))
+          .select(col("query_id"), (col("qp0") + 1).as("slot"), col("term"))
+    }
+  }
+
+  /** Per-query row counts of a token/term frame as (query_id, `name`) —
+    * driver-evaluated into a LocalRelation when the frame is local (the
+    * serving shape), so broadcasting the counts is jobless; the ordinary
+    * groupBy otherwise. */
+  private def queryCounts(qtok: DataFrame, name: String): DataFrame =
+    DriverPlan.localRows(qtok.select(col("query_id"))) match {
+      case Some(rows) =>
+        val idField = qtok.select(col("query_id")).schema.head
+        val counts = scala.collection.mutable.LinkedHashMap[Any, Long]()
+        rows.foreach(r => counts(r.get(0)) = counts.getOrElse(r.get(0), 0L) + 1L)
+        DriverPlan.localFrame(qtok.sparkSession,
+          counts.toSeq.map { case (id, n) => org.apache.spark.sql.Row(id, n) },
+          org.apache.spark.sql.types.StructType(Seq(idField,
+            org.apache.spark.sql.types.StructField(name,
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      case None => qtok.groupBy("query_id").agg(count(lit(1)).as(name))
+    }
 
   /** The BM25 scoring tail over a postings table (doc_id, term, tf, dl) —
     * shared by the one-shot and the persisted-store paths, so the store
@@ -297,7 +392,7 @@ object Retrieval {
         // CONJUNCTIVE (boolean-AND) semantics: only docs matching EVERY
         // query term rank; survivors keep their ordinary BM25 scores (a
         // conjunctive result is a subset of the OR result, same values)
-        val qlens = qterms.groupBy("query_id").agg(count(lit(1)).as("nterms"))
+        val qlens = queryCounts(qterms, "nterms")
         perDoc0.join(broadcast(qlens), "query_id")
           .filter(col("matched") === col("nterms"))
           .drop("matched", "nterms")
@@ -368,8 +463,18 @@ object Retrieval {
     * pruned lexical read starts from; shared so the serving, phrase,
     * proximity and snippet paths cannot drift. */
   private def termBuckets(terms: DataFrame, nBuckets: Long): Seq[Long] =
-    terms.select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    DriverPlan.localRows(terms.select(col("term"))) match {
+      case Some(rows) =>
+        // jobless twin for LocalRelation term frames (the serving shape,
+        // from queryTerms' driver branch): the SAME JVM hash the
+        // codegen'd graft_polyhash calls, same modulus
+        rows.map(r => graft.functions.PolyHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+          % nBuckets).distinct.toSeq
+      case None =>
+        terms.select(expr(s"graft_polyhash(term) % $nBuckets").as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+    }
 
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
@@ -585,7 +690,9 @@ object Retrieval {
     val want = ids.select(col(ids.columns.head).as("doc_id")).distinct()
     val buckets = want.select(docsBucketCol(nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(docsPath(path))
+    DriverPlan.memoRelation(spark, s"docs#$path#" +
+        fsFingerprint(spark, Seq(docsPath(path), epochsPath(path))))(
+        spark.read.parquet(docsPath(path)))
       .filter(col("dbucket").isInCollection(buckets))
       .join(broadcast(want), Seq("doc_id"), "leftsemi")
       .groupBy("doc_id").agg(expr("max_by(text, epoch)").as("text"))
@@ -644,22 +751,54 @@ object Retrieval {
       .agg(coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
         coalesce(sum("total_len_delta"), lit(0L)).as("total_len"))
 
-  /** The standing retracted-doc set (distinct, across all delete
-    * epochs); empty frame with the store's doc_id type when none. */
-  def readBm25Tombstones(spark: SparkSession, path: String): DataFrame = {
+  // Driver-side memo of BOUNDED tombstone sets, keyed by the tombstones
+  // directory's fingerprint (one listStatus — no job): serving anti-joins
+  // broadcast the retracted-id set anyway, so holding the same rows in
+  // the memo costs nothing extra, and serving them as a LocalRelation
+  // makes the broadcast build jobless. A landed delete/compaction changes
+  // the fingerprint, so entries are superseded, never stale. Oversized
+  // sets (> 64k ids) stay distributed.
+  private val tombMemo = new DriverPlan.TableMemo(maxEntries = 64, maxRows = 65536)
+
+  /** The postings relation for SERVING reads, resolution (schema
+    * inference + leaf listing — two per-request scheduling barriers)
+    * memoized by the postings+epochs fingerprint: postings-root child
+    * mtimes catch appends/compaction/rebucket; the epochs fingerprint
+    * additionally catches a RETRIED append that only replaced part files
+    * inside an existing bucket/epoch directory (the bucket dir's mtime
+    * does not move, but the epoch row rewrite does). */
+  private def servingPostings(spark: SparkSession, path: String): DataFrame =
+    DriverPlan.memoRelation(spark, s"post#$path#" +
+      fsFingerprint(spark, Seq(postingsPath(path), epochsPath(path))))(
+      spark.read.parquet(postingsPath(path)))
+
+  /** The df sidecar relation for SERVING reads — same memo discipline as
+    * [[servingPostings]] (df deltas land bucket/epoch-partitioned too). */
+  private def servingDf(spark: SparkSession, path: String): DataFrame =
+    DriverPlan.memoRelation(spark, s"df#$path#" +
+      fsFingerprint(spark, Seq(dfPath(path), epochsPath(path))))(
+      spark.read.parquet(dfPath(path)))
+
+  /** The standing retracted-doc set for SERVING reads: an empty
+    * LocalRelation when no tombstones exist, the fingerprint-memoized
+    * LocalRelation twin when bounded, the distributed read otherwise. */
+  private def servingTombstones(spark: SparkSession, path: String,
+                                docIdField: org.apache.spark.sql.types.StructField): DataFrame = {
     val fs = fsFor(spark, path)
     val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
-    if (fs.exists(tp))
-      spark.read.parquet(tp.toString).select("doc_id").distinct()
-    else {
-      val idType = spark.read.parquet(postingsPath(path))
-        .schema.apply("doc_id").dataType
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id", idType))))
-    }
+    if (!fs.exists(tp))
+      DriverPlan.localFrame(spark, Seq.empty,
+        org.apache.spark.sql.types.StructType(Seq(docIdField.copy(name = "doc_id"))))
+    else tombMemo.localized(spark,
+      fsFingerprint(spark, Seq(storeTombstonesPath(path))))(
+      spark.read.parquet(tp.toString).select("doc_id").distinct())
   }
+
+  /** The standing retracted-doc set (distinct, across all delete
+    * epochs); empty frame with the store's doc_id type when none. */
+  def readBm25Tombstones(spark: SparkSession, path: String): DataFrame =
+    servingTombstones(spark, path,
+      servingPostings(spark, path).schema.apply("doc_id"))
 
   /** Tombstones from every epoch EXCEPT `storedEpoch` — the prior-set a
     * delete de-duplicates against. Excluding the current epoch is what
@@ -1403,7 +1542,7 @@ object Retrieval {
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
     val buckets = termBuckets(qterms, nBuckets)
-    val post = spark.read.parquet(postingsPath(path))
+    val post = servingPostings(spark, path)
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
         "positional schema; rebuild (or rebucket) it to enable snippet serving")
@@ -1451,7 +1590,7 @@ object Retrieval {
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
     val buckets = termBuckets(qterms, nBuckets)
-    val post = spark.read.parquet(postingsPath(path))
+    val post = servingPostings(spark, path)
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
         "positional schema; rebuild (or rebucket) it to enable snippet serving")
@@ -1497,7 +1636,7 @@ object Retrieval {
       servedLivePostings(spark, path, qterms, nBuckets, allowed)
     // live df = summed deltas of the pruned buckets; a term whose count
     // summed to 0 has no live postings either, so it never scores
-    val dfreq = spark.read.parquet(dfPath(path))
+    val dfreq = servingDf(spark, path)
       .filter(col("bucket").isInCollection(buckets))
       .groupBy("term").agg(sum("cnt").as("df"))
     scoreBm25(postings, qterms, stats, dfreq, k, k1, b, requireAll)
@@ -1515,17 +1654,10 @@ object Retrieval {
                                    Seq("doc_id", "term", "tf", "dl"))
       : (DataFrame, Seq[Long]) = {
     val buckets = termBuckets(qterms, nBuckets)
-    val post = spark.read.parquet(postingsPath(path))
+    val post = servingPostings(spark, path)
     // absent-tombstone case reuses post's already-resolved schema — no
     // second listing of the postings directory
-    val fs = fsFor(spark, path)
-    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
-    val tomb =
-      if (fs.exists(tp))
-        spark.read.parquet(tp.toString).select("doc_id").distinct()
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
+    val tomb = servingTombstones(spark, path, post.schema.apply("doc_id"))
     val live = post
       .filter(col("bucket").isInCollection(buckets))
       .select(cols.head, cols.tail: _*)
@@ -1830,7 +1962,25 @@ object Retrieval {
     * corpus (the qx123 gate is qx118's oracle verbatim), at the
     * SINGLE-store serving constant regardless of field count. Fields
     * absent from `fields` are excluded from scoring (weight 0 by
-    * omission); every requested name must exist in the store. */
+    * omission); every requested name must exist in the store.
+    *
+    * SUBSET-FIELDS CONTRACT (what "equals the one-shot" means when
+    * `fields` names fewer fields than the store holds): the served
+    * result is DEFINED over the store's document universe — n_docs and
+    * the per-field avgdl_f are the store's all-stored-fields live
+    * scalars, and df counts candidate docs from the pruned live
+    * postings of the scored terms. A one-shot [[bm25fTopK]] over ONLY
+    * the requested field columns instead derives n_docs from docs
+    * non-empty in those fields — so the two can diverge on a corpus
+    * where some doc is empty in every requested field (and a true
+    * weight-0 one-shot differs again: its df still counts weight-0
+    * matches). Under the build-time field-totality contract (the
+    * field-complete gate: every doc non-empty in EVERY field — pad or
+    * exclude) all three agree exactly, which is the deployment shape
+    * the store writer enforces. The store-universe semantics is the
+    * deliberate choice: it matches the filtered-serving discipline
+    * (statistics corpus-global, scoring scoped), and a field-weight
+    * change never silently reweights idf. */
   def bm25fTopKFromStore(spark: SparkSession, path: String,
                          fields: Seq[Bm25fField], queries: DataFrame,
                          textCol: String, idCol: String, k: Int,
@@ -1988,27 +2138,15 @@ object Retrieval {
                          allowed: Option[DataFrame]): DataFrame = {
     requireUnfielded(spark, path, "phraseTopKFromStore")
     GraftFunctions.register(spark)
-    val sparkD = Dialect(spark = true)
     val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
-    val qtok0 = queries.select(col(idCol).as("query_id"),
-      posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("qp0", "term")))
-    val qtok = (if (maxPhraseTerms == Int.MaxValue) qtok0
-                else qtok0.filter(col("qp0") < maxPhraseTerms))
-      .select(col("query_id"), (col("qp0") + 1).as("slot"), col("term"))
-    val qlen = qtok.groupBy("query_id").agg(count(lit(1)).as("plen"))
+    val qtok = querySlotTokens(queries, textCol, idCol, maxPhraseTerms)
+    val qlen = queryCounts(qtok, "plen")
     val buckets = termBuckets(qtok, nBuckets)
-    val post = spark.read.parquet(postingsPath(path))
+    val post = servingPostings(spark, path)
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
         "positional schema; rebuild (or rebucket) it to enable phrase queries")
-    val fs = fsFor(spark, path)
-    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
-    val tomb =
-      if (fs.exists(tp))
-        spark.read.parquet(tp.toString).select("doc_id").distinct()
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
+    val tomb = servingTombstones(spark, path, post.schema.apply("doc_id"))
     val cand0 = post
       .filter(col("bucket").isInCollection(buckets))
       .select("doc_id", "term", "pos")
@@ -2079,27 +2217,19 @@ object Retrieval {
     require(window >= 1, s"window=$window must be >= 1")
     requireUnfielded(spark, path, "proximityTopKFromStore")
     GraftFunctions.register(spark)
-    val sparkD = Dialect(spark = true)
     val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
-    val qtok0 = queries.select(col(idCol).as("query_id"),
-      posexplode(expr(TX.tokensAuto(textCol)(sparkD))).as(Seq("qp0", "term")))
-    val qterms = (if (maxQueryTerms == Int.MaxValue) qtok0
-                  else qtok0.filter(col("qp0") < maxQueryTerms))
-      .select("query_id", "term").distinct()
-    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("nterms"))
+    // distinct (query_id, term) of the first maxQueryTerms tokens —
+    // exactly queryTerms' contract (posexplode+cap+distinct ≡
+    // explode(slice)+distinct), so the serving path shares its
+    // driver-evaluated LocalRelation fast path
+    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val qlen = queryCounts(qterms, "nterms")
     val buckets = termBuckets(qterms, nBuckets)
-    val post = spark.read.parquet(postingsPath(path))
+    val post = servingPostings(spark, path)
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
         "positional schema; rebuild (or rebucket) it to enable proximity queries")
-    val fs = fsFor(spark, path)
-    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
-    val tomb =
-      if (fs.exists(tp))
-        spark.read.parquet(tp.toString).select("doc_id").distinct()
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(post.schema.apply("doc_id"))))
+    val tomb = servingTombstones(spark, path, post.schema.apply("doc_id"))
     val cand0 = post
       .filter(col("bucket").isInCollection(buckets))
       .select("doc_id", "term", "pos")
@@ -2219,6 +2349,22 @@ object Retrieval {
                                rescore: Option[(DataFrame, String)],
                                k0: Int, maxQueryTerms: Int,
                                allowed: Option[DataFrame]): DataFrame = {
+    val (lex, vec) = hybridLegs(spark, lexPath, vecPath, queries, textCol,
+      vecCol, idCol, depth, nProbe, rerankDepth, rescore, maxQueryTerms,
+      allowed)
+    rrfFuse(lex, vec, k0, k)
+  }
+
+  /** The two retriever legs every hybrid composition fuses — each a
+    * depth-deep (query_id, rank, doc_id, ...) ranking over its own
+    * pruned store scan. */
+  private def hybridLegs(spark: SparkSession, lexPath: String,
+                         vecPath: String, queries: DataFrame,
+                         textCol: String, vecCol: String, idCol: String,
+                         depth: Int, nProbe: Int, rerankDepth: Int,
+                         rescore: Option[(DataFrame, String)],
+                         maxQueryTerms: Int,
+                         allowed: Option[DataFrame]): (DataFrame, DataFrame) = {
     val lexQ = queries.select(col(idCol), col(textCol))
     val lex = allowed match {
       case Some(a) => bm25TopKFromStoreFiltered(spark, lexPath, lexQ, a,
@@ -2242,7 +2388,125 @@ object Retrieval {
         Quantize.searchSelfContainedRefinedStored(spark, vecPath,
           vecQ, idCol, vecCol, depth, nProbe, rerankDepth)
     }).select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(lex, vec, k0, k)
+    (lex, vec)
+  }
+
+  // The served hybrid's leg-collect pool: two short-lived collect actions
+  // per request, daemon threads, shared across requests (cached pool —
+  // idle threads are reclaimed).
+  private lazy val hybridLegPool =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-hybrid-leg"); t.setDaemon(true); t
+        }
+      })
+
+  /** The hybrid store composition re-shaped for SERVING: the two
+    * retriever legs run as CONCURRENT collect actions (the request's
+    * critical path becomes max(leg walls), not their sum — ServeFloor
+    * measures the difference), and the RRF fusion + final ranking runs
+    * on the DRIVER over the two depth-bounded lists with [[rrfFuse]]'s
+    * EXACT arithmetic: floor(1e9/(k0+rank)+0.5) integer nano-unit
+    * contributions summed as longs, rrf desc / doc_id asc ties, HALF_UP
+    * 9-digit score render — RetrievalServingParitySpec asserts
+    * row-for-row equality against the plan-side fusion. Returns a
+    * LocalRelation (the fused list is k-bounded), so downstream
+    * consumers (snippet attachment, include_text joins, the JSON render)
+    * plan joblessly over the fused rows. Falls back to the single-plan
+    * fusion when the id type has no replicated driver ordering. */
+  def hybridTopKFromStoresServed(spark: SparkSession, lexPath: String,
+                                 vecPath: String, queries: DataFrame,
+                                 textCol: String, vecCol: String, idCol: String,
+                                 k: Int, depth: Int, nProbe: Int,
+                                 rerankDepth: Int,
+                                 rescore: Option[(DataFrame, String)] = None,
+                                 allowed: Option[DataFrame] = None,
+                                 k0: Int = RRF_K0,
+                                 maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    val (lex, vec) = hybridLegs(spark, lexPath, vecPath, queries, textCol,
+      vecCol, idCol, depth, nProbe, rerankDepth, rescore, maxQueryTerms,
+      allowed)
+    val lexSel = lex.select(col("query_id"), col("doc_id"), col("rank"))
+    val vecSel = vec.select(col("query_id"), col("doc_id"), col("rank"))
+    val docIdType = lexSel.schema.apply("doc_id").dataType
+    val qIdField = lexSel.schema.apply("query_id")
+    DriverPlan.idOrdering(docIdType) match {
+      case None => rrfFuse(lex, vec, k0, k)
+      case Some(ord) =>
+        val sc = spark.sparkContext
+        val callerPool = sc.getLocalProperty("spark.scheduler.pool")
+        def collectLeg(df: DataFrame) = hybridLegPool.submit(
+          new java.util.concurrent.Callable[Array[org.apache.spark.sql.Row]] {
+            override def call(): Array[org.apache.spark.sql.Row] = {
+              // local properties are thread-local: re-tag the pool thread
+              // so leg jobs stay in the caller's FAIR pool
+              sc.setLocalProperty("spark.scheduler.pool", callerPool)
+              df.collect()
+            }
+          })
+        val fLex = collectLeg(lexSel)
+        val fVec = collectLeg(vecSel)
+        val lexRows = fLex.get()
+        val vecRows = fVec.get()
+        // full-outer merge on (query_id, doc_id), rrfFuse's arithmetic
+        final class Acc { var lexRank: java.lang.Long = null
+                          var vecRank: java.lang.Long = null }
+        val accs = new java.util.LinkedHashMap[(Any, Any), Acc]
+        def accFor(qid: Any, did: Any): Acc = {
+          val key = (qid, did)
+          var a = accs.get(key)
+          if (a == null) { a = new Acc; accs.put(key, a) }
+          a
+        }
+        lexRows.foreach(r => accFor(r.get(0), r.get(1)).lexRank = r.getLong(2))
+        vecRows.foreach(r => accFor(r.get(0), r.get(1)).vecRank = r.getLong(2))
+        def contrib(rank: java.lang.Long): Long =
+          if (rank == null) 0L
+          else math.floor(1.0 / (k0.toDouble + rank.doubleValue)
+            * 1000000000.0 + 0.5).toLong
+        val byQuery = new java.util.LinkedHashMap[Any,
+          scala.collection.mutable.ArrayBuffer[(Any, Long, java.lang.Long, java.lang.Long)]]
+        accs.forEach { (key, a) =>
+          var buf = byQuery.get(key._1)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty
+            byQuery.put(key._1, buf)
+          }
+          buf += ((key._2, contrib(a.lexRank) + contrib(a.vecRank),
+            a.lexRank, a.vecRank))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        byQuery.forEach { (qid, buf) =>
+          val ranked = buf.sortWith { case ((da, ua, _, _), (db, ub, _, _)) =>
+            if (ua != ub) ua > ub else ord.lt(da, db)
+          }
+          var i = 0
+          while (i < ranked.length && i < k) {
+            val (did, u, lr, vr) = ranked(i)
+            // round(u/1e9, 9) — Spark's Round is HALF_UP over
+            // BigDecimal.valueOf of the already-divided double
+            val score = java.math.BigDecimal.valueOf(u.toDouble / 1.0e9)
+              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+            out += org.apache.spark.sql.Row(qid, (i + 1).toLong, did, score,
+              lr, vr)
+            i += 1
+          }
+        }
+        DriverPlan.localFrame(spark, out.toSeq,
+          org.apache.spark.sql.types.StructType(Seq(
+            qIdField,
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("doc_id", docIdType,
+              nullable = lexSel.schema.apply("doc_id").nullable),
+            org.apache.spark.sql.types.StructField("rrf_score",
+              org.apache.spark.sql.types.DoubleType, nullable = false),
+            org.apache.spark.sql.types.StructField("lex_rank",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("vec_rank",
+              org.apache.spark.sql.types.LongType, nullable = true))))
+    }
   }
 
   /** Reciprocal rank fusion of two rankings (Cormack et al. 2009):

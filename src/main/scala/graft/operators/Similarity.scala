@@ -28,8 +28,11 @@ object Similarity {
 
   private[graft] def requireSmallQuerySide(queries: DataFrame, op: String,
                                                cap: Long = MaxQueryRows): Unit = {
-    // limit+count aborts the scan as soon as the cap is crossed — cheap
-    val n = queries.limit((cap + 1).toInt).count()
+    // driver-local query frames (the serving shape) answer the count
+    // from the LocalRelation itself — no job; distributed frames pay a
+    // limit+count, which aborts the scan as soon as the cap is crossed
+    val n = DriverPlan.localCount(queries).getOrElse(
+      queries.limit((cap + 1).toInt).count())
     require(n <= cap,
       s"$op broadcasts the query side, which has > $cap rows; " +
         "swap the sides or use the bucketed/banded path for large query sets")

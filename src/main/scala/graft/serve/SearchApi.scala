@@ -48,6 +48,20 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions",
       conf.servingShufflePartitions.toString)
+    // AQE OFF for serving plans (round 12): every serving stage is
+    // k-bounded or planning-scale, so AQE's value (runtime re-planning
+    // of big exchanges) is zero here while its cost is the serving
+    // floor itself — it materializes each exchange as its OWN job, so a
+    // request pays one scheduling barrier per shuffle instead of one
+    // job per action, and broadcast builds serialize behind the stage
+    // loop instead of all submitting in prepare(). ServeFloor measured
+    // the difference; build/batch sessions keep AQE.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // partition discovery on the serving reads lists bucket/cell dirs;
+    // beyond 32 paths Spark launches a LISTING JOB per read — two more
+    // scheduling barriers per request. A driver-side listStatus of a few
+    // thousand dirs is faster than any job here.
+    s.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     s
   }
 
@@ -157,29 +171,18 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
 
   /** The fused hybrid ranking — ONE dispatch over (rescore source,
     * allow-list) shared by mode=hybrid and mode=snippet-with-vector, so
-    * the two cannot diverge. */
+    * the two cannot diverge. Served through
+    * [[Retrieval.hybridTopKFromStoresServed]] (round 12): the two legs
+    * run as concurrent actions and the RRF fusion is the driver-side
+    * exact twin of the gated plan fusion — RetrievalServingParitySpec
+    * pins the equality. */
   private def fusedHybrid(text: String, vector: Seq[Float], k: Int,
-                          allowed: Option[DataFrame]): DataFrame = {
-    val q = queryFrameVec(text, vector)
-    (corpusOpt, allowed) match {
-      case (Some(c), Some(a)) => Retrieval.hybridTopKFromStoresFiltered(
-        serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
-        conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
-        conf.rerankDepth, c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
-      case (Some(c), None) => Retrieval.hybridTopKFromStores(serveSpark,
-        conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
-        conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-        c, conf.vecCol, maxQueryTerms = conf.maxQueryTerms)
-      case (None, Some(a)) => Retrieval.hybridTopKFromStoresStoredFiltered(
-        serveSpark, conf.lexStore, conf.vecStore, q, a, conf.textCol,
-        conf.vecCol, conf.idCol, k, conf.depth, conf.nProbe,
-        conf.rerankDepth, maxQueryTerms = conf.maxQueryTerms)
-      case (None, None) => Retrieval.hybridTopKFromStoresStored(serveSpark,
-        conf.lexStore, conf.vecStore, q, conf.textCol, conf.vecCol,
-        conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
-        maxQueryTerms = conf.maxQueryTerms)
-    }
-  }
+                          allowed: Option[DataFrame]): DataFrame =
+    Retrieval.hybridTopKFromStoresServed(serveSpark, conf.lexStore,
+      conf.vecStore, queryFrameVec(text, vector), conf.textCol, conf.vecCol,
+      conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
+      rescore = corpusOpt.map(c => (c, conf.vecCol)), allowed = allowed,
+      maxQueryTerms = conf.maxQueryTerms)
 
   private def searchCompute(text: String, vector: Seq[Float], k: Int,
                             mode: String, allowedIds: Seq[String],
@@ -323,7 +326,12 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
       // BEFORE it clears the tombstones the anti-join relies on.
       val withText =
         if (includeText && mode != "snippet") {
-          val hits = result.localCheckpoint()
+          // a LocalRelation result (the served-hybrid fusion) is already
+          // driver-materialized — checkpointing it would only demote the
+          // jobless downstream joins to RDD scans
+          val hits =
+            if (graft.operators.DriverPlan.localRows(result).isDefined) result
+            else result.localCheckpoint()
           val live = Retrieval.readStoreDocs(serveSpark, conf.lexStore,
               hits.select("doc_id"))
             .join(org.apache.spark.sql.functions.broadcast(
@@ -418,13 +426,30 @@ object SearchApi {
       }
     }
 
+  /** True iff every store URI lives on a filesystem whose DIRECTORY
+    * mtimes move when children change — the property the version-token
+    * fingerprints need for EXACT cache invalidation. Local paths (no
+    * scheme / `file:`) and HDFS have real directory mtimes; object
+    * stores (s3/s3a/s3n/gs/abfs/oss/cos/wasb...) fake directories, so a
+    * partition overwritten IN PLACE with same-named, same-length files
+    * can keep its fingerprint and serve stale for up to the TTL. */
+  private[graft] def schemesHaveDirMtimes(paths: Seq[String]): Boolean =
+    paths.forall { p =>
+      val scheme = Option(new java.net.URI(p).getScheme).map(_.toLowerCase)
+      scheme.forall(s => s == "file" || s == "hdfs" || s == "viewfs")
+    }
+
   /** Build from config when the store paths are declared; None otherwise
     * (the serving shells then simply don't expose the routes/tool).
     * `retrieval.corpus_path` is optional — omit it for sidecar stores.
-    * The result cache is ON by default (`retrieval.cache_size` entries,
-    * `retrieval.cache_ttl_seconds` TTL; size 0 disables) — invalidation
-    * is mutation-exact via store version tokens in the key, so the TTL
-    * only bounds staleness on object stores without directory mtimes. */
+    * The result cache defaults ON (`retrieval.cache_size` entries,
+    * `retrieval.cache_ttl_seconds` TTL; size 0 disables) only when every
+    * store URI's filesystem has real directory mtimes (local/HDFS), where
+    * the version-token invalidation is exact. On object-store schemes the
+    * default flips to OFF — the fingerprint can miss an in-place
+    * overwrite there, so serving stale-for-TTL must be an explicit
+    * opt-in (set retrieval.cache_size to enable, and size the TTL to the
+    * staleness the deployment tolerates). */
   def fromConfig(spark: SparkSession, cfg: GraftConfig): Option[SearchApi] =
     for {
       lex <- cfg.getString("retrieval.lex_store")
@@ -445,7 +470,13 @@ object SearchApi {
         cfg.getStringOr("retrieval.fielded_fields", "")),
       servingShufflePartitions =
         cfg.getIntOr("retrieval.serving_shuffle_partitions", 8)),
-      cache = Option(cfg.getIntOr("retrieval.cache_size", 512))
-        .filter(_ > 0)
-        .map(new ResultCache(_, cfg.getIntOr("retrieval.cache_ttl_seconds", 300).toLong)))
+      cache = {
+        val stores = Seq(lex, vec) ++ cfg.getString("retrieval.corpus_path") ++
+          cfg.getString("retrieval.fielded_store")
+        val defaultSize = if (schemesHaveDirMtimes(stores)) 512 else 0
+        Option(cfg.getIntOr("retrieval.cache_size", defaultSize))
+          .filter(_ > 0)
+          .map(new ResultCache(_,
+            cfg.getIntOr("retrieval.cache_ttl_seconds", 300).toLong))
+      })
 }
