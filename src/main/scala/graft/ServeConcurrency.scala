@@ -217,7 +217,7 @@ object ServeConcurrency {
         (existing.substring(0, i), if (next == -1) "" else rest.substring(next))
     }
     val md = new StringBuilder(kept)
-    md.append(s"""$marker (round 11)
+    md.append(s"""$marker (round 12)
 
 `runMain graft.ServeConcurrency $sfDir` — real HTTP POST `/search`
 (hybrid mode: BM25 store + IVF-PQ store + RRF fusion, k=$K) against a

@@ -112,45 +112,45 @@ object ServeFloor {
         (existing.substring(0, i), if (next == -1) "" else rest.substring(next))
     }
     val md = new StringBuilder(kept)
-    md.append(s"""$marker (round 11)
+    md.append(s"""$marker (round 12)
 
 `runMain graft.ServeFloor $sfDir` — one warm uncached request per mode,
 median of $reps, with a listener counting Spark jobs/tasks and summing
 task time. The WALL minus the task-time column is pure driver-side
-constant: job scheduling barriers (the jobs column is how many a
-request pays SEQUENTIALLY), plan/codegen lookup, parquet footer reads,
-and collect round-trips.
+constant: job/stage scheduling barriers, per-request plan construction
+and optimization, and collect round-trips.
 
 | mode | p50 wall | jobs/call | tasks/call | summed task time |
 |---|---|---|---|---|
 """)
     for ((mode, p50, j, t, m) <- rows)
       md.append(f"| $mode | ${p50}%.0f ms | $j%.1f | $t%.1f | $m%.0f ms |\n")
-    val (_, hw, hj, ht, _) = rows.last
+    val (_, _, hj, _, _) = rows.last
     md.append(f"""
-Reading it: a hybrid request is a SERIAL CHAIN of ~${hj}%.0f jobs
-carrying ~${ht}%.0f tasks — ≈1 task per job (the data per stage is
-k-bounded or planning-scale, so every stage is one small task), at
-~${hw / hj}%.0f ms per job barrier (task launch + parquet open + the
-driver's schedule/plan/collect round-trip). The floor is therefore the
-JOB COUNT times the per-barrier constant — not compute (the per-task
-work is sub-millisecond math over a few thousand rows), and not shuffle
-width (re-measured: narrowing serving shuffles moved nothing). Under
-concurrency every request's chain contends on the one driver's
-scheduling/planning path: measured saturation ≈ 0.45 req/s × ${hj}%.0f
-jobs ≈ 20 jobs/s end-to-end through scheduler + AQE re-planning per
-stage — which is why adding clients bought queueing, not throughput.
-The levers, in order: (1) the result cache (measured above: 489 req/s
-on repeats — three orders of magnitude); (2) fewer jobs per request —
-the round-11 scalar memo already removed the per-request stats
-aggregate; the remaining per-request collects (term buckets, probe
-cells, quantizer loads) and AQE's per-exchange stage jobs are the next
-candidates; (3) a real cluster moves task work off the driver but keeps
-the per-job constant — the chain length is the thing to cut. A
-sub-100 ms uncached single query is a different architecture
-(point-lookup serving, not Spark jobs) — deliberately out of scope: the
-engine's job is corpus-scale batch retrieval, and the cache serves the
-repeat traffic at interactive latency.
+Round 11 measured this anatomy at 45 jobs per hybrid request (15
+lexical / 30 vector) and ~62 ms of scheduling barrier per job — the
+floor was the JOB COUNT, not compute. Round 12 cut the chain
+structurally, to ~${hj}%.0f jobs per hybrid call here: (1) driver-side
+twins for every planning-scale subplan whose inputs are LocalRelations
+— query terms/buckets via the same JVM functions the codegen'd
+expressions call, probed cells via the same IEEE dot fold — so those
+collects stopped being jobs (DriverPlan, parity spec-gated); (2)
+fingerprint-keyed memos serving quantizers, tombstones, and resolved
+parquet relations as LocalRelations, so their broadcasts and schema
+reads are jobless and re-resolve only after a landed mutation; (3) AQE
+off on the serving session — every serving stage is k-bounded, so
+per-exchange re-planning jobs were pure barrier; (4) the hybrid legs
+run as two CONCURRENT actions with the RRF fusion computed exactly on
+the driver (rrfFuse's integer arithmetic, spec-gated equality), so the
+critical path is max(leg walls), not their sum. What remains per
+uncached request: ~150-250 ms of plan construction+optimization (fresh
+literals per query — not cacheable for real traffic) and a handful of
+genuine pruned-scan jobs. The levers that remain, in order: the result
+cache for repeat traffic (the cached table above is the measured
+number — three orders of magnitude over the engine path), then plan
+simplification. A sub-100 ms uncached single query is a different
+architecture (point-lookup serving, not Spark jobs) — deliberately out
+of scope: the engine's job is corpus-scale batch retrieval.
 """)
     md.append(keptAfter)
     java.nio.file.Files.writeString(path, md.toString)

@@ -153,7 +153,12 @@ object StoreCtl {
             s"geometry off ($current buckets, target wants $want) but " +
               "stream-adopted; rebucket folds epochs — operator action"))
         else {
-          Retrieval.rebucketBm25Store(spark, s.path, want.toInt)
+          // route by layout (round 12): a FIELDED store rebuckets through
+          // its own entry point — the unfielded rebucket refuses fielded
+          // layouts loudly, and a policy must maintain both store kinds
+          if (Retrieval.isFieldedStore(spark, s.path))
+            Retrieval.rebucketBm25fStore(spark, s.path, want.toInt)
+          else Retrieval.rebucketBm25Store(spark, s.path, want.toInt)
           Some(CycleReport(s.path, "lex", "rebucket",
             s"geometry retrained: $current -> $want buckets for $live live docs"))
         }
@@ -171,7 +176,9 @@ object StoreCtl {
         else {
           val n = spark.read.parquet(s.path.stripSuffix("/") + "/epochs")
             .select("n_buckets").head().getInt(0)
-          Retrieval.rebucketBm25Store(spark, s.path, n)
+          if (Retrieval.isFieldedStore(spark, s.path))
+            Retrieval.rebucketBm25fStore(spark, s.path, n)
+          else Retrieval.rebucketBm25Store(spark, s.path, n)
           CycleReport(s.path, "lex", "fold",
             f"epoch fold at $n buckets (was $frag%.1f epochs/bucket)")
         }

@@ -1089,6 +1089,66 @@ object Quantize {
       tombstonesPath(indexPath) + ".old", vectorsPath(indexPath),
       quantizersPath(indexPath)))
 
+  /** The vector store's ANSWER-BEARING state token (round 12): like
+    * [[storeVersion]] but fingerprinting only what a search can read —
+    * the quantizers (centroids/codebook/params, NOT the serving hints),
+    * the tombstones (and the sweep's transient `.old`), and the index +
+    * sidecar cell directories REACHABLE from the installed centroid
+    * table. The distinction matters under long maintenance: a cell
+    * split spends seconds writing NEW sub-cells that stay unreachable
+    * (probe planning only visits centroid-table cells) until one atomic
+    * centroid rename-swap — the full physical fingerprint churns through
+    * all of it, starving the serve layer's optimistic bracket, while
+    * this token moves exactly once, at the swap. Falls back to
+    * [[storeVersion]] for bare stores (no persisted quantizers) and
+    * oversized centroid sets (not driver-memoized). */
+  private[graft] def servingStateToken(spark: org.apache.spark.sql.SparkSession,
+                                       indexPath: String): String = {
+    val base = quantizersPath(indexPath)
+    val fpQuant = Retrieval.fsFingerprint(spark,
+      Seq(s"$base/centroids", s"$base/codebook", s"$base/params"))
+    val quantFp = fpQuant + Retrieval.fsFingerprint(spark, Seq(
+      tombstonesPath(indexPath), tombstonesPath(indexPath) + ".old"))
+    // reachable cells from the quantizer memo DIRECTLY (no DataFrame
+    // materialization on the token path — it runs per request, per
+    // bracket read); a miss fills the memo via loadQuantizers once
+    val reachable: Option[Set[String]] =
+      try {
+        val hit = quantizerMemo.get(fpQuant)
+        val entry =
+          if (hit != null) hit
+          else { loadQuantizers(spark, indexPath); quantizerMemo.get(fpQuant) }
+        Option(entry).flatten.map(_.cellIds)
+      } catch { case _: IllegalStateException => None }
+    reachable match {
+      case None => storeVersion(spark, indexPath) // bare / oversized store
+      case Some(cells) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+          spark.sparkContext.hadoopConfiguration)
+        def cellFp(root: String): String = {
+          val rp = new org.apache.hadoop.fs.Path(root)
+          if (!fs.exists(rp)) s"$root#absent"
+          else fs.listStatus(rp).toSeq.flatMap { st =>
+            val n = st.getPath.getName
+            val keep =
+              if (n.startsWith("centroid_id=")) {
+                // unparseable/unmatched names are KEPT (conservative:
+                // a spurious retry, never a missed mutation)
+                val v = java.net.URLDecoder.decode(
+                  n.stripPrefix("centroid_id="), "UTF-8")
+                cells.contains(v)
+              } else true // loose files / markers: always in
+            if (keep) Some(s"$n#${st.getModificationTime}#${st.getLen}")
+            else None
+          }.sorted.mkString("|")
+        }
+        java.security.MessageDigest.getInstance("MD5")
+          .digest((quantFp + "!" + cellFp(indexPath) + "!" +
+            cellFp(vectorsPath(indexPath))).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+    }
+  }
+
   final case class StoreParams(dims: Int, nBlocks: Int, residual: Boolean,
                                idCol: String)
 
@@ -1127,7 +1187,12 @@ object Quantize {
       cenSchema: org.apache.spark.sql.types.StructType,
       cbRows: Seq[org.apache.spark.sql.Row],
       cbSchema: org.apache.spark.sql.types.StructType,
-      params: StoreParams)
+      params: StoreParams) {
+    /** Centroid ids as partition-value strings — precomputed so the
+      * serving-state token never builds DataFrames on the request path. */
+    lazy val cellIds: Set[String] =
+      cenRows.map(r => String.valueOf(r.get(0))).toSet
+  }
   private val quantizerMemo = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Option[QuantizerRows]](16, 0.75f, true) {
       override def removeEldestEntry(

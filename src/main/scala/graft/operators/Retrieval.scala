@@ -454,6 +454,17 @@ object Retrieval {
   private def compactNewPath(path: String) = s"$path/compact-new"
   private def docsPath(path: String) = s"$path/docs"
 
+  /** True iff the tombstones directory holds at least one epoch
+    * partition — compaction clears partitions one by one (round 12), so
+    * an existing-but-dataless directory (just _SUCCESS) must read as
+    * "no tombstones", not as a schema-inference crash. */
+  private def hasTombstoneData(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Boolean = {
+    val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
+    fs.exists(tp) && fs.listStatus(tp)
+      .exists(_.getPath.getName.startsWith("epoch="))
+  }
+
   private def bucketCol(nBuckets: Int): Column =
     expr(s"graft_polyhash(term) % $nBuckets")
 
@@ -509,24 +520,32 @@ object Retrieval {
   private final case class EpochsInfo(nDocs: Long, totalLen: Long,
                                       idHash: Option[Long], nBuckets: Int,
                                       fieldNames: Option[Seq[String]],
-                                      lenSums: Option[Seq[Long]])
+                                      lenSums: Option[Seq[Long]],
+                                      epochs: Seq[Long])
 
-  // Driver-side memo of the summed epoch scalars, keyed by the epochs
+  // One epochs-table row, driver-side (one row per epoch — planning
+  // scale by construction).
+  private final case class EpochRow(epoch: Long, nd: Long, tl: Long,
+                                    ih: Option[Long],
+                                    nBuckets: Int,
+                                    fieldNames: Option[Seq[String]],
+                                    lens: Option[Seq[Long]])
+
+  // Driver-side memo of the PER-EPOCH delta rows, keyed by the epochs
   // directory's fingerprint: a serving request pays ONE listStatus
-  // instead of a Spark aggregate job for the corpus scalars + bucket
-  // count it needs before planning the pruned scan. Any epoch write
-  // (append/delete/build/rebucket) changes the child set — new part
-  // names at minimum — so the next request recomputes; compaction
-  // never touches the epochs table and correctly keeps the memo.
-  // Bounded LRU (access-order), shared across stores.
+  // instead of a Spark read for the commit log it folds its snapshot
+  // from. Any epoch write (append/delete/build/rebucket) changes the
+  // child set — new part names at minimum — so the next request
+  // recomputes; compaction never touches the epochs table and correctly
+  // keeps the memo. Bounded LRU (access-order), shared across stores.
   private val epochsMemo =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, EpochsInfo](64, 0.75f, true) {
+      new java.util.LinkedHashMap[String, Seq[EpochRow]](64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, EpochsInfo]): Boolean = size() > 256
+            e: java.util.Map.Entry[String, Seq[EpochRow]]): Boolean = size() > 256
       })
 
-  private def epochsInfo(spark: SparkSession, path: String): EpochsInfo = {
+  private def epochRows(spark: SparkSession, path: String): Seq[EpochRow] = {
     val key = fsFingerprint(spark, Seq(epochsPath(path)))
     val hit = epochsMemo.get(key)
     if (hit != null) hit
@@ -534,31 +553,75 @@ object Retrieval {
       val ep = spark.read.parquet(epochsPath(path))
       val hasSig = ep.columns.contains("id_hash_delta")
       val fielded = ep.columns.contains("field_names")
-      val r = ep.agg(
-          coalesce(sum("n_docs_delta"), lit(0L)).as("n_docs"),
-          coalesce(sum("total_len_delta"), lit(0L)).as("total_len"),
-          (if (hasSig) coalesce(expr("bit_xor(id_hash_delta)"), lit(0L))
-           else lit(0L)).as("id_hash"),
-          max("n_buckets").as("n_buckets"))
-        .collect().head
-      // fielded stores (writeBm25fStore) additionally carry the field
-      // list and per-field length deltas — two more planning-scale jobs,
-      // paid once per on-disk state thanks to the memo
-      val (fNames, fLens) =
-        if (!fielded) (None, None)
-        else {
-          val names = ep.select(max("field_names")).collect()
-            .head.getSeq[String](0).toSeq
-          val lens = ep.select(posexplode(col("len_deltas")).as(Seq("i", "d")))
-            .groupBy("i").agg(sum("d").as("s")).orderBy("i")
-            .collect().map(_.getLong(1)).toSeq
-          (Some(names), Some(lens))
-        }
-      val info = EpochsInfo(r.getLong(0), r.getLong(1),
-        if (hasSig) Some(r.getLong(2)) else None, r.getInt(3), fNames, fLens)
-      epochsMemo.put(key, info)
-      info
+      val cols = Seq(col("epoch").cast("long"), col("n_docs_delta"),
+        col("total_len_delta"),
+        (if (hasSig) col("id_hash_delta") else lit(0L)).as("ih"),
+        col("n_buckets")) ++
+        (if (fielded) Seq(col("field_names"), col("len_deltas")) else Seq.empty)
+      val rows = ep.select(cols: _*).collect().toSeq.map { r =>
+        EpochRow(r.getLong(0), r.getLong(1), r.getLong(2),
+          if (hasSig) Some(r.getLong(3)) else None, r.getInt(4),
+          if (fielded) Some(r.getSeq[String](5).toSeq) else None,
+          if (fielded) Some(r.getSeq[Long](6).toSeq) else None)
+      }
+      epochsMemo.put(key, rows)
+      rows
     }
+  }
+
+  /** The store's COMMITTED SNAPSHOT, folded driver-side from the epochs
+    * table (the store's COMMIT LOG) — the consistency spine of every
+    * serving read (round 12).
+    *
+    * One uniform commit rule: EVERY mutation lands its epochs row LAST
+    * (append/build: postings → df → epochs row; delete: df → tombstones
+    * → epochs row), so an epoch is COMMITTED iff its epochs row exists,
+    * and everything a reader touches — postings, df deltas, scalar
+    * folds, TOMBSTONES — filters to the committed epoch set. A
+    * half-landed mutation, in flight or crashed, is therefore INVISIBLE
+    * (the reader serves the pre-state until the retry lands the commit
+    * row), which closes the delete path's previously documented
+    * stats-vs-docs transient AND a latent rebucket hazard (folding a
+    * crashed delete's deltas while keeping its un-tombstoned docs). The
+    * uniform rule is also what keeps the serve layer's LOGICAL cache
+    * token (the epochs-table fingerprint) exact: an answer can only
+    * change when the commit log changes. Cross-source races within one
+    * request (stats read before a commit landed, postings after) are
+    * the serve layer's optimistic physical-token bracket's job — this
+    * fold makes every AT-REST state exact. */
+  private def epochsInfo(spark: SparkSession, path: String): EpochsInfo = {
+    val rows = epochRows(spark, path)
+    val committed = rows
+    val hasSig = rows.forall(_.ih.nonEmpty) && rows.nonEmpty
+    val fielded = committed.exists(_.fieldNames.nonEmpty)
+    val fLens = if (!fielded) None else Some(
+      committed.flatMap(_.lens).foldLeft(Seq.empty[Long]) { (acc, l) =>
+        if (acc.isEmpty) l
+        else acc.zipAll(l, 0L, 0L).map { case (a, b) => a + b }
+      })
+    EpochsInfo(
+      committed.map(_.nd).sum, committed.map(_.tl).sum,
+      if (hasSig) Some(committed.map(_.ih.get).foldLeft(0L)(_ ^ _)) else None,
+      rows.map(_.nBuckets).maxOption.getOrElse(
+        throw new IllegalStateException(
+          s"store $path has an empty epochs table — no committed build")),
+      if (!fielded) None
+      else committed.flatMap(_.fieldNames).headOption,
+      fLens,
+      committed.map(_.epoch))
+  }
+
+  /** Serving guard: a pre-signature store (epochs table without
+    * id_hash_delta) fails ACTIONABLY — the migration-era contract the
+    * snapshot fold must keep (liveStatsAndBuckets used to carry it). */
+  private def requireSignature(path: String, snap: EpochsInfo): EpochsInfo = {
+    if (snap.idHash.isEmpty)
+      throw new IllegalArgumentException(
+        s"store $path predates the doc-set-signature schema (epochs table " +
+          "has no id_hash_delta column) — rebuild the store with " +
+          "writeBm25Store (rebucket reads the signature fold itself and " +
+          "cannot migrate past this)")
+    snap
   }
 
   /** Guard: `op` is a single-text-column operation and must not touch a
@@ -578,6 +641,12 @@ object Retrieval {
   private def readMeta(spark: SparkSession, path: String): Int =
     epochsInfo(spark, path).nBuckets
 
+  /** True iff the store carries the FIELDED ([[writeBm25fStore]])
+    * layout — the routing predicate maintenance schedulers need to pick
+    * the bm25f lifecycle entry points (one O(1) memoized epochs read). */
+  def isFieldedStore(spark: SparkSession, path: String): Boolean =
+    epochsInfo(spark, path).fieldNames.nonEmpty
+
   /** The lexical store's result-cache version token: the epochs-table
     * fingerprint. Every answer-changing mutation writes an epoch row
     * (append/delete/build/rebucket), so the token changes with the
@@ -590,6 +659,19 @@ object Retrieval {
     * signature would collide. One listStatus. */
   private[graft] def storeVersion(spark: SparkSession, path: String): String =
     fsFingerprint(spark, Seq(epochsPath(path)))
+
+  /** The lexical store's PHYSICAL version: fingerprint over every
+    * directory a serving read lists (postings, df, epochs, tombstones,
+    * docs). Unlike [[storeVersion]] (the result-cache key, deliberately
+    * compaction-invariant), this token moves with ANY file change —
+    * including compaction's bucket swaps — so the serve layer's
+    * optimistic bracket (token before compute == token after ⇒ no
+    * mutation landed mid-request) can catch in-flight physical rewrites
+    * the committed-epoch snapshot cannot order around. A few listStatus
+    * calls, no Spark job. */
+  private[graft] def physicalVersion(spark: SparkSession, path: String): String =
+    fsFingerprint(spark, Seq(postingsPath(path), dfPath(path),
+      epochsPath(path), storeTombstonesPath(path), docsPath(path)))
 
   /** Migration guard for MUTATIONS onto stores written before the
     * doc-set-signature epochs schema (id_hash_delta) and, for appends,
@@ -779,23 +861,32 @@ object Retrieval {
       fsFingerprint(spark, Seq(dfPath(path), epochsPath(path))))(
       spark.read.parquet(dfPath(path)))
 
-  /** The standing retracted-doc set for SERVING reads: an empty
-    * LocalRelation when no tombstones exist, the fingerprint-memoized
-    * LocalRelation twin when bounded, the distributed read otherwise. */
+  /** The COMMITTED retracted-doc set for SERVING reads: tombstone rows
+    * of epochs the commit log carries (an in-flight or crashed delete's
+    * tombstones are invisible until its epochs row lands — the uniform
+    * commit rule, see [[epochsInfo]]); an empty LocalRelation when no
+    * tombstones exist, the fingerprint-memoized LocalRelation twin when
+    * bounded, the distributed read otherwise. */
   private def servingTombstones(spark: SparkSession, path: String,
                                 docIdField: org.apache.spark.sql.types.StructField): DataFrame = {
     val fs = fsFor(spark, path)
     val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
-    if (!fs.exists(tp))
+    if (!hasTombstoneData(fs, path))
       DriverPlan.localFrame(spark, Seq.empty,
         org.apache.spark.sql.types.StructType(Seq(docIdField.copy(name = "doc_id"))))
-    else tombMemo.localized(spark,
-      fsFingerprint(spark, Seq(storeTombstonesPath(path))))(
-      spark.read.parquet(tp.toString).select("doc_id").distinct())
+    else {
+      val committed = epochRows(spark, path).map(_.epoch).filter(_ < 0)
+      tombMemo.localized(spark,
+        fsFingerprint(spark, Seq(storeTombstonesPath(path), epochsPath(path))))(
+        spark.read.parquet(tp.toString)
+          .filter(col("epoch").isInCollection(committed))
+          .select("doc_id").distinct())
+    }
   }
 
-  /** The standing retracted-doc set (distinct, across all delete
-    * epochs); empty frame with the store's doc_id type when none. */
+  /** The standing COMMITTED retracted-doc set (distinct, across all
+    * delete epochs whose commit row landed); empty frame with the
+    * store's doc_id type when none. */
   def readBm25Tombstones(spark: SparkSession, path: String): DataFrame =
     servingTombstones(spark, path,
       servingPostings(spark, path).schema.apply("doc_id"))
@@ -808,10 +899,18 @@ object Retrieval {
                               storedEpoch: Long): DataFrame = {
     val fs = fsFor(spark, path)
     val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
-    if (fs.exists(tp))
+    if (hasTombstoneData(fs, path)) {
+      // COMMITTED prior deletes only: another delete's crashed (row-less)
+      // tombstones must not hide its ids from this one — treating them
+      // as live re-derives their deltas here, and the crashed epoch's
+      // own retry then skips them (they are committed by us), so nothing
+      // double-decrements
+      val committed = epochRows(spark, path).map(_.epoch)
+        .filter(e => e < 0 && e != storedEpoch)
       spark.read.parquet(tp.toString)
-        .filter(col("epoch") =!= storedEpoch).select("doc_id").distinct()
-    else readBm25Tombstones(spark, path) // empty frame w/ correct type
+        .filter(col("epoch").isInCollection(committed))
+        .select("doc_id").distinct()
+    } else readBm25Tombstones(spark, path) // empty frame w/ correct type
   }
 
   /** Write one epoch's per-term df DELTA rows: `counted` is a
@@ -1135,29 +1234,29 @@ object Retrieval {
     val ih = stats.getLong(2)
     if (nd == 0L) 0L
     else {
-      // Write order is the crash contract: df/scalar deltas FIRST,
-      // tombstones LAST. The tombstones are the delete's commit point
-      // — until they exist, a compaction is a no-op (nothing
-      // tombstoned to purge) and a same-epoch retry still sees the
-      // doomed postings, recomputes identical deltas, and lands the
-      // tombstones: the retry converges from every crash point EVEN IF
-      // a compact ran in between. (Tombstones-first had a poison
-      // state: crash before the deltas, then a compact physically
-      // removes the postings and clears the tombstones — the retry
-      // finds nothing to delete and the stats stay overstated
-      // forever.) The cost is a bounded transient: between the delta
-      // writes and the tombstone commit, searches score live postings
-      // against already-decremented stats — single-writer retry heals
-      // it, and no state in the window is unrecoverable.
+      // Write order is the crash contract (round 12, uniform commit
+      // rule): df deltas → tombstones → THE EPOCHS ROW LAST. The epochs
+      // row is every mutation's commit point, so readers folding the
+      // committed snapshot (epochsInfo) never see this delete's deltas
+      // OR its tombstones until all of it is on disk — no torn window,
+      // and the serve layer's logical cache token (the epochs-table
+      // fingerprint) moves exactly when answers can. Crash convergence:
+      // a crashed attempt's row-less df/tombstone partitions are
+      // invisible to serving AND to compaction (which purges only
+      // COMMITTED tombstones — the round-10 poison state of a compact
+      // swallowing a half-landed delete cannot recur), and the
+      // same-epoch retry still sees the doomed postings, re-derives
+      // identical deltas, and dynamically overwrites its own
+      // partitions: convergent from every crash point.
       writeDfDelta(hits.groupBy("bucket", "term")
           .agg((-count(lit(1))).as("cnt")),
         path, storedEpoch, replaceAll = false)
-      writeEpochDelta(spark, path, storedEpoch, -nd, -tl, ih,
-        readMeta(spark, path), replaceAll = false)
       perDoc.select("doc_id").withColumn("epoch", lit(storedEpoch))
         .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy("epoch")
         .parquet(storeTombstonesPath(path))
+      writeEpochDelta(spark, path, storedEpoch, -nd, -tl, ih,
+        readMeta(spark, path), replaceAll = false)
       nd
     }
   }
@@ -1198,7 +1297,7 @@ object Retrieval {
       requireNoCompactBak(fs, path, "compact")
       val bak = new org.apache.hadoop.fs.Path(compactBakPath(path))
       val tp = new org.apache.hadoop.fs.Path(storeTombstonesPath(path))
-      if (!fs.exists(tp)) 0L
+      if (!hasTombstoneData(fs, path)) 0L
       else {
       val tomb = readBm25Tombstones(spark, path)
       val hits = spark.read.parquet(postingsPath(path))
@@ -1282,9 +1381,16 @@ object Retrieval {
           }
         }
       }
-      // Last: retire the tombstones their postings no longer exist for.
-      // A crash before this line leaves them as harmless no-op filters.
-      fs.delete(tp, true)
+      // Last: retire the COMMITTED tombstones their postings no longer
+      // exist for — partition by partition, so a crashed delete's
+      // row-less tombstone partition (invisible to every reader, owned
+      // by that delete's retry) survives untouched. A crash before this
+      // line leaves committed tombstones as harmless no-op filters.
+      val committedNeg = epochRows(spark, path).map(_.epoch).filter(_ < 0)
+      committedNeg.foreach { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(tp, s"epoch=$e"), true)
+      }
+      if (fs.exists(tp) && fs.listStatus(tp).isEmpty) fs.delete(tp, true)
       removed
       }
     }
@@ -1349,7 +1455,14 @@ object Retrieval {
       val tmp = path.stripSuffix("/") + ".rebucket-new"
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       val tomb = readBm25Tombstones(spark, path)
+      // fold ONLY the committed snapshot (round 12): a crashed append's
+      // orphan postings (rows without their epochs-row commit) must not
+      // be folded into epoch 0 while the snapshot-folded scalars below
+      // exclude them — that would permanently disagree. The orphans drop
+      // out here exactly as serving already ignores them.
+      val snap = requireSignature(path, epochsInfo(spark, path))
       val post = spark.read.parquet(postingsPath(path))
+        .filter(col("epoch").isInCollection(snap.epochs.filter(_ >= 0)))
       // positions (and any future data column) travel with the row; only
       // the partition bookkeeping is re-derived
       val dataCols = post.columns.filterNot(c => c == "bucket" || c == "epoch")
@@ -1364,9 +1477,8 @@ object Retrieval {
           .groupBy(col("bucket").cast("long").as("bucket"), col("term"))
           .agg(count(lit(1)).as("cnt")),
         tmp, 0L, replaceAll = true)
-      val (lnd, ltl, lih, _) = liveStatsAndBuckets(spark, path)
-      writeEpochDelta(spark, tmp, 0L, lnd, ltl, lih,
-        newBuckets, replaceAll = true)
+      writeEpochDelta(spark, tmp, 0L, snap.nDocs, snap.totalLen,
+        snap.idHash.get, newBuckets, replaceAll = true)
       // raw-text sidecar: rebucket is its VACUUM — rewrite it to exactly
       // the folded postings' survivors (tombstoned docs and any
       // abandoned-epoch orphans drop out), one row per doc at epoch 0,
@@ -1540,14 +1652,15 @@ object Retrieval {
       k, k1, b, maxQueryTerms, allowed)
       .localCheckpoint() // k-bounded; reused thrice
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
-    val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
-    val buckets = termBuckets(qterms, nBuckets)
+    val snap = requireSignature(path, epochsInfo(spark, path))
+    val buckets = termBuckets(qterms, snap.nBuckets.toLong)
     val post = servingPostings(spark, path)
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
         "positional schema; rebuild (or rebucket) it to enable snippet serving")
     val anchors = post
       .filter(col("bucket").isInCollection(buckets))
+      .filter(col("epoch").isInCollection(snap.epochs.filter(_ >= 0)))
       .select(col("doc_id"), col("term"),
         element_at(col("pos"), 1).as("first_pos"))
       .join(broadcast(qterms.select("query_id", "term")), Seq("term"))
@@ -1588,14 +1701,15 @@ object Retrieval {
     GraftFunctions.register(spark)
     val h = hits.localCheckpoint() // k-bounded; feeds three joins
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
-    val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
-    val buckets = termBuckets(qterms, nBuckets)
+    val snap = requireSignature(path, epochsInfo(spark, path))
+    val buckets = termBuckets(qterms, snap.nBuckets.toLong)
     val post = servingPostings(spark, path)
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
         "positional schema; rebuild (or rebucket) it to enable snippet serving")
     val anchors = post
       .filter(col("bucket").isInCollection(buckets))
+      .filter(col("epoch").isInCollection(snap.epochs.filter(_ >= 0)))
       .select(col("doc_id"), col("term"),
         element_at(col("pos"), 1).as("first_pos"))
       .join(broadcast(qterms.select("query_id", "term")), Seq("term"))
@@ -1628,38 +1742,44 @@ object Retrieval {
                          allowed: Option[DataFrame],
                          requireAll: Boolean = false): DataFrame = {
     requireUnfielded(spark, path, "bm25TopKFromStore")
-    val (nd, tl, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val snap = requireSignature(path, epochsInfo(spark, path))
     import spark.implicits._
-    val stats = Seq((nd, tl)).toDF("n_docs", "total_len")
+    val stats = Seq((snap.nDocs, snap.totalLen)).toDF("n_docs", "total_len")
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val (postings, buckets) =
-      servedLivePostings(spark, path, qterms, nBuckets, allowed)
-    // live df = summed deltas of the pruned buckets; a term whose count
-    // summed to 0 has no live postings either, so it never scores
+      servedLivePostings(spark, path, qterms, snap, allowed)
+    // live df = summed deltas of the pruned buckets AND the committed
+    // snapshot (a half-landed mutation's delta rows are invisible); a
+    // term whose count summed to 0 has no live postings either, so it
+    // never scores
     val dfreq = servingDf(spark, path)
       .filter(col("bucket").isInCollection(buckets))
+      .filter(col("epoch").isInCollection(snap.epochs))
       .groupBy("term").agg(sum("cnt").as("df"))
     scoreBm25(postings, qterms, stats, dfreq, k, k1, b, requireAll)
   }
 
   /** The serving scan every lexical store query class starts from:
-    * postings behind the literal `bucket IN` filter of the query terms,
-    * tombstones anti-joined, the optional allow-list semi-joined.
-    * Returns the pruned live postings AND the bucket list (the caller's
-    * df sidecar read prunes on the same literals). */
+    * postings behind the literal `bucket IN` filter of the query terms
+    * AND the committed snapshot's `epoch IN` filter (both partition
+    * literals — pure pruning), tombstones anti-joined, the optional
+    * allow-list semi-joined. Returns the pruned live postings AND the
+    * bucket list (the caller's df sidecar read prunes on the same
+    * literals plus the same epoch snapshot). */
   private def servedLivePostings(spark: SparkSession, path: String,
-                                 qterms: DataFrame, nBuckets: Long,
+                                 qterms: DataFrame, snap: EpochsInfo,
                                  allowed: Option[DataFrame],
                                  cols: Seq[String] =
                                    Seq("doc_id", "term", "tf", "dl"))
       : (DataFrame, Seq[Long]) = {
-    val buckets = termBuckets(qterms, nBuckets)
+    val buckets = termBuckets(qterms, snap.nBuckets.toLong)
     val post = servingPostings(spark, path)
     // absent-tombstone case reuses post's already-resolved schema — no
     // second listing of the postings directory
     val tomb = servingTombstones(spark, path, post.schema.apply("doc_id"))
     val live = post
       .filter(col("bucket").isInCollection(buckets))
+      .filter(col("epoch").isInCollection(snap.epochs.filter(_ >= 0)))
       .select(cols.head, cols.tail: _*)
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     val out = allowed.fold(live) { a =>
@@ -1732,15 +1852,19 @@ object Retrieval {
     GraftFunctions.register(spark)
     import spark.implicits._
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
-    val scalars = fields.map(f => liveStatsAndBuckets(spark, f.path))
+    val snaps = fields.map(f => epochsInfo(spark, f.path))
     // (count, set-signature) pairs: counts alone would wave through a
     // SYMMETRIC partial retraction (equal sizes, different members) and
     // the coinciding-counts empty-field case — the signature catches both
-    val universes = scalars.map(s => (s._1, s._3)).distinct
+    val universes = snaps.map(s => (s.nDocs, s.idHash.getOrElse(
+      throw new IllegalArgumentException(
+        s"a field store predates the doc-set-signature schema — rebuild " +
+          s"with writeBm25Store (stores: ${fields.map(_.path).mkString(", ")})")
+    ))).distinct
     require(universes.size == 1,
       s"bm25fTopKFromStores requires field-complete stores (one shared " +
         s"document universe); live (doc count, set signature) differ: " +
-        fields.map(_.path).zip(scalars.map(s => (s._1, s._3)))
+        fields.map(_.path).zip(snaps.map(s => (s.nDocs, s.idHash.get)))
           .mkString(", ") +
         " — retract docs from ALL fields or none, and ensure no doc " +
         "tokenizes empty in any field")
@@ -1749,10 +1873,11 @@ object Retrieval {
     // corpus-global (the qx111/qx114 filtered-serving semantics — a
     // filter fences candidates, it never reweights idf), so it fences
     // inside the scoring tail instead
-    val contribs = fields.zip(scalars).zipWithIndex.map {
-      case ((f, (nd, tl, _, nBuckets)), i) =>
+    val contribs = fields.zip(snaps).zipWithIndex.map {
+      case ((f, snap), i) =>
+        val (nd, tl) = (snap.nDocs, snap.totalLen)
         val (live, _) =
-          servedLivePostings(spark, f.path, qterms, nBuckets, allowed = None)
+          servedLivePostings(spark, f.path, qterms, snap, allowed = None)
         live
           .join(broadcast(qtermsOnly), Seq("term"), "leftsemi")
           .crossJoin(broadcast(Seq((nd, tl)).toDF("n_docs", s"len_$i")))
@@ -1894,14 +2019,15 @@ object Retrieval {
         val perField = hits.groupBy("field").agg(sum("dl").as("l"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val negLens = fieldCols.indices.map(i => -perField.getOrElse(i, 0L))
-        // deltas FIRST, tombstones LAST — the commitBm25Delete contract
-        writeFieldedEpochRow(spark, path, storedEpoch, -nd, negLens,
-          docs.getLong(1), info.nBuckets, fieldCols, replaceAll = false)
+        // tombstones first, THE EPOCHS ROW LAST — the commitBm25Delete
+        // uniform-commit contract (the row commits the delete)
         hits.select("doc_id").distinct()
           .withColumn("epoch", lit(storedEpoch))
           .coalesce(1).write.option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").partitionBy("epoch")
           .parquet(storeTombstonesPath(path))
+        writeFieldedEpochRow(spark, path, storedEpoch, -nd, negLens,
+          docs.getLong(1), info.nBuckets, fieldCols, replaceAll = false)
         nd
       }
     }
@@ -1932,7 +2058,9 @@ object Retrieval {
       val tmp = path.stripSuffix("/") + ".rebucket-new"
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       val tomb = readBm25Tombstones(spark, path)
+      // committed-snapshot fold — see rebucketBm25Store
       val post = spark.read.parquet(postingsPath(path))
+        .filter(col("epoch").isInCollection(info.epochs.filter(_ >= 0)))
       val dataCols = post.columns.filterNot(c => c == "bucket" || c == "epoch")
       post.select(dataCols.map(col).toIndexedSeq: _*)
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
@@ -2021,7 +2149,7 @@ object Retrieval {
     // the allow-list is NOT applied to the scan: df/avgdl corpus-global
     // (qx111/qx114 semantics) — it fences inside the scoring tail
     val (live, _) = servedLivePostings(spark, path, qterms,
-      info.nBuckets.toLong, allowed = None,
+      info, allowed = None,
       cols = Seq("doc_id", "term", "tf", "dl", "field"))
     val fstats = fields
       .map(f => (idx(f.name), f.weight, f.b, lens(idx(f.name))))
@@ -2138,10 +2266,10 @@ object Retrieval {
                          allowed: Option[DataFrame]): DataFrame = {
     requireUnfielded(spark, path, "phraseTopKFromStore")
     GraftFunctions.register(spark)
-    val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val snap = requireSignature(path, epochsInfo(spark, path))
     val qtok = querySlotTokens(queries, textCol, idCol, maxPhraseTerms)
     val qlen = queryCounts(qtok, "plen")
-    val buckets = termBuckets(qtok, nBuckets)
+    val buckets = termBuckets(qtok, snap.nBuckets.toLong)
     val post = servingPostings(spark, path)
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
@@ -2149,6 +2277,7 @@ object Retrieval {
     val tomb = servingTombstones(spark, path, post.schema.apply("doc_id"))
     val cand0 = post
       .filter(col("bucket").isInCollection(buckets))
+      .filter(col("epoch").isInCollection(snap.epochs.filter(_ >= 0)))
       .select("doc_id", "term", "pos")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     val cand = allowed.fold(cand0) { a =>
@@ -2217,14 +2346,14 @@ object Retrieval {
     require(window >= 1, s"window=$window must be >= 1")
     requireUnfielded(spark, path, "proximityTopKFromStore")
     GraftFunctions.register(spark)
-    val (_, _, _, nBuckets) = liveStatsAndBuckets(spark, path)
+    val snap = requireSignature(path, epochsInfo(spark, path))
     // distinct (query_id, term) of the first maxQueryTerms tokens —
     // exactly queryTerms' contract (posexplode+cap+distinct ≡
     // explode(slice)+distinct), so the serving path shares its
     // driver-evaluated LocalRelation fast path
     val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
     val qlen = queryCounts(qterms, "nterms")
-    val buckets = termBuckets(qterms, nBuckets)
+    val buckets = termBuckets(qterms, snap.nBuckets.toLong)
     val post = servingPostings(spark, path)
     require(post.columns.contains("pos"),
       s"store $path has no positional postings — it predates the " +
@@ -2232,6 +2361,7 @@ object Retrieval {
     val tomb = servingTombstones(spark, path, post.schema.apply("doc_id"))
     val cand0 = post
       .filter(col("bucket").isInCollection(buckets))
+      .filter(col("epoch").isInCollection(snap.epochs.filter(_ >= 0)))
       .select("doc_id", "term", "pos")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     val cand = allowed.fold(cand0) { a =>

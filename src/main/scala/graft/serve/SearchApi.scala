@@ -143,7 +143,7 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
       val needsLex = (mode != "vector" && mode != "fielded") || includeText
       val ver = (if (needsLex) Retrieval.storeVersion(spark, conf.lexStore)
                  else "-") + "/" +
-        (if (needsVec) Quantize.storeVersion(spark, conf.vecStore)
+        (if (needsVec) Quantize.servingStateToken(spark, conf.vecStore)
          else "-") + "/" +
         conf.corpusPath.filter(_ => needsVec)
           .map(p => Retrieval.fsFingerprint(spark, Seq(p))).getOrElse("-") + "/" +
@@ -184,10 +184,76 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
       rescore = corpusOpt.map(c => (c, conf.vecCol)), allowed = allowed,
       maxQueryTerms = conf.maxQueryTerms)
 
+  /** PHYSICAL state token of every store this request reads — moves
+    * with any landed file change (including compaction's swaps, which
+    * the logical cache tokens deliberately ignore). Used for the
+    * optimistic bracket below, not for caching. */
+  private def physicalToken(mode: String, includeText: Boolean): String = {
+    val needsVec = mode == "hybrid" || mode == "vector" || mode == "snippet"
+    val needsLex = mode != "vector" || includeText
+    (if (needsLex) Retrieval.physicalVersion(serveSpark, conf.lexStore)
+     else "-") + "/" +
+      (if (needsVec) Quantize.servingStateToken(serveSpark, conf.vecStore)
+       else "-") + "/" +
+      (if (mode == "fielded")
+         conf.fieldedStore.map(Retrieval.physicalVersion(serveSpark, _))
+           .getOrElse("-")
+       else "-")
+  }
+
+  /** Optimistic serve-under-mutation bracket (round 12): compute the
+    * response between two physical-token reads and retry when they
+    * differ. The committed-epoch snapshot (Retrieval.epochsInfo) already
+    * makes every AT-REST store state serve exactly — half-landed
+    * mutations are invisible until their commit point — but a request
+    * whose several metadata reads straddle a LANDING commit could mix
+    * two states (stats read pre-delete, tombstones post-delete), and
+    * compaction physically swaps files mid-flight. A changed token means
+    * some write landed during compute, so the answer may mix states:
+    * recompute. Stable token ⇒ every listing the compute did saw one
+    * on-disk state. Bounded retries; on exhaustion (a mutation storm
+    * faster than compute) the honest answer is 503, not a maybe-torn
+    * 200 — ServeMutation measures that this does not fire at realistic
+    * mutation rates. */
   private def searchCompute(text: String, vector: Seq[Float], k: Int,
                             mode: String, allowedIds: Seq[String],
                             window: Int, includeText: Boolean,
                             requireAll: Boolean): Response = {
+    // transient read failures a mutation's rename/clear window can
+    // inflict on a racing request: a momentarily dataless directory
+    // (schema inference fails) or a file moved between listing and open.
+    // Retried with backoff up to the bracket bound — a genuinely broken
+    // store still fails on the final attempt and surfaces normally.
+    def transient(e: Throwable): Boolean = e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case a: org.apache.spark.sql.AnalysisException =>
+        a.getMessage != null && a.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
+      case other => transient(other.getCause)
+    }
+    var attempt = 0
+    while (attempt < 4) {
+      val before = physicalToken(mode, includeText)
+      val resp =
+        try searchComputeOnce(text, vector, k, mode, allowedIds, window,
+          includeText, requireAll)
+        catch {
+          case e: Exception if transient(e) && attempt < 3 =>
+            attempt += 1; Thread.sleep(50L * attempt); null
+        }
+      if (resp != null) {
+        if (resp.status != 200) return resp
+        if (physicalToken(mode, includeText) == before) return resp
+        attempt += 1
+      }
+    }
+    error(503, "stores are mutating continuously; retry")
+  }
+
+  private def searchComputeOnce(text: String, vector: Seq[Float], k: Int,
+                                mode: String, allowedIds: Seq[String],
+                                window: Int, includeText: Boolean,
+                                requireAll: Boolean): Response = {
     // per-request FAIR pool tag (thread-local): a no-op under FIFO
     serveSpark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-serve")
     if (k < 1 || k > conf.maxK)

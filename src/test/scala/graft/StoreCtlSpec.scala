@@ -403,4 +403,59 @@ class StoreCtlSpec extends SparkSpec {
     assert(Quantize.servingHints(spark, store).isEmpty,
       "a recell must reset the serving hints (fresh geometry, fresh question)")
   }
+
+  test("fielded BM25F store under the scheduler: compact on tombstones, rebucket-on-drift through the bm25f entry point, served ranking equals the one-shot at every state") {
+    import spark.implicits._
+    def fieldedRows(n: Int, from: Int = 1) = (from until from + n).map(i =>
+      (i.toLong, s"alpha t$i common", s"beta body$i word${i % 5} gamma" +
+        (if (i % 3 == 0) " alpha" else "")))
+      .toDF("doc_id", "title", "body")
+    val work = java.nio.file.Files.createTempDirectory("storectl-bm25f-").toString
+    val store = s"$work/fstore"
+    val fields = Seq(Retrieval.Bm25fField("title", 2.0, 0.5),
+      Retrieval.Bm25fField("body", 1.0, 0.75))
+    val q = Seq((900L, "alpha common gamma")).toDF("doc_id", "text")
+    def served() = lexRows(Retrieval.bm25fTopKFromStore(spark, store,
+      fields, q, "text", "doc_id", 15))
+    def oneShot(corpus: org.apache.spark.sql.DataFrame) = lexRows(
+      Retrieval.bm25fTopK(corpus,
+        Seq(Retrieval.Bm25Field("title", 2.0, 0.5),
+          Retrieval.Bm25Field("body", 1.0, 0.75)),
+        "doc_id", q, "text", 15))
+
+    val base = fieldedRows(24)
+    Retrieval.writeBm25fStore(base, Seq("title", "body"), "doc_id", store,
+      nBuckets = 4)
+    assert(Retrieval.isFieldedStore(spark, store))
+    // geometry policy ON: ~6 docs/bucket target, drift factor 2×
+    val spec = StoreCtl.LexStore(store, targetDocsPerBucket = 6.0,
+      rebucketWhenBucketsOff = 2.0)
+    assert(StoreCtl.cycle(spark, Seq(spec)).head.action == "noop")
+
+    // grow 4× past the build geometry → the cycle must rebucket via the
+    // FIELDED entry point (the unfielded one refuses fielded layouts)
+    Retrieval.appendBm25fStore(fieldedRows(72, from = 25), "doc_id", store,
+      epoch = 1L)
+    val grown = base.unionByName(fieldedRows(72, from = 25))
+    assert(served() == oneShot(grown), "served must equal one-shot after append")
+    val r1 = StoreCtl.cycle(spark, Seq(spec)).head
+    assert(r1.action == "rebucket", r1.toString)
+    assert(Retrieval.isFieldedStore(spark, store),
+      "rebucket must preserve the fielded layout")
+    assert(Retrieval.liveStatsAndBuckets(spark, store)._4 == 16,
+      "96 docs at 6/bucket → 16 buckets")
+    assert(served() == oneShot(grown), "served must equal one-shot after rebucket")
+
+    // retract → the next cycle compacts the fielded store; answers equal
+    // the one-shot over survivors before AND after
+    val doomed = (1L to 96L).filter(_ % 4 == 2)
+    assert(Retrieval.deleteFromBm25fStore(spark, store,
+      doomed.toDF("doc_id"), epoch = 2L) == doomed.size)
+    val live = grown.filter(!col("doc_id").isInCollection(doomed))
+    assert(served() == oneShot(live), "served must equal one-shot after delete")
+    val r2 = StoreCtl.cycle(spark, Seq(spec)).head
+    assert(r2.action == "compact", r2.toString)
+    assert(Retrieval.readBm25Tombstones(spark, store).count() == 0)
+    assert(served() == oneShot(live), "served must equal one-shot after compact")
+  }
 }
