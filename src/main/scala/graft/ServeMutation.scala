@@ -85,11 +85,29 @@ object ServeMutation {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "."
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // FAIR pools with a real allocation file (round 13): serving jobs
+    // ("graft-serve", tagged per-request by SearchApi) get 8× the weight
+    // of the mutator's default-pool jobs plus a minShare, so a request
+    // racing a long maintenance job (the 9.5 s cell split) is scheduled
+    // ahead of it instead of queueing behind its stages — the serving
+    // tail under mutation is bounded by the request's own work.
+    val poolFile = java.nio.file.Files.createTempFile("graft-pools-", ".xml")
+    java.nio.file.Files.writeString(poolFile,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<allocations>
+        |  <pool name="graft-serve">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>8</weight>
+        |    <minShare>8</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", poolFile.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -96,11 +96,23 @@ private[graft] object DriverPlan {
           e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 32
     })
 
+  // Stable per-session ids: identityHashCode can be REUSED after a
+  // session is GC'd (or collide), which would alias two sessions onto one
+  // cached session-bound DataFrame. A weak-keyed map hands each live
+  // session a unique UUID and drops the mapping with the session, so a
+  // dead session's cache entries can never be addressed again (they age
+  // out of the LRU).
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+
   /** The memoized resolved relation for `key` (caller includes path +
     * version fingerprint; the session identity is appended here). */
   def memoRelation(spark: SparkSession, key: String)
                   (resolve: => DataFrame): DataFrame = {
-    val k = key + "#s" + System.identityHashCode(spark)
+    val k = key + "#s" + sessionId(spark)
     val hit = relationMemo.get(k)
     if (hit != null) hit
     else { val df = resolve; relationMemo.put(k, df); df }

@@ -283,9 +283,16 @@ object Quantize {
         val qn2 = if (qv == null) null else localDot(qv, qv)
         val scored = cens.map { case (cid, cv, cn2) =>
           // when(q_norm2 > 0 && c_norm2 > 0, dot/(√q·√c)) else null,
-          // then coalesce(cos, -2.0); NaN sorts LARGEST under desc
+          // then coalesce(cos, -2.0); NaN sorts LARGEST under desc.
+          // Spark's comparison semantics treat NaN as GREATER than any
+          // value, so a NaN norm PASSES the > 0 gate there — the twin
+          // must mirror that (NaN norm → NaN cosine → ranks first), not
+          // map it to -2.0 (last), or the driver-built pruning literal
+          // could omit cells the distributed plan would probe.
+          def gateP(n2: Double): Boolean = n2 > 0.0 || n2.isNaN
           val cos: Double =
-            if (qn2 == null || cn2 == null || !(qn2 > 0.0) || !(cn2 > 0.0)) -2.0
+            if (qn2 == null || cn2 == null ||
+                !gateP(qn2.doubleValue()) || !gateP(cn2.doubleValue())) -2.0
             else {
               val d = localDot(qv, cv)
               if (d == null) -2.0
@@ -816,8 +823,13 @@ object Quantize {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try graft.sources.Compaction.compactParquet(
-      spark, indexPath, maxRecordsPerFile, Seq("centroid_id"))
+    // gated end-to-end: compaction is answer-preserving, so the gate only
+    // shields racing readers from the rename swap's transient
+    // file-not-found window (cheap — the vector store's cells are small)
+    try graft.sources.StoreGate.writeLocked(indexPath) {
+      graft.sources.Compaction.compactParquet(
+        spark, indexPath, maxRecordsPerFile, Seq("centroid_id"))
+    }
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
@@ -982,24 +994,30 @@ object Quantize {
           .getPartitionPathString("centroid_id", cell))
     // Swap phase 1: move every affected cell's pre-image into the backup.
     // From here until the backup is removed, a crash is recoverable by
-    // restoring the backed-up directories over whatever exists.
-    fs.mkdirs(bak)
-    affected.foreach { cell =>
-      if (!fs.rename(cellDir(new org.apache.hadoop.fs.Path(indexPath), cell),
-          cellDir(bak, cell)))
-        throw new java.io.IOException(
-          s"delete swap failed moving cell $cell to $bak — " +
-            "run Quantize.recoverDeleteBackup to restore")
+    // restoring the backed-up directories over whatever exists. The whole
+    // reader-visible window (moves + survivor write-back) runs behind the
+    // store gate — in-flight serving reads drain first, later readers see
+    // the complete post-image (the survivors were materialized above, so
+    // the gated section is IO-bounded by the affected cells).
+    graft.sources.StoreGate.writeLocked(indexPath) {
+      fs.mkdirs(bak)
+      affected.foreach { cell =>
+        if (!fs.rename(cellDir(new org.apache.hadoop.fs.Path(indexPath), cell),
+            cellDir(bak, cell)))
+          throw new java.io.IOException(
+            s"delete swap failed moving cell $cell to $bak — " +
+              "run Quantize.recoverDeleteBackup to restore")
+      }
+      // Swap phase 2: append the survivors as fresh cell directories.
+      // Emptied cells simply aren't written — their only copy now lives in
+      // the backup, which the success path deletes. No dynamic-overwrite or
+      // manual directory removal needed.
+      if (!survivors.isEmpty)
+        survivors.write.partitionBy("centroid_id")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+      if (!fs.delete(bak, true))
+        throw new java.io.IOException(s"failed to remove delete backup $bak")
     }
-    // Swap phase 2: append the survivors as fresh cell directories.
-    // Emptied cells simply aren't written — their only copy now lives in
-    // the backup, which the success path deletes. No dynamic-overwrite or
-    // manual directory removal needed.
-    if (!survivors.isEmpty)
-      survivors.write.partitionBy("centroid_id")
-        .mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
-    if (!fs.delete(bak, true))
-      throw new java.io.IOException(s"failed to remove delete backup $bak")
     removed
   }
 
@@ -1860,11 +1878,14 @@ object Quantize {
       flat.write.partitionBy("centroid_id").parquet(fresh.toString)
       if (fs.exists(old) && !fs.delete(old, true))
         throw new java.io.IOException(s"flatten: failed to clear $old")
-      if (!fs.rename(main, old))
-        throw new java.io.IOException(s"flatten: failed to retire $main")
-      if (!fs.rename(fresh, main))
-        throw new java.io.IOException(s"flatten: failed to install $fresh")
-      fs.delete(old, true) // best-effort; main is complete from here
+      // install swap gated against in-flight serving reads
+      graft.sources.StoreGate.writeLocked(indexPath) {
+        if (!fs.rename(main, old))
+          throw new java.io.IOException(s"flatten: failed to retire $main")
+        if (!fs.rename(fresh, main))
+          throw new java.io.IOException(s"flatten: failed to install $fresh")
+        fs.delete(old, true) // best-effort; main is complete from here
+      }
       n
     }
 
@@ -2025,33 +2046,38 @@ object Quantize {
       val qBak = new org.apache.hadoop.fs.Path(base + ".recell-bak.quantizers")
       val vMain = new org.apache.hadoop.fs.Path(base + ".vectors")
       val vBak = new org.apache.hadoop.fs.Path(base + ".recell-bak.vectors")
-      if (!fs.rename(main, bak))
-        throw new java.io.IOException(s"recell: failed to move $main aside")
-      if (!fs.rename(qMain, qBak))
-        throw new java.io.IOException(
-          s"recell: failed to move $qMain aside — run recoverIvfPqRecell")
-      if (hadSidecar && !fs.rename(vMain, vBak))
-        throw new java.io.IOException(
-          s"recell: failed to move $vMain aside — run recoverIvfPqRecell")
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
-        throw new java.io.IOException(
-          s"recell: failed to install $tmp — run recoverIvfPqRecell")
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp + ".quantizers"), qMain))
-        throw new java.io.IOException(
-          s"recell: failed to install $tmp.quantizers — run recoverIvfPqRecell")
-      if (hadSidecar &&
-          !fs.rename(new org.apache.hadoop.fs.Path(tmp + ".vectors"), vMain))
-        throw new java.io.IOException(
-          s"recell: failed to install $tmp.vectors — run recoverIvfPqRecell")
-      // the new store holds only survivors: the tombstones' work is done
-      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath)), true)
-      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old"), true)
-      if (!fs.delete(bak, true))
-        throw new java.io.IOException(s"recell: failed to remove $bak")
-      if (!fs.delete(qBak, true))
-        throw new java.io.IOException(s"recell: failed to remove $qBak")
-      if (hadSidecar && !fs.delete(vBak, true))
-        throw new java.io.IOException(s"recell: failed to remove $vBak")
+      // the whole rename sequence runs behind the store gate: the
+      // multi-second retrain above served the old store unchanged; the
+      // install is the only reader-visible instant
+      graft.sources.StoreGate.writeLocked(indexPath) {
+        if (!fs.rename(main, bak))
+          throw new java.io.IOException(s"recell: failed to move $main aside")
+        if (!fs.rename(qMain, qBak))
+          throw new java.io.IOException(
+            s"recell: failed to move $qMain aside — run recoverIvfPqRecell")
+        if (hadSidecar && !fs.rename(vMain, vBak))
+          throw new java.io.IOException(
+            s"recell: failed to move $vMain aside — run recoverIvfPqRecell")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
+          throw new java.io.IOException(
+            s"recell: failed to install $tmp — run recoverIvfPqRecell")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp + ".quantizers"), qMain))
+          throw new java.io.IOException(
+            s"recell: failed to install $tmp.quantizers — run recoverIvfPqRecell")
+        if (hadSidecar &&
+            !fs.rename(new org.apache.hadoop.fs.Path(tmp + ".vectors"), vMain))
+          throw new java.io.IOException(
+            s"recell: failed to install $tmp.vectors — run recoverIvfPqRecell")
+        // the new store holds only survivors: the tombstones' work is done
+        fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(indexPath) + ".old"), true)
+        if (!fs.delete(bak, true))
+          throw new java.io.IOException(s"recell: failed to remove $bak")
+        if (!fs.delete(qBak, true))
+          throw new java.io.IOException(s"recell: failed to remove $qBak")
+        if (hadSidecar && !fs.delete(vBak, true))
+          throw new java.io.IOException(s"recell: failed to remove $vBak")
+      }
       (nLive, cells)
     }
 
@@ -2281,17 +2307,22 @@ object Quantize {
       val cMain = new org.apache.hadoop.fs.Path(s"$qbase/centroids")
       val cBak = new org.apache.hadoop.fs.Path(s"$qbase/centroids-bak")
       val cNew = new org.apache.hadoop.fs.Path(s"$qbase/centroids-new")
-      if (!fs.rename(cMain, cBak))
-        throw new java.io.IOException(
-          s"split: failed to retire $cMain — run recoverCellSplit")
-      if (!fs.rename(cNew, cMain))
-        throw new java.io.IOException(
-          s"split: failed to install $cNew — run recoverCellSplit")
-      if (!fs.delete(cBak, true))
-        throw new java.io.IOException(s"split: failed to drop $cBak")
-      // 4. GC the old (now unreachable) cell dirs, then retire the manifest
-      gcSplitCells(spark, fs, indexPath, drifted)
-      fs.delete(new org.apache.hadoop.fs.Path(splitManifestPath(indexPath)), false)
+      // reader-visible window: the centroid swap plus the old-cell GC (a
+      // pre-swap reader's probe plan still references the retired cells)
+      // — everything above served the old geometry unchanged
+      graft.sources.StoreGate.writeLocked(indexPath) {
+        if (!fs.rename(cMain, cBak))
+          throw new java.io.IOException(
+            s"split: failed to retire $cMain — run recoverCellSplit")
+        if (!fs.rename(cNew, cMain))
+          throw new java.io.IOException(
+            s"split: failed to install $cNew — run recoverCellSplit")
+        if (!fs.delete(cBak, true))
+          throw new java.io.IOException(s"split: failed to drop $cBak")
+        // 4. GC the old (now unreachable) cell dirs, then retire the manifest
+        gcSplitCells(spark, fs, indexPath, drifted)
+        fs.delete(new org.apache.hadoop.fs.Path(splitManifestPath(indexPath)), false)
+      }
       (drifted.length, rewritten)
     }
 

@@ -1122,6 +1122,15 @@ object Retrieval {
       val newIds = want.join(
         broadcast(priorTombstones(spark, path, storedEpoch)),
         Seq("doc_id"), "left_anti")
+      // COMMITTED SNAPSHOT fence (round 13): every derivation scan below
+      // filters to the committed epoch set, exactly like the serving
+      // reads and rebucket. Without it, deleting an id present ONLY in a
+      // crashed append's orphan postings would derive -df/-n_docs/id-hash
+      // deltas for a doc the committed log never counted — permanently
+      // understating stats (and driving shared terms' df negative) unless
+      // that append were later retried. With the fence the delete sees
+      // exactly what committed readers see: orphan-only ids no-op.
+      val committedPost = epochsInfo(spark, path).epochs.filter(_ >= 0)
       // AUTO-ROUTE (round 10): a store carrying the raw-text sidecar
       // serves its own O(batch) delete — texts of the retracted ids read
       // behind their literal dbucket filter, deltas from re-tokenization,
@@ -1153,7 +1162,8 @@ object Retrieval {
           .agg(min(col("bucket")).as("b"))
           .select("b").distinct().collect().map(_.getLong(0)).toSeq
         val liveIds = spark.read.parquet(postingsPath(path))
-          .filter(col("bucket").isInCollection(probeBuckets))
+          .filter(col("bucket").isInCollection(probeBuckets) &&
+            col("epoch").isInCollection(committedPost))
           .select("doc_id")
           .join(broadcast(newIds), Seq("doc_id"), "leftsemi")
           .distinct()
@@ -1161,6 +1171,7 @@ object Retrieval {
           .select(col("bucket"), col("doc_id"), col("term"), col("dl"))
       } else {
         spark.read.parquet(postingsPath(path))
+          .filter(col("epoch").isInCollection(committedPost))
           .select(col("bucket").cast("long").as("bucket"),
             col("doc_id"), col("term"), col("dl"))
           .join(broadcast(newIds), Seq("doc_id"))
@@ -1320,26 +1331,30 @@ object Retrieval {
           .write.mode("overwrite").partitionBy("bucket", "epoch")
           .parquet(tmp.toString)
         val root = new org.apache.hadoop.fs.Path(postingsPath(path))
-        fs.mkdirs(bak)
-        affected.foreach { b =>
-          val dir = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
-          if (fs.exists(dir) && !fs.rename(dir,
-              new org.apache.hadoop.fs.Path(bak, s"bucket=$b")))
-            throw new java.io.IOException(
-              s"compact swap failed moving bucket $b to $bak — " +
-                "run Retrieval.recoverBm25Compaction to restore")
+        // INSTALL window: reader-visible renames only (the survivor write
+        // above ran in the sibling) — in-flight serving reads drain first
+        graft.sources.StoreGate.writeLocked(path) {
+          fs.mkdirs(bak)
+          affected.foreach { b =>
+            val dir = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
+            if (fs.exists(dir) && !fs.rename(dir,
+                new org.apache.hadoop.fs.Path(bak, s"bucket=$b")))
+              throw new java.io.IOException(
+                s"compact swap failed moving bucket $b to $bak — " +
+                  "run Retrieval.recoverBm25Compaction to restore")
+          }
+          fs.listStatus(tmp).filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("bucket=")).foreach { st =>
+            if (!fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(root, st.getPath.getName)))
+              throw new java.io.IOException(
+                s"compact swap failed installing ${st.getPath.getName} — " +
+                  "run Retrieval.recoverBm25Compaction to restore")
+          }
+          if (!fs.delete(bak, true))
+            throw new java.io.IOException(s"failed to remove compact backup $bak")
+          fs.delete(tmp, true)
         }
-        fs.listStatus(tmp).filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("bucket=")).foreach { st =>
-          if (!fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(root, st.getPath.getName)))
-            throw new java.io.IOException(
-              s"compact swap failed installing ${st.getPath.getName} — " +
-                "run Retrieval.recoverBm25Compaction to restore")
-        }
-        if (!fs.delete(bak, true))
-          throw new java.io.IOException(s"failed to remove compact backup $bak")
-        fs.delete(tmp, true)
       }
       // Sidecar vacuum — see the scaladoc. Unconditional on `affected`
       // (a retry after a crash that already swapped the postings finds
@@ -1368,15 +1383,17 @@ object Retrieval {
               .select(col("dbucket").cast("long"), col("epoch").cast("long"))
               .distinct().collect()
               .map(r => (r.getLong(0), r.getLong(1))).toSet
-            if (kept.nonEmpty)
-              survivors.repartition(col("dbucket"))
-                .write.mode("overwrite").partitionBy("dbucket", "epoch")
-                // mode pinned per-write in both branches — see writeDfDelta
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(docsPath(path))
-            doomedParts.filterNot(kept).foreach { case (b, e) =>
-              fs.delete(new org.apache.hadoop.fs.Path(
-                docsPath(path) + s"/dbucket=$b/epoch=$e"), true)
+            graft.sources.StoreGate.writeLocked(path) {
+              if (kept.nonEmpty)
+                survivors.repartition(col("dbucket"))
+                  .write.mode("overwrite").partitionBy("dbucket", "epoch")
+                  // mode pinned per-write in both branches — see writeDfDelta
+                  .option("partitionOverwriteMode", "dynamic")
+                  .parquet(docsPath(path))
+              doomedParts.filterNot(kept).foreach { case (b, e) =>
+                fs.delete(new org.apache.hadoop.fs.Path(
+                  docsPath(path) + s"/dbucket=$b/epoch=$e"), true)
+              }
             }
           }
         }
@@ -1386,11 +1403,15 @@ object Retrieval {
       // row-less tombstone partition (invisible to every reader, owned
       // by that delete's retry) survives untouched. A crash before this
       // line leaves committed tombstones as harmless no-op filters.
+      // (Between the gated windows the store is consistent: purged
+      // postings + standing tombstones double-filter to the same answer.)
       val committedNeg = epochRows(spark, path).map(_.epoch).filter(_ < 0)
-      committedNeg.foreach { e =>
-        fs.delete(new org.apache.hadoop.fs.Path(tp, s"epoch=$e"), true)
+      graft.sources.StoreGate.writeLocked(path) {
+        committedNeg.foreach { e =>
+          fs.delete(new org.apache.hadoop.fs.Path(tp, s"epoch=$e"), true)
+        }
+        if (fs.exists(tp) && fs.listStatus(tp).isEmpty) fs.delete(tp, true)
       }
-      if (fs.exists(tp) && fs.listStatus(tp).isEmpty) fs.delete(tp, true)
       removed
       }
     }
@@ -1509,15 +1530,18 @@ object Retrieval {
         org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
           new org.apache.hadoop.fs.Path(tmp, "_graft_stream_id"),
           false, spark.sparkContext.hadoopConfiguration)
-      // Install: old store → backup, new store → path, drop backup.
+      // Install: old store → backup, new store → path, drop backup —
+      // gated so in-flight serving reads drain before the swap.
       val main = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
-      if (!fs.rename(main, bak))
-        throw new java.io.IOException(s"rebucket: failed to move $main aside")
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
-        throw new java.io.IOException(
-          s"rebucket: failed to install $tmp — run recoverBm25Rebucket")
-      if (!fs.delete(bak, true))
-        throw new java.io.IOException(s"rebucket: failed to remove $bak")
+      graft.sources.StoreGate.writeLocked(path) {
+        if (!fs.rename(main, bak))
+          throw new java.io.IOException(s"rebucket: failed to move $main aside")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
+          throw new java.io.IOException(
+            s"rebucket: failed to install $tmp — run recoverBm25Rebucket")
+        if (!fs.delete(bak, true))
+          throw new java.io.IOException(s"rebucket: failed to remove $bak")
+      }
     }
   }
 
@@ -2004,7 +2028,10 @@ object Retrieval {
       val newIds = want.join(
         broadcast(priorTombstones(spark, path, storedEpoch)),
         Seq("doc_id"), "left_anti")
+      // committed-snapshot fence, same rationale as the unfielded path:
+      // the delta derivation must only see docs the committed log counts
       val hits = spark.read.parquet(postingsPath(path))
+        .filter(col("epoch").isInCollection(info.epochs.filter(_ >= 0)))
         .select("doc_id", "field", "dl")
         .join(broadcast(newIds), Seq("doc_id"))
         .groupBy("field", "doc_id").agg(max("dl").as("dl"))
@@ -2072,13 +2099,15 @@ object Retrieval {
       writeFieldedEpoch(spark, tmp, 0L, fieldCols, newBuckets,
         replaceAll = true)
       val main = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
-      if (!fs.rename(main, bak))
-        throw new java.io.IOException(s"rebucket: failed to move $main aside")
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
-        throw new java.io.IOException(
-          s"rebucket: failed to install $tmp — run recoverBm25Rebucket")
-      if (!fs.delete(bak, true))
-        throw new java.io.IOException(s"rebucket: failed to remove $bak")
+      graft.sources.StoreGate.writeLocked(path) {
+        if (!fs.rename(main, bak))
+          throw new java.io.IOException(s"rebucket: failed to move $main aside")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), main))
+          throw new java.io.IOException(
+            s"rebucket: failed to install $tmp — run recoverBm25Rebucket")
+        if (!fs.delete(bak, true))
+          throw new java.io.IOException(s"rebucket: failed to remove $bak")
+      }
     }
   }
 

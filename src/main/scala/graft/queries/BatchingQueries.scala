@@ -424,14 +424,16 @@ object BatchingQueries {
     //  sketch must hash-match qx102's one-shot oracle verbatim.)
     "qx106_stream_sketch" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val work = java.nio.file.Files.createTempDirectory("qx106-").toString
-      val landing = s"$work/landing"
-      docs.select("doc_id", "text").repartition(4).write.parquet(landing)
-      val q = graft.streaming.StreamingSketch.start(
-        s.readStream.schema(s.read.parquet(landing).schema)
-          .option("maxFilesPerTrigger", 1).parquet(landing),
-        "text", CM_DEPTH, CM_WIDTH, s"$work/sketch", s"$work/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      val work = StoreMemo.materialize(dir, Seq(
+        StoreMemo.step(s"cm.stream|docs|d=$CM_DEPTH|w=$CM_WIDTH|files=4")(w => {
+          val landing = s"$w/landing"
+          docs.select("doc_id", "text").repartition(4).write.parquet(landing)
+          val q = graft.streaming.StreamingSketch.start(
+            s.readStream.schema(s.read.parquet(landing).schema)
+              .option("maxFilesPerTrigger", 1).parquet(landing),
+            "text", CM_DEPTH, CM_WIDTH, s"$w/sketch", s"$w/ckpt")
+          try q.processAllAvailable() finally q.stop()
+        })))
       graft.operators.TextAnalysis.countMinEstimatesWith(
           graft.streaming.StreamingSketch.sketch(s, s"$work/sketch"),
           docs, "text", CM_DEPTH, CM_WIDTH)

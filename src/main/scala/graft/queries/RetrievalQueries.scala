@@ -100,6 +100,41 @@ object RetrievalQueries {
   private val V5_MIN_SHARED = 1L
   private val V5_BLOOM_BITS = 1 << 17
 
+  // ---- Store-chain steps (round 13) --------------------------------------
+  // Every durable-store construction below is expressed as a StoreMemo
+  // chain: the store is built ONCE per (JVM, dataset, chain prefix) and
+  // shared across bench reps and across queries whose chains are
+  // signature-identical — the production shape (stores are durable
+  // artifacts) and the round-12 review's prescription. Signatures encode
+  // every content-determining parameter; the stores live at fixed
+  // relative paths inside the chain's work dir ("store", "lex", "vec",
+  // "title", "body") so prefix-sharing chains agree on layout.
+
+  /** Canonical corpus slice names used in chain signatures. */
+  private def bm25Build(sliceSig: String, slice: => org.apache.spark.sql.DataFrame,
+                        storeDocs: Boolean = false, at: String = "store",
+                        textCol: String = "text") =
+    StoreMemo.step(
+      s"bm25.build|$sliceSig|t=$textCol|b=$STORE_BUCKETS|docs=$storeDocs|at=$at")(w =>
+      Retrieval.writeBm25Store(slice, textCol, "doc_id", s"$w/$at",
+        STORE_BUCKETS, storeDocs = storeDocs))
+
+  private def bm25Append(sliceSig: String, slice: => org.apache.spark.sql.DataFrame,
+                         epoch: Long, at: String = "store",
+                         textCol: String = "text") =
+    StoreMemo.step(s"bm25.append|$sliceSig|t=$textCol|e=$epoch|at=$at")(w =>
+      Retrieval.appendBm25Store(slice, textCol, "doc_id", s"$w/$at", epoch))
+
+  private def bm25Delete(s: SparkSession, sliceSig: String,
+                         ids: => org.apache.spark.sql.DataFrame,
+                         epoch: Long, at: String = "store") =
+    StoreMemo.step(s"bm25.delete|$sliceSig|e=$epoch|at=$at")(w =>
+      Retrieval.deleteFromBm25Store(s, s"$w/$at", ids, epoch))
+
+  private def bm25Compact(s: SparkSession, at: String = "store") =
+    StoreMemo.step(s"bm25.compact|at=$at")(w =>
+      { Retrieval.compactBm25Store(s, s"$w/$at"); () })
+
   val queries: Map[String, Q] = Map(
 
     // ---- BM25 top-k lexical retrieval -----------------------------------
@@ -158,16 +193,17 @@ object RetrievalQueries {
           "' '")).as("body"))
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
-      val work = java.nio.file.Files.createTempDirectory("qx119-").toString
-      for ((f, p) <- Seq("title" -> s"$work/title", "body" -> s"$work/body")) {
-        Retrieval.writeBm25Store(fielded.filter(notQuery && !isAppend),
-          f, "doc_id", p, STORE_BUCKETS)
-        Retrieval.appendBm25Store(fielded.filter(notQuery && isAppend),
-          f, "doc_id", p, epoch = 1L)
+      // one chain per field store (title/body split at BM25F_TITLE_TOKENS)
+      val Seq(wt, wb) = Seq("title", "body").map { f =>
+        StoreMemo.materialize(dir, Seq(
+          bm25Build(s"fielded($f,$BM25F_TITLE_TOKENS)!q&!a",
+            fielded.filter(notQuery && !isAppend), textCol = f),
+          bm25Append(s"fielded($f,$BM25F_TITLE_TOKENS)!q&a",
+            fielded.filter(notQuery && isAppend), 1L, textCol = f)))
       }
       Retrieval.bm25fTopKFromStores(s,
-          Seq(Retrieval.Bm25StoreField(s"$work/title", BM25F_TITLE_W, BM25F_TITLE_B),
-            Retrieval.Bm25StoreField(s"$work/body", BM25F_BODY_W, BM25F_BODY_B)),
+          Seq(Retrieval.Bm25StoreField(s"$wt/store", BM25F_TITLE_W, BM25F_TITLE_B),
+            Retrieval.Bm25StoreField(s"$wb/store", BM25F_BODY_W, BM25F_BODY_B)),
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), "text",
           "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
@@ -191,11 +227,15 @@ object RetrievalQueries {
           "' '")).as("body"))
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
-      val work = java.nio.file.Files.createTempDirectory("qx123-").toString
-      Retrieval.writeBm25fStore(fielded.filter(notQuery && !isAppend),
-        Seq("title", "body"), "doc_id", s"$work/store", STORE_BUCKETS)
-      Retrieval.appendBm25fStore(fielded.filter(notQuery && isAppend),
-        "doc_id", s"$work/store", epoch = 1L)
+      val work = StoreMemo.materialize(dir, Seq(
+        StoreMemo.step(s"bm25f.build|fielded(title+body,$BM25F_TITLE_TOKENS)" +
+          s"!q&!a|b=$STORE_BUCKETS")(w =>
+          Retrieval.writeBm25fStore(fielded.filter(notQuery && !isAppend),
+            Seq("title", "body"), "doc_id", s"$w/store", STORE_BUCKETS)),
+        StoreMemo.step(s"bm25f.append|fielded(title+body," +
+          s"$BM25F_TITLE_TOKENS)!q&a|e=1")(w =>
+          Retrieval.appendBm25fStore(fielded.filter(notQuery && isAppend),
+            "doc_id", s"$w/store", epoch = 1L))))
       Retrieval.bm25fTopKFromStore(s, s"$work/store",
           Seq(Retrieval.Bm25fField("title", BM25F_TITLE_W, BM25F_TITLE_B),
             Retrieval.Bm25fField("body", BM25F_BODY_W, BM25F_BODY_B)),
@@ -219,15 +259,16 @@ object RetrievalQueries {
         expr(d.ajoin(d.slice(toks, (BM25F_TITLE_TOKENS + 1).toString, 1000000),
           "' '")).as("body"))
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
-      val work = java.nio.file.Files.createTempDirectory("qx120-").toString
-      for ((f, p) <- Seq("title" -> s"$work/title", "body" -> s"$work/body"))
-        Retrieval.writeBm25Store(fielded.filter(notQuery), f, "doc_id", p,
-          STORE_BUCKETS)
+      val Seq(wt, wb) = Seq("title", "body").map { f =>
+        StoreMemo.materialize(dir, Seq(
+          bm25Build(s"fielded($f,$BM25F_TITLE_TOKENS)!q",
+            fielded.filter(notQuery), textCol = f)))
+      }
       val allowed = docs.filter(notQuery && col("doc_id") % 3 === 1)
         .select("doc_id")
       Retrieval.bm25fTopKFromStoresFiltered(s,
-          Seq(Retrieval.Bm25StoreField(s"$work/title", BM25F_TITLE_W, BM25F_TITLE_B),
-            Retrieval.Bm25StoreField(s"$work/body", BM25F_BODY_W, BM25F_BODY_B)),
+          Seq(Retrieval.Bm25StoreField(s"$wt/store", BM25F_TITLE_W, BM25F_TITLE_B),
+            Retrieval.Bm25StoreField(s"$wb/store", BM25F_BODY_W, BM25F_BODY_B)),
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
@@ -243,12 +284,12 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents")
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
-      val work = java.nio.file.Files.createTempDirectory("qx122-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
-        "text", "doc_id", work, STORE_BUCKETS)
-      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
-        "text", "doc_id", work, epoch = 1L)
-      Retrieval.bm25TopKFromStoreConjunctive(s, work,
+      // qx105's chain verbatim — the conjunctive mode serves from the
+      // same shared store
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend)),
+        bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L)))
+      Retrieval.bm25TopKFromStoreConjunctive(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = PROX_TERMS)
         .orderBy("query_id", "rank")
@@ -265,12 +306,11 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents")
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
-      val work = java.nio.file.Files.createTempDirectory("qx121-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
-        "text", "doc_id", work, STORE_BUCKETS, storeDocs = true)
-      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
-        "text", "doc_id", work, epoch = 1L)
-      Retrieval.snippetTopKFromStore(s, work,
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend),
+          storeDocs = true),
+        bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L)))
+      Retrieval.snippetTopKFromStore(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, window = SNIPPET_WINDOW,
           maxQueryTerms = MAX_QTERMS)
@@ -288,12 +328,12 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents")
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
-      val work = java.nio.file.Files.createTempDirectory("qx105-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
-        "text", "doc_id", work, STORE_BUCKETS)
-      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
-        "text", "doc_id", work, epoch = 1L)
-      Retrieval.bm25TopKFromStore(s, work,
+      // chain shared verbatim with qx122 (same store, different query
+      // mode) and as the prefix of qx108/qx115's delete lifecycles
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend)),
+        bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L)))
+      Retrieval.bm25TopKFromStore(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
@@ -313,14 +353,13 @@ object RetrievalQueries {
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
       val isDel = col("doc_id") % STORE_DEL_MOD === STORE_DEL_REM
-      val work = java.nio.file.Files.createTempDirectory("qx108-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
-        "text", "doc_id", work, STORE_BUCKETS)
-      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
-        "text", "doc_id", work, epoch = 1L)
-      Retrieval.deleteFromBm25Store(s, work,
-        docs.filter(notQuery && isDel).select("doc_id"), epoch = 2L)
-      Retrieval.bm25TopKFromStore(s, work,
+      // derives from qx105's cached build+append prefix; is itself the
+      // prefix of qx115's compacting positional lifecycle
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend)),
+        bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L),
+        bm25Delete(s, "docs!q&d", docs.filter(notQuery && isDel).select("doc_id"), 2L)))
+      Retrieval.bm25TopKFromStore(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
@@ -339,15 +378,13 @@ object RetrievalQueries {
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isDel = col("doc_id") % STORE_DEL_MOD === STORE_DEL_REM
       val isReadd = col("doc_id") % STORE_READD_MOD === STORE_READD_REM
-      val work = java.nio.file.Files.createTempDirectory("qx109-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery),
-        "text", "doc_id", work, STORE_BUCKETS)
-      Retrieval.deleteFromBm25Store(s, work,
-        docs.filter(notQuery && isDel).select("doc_id"), epoch = 1L)
-      Retrieval.compactBm25Store(s, work)
-      Retrieval.appendBm25Store(docs.filter(notQuery && isDel && isReadd),
-        "text", "doc_id", work, epoch = 2L)
-      Retrieval.bm25TopKFromStore(s, work,
+      // derives from qx111/qx117's cached full-corpus build
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q", docs.filter(notQuery)),
+        bm25Delete(s, "docs!q&d", docs.filter(notQuery && isDel).select("doc_id"), 1L),
+        bm25Compact(s),
+        bm25Append("docs!q&d&r", docs.filter(notQuery && isDel && isReadd), 2L)))
+      Retrieval.bm25TopKFromStore(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
@@ -362,12 +399,12 @@ object RetrievalQueries {
     "qx111_bm25_filtered" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
-      val work = java.nio.file.Files.createTempDirectory("qx111-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery),
-        "text", "doc_id", work, STORE_BUCKETS)
+      // full-corpus build shared verbatim with qx117 and as qx109's prefix
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q", docs.filter(notQuery))))
       val allowed = docs.filter(notQuery && col("doc_id") % 3 === 1)
         .select("doc_id")
-      Retrieval.bm25TopKFromStoreFiltered(s, work,
+      Retrieval.bm25TopKFromStoreFiltered(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
@@ -428,14 +465,18 @@ object RetrievalQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < HY_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val work = java.nio.file.Files.createTempDirectory("qx107-").toString
-      Retrieval.writeBm25Store(corpusDocs, "text", "doc_id",
-        s"$work/lex", STORE_BUCKETS)
-      graft.operators.Quantize.buildSelfContained(s, corpusVecs,
-        "doc_id", "embedding", cents, "centroid_id", "cen_emb",
-        codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
-        residual = false, s"$work/vec")
-      Retrieval.hybridTopKFromStores(s, s"$work/lex", s"$work/vec",
+      // both stores shared verbatim with qx114 (same corpus, same params;
+      // qx114 only adds a serve-time candidate fence)
+      val wl = StoreMemo.materialize(dir, Seq(
+        bm25Build(s"hybrid!q($RRF_QMOD,$RRF_QREM)", corpusDocs, at = "lex")))
+      val wv = StoreMemo.materialize(dir, Seq(
+        StoreMemo.step(s"vec.buildSC|hybrid!q($RRF_QMOD,$RRF_QREM)|" +
+          s"c=$HY_CENTROIDS|cb=$HY_CODES|d=$HY_DIMS|bl=$HY_BLOCKS|res=false")(w =>
+          graft.operators.Quantize.buildSelfContained(s, corpusVecs,
+            "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+            codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
+            residual = false, s"$w/vec"))))
+      Retrieval.hybridTopKFromStores(s, s"$wl/lex", s"$wv/vec",
           hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
           HY_NPROBE, HY_RERANK, corpusVecs, "embedding",
@@ -457,15 +498,13 @@ object RetrievalQueries {
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isAppend = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
       val isDel = col("doc_id") % STORE_DEL_MOD === STORE_DEL_REM
-      val work = java.nio.file.Files.createTempDirectory("qx115-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery && !isAppend),
-        "text", "doc_id", work, STORE_BUCKETS)
-      Retrieval.appendBm25Store(docs.filter(notQuery && isAppend),
-        "text", "doc_id", work, epoch = 1L)
-      Retrieval.deleteFromBm25Store(s, work,
-        docs.filter(notQuery && isDel).select("doc_id"), epoch = 2L)
-      Retrieval.compactBm25Store(s, work)
-      Retrieval.phraseTopKFromStore(s, work,
+      // extends qx108's cached build+append+delete chain by one compaction
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend)),
+        bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L),
+        bm25Delete(s, "docs!q&d", docs.filter(notQuery && isDel).select("doc_id"), 2L),
+        bm25Compact(s)))
+      Retrieval.phraseTopKFromStore(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxPhraseTerms = PHRASE_TERMS)
         .orderBy("query_id", "rank")
@@ -480,10 +519,10 @@ object RetrievalQueries {
     "qx117_bm25_proximity" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
-      val work = java.nio.file.Files.createTempDirectory("qx117-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery),
-        "text", "doc_id", work, STORE_BUCKETS)
-      Retrieval.proximityTopKFromStore(s, work,
+      // same full-corpus build as qx111 — one store serves both modes
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q", docs.filter(notQuery))))
+      Retrieval.proximityTopKFromStore(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, PROX_WINDOW, maxQueryTerms = PROX_TERMS)
         .orderBy("query_id", "rank")
@@ -512,16 +551,19 @@ object RetrievalQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < HY_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val work = java.nio.file.Files.createTempDirectory("qx114-").toString
-      Retrieval.writeBm25Store(corpusDocs, "text", "doc_id",
-        s"$work/lex", STORE_BUCKETS)
-      graft.operators.Quantize.buildSelfContained(s, corpusVecs,
-        "doc_id", "embedding", cents, "centroid_id", "cen_emb",
-        codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
-        residual = false, s"$work/vec")
+      // qx107's two store chains verbatim — the ACL fence is serve-time
+      val wl = StoreMemo.materialize(dir, Seq(
+        bm25Build(s"hybrid!q($RRF_QMOD,$RRF_QREM)", corpusDocs, at = "lex")))
+      val wv = StoreMemo.materialize(dir, Seq(
+        StoreMemo.step(s"vec.buildSC|hybrid!q($RRF_QMOD,$RRF_QREM)|" +
+          s"c=$HY_CENTROIDS|cb=$HY_CODES|d=$HY_DIMS|bl=$HY_BLOCKS|res=false")(w =>
+          graft.operators.Quantize.buildSelfContained(s, corpusVecs,
+            "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+            codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
+            residual = false, s"$w/vec"))))
       val allowed = hybrid.filter(!isQuery && col("doc_id") % 3 === 1)
         .select("doc_id")
-      Retrieval.hybridTopKFromStoresFiltered(s, s"$work/lex", s"$work/vec",
+      Retrieval.hybridTopKFromStoresFiltered(s, s"$wl/lex", s"$wv/vec",
           hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
           allowed, "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
           HY_NPROBE, HY_RERANK, corpusVecs, "embedding",
@@ -540,17 +582,21 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents")
       val notQuery = col("doc_id") % BM25_QMOD =!= BM25_QREM
       val isStream = col("doc_id") % STORE_APPEND_MOD === STORE_APPEND_REM
-      val work = java.nio.file.Files.createTempDirectory("qx110-").toString
-      Retrieval.writeBm25Store(docs.filter(notQuery && !isStream),
-        "text", "doc_id", s"$work/store", STORE_BUCKETS)
-      val landing = s"$work/landing"
-      docs.filter(notQuery && isStream).select("doc_id", "text")
-        .repartition(4).write.parquet(landing)
-      val q = graft.streaming.StreamingBm25Ingest.start(
-        s.readStream.schema(s.read.parquet(landing).schema)
-          .option("maxFilesPerTrigger", 1).parquet(landing),
-        "text", "doc_id", s"$work/store", s"$work/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      // step 1 is qx105's build signature verbatim (the stream slice IS
+      // the append slice) — the stream-replay harness derives from the
+      // cached base store instead of rebuilding it
+      val work = StoreMemo.materialize(dir, Seq(
+        bm25Build("docs!q&!a", docs.filter(notQuery && !isStream)),
+        StoreMemo.step("bm25.streamIngest|docs!q&a|files=4")(w => {
+          val landing = s"$w/landing"
+          docs.filter(notQuery && isStream).select("doc_id", "text")
+            .repartition(4).write.parquet(landing)
+          val q = graft.streaming.StreamingBm25Ingest.start(
+            s.readStream.schema(s.read.parquet(landing).schema)
+              .option("maxFilesPerTrigger", 1).parquet(landing),
+            "text", "doc_id", s"$w/store", s"$w/ckpt")
+          try q.processAllAvailable() finally q.stop()
+        })))
       Retrieval.bm25TopKFromStore(s, s"$work/store",
           docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
           "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
@@ -578,31 +624,37 @@ object RetrievalQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < HY_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val work = java.nio.file.Files.createTempDirectory("qx112-").toString
       // lexical: build on the even half, STREAM the odd half in
-      Retrieval.writeBm25Store(corpusDocs.filter(col("doc_id") % 2 === 0),
-        "text", "doc_id", s"$work/lex", STORE_BUCKETS)
-      corpusDocs.filter(col("doc_id") % 2 === 1)
-        .repartition(2).write.parquet(s"$work/lexlanding")
-      val ql = graft.streaming.StreamingBm25Ingest.start(
-        s.readStream.schema(s.read.parquet(s"$work/lexlanding").schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$work/lexlanding"),
-        "text", "doc_id", s"$work/lex", s"$work/lexckpt")
-      try ql.processAllAvailable() finally ql.stop()
+      val wl = StoreMemo.materialize(dir, Seq(
+        bm25Build(s"hybrid!q($RRF_QMOD,$RRF_QREM)&even",
+          corpusDocs.filter(col("doc_id") % 2 === 0), at = "lex"),
+        StoreMemo.step(s"bm25.streamIngest|hybrid!q&odd|files=2|at=lex")(w => {
+          corpusDocs.filter(col("doc_id") % 2 === 1)
+            .repartition(2).write.parquet(s"$w/lexlanding")
+          val ql = graft.streaming.StreamingBm25Ingest.start(
+            s.readStream.schema(s.read.parquet(s"$w/lexlanding").schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$w/lexlanding"),
+            "text", "doc_id", s"$w/lex", s"$w/lexckpt")
+          try ql.processAllAvailable() finally ql.stop()
+        })))
       // vector: quantizers persisted first, the WHOLE corpus streamed in,
       // then the hand-off to the maintained single-level layout
-      graft.operators.Quantize.saveQuantizers(s, s"$work/vec",
-        cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
-        graft.operators.Quantize.StoreParams(HY_DIMS, HY_BLOCKS,
-          residual = false, "doc_id"))
-      corpusVecs.repartition(2).write.parquet(s"$work/veclanding")
-      val qv = graft.streaming.StreamingVectorIngest.startSelfContained(
-        s.readStream.schema(s.read.parquet(s"$work/veclanding").schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$work/veclanding"),
-        "embedding", s"$work/vec", s"$work/vecckpt")
-      try qv.processAllAvailable() finally qv.stop()
-      graft.operators.Quantize.flattenIngestedStore(s, s"$work/vec", "doc_id")
-      Retrieval.hybridTopKFromStores(s, s"$work/lex", s"$work/vec",
+      val wv = StoreMemo.materialize(dir, Seq(
+        StoreMemo.step(s"vec.streamSC|hybrid!q($RRF_QMOD,$RRF_QREM)|" +
+          s"c=$HY_CENTROIDS|cb=$HY_CODES|d=$HY_DIMS|bl=$HY_BLOCKS|files=2")(w => {
+          graft.operators.Quantize.saveQuantizers(s, s"$w/vec",
+            cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
+            graft.operators.Quantize.StoreParams(HY_DIMS, HY_BLOCKS,
+              residual = false, "doc_id"))
+          corpusVecs.repartition(2).write.parquet(s"$w/veclanding")
+          val qv = graft.streaming.StreamingVectorIngest.startSelfContained(
+            s.readStream.schema(s.read.parquet(s"$w/veclanding").schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$w/veclanding"),
+            "embedding", s"$w/vec", s"$w/vecckpt")
+          try qv.processAllAvailable() finally qv.stop()
+          graft.operators.Quantize.flattenIngestedStore(s, s"$w/vec", "doc_id")
+        })))
+      Retrieval.hybridTopKFromStores(s, s"$wl/lex", s"$wv/vec",
           hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
           HY_NPROBE, HY_RERANK, corpusVecs, "embedding",

@@ -187,10 +187,17 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
   /** PHYSICAL state token of every store this request reads — moves
     * with any landed file change (including compaction's swaps, which
     * the logical cache tokens deliberately ignore). Used for the
-    * optimistic bracket below, not for caching. */
-  private def physicalToken(mode: String, includeText: Boolean): String = {
-    val needsVec = mode == "hybrid" || mode == "vector" || mode == "snippet"
-    val needsLex = mode != "vector" || includeText
+    * optimistic bracket below, not for caching. The needs* predicates
+    * mirror the cache key's EXACTLY (round 13): bracketing a store the
+    * mode never reads would let a sustained mutation stream on that
+    * store fail all bracket attempts and 503 an answer that could not
+    * have changed — snippet-without-vector never touches the vec store,
+    * pure fielded never touches the unfielded lex store. */
+  private def physicalToken(mode: String, includeText: Boolean,
+                            hasVector: Boolean): String = {
+    val needsVec = mode == "hybrid" || mode == "vector" ||
+      (mode == "snippet" && hasVector)
+    val needsLex = (mode != "vector" && mode != "fielded") || includeText
     (if (needsLex) Retrieval.physicalVersion(serveSpark, conf.lexStore)
      else "-") + "/" +
       (if (needsVec) Quantize.servingStateToken(serveSpark, conf.vecStore)
@@ -233,7 +240,7 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     }
     var attempt = 0
     while (attempt < 4) {
-      val before = physicalToken(mode, includeText)
+      val before = physicalToken(mode, includeText, vector.nonEmpty)
       val resp =
         try searchComputeOnce(text, vector, k, mode, allowedIds, window,
           includeText, requireAll)
@@ -243,7 +250,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
         }
       if (resp != null) {
         if (resp.status != 200) return resp
-        if (physicalToken(mode, includeText) == before) return resp
+        if (physicalToken(mode, includeText, vector.nonEmpty) == before)
+          return resp
         attempt += 1
       }
     }
@@ -269,6 +277,14 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     if (mode != "vector" && text.trim.isEmpty)
       return error(400, s"mode '$mode' requires non-empty query text")
     val allowed = Option(allowedIds).filter(_.nonEmpty).map(allowFrame)
+    // Read lease (round 13): hold the store gate's READ side for the
+    // compute, so a physical install window (compact/rebucket/recell/
+    // split — the millisecond rename swaps, never the rebuilds) drains
+    // in-flight requests instead of tearing them. The request therefore
+    // serves the snapshot it STARTED on; the optimistic physical-token
+    // bracket above stays as the cross-process belt-and-braces.
+    val leased = Seq(conf.lexStore, conf.vecStore) ++ conf.fieldedStore
+    graft.sources.StoreGate.readLocked(leased) {
     try {
       val result = mode match {
         case "hybrid" => fusedHybrid(text, vector, k, allowed)
@@ -420,6 +436,7 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
             e.getMessage.contains("positional")) =>
         error(503, s"retrieval store unavailable: ${e.getMessage}")
     }
+    } // read lease
   }
 
   /** GET-shaped entry (text modes only). */

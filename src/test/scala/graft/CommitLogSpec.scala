@@ -119,6 +119,88 @@ class CommitLogSpec extends SparkSpec {
     assert(nd2 == 27L, s"no double-decrement: $nd2")
   }
 
+  test("deleting ids present ONLY in a crashed append's orphan postings is a no-op — the delta derivation sees the committed snapshot") {
+    // round-13 ADVICE closure: the delete's derivation scans (scan branch
+    // AND sidecar liveness probe) filter to the committed epoch set. A
+    // delete that could see a crashed append's orphan postings would
+    // write -df/-n_docs/id-hash deltas for docs the snapshot never
+    // counted — permanently understating stats and corrupting the
+    // doc-set signature when the append is never retried.
+    import spark.implicits._
+    for (storeDocs <- Seq(false, true)) {
+      val store = java.nio.file.Files.createTempDirectory("commit-orph-")
+        .toString + "/s"
+      Retrieval.writeBm25Store(docs(base: _*), "text", "doc_id", store, 8,
+        storeDocs = storeDocs)
+      val pre = answer(store, q)
+      val (nd0, _, _, _) = Retrieval.liveStatsAndBuckets(spark, store)
+      val tok0 = Retrieval.storeVersion(spark, store)
+      // an append that crashes before its commit row: postings + df (and
+      // sidecar texts, on the storeDocs store) are on disk, orphaned
+      Retrieval.appendBm25Store(docs(batch: _*), "text", "doc_id", store,
+        epoch = 1L)
+      assert(fs(store).delete(
+        new org.apache.hadoop.fs.Path(s"$store/epochs/epoch=1"), true))
+      // delete ids that exist ONLY in the orphan batch: must claim zero
+      // docs and leave stats/signature/answers untouched
+      val n = Retrieval.deleteFromBm25Store(spark, store,
+        Seq(31L, 33L).toDF("doc_id"), epoch = 1L)
+      assert(n == 0L,
+        s"storeDocs=$storeDocs: delete of orphan-append-only ids must " +
+          s"no-op, claimed $n")
+      val (nd1, _, _, _) = Retrieval.liveStatsAndBuckets(spark, store)
+      assert(nd1 == nd0,
+        s"storeDocs=$storeDocs: n_docs must be untouched: $nd1 != $nd0")
+      assert(Retrieval.storeVersion(spark, store) == tok0,
+        s"storeDocs=$storeDocs: a no-op delete must not move the token")
+      assert(answer(store, q) == pre)
+      // the append's retry must still land the exact post state — the
+      // no-op delete wrote nothing that blocks convergence
+      Retrieval.appendBm25Store(docs(batch: _*), "text", "doc_id", store,
+        epoch = 1L)
+      val postRetry = answer(store, q)
+      assert(postRetry != pre, "fixture: the append must change the answer")
+      // and deleting a MIX of committed + orphan ids claims only the
+      // committed ones (fresh store, fresh orphan window)
+      val store2 = java.nio.file.Files.createTempDirectory("commit-orph2-")
+        .toString + "/s"
+      Retrieval.writeBm25Store(docs(base: _*), "text", "doc_id", store2, 8,
+        storeDocs = storeDocs)
+      Retrieval.appendBm25Store(docs(batch: _*), "text", "doc_id", store2,
+        epoch = 1L)
+      assert(fs(store2).delete(
+        new org.apache.hadoop.fs.Path(s"$store2/epochs/epoch=1"), true))
+      val n2 = Retrieval.deleteFromBm25Store(spark, store2,
+        Seq(2L, 31L).toDF("doc_id"), epoch = 1L)
+      assert(n2 == 1L,
+        s"storeDocs=$storeDocs: mixed delete must claim only the committed id: $n2")
+      val (nd2, _, _, _) = Retrieval.liveStatsAndBuckets(spark, store2)
+      assert(nd2 == 29L, s"storeDocs=$storeDocs: exactly one decrement: $nd2")
+    }
+  }
+
+  test("deleting orphan-append-only ids from a FIELDED store is a no-op (committed-snapshot fence on the bm25f delete derivation)") {
+    import spark.implicits._
+    val fdocs = (1L to 20L).map(i =>
+      (i, s"head$i alpha", s"alpha doc$i common word${i % 5} beta"))
+      .toDF("doc_id", "title", "body")
+    val fbatch = (31L to 34L).map(i =>
+      (i, s"head$i alpha", s"alpha fresh$i common"))
+      .toDF("doc_id", "title", "body")
+    val store = java.nio.file.Files.createTempDirectory("commit-orphf-")
+      .toString + "/s"
+    Retrieval.writeBm25fStore(fdocs, Seq("title", "body"), "doc_id", store, 8)
+    val snap0 = Retrieval.storeVersion(spark, store)
+    Retrieval.appendBm25fStore(fbatch, "doc_id", store, epoch = 1L)
+    assert(fs(store).delete(
+      new org.apache.hadoop.fs.Path(s"$store/epochs/epoch=1"), true))
+    val n = Retrieval.deleteFromBm25fStore(spark, store,
+      Seq(31L, 34L).toDF("doc_id"), epoch = 1L)
+    assert(n == 0L, s"fielded delete of orphan-only ids must no-op: $n")
+    assert(Retrieval.storeVersion(spark, store) == snap0,
+      "a no-op fielded delete must not move the token")
+  }
+
   test("the logical cache token moves exactly at the commit row — not at a half-landed delete — and survives compaction") {
     val store = java.nio.file.Files.createTempDirectory("commit-tok-").toString + "/s"
     import spark.implicits._

@@ -155,6 +155,86 @@ class RetrievalSpec extends SparkSpec {
     assert(err.getMessage.contains("tokenizes empty"))
   }
 
+  test("bm25fTopKFromStore SUBSET-FIELDS contract: store-universe statistics on docs that LACK a requested field (pinned divergence from the requested-fields one-shot)") {
+    import spark.implicits._
+    // round-13 closure of the documented contract (bm25fTopKFromStore's
+    // scaladoc): when `fields` names fewer fields than the store holds,
+    // n_docs/avgdl_f are the STORE's all-stored-fields live scalars —
+    // docs empty in every requested field still count — while df and the
+    // candidate set come only from the requested fields' postings. The
+    // requested-fields one-shot instead derives n_docs from docs
+    // non-empty in the requested fields, so the two must diverge on
+    // exactly this corpus shape.
+    val titled = Seq(
+      (1L, "cat dog", "dog bird dog"),
+      (2L, "dog fish", "cat cat fish"),
+      (3L, "fish cat", "fish bird"))
+    val bodyOnly = Seq( // empty title, query-disjoint body
+      (10L, "", "zebra yak zebra"),
+      (11L, "", "yak zebra"))
+    val corpusA = titled.toDF("doc_id", "title", "body")
+    val corpusB = (titled ++ bodyOnly).toDF("doc_id", "title", "body")
+    val q = docs(100L -> "cat fish")
+    val fT = Seq(Retrieval.Bm25fField("title", 2.0, 0.5))
+    val f1 = Seq(Retrieval.Bm25Field("title", 2.0, 0.5))
+    def build(c: org.apache.spark.sql.DataFrame): String = {
+      val p = java.nio.file.Files.createTempDirectory("bm25f-subset")
+        .toString + "/s"
+      Retrieval.writeBm25fStore(c, Seq("title", "body"), "doc_id", p, 4)
+      p
+    }
+    val (sA, sB) = (build(corpusA), build(corpusB))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    def servedT(p: String) = Retrieval.bm25fTopKFromStore(spark, p, fT,
+      q, "text", "doc_id", 10)
+    // 1. when the store universe == the requested-field universe, the
+    //    subset serve IS the requested-fields one-shot (baseline)
+    assert(canon(servedT(sA))
+      == canon(Retrieval.bm25fTopK(corpusA, f1, "doc_id", q, "text", 10)))
+    // 2. body-only docs never become candidates of a title-only serve...
+    val rA = servedT(sA).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotB = servedT(sB).collect()
+    assert(gotB.map(r => (r.getLong(0), r.getLong(2))).toSet == rA,
+      "docs lacking every requested field must not enter the candidates")
+    // ...but they DO move the scores: the store universe carries them
+    // into n_docs (idf) and avgdl_title — the pinned store-universe
+    // semantics, observable
+    val scoresA = servedT(sA).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(gotB.exists(r => scoresA((r.getLong(0), r.getLong(2)))
+        != r.getDouble(3)),
+      "store-universe scalars must shift subset-field scores when docs " +
+        "lacking the requested field join the store")
+    // 3. the requested-fields ONE-SHOT ignores those docs entirely (its
+    //    n_docs counts docs non-empty in the requested fields) — the
+    //    documented divergence, asserted explicitly
+    assert(canon(Retrieval.bm25fTopK(corpusB, f1, "doc_id", q, "text", 10))
+      == canon(Retrieval.bm25fTopK(corpusA, f1, "doc_id", q, "text", 10)))
+    assert(canon(servedT(sB))
+      != canon(Retrieval.bm25fTopK(corpusB, f1, "doc_id", q, "text", 10)),
+      "the subset serve must diverge from the requested-fields one-shot " +
+        "exactly when docs lack a requested field")
+    // 4. only the absent docs' SCALARS matter, never their content:
+    //    same-length different-token bodies serve byte-identically
+    val corpusB2 = (titled ++ Seq(
+      (10L, "", "emu gnu emu"), (11L, "", "gnu emu")))
+      .toDF("doc_id", "title", "body")
+    assert(canon(servedT(build(corpusB2))) == canon(servedT(sB)),
+      "subset-field scores may depend on absent docs only through " +
+        "n_docs/len scalars")
+    // 5. requesting ALL fields on the lacking-docs store still equals the
+    //    one-shot (both universes are any-field docs) — the qx123
+    //    equality holds beyond the field-total corpus shape
+    val fBoth = Seq(Retrieval.Bm25fField("title", 2.0, 0.5),
+      Retrieval.Bm25fField("body", 1.0, 0.75))
+    val f2 = Seq(Retrieval.Bm25Field("title", 2.0, 0.5),
+      Retrieval.Bm25Field("body", 1.0, 0.75))
+    assert(canon(Retrieval.bm25fTopKFromStore(spark, sB, fBoth, q, "text",
+        "doc_id", 10))
+      == canon(Retrieval.bm25fTopK(corpusB, f2, "doc_id", q, "text", 10)))
+  }
+
   test("bm25fTopKFromStores: per-field streamed ingest with UNALIGNED batch boundaries serves the one-shot result") {
     import spark.implicits._
     import graft.streaming.StreamingBm25Ingest
