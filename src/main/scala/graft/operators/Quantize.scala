@@ -1120,6 +1120,14 @@ object Quantize {
     * this token moves exactly once, at the swap. Falls back to
     * [[storeVersion]] for bare stores (no persisted quantizers) and
     * oversized centroid sets (not driver-memoized). */
+  /** Every directory a vector serving read can list — the tracked set
+    * for the serve layer's rewrite-detection bracket (the store's cells
+    * walk recursively from the root; quantizers/tombstones/sidecar are
+    * siblings). */
+  private[graft] def physicalPaths(indexPath: String): Seq[String] =
+    Seq(indexPath, quantizersPath(indexPath), tombstonesPath(indexPath),
+      tombstonesPath(indexPath) + ".old", vectorsPath(indexPath))
+
   private[graft] def servingStateToken(spark: org.apache.spark.sql.SparkSession,
                                        indexPath: String): String = {
     val base = quantizersPath(indexPath)
@@ -2731,14 +2739,20 @@ object Quantize {
     if (fs.exists(fresh) && !fs.delete(fresh, true))
       throw new java.io.IOException(s"retention sweep: failed to clear $fresh")
     remaining.coalesce(1).write.mode("overwrite").parquet(fresh.toString)
-    // stale .old is deleted only while main exists — never the sole copy
-    if (fs.exists(old) && !fs.delete(old, true))
-      throw new java.io.IOException(s"retention sweep: failed to clear $old")
-    if (fs.exists(main) && !fs.rename(main, old))
-      throw new java.io.IOException(s"retention sweep: failed to retire $main")
-    if (!fs.rename(fresh, main))
-      throw new java.io.IOException(s"retention sweep: failed to install $fresh")
-    fs.delete(old, true) // best-effort: a leftover .old only over-filters
+    // the rename window is gated (round 13): a racing read is CORRECT at
+    // every instant regardless (readable superset — see scaladoc), but
+    // the serve bracket's rewrite detector would see the retired files
+    // vanish and pay a needless recompute
+    graft.sources.StoreGate.writeLocked(indexPath) {
+      // stale .old is deleted only while main exists — never the sole copy
+      if (fs.exists(old) && !fs.delete(old, true))
+        throw new java.io.IOException(s"retention sweep: failed to clear $old")
+      if (fs.exists(main) && !fs.rename(main, old))
+        throw new java.io.IOException(s"retention sweep: failed to retire $main")
+      if (!fs.rename(fresh, main))
+        throw new java.io.IOException(s"retention sweep: failed to install $fresh")
+      fs.delete(old, true) // best-effort: a leftover .old only over-filters
+    }
     ()
   }
 

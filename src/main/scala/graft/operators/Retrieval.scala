@@ -673,6 +673,47 @@ object Retrieval {
     fsFingerprint(spark, Seq(postingsPath(path), dfPath(path),
       epochsPath(path), storeTombstonesPath(path), docsPath(path)))
 
+  /** Every directory a lexical serving read can list — the tracked set
+    * for the serve layer's rewrite-detection bracket. */
+  private[graft] def physicalPaths(path: String): Seq[String] =
+    Seq(postingsPath(path), dfPath(path), epochsPath(path),
+      storeTombstonesPath(path), docsPath(path))
+
+  /** RECURSIVE file-level listing of `paths` (regular files only —
+    * directory mtimes move on ADDITIVE writes into them and must not
+    * count): one entry per file, `relPath#mtime#len`. The serve layer's
+    * optimistic bracket compares two of these with SUBSET semantics —
+    * "every file the request could have planned still exists unchanged"
+    * — so additive mutations (appends/deletes landing NEW epoch files,
+    * which the committed-epoch snapshot already isolates) never force a
+    * recompute, while a rewrite/removal (compact/rebucket/recell/split
+    * installs, or any cross-process writer) still does. */
+  private[graft] def fsFileListing(spark: SparkSession,
+                                   paths: Seq[String]): Set[String] = {
+    val out = scala.collection.mutable.HashSet.empty[String]
+    paths.foreach { p =>
+      val fs = fsFor(spark, p)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) {
+        val it = fs.listFiles(hp, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath
+          // hidden/staging entries (_temporary, _SUCCESS, .crc, staging
+          // dirs) are invisible to every Spark read — a plan never lists
+          // them — and an in-flight additive write creates-then-renames
+          // them, so tracking them would fail the subset check during
+          // every commit window for files no request can read
+          val hidden = rel.split('/').exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+          if (!hidden)
+            out += s"$rel#${st.getModificationTime}#${st.getLen}"
+        }
+      }
+    }
+    out.toSet
+  }
+
   /** Migration guard for MUTATIONS onto stores written before the
     * doc-set-signature epochs schema (id_hash_delta) and, for appends,
     * before positional postings (pos). Landing new-schema rows beside

@@ -289,6 +289,23 @@ final class ApiServer(api: FinancialApi, port: Int = 8000,
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress(port), 0)
 
+  // A real handler pool (round 13): the JDK HttpServer's default (null)
+  // executor runs EVERY handler on its single dispatcher thread — the
+  // server was serial, so under a post-mutation cache-refill stampede
+  // requests queued at the HTTP layer for the SUM of the queued computes
+  // (ServeMutation measured 30 s tails), and the serve layer's
+  // single-flight/coalescing never even saw concurrent misses. 32
+  // daemon threads: requests are either cache hits (ms) or Spark-bound
+  // computes that the FAIR pool multiplexes.
+  private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(
+    32,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-api-handler")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(handlerPool)
+
   def boundPort: Int = server.getAddress.getPort
 
   private def queryParams(q: String): Map[String, String] =
@@ -371,7 +388,7 @@ final class ApiServer(api: FinancialApi, port: Int = 8000,
   })
 
   def start(): ApiServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); handlerPool.shutdown() }
 }
 
 object ApiServer {

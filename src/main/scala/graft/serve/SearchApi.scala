@@ -1,6 +1,6 @@
 package graft.serve
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Quantize, Retrieval}
 import graft.sources.Serve
@@ -138,36 +138,166 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
       // compaction never touches — it moves filtering cost, never the
       // answer). Only 200s are cached; the rendered envelope keeps its
       // compute-time timestamp, exactly like the financial routes.
-      val needsVec = mode == "hybrid" || mode == "vector" ||
-        (mode == "snippet" && vector.nonEmpty)
-      val needsLex = (mode != "vector" && mode != "fielded") || includeText
-      val ver = (if (needsLex) Retrieval.storeVersion(spark, conf.lexStore)
-                 else "-") + "/" +
-        (if (needsVec) Quantize.servingStateToken(spark, conf.vecStore)
-         else "-") + "/" +
-        conf.corpusPath.filter(_ => needsVec)
-          .map(p => Retrieval.fsFingerprint(spark, Seq(p))).getOrElse("-") + "/" +
-        (if (mode == "fielded")
-           conf.fieldedStore.map(Retrieval.storeVersion(spark, _)).getOrElse("-")
-         else "-")
-      val key = c.key("search",
-        "ver" -> ver, "mode" -> mode,
-        "q" -> ResultCache.md5hex(text),
-        "vec" -> (if (vector.isEmpty) "-"
-                  else ResultCache.md5hex(vector.mkString(","))),
-        "k" -> k, "window" -> window,
-        "allow" -> (if (allowedIds.isEmpty) "-"
-                    else ResultCache.md5hex(allowedIds.sorted.mkString(","))),
-        "text" -> includeText, "all" -> requireAll)
+      val ver = cacheVer(mode, includeText, hasVector = vector.nonEmpty)
+      val key = cacheKey(c, ver, mode, text, vector, k, window, allowedIds,
+        includeText, requireAll)
       c.get(key) match {
         case Some(body) => Response(200, "application/json", body)
         case None =>
-          val r = searchCompute(text, vector, k, mode, allowedIds, window,
-            includeText, requireAll)
-          if (r.status == 200) c.put(key, r.body)
-          r
+          // SINGLE-FLIGHT (round 13): a landed mutation invalidates every
+          // affected key at once, so concurrent clients stampede the SAME
+          // fresh keys — the first requester computes, the rest wait on
+          // its in-flight future instead of duplicating multi-second
+          // uncached computes (the classic cache-stampede fix; exactness
+          // unchanged — waiters receive the exact response the winner
+          // cached).
+          val mine = new java.util.concurrent.CompletableFuture[Response]()
+          val raced = inFlight.putIfAbsent(key, mine)
+          if (raced != null) raced.get()
+          else {
+            try {
+              val r = coalescedCompute(c, key, text, vector, k, mode,
+                allowedIds, window, includeText, requireAll)
+              mine.complete(r)
+              r
+            } catch {
+              case e: Throwable => mine.completeExceptionally(e); throw e
+            } finally inFlight.remove(key)
+          }
       }
   }
+
+  // in-flight uncached computes, keyed like the cache — see search()
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[FinancialApi.Response]]()
+
+  // ---- Stampede coalescer (round 13) --------------------------------------
+  // After a mutation invalidates the cache, DISTINCT uncached keys arrive
+  // nearly simultaneously and each is a multi-second, multi-job compute —
+  // ServeMutation measured the refill draining FIFO at the engine's
+  // uncached throughput, with tail requests waiting out the whole queue.
+  // Misses of one batchable shape (same mode/k/window/flags/allow-list)
+  // therefore GATHER for a few milliseconds and run as ONE parameterized
+  // multi-query plan (the /search batch machinery), so a 12-key refill is
+  // ~3 batched computes (one per mode) instead of 12 serialized ones.
+  // Exactness unchanged: the batch path is envelope-identical to the
+  // single route (spec-pinned) and each item caches under its own key.
+  private final case class GatherKey(mode: String, k: Int, window: Int,
+                                     includeText: Boolean, requireAll: Boolean,
+                                     hasVector: Boolean, allowKey: String)
+  private final class Gather {
+    var open = true
+    val items = scala.collection.mutable.ArrayBuffer.empty[
+      (String, Seq[Float], String,
+        java.util.concurrent.CompletableFuture[Response])]
+  }
+  private val gathers =
+    new java.util.concurrent.ConcurrentHashMap[GatherKey, Gather]()
+  private val gatherLock = new Object
+  private val GatherWindowMs = 30L
+
+  private def coalescedCompute(c: ResultCache, key: String, text: String,
+                               vector: Seq[Float], k: Int, mode: String,
+                               allowedIds: Seq[String], window: Int,
+                               includeText: Boolean,
+                               requireAll: Boolean): Response = {
+    // requests the single route would 400 on (per-item conditions) must
+    // not join a batch — they'd silently serve empty instead of erroring
+    val needsVector = mode == "hybrid" || mode == "vector"
+    val batchable = !(needsVector && vector.isEmpty) &&
+      !(mode != "vector" && text.trim.isEmpty)
+    if (!batchable) {
+      val r = searchCompute(text, vector, k, mode, allowedIds, window,
+        includeText, requireAll)
+      if (r.status == 200) c.put(key, r.body)
+      return r
+    }
+    val gk = GatherKey(mode, k, window, includeText, requireAll,
+      vector.nonEmpty, allowedIds.sorted.mkString(","))
+    val fut = new java.util.concurrent.CompletableFuture[Response]()
+    val isLeader = gatherLock.synchronized {
+      val cur = gathers.get(gk)
+      if (cur != null && cur.open) {
+        cur.items += ((text, vector, key, fut)); false
+      } else {
+        val g = new Gather
+        g.items += ((text, vector, key, fut))
+        gathers.put(gk, g); true
+      }
+    }
+    if (!isLeader) return fut.get()
+    Thread.sleep(GatherWindowMs)
+    val batch = gatherLock.synchronized {
+      val g = gathers.remove(gk); g.open = false; g.items.toSeq
+    }
+    def completeAll(rs: Seq[Response]): Unit =
+      batch.zip(rs).foreach { case ((_, _, bkey, bfut), r) =>
+        if (r.status == 200) c.put(bkey, r.body)
+        bfut.complete(r)
+      }
+    try {
+      if (batch.size == 1) {
+        val r = searchCompute(text, vector, k, mode, allowedIds, window,
+          includeText, requireAll)
+        completeAll(Seq(r))
+      } else {
+        computeBatchEnvelopes(batch.map(b => (b._1, b._2)), k, mode,
+          allowedIds, window, includeText, requireAll) match {
+          case Right(envs) =>
+            completeAll(envs.map(Response(200, "application/json", _)))
+          case Left(resp) if resp.status == 501 =>
+            // exotic id type: no batch frames — fall back to singles
+            completeAll(batch.map(b => searchCompute(b._1, b._2, k, mode,
+              allowedIds, window, includeText, requireAll)))
+          case Left(resp) =>
+            // a shared-parameter refusal (bad k/window/mode) or a store
+            // outage applies to every gathered item identically
+            completeAll(Seq.fill(batch.size)(resp))
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        batch.foreach(_._4.completeExceptionally(e)); throw e
+    }
+    fut.get()
+  }
+
+  /** The depended-on stores' version-token prefix of every cache key —
+    * computed once per request (and once per BATCH: every item shares
+    * it, which is what makes single- and batch-served entries
+    * interchangeable in the cache). */
+  private def cacheVer(mode: String, includeText: Boolean,
+                       hasVector: Boolean): String = {
+    val needsVec = mode == "hybrid" || mode == "vector" ||
+      (mode == "snippet" && hasVector)
+    val needsLex = (mode != "vector" && mode != "fielded") || includeText
+    (if (needsLex) Retrieval.storeVersion(spark, conf.lexStore)
+     else "-") + "/" +
+      (if (needsVec) Quantize.servingStateToken(spark, conf.vecStore)
+       else "-") + "/" +
+      conf.corpusPath.filter(_ => needsVec)
+        .map(p => Retrieval.fsFingerprint(spark, Seq(p))).getOrElse("-") + "/" +
+      (if (mode == "fielded")
+         conf.fieldedStore.map(Retrieval.storeVersion(spark, _)).getOrElse("-")
+       else "-")
+  }
+
+  /** One query's cache key — IDENTICAL between the single-query route
+    * and a batch item carrying the same payload, so a batch fills the
+    * cache for later singles and vice versa. */
+  private def cacheKey(c: ResultCache, ver: String, mode: String,
+                       text: String, vector: Seq[Float], k: Int, window: Int,
+                       allowedIds: Seq[String], includeText: Boolean,
+                       requireAll: Boolean): String =
+    c.key("search",
+      "ver" -> ver, "mode" -> mode,
+      "q" -> ResultCache.md5hex(text),
+      "vec" -> (if (vector.isEmpty) "-"
+                else ResultCache.md5hex(vector.mkString(","))),
+      "k" -> k, "window" -> window,
+      "allow" -> (if (allowedIds.isEmpty) "-"
+                  else ResultCache.md5hex(allowedIds.sorted.mkString(","))),
+      "text" -> includeText, "all" -> requireAll)
 
   /** The fused hybrid ranking — ONE dispatch over (rescore source,
     * allow-list) shared by mode=hybrid and mode=snippet-with-vector, so
@@ -175,38 +305,39 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     * [[Retrieval.hybridTopKFromStoresServed]] (round 12): the two legs
     * run as concurrent actions and the RRF fusion is the driver-side
     * exact twin of the gated plan fusion — RetrievalServingParitySpec
-    * pins the equality. */
-  private def fusedHybrid(text: String, vector: Seq[Float], k: Int,
+    * pins the equality. Takes the (id, text, vector) query frame so the
+    * single-query and batch routes share it verbatim. */
+  private def fusedHybrid(qv: DataFrame, k: Int,
                           allowed: Option[DataFrame]): DataFrame =
     Retrieval.hybridTopKFromStoresServed(serveSpark, conf.lexStore,
-      conf.vecStore, queryFrameVec(text, vector), conf.textCol, conf.vecCol,
+      conf.vecStore, qv, conf.textCol, conf.vecCol,
       conf.idCol, k, conf.depth, conf.nProbe, conf.rerankDepth,
       rescore = corpusOpt.map(c => (c, conf.vecCol)), allowed = allowed,
       maxQueryTerms = conf.maxQueryTerms)
 
-  /** PHYSICAL state token of every store this request reads — moves
-    * with any landed file change (including compaction's swaps, which
-    * the logical cache tokens deliberately ignore). Used for the
-    * optimistic bracket below, not for caching. The needs* predicates
+  /** Recursive FILE listing of every store directory this request
+    * reads — the optimistic bracket's tracked set. The needs* predicates
     * mirror the cache key's EXACTLY (round 13): bracketing a store the
     * mode never reads would let a sustained mutation stream on that
     * store fail all bracket attempts and 503 an answer that could not
     * have changed — snippet-without-vector never touches the vec store,
     * pure fielded never touches the unfielded lex store. */
-  private def physicalToken(mode: String, includeText: Boolean,
-                            hasVector: Boolean): String = {
+  private def trackedPaths(mode: String, includeText: Boolean,
+                           hasVector: Boolean): Seq[String] = {
     val needsVec = mode == "hybrid" || mode == "vector" ||
       (mode == "snippet" && hasVector)
     val needsLex = (mode != "vector" && mode != "fielded") || includeText
-    (if (needsLex) Retrieval.physicalVersion(serveSpark, conf.lexStore)
-     else "-") + "/" +
-      (if (needsVec) Quantize.servingStateToken(serveSpark, conf.vecStore)
-       else "-") + "/" +
+    (if (needsLex) Retrieval.physicalPaths(conf.lexStore) else Seq.empty) ++
+      (if (needsVec) Quantize.physicalPaths(conf.vecStore) else Seq.empty) ++
       (if (mode == "fielded")
-         conf.fieldedStore.map(Retrieval.physicalVersion(serveSpark, _))
-           .getOrElse("-")
-       else "-")
+         conf.fieldedStore.toSeq.flatMap(Retrieval.physicalPaths)
+       else Seq.empty)
   }
+
+  private def physicalListing(mode: String, includeText: Boolean,
+                              hasVector: Boolean): Set[String] =
+    Retrieval.fsFileListing(serveSpark,
+      trackedPaths(mode, includeText, hasVector))
 
   /** Optimistic serve-under-mutation bracket (round 12): compute the
     * response between two physical-token reads and retry when they
@@ -238,21 +369,65 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
         a.getMessage != null && a.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
       case other => transient(other.getCause)
     }
+    bracketLoop(mode, includeText, vector.nonEmpty, transient) { () =>
+      searchComputeOnce(text, vector, k, mode, allowedIds, window,
+        includeText, requireAll)
+    }
+  }
+
+  /** The bracket's attempt loop, shared by the single-query and batch
+    * routes. Round-13 acceptance rule: the answer stands when every file
+    * present at request start is STILL PRESENT UNCHANGED at the end
+    * (subset semantics) — additive mutations (append/delete commits,
+    * which the committed-epoch snapshot and plan-time listings already
+    * isolate; a racing request serves the exact PRE state) no longer
+    * force a recompute. Only a rewrite/removal mid-compute retries: the
+    * in-process installs take the StoreGate write side and therefore
+    * CANNOT land inside a leased compute — this catches cross-process
+    * writers, which have no lease. Round 12's fingerprint-equality rule
+    * retried on every landed commit; under a mutation cadence faster
+    * than a contended compute, requests rode through mutation after
+    * mutation (ServeMutation measured a 29 s tail for exactly this).
+    * Transients retry with backoff; 503 on exhaustion. */
+  private def bracketLoop(mode: String, includeText: Boolean,
+                          hasVector: Boolean,
+                          transient: Throwable => Boolean)
+                         (once: () => Response): Response = {
     var attempt = 0
     while (attempt < 4) {
-      val before = physicalToken(mode, includeText, vector.nonEmpty)
-      val resp =
-        try searchComputeOnce(text, vector, k, mode, allowedIds, window,
-          includeText, requireAll)
-        catch {
+      // ESCALATION (round 13, measured): after the first subset failure
+      // the store is being actively installed-into — optimistic retries
+      // under a fast mutation cadence can fail 4 straight (2 measured
+      // 503s/1369 under the lifecycle probe). Retries therefore take the
+      // StoreGate read lease: in-process installs queue behind it, so
+      // the leased attempt is deterministically consistent. Only
+      // already-failed requests lease (first attempts stay optimistic),
+      // which keeps the gate's writer-wait bounded and avoids the
+      // whole-fleet reader convoys that leasing EVERY compute produced.
+      val leased = attempt >= 1
+      // one full attempt: before-listing, compute, subset check — all
+      // inside the lease when escalated, so the pre-listing can't race
+      // an install landing just before acquisition
+      def attemptOnce(): Option[Response] = {
+        val before = physicalListing(mode, includeText, hasVector)
+        val resp = once()
+        if (resp.status != 200) Some(resp)
+        else if (before.subsetOf(
+            physicalListing(mode, includeText, hasVector))) Some(resp)
+        else None
+      }
+      val outcome =
+        try {
+          if (!leased) attemptOnce()
+          else graft.sources.StoreGate.readLocked(
+            trackedPaths(mode, includeText, hasVector))(attemptOnce())
+        } catch {
           case e: Exception if transient(e) && attempt < 3 =>
-            attempt += 1; Thread.sleep(50L * attempt); null
+            Thread.sleep(50L * (attempt + 1)); None
         }
-      if (resp != null) {
-        if (resp.status != 200) return resp
-        if (physicalToken(mode, includeText, vector.nonEmpty) == before)
-          return resp
-        attempt += 1
+      outcome match {
+        case Some(resp) => return resp
+        case None => attempt += 1
       }
     }
     error(503, "stores are mutating continuously; retry")
@@ -262,34 +437,72 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
                                 mode: String, allowedIds: Seq[String],
                                 window: Int, includeText: Boolean,
                                 requireAll: Boolean): Response = {
-    // per-request FAIR pool tag (thread-local): a no-op under FIFO
-    serveSpark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-serve")
-    if (k < 1 || k > conf.maxK)
-      return error(400, s"k must be in [1, ${conf.maxK}]: $k")
     val needsVector = mode == "hybrid" || mode == "vector"
-    if (needsVector && k > conf.rerankDepth)
-      return error(400, s"k=$k exceeds the configured rerank depth " +
-        s"${conf.rerankDepth} (the exact-rescore shortlist feeds the " +
-        "final ranking; raise retrieval.rerank_depth or lower k)")
     if (needsVector && vector.isEmpty)
       return error(400, s"mode '$mode' requires a query 'vector' " +
         "(this service does not embed; pass the embedding in the request)")
     if (mode != "vector" && text.trim.isEmpty)
       return error(400, s"mode '$mode' requires non-empty query text")
-    val allowed = Option(allowedIds).filter(_.nonEmpty).map(allowFrame)
-    // Read lease (round 13): hold the store gate's READ side for the
-    // compute, so a physical install window (compact/rebucket/recell/
-    // split — the millisecond rename swaps, never the rebuilds) drains
-    // in-flight requests instead of tearing them. The request therefore
-    // serves the snapshot it STARTED on; the optimistic physical-token
-    // bracket above stays as the cross-process belt-and-braces.
-    val leased = Seq(conf.lexStore, conf.vecStore) ++ conf.fieldedStore
-    graft.sources.StoreGate.readLocked(leased) {
+    computeRows(queryFrame(text), queryFrameVec(text, vector),
+      vector.nonEmpty, k, mode,
+      Option(allowedIds).filter(_.nonEmpty).map(allowFrame),
+      window, includeText, requireAll) match {
+      case Left(resp) => resp
+      case Right((rows, schema)) =>
+        Response(200, "application/json",
+          envelope(withoutQueryId(rows, schema)))
+    }
+  }
+
+  /** Re-frame collected result rows without the query_id column (the
+    * single-query envelope shape; batch renders one per id group). Rows
+    * arrive (query_id, rank)-ordered from [[computeRows]]. */
+  private def withoutQueryId(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val idx = schema.fieldIndex("query_id")
+    val pruned = org.apache.spark.sql.types.StructType(
+      schema.fields.toSeq.patch(idx, Nil, 1))
+    val list = new java.util.ArrayList[Row]()
+    rows.foreach(r => list.add(Row.fromSeq(r.toSeq.patch(idx, Nil, 1))))
+    serveSpark.createDataFrame(list, pruned)
+  }
+
+  /** The shared mode dispatch over CALLER-BUILT query frames (single:
+    * one sentinel-id row; batch: one row per item) — runs pool-tagged,
+    * read-leased, and collects UNDER the lease so the whole read is one
+    * snapshot. Returns the (query_id, rank)-ordered rows + schema. */
+  private def computeRows(qt: => DataFrame, qv: => DataFrame,
+                          hasVector: Boolean, k: Int,
+                          mode: String, allowed: Option[DataFrame],
+                          window: Int, includeText: Boolean,
+                          requireAll: Boolean)
+      : Either[Response, (Seq[Row], org.apache.spark.sql.types.StructType)] = {
+    // per-request FAIR pool tag (thread-local): a no-op under FIFO
+    serveSpark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-serve")
+    if (k < 1 || k > conf.maxK)
+      return Left(error(400, s"k must be in [1, ${conf.maxK}]: $k"))
+    val needsVector = mode == "hybrid" || mode == "vector"
+    if (needsVector && k > conf.rerankDepth)
+      return Left(error(400, s"k=$k exceeds the configured rerank depth " +
+        s"${conf.rerankDepth} (the exact-rescore shortlist feeds the " +
+        "final ranking; raise retrieval.rerank_depth or lower k)"))
+    lazy val qtF = qt
+    lazy val qvF = qv
+    // NO read lease here (round 13, measured): holding StoreGate's read
+    // side for a whole compute was tried and REMOVED — under concurrent
+    // load a fair RW gate turns multi-second leased computes into
+    // write-side waits and those into queued-reader convoys
+    // (ServeMutation's tail grew, not shrank). Exactness never needed
+    // it: the committed-epoch snapshot pins logical state per request,
+    // plan-time listings pin additive physical state, and the subset
+    // bracket in [[bracketLoop]] retries the (rare, millisecond-window)
+    // install straddles. StoreGate still serializes the installs
+    // themselves, and remains available for explicit read leases
+    // (StoreGateSpec pins those semantics).
     try {
       val result = mode match {
-        case "hybrid" => fusedHybrid(text, vector, k, allowed)
+        case "hybrid" => fusedHybrid(qvF, k, allowed)
         case "vector" =>
-          val q = queryFrameVec(text, vector).select(col(conf.idCol), col(conf.vecCol))
+          val q = qvF.select(col(conf.idCol), col(conf.vecCol))
           ((corpusOpt, allowed) match {
             case (Some(c), Some(a)) => Quantize.searchSelfContainedRefinedFiltered(
               serveSpark, conf.vecStore, q, conf.idCol, conf.vecCol, a,
@@ -307,7 +520,7 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
         case "lexical" =>
           // require_all flips OR scoring to CONJUNCTIVE (boolean-AND):
           // only docs matching every query term rank, scores unchanged
-          val q = queryFrame(text)
+          val q = qtF
           (allowed, requireAll) match {
             case (Some(a), false) => Retrieval.bm25TopKFromStoreFiltered(serveSpark,
               conf.lexStore, q, a, conf.textCol, conf.idCol, k,
@@ -328,36 +541,36 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           // lexical; the field weights/slopes come from the deployment
           // config (query-time parameters, not store state)
           conf.fieldedStore match {
-            case None => return error(503,
-              "no fielded store configured (retrieval.fielded_store)")
+            case None => return Left(error(503,
+              "no fielded store configured (retrieval.fielded_store)"))
             case Some(fs) =>
               allowed match {
                 case Some(a) => Retrieval.bm25fTopKFromStoreFiltered(serveSpark,
-                  fs, conf.fieldedFields, queryFrame(text), a, conf.textCol,
+                  fs, conf.fieldedFields, qtF, a, conf.textCol,
                   conf.idCol, k, maxQueryTerms = conf.maxQueryTerms)
                 case None => Retrieval.bm25fTopKFromStore(serveSpark, fs,
-                  conf.fieldedFields, queryFrame(text), conf.textCol,
+                  conf.fieldedFields, qtF, conf.textCol,
                   conf.idCol, k, maxQueryTerms = conf.maxQueryTerms)
               }
           }
         case "phrase" =>
           allowed match {
             case Some(a) => Retrieval.phraseTopKFromStoreFiltered(serveSpark,
-              conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
+              conf.lexStore, qtF, a, conf.textCol, conf.idCol,
               k, maxPhraseTerms = conf.maxQueryTerms)
             case None => Retrieval.phraseTopKFromStore(serveSpark, conf.lexStore,
-              queryFrame(text), conf.textCol, conf.idCol, k,
+              qtF, conf.textCol, conf.idCol, k,
               maxPhraseTerms = conf.maxQueryTerms)
           }
         case "proximity" =>
           if (window < 1 || window > 1000)
-            return error(400, s"window must be in [1, 1000]: $window")
+            return Left(error(400, s"window must be in [1, 1000]: $window"))
           allowed match {
             case Some(a) => Retrieval.proximityTopKFromStoreFiltered(serveSpark,
-              conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
+              conf.lexStore, qtF, a, conf.textCol, conf.idCol,
               k, window, maxQueryTerms = conf.maxQueryTerms)
             case None => Retrieval.proximityTopKFromStore(serveSpark, conf.lexStore,
-              queryFrame(text), conf.textCol, conf.idCol, k, window,
+              qtF, conf.textCol, conf.idCol, k, window,
               maxQueryTerms = conf.maxQueryTerms)
           }
         case "snippet" =>
@@ -372,27 +585,27 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           // pure-vector hits get the leading window, lexically-retracted
           // hits get snippet=null (the include_text guard's semantics).
           if (window < 0 || window > 100)
-            return error(400, s"window must be in [0, 100] tokens: $window")
-          if (vector.nonEmpty) {
+            return Left(error(400, s"window must be in [0, 100] tokens: $window"))
+          if (hasVector) {
             if (k > conf.rerankDepth)
-              return error(400, s"k=$k exceeds the configured rerank depth " +
-                s"${conf.rerankDepth}")
+              return Left(error(400, s"k=$k exceeds the configured rerank depth " +
+                s"${conf.rerankDepth}"))
             Retrieval.attachSnippets(serveSpark, conf.lexStore,
-              fusedHybrid(text, vector, k, allowed),
-              queryFrame(text), conf.textCol, conf.idCol, window,
+              fusedHybrid(qvF, k, allowed),
+              qtF, conf.textCol, conf.idCol, window,
               maxQueryTerms = conf.maxQueryTerms)
           } else allowed match {
             case Some(a) => Retrieval.snippetTopKFromStoreFiltered(serveSpark,
-              conf.lexStore, queryFrame(text), a, conf.textCol, conf.idCol,
+              conf.lexStore, qtF, a, conf.textCol, conf.idCol,
               k, window, maxQueryTerms = conf.maxQueryTerms)
             case None => Retrieval.snippetTopKFromStore(serveSpark, conf.lexStore,
-              queryFrame(text), conf.textCol, conf.idCol, k, window,
+              qtF, conf.textCol, conf.idCol, k, window,
               maxQueryTerms = conf.maxQueryTerms)
           }
         case other =>
-          return error(400,
+          return Left(error(400,
             s"unknown mode '$other' (expected hybrid|vector|lexical|" +
-              "fielded|phrase|proximity|snippet)")
+              "fielded|phrase|proximity|snippet)"))
       }
       // RAG context fetch on ANY mode: attach each hit's full document
       // text from the raw-text sidecar (k-bounded join behind the hits'
@@ -422,11 +635,13 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           hits.join(org.apache.spark.sql.functions.broadcast(live),
             Seq("doc_id"), "left")
         } else result
-      Response(200, "application/json",
-        envelope(withText.drop("query_id").orderBy("rank")))
+      // collect UNDER the lease (and inside the error mapping): the rows
+      // are k-bounded per query; callers re-frame them per envelope
+      val ordered = withText.orderBy(col("query_id"), col("rank"))
+      Right((ordered.collect().toSeq, ordered.schema))
     } catch {
-      case e: IllegalStateException => error(503,
-        s"retrieval store unavailable: ${e.getMessage}")
+      case e: IllegalStateException => Left(error(503,
+        s"retrieval store unavailable: ${e.getMessage}"))
       // a store missing the raw-text sidecar (snippet mode on a store
       // built without storeDocs) or positional postings (phrase/
       // proximity/snippet on a pre-positional store) is a
@@ -434,9 +649,145 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
       case e: IllegalArgumentException if e.getMessage != null &&
           (e.getMessage.contains("sidecar") ||
             e.getMessage.contains("positional")) =>
-        error(503, s"retrieval store unavailable: ${e.getMessage}")
+        Left(error(503, s"retrieval store unavailable: ${e.getMessage}"))
     }
-    } // read lease
+  }
+
+  // ---- Batch serving (round 13) -----------------------------------------
+  // One POST carrying N query payloads of ONE mode/k/filter shape → ONE
+  // parameterized plan over an N-row query frame (the serving entries are
+  // multi-query-native — the qx suites drive them with dozens of query
+  // rows), so the batch pays the per-request plan/scheduling floor once
+  // instead of N times. Each item's answer is rendered as the SAME
+  // envelope the single-query route produces and cached under the SAME
+  // per-item key, so batch and single fills are interchangeable.
+
+  /** Distinct per-item sentinel query ids (the single route's
+    * [[queryIdLit]] reasoning, offset by the batch index). */
+  private def batchIdValue(i: Int): Any = {
+    import org.apache.spark.sql.types._
+    idType match {
+      case LongType    => java.lang.Long.valueOf(Long.MinValue + 1 + i)
+      case IntegerType => Integer.valueOf(Int.MinValue + 1 + i)
+      case ShortType   => java.lang.Short.valueOf((Short.MinValue + 1 + i).toShort)
+      case StringType  => "\u0000graft-query-" + i + "\u0000"
+      case other => throw new IllegalArgumentException(
+        s"batch search needs a long/int/short/string id column " +
+          s"(store id type: ${other.simpleString})")
+    }
+  }
+
+  private def batchFrames(items: Seq[(Int, String, Seq[Float])])
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val tSchema = StructType(Seq(StructField(conf.idCol, idType),
+      StructField(conf.textCol, StringType)))
+    val vSchema = StructType(tSchema.fields.toSeq :+
+      StructField(conf.vecCol, ArrayType(FloatType)))
+    val tl = new java.util.ArrayList[Row]()
+    val vl = new java.util.ArrayList[Row]()
+    items.foreach { case (i, text, vec) =>
+      tl.add(Row(batchIdValue(i), text))
+      vl.add(Row(batchIdValue(i), text, vec))
+    }
+    (serveSpark.createDataFrame(tl, tSchema),
+      serveSpark.createDataFrame(vl, vSchema))
+  }
+
+  /** Batch search: every item shares (k, mode, allowed, window,
+    * include_text, require_all); items are (text, vector). Returns a 200
+    * whose body is `{"success":true,...,"results":[<per-item envelope>]}`
+    * in item order, each element byte-identical (timestamp aside) to the
+    * single-query route's envelope for the same payload. */
+  def searchBatch(items: Seq[(String, Seq[Float])], k: Int, mode: String,
+                  allowedIds: Seq[String], window: Int = 12,
+                  includeText: Boolean = false,
+                  requireAll: Boolean = false): Response = {
+    if (items.isEmpty)
+      return error(400, "batch 'queries' must be a non-empty array")
+    if (items.size > 64)
+      return error(400, s"batch too large: ${items.size} queries (max 64)")
+    val needsVector = mode == "hybrid" || mode == "vector"
+    items.zipWithIndex.foreach { case ((text, vec), i) =>
+      if (needsVector && vec.isEmpty)
+        return error(400, s"queries[$i]: mode '$mode' requires a 'vector'")
+      if (mode != "vector" && text.trim.isEmpty)
+        return error(400, s"queries[$i]: mode '$mode' requires non-empty text")
+      if (mode == "snippet" && items.exists(_._2.nonEmpty) != vec.nonEmpty)
+        return error(400, "queries[]: snippet batches must be uniformly " +
+          "with-vector or without (the two rank differently)")
+    }
+    val out = new Array[String](items.size)
+    // per-item cache keys — identical to the single route's, so hits flow
+    // both ways; version prefix computed once per batch
+    val keyed = cache.map { c =>
+      val ver = cacheVer(mode, includeText,
+        hasVector = items.exists(_._2.nonEmpty))
+      items.zipWithIndex.map { case ((text, vec), i) =>
+        val key = cacheKey(c, ver, mode, text, vec, k, window, allowedIds,
+          includeText, requireAll)
+        c.get(key).foreach(body => out(i) = body)
+        key
+      }
+    }
+    val missing = items.indices.filterNot(i => out(i) != null)
+    if (missing.nonEmpty) {
+      computeBatchEnvelopes(missing.map(items), k, mode, allowedIds, window,
+        includeText, requireAll) match {
+        case Left(resp) => return resp
+        case Right(envs) =>
+          missing.zip(envs).foreach { case (i, env) =>
+            out(i) = env
+            for (c <- cache; keys <- keyed) c.put(keys(i), env)
+          }
+      }
+    }
+    Response(200, "application/json",
+      s"""{"success":true,"timestamp":"${Serve.jsonEscape(now())}",""" +
+        s""""count":${items.size},"results":[${out.mkString(",")}]}""")
+  }
+
+  /** ONE bracketed, leased batch compute over `items` (text, vector) —
+    * one parameterized plan; returns the per-item envelopes in item
+    * order. Shared by [[searchBatch]] and the stampede coalescer. */
+  private def computeBatchEnvelopes(items: Seq[(String, Seq[Float])],
+                                    k: Int, mode: String,
+                                    allowedIds: Seq[String], window: Int,
+                                    includeText: Boolean, requireAll: Boolean)
+      : Either[Response, Seq[String]] = {
+    val pending = new java.util.HashMap[Int, String]()
+    def transient(e: Throwable): Boolean = e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case a: org.apache.spark.sql.AnalysisException =>
+        a.getMessage != null &&
+          a.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
+      case other => transient(other.getCause)
+    }
+    val resp = bracketLoop(mode, includeText,
+      hasVector = items.exists(_._2.nonEmpty), transient) { () =>
+      pending.clear()
+      val batch = items.zipWithIndex.map { case ((t, v), i) => (i, t, v) }
+      val (qt, qv) =
+        try batchFrames(batch)
+        catch { case e: IllegalArgumentException =>
+          return Left(error(501, e.getMessage)) }
+      computeRows(qt, qv, items.exists(_._2.nonEmpty), k, mode,
+        Option(allowedIds).filter(_.nonEmpty).map(allowFrame),
+        window, includeText, requireAll) match {
+        case Left(r) => r
+        case Right((rows, schema)) =>
+          val idIdx = schema.fieldIndex("query_id")
+          val byId = rows.groupBy(_.get(idIdx))
+          items.indices.foreach { i =>
+            val subset = byId.getOrElse(batchIdValue(i), Seq.empty[Row])
+            pending.put(i, envelope(withoutQueryId(subset, schema)))
+          }
+          Response(200, "application/json", "")
+      }
+    }
+    if (resp.status != 200) Left(resp)
+    else Right(items.indices.map(pending.get))
   }
 
   /** GET-shaped entry (text modes only). */
@@ -455,16 +806,34 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
   }
 
   /** POST-shaped entry: {"text":..., "vector":[...], "k":10,
-    * "mode":"hybrid", "allowed_ids":[...]}. */
+    * "mode":"hybrid", "allowed_ids":[...]} — or a BATCH:
+    * {"queries":[{"text":...,"vector":[...]},...], "k":..., "mode":...}
+    * (shared k/mode/filters; one parameterized plan serves every item —
+    * the corpus-scale RAG shape). */
   def searchPost(body: String): Response = {
     val node =
       try FinancialApi.mapper.readTree(if (body.isEmpty) "{}" else body)
       catch { case e: Exception =>
         return error(400, s"invalid JSON body: ${e.getMessage}") }
-    val vec: Seq[Float] =
-      Option(node.get("vector")).filter(_.isArray).map { arr =>
+    def vecOf(n: com.fasterxml.jackson.databind.JsonNode): Seq[Float] =
+      Option(n.get("vector")).filter(_.isArray).map { arr =>
         (0 until arr.size).map(i => arr.get(i).floatValue)
       }.getOrElse(Seq.empty)
+    Option(node.get("queries")).filter(_.isArray).foreach { arr =>
+      val items = (0 until arr.size).map { i =>
+        val it = arr.get(i)
+        (Option(it.get("text")).map(_.asText).getOrElse(""), vecOf(it))
+      }
+      return searchBatch(items,
+        Option(node.get("k")).map(_.asInt).getOrElse(10),
+        Option(node.get("mode")).map(_.asText).getOrElse("hybrid"),
+        Option(node.get("allowed_ids")).filter(_.isArray)
+          .map(FinancialApi.asStringSeq).getOrElse(Seq.empty),
+        Option(node.get("window")).map(_.asInt).getOrElse(12),
+        includeText = Option(node.get("include_text")).exists(_.asBoolean),
+        requireAll = Option(node.get("require_all")).exists(_.asBoolean))
+    }
+    val vec: Seq[Float] = vecOf(node)
     search(
       Option(node.get("text")).map(_.asText).getOrElse(""),
       vec,

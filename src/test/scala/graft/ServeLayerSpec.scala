@@ -550,6 +550,112 @@ class ServeLayerSpec extends SparkSpec {
     assert(noSearch.callJson("search_corpus", "{}").startsWith("Unknown tool"))
   }
 
+  test("search serving: batch /search equals the single-query route item-for-item and shares its cache entries") {
+    import graft.operators.{Quantize, Retrieval}
+    import graft.serve.SearchApi
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding")).localCheckpoint()
+    val work = java.nio.file.Files.createTempDirectory("srv-batch-").toString
+    val corpus = hybrid.filter(col("doc_id") >= 10)
+    Retrieval.writeBm25Store(corpus.select("doc_id", "text"),
+      "text", "doc_id", s"$work/lex", 8, storeDocs = true)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+    Quantize.buildSelfContained(spark, corpus.select("doc_id", "embedding"),
+      "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+      cb, "code_id", "cb_emb", 64, 4, residual = false, s"$work/vec",
+      storeVectors = true)
+    val cfg = GraftConfig.fromString(
+      s"""retrieval:
+         |  lex_store: "$work/lex"
+         |  vec_store: "$work/vec"
+         |  depth: 15
+         |  n_probe: 3
+         |  rerank_depth: 40
+         |  max_query_terms: 6
+         |  cache_size: 64
+         |""".stripMargin, env = Map.empty)
+    val api = SearchApi.fromConfig(spark, cfg).get
+    // cacheless twin: the pure compute reference for every comparison
+    val apiRef = SearchApi.fromConfig(spark, GraftConfig.fromString(
+      s"""retrieval:
+         |  lex_store: "$work/lex"
+         |  vec_store: "$work/vec"
+         |  depth: 15
+         |  n_probe: 3
+         |  rerank_depth: 40
+         |  max_query_terms: 6
+         |  cache_size: 0
+         |""".stripMargin, env = Map.empty)).get
+    val qRows = hybrid.filter(col("doc_id") < 8)
+      .select("text", "embedding").collect().take(4)
+    val texts = qRows.map(_.getString(0).split("\\s+").take(5).mkString(" "))
+    val vecs = qRows.map(_.getSeq[Float](1))
+    def stripTs(body: String): String =
+      body.replaceAll("\"timestamp\":\"[^\"]+\"", "\"timestamp\":\"-\"")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // ---- lexical batch against a COLD cache: one parameterized plan,
+    // results[i] == the single-query route's computed body
+    val itemsJson = texts.map(t =>
+      s"""{"text":${jstr(t)}}""").mkString("[", ",", "]")
+    val bl = api.searchPost(
+      s"""{"queries":$itemsJson,"k":5,"mode":"lexical"}""")
+    assert(bl.status == 200, bl.body)
+    val blNode = mapper.readTree(bl.body)
+    assert(blNode.get("count").asInt == texts.length)
+    val blResults = blNode.get("results")
+    texts.indices.foreach { i =>
+      val single = apiRef.search(texts(i), Seq.empty, 5, "lexical", Seq.empty)
+      assert(single.status == 200, single.body)
+      assert(stripTs(blResults.get(i).toString) == stripTs(single.body),
+        s"batch item $i diverged from the single-query route")
+    }
+    // the batch FILLED the per-item cache: the same single request on the
+    // CACHED api returns the batch's exact body, timestamp included
+    // (cached bodies keep their compute-time stamp, so byte-equality
+    // proves the hit came from the batch's fill)
+    val again = api.search(texts(0), Seq.empty, 5, "lexical", Seq.empty)
+    assert(again.body == blResults.get(0).toString,
+      "a single request after the batch must be served from the batch's " +
+        "cache fill")
+    // ...and a pre-cached single serves its entry INTO a later batch
+    val preSingle = api.search(texts(1), Seq.empty, 5, "lexical", Seq.empty)
+    val bl2 = api.searchPost(
+      s"""{"queries":$itemsJson,"k":5,"mode":"lexical"}""")
+    assert(mapper.readTree(bl2.body).get("results").get(1).toString
+      == preSingle.body,
+      "a batch must serve pre-cached items from the cache")
+    // ---- hybrid batch (vectors riding each item) ------------------------
+    val itemsHy = texts.indices.map(i =>
+      s"""{"text":${jstr(texts(i))},"vector":${vecs(i).mkString("[", ",", "]")}}""")
+      .mkString("[", ",", "]")
+    val bh = api.searchPost(s"""{"queries":$itemsHy,"k":5,"mode":"hybrid"}""")
+    assert(bh.status == 200, bh.body)
+    val bhResults = mapper.readTree(bh.body).get("results")
+    texts.indices.foreach { i =>
+      // the CACHELESS twin computes: the comparison can never be the
+      // batch's own cache entry echoed back
+      val single = apiRef.search(texts(i), vecs(i), 5, "hybrid", Seq.empty)
+      assert(single.status == 200, single.body)
+      assert(stripTs(bhResults.get(i).toString) == stripTs(single.body),
+        s"hybrid batch item $i diverged from the single-query route")
+    }
+    // ---- contract errors -------------------------------------------------
+    assert(api.searchPost("""{"queries":[],"mode":"lexical"}""").status == 400)
+    assert(api.searchPost(
+      """{"queries":[{"text":"x"}],"mode":"hybrid"}""").status == 400,
+      "a hybrid batch item without a vector must 400")
+    val tooMany = (0 until 65).map(_ => """{"text":"x"}""")
+      .mkString("[", ",", "]")
+    assert(api.searchPost(s"""{"queries":$tooMany,"mode":"lexical"}""")
+      .status == 400)
+  }
+
   test("search serving: a sidecar store serves lake-free (no corpus_path in the config)") {
     import graft.operators.{Quantize, Retrieval}
     import graft.serve.SearchApi
