@@ -691,23 +691,45 @@ object Retrieval {
   private[graft] def fsFileListing(spark: SparkSession,
                                    paths: Seq[String]): Set[String] = {
     val out = scala.collection.mutable.HashSet.empty[String]
+    // hidden/staging entries (_temporary, _SUCCESS, .crc, staging dirs)
+    // are invisible to every Spark read — a plan never lists them — and
+    // an in-flight additive write creates-then-renames them, so tracking
+    // them would fail the subset check during every commit window for
+    // files no request can read
+    def hidden(rel: String): Boolean =
+      rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
     paths.foreach { p =>
-      val fs = fsFor(spark, p)
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(hp)) {
-        val it = fs.listFiles(hp, true)
-        while (it.hasNext) {
-          val st = it.next()
-          val rel = st.getPath.toUri.getPath
-          // hidden/staging entries (_temporary, _SUCCESS, .crc, staging
-          // dirs) are invisible to every Spark read — a plan never lists
-          // them — and an in-flight additive write creates-then-renames
-          // them, so tracking them would fail the subset check during
-          // every commit window for files no request can read
-          val hidden = rel.split('/').exists(seg =>
-            seg.startsWith("_") || seg.startsWith("."))
-          if (!hidden)
-            out += s"$rel#${st.getModificationTime}#${st.getLen}"
+      val uri = new java.net.URI(p)
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        // NIO fast path: Hadoop's local listFiles loads per-file
+        // permission info (shell-outs) — ~750 ms per store walk measured;
+        // BasicFileAttributes stat the same mtime+len in ~1 ms
+        val root = java.nio.file.Paths.get(
+          if (uri.getScheme == null) p else uri.getPath)
+        if (java.nio.file.Files.exists(root)) {
+          val stream = java.nio.file.Files.walk(root)
+          try stream.forEach { f =>
+            if (java.nio.file.Files.isRegularFile(f)) {
+              val rel = f.toString
+              if (!hidden(rel)) {
+                val attrs = java.nio.file.Files.readAttributes(
+                  f, classOf[java.nio.file.attribute.BasicFileAttributes])
+                out += s"$rel#${attrs.lastModifiedTime.toMillis}#${attrs.size}"
+              }
+            }
+          } finally stream.close()
+        }
+      } else {
+        val fs = fsFor(spark, p)
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) {
+          val it = fs.listFiles(hp, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val rel = st.getPath.toUri.getPath
+            if (!hidden(rel))
+              out += s"$rel#${st.getModificationTime}#${st.getLen}"
+          }
         }
       }
     }
