@@ -153,7 +153,10 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           // cached).
           val mine = new java.util.concurrent.CompletableFuture[Response]()
           val raced = inFlight.putIfAbsent(key, mine)
-          if (raced != null) raced.get()
+          if (raced != null)
+            try raced.get(120, java.util.concurrent.TimeUnit.SECONDS)
+            catch { case _: java.util.concurrent.TimeoutException =>
+              error(503, "in-flight compute timed out; retry") }
           else {
             try {
               val r = coalescedCompute(c, key, text, vector, k, mode,
@@ -225,39 +228,62 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
         gathers.put(gk, g); true
       }
     }
-    if (!isLeader) return fut.get()
-    Thread.sleep(GatherWindowMs)
-    val batch = gatherLock.synchronized {
-      val g = gathers.remove(gk); g.open = false; g.items.toSeq
-    }
-    def completeAll(rs: Seq[Response]): Unit =
-      batch.zip(rs).foreach { case ((_, _, bkey, bfut), r) =>
-        if (r.status == 200) c.put(bkey, r.body)
-        bfut.complete(r)
-      }
+    // followers: bounded wait — a wedged leader must surface as a 503
+    // here, never as a hung connection
+    if (!isLeader)
+      return try fut.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        error(503, "coalesced compute timed out; retry") }
+    // LEADER: everything from here must drain the gather on ANY failure
+    // (an exception between registration and completion would otherwise
+    // strand queued followers on their futures forever)
     try {
-      if (batch.size == 1) {
-        val r = searchCompute(text, vector, k, mode, allowedIds, window,
-          includeText, requireAll)
-        completeAll(Seq(r))
-      } else {
-        computeBatchEnvelopes(batch.map(b => (b._1, b._2)), k, mode,
-          allowedIds, window, includeText, requireAll) match {
-          case Right(envs) =>
-            completeAll(envs.map(Response(200, "application/json", _)))
-          case Left(resp) if resp.status == 501 =>
-            // exotic id type: no batch frames — fall back to singles
-            completeAll(batch.map(b => searchCompute(b._1, b._2, k, mode,
-              allowedIds, window, includeText, requireAll)))
-          case Left(resp) =>
-            // a shared-parameter refusal (bad k/window/mode) or a store
-            // outage applies to every gathered item identically
-            completeAll(Seq.fill(batch.size)(resp))
+      Thread.sleep(GatherWindowMs)
+      val batch = gatherLock.synchronized {
+        val g = gathers.remove(gk); g.open = false; g.items.toSeq
+      }
+      def completeAll(rs: Seq[Response]): Unit =
+        batch.zip(rs).foreach { case ((_, _, bkey, bfut), r) =>
+          if (r.status == 200) c.put(bkey, r.body)
+          bfut.complete(r)
         }
+      try {
+        if (batch.size == 1) {
+          val r = searchCompute(text, vector, k, mode, allowedIds, window,
+            includeText, requireAll)
+          completeAll(Seq(r))
+        } else {
+          computeBatchEnvelopes(batch.map(b => (b._1, b._2)), k, mode,
+            allowedIds, window, includeText, requireAll) match {
+            case Right(envs) =>
+              completeAll(envs.map(Response(200, "application/json", _)))
+            case Left(resp) if resp.status == 501 =>
+              // exotic id type: no batch frames — fall back to singles
+              completeAll(batch.map(b => searchCompute(b._1, b._2, k, mode,
+                allowedIds, window, includeText, requireAll)))
+            case Left(resp) =>
+              // a shared-parameter refusal (bad k/window/mode) or a store
+              // outage applies to every gathered item identically
+              completeAll(Seq.fill(batch.size)(resp))
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          batch.foreach(_._4.completeExceptionally(e)); throw e
       }
     } catch {
       case e: Throwable =>
-        batch.foreach(_._4.completeExceptionally(e)); throw e
+        // drain the gather if it is still registered (failure before the
+        // normal removal) and fail every queued follower
+        val g = gatherLock.synchronized {
+          val cur = gathers.get(gk)
+          if (cur != null && cur.items.exists(_._4 eq fut)) {
+            cur.open = false; gathers.remove(gk); cur
+          } else null
+        }
+        if (g != null) g.items.foreach(_._4.completeExceptionally(e))
+        if (!fut.isDone) fut.completeExceptionally(e)
+        throw e
     }
     fut.get()
   }

@@ -645,6 +645,39 @@ class ServeLayerSpec extends SparkSpec {
       assert(stripTs(bhResults.get(i).toString) == stripTs(single.body),
         s"hybrid batch item $i diverged from the single-query route")
     }
+    // ---- stampede coalescing: concurrent cold misses of one mode gather
+    // into batched computes; every client still gets the exact
+    // single-route answer (round 13 — the post-invalidation refill shape)
+    locally {
+      val api2 = SearchApi.fromConfig(spark, GraftConfig.fromString(
+        s"""retrieval:
+           |  lex_store: "$work/lex"
+           |  vec_store: "$work/vec"
+           |  depth: 15
+           |  n_probe: 3
+           |  rerank_depth: 40
+           |  max_query_terms: 6
+           |  cache_size: 64
+           |""".stripMargin, env = Map.empty)).get
+      val got = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val threads = texts.indices.flatMap { i =>
+        // two clients per payload: exercises single-flight AND the gather
+        (0 until 2).map(_ => new Thread(() => {
+          val r = api2.search(texts(i), Seq.empty, 5, "lexical", Seq.empty)
+          assert(r.status == 200, r.body.take(150))
+          got.merge(i, r.body, (a: String, b: String) => {
+            assert(stripTs(a) == stripTs(b),
+              s"payload $i: two clients got different answers"); a
+          })
+        }))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      texts.indices.foreach { i =>
+        val want = apiRef.search(texts(i), Seq.empty, 5, "lexical", Seq.empty)
+        assert(stripTs(got.get(i)) == stripTs(want.body),
+          s"coalesced payload $i diverged from the single-route compute")
+      }
+    }
     // ---- contract errors -------------------------------------------------
     assert(api.searchPost("""{"queries":[],"mode":"lexical"}""").status == 400)
     assert(api.searchPost(
