@@ -695,8 +695,11 @@ object Retrieval {
     // are invisible to every Spark read — a plan never lists them — and
     // an in-flight additive write creates-then-renames them, so tracking
     // them would fail the subset check during every commit window for
-    // files no request can read
-    def hidden(rel: String): Boolean =
+    // files no request can read. Judged RELATIVE to the tracked root
+    // (round-14 ADVICE fix): judging the absolute path would empty the
+    // listing for any store deployed under a dot/underscore ancestor
+    // (/data/_warehouse/…, ~/.cache/…), silently disabling the bracket.
+    def hiddenRel(rel: String): Boolean =
       rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
     paths.foreach { p =>
       val uri = new java.net.URI(p)
@@ -710,11 +713,10 @@ object Retrieval {
           val stream = java.nio.file.Files.walk(root)
           try stream.forEach { f =>
             if (java.nio.file.Files.isRegularFile(f)) {
-              val rel = f.toString
-              if (!hidden(rel)) {
+              if (!hiddenRel(root.relativize(f).toString)) {
                 val attrs = java.nio.file.Files.readAttributes(
                   f, classOf[java.nio.file.attribute.BasicFileAttributes])
-                out += s"$rel#${attrs.lastModifiedTime.toMillis}#${attrs.size}"
+                out += s"${f.toString}#${attrs.lastModifiedTime.toMillis}#${attrs.size}"
               }
             }
           } finally stream.close()
@@ -723,12 +725,15 @@ object Retrieval {
         val fs = fsFor(spark, p)
         val hp = new org.apache.hadoop.fs.Path(p)
         if (fs.exists(hp)) {
+          val rootPath = fs.makeQualified(hp).toUri.getPath.stripSuffix("/")
           val it = fs.listFiles(hp, true)
           while (it.hasNext) {
             val st = it.next()
-            val rel = st.getPath.toUri.getPath
-            if (!hidden(rel))
-              out += s"$rel#${st.getModificationTime}#${st.getLen}"
+            val abs = st.getPath.toUri.getPath
+            val rel = if (abs.startsWith(rootPath + "/"))
+              abs.substring(rootPath.length + 1) else abs
+            if (!hiddenRel(rel))
+              out += s"$abs#${st.getModificationTime}#${st.getLen}"
           }
         }
       }

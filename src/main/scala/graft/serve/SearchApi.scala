@@ -365,6 +365,23 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     Retrieval.fsFileListing(serveSpark,
       trackedPaths(mode, includeText, hasVector))
 
+  /** The store ROOTS this request reads — the escalated lease's lock
+    * set. Every in-process installer takes [[StoreGate.writeLocked]] on
+    * its store's ROOT path (Retrieval/Quantize install sites), and
+    * StoreGate keys gates by exact canonical string, so a lease taken on
+    * [[trackedPaths]]' SUBdirectories (postings/, df/, …) would lock
+    * different objects and exclude nothing (round-14 ADVICE fix). Same
+    * needs* predicates as trackedPaths/cacheVer. */
+  private def gateRoots(mode: String, includeText: Boolean,
+                        hasVector: Boolean): Seq[String] = {
+    val needsVec = mode == "hybrid" || mode == "vector" ||
+      (mode == "snippet" && hasVector)
+    val needsLex = (mode != "vector" && mode != "fielded") || includeText
+    (if (needsLex) Seq(conf.lexStore) else Seq.empty) ++
+      (if (needsVec) Seq(conf.vecStore) else Seq.empty) ++
+      (if (mode == "fielded") conf.fieldedStore.toSeq else Seq.empty)
+  }
+
   /** Optimistic serve-under-mutation bracket (round 12): compute the
     * response between two physical-token reads and retry when they
     * differ. The committed-epoch snapshot (Retrieval.epochsInfo) already
@@ -406,15 +423,26 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     * present at request start is STILL PRESENT UNCHANGED at the end
     * (subset semantics) — additive mutations (append/delete commits,
     * which the committed-epoch snapshot and plan-time listings already
-    * isolate; a racing request serves the exact PRE state) no longer
-    * force a recompute. Only a rewrite/removal mid-compute retries: the
-    * in-process installs take the StoreGate write side and therefore
-    * CANNOT land inside a leased compute — this catches cross-process
-    * writers, which have no lease. Round 12's fingerprint-equality rule
-    * retried on every landed commit; under a mutation cadence faster
-    * than a contended compute, requests rode through mutation after
-    * mutation (ServeMutation measured a 29 s tail for exactly this).
-    * Transients retry with backoff; 503 on exhaustion. */
+    * isolate) no longer force a recompute. PER-STORE semantics, stated
+    * precisely (round-14 ADVICE): each leg of the plan resolves its
+    * store's listing/epoch set once and serves exactly ONE committed
+    * snapshot of THAT store — never a torn half-commit — but a
+    * hybrid/snippet request resolves its lexical and vector legs at
+    * different instants, so an append landing between the two
+    * resolutions yields lex@v(n) fused with vec@v(n+1): two adjacent
+    * committed versions, the same answer a client issuing the two legs
+    * as separate requests would see. The bracket does not claim a
+    * cross-store transaction; it guarantees no leg observes an
+    * uncommitted or physically-torn state. Only a rewrite/removal
+    * mid-compute retries: the in-process installs take the StoreGate
+    * write side on the store ROOT — the same key [[gateRoots]] leases —
+    * and therefore CANNOT land inside a leased compute; the subset check
+    * additionally catches cross-process writers, which have no lease.
+    * Round 12's fingerprint-equality rule retried on every landed
+    * commit; under a mutation cadence faster than a contended compute,
+    * requests rode through mutation after mutation (ServeMutation
+    * measured a 29 s tail for exactly this). Transients retry with
+    * backoff; 503 on exhaustion. */
   private def bracketLoop(mode: String, includeText: Boolean,
                           hasVector: Boolean,
                           transient: Throwable => Boolean)
@@ -446,7 +474,7 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
         try {
           if (!leased) attemptOnce()
           else graft.sources.StoreGate.readLocked(
-            trackedPaths(mode, includeText, hasVector))(attemptOnce())
+            gateRoots(mode, includeText, hasVector))(attemptOnce())
         } catch {
           case e: Exception if transient(e) && attempt < 3 =>
             Thread.sleep(50L * (attempt + 1)); None

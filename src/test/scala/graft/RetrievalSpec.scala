@@ -1301,4 +1301,41 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25TopKFromStore(spark, prePos, q, "text", "doc_id", 20)
       .count() == 10L)
   }
+
+  test("fsFileListing tracks stores under dot/underscore ANCESTOR dirs (hidden is judged relative to the tracked root)") {
+    import spark.implicits._
+    // a store deployed under /…/_warehouse/.cache/… — every ancestor
+    // segment would have tripped the old absolute-path hidden() check and
+    // silently emptied the tracked listing, turning the serve bracket's
+    // subset test into a vacuous pass (round-14 ADVICE fix)
+    val base = java.nio.file.Files.createTempDirectory("lst-")
+    val store = s"$base/_warehouse/.cache/s"
+    Retrieval.writeBm25Store(
+      (1L to 8L).map(i => i -> s"w$i common").toDF("doc_id", "text"),
+      "text", "doc_id", store, 2)
+    val listing = Retrieval.fsFileListing(spark, Retrieval.physicalPaths(store))
+    assert(listing.nonEmpty,
+      "tracked listing must see files under hidden-named ancestors")
+    assert(listing.exists(_.contains("/postings/")),
+      "postings files must be tracked")
+    // in-store hidden entries (_SUCCESS, .crc) stay excluded: they are
+    // invisible to every Spark read and churn during additive commits
+    assert(!listing.exists(e => e.contains("_SUCCESS") || e.contains(".crc")),
+      "in-store staging/marker files must remain untracked")
+    // and a rewrite under the hidden-ancestor store IS now detected:
+    // append a second epoch (additive — keeps the subset), then compact
+    // (physical rewrite — must break it)
+    Retrieval.appendBm25Store(
+      (9L to 12L).map(i => i -> s"w$i common").toDF("doc_id", "text"),
+      "text", "doc_id", store, epoch = 1L)
+    Retrieval.deleteFromBm25Store(spark, store,
+      Seq(3L, 9L).toDF("doc_id"), epoch = 2L)
+    val preCompact = Retrieval.fsFileListing(spark, Retrieval.physicalPaths(store))
+    assert(listing.subsetOf(preCompact),
+      "additive append+delete commits must keep the pre-state a subset")
+    Retrieval.compactBm25Store(spark, store)
+    val after = Retrieval.fsFileListing(spark, Retrieval.physicalPaths(store))
+    assert(!preCompact.subsetOf(after),
+      "a compaction must fail the subset check for hidden-ancestor stores")
+  }
 }

@@ -47,6 +47,36 @@ class StoreGateSpec extends SparkSpec {
     assert(order.indexOf("writer-in") < order.indexOf("late-reader-in"))
   }
 
+  test("gates key by exact canonical path: a SUBPATH lease does not exclude a ROOT writer — the serve layer must lease store roots (round-14 ADVICE)") {
+    val root = "/tmp/store-gate-key-test"
+    // (1) the trap the round-13 code fell into: leasing the store's
+    // physical SUBdirectories (what Retrieval.physicalPaths returns)
+    // while every installer write-locks the store ROOT — different keys,
+    // different lock objects, zero exclusion
+    val subpaths = graft.operators.Retrieval.physicalPaths(root)
+    assert(!subpaths.contains(root) && subpaths.forall(_.startsWith(root + "/")),
+      "fixture: physicalPaths must be strict subdirectories of the root")
+    val writerRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+    StoreGate.readLocked(subpaths) {
+      val w = new Thread(() => StoreGate.writeLocked(root) { writerRan.set(true) })
+      w.start(); w.join(5000)
+      assert(writerRan.get(),
+        "exact-key semantics: a subpath lease must NOT block a root writer " +
+          "(if this starts blocking, StoreGate learned prefix matching and " +
+          "the serve layer's gateRoots choice should be revisited)")
+    }
+    // (2) the correct discipline (SearchApi.gateRoots): leasing the ROOT
+    // excludes a root-locked install for the lease's duration
+    val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val w = new Thread(() => StoreGate.writeLocked(root) { installed.set(true) })
+    StoreGate.readLocked(Seq(root)) {
+      w.start(); Thread.sleep(200)
+      assert(!installed.get(), "a root lease must exclude a root-locked install")
+    }
+    w.join(5000)
+    assert(installed.get(), "the install proceeds once the lease is released")
+  }
+
   test("an in-flight read completes against the pre-install snapshot while a rebucket's swap waits on the gate") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("gate-rb-")
