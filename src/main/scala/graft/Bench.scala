@@ -69,6 +69,18 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** Top-level numeric field from a committed bench artifact, SF-gated
+    * like [[priorObject]]. For the memo-off A/B embed. */
+  private def priorScalar(path: String, sfDir: String, key: String): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val text = try src.mkString finally src.close()
+      val sfRec = ("\"sf\":\\s*\"([^\"]+)\"").r.findFirstMatchIn(text).map(_.group(1))
+      if (!sfRec.contains(sfDir)) None
+      else ("\"" + key + "\":\\s*(-?[0-9.]+)").r.findFirstMatchIn(text)
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
   /** 1-minute load average from /proc/loadavg (linux; -1 elsewhere). */
   private def loadAvg(): Double =
     try {
@@ -90,29 +102,106 @@ object Bench {
     (l, waited)
   }
 
+  /** JSON string escaping, same discipline as Verify. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeOracleJson(dir: java.nio.file.Path): java.nio.file.Path = {
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(dir.resolve("oracle_sql.json"), json)
+  }
+
+  /** Long-lived DuckDB measurement coprocess (round 14): Bench times a
+    * query's Spark reps and then immediately asks this process to time
+    * the SAME query's DuckDB reps — per-query temporal adjacency, so
+    * both engines see identical machine conditions and the ratio is
+    * load-invariant by construction. The round-13 two-halves design
+    * (full Spark suite, then full DuckDB suite) let a load swing land on
+    * one engine only: the DuckDB denominator moved 125.5→172.1 s between
+    * rounds on identical queries. Protocol: one query name per stdin
+    * line → one JSON reply line; see tools/duckdb_serve.py. */
+  private final class DuckCoprocess(sfDir: String, reps: Int) {
+    private val tmp = java.nio.file.Files.createTempDirectory("graft_duck_serve")
+    private val oraclePath = writeOracleJson(tmp)
+    private val pb = new ProcessBuilder("python3", "tools/duckdb_serve.py",
+      sfDir, oraclePath.toString, reps.toString)
+    pb.redirectErrorStream(false)
+    pb.directory(new java.io.File("."))
+    private val proc = pb.start()
+    private val toChild = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream,
+        java.nio.charset.StandardCharsets.UTF_8), true)
+    private val fromChild = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream,
+        java.nio.charset.StandardCharsets.UTF_8))
+    // drain stderr so the child can't block on a full pipe
+    new Thread(() => {
+      try {
+        val err = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getErrorStream))
+        while (err.readLine() != null) {}
+      } catch { case _: Throwable => }
+    }, "duck-serve-stderr").start()
+
+    /** Bounded readLine: null on timeout/death (caller falls back). */
+    private def readLineBounded(timeoutMs: Long): String = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!fromChild.ready() && proc.isAlive &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      if (fromChild.ready()) fromChild.readLine() else null
+    }
+
+    /** Handshake: the child prints a ready line once views are built. */
+    val ready: Boolean =
+      try {
+        val line = readLineBounded(120000)
+        line != null && line.contains("\"ready\": true")
+      } catch { case _: Throwable => false }
+
+    private def field(line: String, name: String): Option[Double] =
+      ("\"" + name + "\":\\s*(-?[0-9.]+)").r.findFirstMatchIn(line)
+        .map(_.group(1).toDouble)
+
+    /** Time one query in DuckDB now. Returns (bestSec, childLoadavg);
+      * None on SQL error, protocol break, or child death. */
+    def measure(name: String): Option[(Double, Double)] =
+      try {
+        if (!proc.isAlive) return None
+        toChild.println(name)
+        val line = readLineBounded(120000)
+        if (line == null) None
+        else field(line, "best").map(b => (b, field(line, "loadavg").getOrElse(-1.0)))
+      } catch { case _: Throwable => None }
+
+    def alive: Boolean = proc.isAlive
+
+    def close(): Unit = {
+      try toChild.println("__exit__") catch { case _: Throwable => }
+      try { if (!proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) proc.destroy() }
+      catch { case _: Throwable => }
+    }
+  }
+
   /** Measure DuckDB over the oracle suite IN THIS RUN (same machine
     * conditions as the Spark numbers above it) by shelling to the repo's
     * baseline tool with a temp output path. Child output is captured so
     * the stdout contract line stays the process's final line. Returns
     * (perQueryTimes, sourceTag). Falls back to the committed
-    * BASELINE_DUCKDB.json when python/duckdb is unavailable. */
+    * BASELINE_DUCKDB.json when python/duckdb is unavailable. Kept as the
+    * fallback for the interleaved coprocess path. */
   private def sameRunDuck(sfDir: String, reps: Int): (Map[String, Double], String) = {
     import scala.sys.process._
     try {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench_duck")
-      // oracle_sql.json for the tool, same escaping discipline as Verify
-      def q(s: String): String = "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      val json = SparkEntry.oracleSql
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"), json)
+      writeOracleJson(tmp)
       val outPath = tmp.resolve("duck_now.json").toString
       val log = new StringBuilder
       val logger = ProcessLogger(s => log.append(s).append('\n'), s => log.append(s).append('\n'))
@@ -213,6 +302,24 @@ object Bench {
     }
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
+    // Interleaved DuckDB coprocess (round 14): each query's DuckDB reps
+    // run immediately after its Spark reps, so both engines share the
+    // machine conditions of the same moment. SPARK_GRAFT_DUCK_MODE=post
+    // restores the round-13 suite-after-suite measurement;
+    // SPARK_GRAFT_SAMERUN_DUCK=0 still pins the committed baseline.
+    val duckReps = math.max(1,
+      sys.env.get("SPARK_GRAFT_DUCK_REPS").flatMap(_.toIntOption).getOrElse(2))
+    val duckMode = sys.env.getOrElse("SPARK_GRAFT_DUCK_MODE", "interleaved")
+    val coproc: Option[DuckCoprocess] =
+      if (duckMode == "interleaved" &&
+          !sys.env.get("SPARK_GRAFT_SAMERUN_DUCK").contains("0"))
+        try {
+          val c = new DuckCoprocess(sfDir, duckReps)
+          if (c.ready) Some(c) else { c.close(); None }
+        } catch { case _: Throwable => None }
+      else None
+    val duckNow = scala.collection.mutable.Map.empty[String, Double]
+    val duckLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     // One rep, split at the construct/execute boundary: `construct` is the
     // lambda invocation — plan construction, plus for the store-lifecycle
     // queries the EAGER harness work their semantics require (build +
@@ -246,20 +353,37 @@ object Bench {
                         cons: Double, exec: Double)
     val timings = ordered.map { case (name, fn) =>
       val ds = (1 to reps).map(_ => repOnce(fn))
+      // the interleave point: this query's DuckDB reps, now — the child
+      // runs while the Spark JVM is idle (sequential, no CPU contention)
+      coproc.foreach { c =>
+        c.measure(name).foreach { case (best, load) =>
+          duckNow(name) = best
+          if (load >= 0) duckLoads += load
+        }
+      }
       QT(name, ds.map(d => d._1 + d._2).min, ds.map(d => d._1 + d._2).max,
         ds.map(_._1).min, ds.map(_._2).min)
     }
-    // Same-run DuckDB baseline: measured AFTER the Spark loop completes (a
-    // concurrent measurement would corrupt both), under the same machine
-    // conditions, so the per-query spark/duck ratio is load-invariant.
-    // Fewer reps than Spark's: the duck side only normalizes, and min-of-2
-    // is within a few % of min-of-3 on this suite.
-    val duckReps = math.max(1,
-      sys.env.get("SPARK_GRAFT_DUCK_REPS").flatMap(_.toIntOption).getOrElse(2))
+    // survived the whole loop ⇒ any missing entries are per-query SQL
+    // errors (absent from the baseline, same as the post-hoc tool's
+    // behavior), not lost measurements
+    val coprocSurvived = coproc.exists(_.alive)
+    coproc.foreach(_.close())
+    // DuckDB baseline resolution: interleaved coprocess numbers when they
+    // cover every oracle-backed query (the load-robust basis); the
+    // round-13 suite-after-suite measurement when the coprocess was
+    // unavailable or died mid-run; the committed baseline on request.
     val (duck, duckSource) =
       if (sys.env.get("SPARK_GRAFT_SAMERUN_DUCK").contains("0"))
         (committedDuck(sfDir), "committed_by_request")
-      else sameRunDuck(sfDir, duckReps)
+      else if (coprocSurvived && duckNow.nonEmpty)
+        (duckNow.toMap, "interleaved")
+      else if (coproc.isDefined) {
+        // coprocess died mid-run: a partial interleaved basis would skew
+        // the totals, so re-measure the whole suite post-hoc instead
+        val (m, tag) = sameRunDuck(sfDir, duckReps)
+        (m, tag + "_after_interleave_died")
+      } else sameRunDuck(sfDir, duckReps)
     // Regression flag — RATIO mode with a WALL CEILING gate (round-8
     // change): a query is flagged only when BOTH hold —
     //  (1) its spark/duckdb ratio (both sides measured in the SAME run)
@@ -314,7 +438,12 @@ object Bench {
           s""""prev_wall_ceiling":${fmt(prior.get(t.name).map(pm =>
             pm * math.max(prevSpread.getOrElse(t.name, 1.0), 1.25)).getOrElse(-1.0))}}""")
     }
-    try {
+    // an A/B or probe run redirected via SPARK_GRAFT_BENCH_OUT must not
+    // clobber the primary regression artifact (its prev-ratio baseline is
+    // the memo-ON run's — every flag would be noise)
+    val primaryRun =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json") == "BENCH_FULL.json"
+    try if (primaryRun) {
       val w = new java.io.PrintWriter("BENCH_DELTA.json")
       try w.println(regressions.mkString(
         s"""{"mode":"ratio_vs_same_run_duckdb+wall_ceiling","duck_source":"$duckSource",""" +
@@ -364,7 +493,14 @@ object Bench {
         // never pay, and SCALE.md's narrative cites this committed number
         // instead of hand-summing construct_sec
         val sparkExecOnDuckSet = duckCovered.map { case (k, _) => execByName(k) }.sum
-        s""""duckdb":{"source":"$duckSource","total":${fmt(duckTotal)},""" +
+        // duck-side load exposure (interleaved mode): the child reports
+        // /proc/loadavg with every reply, so the artifact records the
+        // conditions the DENOMINATOR ran under, next to loadavg_start
+        val duckLoadJson =
+          if (duckLoads.isEmpty) ""
+          else s""""duck_loadavg_mean":${fmt(duckLoads.sum / duckLoads.size)},""" +
+            s""""duck_loadavg_max":${fmt(duckLoads.max)},"""
+        s""""duckdb":{"source":"$duckSource",$duckLoadJson"total":${fmt(duckTotal)},""" +
           s""""spark_total_on_shared":${fmt(sparkOnDuckSet)},""" +
           s""""spark_measured_on_shared":${fmt(sparkExecOnDuckSet)},""" +
           s""""ratio_total":${fmt(if (duckTotal > 0) sparkOnDuckSet / duckTotal else -1.0)},""" +
@@ -402,16 +538,29 @@ object Bench {
       // min skew
       val constructTotal = finalTimings.map(_.cons).sum
       val measuredTotal = finalTimings.map(_.exec).sum
+      // memo A/B: this run's memo state, plus — when a committed memo-off
+      // run exists for the same SF — its totals, so the memo's
+      // contribution is a recorded number in the primary artifact rather
+      // than a suspicion. Produce the A/B row with
+      //   GRAFT_STORE_MEMO=0 SPARK_GRAFT_BENCH_OUT=BENCH_MEMO_OFF.json
+      val memoOn = !sys.env.get("GRAFT_STORE_MEMO").contains("0")
+      val memoOffAb = (for {
+        t <- priorScalar("BENCH_MEMO_OFF.json", sfDir, "total")
+        c <- priorScalar("BENCH_MEMO_OFF.json", sfDir, "construct_total")
+      } yield s""""memo_off_ab":{"total":${fmt(t)},"construct_total":${fmt(c)},""" +
+        s""""source":"BENCH_MEMO_OFF.json"},""").getOrElse("")
       s"""{"total":${fmt(total)},"queries":{$mins},"spread_max_over_min":{$spreads},""" +
         s""""construct_total":${fmt(constructTotal)},"measured_total":${fmt(measuredTotal)},""" +
         s""""construct_sec":{$consJson},"measured_sec":{$execJson},""" +
+        s""""store_memo":${if (memoOn) 1 else 0},$memoOffAb""" +
         s""""reps":$reps,"regressions_vs_prev":${regressions.size},"sf":"$sfDir",""" +
         s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
         s""""load_wait_sec":$loadWaited,"load_ok":${if (loadStart >= 0 && loadStart <= quietThreshold) 1 else 0},""" +
         s"""$ratioJson,"n_queries":${results.size}}"""
     }
     try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      val w = new java.io.PrintWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => }
     val top = results.sortBy(-_._2).take(20).sortBy(_._1)

@@ -197,6 +197,8 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
   private val gathers =
     new java.util.concurrent.ConcurrentHashMap[GatherKey, Gather]()
   private val gatherLock = new Object
+  // paid only under a detected stampede (see coalescedCompute): a
+  // solitary uncached miss skips the window entirely
   private val GatherWindowMs = 30L
 
   private def coalescedCompute(c: ResultCache, key: String, text: String,
@@ -218,14 +220,23 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     val gk = GatherKey(mode, k, window, includeText, requireAll,
       vector.nonEmpty, allowedIds.sorted.mkString(","))
     val fut = new java.util.concurrent.CompletableFuture[Response]()
-    val isLeader = gatherLock.synchronized {
+    // (isLeader, stampede): a leader only pays the gather window when the
+    // registration moment shows a CONCURRENT uncached population — another
+    // open gather, or another in-flight compute besides this request's own
+    // entry. That is the cache-refill stampede's signature (a mutation
+    // invalidates many keys at once); a solitary miss has neither and the
+    // fixed 30 ms sleep was a pure latency tax on it (round-14 fix —
+    // single-request floor drifted 956→1269 ms partly on this).
+    val (isLeader, stampede) = gatherLock.synchronized {
       val cur = gathers.get(gk)
       if (cur != null && cur.open) {
-        cur.items += ((text, vector, key, fut)); false
+        cur.items += ((text, vector, key, fut)); (false, false)
       } else {
+        val others = gathers.size > (if (cur != null) 1 else 0)
         val g = new Gather
         g.items += ((text, vector, key, fut))
-        gathers.put(gk, g); true
+        gathers.put(gk, g)
+        (true, others || inFlight.size() > 1)
       }
     }
     // followers: bounded wait — a wedged leader must surface as a 503
@@ -238,7 +249,7 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     // (an exception between registration and completion would otherwise
     // strand queued followers on their futures forever)
     try {
-      Thread.sleep(GatherWindowMs)
+      if (stampede) Thread.sleep(GatherWindowMs)
       val batch = gatherLock.synchronized {
         val g = gathers.remove(gk); g.open = false; g.items.toSeq
       }
