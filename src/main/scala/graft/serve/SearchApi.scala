@@ -701,9 +701,38 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
             Seq("doc_id"), "left")
         } else result
       // collect UNDER the lease (and inside the error mapping): the rows
-      // are k-bounded per query; callers re-frame them per envelope
-      val ordered = withText.orderBy(col("query_id"), col("rank"))
-      Right((ordered.collect().toSeq, ordered.schema))
+      // are k-bounded per query; callers re-frame them per envelope.
+      // Driver twin of the final (query_id, rank) sort (round 14): the
+      // served fusion/top-k results are LocalRelations, but Sort is not
+      // folded by ConvertToLocalRelation, so orderBy().collect() was a
+      // 3-stage Spark job over k driver-resident rows. Ranks are unique
+      // within a query_id, so the driver sort IS the plan's ordering;
+      // any distributed result (or an id type without a replicated
+      // ordering, or a null sort key) falls back to the plan verbatim.
+      val localSorted = for {
+        rows <- graft.operators.DriverPlan.localRows(withText)
+        qOrd <- graft.operators.DriverPlan.idOrdering(
+          withText.schema("query_id").dataType)
+        qi = withText.schema.fieldIndex("query_id")
+        ri = withText.schema.fieldIndex("rank")
+        if rows.forall(r => !r.isNullAt(qi) && !r.isNullAt(ri))
+      } yield {
+        def rankOf(r: Row): Long = r.get(ri) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.toString.toLong
+        }
+        rows.sortWith { (a, b) =>
+          val c = qOrd.compare(a.get(qi), b.get(qi))
+          if (c != 0) c < 0 else rankOf(a) < rankOf(b)
+        }.toSeq
+      }
+      localSorted match {
+        case Some(rows) => Right((rows, withText.schema))
+        case None =>
+          val ordered = withText.orderBy(col("query_id"), col("rank"))
+          Right((ordered.collect().toSeq, ordered.schema))
+      }
     } catch {
       case e: IllegalStateException => Left(error(503,
         s"retrieval store unavailable: ${e.getMessage}"))

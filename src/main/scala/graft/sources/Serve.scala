@@ -76,9 +76,15 @@ object Serve {
   }
 
   /** S11 JSON rows with the response envelope shape
-    * (ref: models.py:152-196 — success flag + timestamp + data). */
+    * (ref: models.py:152-196 — success flag + timestamp + data).
+    * LocalRelation-backed frames (every /search response re-framed from
+    * collected rows) serialize on the driver through the same
+    * JacksonGenerator a toJSON task runs — byte-identical, no Spark
+    * job; distributed frames keep the toJSON job. */
   def toJsonEnvelope(df: DataFrame, timestamp: String): String = {
-    val rows = df.toJSON.collect().mkString(",")
+    val rows = org.apache.spark.sql.graftshim.GraftDatasetBridge
+      .localToJsonLines(df)
+      .getOrElse(df.toJSON.collect().toSeq).mkString(",")
     s"""{"success":true,"timestamp":"${jsonEscape(timestamp)}","data":[$rows]}"""
   }
 }
