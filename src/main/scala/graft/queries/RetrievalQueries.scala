@@ -476,10 +476,13 @@ object RetrievalQueries {
             "doc_id", "embedding", cents, "centroid_id", "cen_emb",
             codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
             residual = false, s"$w/vec"))))
-      Retrieval.hybridTopKFromStores(s, s"$wl/lex", s"$wv/vec",
+      // the SERVED twin (round 14): concurrent leg collects + exact
+      // driver fusion — the deployment path /search runs, spec-pinned
+      // row-identical to the single-plan fusion (ServingParitySpec)
+      Retrieval.hybridTopKFromStoresServed(s, s"$wl/lex", s"$wv/vec",
           hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
-          HY_NPROBE, HY_RERANK, corpusVecs, "embedding",
+          HY_NPROBE, HY_RERANK, rescore = Some((corpusVecs, "embedding")),
           maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
@@ -563,11 +566,13 @@ object RetrievalQueries {
             residual = false, s"$w/vec"))))
       val allowed = hybrid.filter(!isQuery && col("doc_id") % 3 === 1)
         .select("doc_id")
-      Retrieval.hybridTopKFromStoresFiltered(s, s"$wl/lex", s"$wv/vec",
+      // served twin with the ACL fence (round 14): same candidate fencing
+      // on both legs, fusion on the driver — parity-pinned
+      Retrieval.hybridTopKFromStoresServed(s, s"$wl/lex", s"$wv/vec",
           hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
-          allowed, "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
-          HY_NPROBE, HY_RERANK, corpusVecs, "embedding",
-          maxQueryTerms = MAX_QTERMS)
+          "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
+          HY_NPROBE, HY_RERANK, rescore = Some((corpusVecs, "embedding")),
+          allowed = Some(allowed), maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
 
@@ -654,10 +659,12 @@ object RetrievalQueries {
           try qv.processAllAvailable() finally qv.stop()
           graft.operators.Quantize.flattenIngestedStore(s, s"$w/vec", "doc_id")
         })))
-      Retrieval.hybridTopKFromStores(s, s"$wl/lex", s"$wv/vec",
+      // served twin (round 14): ingestion mechanics invisible AND served
+      // through the deployment path — parity-pinned to the plan fusion
+      Retrieval.hybridTopKFromStoresServed(s, s"$wl/lex", s"$wv/vec",
           hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
-          HY_NPROBE, HY_RERANK, corpusVecs, "embedding",
+          HY_NPROBE, HY_RERANK, rescore = Some((corpusVecs, "embedding")),
           maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
