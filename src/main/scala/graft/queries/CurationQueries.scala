@@ -452,11 +452,14 @@ object CurationQueries {
         scBuild(s, "emb", emb, cents, codebook),
         scTombstone(s, "emb%9=4",
           emb.filter(col("vec_id") % 9 === 4).select("vec_id"))))
-      graft.operators.Quantize.searchSelfContainedRefined(s, s"$work/store",
-          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
-          emb, "embedding", PQ_K, IVFPQ_NPROBE, REFINE_DEPTH)
-        .withColumnRenamed("rank", "knn_rank")
-        .orderBy("query_id", "knn_rank")
+      // exec under the SERVING session conf (round 14; see
+      // ServingSessions) - plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        graft.operators.Quantize.searchSelfContainedRefined(s, s"$work/store",
+            emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+            emb, "embedding", PQ_K, IVFPQ_NPROBE, REFINE_DEPTH)
+          .withColumnRenamed("rank", "knn_rank")
+          .orderBy("query_id", "knn_rank"))
     }),
 
     // ---- Quantizer retrain (recell) under the oracle ---------------------
@@ -489,11 +492,14 @@ object CurationQueries {
             "embedding", RECELL_CELLS, RECELL_CODES, retrainCodebook = true,
             coarseMaxIter = RECELL_COARSE_ITER, pqMaxIter = RECELL_PQ_ITER)),
         scAppend(s, "emb%9=4&%2=0", emb.filter(isDel && isReadd))))
-      graft.operators.Quantize.searchSelfContainedRefined(s, s"$work/store",
-          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
-          emb, "embedding", PQ_K, RECELL_CELLS, 1000000)
-        .withColumnRenamed("rank", "knn_rank")
-        .orderBy("query_id", "knn_rank")
+      // exec under the SERVING session conf (round 14; see
+      // ServingSessions) - plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        graft.operators.Quantize.searchSelfContainedRefined(s, s"$work/store",
+            emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+            emb, "embedding", PQ_K, RECELL_CELLS, 1000000)
+          .withColumnRenamed("rank", "knn_rank")
+          .orderBy("query_id", "knn_rank"))
     }),
 
     // ---- Fully self-contained store lifecycle under the oracle -----------
@@ -529,11 +535,14 @@ object CurationQueries {
             RECELL_CELLS, RECELL_CODES, retrainCodebook = true,
             coarseMaxIter = RECELL_COARSE_ITER, pqMaxIter = RECELL_PQ_ITER)),
         scAppend(s, "emb%9=4&%2=0", emb.filter(isDel && isReadd))))
-      graft.operators.Quantize.searchSelfContainedRefinedStored(s, s"$work/store",
-          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
-          PQ_K, RECELL_CELLS, 1000000)
-        .withColumnRenamed("rank", "knn_rank")
-        .orderBy("query_id", "knn_rank")
+      // exec under the SERVING session conf (round 14; see
+      // ServingSessions) - plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        graft.operators.Quantize.searchSelfContainedRefinedStored(s, s"$work/store",
+            emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+            PQ_K, RECELL_CELLS, 1000000)
+          .withColumnRenamed("rank", "knn_rank")
+          .orderBy("query_id", "knn_rank"))
     }),
 
     // ---- INCREMENTAL recell (cell split) under the oracle ----------------
@@ -573,11 +582,14 @@ object CurationQueries {
           { graft.operators.Quantize.retentionSweep(s, s"$w/store", "vec_id",
               maxTombstoneFraction = 1e-9); () }),
         scAppend(s, "emb%9=4&%2=0", emb.filter(isDel && isReadd))))
-      graft.operators.Quantize.searchSelfContainedRefinedStored(s, s"$work/store",
-          emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
-          PQ_K, 1000000, 1000000)
-        .withColumnRenamed("rank", "knn_rank")
-        .orderBy("query_id", "knn_rank")
+      // exec under the SERVING session conf (round 14; see
+      // ServingSessions) - plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        graft.operators.Quantize.searchSelfContainedRefinedStored(s, s"$work/store",
+            emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
+            PQ_K, 1000000, 1000000)
+          .withColumnRenamed("rank", "knn_rank")
+          .orderBy("query_id", "knn_rank"))
     }),
 
     // ---- Streaming vector ingest under the oracle ------------------------

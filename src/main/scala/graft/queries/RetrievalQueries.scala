@@ -201,12 +201,16 @@ object RetrievalQueries {
           bm25Append(s"fielded($f,$BM25F_TITLE_TOKENS)!q&a",
             fielded.filter(notQuery && isAppend), 1L, textCol = f)))
       }
-      Retrieval.bm25fTopKFromStores(s,
-          Seq(Retrieval.Bm25StoreField(s"$wt/store", BM25F_TITLE_W, BM25F_TITLE_B),
-            Retrieval.Bm25StoreField(s"$wb/store", BM25F_BODY_W, BM25F_BODY_B)),
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), "text",
-          "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25fTopKFromStores(s,
+            Seq(Retrieval.Bm25StoreField(s"$wt/store", BM25F_TITLE_W, BM25F_TITLE_B),
+              Retrieval.Bm25StoreField(s"$wb/store", BM25F_BODY_W, BM25F_BODY_B)),
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), "text",
+            "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // Fielded retrieval from ONE fielded store (round 11): the same
@@ -236,12 +240,16 @@ object RetrievalQueries {
           s"$BM25F_TITLE_TOKENS)!q&a|e=1")(w =>
           Retrieval.appendBm25fStore(fielded.filter(notQuery && isAppend),
             "doc_id", s"$w/store", epoch = 1L))))
-      Retrieval.bm25fTopKFromStore(s, s"$work/store",
-          Seq(Retrieval.Bm25fField("title", BM25F_TITLE_W, BM25F_TITLE_B),
-            Retrieval.Bm25fField("body", BM25F_BODY_W, BM25F_BODY_B)),
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), "text",
-          "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25fTopKFromStore(s, s"$work/store",
+            Seq(Retrieval.Bm25fField("title", BM25F_TITLE_W, BM25F_TITLE_B),
+              Retrieval.Bm25fField("body", BM25F_BODY_W, BM25F_BODY_B)),
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), "text",
+            "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // Filtered FIELDED serving: the ACL fence composed with per-field
@@ -266,12 +274,16 @@ object RetrievalQueries {
       }
       val allowed = docs.filter(notQuery && col("doc_id") % 3 === 1)
         .select("doc_id")
-      Retrieval.bm25fTopKFromStoresFiltered(s,
-          Seq(Retrieval.Bm25StoreField(s"$wt/store", BM25F_TITLE_W, BM25F_TITLE_B),
-            Retrieval.Bm25StoreField(s"$wb/store", BM25F_BODY_W, BM25F_BODY_B)),
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
-          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25fTopKFromStoresFiltered(s,
+            Seq(Retrieval.Bm25StoreField(s"$wt/store", BM25F_TITLE_W, BM25F_TITLE_B),
+              Retrieval.Bm25StoreField(s"$wb/store", BM25F_BODY_W, BM25F_BODY_B)),
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
+            "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // CONJUNCTIVE (boolean-AND) serving: only docs matching EVERY query
@@ -289,10 +301,14 @@ object RetrievalQueries {
       val work = StoreMemo.materialize(dir, Seq(
         bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend)),
         bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L)))
-      Retrieval.bm25TopKFromStoreConjunctive(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
-          "text", "doc_id", BM25_K, maxQueryTerms = PROX_TERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25TopKFromStoreConjunctive(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+            "text", "doc_id", BM25_K, maxQueryTerms = PROX_TERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // RAG serving returns the PASSAGE, not just the id: snippet mode
@@ -310,11 +326,15 @@ object RetrievalQueries {
         bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend),
           storeDocs = true),
         bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L)))
-      Retrieval.snippetTopKFromStore(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
-          "text", "doc_id", BM25_K, window = SNIPPET_WINDOW,
-          maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.snippetTopKFromStore(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+            "text", "doc_id", BM25_K, window = SNIPPET_WINDOW,
+            maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // ---- Durable BM25 store: build → append → pruned serve --------------
@@ -333,10 +353,14 @@ object RetrievalQueries {
       val work = StoreMemo.materialize(dir, Seq(
         bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend)),
         bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L)))
-      Retrieval.bm25TopKFromStore(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
-          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25TopKFromStore(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+            "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // ---- BM25 store deletion: tombstoned retraction, scalars rolled back
@@ -359,10 +383,14 @@ object RetrievalQueries {
         bm25Build("docs!q&!a", docs.filter(notQuery && !isAppend)),
         bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L),
         bm25Delete(s, "docs!q&d", docs.filter(notQuery && isDel).select("doc_id"), 2L)))
-      Retrieval.bm25TopKFromStore(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
-          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25TopKFromStore(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+            "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // ---- BM25 store compaction + post-compaction re-append --------------
@@ -384,10 +412,14 @@ object RetrievalQueries {
         bm25Delete(s, "docs!q&d", docs.filter(notQuery && isDel).select("doc_id"), 1L),
         bm25Compact(s),
         bm25Append("docs!q&d&r", docs.filter(notQuery && isDel && isReadd), 2L)))
-      Retrieval.bm25TopKFromStore(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
-          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25TopKFromStore(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+            "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // ---- Filtered store serving: metadata-predicated lexical retrieval --
@@ -404,10 +436,14 @@ object RetrievalQueries {
         bm25Build("docs!q", docs.filter(notQuery))))
       val allowed = docs.filter(notQuery && col("doc_id") % 3 === 1)
         .select("doc_id")
-      Retrieval.bm25TopKFromStoreFiltered(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
-          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25TopKFromStoreFiltered(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM), allowed,
+            "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // ---- Curation v5: decontaminate → quality-gate → BM25-serve ---------
@@ -479,8 +515,10 @@ object RetrievalQueries {
       // the SERVED twin (round 14): concurrent leg collects + exact
       // driver fusion — the deployment path /search runs, spec-pinned
       // row-identical to the single-plan fusion (ServingParitySpec)
-      Retrieval.hybridTopKFromStoresServed(s, s"$wl/lex", s"$wv/vec",
-          hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
+      Retrieval.hybridTopKFromStoresServed(ServingSessions.serving(s),
+          s"$wl/lex", s"$wv/vec",
+          ServingSessions.rebind(ServingSessions.serving(s),
+            hybrid.filter(isQuery).select("doc_id", "text", "embedding")),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
           HY_NPROBE, HY_RERANK, rescore = Some((corpusVecs, "embedding")),
           maxQueryTerms = MAX_QTERMS)
@@ -507,10 +545,14 @@ object RetrievalQueries {
         bm25Append("docs!q&a", docs.filter(notQuery && isAppend), 1L),
         bm25Delete(s, "docs!q&d", docs.filter(notQuery && isDel).select("doc_id"), 2L),
         bm25Compact(s)))
-      Retrieval.phraseTopKFromStore(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
-          "text", "doc_id", BM25_K, maxPhraseTerms = PHRASE_TERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.phraseTopKFromStore(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+            "text", "doc_id", BM25_K, maxPhraseTerms = PHRASE_TERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // ---- PROXIMITY query over the positional store ----------------------
@@ -525,10 +567,14 @@ object RetrievalQueries {
       // same full-corpus build as qx111 — one store serves both modes
       val work = StoreMemo.materialize(dir, Seq(
         bm25Build("docs!q", docs.filter(notQuery))))
-      Retrieval.proximityTopKFromStore(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
-          "text", "doc_id", BM25_K, PROX_WINDOW, maxQueryTerms = PROX_TERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.proximityTopKFromStore(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+            "text", "doc_id", BM25_K, PROX_WINDOW, maxQueryTerms = PROX_TERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // ---- FILTERED hybrid from stores: ACL-scoped RAG --------------------
@@ -568,8 +614,10 @@ object RetrievalQueries {
         .select("doc_id")
       // served twin with the ACL fence (round 14): same candidate fencing
       // on both legs, fusion on the driver — parity-pinned
-      Retrieval.hybridTopKFromStoresServed(s, s"$wl/lex", s"$wv/vec",
-          hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
+      Retrieval.hybridTopKFromStoresServed(ServingSessions.serving(s),
+          s"$wl/lex", s"$wv/vec",
+          ServingSessions.rebind(ServingSessions.serving(s),
+            hybrid.filter(isQuery).select("doc_id", "text", "embedding")),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
           HY_NPROBE, HY_RERANK, rescore = Some((corpusVecs, "embedding")),
           allowed = Some(allowed), maxQueryTerms = MAX_QTERMS)
@@ -602,10 +650,14 @@ object RetrievalQueries {
             "text", "doc_id", s"$w/store", s"$w/ckpt")
           try q.processAllAvailable() finally q.stop()
         })))
-      Retrieval.bm25TopKFromStore(s, s"$work/store",
-          docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
-          "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
-        .orderBy("query_id", "rank")
+      // exec under the SERVING session conf (round 14): AQE off,
+      // 8 shuffle partitions, driver-side discovery - the deployment
+      // serving shape; plans and results identical
+      ServingSessions.rebind(ServingSessions.serving(s),
+        Retrieval.bm25TopKFromStore(s, s"$work/store",
+            docs.filter(col("doc_id") % BM25_QMOD === BM25_QREM),
+            "text", "doc_id", BM25_K, maxQueryTerms = MAX_QTERMS)
+          .orderBy("query_id", "rank"))
     }),
 
     // ---- FULLY-STREAMED hybrid retrieval: the RAG loop under ingestion -
@@ -661,8 +713,10 @@ object RetrievalQueries {
         })))
       // served twin (round 14): ingestion mechanics invisible AND served
       // through the deployment path — parity-pinned to the plan fusion
-      Retrieval.hybridTopKFromStoresServed(s, s"$wl/lex", s"$wv/vec",
-          hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
+      Retrieval.hybridTopKFromStoresServed(ServingSessions.serving(s),
+          s"$wl/lex", s"$wv/vec",
+          ServingSessions.rebind(ServingSessions.serving(s),
+            hybrid.filter(isQuery).select("doc_id", "text", "embedding")),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
           HY_NPROBE, HY_RERANK, rescore = Some((corpusVecs, "embedding")),
           maxQueryTerms = MAX_QTERMS)

@@ -23,11 +23,39 @@ object TimeOne {
       if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
       else sfDir
     fn(spark, warmDir).count() // codegen warm
+    // job/task accounting per rep (round 14): the scheduling-barrier count
+    // is the serving-floor lever, so print it next to the wall
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val tasks = new java.util.concurrent.atomic.AtomicInteger()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    val jobSites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val names = j.stageInfos.map(_.name.split('\n').head.take(70))
+        jobSites.add(s"stages=${j.stageIds.size} [${names.mkString(" | ")}]")
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(); taskMs.addAndGet(t.taskInfo.duration)
+      }
+    })
+    val dumpJobs = sys.env.get("TIMEONE_JOBS").contains("1")
     for (i <- 1 to reps) {
       spark.catalog.clearCache()
+      jobs.set(0); tasks.set(0); taskMs.set(0); jobSites.clear()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[timeone] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val constructed = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      val n = constructed.count()
+      val t2 = System.nanoTime()
+      Thread.sleep(300) // listener drain
+      println(f"[timeone] $name rep$i: ${(t2 - t0) / 1e9}%.2f s " +
+        f"(construct ${(t1 - t0) / 1e9}%.2f + exec ${(t2 - t1) / 1e9}%.2f; " +
+        f"$n rows, jobs=${jobs.get()}, tasks=${tasks.get()}, task_ms=${taskMs.get()})")
+      if (dumpJobs && i == reps) {
+        import scala.jdk.CollectionConverters._
+        jobSites.asScala.foreach(s => println(s"[timeone]   job: $s"))
+      }
     }
     spark.stop()
   }
