@@ -70,6 +70,72 @@ object ScaleProbe {
       return
     }
 
+    // Curation compositions + kNN-graph build at 1×/4×/16× (round 14):
+    // the bench's wall leaders qx34/qx65 (multi-gate curation) and qx86
+    // (kNN-graph connected components) probed on an inflated corpus.
+    // Inflation keeps the 1× dup/quality STRUCTURE instead of minting
+    // clones: replica i suffixes every token with `_ri` (all shingles
+    // move → no cross-replica near-dups, per-replica dup rate unchanged —
+    // the realistic "new content arrived" shape) and rotates embeddings
+    // by i dims (cross-replica cosine breaks). qx86's centroid count
+    // scales ∝ √N — the standard IVF practice the fixed-constant bench
+    // plan doesn't need at one SF but a 100 TB deployment would set.
+    if (args.contains("curation")) {
+      graft.functions.GraftFunctions.register(spark)
+      val docsBase = Tables.t(spark, dir, "documents")
+      val embBase = Tables.t(spark, dir, "embeddings")
+      val nEmb = embBase.count()
+      for (mult <- Seq(1, 4, 16)) {
+        val tmp = java.nio.file.Files.createTempDirectory(s"scale-cur$mult-").toString
+        (0 until mult).map { i =>
+          if (i == 0) docsBase
+          else docsBase
+            .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+            .withColumn("text", expr(
+              s"array_join(transform(split(text, ' '), w -> concat(w, '_r$i')), ' ')"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        (0 until mult).map { i =>
+          if (i == 0) embBase
+          else embBase
+            .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+            .withColumn("embedding", expr(
+              s"concat(slice(embedding, ${i + 1}, 1000000), slice(embedding, 1, $i))"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+        for (q <- Seq("qx34_curation_pipeline", "qx65_curation_v2")) {
+          val fn = SparkEntry.queries(q)
+          fn(spark, tmp).count() // plan/codegen warm on this data
+          val t0 = System.nanoTime()
+          val n = fn(spark, tmp).count()
+          println(f"[scale] ${q}_docs=${5000L * mult}%8d  " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%6.2fs  rows: $n")
+        }
+        // qx86's body with √N centroids (8 at 1×) — the scale path
+        val emb = Tables.t(spark, tmp, "embeddings")
+        val nCents = (8 * math.sqrt(mult)).round.toInt
+        val centroids = embBase.filter(col("vec_id") < nCents)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+        def knnGraph(): Long = {
+          val edges = graft.operators.Similarity.ivfKnnJoin(emb, emb,
+              "vec_id", "embedding", centroids, "centroid_id", "c_emb",
+              3, nProbe = 2)
+            .filter(col("cosine") >= 0.4)
+            .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+          val cc = graft.operators.Graph.connectedComponents(edges, "u", "v")
+          cc.groupBy("component").agg(count(lit(1))).count()
+        }
+        knnGraph() // warm
+        val t1 = System.nanoTime()
+        val groups = knnGraph()
+        println(f"[scale] qx86_knn_graph_vecs=${nEmb * mult}%8d  " +
+          f"centroids=$nCents%3d  " +
+          f"wall=${(System.nanoTime() - t1) / 1e9}%6.2fs  groups: $groups")
+      }
+      spark.stop()
+      return
+    }
+
     // BM25 store: SERVING cost must track the query terms' bucket bytes
     // (a literal partition filter on postings AND df), never the corpus;
     // and APPEND cost must track the batch, never the standing store.

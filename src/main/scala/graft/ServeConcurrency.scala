@@ -99,15 +99,30 @@ object ServeConcurrency {
       s"""{"text":"$txt","vector":$vec,"k":$K,"mode":"hybrid"}"""
     }
     val client = java.net.http.HttpClient.newHttpClient()
-    def fire(i: Int): Long = {
+    // admission control (round 14): past saturation the server sheds with
+    // 429 + Retry-After instead of queueing unboundedly — a probe client
+    // honors the header like a production client would (bounded retries),
+    // and the shed count is REPORTED, not crashed on
+    def fire(i: Int): (Long, Int) = {
       val t0 = System.nanoTime()
-      val r = client.send(java.net.http.HttpRequest.newBuilder(
+      var shed = 0
+      var r = client.send(java.net.http.HttpRequest.newBuilder(
           java.net.URI.create(s"http://127.0.0.1:$port/search"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           payloads(i % payloads.length))).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
+      while (r.statusCode == 429 && shed < 10) {
+        shed += 1
+        Thread.sleep(Option(r.headers.firstValue("Retry-After").orElse("1"))
+          .flatMap(_.toLongOption).getOrElse(1L) * 1000L)
+        r = client.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/search"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            payloads(i % payloads.length))).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
       require(r.statusCode == 200, s"search failed: ${r.body.take(200)}")
-      (System.nanoTime() - t0) / 1000000L
+      ((System.nanoTime() - t0) / 1000000L, shed)
     }
 
     // warmup: codegen + store footers, excluded from every measurement
@@ -119,6 +134,7 @@ object ServeConcurrency {
     val rows = Levels.map { n =>
       val reqs = RequestsPerLevel
       val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val sheds = new java.util.concurrent.atomic.AtomicInteger(0)
       val lat = java.util.Collections.synchronizedList(
         new java.util.ArrayList[java.lang.Long]())
       val t0 = System.nanoTime()
@@ -126,7 +142,8 @@ object ServeConcurrency {
         new Thread(() => {
           var i = counter.getAndIncrement()
           while (i < reqs) {
-            lat.add(fire(i))
+            val (ms, sh) = fire(i)
+            lat.add(ms); sheds.addAndGet(sh)
             i = counter.getAndIncrement()
           }
         })
@@ -136,9 +153,10 @@ object ServeConcurrency {
       import scala.jdk.CollectionConverters._
       val sorted = lat.asScala.map(_.toLong).toSeq.sorted
       val row = (n, pct(sorted, 0.50), pct(sorted, 0.95), sorted.last,
-        reqs / wall)
+        reqs / wall, sheds.get())
       println(f"[serve-conc] n=$n%3d  p50=${row._2}%5d ms  p95=${row._3}%5d ms  " +
-        f"max=${row._4}%5d ms  throughput=${row._5}%5.2f req/s ($reqs reqs)")
+        f"max=${row._4}%5d ms  throughput=${row._5}%5.2f req/s " +
+        f"($reqs reqs, ${row._6} sheds)")
       row
     }
     server.stop()
@@ -226,11 +244,11 @@ client threads, $RequestsPerLevel requests per level over $DistinctQueries
 distinct query payloads, warmup excluded. p95/max over $RequestsPerLevel
 samples — read max as the tail indicator.
 
-| concurrent clients | p50 | p95 | max | throughput |
-|---|---|---|---|---|
+| concurrent clients | p50 | p95 | max | throughput | 429 sheds |
+|---|---|---|---|---|---|
 """)
-    for ((n, p50, p95, mx, thr) <- rows)
-      md.append(f"| $n | $p50 ms | $p95 ms | $mx ms | $thr%.2f req/s |\n")
+    for ((n, p50, p95, mx, thr, shed) <- rows)
+      md.append(f"| $n | $p50 ms | $p95 ms | $mx ms | $thr%.2f req/s | $shed |\n")
     md.append("""
 Cached-hit path — the deployment default (`retrieval.cache_size` > 0):
 REPEATED queries served from the mutation-exact result cache (version

@@ -30,7 +30,7 @@ object ServeMutation {
   private val Clients = 8
   private val K = 10
 
-  private final case class Fixture(work: String, lex: String, vec: String)
+  private[graft] final case class Fixture(work: String, lex: String, vec: String)
 
   /** Build the two stores from the corpus (deterministic logical
     * content, so two builds serve identical answers). */
@@ -51,9 +51,10 @@ object ServeMutation {
     Fixture(work, s"$work/lex", s"$work/vec")
   }
 
-  /** The mutation script — each step a named store lifecycle call. */
-  private def mutations(spark: SparkSession, f: Fixture,
-                        appendBatch: DataFrame, deleteIds: DataFrame)
+  /** The mutation script — each step a named store lifecycle call.
+    * Shared with [[ServeMutationChild]] (the cross-process mutator). */
+  private[graft] def mutations(spark: SparkSession, f: Fixture,
+                               appendBatch: DataFrame, deleteIds: DataFrame)
       : Seq[(String, () => Unit)] = Seq(
     "lex-append" -> (() => graft.operators.Retrieval.appendBm25Store(
       appendBatch.select("doc_id", "text"), "text", "doc_id", f.lex, epoch = 1L)),
@@ -82,8 +83,13 @@ object ServeMutation {
     }))
 
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val outDir = if (args.length > 1) args(1) else "."
+    // `xproc` (round 14): the live-phase mutator runs in a SEPARATE JVM
+    // (ServeMutationChild) — StoreGate cannot fence it, so the optimistic
+    // subset bracket is measured as the PRIMARY consistency mechanism
+    val xproc = args.contains("xproc")
+    val posArgs = args.filterNot(_ == "xproc")
+    val sfDir = if (posArgs.length > 0) posArgs(0) else "/root/testdata/sf0.1"
+    val outDir = if (posArgs.length > 1) posArgs(1) else "."
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // FAIR pools with a real allocation file (round 13): serving jobs
     // ("graft-serve", tagged per-request by SearchApi) get 8× the weight
@@ -238,15 +244,75 @@ object ServeMutation {
     val liveMuts = mutations(spark, liveFix, reserve, deleteIds)
     clients.foreach(_.start())
     Thread.sleep(3000) // quiet-store serving first
-    val mutWalls = liveMuts.map { case (name, m) =>
-      val t0 = System.nanoTime()
-      m()
-      val w = (System.nanoTime() - t0) / 1e6
-      println(f"[serve-mut] live mutation $name landed in $w%.0f ms " +
-        f"(+${(t0 - t00) / 1000000L} ms → +${(System.nanoTime() - t00) / 1000000L} ms)")
-      Thread.sleep(2500)
-      (name, w)
-    }
+    val mutWalls: Seq[(String, Double)] =
+      if (!xproc) liveMuts.map { case (name, m) =>
+        val t0 = System.nanoTime()
+        m()
+        val w = (System.nanoTime() - t0) / 1e6
+        println(f"[serve-mut] live mutation $name landed in $w%.0f ms " +
+          f"(+${(t0 - t00) / 1000000L} ms → +${(System.nanoTime() - t00) / 1000000L} ms)")
+        Thread.sleep(2500)
+        (name, w)
+      }
+      else {
+        // ---- cross-process mutator: same script, separate JVM ----------
+        val xTmp = java.nio.file.Files.createTempDirectory("serve-mut-x-")
+        reserve.write.parquet(s"$xTmp/append")
+        deleteIds.write.parquet(s"$xTmp/delete")
+        // the child inherits THIS forked JVM's full classpath verbatim
+        // (sbt's bg-jobs stage each jar into its own directory, so a
+        // jar-dir wildcard reconstruction misses everything but one jar
+        // — the round-14 first-run failure)
+        val javaBin = s"${System.getProperty("java.home")}/bin/java"
+        import scala.jdk.CollectionConverters._
+        // inherit the parent's --add-opens set (Spark 4 on JDK 17 needs
+        // them); keep memory bounded for the side JVM
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toList
+        val addOpens: Seq[String] = jvmArgs.zip(jvmArgs.drop(1)).collect {
+          case ("--add-opens", v) => List("--add-opens", v)
+        }.flatten
+        val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g", "-cp",
+          System.getProperty("java.class.path"), "graft.ServeMutationChild",
+          liveFix.lex, liveFix.vec, s"$xTmp/append", s"$xTmp/delete", "2500")
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        val walls = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val childLog = scala.collection.mutable.ArrayBuffer.empty[String]
+        try {
+          var line: String = null
+          val wallRe = """\[mut-child\] (\S+) (\d+)""".r
+          while ({ line = reader.readLine(); line != null }) {
+            wallRe.findFirstMatchIn(line) match {
+              case Some(m) =>
+                walls += ((m.group(1), m.group(2).toDouble))
+                println(s"[serve-mut] xproc mutation ${m.group(1)} landed in " +
+                  s"${m.group(2)} ms (+${(System.nanoTime() - t00) / 1000000L} ms)")
+              case None =>
+                if (line.contains("[mut-child] done"))
+                  println("[serve-mut] xproc mutator done")
+                else if (childLog.size < 200) childLog += line
+            }
+          }
+          require(proc.waitFor(5, java.util.concurrent.TimeUnit.MINUTES) &&
+            proc.exitValue() == 0,
+            s"xproc mutator failed (exit ${proc.exitValue()}); last child " +
+              s"output:\n${childLog.takeRight(25).mkString("\n")}")
+          require(walls.size == liveMuts.size,
+            s"xproc mutator landed ${walls.size}/${liveMuts.size} mutations; " +
+              s"last child output:\n${childLog.takeRight(25).mkString("\n")}")
+        } catch {
+          case e: Throwable =>
+            // the clients spin on `stop`; a dead mutator must not leave
+            // them looping forever (round-14 lesson: it did)
+            stop.set(true)
+            throw e
+        }
+        walls.toSeq
+      }
     stop.set(true); clients.foreach(_.join())
 
     // post-mutation exactness: the cache must serve the FINAL state now
@@ -292,7 +358,9 @@ object ServeMutation {
     require(finalBad == 0, s"$finalBad payloads not serving the final state")
 
     // ---- STREAMLAT.md section (marker-delimited, sibling-preserving)
-    val marker = "## Serving under mutation"
+    val marker = if (xproc) "## Serving under CROSS-PROCESS mutation"
+                 else "## Serving under mutation"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val path = java.nio.file.Paths.get(s"$outDir/STREAMLAT.md")
     val existing =
       if (java.nio.file.Files.exists(path))
@@ -306,12 +374,21 @@ object ServeMutation {
         (existing.substring(0, i), if (next == -1) "" else rest.substring(next))
     }
     val md = new StringBuilder(kept)
-    md.append(s"""$marker (round 13)
+    val mutatorDesc =
+      if (xproc) s"""a SEPARATE-JVM mutator (`graft.ServeMutationChild`,
+spawned with its own SparkSession against the same store paths — the
+multi-writer deployment reality) drives the full store lifecycle, one
+mutation every ~2.5 s. The in-process StoreGate CANNOT fence this
+writer, so the committed-epoch snapshot + version-token cache keys +
+the optimistic SUBSET bracket carry consistency as the PRIMARY
+mechanisms."""
+      else """a mutator thread
+drives the full store lifecycle, one mutation every ~2.5 s."""
+    md.append(s"""$marker (round ${if (xproc) 14 else 13})
 
-`runMain graft.ServeMutation $sfDir` — $Clients closed-loop clients POST
+`runMain graft.ServeMutation $sfDir${if (xproc) " xproc" else ""}` — $Clients closed-loop clients POST
 `/search` (hybrid/lexical/vector over both stores, result cache ON — the
-deployment default) against a live ApiServer while a mutator thread
-drives the full store lifecycle, one mutation every ~2.5 s. EVERY
+deployment default) against a live ApiServer while $mutatorDesc EVERY
 response is validated against a pre-computed ledger of the exact answer
 at each of the ${ledger.size} store states (timestamp stripped, values
 compared verbatim): a response must equal SOME state's answer — never a

@@ -710,16 +710,33 @@ object Retrieval {
         val root = java.nio.file.Paths.get(
           if (uri.getScheme == null) p else uri.getPath)
         if (java.nio.file.Files.exists(root)) {
-          val stream = java.nio.file.Files.walk(root)
-          try stream.forEach { f =>
-            if (java.nio.file.Files.isRegularFile(f)) {
-              if (!hiddenRel(root.relativize(f).toString)) {
-                val attrs = java.nio.file.Files.readAttributes(
-                  f, classOf[java.nio.file.attribute.BasicFileAttributes])
-                out += s"${f.toString}#${attrs.lastModifiedTime.toMillis}#${attrs.size}"
-              }
+          // walkFileTree, NOT Files.walk (round 14, found by the
+          // cross-process ServeMutation probe): hidden subtrees
+          // (_temporary staging of a concurrent writer — possibly in
+          // ANOTHER process) are skipped WITHOUT descending, and entries
+          // that vanish mid-walk (a racing rename/delete inside such a
+          // window) are tolerated instead of throwing
+          // NoSuchFileException out of the stream — their files were
+          // hidden/untracked either way
+          import java.nio.file.{FileVisitResult, Files, Path}
+          import java.nio.file.attribute.BasicFileAttributes
+          Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+            override def preVisitDirectory(d: Path,
+                attrs: BasicFileAttributes): FileVisitResult = {
+              val rel = root.relativize(d).toString
+              if (rel.nonEmpty && hiddenRel(rel)) FileVisitResult.SKIP_SUBTREE
+              else FileVisitResult.CONTINUE
             }
-          } finally stream.close()
+            override def visitFile(f: Path,
+                attrs: BasicFileAttributes): FileVisitResult = {
+              if (attrs.isRegularFile && !hiddenRel(root.relativize(f).toString))
+                out += s"${f.toString}#${attrs.lastModifiedTime.toMillis}#${attrs.size}"
+              FileVisitResult.CONTINUE
+            }
+            override def visitFileFailed(f: Path,
+                e: java.io.IOException): FileVisitResult =
+              FileVisitResult.CONTINUE // vanished mid-walk: not trackable
+          })
         }
       } else {
         val fs = fsFor(spark, p)

@@ -174,6 +174,38 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
   private val inFlight = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[FinancialApi.Response]]()
 
+  // ---- Admission control (round 14) ---------------------------------------
+  // Past the engine's concurrency sweet spot, extra uncached computes only
+  // queue inside Spark's FAIR scheduler: the round-13 probe measured n=32
+  // clients at LOWER throughput than n=16 (6.81 < 7.21 req/s) with p50
+  // 4.66 s — pure queueing delay with everyone admitted. A fair semaphore
+  // bounds concurrent LEADER computes (cache hits, single-flight waiters
+  // and gather followers never take a slot — they ride an admitted
+  // compute's future); an arrival that cannot get a slot within
+  // admissionWaitMs is shed with 429 + Retry-After instead of joining an
+  // unbounded queue, so tails stay bounded by wait + one compute and
+  // sustained overload degrades to explicit backpressure, not collapse.
+  private val computeSlots =
+    new java.util.concurrent.Semaphore(conf.maxConcurrentComputes, true)
+
+  private def busyResponse: Response =
+    Response(429, "application/json",
+      s"""{"success":false,"timestamp":"${Serve.jsonEscape(now())}",""" +
+        s""""detail":"engine saturated (${conf.maxConcurrentComputes} """ +
+        """concurrent computes); retry shortly"}""",
+      headers = Map("Retry-After" -> "1"))
+
+  /** Run `body` holding a compute slot; `busy(429-response)` when
+    * saturation outlasts the admission wait. */
+  private def admitted[T](busy: Response => T)(body: => T): T = {
+    val got =
+      try computeSlots.tryAcquire(conf.admissionWaitMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: InterruptedException => false }
+    if (!got) busy(busyResponse)
+    else try body finally computeSlots.release()
+  }
+
   // ---- Stampede coalescer (round 13) --------------------------------------
   // After a mutation invalidates the cache, DISTINCT uncached keys arrive
   // nearly simultaneously and each is a multi-second, multi-job compute —
@@ -212,8 +244,9 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     val batchable = !(needsVector && vector.isEmpty) &&
       !(mode != "vector" && text.trim.isEmpty)
     if (!batchable) {
-      val r = searchCompute(text, vector, k, mode, allowedIds, window,
-        includeText, requireAll)
+      val r = admitted[Response](identity)(
+        searchCompute(text, vector, k, mode, allowedIds, window,
+          includeText, requireAll))
       if (r.status == 200) c.put(key, r.body)
       return r
     }
@@ -259,11 +292,15 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
           bfut.complete(r)
         }
       try {
+        // ONE admission slot per leader: the gathered batch is one
+        // engine compute; a shed leader 429s every gathered item (none
+        // cached), which is the explicit-backpressure contract
         if (batch.size == 1) {
-          val r = searchCompute(text, vector, k, mode, allowedIds, window,
-            includeText, requireAll)
+          val r = admitted[Response](identity)(
+            searchCompute(text, vector, k, mode, allowedIds, window,
+              includeText, requireAll))
           completeAll(Seq(r))
-        } else {
+        } else admitted[Unit](b => completeAll(Seq.fill(batch.size)(b))) {
           computeBatchEnvelopes(batch.map(b => (b._1, b._2)), k, mode,
             allowedIds, window, includeText, requireAll) match {
             case Right(envs) =>
@@ -419,6 +456,11 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     def transient(e: Throwable): Boolean = e match {
       case null => false
       case _: java.io.FileNotFoundException => true
+      // NIO's distinct not-found type (round 14, cross-process probe):
+      // a racing writer's rename/delete window surfaces as this from
+      // both the NIO listing and Spark tasks; cause-chain recursion
+      // below also catches it wrapped in UncheckedIOException/SparkException
+      case _: java.nio.file.NoSuchFileException => true
       case a: org.apache.spark.sql.AnalysisException =>
         a.getMessage != null && a.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
       case other => transient(other.getCause)
@@ -826,8 +868,10 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     }
     val missing = items.indices.filterNot(i => out(i) != null)
     if (missing.nonEmpty) {
-      computeBatchEnvelopes(missing.map(items), k, mode, allowedIds, window,
-        includeText, requireAll) match {
+      // one admission slot per batch compute (all-hit batches never wait)
+      admitted[Either[Response, Seq[String]]](Left(_))(
+        computeBatchEnvelopes(missing.map(items), k, mode, allowedIds,
+          window, includeText, requireAll)) match {
         case Left(resp) => return resp
         case Right(envs) =>
           missing.zip(envs).foreach { case (i, env) =>
@@ -853,6 +897,11 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
     def transient(e: Throwable): Boolean = e match {
       case null => false
       case _: java.io.FileNotFoundException => true
+      // NIO's distinct not-found type (round 14, cross-process probe):
+      // a racing writer's rename/delete window surfaces as this from
+      // both the NIO listing and Spark tasks; cause-chain recursion
+      // below also catches it wrapped in UncheckedIOException/SparkException
+      case _: java.nio.file.NoSuchFileException => true
       case a: org.apache.spark.sql.AnalysisException =>
         a.getMessage != null &&
           a.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
@@ -956,7 +1005,9 @@ object SearchApi {
                                  maxQueryTerms: Int, maxK: Int,
                                  fieldedStore: Option[String] = None,
                                  fieldedFields: Seq[Retrieval.Bm25fField] = Seq.empty,
-                                 servingShufflePartitions: Int = 8)
+                                 servingShufflePartitions: Int = 8,
+                                 maxConcurrentComputes: Int = 16,
+                                 admissionWaitMs: Long = 5000L)
 
   /** Parse "name:weight:b,name:weight:b,..." (weight defaults 1.0, b
     * defaults [[Retrieval.B]]) — the config wire format for the fielded
@@ -1015,7 +1066,11 @@ object SearchApi {
       fieldedFields = parseFields(
         cfg.getStringOr("retrieval.fielded_fields", "")),
       servingShufflePartitions =
-        cfg.getIntOr("retrieval.serving_shuffle_partitions", 8)),
+        cfg.getIntOr("retrieval.serving_shuffle_partitions", 8),
+      maxConcurrentComputes =
+        cfg.getIntOr("retrieval.max_concurrent_computes", 16),
+      admissionWaitMs =
+        cfg.getIntOr("retrieval.admission_wait_ms", 5000).toLong),
       cache = {
         val stores = Seq(lex, vec) ++ cfg.getString("retrieval.corpus_path") ++
           cfg.getString("retrieval.fielded_store")

