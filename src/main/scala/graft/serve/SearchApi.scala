@@ -124,8 +124,13 @@ final class SearchApi(spark: SparkSession, conf: SearchApi.RetrievalConf,
              allowedIds: Seq[String], window: Int = 12,
              includeText: Boolean = false,
              requireAll: Boolean = false): Response = cache match {
-    case None => searchCompute(text, vector, k, mode, allowedIds, window,
-      includeText, requireAll)
+    // cacheless deployments still get admission control: every request
+    // is an uncached compute here, exactly the population the slot
+    // bound exists for (round 14 — the first probe ran this config and
+    // the gate, wired only into the cache-keyed path, never applied)
+    case None => admitted[Response](identity)(
+      searchCompute(text, vector, k, mode, allowedIds, window,
+        includeText, requireAll))
     case Some(c) =>
       // Mutation-exact caching: the key CARRIES each depended-on store's
       // version token (a FileSystem-metadata fingerprint — a few
