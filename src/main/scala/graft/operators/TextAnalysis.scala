@@ -407,15 +407,35 @@ object TextAnalysis {
     * combined; the frequency lookups are joins on the bigram/first-token
     * keys; V and nothing else crosses the driver. */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // ONE tokenize+shingle pass feeds every count (the qx44/pmiBigrams
+    // lesson): without the persist, the bigram census, the unigram
+    // census, AND the vocabulary size each re-tokenize the corpus in
+    // their own broadcast-build job — three extra full regex passes that
+    // dominate this operator's wall at every scale (tokenization is the
+    // expensive term; the counts are vocabulary-sized). The tag-union
+    // census is persisted and serves all three small sides; the per-
+    // instance probe side pays the fourth, unavoidable pass (it needs
+    // per-doc rows, not counts). Same lifecycle tradeoff as
+    // nearDupPipeline's cache: the vocabulary-sized entry lives until
+    // ContextCleaner collects the plan.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val toksDocs = docs.select(col(idCol), expr(TX.tokensAuto(textCol)).as("__toks"))
+    val tagged = toksDocs.select(explode(expr(
+        s"concat(" +
+          s"transform(__toks, t -> named_struct('tag', 'u', 'term', t)), " +
+          s"transform(${TX.shingles("__toks", 2)}, b -> named_struct('tag', 'b', 'term', b)))"))
+        .as("e"))
+      .select(col("e.tag").as("tag"), col("e.term").as("term"))
+    val counts = tagged.groupBy("tag", "term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = counts.filter(col("tag") === "b")
+      .select(col("term").as("bg"), col("c").as("c_bg"))
+    val uni = counts.filter(col("tag") === "u")
+      .select(col("term").as("w"), col("c").as("c_w"))
+    val vocab = counts.filter(col("tag") === "u").agg(count(lit(1)).as("v"))
     val inst = toksDocs.select(col(idCol),
         explode(expr(TX.shingles("__toks", 2))).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val bc = inst.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val uni = toksDocs.select(explode(col("__toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c_w"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
     inst
       .join(bc, "bg")
       .join(uni.select(col("w").as("w1"), col("c_w")), "w1")

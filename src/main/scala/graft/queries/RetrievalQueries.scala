@@ -731,7 +731,17 @@ object RetrievalQueries {
     "qx101_hybrid_rrf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
+      // persist the embedding-fenced base ONCE: four consumers below
+      // (corpus/query × text/vector) would otherwise each rebuild the
+      // docs⋈emb subtree inside their own broadcast-build job, and those
+      // builds CHAIN — a build's task blocks awaiting its nested inner
+      // broadcast, so the per-build walls stack instead of overlapping
+      // (measured: 26 jobs, run≫cpu on every build). One materialization
+      // + cached reads collapses the chain; at scale this is the working
+      // set of the query, materialized once instead of joined four times.
       val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val isQuery = col("doc_id") % RRF_QMOD === RRF_QREM
       val corpusDocs = hybrid.filter(!isQuery).select("doc_id", "text")
       val queryDocs = hybrid.filter(isQuery).select("doc_id", "text")
