@@ -489,38 +489,15 @@ object RetrievalQueries {
     //  set, so rescore ≡ exact over the probed cells), and qx101's
     //  nano-unit RRF arithmetic.)
     "qx107_hybrid_store" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
-      val isQuery = col("doc_id") % RRF_QMOD === RRF_QREM
-      val corpusDocs = hybrid.filter(!isQuery).select("doc_id", "text")
-      val queryDocs = hybrid.filter(isQuery).select("doc_id", "text")
-      val corpusVecs = hybrid.filter(!isQuery).select("doc_id", "embedding")
-      val queryVecs = hybrid.filter(isQuery).select("doc_id", "embedding")
-      val cents = emb.filter(col("vec_id") < HY_CENTROIDS)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
-      val codebook = emb.filter(col("vec_id") < HY_CODES)
-        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      // both stores shared verbatim with qx114 (same corpus, same params;
-      // qx114 only adds a serve-time candidate fence)
-      val wl = StoreMemo.materialize(dir, Seq(
-        bm25Build(s"hybrid!q($RRF_QMOD,$RRF_QREM)", corpusDocs, at = "lex")))
-      val wv = StoreMemo.materialize(dir, Seq(
-        StoreMemo.step(s"vec.buildSC|hybrid!q($RRF_QMOD,$RRF_QREM)|" +
-          s"c=$HY_CENTROIDS|cb=$HY_CODES|d=$HY_DIMS|bl=$HY_BLOCKS|res=false")(w =>
-          graft.operators.Quantize.buildSelfContained(s, corpusVecs,
-            "doc_id", "embedding", cents, "centroid_id", "cen_emb",
-            codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
-            residual = false, s"$w/vec"))))
+      val p = hybridStoreParts(s, dir)
       // the SERVED twin (round 14): concurrent leg collects + exact
       // driver fusion — the deployment path /search runs, spec-pinned
       // row-identical to the single-plan fusion (ServingParitySpec)
       Retrieval.hybridTopKFromStoresServed(ServingSessions.serving(s),
-          s"$wl/lex", s"$wv/vec",
-          ServingSessions.rebind(ServingSessions.serving(s),
-            hybrid.filter(isQuery).select("doc_id", "text", "embedding")),
+          p.lexStore, p.vecStore,
+          ServingSessions.rebind(ServingSessions.serving(s), p.queries),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
-          HY_NPROBE, HY_RERANK, rescore = Some((corpusVecs, "embedding")),
+          HY_NPROBE, HY_RERANK, rescore = Some((p.corpusVecs, "embedding")),
           maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
@@ -590,37 +567,15 @@ object RetrievalQueries {
     //  filter applied). The oracle is qx107's derivation with the same
     //  candidate fence on both sides — df/stats/avgdl CTEs untouched.)
     "qx114_hybrid_filtered" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
-      val isQuery = col("doc_id") % RRF_QMOD === RRF_QREM
-      val corpusDocs = hybrid.filter(!isQuery).select("doc_id", "text")
-      val corpusVecs = hybrid.filter(!isQuery).select("doc_id", "embedding")
-      val cents = emb.filter(col("vec_id") < HY_CENTROIDS)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
-      val codebook = emb.filter(col("vec_id") < HY_CODES)
-        .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      // qx107's two store chains verbatim — the ACL fence is serve-time
-      val wl = StoreMemo.materialize(dir, Seq(
-        bm25Build(s"hybrid!q($RRF_QMOD,$RRF_QREM)", corpusDocs, at = "lex")))
-      val wv = StoreMemo.materialize(dir, Seq(
-        StoreMemo.step(s"vec.buildSC|hybrid!q($RRF_QMOD,$RRF_QREM)|" +
-          s"c=$HY_CENTROIDS|cb=$HY_CODES|d=$HY_DIMS|bl=$HY_BLOCKS|res=false")(w =>
-          graft.operators.Quantize.buildSelfContained(s, corpusVecs,
-            "doc_id", "embedding", cents, "centroid_id", "cen_emb",
-            codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
-            residual = false, s"$w/vec"))))
-      val allowed = hybrid.filter(!isQuery && col("doc_id") % 3 === 1)
-        .select("doc_id")
+      val p = hybridStoreParts(s, dir)
       // served twin with the ACL fence (round 14): same candidate fencing
       // on both legs, fusion on the driver — parity-pinned
       Retrieval.hybridTopKFromStoresServed(ServingSessions.serving(s),
-          s"$wl/lex", s"$wv/vec",
-          ServingSessions.rebind(ServingSessions.serving(s),
-            hybrid.filter(isQuery).select("doc_id", "text", "embedding")),
+          p.lexStore, p.vecStore,
+          ServingSessions.rebind(ServingSessions.serving(s), p.queries),
           "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
-          HY_NPROBE, HY_RERANK, rescore = Some((corpusVecs, "embedding")),
-          allowed = Some(allowed), maxQueryTerms = MAX_QTERMS)
+          HY_NPROBE, HY_RERANK, rescore = Some((p.corpusVecs, "embedding")),
+          allowed = Some(p.allowed), maxQueryTerms = MAX_QTERMS)
         .orderBy("query_id", "rank")
     }),
 
@@ -758,6 +713,66 @@ object RetrievalQueries {
   )
 
   // ---------------------------------------------------------------------
+  /** The store chains + frames qx107 and qx114 share (same corpus, same
+    * params; qx114 only adds the serve-time ACL fence): the bucket-
+    * partitioned lexical BM25 store and the self-contained IVF-PQ store
+    * over the embedding-fenced corpus, both memoized per content
+    * signature (StoreMemo), plus the query/rescore/fence frames. */
+  private[graft] final case class HybridParts(lexStore: String,
+      vecStore: String, queries: DataFrame, corpusVecs: DataFrame,
+      allowed: DataFrame)
+
+  private[graft] def hybridStoreParts(s: SparkSession, dir: String): HybridParts = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val hybrid = docs.join(emb, col("doc_id") === col("vec_id"))
+    val isQuery = col("doc_id") % RRF_QMOD === RRF_QREM
+    val corpusDocs = hybrid.filter(!isQuery).select("doc_id", "text")
+    val corpusVecs = hybrid.filter(!isQuery).select("doc_id", "embedding")
+    val cents = emb.filter(col("vec_id") < HY_CENTROIDS)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
+    val codebook = emb.filter(col("vec_id") < HY_CODES)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
+    val wl = StoreMemo.materialize(dir, Seq(
+      bm25Build(s"hybrid!q($RRF_QMOD,$RRF_QREM)", corpusDocs, at = "lex")))
+    val wv = StoreMemo.materialize(dir, Seq(
+      StoreMemo.step(s"vec.buildSC|hybrid!q($RRF_QMOD,$RRF_QREM)|" +
+        s"c=$HY_CENTROIDS|cb=$HY_CODES|d=$HY_DIMS|bl=$HY_BLOCKS|res=false")(w =>
+        graft.operators.Quantize.buildSelfContained(s, corpusVecs,
+          "doc_id", "embedding", cents, "centroid_id", "cen_emb",
+          codebook, "code_id", "cb_emb", HY_DIMS, HY_BLOCKS,
+          residual = false, s"$w/vec"))))
+    HybridParts(s"$wl/lex", s"$wv/vec",
+      hybrid.filter(isQuery).select("doc_id", "text", "embedding"),
+      corpusVecs,
+      hybrid.filter(!isQuery && col("doc_id") % 3 === 1).select("doc_id"))
+  }
+
+  /** PLAN-TWIN audit surfaces for qx107/qx114: the single-plan fusion
+    * over the SAME memoized stores the served bench entries collect
+    * from. The served path's final frame is a driver-fused LocalRelation
+    * (no scan nodes to audit); its leg DAGs are exactly these subplans
+    * (hybridLegs is shared, RetrievalServingParitySpec pins the rows
+    * identical), so PlanAuditSpec's partition-pruning pins audit the
+    * twins. */
+  private[graft] def qx107PlanTwin(s: SparkSession, dir: String): DataFrame = {
+    val p = hybridStoreParts(s, dir)
+    Retrieval.hybridTopKFromStores(s, p.lexStore, p.vecStore, p.queries,
+        "text", "embedding", "doc_id", RRF_TOPK, RRF_DEPTH,
+        HY_NPROBE, HY_RERANK, p.corpusVecs, "embedding",
+        maxQueryTerms = MAX_QTERMS)
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] def qx114PlanTwin(s: SparkSession, dir: String): DataFrame = {
+    val p = hybridStoreParts(s, dir)
+    Retrieval.hybridTopKFromStoresFiltered(s, p.lexStore, p.vecStore,
+        p.queries, p.allowed, "text", "embedding", "doc_id", RRF_TOPK,
+        RRF_DEPTH, HY_NPROBE, HY_RERANK, p.corpusVecs, "embedding",
+        maxQueryTerms = MAX_QTERMS)
+      .orderBy("query_id", "rank")
+  }
+
   private implicit val duck: Dialect = Dialect(spark = false)
 
   /** BM25 scoring CTE chain over `corpus`/`q` CTEs (both (doc_id, text));

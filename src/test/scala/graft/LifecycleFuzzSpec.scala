@@ -190,8 +190,13 @@ class LifecycleFuzzSpec extends SparkSpec {
       m(lex, vec)
       Thread.sleep(150)
     }
-    // keep reading until the floor is met (bounded), then stop
-    val deadline = System.nanoTime() + 120L * 1000000000L
+    // keep reading until the floor is met (bounded), then stop. The
+    // floor is a SAMPLE-SIZE requirement (>=500 randomized read/state
+    // comparisons), not a latency assertion — an uncached hybrid compute
+    // runs ~1s quiet but ~3s under a loaded CI box, so the bound is
+    // sized for the slow case (6 readers x ~3s/read -> ~250s for 500)
+    // rather than failing the consistency fuzz on machine noise.
+    val deadline = System.nanoTime() + 360L * 1000000000L
     while (reads.get() < MinReads && System.nanoTime() < deadline)
       Thread.sleep(200)
     stop.set(true); readers.foreach(_.join(30000))

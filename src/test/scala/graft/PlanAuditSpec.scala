@@ -110,8 +110,12 @@ class PlanAuditSpec extends SparkSpec {
     // the round-9 deployment pin: the fused plan contains the lexical
     // store's bucket-pruned reads AND the vector store's probed-cell
     // read; if either filter disappears the store serves at full-scan
-    // cost and the whole point of the persisted layout is gone
-    val p = SparkEntry.queries("qx107_hybrid_store")(spark, sfDir)
+    // cost and the whole point of the persisted layout is gone.
+    // Round 14: the bench entry serves through the driver-fused path
+    // (its final frame is a LocalRelation with no scan nodes), so the
+    // audit reads the PLAN TWIN over the same stores — the identical
+    // leg subplans the served path executes (parity spec-pinned).
+    val p = queries.RetrievalQueries.qx107PlanTwin(spark, sfDir)
       .queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(p).toSeq
     assert(pf.exists(_.contains("bucket")),
@@ -129,8 +133,9 @@ class PlanAuditSpec extends SparkSpec {
     // either store its partition pruning (the fence is a semi-join AFTER
     // the pruned scan, so the scan nodes keep their literal filters),
     // and the fence itself must be a BroadcastHashJoin LeftSemi —
-    // predicate metadata, never a shuffled corpus-scale join
-    val p = SparkEntry.queries("qx114_hybrid_filtered")(spark, sfDir)
+    // predicate metadata, never a shuffled corpus-scale join.
+    // Round 14: audited via the plan twin, same rationale as qx107 above.
+    val p = queries.RetrievalQueries.qx114PlanTwin(spark, sfDir)
       .queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(p).toSeq
     assert(pf.exists(_.contains("bucket")),
