@@ -22,6 +22,40 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Planned scan-partition count of a table, memoized per (dir, table):
+    * parquet split planning is driver-side and job-free, but costs a few
+    * ms of file listing we don't want on every query-construct call. */
+  private val scanPartsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Input-spread table read — guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read".
+    *
+    * The bench datasets are ONE parquet file with ONE row group per
+    * table, so every scan plans a single partition and the whole
+    * scan-stage pipeline (tokenize / minhash / probe-assign / candidate
+    * scoring — the expensive expressions of the text and vector
+    * operators) serializes on one core while the other N−1 idle. When
+    * the planned scan has fewer splits than the cluster's
+    * defaultParallelism, round-robin repartition to defaultParallelism
+    * (scale-adaptive: local[8] spreads 8-wide, a 1000-core cluster
+    * 1000-wide). At production scale the input has more splits than
+    * cores and this is a structural no-op — NO exchange is added, so the
+    * zero-shuffle shapes pinned by the plan audits are unchanged where
+    * they matter. Round-robin (not a key hash) keeps every downstream
+    * key-partitioning property untouched; results are row-order
+    * independent throughout (decimal-exact aggregation discipline), so
+    * the spread is semantics-preserving. Predicate pushdown survives:
+    * Catalyst pushes deterministic filters through Repartition to the
+    * scan (re-verified in plans/r14). */
+  def ts(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val want = spark.sparkContext.defaultParallelism
+    val have = scanPartsMemo.computeIfAbsent(s"$dir/$name",
+      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (have < want) df.repartition(want) else df
+  }
+
   /** The events table's `ts` physical type has varied across driver data
     * generations: parquet TIMESTAMP(NANOS) (which the Spark vectorized
     * reader only reads as a raw long) and plain TIMESTAMP(MICROS) with

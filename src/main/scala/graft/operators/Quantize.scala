@@ -475,18 +475,6 @@ object Quantize {
       .withColumn("ccs", expr(s"transform(csubs, s -> ${TX.dotAuto("s", "s")})"))
       .agg(collect_list(struct(col("code"), col("csubs"), col("ccs"))).as("__cb"))
 
-  /** One-row broadcastable codebook, SEARCH shape: code-keyed map for the
-    * per-candidate lookup expression. */
-  private def codebookMapOneRow(codebook: DataFrame, cbIdCol: String,
-                                cbVecCol: String, wSub: Int, nBlocks: Int): DataFrame =
-    codebook
-      .select(col(cbIdCol).as("code"), col(cbVecCol).as("__cv"))
-      .withColumn("csubs", expr(
-        s"transform(sequence(0, ${nBlocks - 1}), b -> ${d.slice("__cv", s"b * $wSub + 1", wSub)})"))
-      .withColumn("ccs", expr(s"transform(csubs, s -> ${TX.dotAuto("s", "s")})"))
-      .agg(map_from_entries(collect_list(struct(col("code"),
-        struct(col("csubs"), col("ccs"))))).as("__cbm"))
-
   /** Adds `__subs` (per-block sub-vectors of `vCol`, positional) and
     * `__xxs` (their self-dots). LITERAL-unrolled (array(slice...,
     * slice...)) rather than a `transform` lambda: higher-order functions
@@ -550,22 +538,84 @@ object Quantize {
       s"CAST(${g.mkString("(", " + ", ")")} AS DECIMAL(30,12))").toSeq)
 
   /** Shared candidate-scoring tail: cell equi-join (THE shuffle the
-    * algorithm budgets for) → per-candidate cross-block ADC distance
-    * against the broadcast code map → rank window. `probes` must carry
-    * (query_id, centroid_id, probe_rank, __qsubs, __qxxs). */
+    * algorithm budgets for) → per-candidate cross-block ADC distance via
+    * a PER-PROBE-ROW lookup table → rank aggregate. `probes` must carry
+    * (query_id, centroid_id, probe_rank, __qsubs, __qxxs).
+    *
+    * Round-14 restructurings, both value-identical by construction:
+    *
+    *  1. ADC LUT ON THE PROBE ROW (guide §8: compute on the proxy, not
+    *     the payload). The per-block partial distance depends only on
+    *     (probe row, block, code) — kCodes×nBlocks values — yet the old
+    *     tail recomputed it per CANDIDATE: Σ|cell| × nBlocks w-dim dots
+    *     plus, worse, that many double→DECIMAL(30,12) casts
+    *     (BigDecimal.valueOf → Double.toString — measured to dominate
+    *     the stage: ~4M casts/run at sf0.1, ~3.5 s of one-core CPU).
+    *     Now each probe row computes its kCodes×nBlocks partials ONCE
+    *     into a code-keyed map of per-block DECIMAL arrays (unrolled
+    *     `map(...)` over literal ordinals — CreateMap/element_at are
+    *     codegen'd, no higher-order lambda), and a candidate just picks
+    *     nBlocks array elements and sums. Same double expression, same
+    *     cast, same block order → bit-identical __d2.
+    *
+    *  2. SALTED, EXPLICITLY-PARTITIONED CELL JOIN (guide §2.5). The
+    *     join key has only nCells distinct values; when nCells is below
+    *     the core count the scoring stage cannot spread — and AQE's
+    *     byte-based coalescing makes it worse by merging the tiny-BYTES
+    *     but CPU-heavy post-join partitions to one task (measured: the
+    *     whole candidate scoring of qx87/qx88 ran as ONE 3.5-5 s task).
+    *     When nCells < 4×shufflePartitions, salt the index side by
+    *     pmod(xxhash64(id), S) with S = ceil(4P/nCells), explode the
+    *     probe side ×S, and repartition BOTH sides by (cell, salt) with
+    *     an explicit partition count — REPARTITION_BY_NUM is exempt
+    *     from AQE coalescing, so the scoring stage keeps P tasks. At
+    *     production scale nCells ≥ 4P, S = 1, and the plain equi-join
+    *     (exactly the old plan) is used: zero overhead where cells are
+    *     plentiful. Every (index row, probe row) pair still meets
+    *     exactly once (the index row's salt is one of the probe's S),
+    *     so the candidate set is unchanged. */
   private def searchCodesTail(indexCodes: DataFrame, probes: DataFrame,
-                              cbMap: DataFrame, idCol: String,
-                              nBlocks: Int, k: Int): DataFrame = {
-    // literal-unrolled per-block partials: element_at / map lookup /
-    // struct access / graft_dot are all codegen'd — no higher-order
-    // lambda on the candidate path (HOFs are CodegenFallback: per-row
-    // interpretation would dominate everything this plan saves)
-    val parts = (1 to nBlocks).map { b =>
-      val entry = s"element_at(__cbm, element_at(codes, $b))"
-      s"""CAST((element_at(__qxxs, $b)
-         |  - CAST(2.0 AS DOUBLE) * ${TX.dotAuto(s"element_at(__qsubs, $b)", s"element_at($entry.csubs, $b)")}
-         |  + element_at($entry.ccs, $b)) AS DECIMAL(30,12))""".stripMargin
+                              cbArr: DataFrame, kCodes: Int, nCells0: Long,
+                              idCol: String, nBlocks: Int, k: Int): DataFrame = {
+    // per-probe-row LUT: map from code id → array of per-block DECIMAL
+    // partials. Literal-unrolled over (code ordinal, block): every node
+    // (element_at / struct access / graft_dot / map()) is codegen'd.
+    val lutArgs = (1 to kCodes).flatMap { kk =>
+      val ent = s"element_at(__cb, $kk)"
+      val blocks = (1 to nBlocks).map { b =>
+        s"""CAST((element_at(__qxxs, $b)
+           |  - CAST(2.0 AS DOUBLE) * ${TX.dotAuto(s"element_at(__qsubs, $b)", s"element_at($ent.csubs, $b)")}
+           |  + element_at($ent.ccs, $b)) AS DECIMAL(30,12))""".stripMargin
+      }
+      Seq(s"$ent.code", blocks.mkString("array(", ", ", ")"))
     }
+    val probesLut = probes
+      .crossJoin(broadcast(cbArr))
+      .withColumn("__lutm", expr(lutArgs.mkString("map(", ", ", ")")))
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"),
+        col("__lutm"))
+    // per-candidate: nBlocks array picks + the decimal sum — no dots, no
+    // double→decimal casts on the candidate path
+    val parts = (1 to nBlocks).map { b =>
+      s"element_at(element_at(__lutm, element_at(codes, $b)), $b)"
+    }
+    // parallelism of the scoring stage: see doc point 2
+    val spark = probes.sparkSession
+    val pTarget = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val nCells = math.max(1L, nCells0)
+    val saltS = math.min(pTarget.toLong,
+      math.max(1L, (4L * pTarget + nCells - 1) / nCells)).toInt
+    val joined =
+      if (saltS <= 1) indexCodes.join(probesLut, Seq("centroid_id"))
+      else {
+        val idx = indexCodes
+          .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(saltS.toLong)))
+          .repartition(pTarget, col("centroid_id"), col("__salt"))
+        val prb = probesLut
+          .withColumn("__salt", explode(expr(s"sequence(0L, ${saltS - 1}L)")))
+          .repartition(pTarget, col("centroid_id"), col("__salt"))
+        idx.join(prb, Seq("centroid_id", "__salt")).drop("__salt")
+      }
     // ranking via the bounded top-k AGGREGATE, not a window: a window
     // shuffles and sorts EVERY candidate on a decimal key; graft_topk's
     // partial aggregation collapses each partition's candidates to <=k
@@ -574,9 +624,8 @@ object Quantize {
     // order: __d2, vec_id, then carried payload) is bit-identical to the
     // (d2 asc, id asc) window this replaces; (d2, vec_id) is unique per
     // candidate so the payload fields never participate in a compare.
-    indexCodes.join(probes, Seq("centroid_id")) // the budgeted shuffle
+    joined // the budgeted shuffle
       .filter(col("query_id") =!= col(idCol))
-      .crossJoin(broadcast(cbMap))
       .withColumn("__d2", expr(decimalSumChain(parts)))
       .select(col("query_id"), col(idCol).as("vec_id"), col("__d2"),
         // field 0 = the DOUBLE cast of the exact decimal: a monotone
@@ -684,9 +733,11 @@ object Quantize {
           centroids, cenIdCol, cenVecCol, nProbe), "q_vec", wSub, nBlocks)
       .select(col("query_id"), col("centroid_id"), col("probe_rank"),
         col("__subs").as("__qsubs"), col("__xxs").as("__qxxs"))
+    // metadata-scale counts (same contract as encodeCodes): kCodes sizes
+    // the unrolled LUT, nCells sizes the scoring-stage salt
     searchCodesTail(indexCodes, probes,
-      codebookMapOneRow(codebook, cbIdCol, cbVecCol, wSub, nBlocks),
-      idCol, nBlocks, k)
+      codebookArrOneRow(codebook, cbIdCol, cbVecCol, wSub, nBlocks),
+      codebook.count().toInt, centroids.count(), idCol, nBlocks, k)
   }
 
   /** [[ivfPqSearchAllResidual]] over a codes-array index: each probe row
@@ -713,8 +764,8 @@ object Quantize {
       .select(col("query_id"), col("centroid_id"), col("probe_rank"),
         col("__subs").as("__qsubs"), col("__xxs").as("__qxxs"))
     searchCodesTail(indexCodes, probes,
-      codebookMapOneRow(codebook, cbIdCol, cbVecCol, wSub, nBlocks),
-      idCol, nBlocks, k)
+      codebookArrOneRow(codebook, cbIdCol, cbVecCol, wSub, nBlocks),
+      codebook.count().toInt, centroids.count(), idCol, nBlocks, k)
   }
 
   /** Persist an IVF-PQ index partitioned by cell — the durable form of

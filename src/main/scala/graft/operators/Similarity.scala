@@ -348,7 +348,14 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         col(vecCol).as("n_vec"), col("norm2").as("n_norm2"))
     // the cell equi-join — deliberately UN-hinted: at corpus scale both
-    // sides are large and this is the shuffle the algorithm budgets for
+    // sides are large and this is the shuffle the algorithm budgets for.
+    // (Round-14 note: a salted+explicitly-repartitioned variant was tried
+    // here and REVERTED — both assignment sides are map-side projections
+    // whose scan statistics the planner sees, so the small side broadcasts
+    // and the scoring already runs data-parallel on the corpus side's
+    // input partitions; the salt's extra exchanges only added wall. The
+    // batch-codes tail in Quantize keeps the salt because its index side
+    // crosses a groupBy whose unknown size forces a sort-merge join there.)
     val scored = ca.join(qa, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, ts}
 import graft.functions.{Dialect, TextExprs => TX}
 import graft.operators.{Clustering, Dedup, Packing, Similarity, TextAnalysis}
 
@@ -133,12 +133,12 @@ object BatchingQueries {
 
     // ---- PMI bigram collocations ----------------------------------------
     "qx44_pmi_bigrams" -> ((s, dir) =>
-      TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
+      TextAnalysis.pmiBigrams(ts(s, dir, "documents"), "text",
         PMI_MIN_COUNT, PMI_TOP)),
 
     // ---- Bigram-LM quality scoring (conditional log-prob, smoothed) -----
     "qx56_bigram_logprob" -> ((s, dir) =>
-      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis.bigramLogProb(ts(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
     // ---- Cluster-balanced sampling: semantic-diversity selection ---------
@@ -233,7 +233,8 @@ object BatchingQueries {
       val emb = t(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id") < PROBE_CENTROIDS)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-      Similarity.ivfKnnMultiProbe(emb.filter(col("vec_id") < PROBE_QUERY_SET), emb,
+      Similarity.ivfKnnMultiProbe(emb.filter(col("vec_id") < PROBE_QUERY_SET),
+          t(s, dir, "embeddings"),
           "vec_id", "embedding", cents, "centroid_id", "c_emb", PROBE_K, N_PROBE)
         .withColumnRenamed("rank", "knn_rank")
         .orderBy("query_id", "knn_rank")

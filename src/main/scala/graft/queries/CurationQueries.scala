@@ -219,7 +219,7 @@ object CurationQueries {
       val emb = t(s, dir, "embeddings")
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("c_emb"))
-      val codes = graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding",
+      val codes = graft.operators.Quantize.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding",
         codebook, "code_id", "c_emb", PQ_DIMS, PQ_BLOCKS)
       graft.operators.Quantize.pqSearch(
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
@@ -280,7 +280,7 @@ object CurationQueries {
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
       graft.operators.Quantize.ivfPqSearch(
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
-          emb, "vec_id", "embedding",
+          t(s, dir, "embeddings"), "vec_id", "embedding",
           cents, "centroid_id", "cen_emb",
           codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -304,10 +304,11 @@ object CurationQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cen_emb"))
       val codebook = emb.filter(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
-      val index = graft.operators.Quantize.ivfPqIndex(emb, "vec_id", "embedding",
+      val embS = emb
+      val index = graft.operators.Quantize.ivfPqIndex(embS, "vec_id", "embedding",
         cents, "centroid_id", "cen_emb", codebook, "code_id", "cb_emb",
         PQ_DIMS, PQ_BLOCKS)
-      graft.operators.Quantize.ivfPqSearchAll(emb, "vec_id", "embedding",
+      graft.operators.Quantize.ivfPqSearchAll(embS, "vec_id", "embedding",
           index, "vec_id", cents, "centroid_id", "cen_emb",
           codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -333,10 +334,11 @@ object CurationQueries {
         .withColumn("c_emb", expr(
           "zip_with(embedding, cen_emb, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
         .select(col("vec_id").as("code_id"), col("c_emb"))
-      val index = graft.operators.Quantize.ivfPqIndexResidual(emb, "vec_id", "embedding",
+      val embS = emb
+      val index = graft.operators.Quantize.ivfPqIndexResidual(embS, "vec_id", "embedding",
         cents, "centroid_id", "cen_emb", resCodebook, "code_id", "c_emb",
         PQ_DIMS, PQ_BLOCKS)
-      graft.operators.Quantize.ivfPqSearchAllResidual(emb, "vec_id", "embedding",
+      graft.operators.Quantize.ivfPqSearchAllResidual(embS, "vec_id", "embedding",
           index, "vec_id", cents, "centroid_id", "cen_emb",
           resCodebook, "code_id", "c_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)
@@ -716,7 +718,7 @@ object CurationQueries {
         .select(col("vec_id").as("code_id"), col("embedding").as("cb_emb"))
       graft.operators.Quantize.ivfPqSearchRefined(
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
-          emb, "vec_id", "embedding",
+          t(s, dir, "embeddings"), "vec_id", "embedding",
           cents, "centroid_id", "cen_emb",
           codebook, "code_id", "cb_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE, REFINE_DEPTH)
@@ -745,7 +747,7 @@ object CurationQueries {
         .select(col("vec_id").as("code_id"), col("c_emb"))
       graft.operators.Quantize.ivfPqSearchResidual(
           emb.filter(col("vec_id") < PQ_QUERY_SET), "vec_id", "embedding",
-          emb, "vec_id", "embedding",
+          t(s, dir, "embeddings"), "vec_id", "embedding",
           cents, "centroid_id", "cen_emb",
           resCodebook, "code_id", "c_emb",
           PQ_DIMS, PQ_BLOCKS, PQ_K, IVFPQ_NPROBE)

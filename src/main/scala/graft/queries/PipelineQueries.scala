@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.{t, cents}
+import graft.Tables.{t, ts, cents}
 import graft.functions.{Dialect, TextExprs => TX}
 import graft.operators.{Similarity, TextAnalysis}
 
@@ -250,9 +250,12 @@ object PipelineQueries {
     // (training-on-the-test-set detection: the benchmark side broadcasts,
     //  the corpus streams one shingle-hash scan — no corpus cross join)
     "qx30_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % BENCH_MOD === BENCH_REM)
-      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
+      // corpus side spread (guide §2.5); the broadcast bench side keeps
+      // the plain pushdown scan
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % BENCH_MOD === BENCH_REM)
+      val corpus = ts(s, dir, "documents")
+        .filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
       TextAnalysis.contamination(corpus, bench, "text", "doc_id",
           DECON_SHINGLE_N, DECON_MIN_SHARED)
         .orderBy("doc_id", "bench_id")
@@ -303,7 +306,7 @@ object PipelineQueries {
     // (pigeonhole: hamming<=3 pairs always share >=1 of 4 byte bands —
     //  zero false negatives from the band equi-join)
     "qx37_simhash_neardup" -> ((s, dir) => {
-      graft.operators.Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+      graft.operators.Dedup.simhashNearDups(ts(s, dir, "documents"), "text", "doc_id",
           maxHamming = SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     }),
@@ -448,7 +451,7 @@ object PipelineQueries {
     //  SemDeDup/novelty-scoring pass starts from.)
     "qx84_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < IVF_CENTROIDS)
+      val centroids = t(s, dir, "embeddings").filter(col("vec_id") < IVF_CENTROIDS)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       Similarity.ivfKnnJoin(emb, emb, "vec_id", "embedding",
           centroids, "centroid_id", "c_emb", IVF_K, nProbe = KNN_JOIN_NPROBE)
@@ -469,7 +472,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val crawl = emb.filter(col("vec_id") % 4 === 0)
       val curated = emb.filter(col("vec_id") % 4 =!= 0)
-      val centroids = emb.filter(col("vec_id") < IVF_CENTROIDS)
+      val centroids = t(s, dir, "embeddings").filter(col("vec_id") < IVF_CENTROIDS)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       Similarity.ivfKnnJoin(crawl, curated, "vec_id", "embedding",
           centroids, "centroid_id", "c_emb", IVF_K, nProbe = KNN_JOIN_NPROBE)
@@ -492,7 +495,7 @@ object PipelineQueries {
     //  pointer-jumping connected components labels the groups.)
     "qx86_knn_graph_groups" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < IVF_CENTROIDS)
+      val centroids = t(s, dir, "embeddings").filter(col("vec_id") < IVF_CENTROIDS)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       val edges = Similarity.ivfKnnJoin(emb, emb, "vec_id", "embedding",
           centroids, "centroid_id", "c_emb", IVF_K, nProbe = KNN_JOIN_NPROBE)
@@ -512,9 +515,10 @@ object PipelineQueries {
     //  join, which removes the Bloom's false positives — result exact,
     //  oracle is the plain overlap SQL)
     "qx89_bloom_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % BENCH_MOD === BENCH_REM)
-      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % BENCH_MOD === BENCH_REM)
+      val corpus = t(s, dir, "documents")
+        .filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
       TextAnalysis.contaminationBloom(corpus, bench, "text", "doc_id",
           BLOOM_SHINGLE_N, BLOOM_MIN_SHARED, BLOOM_BITS)
         .orderBy("doc_id", "bench_id")
@@ -555,9 +559,10 @@ object PipelineQueries {
     //  budget is below the clean-corpus size, and the sample spreads
     //  across all shards.)
     "qx94_curation_v4" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % BENCH_MOD === BENCH_REM)
-      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % BENCH_MOD === BENCH_REM)
+      val corpus = t(s, dir, "documents")
+        .filter(col("doc_id") % BENCH_MOD =!= BENCH_REM)
       val contaminated = TextAnalysis.contaminationBloom(corpus, bench,
           "text", "doc_id", BLOOM_SHINGLE_N, BLOOM_MIN_SHARED, BLOOM_BITS)
         .select("doc_id").distinct()
