@@ -45,6 +45,30 @@ private[graft] object DriverPlan {
       case _ => None
     }
 
+  /** Materialize a SMALL distributed query frame into a LocalRelation at
+    * a serving entry point (round 14). A store-serving call whose query
+    * frame is corpus-BACKED (a filtered scan, a join) pays a serial job
+    * chain just to PLAN: the small-query-side count gate, the probe-cell
+    * collect, the distinct-terms explode, the per-query counts — each a
+    * scheduling barrier over planning-scale rows that one bounded
+    * collect can fetch up front, after which every downstream use hits
+    * the existing LocalRelation driver twins (jobless). Frames already
+    * local pass through untouched; frames that turn out larger than
+    * `bound` keep their distributed plan verbatim — corpus-scale callers
+    * see no change, and the bound caps driver memory (the serving
+    * contract already caps the query side at [[Similarity.MaxQueryRows]]
+    * anyway). Row VALUES are identical and row order is immaterial to
+    * every consumer (the serving aggregations and rankings are
+    * order-exact by the repo's decimal discipline). */
+  def localize(df: DataFrame, bound: Int = 8192): DataFrame =
+    df.queryExecution.optimizedPlan match {
+      case _: LocalRelation => df
+      case _ =>
+        val rows = df.limit(bound + 1).collect()
+        if (rows.length > bound) df
+        else localFrame(df.sparkSession, rows.toIndexedSeq, df.schema)
+    }
+
   /** A LocalRelation-backed frame from driver rows — broadcasts and
     * collects of the result are jobless. */
   def localFrame(spark: SparkSession, rows: Seq[Row],

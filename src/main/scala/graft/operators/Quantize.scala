@@ -1430,9 +1430,13 @@ object Quantize {
                                       preloaded: Option[(DataFrame, DataFrame, StoreParams)] = None,
                                       cellsPre: Option[Seq[Any]] = None): DataFrame = {
     val (cents, cb, p) = preloaded.getOrElse(loadQuantizers(spark, indexPath))
-    Similarity.requireSmallQuerySide(queries, "searchSelfContained")
+    // one bounded collect localizes a corpus-backed query frame: the
+    // small-side gate, probe-cell evaluation, and every downstream
+    // broadcast of query rows become jobless (DriverPlan.localize doc)
+    val queriesL = graft.operators.DriverPlan.localize(queries)
+    Similarity.requireSmallQuerySide(queriesL, "searchSelfContained")
     val tomb = readTombstones(spark, indexPath, p.idCol)
-    val pruned = prunedScanAt(spark, indexPath, queries, qIdCol, qVecCol,
+    val pruned = prunedScanAt(spark, indexPath, queriesL, qIdCol, qVecCol,
       cents, "centroid_id", "cen_emb", nProbe, cellsPre)
     val live0 = pruned.join(broadcast(tomb), pruned(p.idCol) === tomb(p.idCol),
       "leftanti")
@@ -1441,11 +1445,11 @@ object Quantize {
       live0.join(broadcast(ids), Seq(p.idCol), "leftsemi")
     }
     if (p.residual)
-      ivfPqSearchResidualOn(live, queries, qIdCol, qVecCol, p.idCol,
+      ivfPqSearchResidualOn(live, queriesL, qIdCol, qVecCol, p.idCol,
         cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
         p.dims, p.nBlocks, k, nProbe)
     else
-      ivfPqSearchOn(live, queries, qIdCol, qVecCol, p.idCol,
+      ivfPqSearchOn(live, queriesL, qIdCol, qVecCol, p.idCol,
         cents, "centroid_id", "cen_emb", cb, "code", "c_emb",
         p.dims, p.nBlocks, k, nProbe)
   }
@@ -1575,9 +1579,10 @@ object Quantize {
     require(rerankDepth >= k,
       s"rerankDepth=$rerankDepth must be >= k=$k (the shortlist feeds the final rank)")
     val p = loadQuantizers(spark, indexPath)._3
-    val shortlist = searchSelfContained(spark, indexPath, queries,
+    val queriesL = graft.operators.DriverPlan.localize(queries)
+    val shortlist = searchSelfContained(spark, indexPath, queriesL,
       qIdCol, qVecCol, rerankDepth, nProbe)
-    exactRescore(shortlist, queries, qIdCol, qVecCol,
+    exactRescore(shortlist, queriesL, qIdCol, qVecCol,
       corpus, p.idCol, corpusVecCol, k)
   }
 
@@ -2666,12 +2671,13 @@ object Quantize {
                                 centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                                 codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                                 dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
-    Similarity.requireSmallQuerySide(queries, "ivfPqSearchStoredRetained")
+    val queriesL = graft.operators.DriverPlan.localize(queries)
+    Similarity.requireSmallQuerySide(queriesL, "ivfPqSearchStoredRetained")
     val tomb = readTombstones(spark, indexPath, idCol)
-    val pruned = prunedStoreScan(spark, indexPath, queries, qIdCol, qVecCol,
+    val pruned = prunedStoreScan(spark, indexPath, queriesL, qIdCol, qVecCol,
       centroids, cenIdCol, cenVecCol, nProbe)
     val live = pruned.join(broadcast(tomb), pruned(idCol) === tomb(idCol), "leftanti")
-    ivfPqSearchOn(live, queries, qIdCol, qVecCol, idCol,
+    ivfPqSearchOn(live, queriesL, qIdCol, qVecCol, idCol,
       centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
       dims, nBlocks, k, nProbe)
   }
@@ -2820,10 +2826,11 @@ object Quantize {
                         centroids: DataFrame, cenIdCol: String, cenVecCol: String,
                         codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                         dims: Int, nBlocks: Int, k: Int, nProbe: Int): DataFrame = {
-    Similarity.requireSmallQuerySide(queries, "ivfPqSearchStored")
-    val pruned = prunedStoreScan(spark, indexPath, queries, qIdCol, qVecCol,
+    val queriesL = graft.operators.DriverPlan.localize(queries)
+    Similarity.requireSmallQuerySide(queriesL, "ivfPqSearchStored")
+    val pruned = prunedStoreScan(spark, indexPath, queriesL, qIdCol, qVecCol,
       centroids, cenIdCol, cenVecCol, nProbe)
-    ivfPqSearchOn(pruned, queries, qIdCol, qVecCol, idCol,
+    ivfPqSearchOn(pruned, queriesL, qIdCol, qVecCol, idCol,
       centroids, cenIdCol, cenVecCol, codebook, cbIdCol, cbVecCol,
       dims, nBlocks, k, nProbe)
   }

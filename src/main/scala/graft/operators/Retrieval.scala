@@ -189,15 +189,47 @@ object Retrieval {
       .filter(fields.indices.map(i => col(s"l_$i")).reduce(_ + _) > 0)
       .agg(count(lit(1)).as("n_docs"),
         fields.indices.map(i => sum(col(s"l_$i")).as(s"len_$i")): _*)
-    // per-field zero-exchange census → weighted, field-normalized
-    // contribution per (doc, term, field) row; avgdl_f comes from the
-    // broadcast stats so the whole DAG stays lazy
-    val contribs = fields.zipWithIndex.map { case (f, i) =>
-      bm25Index(corpus, f.textCol, idCol) // the store-write census, per field
-        .crossJoin(broadcast(stats.select(col("n_docs"), col(s"len_$i"))))
-        .select(col("doc_id"), col("term"),
-          expr(bm25fContribSql(f.weight, f.b, s"len_$i")).as("contrib"))
-    }.reduce(_ unionByName _)
+    // per-field census → weighted, field-normalized contribution per
+    // (doc, term, field) row; avgdl_f comes from the broadcast stats so
+    // the whole DAG stays lazy.
+    //
+    // Round-14 (guide §1.2): ONE corpus scan for ALL fields. The old
+    // per-field `bm25Index(corpus, f) union …` shape scanned the corpus
+    // once per field, and when the fields are themselves DERIVED from a
+    // tokenized base column (the qx118 title/body split) each scan
+    // re-tokenized the base text — nFields full regex passes plus
+    // nFields scans for one census. Now a single projection computes
+    // every field's graft_term_freqs struct, one explode over the field
+    // ordinals and one over the terms yields the same (doc, term, field)
+    // rows, and the per-field constants (weight, b, len_i) resolve by a
+    // CASE on the field ordinal. Per-row contribution values are the
+    // identical expression per field; the (doc, term) merge sums ≤
+    // nFields doubles exactly as before (order-exact for ≤ 2 fields,
+    // micro-unit floor beyond — see the operator doc), so the result is
+    // byte-identical while the census costs one scan instead of nFields.
+    val statCols = fields.zipWithIndex.map { case (f, i) =>
+      expr(s"graft_term_freqs(${f.textCol})").as(s"__s$i")
+    }
+    val fieldStructs = fields.indices.map(i =>
+      s"named_struct('fi', $i, 'dl', __s$i.dl, 'terms', __s$i.terms)")
+    val avgdlCase = fields.indices.map(i =>
+      s"WHEN $i THEN CAST(len_$i AS DOUBLE)").mkString(
+      "(CASE fi ", " ", " END / CAST(n_docs AS DOUBLE))")
+    val contribCase = fields.zipWithIndex.map { case (f, i) =>
+      s"WHEN $i THEN (CAST(${f.weight} AS DOUBLE) * CAST(tf AS DOUBLE))" +
+        s" / (1.0 - CAST(${f.b} AS DOUBLE) + CAST(${f.b} AS DOUBLE)" +
+        s" * (CAST(dl AS DOUBLE) / $avgdlCase))"
+    }.mkString("(CASE fi ", " ", " END)")
+    val contribs = corpus
+      .select(col(idCol).as("doc_id") +: statCols: _*)
+      .select(col("doc_id"),
+        explode(expr(fieldStructs.mkString("array(", ", ", ")"))).as("__f"))
+      .select(col("doc_id"), col("__f.fi").as("fi"), col("__f.dl").as("dl"),
+        explode(col("__f.terms")).as("ts"))
+      .select(col("doc_id"), col("fi"), col("dl"),
+        col("ts.term").as("term"), col("ts.tf").as("tf"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), expr(contribCase).as("contrib"))
     // THE field-merge exchange: wtf per (doc, term)
     val merged = contribs.groupBy("doc_id", "term")
       .agg(sum("contrib").as("wtf"))
@@ -1757,10 +1789,11 @@ object Retrieval {
                           allowed: Option[DataFrame]): DataFrame = {
     require(window >= 0, s"window must be >= 0: $window")
     GraftFunctions.register(spark)
-    val ranked = servedBm25(spark, path, queries, textCol, idCol,
+    val queriesL = DriverPlan.localize(queries)
+    val ranked = servedBm25(spark, path, queriesL, textCol, idCol,
       k, k1, b, maxQueryTerms, allowed)
       .localCheckpoint() // k-bounded; reused thrice
-    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val qterms = queryTerms(queriesL, textCol, idCol, maxQueryTerms)
     val snap = requireSignature(path, epochsInfo(spark, path))
     val buckets = termBuckets(qterms, snap.nBuckets.toLong)
     val post = servingPostings(spark, path)
@@ -1851,10 +1884,13 @@ object Retrieval {
                          allowed: Option[DataFrame],
                          requireAll: Boolean = false): DataFrame = {
     requireUnfielded(spark, path, "bm25TopKFromStore")
+    // one bounded collect localizes a corpus-backed query frame so every
+    // planning-scale use below is jobless (DriverPlan.localize doc)
+    val queriesL = DriverPlan.localize(queries)
     val snap = requireSignature(path, epochsInfo(spark, path))
     import spark.implicits._
     val stats = Seq((snap.nDocs, snap.totalLen)).toDF("n_docs", "total_len")
-    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val qterms = queryTerms(queriesL, textCol, idCol, maxQueryTerms)
     val (postings, buckets) =
       servedLivePostings(spark, path, qterms, snap, allowed)
     // live df = summed deltas of the pruned buckets AND the committed
@@ -1960,7 +1996,8 @@ object Retrieval {
     require(fields.nonEmpty, "bm25fTopKFromStores needs at least one field")
     GraftFunctions.register(spark)
     import spark.implicits._
-    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val qterms = queryTerms(DriverPlan.localize(queries), textCol, idCol,
+      maxQueryTerms)
     val snaps = fields.map(f => epochsInfo(spark, f.path))
     // (count, set-signature) pairs: counts alone would wave through a
     // SYMMETRIC partial retraction (equal sizes, different members) and
@@ -2259,7 +2296,8 @@ object Retrieval {
     fields.foreach(f => require(idx.contains(f.name),
       s"field '${f.name}' is not in store $path " +
         s"(stored fields: ${names.mkString(", ")})"))
-    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val qterms = queryTerms(DriverPlan.localize(queries), textCol, idCol,
+      maxQueryTerms)
     // the allow-list is NOT applied to the scan: df/avgdl corpus-global
     // (qx111/qx114 semantics) — it fences inside the scoring tail
     val (live, _) = servedLivePostings(spark, path, qterms,
@@ -2381,7 +2419,8 @@ object Retrieval {
     requireUnfielded(spark, path, "phraseTopKFromStore")
     GraftFunctions.register(spark)
     val snap = requireSignature(path, epochsInfo(spark, path))
-    val qtok = querySlotTokens(queries, textCol, idCol, maxPhraseTerms)
+    val qtok = querySlotTokens(DriverPlan.localize(queries), textCol, idCol,
+      maxPhraseTerms)
     val qlen = queryCounts(qtok, "plen")
     val buckets = termBuckets(qtok, snap.nBuckets.toLong)
     val post = servingPostings(spark, path)
@@ -2465,7 +2504,8 @@ object Retrieval {
     // exactly queryTerms' contract (posexplode+cap+distinct ≡
     // explode(slice)+distinct), so the serving path shares its
     // driver-evaluated LocalRelation fast path
-    val qterms = queryTerms(queries, textCol, idCol, maxQueryTerms)
+    val qterms = queryTerms(DriverPlan.localize(queries), textCol, idCol,
+      maxQueryTerms)
     val qlen = queryCounts(qterms, "nterms")
     val buckets = termBuckets(qterms, snap.nBuckets.toLong)
     val post = servingPostings(spark, path)
@@ -2482,18 +2522,35 @@ object Retrieval {
       val ids = a.select(col(a.columns.head).as("doc_id")).distinct()
       cand0.join(broadcast(ids), Seq("doc_id"), "leftsemi")
     }
-    val hits = cand
-      .join(broadcast(qterms), Seq("term"))
-      .select(col("query_id"), col("doc_id"), col("term"),
-        explode(col("pos")).as("p"))
+    // (query, doc, term) rows with the term's full position ARRAY — one
+    // row per matched posting, not one per occurrence
+    val termPos = cand.join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"), col("pos"))
     // every query-term occurrence anchors one window; a term occurring
-    // twice inside a window still counts once (countDistinct)
-    val anchors = hits.select(col("query_id"), col("doc_id"), col("p").as("a"))
+    // twice inside a window still counts once.
+    //
+    // Round-14 restructure (guide §1.2 "the distributed algorithm"): the
+    // old form exploded positions into per-occurrence rows and SELF-joined
+    // them on (query, doc) with a range filter — O(m²) pairs per (query,
+    // doc) in the query-terms' occurrence count m, then a countDistinct
+    // aggregate over them. A window test only needs, per (anchor, term),
+    // "does the term occur in [a, a+w−1]?" — which the posting's sorted
+    // position array answers directly: anchors join back to the nBlocks…
+    // nterms TERM rows of the same (query, doc) — O(m·nterms) pairs — and
+    // arrays_overlap(pos, sequence(a, a+w−1)) (both codegen'd) replaces
+    // the per-occurrence explode; a term "got" is counted once however
+    // many of its occurrences land in the window, so the plain count over
+    // (query, doc, a, term) rows equals the old countDistinct over
+    // occurrence pairs. Anchor set, per-anchor verdicts, and the ranking
+    // are unchanged — the oracle re-proves it bit-for-bit.
+    val anchors = termPos
+      .select(col("query_id"), col("doc_id"), explode(col("pos")).as("a"))
       .distinct()
-    val occ = anchors.join(hits, Seq("query_id", "doc_id"))
-      .filter(col("p") >= col("a") && col("p") <= col("a") + lit(window - 1))
+    val occ = anchors.join(termPos, Seq("query_id", "doc_id"))
+      .filter(arrays_overlap(col("pos"),
+        sequence(col("a"), col("a") + lit(window - 1))))
       .groupBy("query_id", "doc_id", "a")
-      .agg(countDistinct("term").as("got"))
+      .agg(count(lit(1)).as("got"))
       .join(broadcast(qlen), Seq("query_id"))
       .filter(col("got") === col("nterms"))
     val wRank = Window.partitionBy("query_id")
@@ -2609,14 +2666,17 @@ object Retrieval {
                          rescore: Option[(DataFrame, String)],
                          maxQueryTerms: Int,
                          allowed: Option[DataFrame]): (DataFrame, DataFrame) = {
-    val lexQ = queries.select(col(idCol), col(textCol))
+    // localize ONCE: both legs' planning-scale uses (term explode, probe
+    // cells, small-side gates) then hit the jobless driver twins
+    val queriesLoc = DriverPlan.localize(queries)
+    val lexQ = queriesLoc.select(col(idCol), col(textCol))
     val lex = allowed match {
       case Some(a) => bm25TopKFromStoreFiltered(spark, lexPath, lexQ, a,
         textCol, idCol, depth, maxQueryTerms = maxQueryTerms)
       case None => bm25TopKFromStore(spark, lexPath, lexQ, textCol, idCol,
         depth, maxQueryTerms = maxQueryTerms)
     }
-    val vecQ = queries.select(col(idCol), col(vecCol))
+    val vecQ = queriesLoc.select(col(idCol), col(vecCol))
     val vec = ((rescore, allowed) match {
       case (Some((corpus, cv)), Some(a)) =>
         Quantize.searchSelfContainedRefinedFiltered(spark,
