@@ -378,10 +378,12 @@ object Dedup {
       // CC's materialization fails loudly instead of silently recomputing
       // the unpersisted per-doc aggregate on every downstream action.
       assert(cc.queryExecution.logical
-          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
-        "connectedComponents must return a checkpoint-backed frame " +
-          "(lineage truncated); dedupGroups returns its derivation out of " +
-          "the scoped-cache closure and relies on it")
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
+        cc.queryExecution.logical
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "connectedComponents must return a checkpoint-backed or driver-" +
+          "local frame (lineage truncated); dedupGroups returns its " +
+          "derivation out of the scoped-cache closure and relies on it")
       val sizes = cc.groupBy("component").agg(count(lit(1)).as("group_size"))
       cc.join(sizes, "component")
         .select(col("id").as(idCol), col("component").as("group_id"),

@@ -46,10 +46,66 @@ object Graph {
     * labeling, and Spark's ContextCleaner reclaims the blocks when the
     * plan is collected.
     */
+  /** Edge bound for the driver CC twin (overridable for tests/tuning via
+    * the `graft.cc.twin.bound` system property; 0 disables the twin).
+    * 1M (u, v) pairs is ~32 MB of driver rows — planning-scale. */
+  private def ccTwinBound: Int =
+    sys.props.get("graft.cc.twin.bound").flatMap(_.toIntOption)
+      .getOrElse(1 << 20)
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
+    // DRIVER TWIN (round 14, the DriverPlan philosophy applied to CC):
+    // the per-round cost of the distributed loop is dominated by fixed
+    // per-round fixtures (the convergence count, the localCheckpoint
+    // materialization, ~6 scheduling barriers per round — measured
+    // ~0.45 s/round on a 6-round graph whose label table is 854 rows).
+    // When the edge list fits a driver bound, collect it ONCE and run
+    // exact union-find with min-id roots — the same labeling the loop
+    // converges to, returned as a LocalRelation (jobless downstream).
+    // The bounded `limit(B+1).collect()` aborts the scan as soon as the
+    // bound is crossed, so corpus-scale graphs pay one partial pass and
+    // keep the distributed loop verbatim. Null ids or an id type without
+    // a replicated ordering also fall back. GraphSpec pins twin ≡
+    // distributed labeling on randomized graphs.
+    val idType = e0.schema("u").dataType
+    val bound = ccTwinBound
+    val twin: Option[DataFrame] =
+      if (bound <= 0) None
+      else DriverPlan.idOrdering(idType).flatMap { ord =>
+        val rows = e0.limit(bound + 1).collect()
+        if (rows.length > bound ||
+            rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else {
+          val parent = new java.util.HashMap[Any, Any]()
+          def find(x: Any): Any = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x
+            while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+          rows.foreach { r =>
+            val a = r.get(0); val b = r.get(1)
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+            }
+          }
+          val ids = new scala.collection.mutable.ArrayBuffer[Any](parent.size)
+          parent.keySet().forEach(k => { ids += k; () })
+          val out = ids.map(id => org.apache.spark.sql.Row(id, find(id))).toSeq
+          Some(DriverPlan.localFrame(edges.sparkSession, out,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+              org.apache.spark.sql.types.StructField("component", idType, nullable = false)))))
+        }
+      }
+    if (twin.isDefined) return twin.get
     // symmetrize + dedupe once: every round joins against this
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
@@ -78,6 +134,10 @@ object Graph {
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1"))
+      // (Round 14: a second jump per round was tried and measured a no-op
+      // — after one jump a label already names a round-current root, so
+      // labels[labels[c]] == labels[c]; violation counts were identical
+      // round for round. Reverted.)
       propagated
         .join(labels.select(col("id").as("c1"), col("component").as("c2")), Seq("c1"), "left")
         .select(col("id"), least(col("c1"), coalesce(col("c2"), col("c1"))).as("component"))
@@ -90,36 +150,49 @@ object Graph {
       .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
       .localCheckpoint() // eager: also materializes sym
 
-    // Convergence test: the labeling is final iff `component` is constant
-    // across every edge (then it is constant per component, and since
-    // labels only decrease and stay within the component, the constant is
-    // the component minimum). Checking this is CHEAPER than running a
-    // step-and-compare round — two joins of the tiny label table against
-    // the cached edges (AQE broadcasts them) vs a full propagate+jump
-    // with its grouped shuffle and checkpoint. Near-dup graphs are
-    // star/clique-shaped, so the init aggregate usually converges
-    // outright and the whole loop costs one cheap check.
+    // Convergence test, round 0: the labeling is final iff `component` is
+    // constant across every edge (then it is constant per component, and
+    // since labels only decrease and stay within the component, the
+    // constant is the component minimum). Near-dup graphs are star/clique-
+    // shaped, so the init aggregate usually converges outright and the
+    // whole loop costs this one cheap check.
+    //
+    // Later rounds (round 14) decide convergence from the CHANGED-LABEL
+    // count instead: `step` is a fixed point exactly when no label
+    // changed (an inconsistent edge (u,v) with cu > cv forces propagate
+    // to lower u's label), and comparing two checkpoint-backed NODE-scale
+    // label tables is strictly cheaper than re-joining the EDGE-scale
+    // `sym` against the labels twice — at bench scale it drops a
+    // ~3-job barrier chain per round, at corpus scale it replaces two
+    // edge-scale joins with one node-scale join per round.
     try {
-      var iter = 0
+      val edgeViolations = sym
+        .join(labels.select(col("id").as("u"), col("component").as("cu")), "u")
+        .join(labels.select(col("id").as("v"), col("component").as("cv")), "v")
+        .filter(col("cu") =!= col("cv")).count()
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(s"[cc] round 0: violations=$edgeViolations")
+      if (edgeViolations == 0L) return labels
+      var iter = 1
       while (iter < maxIter) {
         val t0 = System.nanoTime()
-        val violations = sym
-          .join(labels.select(col("id").as("u"), col("component").as("cu")), "u")
-          .join(labels.select(col("id").as("v"), col("component").as("cv")), "v")
-          .filter(col("cu") =!= col("cv")).count()
-        if (sys.env.contains("GRAFT_CC_VERBOSE"))
-          println(f"[cc] round $iter: violations=$violations ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        if (violations == 0L) return labels
         // step() reads `labels` only through its own plan, so once the new
         // round's checkpoint has materialized (localCheckpoint is eager) the
-        // previous round's blocks are dead — release them now instead of
-        // letting them pile up in executor storage until ContextCleaner
-        // eventually notices (high-round graphs would otherwise hold every
-        // intermediate labeling simultaneously). The final returned frame is
-        // never released — consumers read its cached blocks.
+        // previous round's blocks are dead — release them after the changed
+        // count instead of letting them pile up in executor storage until
+        // ContextCleaner eventually notices (high-round graphs would
+        // otherwise hold every intermediate labeling simultaneously). The
+        // final returned frame is never released — consumers read its
+        // cached blocks.
         val prev = labels
         labels = step(labels).localCheckpoint()
+        val changed = labels
+          .join(prev.select(col("id"), col("component").as("__old")), "id")
+          .filter(col("component") =!= col("__old")).count()
         Checkpoints.release(prev)
+        if (sys.env.contains("GRAFT_CC_VERBOSE"))
+          println(f"[cc] round $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (changed == 0L) return labels
         iter += 1
       }
       throw new IllegalStateException(

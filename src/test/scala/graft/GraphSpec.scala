@@ -32,6 +32,28 @@ class GraphSpec extends SparkSpec {
     Graph.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
       .as[(Long, Long)].collect().toMap
 
+  test("driver CC twin ≡ distributed loop on seeded random graphs") {
+    // the small-edge-set driver twin (round 14) must produce the exact
+    // labeling the distributed pointer-jumping loop converges to; run
+    // both paths by toggling the bound property and compare maps
+    for (seed <- 11 to 14) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(30)
+      val edges = Seq.fill(20 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val viaTwin = ccMap(edges) // default bound: twin path for tiny sets
+        val viaLoop =
+          try {
+            sys.props("graft.cc.twin.bound") = "0"
+            ccMap(edges)
+          } finally sys.props.remove("graft.cc.twin.bound")
+        assert(viaTwin == viaLoop, s"seed=$seed twin/loop disagree")
+        assert(viaTwin == unionFind(edges), s"seed=$seed vs union-find")
+      }
+    }
+  }
+
   test("matches union-find on seeded random graphs") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
