@@ -260,6 +260,58 @@ object Graph {
                          iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // DRIVER TWIN (round 14, same shape as the connectedComponents twin):
+    // the update is EXACT int64 fixed-point arithmetic — floor divisions
+    // and order-independent long sums — so a driver evaluation reproduces
+    // the distributed ranks bit for bit. When the edge list fits the
+    // bound (`graft.pr.twin.bound`, default 1M pairs; bounded collect),
+    // symmetrize + iterate on the driver and return a LocalRelation; the
+    // per-iteration join/aggregate/checkpoint barrier chain disappears.
+    // Larger graphs or null ids keep the distributed loop verbatim.
+    // GraphSpec pins twin ≡ distributed on its fixtures.
+    val prBound = sys.props.get("graft.pr.twin.bound").flatMap(_.toIntOption)
+      .getOrElse(1 << 20)
+    if (prBound > 0) {
+      val raw = e.limit(prBound + 1).collect()
+      if (raw.length <= prBound &&
+          !raw.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val symSet = new java.util.LinkedHashSet[(Any, Any)]()
+        raw.foreach { r =>
+          val a = r.get(0); val b = r.get(1)
+          if (a != b) { symSet.add((a, b)); symSet.add((b, a)); () }
+        }
+        val deg = new java.util.LinkedHashMap[Any, Long]()
+        symSet.forEach(p => { deg.merge(p._1, 1L, (x, y) => x + y); () })
+        val n = deg.size().toLong
+        require(BigInt(85) * n * scale <= BigInt(Long.MaxValue),
+          s"pageRankFixedPoint: 85 * n_nodes($n) * scale($scale) " +
+            "exceeds int64 — pass a smaller scale (keep 85*N*scale <= 2^63-1)")
+        var ranks = new java.util.LinkedHashMap[Any, Long]()
+        deg.keySet().forEach(k => { ranks.put(k, scale); () })
+        for (_ <- 1 to iters) {
+          val sums = new java.util.LinkedHashMap[Any, Long]()
+          val it = symSet.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val c = ranks.get(p._1) / deg.get(p._1)
+            sums.merge(p._2, c, (x, y) => x + y); ()
+          }
+          val next = new java.util.LinkedHashMap[Any, Long]()
+          sums.forEach((v, s) => { next.put(v, (15L * scale + 85L * s) / 100L); () })
+          ranks = next
+        }
+        val idType = e.schema("u").dataType
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        ranks.forEach((id, r) => { out += org.apache.spark.sql.Row(id, r, deg.get(id)); () })
+        return DriverPlan.localFrame(edges.sparkSession, out.toSeq,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+            org.apache.spark.sql.types.StructField("pr_units",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("deg",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      }
+    }
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -148,6 +148,14 @@ class GraphSpec extends SparkSpec {
       val got = Graph.pageRankFixedPoint(g.toDF("u", "v"), "u", "v", iters = 3)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == prLocal(g, 3, 1000000000000L), s"graph=$g")
+      // the round-14 driver twin must equal the DISTRIBUTED loop exactly
+      val viaLoop =
+        try {
+          sys.props("graft.pr.twin.bound") = "0"
+          Graph.pageRankFixedPoint(g.toDF("u", "v"), "u", "v", iters = 3)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        } finally sys.props.remove("graft.pr.twin.bound")
+      assert(got == viaLoop, s"twin/loop disagree on graph=$g")
     }
   }
 
