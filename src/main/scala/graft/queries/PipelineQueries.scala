@@ -250,8 +250,8 @@ object PipelineQueries {
     // (training-on-the-test-set detection: the benchmark side broadcasts,
     //  the corpus streams one shingle-hash scan — no corpus cross join)
     "qx30_decontaminate" -> ((s, dir) => {
-      // corpus side spread (guide §2.5); the broadcast bench side keeps
-      // the plain pushdown scan
+      // corpus side input-spread (Tables.ts, guide §2.5); the broadcast
+      // bench side keeps the plain pushdown scan
       val bench = t(s, dir, "documents")
         .filter(col("doc_id") % BENCH_MOD === BENCH_REM)
       val corpus = ts(s, dir, "documents")

@@ -144,7 +144,7 @@ object RetrievalQueries {
     //  re-shuffle. Decimal-exact per-doc sums make the ranking
     //  order-independent; ties break on doc_id.)
     "qx100_bm25_topk" -> ((s, dir) => {
-      val docs = t(s, dir, "documents") // input-spread corpus (guide §2.5)
+      val docs = t(s, dir, "documents")
       Retrieval.bm25TopK(
           docs.filter(col("doc_id") % BM25_QMOD =!= BM25_QREM),
           t(s, dir, "documents").filter(col("doc_id") % BM25_QMOD === BM25_QREM),
@@ -160,7 +160,7 @@ object RetrievalQueries {
     "qx118_bm25f" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val d = Dialect(spark = true)
-      val docs = t(s, dir, "documents") // input-spread corpus (guide §2.5)
+      val docs = t(s, dir, "documents")
       val toks = TX.tokensAuto("text")(d)
       val fielded = docs.select(col("doc_id"),
         expr(d.ajoin(d.slice(toks, "1", BM25F_TITLE_TOKENS), "' '")).as("title"),
@@ -457,8 +457,6 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents")
       val isQuery = col("doc_id") % BM25_QMOD === BM25_QREM
       val isBench = col("doc_id") % V5_BENCH_MOD === V5_BENCH_REM
-      // corpus side input-spread (guide §2.5): the Bloom shingle test and
-      // the rule pack are scan-stage CPU that a 1-split file serializes
       val corpus0 = t(s, dir, "documents").filter(!isQuery && !isBench)
       val bench = docs.filter(isBench)
       val contaminated = graft.operators.TextAnalysis.contaminationBloom(
@@ -686,7 +684,7 @@ object RetrievalQueries {
     //  on planning-scale candidate lists; 1/(60+rank) contributions are
     //  9 dp-rounded decimals so the fused order is exact in both engines.)
     "qx101_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents") // input-spread (guide §2.5)
+      val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       // persist the embedding-fenced base ONCE: four consumers below
       // (corpus/query × text/vector) would otherwise each rebuild the
