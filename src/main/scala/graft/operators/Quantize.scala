@@ -577,9 +577,31 @@ object Quantize {
   private def searchCodesTail(indexCodes: DataFrame, probes: DataFrame,
                               cbArr: DataFrame, kCodes: Int, nCells0: Long,
                               idCol: String, nBlocks: Int, k: Int): DataFrame = {
+    // Round-15 (guide §1.2 step 2, per-task work): the per-candidate
+    // DECIMAL(30,12) sum chain was the stage's remaining cost — precision
+    // 30 decimals are BigDecimal-backed, so every candidate paid nBlocks−1
+    // allocating BigDecimal adds (measured: ~16 s of task time on qx88's
+    // ~candidate-scale input at sf0.1, the single biggest compute block in
+    // the bench). Replace it with an EXACT hi/lo long-pair sum: each LUT
+    // partial is split once per (probe row, code, block) into
+    //   h = trunc(dec)          (CAST DECIMAL→BIGINT)
+    //   l = (dec − h) × 1e12    (exact: scale-12 fraction as an integer)
+    // so dec = h + l/1e12 exactly, and a candidate sums plain longs
+    // (whole-stage-codegen primitive ops, zero allocation). Overflow is
+    // impossible for nBlocks ≤ 9: |dec| < 1e18 (DECIMAL(30,12) cast
+    // nulls out anything larger), so |Σh| ≤ 9×(1e18−1) < 2^63−1 and
+    // |Σl| < 9×1e12. Paths with nBlocks > 9 keep the decimal chain.
+    // Null partials (|double| ≥ 1e18 or NaN) null both h and l, so the
+    // summed pair nulls out exactly where the decimal sum did.
+    val useLongPair = nBlocks <= 9
     // per-probe-row LUT: map from code id → array of per-block DECIMAL
     // partials. Literal-unrolled over (code ordinal, block): every node
-    // (element_at / struct access / graft_dot / map()) is codegen'd.
+    // (element_at / struct access / graft_dot / map()) is codegen'd, and
+    // each partial's (dot + cast) expression appears exactly ONCE — the
+    // hi/lo split below binds the computed decimal as a lambda variable
+    // instead of re-inlining the expression (a literal-unrolled split was
+    // measured 10× slower on the residual path: three copies of the
+    // residual+slice+dot tree per partial blew the codegen budget).
     val lutArgs = (1 to kCodes).flatMap { kk =>
       val ent = s"element_at(__cb, $kk)"
       val blocks = (1 to nBlocks).map { b =>
@@ -589,13 +611,23 @@ object Quantize {
       }
       Seq(s"$ent.code", blocks.mkString("array(", ", ", ")"))
     }
+    // hi/lo split of every LUT partial, ONCE PER PROBE ROW (kCodes×nBlocks
+    // interpreted lambda applications — planning-scale next to the
+    // per-candidate work this feeds): dec = h + l/1e12 exactly, see the
+    // header note.
+    val lutSplit =
+      """transform_values(__lutd, (__ck, __arr) -> transform(__arr, __dec ->
+        |  named_struct('h', CAST(__dec AS BIGINT),
+        |    'l', CAST((__dec - CAST(CAST(__dec AS BIGINT) AS DECIMAL(30,12)))
+        |         * 1000000000000 AS BIGINT))))""".stripMargin
     val probesLut = probes
       .crossJoin(broadcast(cbArr))
-      .withColumn("__lutm", expr(lutArgs.mkString("map(", ", ", ")")))
+      .withColumn("__lutd", expr(lutArgs.mkString("map(", ", ", ")")))
+      .withColumn("__lutm", if (useLongPair) expr(lutSplit) else col("__lutd"))
       .select(col("query_id"), col("centroid_id"), col("probe_rank"),
         col("__lutm"))
-    // per-candidate: nBlocks array picks + the decimal sum — no dots, no
-    // double→decimal casts on the candidate path
+    // per-candidate: nBlocks array picks + the long-pair (or decimal) sum
+    // — no dots, no double→decimal casts on the candidate path
     val parts = (1 to nBlocks).map { b =>
       s"element_at(element_at(__lutm, element_at(codes, $b)), $b)"
     }
@@ -605,14 +637,23 @@ object Quantize {
     val nCells = math.max(1L, nCells0)
     val saltS = math.min(pTarget.toLong,
       math.max(1L, (4L * pTarget + nCells - 1) / nCells)).toInt
+    // Round-15 flip of the salt direction: the r14 salt exploded the
+    // PROBE side ×S, so every probe row's kCodes×nBlocks LUT map crossed
+    // the exchange S times (the probe row is the FAT side — the map
+    // dominates its bytes), while index rows are a few dozen bytes. Now
+    // the cheap INDEX rows explode ×S and the probe side salts by a hash
+    // of query_id — every (index, probe) pair still meets exactly once
+    // (the probe's salt is one of the index row's S), the scoring stage
+    // keeps its P REPARTITION_BY_NUM tasks, and the shuffled LUT bytes
+    // drop ×S. Same S=1 no-op at production cell counts.
     val joined =
       if (saltS <= 1) indexCodes.join(probesLut, Seq("centroid_id"))
       else {
         val idx = indexCodes
-          .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(saltS.toLong)))
+          .withColumn("__salt", explode(expr(s"sequence(0L, ${saltS - 1}L)")))
           .repartition(pTarget, col("centroid_id"), col("__salt"))
         val prb = probesLut
-          .withColumn("__salt", explode(expr(s"sequence(0L, ${saltS - 1}L)")))
+          .withColumn("__salt", pmod(xxhash64(col("query_id")), lit(saltS.toLong)))
           .repartition(pTarget, col("centroid_id"), col("__salt"))
         idx.join(prb, Seq("centroid_id", "__salt")).drop("__salt")
       }
@@ -624,26 +665,69 @@ object Quantize {
     // order: __d2, vec_id, then carried payload) is bit-identical to the
     // (d2 asc, id asc) window this replaces; (d2, vec_id) is unique per
     // candidate so the payload fields never participate in a compare.
-    joined // the budgeted shuffle
+    val scored = joined // the budgeted shuffle
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("__d2", expr(decimalSumChain(parts)))
-      .select(col("query_id"), col(idCol).as("vec_id"), col("__d2"),
-        // field 0 = the DOUBLE cast of the exact decimal: a monotone
-        // proxy that lets graft_topk's fast-reject skip the decimal
-        // compare (and the struct allocation) for the common worse-than-
-        // worst candidate; the exact decimal right behind it settles
-        // double-collisions, so the order is still the exact one
-        col("__d2").cast("double").as("__d2d"),
-        col("centroid_id"), col("probe_rank"))
-      .groupBy(col("query_id"))
-      .agg(expr(s"graft_topk(struct(__d2d, __d2, vec_id, centroid_id, probe_rank), $k)")
-        .as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
-      .select(col("query_id"), col("__t.vec_id").as("neighbor_id"),
-        (col("__p") + 1).cast("long").as("rank"),
-        round(col("__t.__d2").cast("double"), 6).as("dist2"),
-        col("__t.centroid_id").as("centroid_id"),
-        col("__t.probe_rank").as("probe_rank"))
+    if (useLongPair) {
+      // exact long-pair sum, carry-normalized so (hiN, loN) is the unique
+      // normal form of the distance: loN ∈ [0, 1e12), value = hiN+loN/1e12.
+      // Lexicographic (hiN, loN) compare ≡ exact value compare, and the
+      // single-long proxy hiN×1e12+loN (saturated outside ±9e6 integer
+      // range, where it would overflow) is strictly monotone below the
+      // saturation bands — equal proxies there imply equal values, so the
+      // final (value asc, vec_id asc) order is bit-identical to the
+      // decimal chain's.
+      val hiSum = parts.map(p => s"$p.h").mkString("(", " + ", ")")
+      val loSum = parts.map(p => s"$p.l").mkString("(", " + ", ")")
+      scored
+        .withColumn("__losum", expr(loSum))
+        .withColumn("__lon", expr("pmod(__losum, 1000000000000)"))
+        .withColumn("__hin", expr(s"$hiSum + (__losum - pmod(__losum, 1000000000000)) div 1000000000000"))
+        .select(col("query_id"), col(idCol).as("vec_id"),
+          // field 0 = the cheap monotone long proxy for graft_topk's
+          // fast-reject (one primitive compare per candidate on a warmed
+          // heap); the normalized pair right behind it settles the
+          // saturated bands exactly
+          expr("""CASE WHEN __hin IS NULL THEN CAST(NULL AS BIGINT)
+                 |     WHEN __hin >= 9000000 THEN 9223372036854775807
+                 |     WHEN __hin <= -9000000 THEN -9223372036854775807
+                 |     ELSE __hin * 1000000000000 + __lon END""".stripMargin).as("__pxy"),
+          col("__hin"), col("__lon"), col("centroid_id"), col("probe_rank"))
+        .groupBy(col("query_id"))
+        .agg(expr(s"graft_topk(struct(__pxy, __hin, __lon, vec_id, centroid_id, probe_rank), $k)")
+          .as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+        .select(col("query_id"), col("__t.vec_id").as("neighbor_id"),
+          (col("__p") + 1).cast("long").as("rank"),
+          // reconstruct the exact DECIMAL value from the pair (k rows per
+          // query, not per candidate): hiN + loN×1e-12 is exact at scale
+          // 12, so the double cast (and its 6-dp round) is byte-identical
+          // to CAST(<decimal chain> AS DOUBLE)
+          round(expr("""CAST(CAST(__t.__hin AS DECIMAL(30,12))
+                       |  + CAST(__t.__lon AS DECIMAL(20,0)) * 0.000000000001 AS DOUBLE)""".stripMargin), 6)
+            .as("dist2"),
+          col("__t.centroid_id").as("centroid_id"),
+          col("__t.probe_rank").as("probe_rank"))
+    } else {
+      scored
+        .withColumn("__d2", expr(decimalSumChain(parts)))
+        .select(col("query_id"), col(idCol).as("vec_id"), col("__d2"),
+          // field 0 = the DOUBLE cast of the exact decimal: a monotone
+          // proxy that lets graft_topk's fast-reject skip the decimal
+          // compare (and the struct allocation) for the common worse-than-
+          // worst candidate; the exact decimal right behind it settles
+          // double-collisions, so the order is still the exact one
+          col("__d2").cast("double").as("__d2d"),
+          col("centroid_id"), col("probe_rank"))
+        .groupBy(col("query_id"))
+        .agg(expr(s"graft_topk(struct(__d2d, __d2, vec_id, centroid_id, probe_rank), $k)")
+          .as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+        .select(col("query_id"), col("__t.vec_id").as("neighbor_id"),
+          (col("__p") + 1).cast("long").as("rank"),
+          round(col("__t.__d2").cast("double"), 6).as("dist2"),
+          col("__t.centroid_id").as("centroid_id"),
+          col("__t.probe_rank").as("probe_rank"))
+    }
   }
 
   /** [[ivfPqIndex]] in BATCH shape — one row per vector, `codes`
